@@ -1,0 +1,751 @@
+"""Core relational operators: scans, filters, joins, aggregations.
+
+SURVEY.md §2.C — the batch-relational surface the t2 gate exercises.
+Spark side is pure DataFrame API (Catalyst handles pushdown, join
+strategy, partial aggregation); oracle side is the same ANSI SQL for
+DuckDB.  Scale notes per query in docstrings.
+
+Float discipline (see queries/__init__): sums→round 2, means→round 4.
+Integer sums are cast to BIGINT on the DuckDB side (DuckDB widens to
+HUGEINT); rank/length-style ints are cast to INT to match Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.queries import query
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-style pricing summary.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+        ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)    AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                 * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)         AS sum_charge,
+        ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+        ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+        ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+        COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1: filter -> hash agg (8 aggregates) -> sort.",
+    tags=("agg", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: single scan, partial+final hash agg on 6 groups — no data
+    motion beyond one tiny shuffle of partial aggregates; the shipdate
+    predicate and 7-column projection push into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    # Exact decimal arithmetic for money products: double sums of
+    # 4/6-decimal products can land ON a rounding boundary, where Spark
+    # (HALF_UP on shortest-repr) and the oracle (binary half-away)
+    # disagree.  DECIMAL keeps the sums exact; the final cast to DOUBLE
+    # is then bit-identical on both engines.
+    price_dec = F.col("l_extendedprice").cast("decimal(14,2)")
+    disc_price = price_dec * (1 - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (1 + F.col("l_tax").cast("decimal(4,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+        l_orderkey,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        CAST(o_orderdate AS DATE)                         AS orderdate,
+        o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: selective dim filter -> 3-way join -> agg -> top-10.",
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: customer (filtered on segment) is the small side —
+    broadcast it into orders, then the orders->lineitem join shuffles
+    on orderkey only after orders was pre-filtered by date. Top-10 is
+    a TakeOrdered, no global sort materialization."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT
+        n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5: 6-way join through the star schema + agg.",
+    tags=("join", "agg"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: nation/region/supplier are broadcast dims; the only big
+    shuffle is orders<->lineitem on orderkey. The c_nationkey =
+    s_nationkey equality rides along as a join condition instead of a
+    post-filter so Catalyst can use it during the join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join types.
+# ---------------------------------------------------------------------------
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*)                 AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    doc="Inner join through two broadcast dimensions + agg.",
+    tags=("join",),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both dims broadcast — zero shuffle on the fact side until
+    the final 125-group aggregate."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(c_custkey) AS BIGINT) AS n_customers,
+           ROUND(COALESCE(SUM(c_acctbal), 0.0), 2) AS total_bal
+    FROM nation
+    LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="Left outer join preserving unmatched dimension rows.",
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        nation.join(cust, nation.n_nationkey == cust.c_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 2).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM orders
+    RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+    doc="Right outer join: all customers, order counts possibly 0.",
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        FROM customer GROUP BY c_nationkey
+    ), sn AS (
+        SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cn.nk, sn.nk)            AS nationkey,
+           CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    ORDER BY nationkey
+    """,
+    doc="Full outer join of two aggregated sides with coalesced key.",
+    tags=("join", "agg"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cn.join(sn, cn.nk == sn.nk, "full")
+        .select(
+            F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+    doc="Left semi join (EXISTS): customers holding an open order.",
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: semi join never widens rows and Spark's left_semi stops
+    probing on first match; with AQE the filtered orders side can go
+    broadcast when selective."""
+    cust = _t(spark, sf_dir, "customer")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+    doc="Left anti join (NOT EXISTS): customers with no orders.",
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, seg.c_mktsegment AS mktsegment
+    FROM region
+    CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) AS seg
+    ORDER BY r_name, mktsegment
+    """,
+    doc="Cross join of two tiny sets (5 regions x 5 segments).",
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").select("r_name")
+    segs = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("mktsegment"))
+        .distinct()
+    )
+    return region.crossJoin(segs).orderBy("r_name", "mktsegment")
+
+
+@query(
+    "join_nonequi_theta",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_late_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 1000 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Equi join with an additional theta (range) condition.",
+    tags=("join",),
+)
+def join_nonequi_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the equi part keys the shuffle; the range predicate is
+    evaluated inside the join so no blow-up materializes."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 1000 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation variants.
+# ---------------------------------------------------------------------------
+@query(
+    "agg_distinct_count",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*)                    AS n_customers,
+           ROUND(SUM(c_acctbal), 2)    AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="Hash agg with a distinct aggregate alongside plain ones.",
+    tags=("agg",),
+)
+def agg_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="ROLLUP hierarchy totals (grand total + per-flag + per-pair).",
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)                   AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="CUBE over two dimensions (all 4 grouping combinations).",
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT)  AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT)  AS g_status,
+           ROUND(SUM(l_extendedprice), 2)       AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="GROUPING SETS with grouping() indicator columns.",
+    tags=("agg", "sql"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT)  AS g_flag,
+               CAST(grouping(l_linestatus) AS INT)  AS g_status,
+               ROUND(SUM(l_extendedprice), 2)       AS total_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(*)                  AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 1000
+    ORDER BY l_suppkey
+    """,
+    doc="Post-aggregation HAVING filter.",
+    tags=("agg",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 1000)
+        .drop("_raw_qty")
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2)            AS sd_price,
+           ROUND(VAR_SAMP(l_quantity), 4)                    AS var_qty,
+           ROUND(MIN(l_extendedprice), 2)                    AS min_price,
+           ROUND(MAX(l_extendedprice), 2)                    AS max_price,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)       AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Statistical aggregates: stddev/variance/corr/min/max.",
+    tags=("agg",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Exact linear-interpolation percentiles (DuckDB quantile_cont).",
+    tags=("agg",),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: exact percentile requires collecting group values —
+    fine for bounded group counts; at 100 TB prefer approx_percentile
+    (see agg_approx below, rows-only oracle)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_approx",
+    oracle=None,  # sketch outputs are implementation-defined; rows-only check
+    doc="approx_count_distinct (HLL++) + approx_percentile sketches — "
+    "the 100 TB-scale substitutes for exact distinct/percentile.",
+    tags=("agg", "approx"),
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.round(
+                F.expr("approx_percentile(l_extendedprice, 0.5)"), 0
+            ).alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "distinct_projection",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    ORDER BY c_mktsegment, c_nationkey
+    """,
+    doc="DISTINCT on a two-column projection.",
+    tags=("agg",),
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")
+    )
+
+
+@query(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="Global top-K by sort + limit (TakeOrdered, no full sort).",
+    tags=("sort",),
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: orderBy+limit compiles to TakeOrderedAndProject — each
+    partition keeps only K rows, driver merges K*P rows, never a full
+    global sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (SQL API — same ANSI text runs on both engines).
+# ---------------------------------------------------------------------------
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_totalprice > 3 * (SELECT AVG(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+    doc="Uncorrelated scalar subquery in a predicate.",
+    tags=("sql", "subquery"),
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders
+        WHERE o_totalprice > 3 * (SELECT AVG(o_totalprice) FROM orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@query(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_partkey = p_partkey AND l_quantity >= 49
+    )
+    ORDER BY p_partkey
+    """,
+    doc="Correlated EXISTS subquery (decorrelated to a semi join).",
+    tags=("sql", "subquery"),
+)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand
+        FROM part
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_partkey = p_partkey AND l_quantity >= 49
+        )
+        ORDER BY p_partkey
+        """
+    )

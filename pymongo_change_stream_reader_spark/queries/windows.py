@@ -1,0 +1,250 @@
+"""Window functions (SURVEY.md §2.C): ranking, offsets, frames.
+
+Every window has a total order (unique tie-break column) so results
+are deterministic and hash-comparable against the DuckDB oracle.
+
+Scale note: a window shuffles once on its partition keys and sorts
+within partitions; partition keys here are high-cardinality
+(customer, user) so no single partition becomes a straggler. Windows
+that would be partitioned on a constant (global running totals) are
+deliberately absent — they serialize at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.queries import query
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+        FROM customer
+    )
+    WHERE rn <= 3
+    ORDER BY c_mktsegment, rn
+    """,
+    doc="Top-K per group via row_number over a partitioned window.",
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value, 2)                                              AS value,
+           ROUND(LAG(value)  OVER w, 2)                                 AS prev_value,
+           ROUND(LEAD(value) OVER w, 2)                                 AS next_value,
+           ROUND(value - COALESCE(LAG(value) OVER w, 0.0), 2)           AS delta
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    doc="lag/lead offsets within per-user event timelines.",
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(F.lag("value").over(w), 2).alias("prev_value"),
+            F.round(F.lead("value").over(w), 2).alias("next_value"),
+            F.round(
+                F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2
+            ).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS INT)             AS order_seq
+    FROM orders
+    ORDER BY o_custkey, order_seq
+    """,
+    doc="Cumulative sum with an explicit ROWS frame.",
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+            ).alias("running_total"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mov_avg_7
+    FROM events
+    WHERE event_type = 'click'
+    ORDER BY user_id, event_id
+    """,
+    doc="7-row moving average over per-user click streams.",
+    tags=("window",),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 4).alias("mov_avg_7"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           ROUND(c_acctbal, 2) AS acctbal,
+           CAST(COUNT(*) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal
+               RANGE BETWEEN 100.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_100
+    FROM customer
+    WHERE c_nationkey < 5
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    doc="RANGE frame over a numeric ordering (value-based window).",
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal")
+        .rangeBetween(-100, 0)
+    )
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 5)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.count("*").over(w).alias("n_within_100"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+@query(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           ROUND(p_retailprice, 2) AS retailprice,
+           CAST(RANK()       OVER w AS INT) AS price_rank,
+           CAST(DENSE_RANK() OVER w AS INT) AS price_dense_rank,
+           CAST(NTILE(4) OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice, p_partkey) AS INT) AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    ORDER BY p_brand, price_rank, p_partkey
+    """,
+    doc="rank / dense_rank / ntile ranking family.",
+    tags=("window",),
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.col("p_partkey"))
+    w_asc = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("retailprice"),
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+            F.ntile(4).over(w_asc).alias("quartile"),
+        )
+        .orderBy("p_brand", "price_rank", "p_partkey")
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           CAST(FIRST_VALUE(o_orderdate) OVER w AS DATE) AS first_order,
+           CAST(LAST_VALUE(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS DATE)                                    AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey
+    """,
+    doc="first_value/last_value with full-partition frame + distinct.",
+    tags=("window",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderdate").over(w).cast("date").alias("first_order"),
+            F.last("o_orderdate").over(w_full).cast("date").alias("last_order"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )

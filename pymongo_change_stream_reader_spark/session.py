@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local runs use ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the same
+builder options apply unchanged (AQE, skew-join handling, Arrow).  The
+shuffle-partition default tracks core count locally; at cluster scale
+AQE coalescing makes the static number far less sensitive.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pymongo_change_stream_reader_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Settings chosen for 100 TB readiness, all of which are equally
+    correct on ``local[N]``:
+
+    - AQE on (runtime coalescing, skew-join splitting) so static
+      partition counts need not be perfect at any scale.
+    - Arrow on for the few Pandas-UDF operators.
+    - UTC session timezone so results compare bit-for-bit against the
+      DuckDB oracle (DuckDB timestamps are UTC-naive).
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
