@@ -1,0 +1,129 @@
+"""CDC operators: op-type filter, Debezium-style envelope, key/topic
+projection, key-hash partitioning.
+
+Spark-first re-expression of the reference's hand-written operators
+(reference: change_stream_reading/change_handler.py:11,43-48 [A5 op
+filter], producing/change_event_handler.py:14-19,84-113 [A8 envelope,
+A9 key, A10 topic], change_handler.py:67-81 [A6 partitioner]) — all
+pure JVM column expressions, whole-stage-codegen'd, no Python on the
+executor path.
+
+The envelope `value` is assembled by string concatenation rather than
+``to_json`` because the payload fields are already Extended-JSON
+strings: embedding them through ``to_json`` would re-escape them as
+string literals.  Concatenation preserves the reference's exact
+output bytes (``json_util.dumps`` with ``", "``/``": "`` separators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# reference: change_handler.py:11 — ops forwarded to the data path.
+DATA_OPERATION_TYPES = ("insert", "replace", "update", "delete")
+
+# reference: change_event_handler.py:14-19 — Debezium op codes.
+OPERATION_CODE = {"insert": "c", "update": "u", "replace": "u", "delete": "d"}
+
+
+def filter_data_ops(df: DataFrame) -> DataFrame:
+    """A5: keep only data-path operations.
+
+    Heartbeats / drop / dropDatabase / invalidate still advance the
+    stream offset — in Spark that is automatic (the source commits
+    offsets for all consumed input regardless of downstream filters,
+    SURVEY §2 A18)."""
+    return df.filter(F.col("operationType").isin(*DATA_OPERATION_TYPES))
+
+
+def op_code() -> Column:
+    """Map operationType -> Debezium op code (c/u/u/d)."""
+    expr = None
+    for op, code in OPERATION_CODE.items():
+        expr = (
+            F.when(F.col("operationType") == op, code)
+            if expr is None
+            else expr.when(F.col("operationType") == op, code)
+        )
+    return expr
+
+
+def topic(kafka_prefix: str = "") -> Column:
+    """A10: `{prefix}.{db}.{coll}` (or `{db}.{coll}` with empty prefix)."""
+    parts = [F.col("ns.db"), F.col("ns.coll")]
+    if kafka_prefix:
+        parts.insert(0, F.lit(kafka_prefix))
+    return F.concat_ws(".", *parts)
+
+
+def document_key_json() -> Column:
+    """A9: Extended-JSON of documentKey, e.g.
+    ``{"_id": {"$oid": "6692b4..."}}``."""
+    return F.concat(
+        F.lit('{"_id": {"$oid": "'), F.col("documentKey._id"), F.lit('"}}')
+    )
+
+
+def _update_description_json() -> Column:
+    """Render the updateDescription struct with raw embedded
+    updatedFields (already Extended JSON).  Field order mirrors the
+    reference fixtures: removedFields, truncatedArrays, updatedFields."""
+    truncated = F.coalesce(
+        F.to_json(F.col("updateDescription.truncatedArrays")), F.lit("[]")
+    )
+    removed = F.coalesce(
+        F.to_json(F.col("updateDescription.removedFields")), F.lit("[]")
+    )
+    updated = F.coalesce(F.col("updateDescription.updatedFields"), F.lit("{}"))
+    return F.concat(
+        F.lit('"updateDescription": {"removedFields": '),
+        removed,
+        F.lit(', "truncatedArrays": '),
+        truncated,
+        F.lit(', "updatedFields": '),
+        updated,
+        F.lit("}"),
+    )
+
+
+def envelope_value() -> Column:
+    """A8: `{before?, updateDescription?, after?, op}` as one JSON
+    string; optional members rendered only when present (matches the
+    reference's dict-insertion order, change_event_handler.py:100-113)."""
+    before = F.when(
+        F.col("fullDocumentBeforeChange").isNotNull(),
+        F.concat(F.lit('"before": '), F.col("fullDocumentBeforeChange")),
+    )
+    upd = F.when(
+        F.col("updateDescription").isNotNull(), _update_description_json()
+    )
+    after = F.when(
+        F.col("fullDocument").isNotNull(),
+        F.concat(F.lit('"after": '), F.col("fullDocument")),
+    )
+    op = F.concat(F.lit('"op": "'), op_code(), F.lit('"'))
+    return F.concat(F.lit("{"), F.concat_ws(", ", before, upd, after, op), F.lit("}"))
+
+
+def to_kafka_records(df: DataFrame, kafka_prefix: str = "") -> DataFrame:
+    """A8+A9+A10 combined: project the filtered change stream into
+    Kafka-sink records ``(topic, key, value)``.
+
+    Scale: narrow projection, no shuffle; Kafka partition assignment by
+    key hash then gives the same per-key ordering contract as the
+    reference's `_id`-hash producer queues (A6)."""
+    return df.select(
+        topic(kafka_prefix).alias("topic"),
+        document_key_json().alias("key"),
+        envelope_value().alias("value"),
+    )
+
+
+def partition_by_key(df: DataFrame, num_partitions: int) -> DataFrame:
+    """A6: hash-exchange on documentKey so one task owns each key
+    (per-key ordering within the micro-batch; reference
+    change_handler.py:77-81).  At cluster scale this is the only
+    shuffle on the CDC hot path; skip it when the Kafka sink's key
+    hashing is ordering enough."""
+    return df.repartition(num_partitions, F.col("documentKey._id"))

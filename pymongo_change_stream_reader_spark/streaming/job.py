@@ -1,0 +1,132 @@
+"""The CDC relay as one declarative Structured Streaming job.
+
+Reference dataflow (SURVEY §3.2):
+    resume-token restore -> change-stream scan -> op filter ->
+    hash-partition -> envelope -> Kafka produce -> ack -> prefix-commit
+    -> token upsert
+
+Spark expression (everything after the arrow is built-in machinery):
+    readStream(source) -> filter_data_ops -> to_kafka_records ->
+    writeStream.format("kafka").option("checkpointLocation", ...)
+
+The entire commit path (reference committing/: A12-A17 — acks,
+prefix-commit state machine, token saver/retriever) is replaced by the
+checkpoint's offset+commit logs: offsets are durably committed only
+after the micro-batch's sink write succeeds, which is the identical
+at-least-once contract (SURVEY §3.3).  The commit cadence knobs map to
+``trigger(processingTime=...)`` / ``maxOffsetsPerTrigger``-style rate
+limits (A15).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from pymongo_change_stream_reader_spark.operators.cdc import (
+    filter_data_ops,
+    to_kafka_records,
+)
+
+
+@dataclass(frozen=True)
+class RelaySettings:
+    """Engine options mirroring the reference's env settings
+    (reference: settings.py:37-112).  Names kept for parity."""
+
+    stream_reader_name: str = "change-stream-reader"
+    kafka_prefix: str = ""
+    producers_count: int = 0  # 0 = let the sink's key hashing partition
+    commit_interval_s: float = 30.0  # trigger cadence (settings.py:60)
+    checkpoint_dir: str = "/tmp/cdc-checkpoints"
+
+    @property
+    def checkpoint_location(self) -> str:
+        # stream_reader_name is the durable identity of the run, the
+        # same role it plays as the token-collection unique key
+        # (reference: token_saver.py:40-44).
+        return f"{self.checkpoint_dir}/{self.stream_reader_name}"
+
+
+def build_relay(events: DataFrame, settings: RelaySettings) -> DataFrame:
+    """filter(A5) -> envelope+routing(A8/A9/A10). Works identically on
+    batch and streaming DataFrames (tests use both)."""
+    data = filter_data_ops(events)
+    if settings.producers_count > 0:
+        from pymongo_change_stream_reader_spark.operators.cdc import partition_by_key
+
+        # Exchange before the envelope projection drops documentKey.
+        data = partition_by_key(data, settings.producers_count)
+    return to_kafka_records(data, settings.kafka_prefix)
+
+
+def start_kafka_relay(
+    events: DataFrame,
+    settings: RelaySettings,
+    bootstrap_servers: str,
+    create_topics: bool = False,
+) -> StreamingQuery:
+    """Production sink: Kafka with per-row ``topic`` column (A10/A11).
+
+    ``kafka.enable.idempotence`` mirrors the reference's producer
+    config (producing/builder.py:85-86); delivery acks and retry/
+    backpressure are the sink's built-ins (A11/A12).  With
+    ``create_topics`` the job routes through foreachBatch for
+    AdminClient topic auto-creation (no Spark built-in; see
+    streaming/kafka_sink.py).
+    """
+    records = build_relay(events, settings)
+    if create_topics:
+        from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
+            foreach_batch_kafka_with_topics,
+        )
+
+        return (
+            records.writeStream.foreachBatch(
+                foreach_batch_kafka_with_topics(bootstrap_servers, settings)
+            )
+            .option("checkpointLocation", settings.checkpoint_location)
+            .trigger(processingTime=f"{settings.commit_interval_s} seconds")
+            .start()
+        )
+    return (
+        records.selectExpr(
+            "topic", "CAST(key AS BINARY) AS key", "CAST(value AS BINARY) AS value"
+        )
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("kafka.enable.idempotence", "true")
+        .option("checkpointLocation", settings.checkpoint_location)
+        .trigger(processingTime=f"{settings.commit_interval_s} seconds")
+        .start()
+    )
+
+
+def start_memory_relay(
+    events: DataFrame, settings: RelaySettings, query_name: str
+) -> StreamingQuery:
+    """Test sink: memory table, with the same checkpointed semantics."""
+    return (
+        build_relay(events, settings)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", settings.checkpoint_location)
+        .start()
+    )
+
+
+def start_parquet_relay(
+    events: DataFrame, settings: RelaySettings, out_dir: str
+) -> StreamingQuery:
+    """File sink variant (reference's file-writer test flavor,
+    tests/test_file_writer/) — exactly-once via the file sink's
+    transaction log."""
+    return (
+        build_relay(events, settings)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", settings.checkpoint_location)
+        .start()
+    )

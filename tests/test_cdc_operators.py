@@ -1,0 +1,96 @@
+"""CDC operator unit tests over the 7 golden change events.
+
+Mirrors the reference's e2e expectations
+(tests/test_change_stream_reading/test_application.py:24-56): 4
+data-path rows, topic `test.test-database.TestCollection`, key =
+documentKey Extended JSON, envelope values with correct
+before/after/updateDescription/op.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.cdc import (
+    DATA_OPERATION_TYPES,
+    filter_data_ops,
+    partition_by_key,
+    to_kafka_records,
+)
+from pymongo_change_stream_reader_spark.schema import CHANGE_EVENT_SCHEMA
+from pymongo_change_stream_reader_spark.sources.change_events import (
+    read_change_events_json,
+)
+
+FIXTURE = "tests/fixtures/change_events.jsonl"
+OID = "6692b4a31ede014d28852865"
+DOC = '{"_id": {"$oid": "%s"}, "a": %d}' % (OID, 1)
+
+
+def _doc(a: int) -> str:
+    return '{"_id": {"$oid": "%s"}, "a": %d}' % (OID, a)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return read_change_events_json(spark, FIXTURE).cache()
+
+
+def test_fixture_roundtrip(events):
+    """Schema <-> fixture roundtrip (analog of
+    test_change_events_encode_decode.py)."""
+    assert events.count() == 7
+    # JSON reads are always nullable; compare structure ignoring nullability
+    assert events.schema.simpleString() == CHANGE_EVENT_SCHEMA.simpleString()
+    ops = {r["operationType"] for r in events.select("operationType").collect()}
+    assert ops == {
+        "insert", "update", "replace", "delete", "drop", "dropDatabase", "invalidate"
+    }
+    # every event carries a resume token (the offset, FIXTURES.md §1)
+    assert events.filter(F.col("_id._data").isNull()).count() == 0
+
+
+def test_op_filter(events):
+    kept = filter_data_ops(events)
+    assert kept.count() == 4
+    assert {r["operationType"] for r in kept.collect()} == set(DATA_OPERATION_TYPES)
+
+
+def test_kafka_records_golden(events):
+    records = to_kafka_records(filter_data_ops(events), "test")
+    by_value = sorted(r["value"] for r in records.collect())
+    assert all(
+        r["topic"] == "test.test-database.TestCollection" for r in records.collect()
+    )
+    assert all(
+        r["key"] == '{"_id": {"$oid": "%s"}}' % OID for r in records.collect()
+    )
+    expected = sorted(
+        [
+            '{"after": %s, "op": "c"}' % _doc(1),
+            '{"before": %s, "updateDescription": {"removedFields": [], '
+            '"truncatedArrays": [], "updatedFields": {"a": 2}}, "after": %s, '
+            '"op": "u"}' % (_doc(1), _doc(2)),
+            '{"before": %s, "after": %s, "op": "u"}' % (_doc(2), _doc(3)),
+            '{"before": %s, "op": "d"}' % _doc(3),
+        ]
+    )
+    assert by_value == expected
+
+
+def test_topic_without_prefix(events):
+    records = to_kafka_records(filter_data_ops(events), "")
+    assert {r["topic"] for r in records.collect()} == {"test-database.TestCollection"}
+
+
+def test_partitioning_per_key(spark, events):
+    """A6: same documentKey -> same partition (all golden events share
+    one _id, the reference asserts all land on one queue)."""
+    parts = (
+        partition_by_key(filter_data_ops(events), 4)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .collect()
+    )
+    assert len(parts) == 1

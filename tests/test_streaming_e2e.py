@@ -1,0 +1,123 @@
+"""End-to-end streaming tests: file source -> relay -> sink, with
+checkpoint-restart at-least-once semantics.
+
+Mirrors the reference's full-topology test
+(tests/test_change_stream_reading/test_application.py) and its
+crash-replay contract (SURVEY §3.3): after a restart with the same
+checkpoint, already-committed input is not reprocessed.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.sources.change_events import (
+    stream_change_events_json,
+)
+from pymongo_change_stream_reader_spark.streaming.job import (
+    RelaySettings,
+    build_relay,
+    start_memory_relay,
+    start_parquet_relay,
+)
+
+FIXTURE = "tests/fixtures/change_events.jsonl"
+
+
+def test_memory_relay_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(FIXTURE, src / "batch0.json")
+    settings = RelaySettings(
+        stream_reader_name="e2e-mem",
+        kafka_prefix="test",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = start_memory_relay(
+        stream_change_events_json(spark, str(src)), settings, "relay_out"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM relay_out")
+    assert out.count() == 4
+    assert {r["topic"] for r in out.collect()} == {"test.test-database.TestCollection"}
+    ops = sorted(
+        r["value"].rsplit('"op": "', 1)[1][0] for r in out.collect()
+    )
+    assert ops == ["c", "d", "u", "u"]
+
+
+def test_checkpoint_restart_no_replay(spark, tmp_path):
+    """At-least-once without duplicate delivery across a restart:
+    batch0 is committed before the 'crash'; after restart only batch1
+    is processed (4 new rows, not 8)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    out_dir = str(tmp_path / "out")
+    settings = RelaySettings(
+        stream_reader_name="e2e-restart",
+        kafka_prefix="test",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    shutil.copy(FIXTURE, src / "batch0.json")
+    q = start_parquet_relay(
+        stream_change_events_json(spark, str(src)), settings, out_dir
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out_dir).count() == 4
+
+    # "restart": new query object, same checkpoint; new input appears
+    shutil.copy(FIXTURE, src / "batch1.json")
+    q2 = start_parquet_relay(
+        stream_change_events_json(spark, str(src)), settings, out_dir
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # 4 from batch0 (not replayed) + 4 from batch1
+    assert spark.read.parquet(out_dir).count() == 8
+
+
+def test_relay_is_streaming_safe(spark, tmp_path):
+    """The relay plan contains no batch-only operations (it must bind
+    to an unbounded source)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(FIXTURE, src / "b.json")
+    df = build_relay(
+        stream_change_events_json(spark, str(src)),
+        RelaySettings(stream_reader_name="plan-check"),
+    )
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["topic", "key", "value"]
+
+
+def test_partitioned_relay_streaming(spark, tmp_path):
+    """producers_count > 0 inserts the key exchange (A6) and still
+    streams (repartition is streaming-compatible)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(FIXTURE, src / "b.json")
+    settings = RelaySettings(
+        stream_reader_name="e2e-part",
+        producers_count=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = start_memory_relay(
+        stream_change_events_json(spark, str(src)), settings, "relay_part_out"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.sql("SELECT * FROM relay_part_out").count() == 4
