@@ -1,0 +1,377 @@
+"""MongoDB aggregation-pipeline -> DataFrame translator (SURVEY §2.B).
+
+The reference accepts an arbitrary change-stream pipeline as Extended
+JSON and pushes it verbatim to the server (reference: settings.py:48,
+69-76,85-90; change_stream_reading/watch.py:79).  This engine instead
+*translates* the pipeline onto DataFrame operations, which hands the
+predicates/projections to Catalyst — so pushdown into the source scan
+(the optimization the reference gets from mongod) happens
+automatically (SURVEY §4).
+
+Supported surface (change-stream-legal stages):
+  $match    — full predicate language: comparison ($eq $ne $gt $gte
+              $lt $lte), membership ($in $nin), boolean ($and $or
+              $not $nor), $exists, $regex (+$options), array ($size
+              $all $elemMatch), $mod, $expr
+  $project  — inclusion / exclusion / computed fields
+  $addFields / $set — add or overwrite columns
+  $unset    — drop fields
+  $replaceRoot / $replaceWith — promote a struct column to root
+Aggregation expressions inside $project/$addFields/$expr/$cond:
+  field paths ("$a.b"), literals, $literal, $concat, $toUpper,
+  $toLower, $substr, $strLenCP, $split, arithmetic ($add $subtract
+  $multiply $divide $mod $abs $ceil $floor $round), comparisons,
+  boolean ops, $cond, $ifNull, $dateToString, $toString/$toInt/
+  $toLong/$toDouble, $size, $in.
+
+Unsupported operators raise ``PipelineError`` at build time
+(validation mirrors reference settings.py:69-76) — never silently
+mis-translate.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class PipelineError(ValueError):
+    """Invalid or unsupported pipeline construct."""
+
+
+# ---------------------------------------------------------------------------
+# Validation (reference: settings.py:69-76 validate_mongo_pipeline).
+# ---------------------------------------------------------------------------
+def parse_pipeline(pipeline: str | Sequence[dict]) -> list[dict]:
+    if isinstance(pipeline, str):
+        try:
+            pipeline = json.loads(pipeline)
+        except json.JSONDecodeError as exc:
+            raise PipelineError(f"pipeline is not valid JSON: {exc}") from exc
+    if not isinstance(pipeline, (list, tuple)):
+        raise PipelineError("pipeline must be a list of stages")
+    for stage in pipeline:
+        if not isinstance(stage, dict) or len(stage) != 1:
+            raise PipelineError(f"each stage must be a single-key dict: {stage!r}")
+    return list(pipeline)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation-expression translation.
+# ---------------------------------------------------------------------------
+_MONGO_DATE_TOKENS = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%M": "mm", "%S": "ss", "%L": "SSS", "%j": "DDD",
+}
+
+
+def _date_format(fmt: str) -> str:
+    for mongo, spark in _MONGO_DATE_TOKENS.items():
+        fmt = fmt.replace(mongo, spark)
+    if "%" in fmt:
+        raise PipelineError(f"unsupported $dateToString token in {fmt!r}")
+    return fmt
+
+
+def translate_expr(expr: Any) -> Column:
+    """Aggregation expression -> Column."""
+    if isinstance(expr, str) and expr.startswith("$"):
+        return F.col(expr[1:])
+    if isinstance(expr, (int, float, bool)) or expr is None:
+        return F.lit(expr)
+    if isinstance(expr, str):
+        return F.lit(expr)
+    if isinstance(expr, list):
+        return F.array(*[translate_expr(e) for e in expr])
+    if not isinstance(expr, dict) or len(expr) != 1:
+        raise PipelineError(f"unsupported expression: {expr!r}")
+
+    [(op, arg)] = expr.items()
+    args: list[Any] = arg if isinstance(arg, list) else [arg]
+
+    def tx(i: int) -> Column:
+        return translate_expr(args[i])
+
+    match op:
+        case "$literal":
+            return F.lit(arg)
+        case "$concat":
+            return F.concat(*[translate_expr(a) for a in args])
+        case "$toUpper":
+            return F.upper(tx(0))
+        case "$toLower":
+            return F.lower(tx(0))
+        case "$substr" | "$substrCP":
+            # Mongo is 0-based; Spark substring is 1-based.
+            return F.substring(tx(0), translate_expr(args[1]) + F.lit(1), tx(2))
+        case "$strLenCP":
+            return F.length(tx(0))
+        case "$split":
+            return F.split(tx(0), translate_expr(args[1]), -1)
+        case "$add":
+            out = tx(0)
+            for i in range(1, len(args)):
+                out = out + tx(i)
+            return out
+        case "$subtract":
+            return tx(0) - tx(1)
+        case "$multiply":
+            out = tx(0)
+            for i in range(1, len(args)):
+                out = out * tx(i)
+            return out
+        case "$divide":
+            return tx(0) / tx(1)
+        case "$mod":
+            return tx(0) % tx(1)
+        case "$abs":
+            return F.abs(tx(0))
+        case "$ceil":
+            return F.ceil(tx(0))
+        case "$floor":
+            return F.floor(tx(0))
+        case "$round":
+            place = args[1] if len(args) > 1 else 0
+            return F.round(tx(0), place)
+        case "$eq":
+            return tx(0) == tx(1)
+        case "$ne":
+            return tx(0) != tx(1)
+        case "$gt":
+            return tx(0) > tx(1)
+        case "$gte":
+            return tx(0) >= tx(1)
+        case "$lt":
+            return tx(0) < tx(1)
+        case "$lte":
+            return tx(0) <= tx(1)
+        case "$and":
+            out = tx(0)
+            for i in range(1, len(args)):
+                out = out & tx(i)
+            return out
+        case "$or":
+            out = tx(0)
+            for i in range(1, len(args)):
+                out = out | tx(i)
+            return out
+        case "$not":
+            return ~tx(0)
+        case "$cond":
+            if isinstance(arg, dict):
+                return F.when(
+                    translate_expr(arg["if"]), translate_expr(arg["then"])
+                ).otherwise(translate_expr(arg["else"]))
+            return F.when(tx(0), tx(1)).otherwise(tx(2))
+        case "$ifNull":
+            return F.coalesce(*[translate_expr(a) for a in args])
+        case "$dateToString":
+            if not isinstance(arg, dict):
+                raise PipelineError("$dateToString takes {format, date}")
+            return F.date_format(
+                translate_expr(arg["date"]), _date_format(arg["format"])
+            )
+        case "$toString":
+            return tx(0).cast("string")
+        case "$toInt":
+            return tx(0).cast("int")
+        case "$toLong":
+            return tx(0).cast("long")
+        case "$toDouble":
+            return tx(0).cast("double")
+        case "$toBool":
+            return tx(0).cast("boolean")
+        case "$size":
+            return F.size(tx(0))
+        case "$in":
+            return F.array_contains(translate_expr(args[1]), tx(0))
+        case _:
+            raise PipelineError(f"unsupported expression operator {op!r}")
+
+
+# ---------------------------------------------------------------------------
+# $match predicate translation.
+# ---------------------------------------------------------------------------
+_CMP = {
+    "$eq": lambda c, v: c == v,
+    "$ne": lambda c, v: c != v,
+    "$gt": lambda c, v: c > v,
+    "$gte": lambda c, v: c >= v,
+    "$lt": lambda c, v: c < v,
+    "$lte": lambda c, v: c <= v,
+}
+
+
+def _field_predicate(path: str, cond: Any) -> Column:
+    col = F.col(path)
+    if not isinstance(cond, dict) or not any(
+        isinstance(k, str) and k.startswith("$") for k in cond
+    ):
+        # bare value: equality (including dict literals without operators)
+        return col == F.lit(cond)
+
+    preds: list[Column] = []
+    for op, val in cond.items():
+        if op in _CMP:
+            preds.append(_CMP[op](col, F.lit(val)))
+        elif op == "$in":
+            preds.append(col.isin(*val))
+        elif op == "$nin":
+            preds.append(~col.isin(*val) | col.isNull())
+        elif op == "$exists":
+            preds.append(col.isNotNull() if val else col.isNull())
+        elif op == "$regex":
+            pattern = val
+            options = cond.get("$options", "")
+            if "i" in options:
+                pattern = f"(?i){pattern}"
+            preds.append(col.rlike(pattern))
+        elif op == "$options":
+            continue  # consumed by $regex
+        elif op == "$not":
+            preds.append(~_field_predicate(path, val))
+        elif op == "$size":
+            preds.append(F.size(col) == F.lit(val))
+        elif op == "$all":
+            for item in val:
+                preds.append(F.array_contains(col, F.lit(item)))
+        elif op == "$elemMatch":
+            preds.append(F.exists(col, _element_matcher(val)))
+        elif op == "$mod":
+            divisor, remainder = val
+            preds.append(col % F.lit(divisor) == F.lit(remainder))
+        else:
+            raise PipelineError(f"unsupported $match operator {op!r} on {path!r}")
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def _element_matcher(cond: Any) -> Callable[[Column], Column]:
+    """Single-argument lambda factory for F.exists (PySpark derives the
+    higher-order-function arity from the Python signature)."""
+
+    def matcher(elem: Column) -> Column:
+        return _element_predicate(elem, cond)
+
+    return matcher
+
+
+def _element_predicate(elem: Column, cond: Any) -> Column:
+    """$elemMatch body applied to an array element."""
+    if not isinstance(cond, dict):
+        return elem == F.lit(cond)
+    preds = []
+    for op, val in cond.items():
+        if op in _CMP:
+            preds.append(_CMP[op](elem, F.lit(val)))
+        else:
+            raise PipelineError(f"unsupported $elemMatch operator {op!r}")
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def translate_match(cond: dict) -> Column:
+    if not isinstance(cond, dict):
+        raise PipelineError("$match takes a document")
+    preds: list[Column] = []
+    for key, val in cond.items():
+        if key == "$and":
+            sub = [translate_match(v) for v in val]
+        elif key == "$or":
+            sub = None
+            out = translate_match(val[0])
+            for v in val[1:]:
+                out = out | translate_match(v)
+            preds.append(out)
+            continue
+        elif key == "$nor":
+            out = translate_match(val[0])
+            for v in val[1:]:
+                out = out | translate_match(v)
+            preds.append(~out)
+            continue
+        elif key == "$not":
+            preds.append(~translate_match(val))
+            continue
+        elif key == "$expr":
+            preds.append(translate_expr(val))
+            continue
+        elif key.startswith("$"):
+            raise PipelineError(f"unsupported top-level $match operator {key!r}")
+        else:
+            preds.append(_field_predicate(key, val))
+            continue
+        preds.extend(sub)
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Stage application.
+# ---------------------------------------------------------------------------
+def _apply_project(df: DataFrame, spec: dict) -> DataFrame:
+    if not spec:
+        raise PipelineError("$project requires at least one field")
+    computed = {
+        k: v for k, v in spec.items() if not isinstance(v, (int, bool)) or v not in (0, 1)
+    }
+    included = [k for k, v in spec.items() if isinstance(v, (int, bool)) and v in (1, True)]
+    excluded = [k for k, v in spec.items() if isinstance(v, (int, bool)) and v in (0, False)]
+    if included or computed:
+        cols = [F.col(k).alias(k.replace(".", "_")) if "." in k else F.col(k)
+                for k in included]
+        cols += [translate_expr(v).alias(k) for k, v in computed.items()]
+        return df.select(*cols)
+    return df.drop(*excluded)
+
+
+def _apply_stage(df: DataFrame, stage: dict) -> DataFrame:
+    [(name, spec)] = stage.items()
+    match name:
+        case "$match":
+            return df.filter(translate_match(spec))
+        case "$project":
+            return _apply_project(df, spec)
+        case "$addFields" | "$set":
+            out = df
+            for field, expr in spec.items():
+                out = out.withColumn(field, translate_expr(expr))
+            return out
+        case "$unset":
+            fields = [spec] if isinstance(spec, str) else list(spec)
+            return df.drop(*fields)
+        case "$replaceRoot" | "$replaceWith":
+            root = spec["newRoot"] if name == "$replaceRoot" else spec
+            if not (isinstance(root, str) and root.startswith("$")):
+                raise PipelineError(f"{name} requires a field path newRoot")
+            return df.select(f"{root[1:]}.*")
+        case _:
+            raise PipelineError(f"unsupported stage {name!r}")
+
+
+def translate_pipeline(
+    pipeline: str | Sequence[dict],
+) -> Callable[[DataFrame], DataFrame]:
+    """Compile a pipeline into a DataFrame transform.  Stages compose
+    lazily, so Catalyst sees one logical plan and pushes the combined
+    predicates/pruning into the scan."""
+    stages = parse_pipeline(pipeline)
+
+    def apply(df: DataFrame) -> DataFrame:
+        for stage in stages:
+            df = _apply_stage(df, stage)
+        return df
+
+    return apply

@@ -1,1 +1,208 @@
-"""Placeholder — filled in by a later milestone."""
+"""Oracle-checked queries driving the Mongo-pipeline translator
+(SURVEY §2.B) over the events table and the simulated change stream.
+
+Each query feeds an Extended-JSON pipeline through
+``plans.pipeline.translate_pipeline`` — exactly the path a reference
+user's ``cursor_pipeline`` setting takes — and the oracle reproduces
+the semantics in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.plans.pipeline import translate_pipeline
+from pymongo_change_stream_reader_spark.queries import query
+from pymongo_change_stream_reader_spark.sources.simulate import simulate_change_stream
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+
+@query(
+    "pipeline_match_project",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('click', 'purchase') AND value >= 100
+    ORDER BY event_id
+    """,
+    doc="$match ($in, $gte) + $project inclusion -> filter/select; "
+    "predicates reach the parquet scan via Catalyst pushdown.",
+    tags=("pipeline",),
+)
+def pipeline_match_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        """
+        [{"$match": {"event_type": {"$in": ["click", "purchase"]},
+                     "value": {"$gte": 100}}},
+         {"$project": {"event_id": 1, "user_id": 1, "event_type": 1, "value": 1}}]
+        """
+    )
+    return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")
+
+
+@query(
+    "pipeline_match_boolean_ops",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE event_type = 'error'
+       OR (value < 50 AND (user_id % 7) = 0 AND props IS NOT NULL
+           AND regexp_matches(props, '"k": 1[0-9]'))
+    ORDER BY event_id
+    """,
+    doc="$match with $or/$and/$mod/$exists/$regex predicate tree.",
+    tags=("pipeline",),
+)
+def pipeline_match_boolean_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$match": {
+                    "$or": [
+                        {"event_type": "error"},
+                        {
+                            "$and": [
+                                {"value": {"$lt": 50}},
+                                {"user_id": {"$mod": [7, 0]}},
+                                {"props": {"$exists": True}},
+                                {"props": {"$regex": '"k": 1[0-9]'}},
+                            ]
+                        },
+                    ]
+                }
+            },
+            {"$project": {"event_id": 1, "event_type": 1, "value": 1}},
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")
+
+
+@query(
+    "pipeline_addfields_compute",
+    oracle="""
+    SELECT event_id,
+           CAST(FLOOR(value / 50) AS BIGINT)                 AS value_bucket,
+           UPPER(event_type) || '-' || CAST(user_id AS VARCHAR) AS label,
+           CASE WHEN value >= 250 THEN 'high' ELSE 'low' END AS tier
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="$addFields with $floor/$divide/$concat/$toUpper/$toString/"
+    "$cond computed expressions + $project.",
+    tags=("pipeline",),
+)
+def pipeline_addfields_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$addFields": {
+                    "value_bucket": {"$floor": {"$divide": ["$value", 50]}},
+                    "label": {
+                        "$concat": [
+                            {"$toUpper": "$event_type"},
+                            "-",
+                            {"$toString": "$user_id"},
+                        ]
+                    },
+                    "tier": {
+                        "$cond": {
+                            "if": {"$gte": ["$value", 250]},
+                            "then": "high",
+                            "else": "low",
+                        }
+                    },
+                }
+            },
+            {
+                "$project": {
+                    "event_id": 1, "value_bucket": 1, "label": 1, "tier": 1
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")
+
+
+@query(
+    "pipeline_unset",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type
+    FROM events
+    WHERE event_id < 3000
+    ORDER BY event_id
+    """,
+    doc="$unset -> drop columns ($match first so the scan prunes).",
+    tags=("pipeline",),
+)
+def pipeline_unset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 3000}}},
+            {"$unset": ["props", "value"]},
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")
+
+
+@query(
+    "pipeline_dotted_path_replaceroot",
+    oracle="""
+    SELECT 'users_' || CAST(user_id % 4 AS VARCHAR) AS coll,
+           COUNT(*) AS n
+    FROM events
+    WHERE event_type IN ('signup', 'purchase', 'click', 'error')
+    GROUP BY coll
+    ORDER BY coll
+    """,
+    doc="Dotted-path $match (ns.db) + $replaceRoot promoting the ns "
+    "struct, over the simulated change stream.",
+    tags=("pipeline", "cdc"),
+)
+def pipeline_dotted_path_replaceroot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$match": {
+                    "ns.db": "appdb",
+                    "operationType": {
+                        "$in": ["insert", "update", "replace", "delete"]
+                    },
+                }
+            },
+            {"$replaceRoot": {"newRoot": "$ns"}},
+        ]
+    )
+    out = pipe(simulate_change_stream(spark, sf_dir))
+    return (
+        out.groupBy("coll").agg(F.count("*").alias("n")).orderBy("coll")
+    )
+
+
+@query(
+    "pipeline_expr_datetostring",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:00') AS hour_bucket
+    FROM events
+    WHERE value * 2 > 900
+    ORDER BY event_id
+    """,
+    doc="$expr arithmetic predicate + $dateToString formatting.",
+    tags=("pipeline",),
+)
+def pipeline_expr_datetostring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"$expr": {"$gt": [{"$multiply": ["$value", 2]}, 900]}}},
+            {
+                "$project": {
+                    "event_id": 1,
+                    "hour_bucket": {
+                        "$dateToString": {"format": "%Y-%m-%d %H:00", "date": "$ts"}
+                    },
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")

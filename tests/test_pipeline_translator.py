@@ -1,0 +1,96 @@
+"""Unit tests for the Mongo-pipeline translator (plans/pipeline.py):
+array predicates, error handling, stage composition — the surfaces the
+oracle queries can't reach with the flat events table."""
+
+from __future__ import annotations
+
+import pytest
+
+from pymongo_change_stream_reader_spark.plans.pipeline import (
+    PipelineError,
+    parse_pipeline,
+    translate_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice", ["a", "b", "c"], [1, 5, 9], {"city": "ber", "zip": "10115"}),
+            (2, "bob", ["b"], [2, 4], {"city": "muc", "zip": "80331"}),
+            (3, "carol", [], [10, 20, 30], {"city": "ber", "zip": "10117"}),
+        ],
+        "id INT, name STRING, tags ARRAY<STRING>, scores ARRAY<INT>, "
+        "addr STRUCT<city: STRING, zip: STRING>",
+    )
+
+
+def run(pipe, df):
+    return translate_pipeline(pipe)(df)
+
+
+def test_parse_validation():
+    with pytest.raises(PipelineError):
+        parse_pipeline("{not json")
+    with pytest.raises(PipelineError):
+        parse_pipeline('{"$match": {}}')  # not a list
+    with pytest.raises(PipelineError):
+        parse_pipeline([{"$match": {}, "$project": {}}])  # two keys per stage
+    assert parse_pipeline('[{"$match": {"a": 1}}]') == [{"$match": {"a": 1}}]
+
+
+def test_match_array_operators(docs):
+    assert run([{"$match": {"tags": {"$size": 1}}}], docs).collect()[0]["id"] == 2
+    assert run([{"$match": {"tags": {"$all": ["a", "b"]}}}], docs).collect()[0]["id"] == 1
+    got = run([{"$match": {"scores": {"$elemMatch": {"$gte": 5, "$lt": 10}}}}], docs)
+    assert sorted(r["id"] for r in got.collect()) == [1]
+
+
+def test_match_nested_and_nor(docs):
+    got = run([{"$match": {"addr.city": "ber", "id": {"$gte": 2}}}], docs)
+    assert [r["id"] for r in got.collect()] == [3]
+    got = run([{"$match": {"$nor": [{"id": 1}, {"name": "bob"}]}}], docs)
+    assert [r["id"] for r in got.collect()] == [3]
+
+
+def test_match_regex_options(docs):
+    got = run([{"$match": {"name": {"$regex": "^A", "$options": "i"}}}], docs)
+    assert [r["name"] for r in got.collect()] == ["alice"]
+
+
+def test_replaceroot_and_unset(docs):
+    got = run([{"$replaceRoot": {"newRoot": "$addr"}}], docs)
+    assert got.columns == ["city", "zip"]
+    got = run([{"$unset": "tags"}, {"$unset": ["scores", "addr"]}], docs)
+    assert got.columns == ["id", "name"]
+
+
+def test_project_exclusion_and_computed(docs):
+    got = run([{"$project": {"tags": 0, "scores": 0, "addr": 0}}], docs)
+    assert got.columns == ["id", "name"]
+    got = run(
+        [{"$project": {"id": 1, "shout": {"$concat": [{"$toUpper": "$name"}, "!"]}}}],
+        docs,
+    )
+    assert got.columns == ["id", "shout"]
+    assert got.collect()[0]["shout"] == "ALICE!"
+
+
+def test_set_overwrites(docs):
+    got = run([{"$set": {"name": {"$toUpper": "$name"}}}], docs)
+    assert {r["name"] for r in got.collect()} == {"ALICE", "BOB", "CAROL"}
+
+
+def test_substr_is_zero_based(docs):
+    got = run([{"$project": {"pre": {"$substr": ["$name", 0, 3]}}}], docs)
+    assert sorted(r["pre"] for r in got.collect()) == ["ali", "bob", "car"]
+
+
+def test_unsupported_raises(docs):
+    with pytest.raises(PipelineError):
+        run([{"$group": {"_id": "$name"}}], docs)
+    with pytest.raises(PipelineError):
+        run([{"$match": {"name": {"$type": "string"}}}], docs)
+    with pytest.raises(PipelineError):
+        run([{"$project": {"x": {"$dateFromParts": {}}}}], docs)
