@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+quality scoring, language ID, fingerprinting.
+
+All pure JVM expressions (split/filter/aggregate higher-order
+functions) — no Python on the executor path, so these run at full
+codegen speed over 100 TB of documents.  Each operator returns a
+Column so callers compose them into a single narrow projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword anchors for the n-gram/stopword
+# heuristic.  Deliberately tiny and deterministic — language ID at
+# scale is a scoring argmax, not a model.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "es", "y"),
+    "fr": ("le", "la", "les", "est", "et"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty strings removed)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token proxy: word-boundary pieces + digits +
+    punctuation, the standard pre-tokenizer regex shape."""
+    pieces = F.filter(
+        F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+        lambda t: (t != "") & (t != " "),
+    )
+    return F.size(pieces)
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: F.lower(t).isin(*words)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    return stopword_hits(text, lang) / F.greatest(token_count(text), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"([!-/:-@\[-`{-~])"), 1))
+    return n_punct / F.greatest(F.length(text), F.lit(1))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish quality heuristic: length sweet spot,
+    stopword presence, low punctuation density.  Deterministic and
+    SQL-expressible for the oracle gate."""
+    len_score = F.least(F.length(text) / F.lit(200.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text, "en") * 5, F.lit(1.0))
+    punct_penalty = F.least(punct_ratio(text) * 10, F.lit(1.0))
+    return len_score * 0.4 + stop_score * 0.4 + (1 - punct_penalty) * 0.2
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    return {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax language by stopword hits; deterministic tie-break on
+    language code order; 'unknown' when nothing matches."""
+    scores = lang_scores(text)
+    best_score = F.greatest(*scores.values())
+    out = F.lit("unknown")
+    # reversed so the FIRST language in sorted order wins ties
+    for lang in sorted(scores, reverse=True):
+        out = F.when(
+            (scores[lang] > 0) & (scores[lang] == best_score), lang
+        ).otherwise(out)
+    return out
+
+
+def normalized_text(text: Column) -> Column:
+    """Dedup normalization: lowercase + collapsed whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text — the exact
+    dedup key (a rolling/content hash the oracle can reproduce)."""
+    return F.md5(normalized_text(text))

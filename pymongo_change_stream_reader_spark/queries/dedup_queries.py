@@ -1,1 +1,139 @@
-"""Placeholder — filled in by a later milestone."""
+"""Dedup queries: exact, n-gram Jaccard (oracle-checked), MinHash-LSH
+and SimHash (deterministic sketches; rows-only for the driver, with
+recall/precision covered by pytest against the exact pairs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.dedup import (
+    exact_dedup,
+    exact_jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+)
+from pymongo_change_stream_reader_spark.operators.similarity import cosine_dedup_pairs
+from pymongo_change_stream_reader_spark.queries import query
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')"
+_GRAMS = f"""
+    CASE WHEN len({_TOKS}) >= 3 THEN
+        list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+            i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))
+    ELSE [] END
+"""
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text)               AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*)                    AS n_copies
+    FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0
+    )
+    GROUP BY content_hash
+    ORDER BY keep_id
+    """,
+    doc="Exact dedup via sha-256 content hash (hash-groupBy, keep min "
+    "id) over a corpus with planted exact duplicates.",
+    tags=("dedup",),
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: single shuffle on the 32-byte hash; partial agg shrinks
+    duplicate-heavy inputs map-side."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dups)
+    return (
+        corpus.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                 / greatest(len(ga.grams) + len(gb.grams)
+                            - len(list_intersect(ga.grams, gb.grams)), 1),
+                 6) AS jaccard
+    FROM cand
+    JOIN g ga ON ga.doc_id = id_a
+    JOIN g gb ON gb.doc_id = id_b
+    WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
+          / greatest(len(ga.grams) + len(gb.grams)
+                     - len(list_intersect(ga.grams, gb.grams)), 1) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs (>= 0.5) via an "
+    "inverted shingle index — the verifier semantics for LSH.",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", 0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # sketch/banding composition; verified vs exact pairs in pytest
+    doc="MinHash(32)+LSH(8 bands) near-dup pairs verified by exact "
+    "Jaccard >= 0.5 — the 100 TB-scale dedup path "
+    "(shingle -> minhash -> band -> bucket-join -> verify).",
+    tags=("dedup", "approx"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # 64-bit sketch banding; semantics covered in pytest
+    doc="SimHash-64 near-dup pairs (Hamming <= 8) via bit-band "
+    "bucketing + bit_count verification.",
+    tags=("dedup", "approx"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS score
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding near-dup pairs: cosine >= 0.3 over all pairs "
+    "(exact form; LSH bucketing is the scale path).",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_dedup_pairs(emb, 0.3).orderBy("id_a", "id_b")

@@ -1,1 +1,58 @@
-"""Placeholder — filled in by a later milestone."""
+"""Similarity-search queries over the embeddings table: exact cosine
+top-k (oracle-checked) and the LSH-bucketed approximate path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from pymongo_change_stream_reader_spark.queries import query
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id,
+               c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 6) AS score
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    doc="Exact brute-force cosine top-10 for 5 query vectors "
+    "(broadcast queries, one narrow corpus pass, per-query top-k).",
+    tags=("similarity",),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=10)
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=None,  # approximate (bucket pruning); recall vs exact in pytest
+    doc="Random-hyperplane LSH-bucketed ANN top-10 — the IVF-style "
+    "scale path: bucket assignment is a projection, search touches "
+    "only same-bucket candidates.",
+    tags=("similarity", "approx"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(emb, queries, k=10, num_planes=4)

@@ -1,1 +1,166 @@
-"""Placeholder — filled in by a later milestone."""
+"""Oracle-checked text-analysis queries over the documents table
+(SURVEY north-star extensions: token counting, quality scoring,
+language ID, fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators import text as tx
+from pymongo_change_stream_reader_spark.operators.dedup import exact_dedup
+from pymongo_change_stream_reader_spark.queries import query
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+# DuckDB fragments mirroring operators/text.py
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')"
+_STOP = {
+    "en": "['the','a','and','of','to']",
+    "de": "['der','die','das','und','ist']",
+    "es": "['el','la','los','es','y']",
+    "fr": "['le','la','les','est','et']",
+}
+_HITS = {
+    lang: f"len(list_filter({_TOKS}, w -> list_contains({words}, lower(w))))"
+    for lang, words in _STOP.items()
+}
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INT)                          AS n_tokens,
+           CAST(length(text) AS INT)                          AS n_chars,
+           ROUND(list_sum(list_transform({_TOKS}, w -> length(w)))
+                 / greatest(len({_TOKS}), 1), 4)              AS mean_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Whitespace token counting + char stats per document.",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(tx.mean_token_len(t), 4).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))
+                 / greatest(length(text), 1), 6)                    AS punct_ratio,
+           ROUND({_HITS['en']} / greatest(len({_TOKS}), 1), 6)      AS stopword_ratio,
+           ROUND(least(length(text) / 200.0, 1.0) * 0.4
+                 + least({_HITS['en']} / greatest(len({_TOKS}), 1) * 5, 1.0) * 0.4
+                 + (1 - least(len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))
+                              / greatest(length(text), 1) * 10, 1.0)) * 0.2,
+                 6)                                                 AS quality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Quality heuristics: punctuation density, stopword ratio, "
+    "composite score.",
+    tags=("text",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.round(tx.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(tx.stopword_ratio(t, "en"), 6).alias("stopword_ratio"),
+        F.round(tx.quality_score(t), 6).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS label,
+               {_HITS['en']} AS s_en, {_HITS['de']} AS s_de,
+               {_HITS['es']} AS s_es, {_HITS['fr']} AS s_fr
+        FROM documents
+    ), pred AS (
+        SELECT label,
+               CASE
+                 WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'unknown'
+                 WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                 WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                 WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                 ELSE 'fr'
+               END AS predicted
+        FROM scored
+    )
+    SELECT label, predicted, COUNT(*) AS n
+    FROM pred
+    GROUP BY label, predicted
+    ORDER BY label, predicted
+    """,
+    doc="Stopword-argmax language ID vs the labeled lang column "
+    "(deterministic tie-break in language-code order).",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("label"),
+            tx.predicted_lang(F.col("text")).alias("predicted"),
+        )
+        .groupBy("label", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("label", "predicted")
+    )
+
+
+@query(
+    "text_fingerprint_dedup",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, upper(text) FROM documents WHERE doc_id % 3 = 0
+    )
+    GROUP BY fingerprint
+    ORDER BY keep_id
+    """,
+    doc="Exact dedup on the md5 content fingerprint over a corpus with "
+    "planted case-variant duplicates (normalization folds them).",
+    tags=("text", "dedup"),
+)
+def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), F.upper("text").alias("text"))
+    )
+    corpus = d.unionByName(dups)
+    return exact_dedup(corpus, "text", "doc_id").orderBy("keep_id")
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=None,  # lookaround regex not expressible in DuckDB's RE2
+    doc="BPE-ish sub-word token counting (word-boundary split regex); "
+    "rows-only — the oracle's RE2 lacks lookarounds.",
+    tags=("text",),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        tx.token_count(F.col("text")).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
