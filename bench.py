@@ -1,0 +1,108 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "streaming_events_per_s": N}
+
+The headline set covers every operator family at its scale-path
+variant (e.g. MinHash-LSH rather than the quadratic verifier, BLAS
+cosine rather than the per-pair HOF form).  A JVM warm-up run of the
+flagship precedes timing; each query is timed over a full
+materialization (count()).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = (
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_semi",
+    "agg_rollup",
+    "agg_distinct_count",
+    "window_topk_per_group",
+    "window_running_sum",
+    "sort_limit_topk",
+    "set_union_all",
+    "subquery_correlated_exists",
+    "scalar_explode_wordcount",
+    # CDC relay (per-micro-batch work at batch scale)
+    "cdc_envelope",
+    "cdc_op_counts",
+    # pipeline translator
+    "pipeline_match_project",
+    "pipeline_addfields_compute",
+    # training-data operators (scale-path variants)
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_cosine_blas",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint_dedup",
+    "multimodal_feature_extract",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pymongo_change_stream_reader_spark.queries import spark_queries
+    from pymongo_change_stream_reader_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = spark_queries()
+
+    # JVM/codegen warm-up (not timed)
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # streaming-relay throughput: events/s through the full
+    # filter -> envelope -> kafka-record projection (the identical
+    # per-micro-batch plan of the streaming job)
+    from pymongo_change_stream_reader_spark.operators.cdc import (
+        filter_data_ops,
+        to_kafka_records,
+    )
+    from pymongo_change_stream_reader_spark.sources.simulate import (
+        simulate_change_stream,
+    )
+
+    events = simulate_change_stream(spark, sf_dir)
+    t0 = time.time()
+    n_events = to_kafka_records(filter_data_ops(events), "bench").count()
+    relay_s = time.time() - t0
+    events_per_s = round(n_events / relay_s) if relay_s > 0 else 0
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+                "streaming_events_per_s": events_per_s,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

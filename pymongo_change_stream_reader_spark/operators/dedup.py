@@ -51,13 +51,22 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # Shingling + exact Jaccard (the verifier / oracle semantics).
 # ---------------------------------------------------------------------------
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (empty array for short docs —
-    Spark's sequence(1, 0) would count *down*, so guard explicitly)."""
+    """Distinct word n-gram shingles.
+
+    Built from zipped array slices, NOT per-index element_at: Spark
+    does no common-subexpression elimination inside an expression, so
+    an element_at formulation re-evaluates the tokenization subtree
+    per gram per position (O(tokens²) splits per document).  Slices
+    reference the token array O(n) times total."""
     toks = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-    )
+    length = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
@@ -70,32 +79,67 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / F.greatest(union, F.lit(1))
 
 
+def _grams_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc, grams) with a materialization barrier.  The barrier is
+    load-bearing twice over: the shingle expression is expensive, and
+    without it CollapseProject inlines the expression into every
+    downstream consumer (32 minhash transforms, band hashes) — a
+    ~100x recompute.  At cluster scale this is the shingle table you
+    write to storage once."""
+    spark = df.sparkSession
+    # Repartition first: the source may be a single parquet file (one
+    # partition), which would serialize the interpreted HOF shingle
+    # work on one core; at cluster scale this is the decode-parallelism
+    # knob.
+    grams = (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("doc"), word_ngrams(F.col(text_col), n).alias("grams")
+        )
+        .persist()
+    )
+    # Eager: the table is scanned by several join branches of one
+    # action (inv a/b sides, size/verify joins); lazy persist would let
+    # those branches race and each recompute uncached partitions.
+    grams.count()
+    return grams
+
+
 def exact_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float, n: int = 3
 ) -> DataFrame:
-    """All pairs with n-gram Jaccard >= threshold, via an inverted
-    index on shingles (join only docs sharing a shingle — still
-    worst-case quadratic; the LSH path below is the scale version)."""
-    grams = df.select(
-        F.col(id_col).alias("doc"), word_ngrams(F.col(text_col), n).alias("grams")
-    )
+    """All pairs with n-gram Jaccard >= threshold via an inverted
+    shingle index, count-based: |A∩B| comes straight from a pair-count
+    aggregation over the index (one shuffle), never from per-pair
+    array intersection.  Worst-case still quadratic in docs sharing a
+    shingle — the LSH path below is the scale version."""
+    grams = _grams_table(df, text_col, id_col, n)
+    sizes = grams.select("doc", F.size("grams").alias("sz"))
     inv = grams.select("doc", F.explode("grams").alias("gram"))
-    cand = (
+    inter = (
         inv.alias("a")
-        .join(inv.alias("b"), (F.col("a.gram") == F.col("b.gram"))
-              & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .distinct()
+        .join(
+            inv.alias("b"),
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
     )
-    ga = grams.select(F.col("doc").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = grams.select(F.col("doc").alias("id_b"), F.col("grams").alias("grams_b"))
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("grams_a"), F.col("grams_b")), 6).alias("jaccard"),
+            F.round(
+                F.col("inter")
+                / F.greatest(
+                    F.col("sz_a") + F.col("sz_b") - F.col("inter"), F.lit(1)
+                ),
+                6,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -126,11 +170,21 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate pairs: docs colliding in >=1 LSH band
     (bands x rows = num_hashes).  Returns (id_a, id_b) distinct."""
-    rows = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(word_ngrams(F.col(text_col), n), num_hashes).alias("sig"),
+    return _lsh_candidates_from_grams(
+        _grams_table(df, text_col, id_col, n), num_hashes, bands
     )
+
+
+def _lsh_candidates_from_grams(
+    grams: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    rows = num_hashes // bands
+    # signature from the materialized grams table (see _grams_table);
+    # sigs itself is persisted so band hashes slice a computed array
+    sigs = grams.select(
+        "doc", minhash_signature(F.col("grams"), num_hashes).alias("sig")
+    ).persist()
+    sigs.count()  # eager: both sides of the band self-join scan it
     banded = sigs.select(
         "doc",
         F.explode(
@@ -169,11 +223,9 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full LSH dedup: candidates from band collisions, then exact
     Jaccard verification within candidates only (the scale-safe
-    near-dup pipeline)."""
-    cand = lsh_candidate_pairs(df, text_col, id_col, num_hashes, bands, n)
-    grams = df.select(
-        F.col(id_col).alias("doc"), word_ngrams(F.col(text_col), n).alias("grams")
-    )
+    near-dup pipeline).  One shingle table feeds both phases."""
+    grams = _grams_table(df, text_col, id_col, n)
+    cand = _lsh_candidates_from_grams(grams, num_hashes, bands)
     ga = grams.select(F.col("doc").alias("id_a"), F.col("grams").alias("grams_a"))
     gb = grams.select(F.col("doc").alias("id_b"), F.col("grams").alias("grams_b"))
     return (
@@ -202,14 +254,18 @@ def simhash64(text_col: str) -> Column:
     SQL functions accept any expression (here the lambda variable j).
     """
     toks = rf"filter(split(trim({text_col}), '\\s+'), t -> t != '')"
+    # hash once per token (the inner transform), THEN fan out to bits:
+    # HOFs are interpreted (no codegen/CSE), so hashing inside the
+    # per-bit lambda would run xxhash64 64x per token
+    hashes = f"transform({toks}, t -> xxhash64(t))"
     counters = f"""
         aggregate(
-            {toks},
+            {hashes},
             array_repeat(cast(0 as long), 64),
-            (acc, t) -> zip_with(
+            (acc, h) -> zip_with(
                 acc,
                 transform(sequence(0, 63),
-                          j -> IF((shiftright(xxhash64(t), j) & 1) = 1,
+                          j -> IF((shiftright(h, j) & 1) = 1,
                                   cast(1 as long), cast(-1 as long))),
                 (x, y) -> x + y)
         )
@@ -234,9 +290,14 @@ def simhash_near_pairs(
     (a pair within Hamming distance d < bands collides in >=1 band by
     pigeonhole when d < bands), verify with bit_count(xor)."""
     width = 64 // bands
-    sk = df.select(
-        F.col(id_col).alias("doc"), simhash64(text_col).alias("sketch")
+    # persist: the 64-counter sketch expression must not be inlined
+    # into every band projection (see minhash note above)
+    sk = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("doc"), simhash64(text_col).alias("sketch"))
+        .persist()
     )
+    sk.count()  # eager: both self-join sides scan it
     banded = sk.select(
         "doc",
         "sketch",

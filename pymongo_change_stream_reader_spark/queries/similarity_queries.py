@@ -56,3 +56,20 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_bucketed_topk(emb, queries, k=10, num_planes=4)
+
+
+@query(
+    "embedding_cosine_blas",
+    oracle=None,  # numpy pairwise summation may differ in the last ulp
+    doc="All-pairs cosine >= 0.3 via Arrow + NumPy block GEMM "
+    "(mapInPandas) — the compute-optimal scale path; verified equal "
+    "to the exact HOF form in pytest.",
+    tags=("similarity", "pandas-udf"),
+)
+def embedding_cosine_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        cosine_pairs_blas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_blas(emb, 0.3)

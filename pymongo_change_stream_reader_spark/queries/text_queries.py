@@ -111,11 +111,28 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(
+    # Materialize the per-language hit counts once: the argmax CASE
+    # references every score several times, and CollapseProject would
+    # otherwise inline the tokenization into each reference (~20x).
+    hits = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             F.col("lang").alias("label"),
-            tx.predicted_lang(F.col("text")).alias("predicted"),
+            *[
+                tx.stopword_hits(F.col("text"), lang).alias(f"s_{lang}")
+                for lang in tx.STOPWORDS
+            ],
         )
+        .persist()
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in tx.STOPWORDS])
+    predicted = F.lit("unknown")
+    for lang in sorted(tx.STOPWORDS, reverse=True):
+        predicted = F.when(
+            (F.col(f"s_{lang}") > 0) & (F.col(f"s_{lang}") == best), lang
+        ).otherwise(predicted)
+    return (
+        hits.select("label", predicted.alias("predicted"))
         .groupBy("label", "predicted")
         .agg(F.count("*").alias("n"))
         .orderBy("label", "predicted")

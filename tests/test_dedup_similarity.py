@@ -124,3 +124,20 @@ def test_multimodal_feature_extract_bytes(spark):
     # 'a'=97 -> bucket 1, 'b'=98 -> 2, 'c'=99 -> 3 (mod 8)
     expected = [0.0, round(1 / 3, 6), round(1 / 3, 6), round(1 / 3, 6), 0.0, 0.0, 0.0, 0.0]
     assert list(row["features"]) == expected
+
+
+def test_blas_cosine_matches_exact_hof(emb):
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        cosine_dedup_pairs,
+        cosine_pairs_blas,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in cosine_dedup_pairs(emb, 0.3).collect()
+    }
+    blas = {
+        (r["id_a"], r["id_b"], r["score"])
+        for r in cosine_pairs_blas(emb, 0.3).collect()
+    }
+    assert blas == exact
