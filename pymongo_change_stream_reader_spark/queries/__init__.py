@@ -37,7 +37,9 @@ _MODULES = (
     "setops",
     "scalar",
     "cdc_batch",
+    "streaming_batch",
     "pipeline_queries",
+    "udf_queries",
     "dedup_queries",
     "similarity_queries",
     "text_queries",

@@ -1,0 +1,138 @@
+"""Streaming-only semantics (SURVEY §2.C ◐): watermarked windowed
+aggregation, session windows, dropDuplicatesWithinWatermark (the A3
+token-dedup analog), and the foreachBatch topic-creation cache."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _stream_events(spark, tmp_path, rows):
+    """Write rows as a JSON file and open them as a stream."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "stream-in"
+    src.mkdir(exist_ok=True)
+    with open(src / "batch.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return spark.readStream.schema(schema).json(str(src))
+
+
+EVENTS = [
+    {"event_id": 1, "ts": "2024-01-01T00:05:00Z", "user_id": 1, "value": 10.0},
+    {"event_id": 2, "ts": "2024-01-01T00:20:00Z", "user_id": 1, "value": 5.0},
+    {"event_id": 3, "ts": "2024-01-01T01:10:00Z", "user_id": 1, "value": 7.0},
+    {"event_id": 4, "ts": "2024-01-01T00:30:00Z", "user_id": 2, "value": 2.0},
+]
+
+
+def test_watermarked_tumbling_window(spark, tmp_path):
+    stream = _stream_events(spark, tmp_path, EVENTS)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["w"]["start"].isoformat(): (r["n"], r["v"])
+        for r in spark.sql("SELECT * FROM wm_out").collect()
+    }
+    assert rows == {
+        "2024-01-01T00:00:00": (3, 17.0),
+        "2024-01-01T01:00:00": (1, 7.0),
+    }
+
+
+def test_streaming_session_window(spark, tmp_path):
+    stream = _stream_events(spark, tmp_path, EVENTS)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        (r["user_id"], r["w"]["start"].isoformat()): r["n"]
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # user 1: events at 00:05 and 00:20 merge (gap 15m < 30m); 01:10 is
+    # a new session (gap 50m)
+    assert out == {
+        (1, "2024-01-01T00:05:00"): 2,
+        (1, "2024-01-01T01:10:00"): 1,
+        (2, "2024-01-01T00:30:00"): 1,
+    }
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """A3 analog: duplicate resume tokens / event ids are suppressed
+    inside the watermark horizon."""
+    dup_rows = EVENTS + [
+        {"event_id": 1, "ts": "2024-01-01T00:06:00Z", "user_id": 1, "value": 10.0},
+        {"event_id": 2, "ts": "2024-01-01T00:21:00Z", "user_id": 1, "value": 5.0},
+    ]
+    stream = _stream_events(spark, tmp_path, dup_rows)
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()
+    )
+    assert ids == [1, 2, 3, 4]
+
+
+def test_foreach_batch_topic_cache(monkeypatch):
+    """Topic auto-creation caches created topics and treats
+    already-exists as success (reference change_event_handler.py:50-58,
+    producer.py:58-64) — exercised without a broker via the
+    import-gated fallback."""
+    from pymongo_change_stream_reader_spark.streaming import kafka_sink
+
+    monkeypatch.setattr(kafka_sink, "_created_topics", set())
+    kafka_sink._ensure_topics("host:9092", {"a.b.c", "a.b.d"})
+    assert kafka_sink._created_topics == {"a.b.c", "a.b.d"}
+    # second call with a superset only needs the delta (cache hit)
+    kafka_sink._ensure_topics("host:9092", {"a.b.c", "a.b.e"})
+    assert kafka_sink._created_topics == {"a.b.c", "a.b.d", "a.b.e"}
