@@ -36,6 +36,7 @@ _MODULES = (
     "windows",
     "setops",
     "scalar",
+    "scalar_ext",
     "cdc_batch",
     "streaming_batch",
     "pipeline_queries",

@@ -1,0 +1,150 @@
+"""Remaining §2.C scalar/relational surface: map functions, unpivot,
+posexplode, and the array higher-order-function family."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.queries import query
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+
+@query(
+    "map_funcs_explode",
+    oracle="""
+    SELECT event_id, key, ROUND(val, 4) AS val FROM (
+        SELECT event_id, 'value' AS key, value AS val FROM events
+        UNION ALL
+        SELECT event_id, 'k' AS key,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS val
+        FROM events
+    )
+    WHERE event_id < 2000
+    ORDER BY event_id, key
+    """,
+    doc="Map surface: create_map -> explode into (key, value) rows "
+    "(map_keys/map_values/element_at covered by construction).",
+    tags=("scalar", "map"),
+)
+def map_funcs_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    m = F.create_map(
+        F.lit("value"), F.col("value"),
+        F.lit("k"), F.get_json_object("props", "$.k").cast("double"),
+    )
+    return (
+        e.select("event_id", F.explode(m).alias("key", "val"))
+        .select("event_id", "key", F.round("val", 4).alias("val"))
+        .orderBy("event_id", "key")
+    )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, ROUND(val, 2) AS val FROM (
+        SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS val
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'disc', l_discount FROM lineitem
+    )
+    WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+    doc="Unpivot (wide -> long): df.unpivot == stacked UNION ALL.",
+    tags=("scalar",),
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("disc"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"], ["qty", "price", "disc"], "metric", "val"
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "metric", F.round("val", 2).alias("val")
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
+@query(
+    "posexplode_words",
+    oracle="""
+    WITH w AS (
+        SELECT p_partkey, string_split(p_name, ' ') AS ws
+        FROM part WHERE p_partkey < 100
+    )
+    SELECT p_partkey,
+           CAST(unnest(range(0, len(ws))) AS INT) AS pos,
+           unnest(ws)                             AS word
+    FROM w
+    ORDER BY p_partkey, pos
+    """,
+    doc="posexplode: array element + ordinal position.",
+    tags=("scalar", "array"),
+)
+def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return (
+        p.select(
+            "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+        )
+        .orderBy("p_partkey", "pos")
+    )
+
+
+@query(
+    "array_hof_family",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')
+                   AS ws
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS total_chars,
+           CAST(len(list_filter(ws, w -> length(w) > 4)) AS INT)        AS n_long,
+           len(list_filter(ws, w -> w = 'spark')) > 0                   AS has_spark,
+           len(list_filter(ws, w -> length(w) >= 1)) = len(ws)          AS all_nonempty,
+           CAST(list_sum(list_transform(ws, w -> CASE WHEN length(w) > 4
+                THEN 1 ELSE 0 END)) AS BIGINT)                          AS n_long_agg
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Array HOF family: transform / filter / exists / forall / "
+    "aggregate over token arrays.",
+    tags=("scalar", "array"),
+)
+def array_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.size(F.filter(ws, lambda w: F.length(w) > 4)).alias("n_long"),
+        F.exists(ws, lambda w: w == "spark").alias("has_spark"),
+        F.forall(ws, lambda w: F.length(w) >= 1).alias("all_nonempty"),
+        F.aggregate(
+            F.transform(
+                ws, lambda w: F.when(F.length(w) > 4, 1).otherwise(0).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_long_agg"),
+    ).orderBy("doc_id")
