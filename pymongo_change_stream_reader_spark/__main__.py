@@ -1,0 +1,47 @@
+"""Run the CDC relay: ``python -m pymongo_change_stream_reader_spark``.
+
+The reference's entry point builds Settings() from env and runs the
+manager topology (reference main.py:5-8); here the same env surface
+builds one Structured Streaming query and awaits it.
+"""
+
+from __future__ import annotations
+
+from pymongo_change_stream_reader_spark.config import settings_from_env
+from pymongo_change_stream_reader_spark.session import get_spark
+from pymongo_change_stream_reader_spark.sources.change_events import (
+    mongo_change_stream,
+)
+from pymongo_change_stream_reader_spark.streaming.job import (
+    RelaySettings,
+    start_kafka_relay,
+)
+
+
+def main() -> None:
+    cfg = settings_from_env()
+    spark = get_spark(app_name=cfg.stream_reader_name)
+    events = mongo_change_stream(
+        spark,
+        cfg.mongo_uri,
+        database=cfg.database,
+        collection=cfg.collection,
+        pipeline=cfg.pipeline,
+        full_document=cfg.full_document,
+        full_document_before_change=cfg.full_document_before_change,
+    )
+    relay = RelaySettings(
+        stream_reader_name=cfg.stream_reader_name,
+        kafka_prefix=cfg.kafka_prefix,
+        producers_count=cfg.producers_count,
+        commit_interval_s=float(cfg.commit_interval),
+        checkpoint_dir=cfg.checkpoint_dir,
+    )
+    query = start_kafka_relay(
+        events, relay, cfg.kafka_bootstrap_servers, create_topics=True
+    )
+    query.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Engine configuration with the reference's env-driven settings
+surface (SURVEY §2 A22; reference settings.py:37-112 — same names, so
+a reference deployment's environment works unchanged).
+
+Settings whose job Spark machinery absorbs are accepted and mapped:
+- token_* (A16/A17)            -> checkpoint location (offset+commit logs)
+- max_queue_size/queue_*       -> source rate limits / trigger cadence
+- commit_interval              -> trigger(processingTime=...)
+- producers_count              -> optional key-hash repartition (A6)
+- program_*_timeout            -> awaitTermination / stop timeouts
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pymongo_change_stream_reader_spark.plans.pipeline import parse_pipeline
+
+
+@dataclass(frozen=True)
+class EngineSettings:
+    # identity & sources (required, as in the reference)
+    stream_reader_name: str
+    mongo_uri: str
+    kafka_bootstrap_servers: str
+    # scope (A2): deployment / database / collection
+    database: str | None = None
+    collection: str | None = None
+    pipeline: str | None = None
+    full_document: str = "whenAvailable"
+    full_document_before_change: str = "whenAvailable"
+    # sink & routing
+    kafka_prefix: str = ""
+    producers_count: int = 0
+    new_topic_num_partitions: int = 1
+    new_topic_replication_factor: int = 1
+    new_topic_config: dict[str, str] = field(default_factory=dict)
+    kafka_producer_config: dict[str, str] = field(default_factory=dict)
+    # commit cadence (A15) -> trigger
+    commit_interval: int = 30
+    max_uncommitted_events: int = 1000
+    # offsets: the checkpoint replaces the token collection (A16/A17)
+    checkpoint_dir: str = "/tmp/cdc-checkpoints"
+    # lifecycle
+    program_start_timeout: int = 60
+    program_graceful_stop_timeout: int = 20
+
+    def __post_init__(self) -> None:
+        if self.collection and not self.database:
+            # reference watch.py:56-58
+            raise ValueError("collection requires database")
+        if self.pipeline is not None:
+            parse_pipeline(self.pipeline)  # fail fast, like settings.py:69-76
+
+    @property
+    def checkpoint_location(self) -> str:
+        return f"{self.checkpoint_dir}/{self.stream_reader_name}"
+
+
+def _env_json(name: str) -> dict[str, str]:
+    raw = os.environ.get(name)
+    return json.loads(raw) if raw else {}
+
+
+def settings_from_env() -> EngineSettings:
+    """Build settings from the same env names the reference reads."""
+    env = os.environ
+    return EngineSettings(
+        stream_reader_name=env["STREAM_READER_NAME"],
+        mongo_uri=env["MONGO_URI"],
+        kafka_bootstrap_servers=env["KAFKA_BOOTSTRAP_SERVERS"],
+        database=env.get("DATABASE"),
+        collection=env.get("COLLECTION"),
+        pipeline=env.get("PIPELINE"),
+        full_document=env.get("FULL_DOCUMENT", "whenAvailable"),
+        full_document_before_change=env.get(
+            "FULL_DOCUMENT_BEFORE_CHANGE", "whenAvailable"
+        ),
+        kafka_prefix=env.get("KAFKA_PREFIX", ""),
+        producers_count=int(env.get("PRODUCERS_COUNT", "0")),
+        new_topic_num_partitions=int(env.get("NEW_TOPIC_NUM_PARTITIONS", "1")),
+        new_topic_replication_factor=int(
+            env.get("NEW_TOPIC_REPLICATION_FACTOR", "1")
+        ),
+        new_topic_config=_env_json("NEW_TOPIC_CONFIG"),
+        kafka_producer_config=_env_json("KAFKA_PRODUCER_CONFIG"),
+        commit_interval=int(env.get("COMMIT_INTERVAL", "30")),
+        max_uncommitted_events=int(env.get("MAX_UNCOMMITTED_EVENTS", "1000")),
+        checkpoint_dir=env.get("CHECKPOINT_DIR", "/tmp/cdc-checkpoints"),
+        program_start_timeout=int(env.get("PROGRAM_START_TIMEOUT", "60")),
+        program_graceful_stop_timeout=int(
+            env.get("PROGRAM_GRACEFUL_STOP_TIMEOUT", "20")
+        ),
+    )

@@ -1,0 +1,188 @@
+"""Stream-static and stream-stream joins with watermarks (SURVEY
+§2.C ◐), the foreachBatch per-topic file-writer (the reference's
+file-writer test flavor), and the env-config surface (A22)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_json(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+CLICKS = [
+    {"event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 1, "value": 1.0},
+    {"event_id": 2, "ts": "2024-01-01T00:02:00Z", "user_id": 2, "value": 2.0},
+]
+PURCHASES = [
+    {"event_id": 10, "ts": "2024-01-01T00:05:00Z", "user_id": 1, "value": 50.0},
+    {"event_id": 11, "ts": "2024-01-01T02:00:00Z", "user_id": 2, "value": 60.0},
+]
+SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+
+
+def test_stream_static_join(spark, tmp_path):
+    src = tmp_path / "clicks"
+    src.mkdir()
+    _write_json(src / "b.json", CLICKS)
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    users = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id LONG, tier STRING"
+    )
+    joined = stream.join(F.broadcast(users), "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_static")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        r["event_id"]: r["tier"] for r in spark.sql("SELECT * FROM ss_static").collect()
+    }
+    assert out == {1: "gold", 2: "basic"}
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Purchases join clicks of the same user within 1 hour: the
+    watermark + time-bound condition lets Spark expire join state."""
+    c_src = tmp_path / "c"
+    p_src = tmp_path / "p"
+    c_src.mkdir()
+    p_src.mkdir()
+    _write_json(c_src / "b.json", CLICKS)
+    _write_json(p_src / "b.json", PURCHASES)
+    clicks = (
+        spark.readStream.schema(SCHEMA)
+        .json(str(c_src))
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purchases = (
+        spark.readStream.schema(SCHEMA)
+        .json(str(p_src))
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_stream")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ss_stream").collect()
+    }
+    # purchase 10 (00:05, user 1) matches click 1 (00:00); purchase 11
+    # (02:00, user 2) is > 1h after click 2 -> no match
+    assert pairs == {(10, 1)}
+
+
+def test_foreach_batch_per_topic_files(spark, tmp_path):
+    """foreachBatch demux: one output directory per topic — the
+    reference's file-writer variant (tests/test_file_writer/) with the
+    file sink's exactly-once per batch."""
+    from pymongo_change_stream_reader_spark.sources.change_events import (
+        stream_change_events_json,
+    )
+    from pymongo_change_stream_reader_spark.streaming.job import (
+        RelaySettings,
+        build_relay,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    import shutil
+
+    shutil.copy("tests/fixtures/change_events.jsonl", src / "b.json")
+    out_root = tmp_path / "topics"
+
+    def write_per_topic(batch, epoch_id):
+        (
+            batch.write.mode("append")
+            .partitionBy("topic")
+            .parquet(str(out_root))
+        )
+
+    records = build_relay(
+        stream_change_events_json(spark, str(src)),
+        RelaySettings(stream_reader_name="fw", kafka_prefix="test"),
+    )
+    q = (
+        records.writeStream.foreachBatch(write_per_topic)
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(str(out_root))
+    assert out.count() == 4
+    assert {r["topic"] for r in out.select("topic").distinct().collect()} == {
+        "test.test-database.TestCollection"
+    }
+
+
+def test_settings_from_env(monkeypatch):
+    from pymongo_change_stream_reader_spark.config import settings_from_env
+
+    for k, v in {
+        "STREAM_READER_NAME": "r1",
+        "MONGO_URI": "mongodb://h:27017",
+        "KAFKA_BOOTSTRAP_SERVERS": "k:9092",
+        "DATABASE": "appdb",
+        "PIPELINE": '[{"$match": {"operationType": "insert"}}]',
+        "COMMIT_INTERVAL": "15",
+        "NEW_TOPIC_CONFIG": '{"cleanup.policy": "compact"}',
+    }.items():
+        monkeypatch.setenv(k, v)
+    cfg = settings_from_env()
+    assert cfg.stream_reader_name == "r1"
+    assert cfg.commit_interval == 15
+    assert cfg.new_topic_config == {"cleanup.policy": "compact"}
+    assert cfg.checkpoint_location.endswith("/r1")
+
+
+def test_settings_validation(monkeypatch):
+    from pymongo_change_stream_reader_spark.config import EngineSettings
+
+    with pytest.raises(ValueError, match="collection requires database"):
+        EngineSettings(
+            stream_reader_name="x", mongo_uri="m", kafka_bootstrap_servers="k",
+            collection="C",
+        )
+    with pytest.raises(Exception):
+        EngineSettings(
+            stream_reader_name="x", mongo_uri="m", kafka_bootstrap_servers="k",
+            pipeline="{not-a-list}",
+        )
