@@ -22,7 +22,9 @@ Aggregation expressions inside $project/$addFields/$expr/$cond:
   $toLower, $substr, $strLenCP, $split, arithmetic ($add $subtract
   $multiply $divide $mod $abs $ceil $floor $round), comparisons,
   boolean ops, $cond, $ifNull, $dateToString, $toString/$toInt/
-  $toLong/$toDouble, $size, $in.
+  $toLong/$toDouble/$toDate, $size, $in, $trim/$ltrim/$rtrim,
+  $indexOfCP, $arrayElemAt, $slice, and the array higher-order
+  operators $map/$filter/$reduce with $$variable scoping.
 
 Unsupported operators raise ``PipelineError`` at build time
 (validation mirrors reference settings.py:69-76) — never silently
@@ -77,8 +79,16 @@ def _date_format(fmt: str) -> str:
     return fmt
 
 
-def translate_expr(expr: Any) -> Column:
-    """Aggregation expression -> Column."""
+def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
+    """Aggregation expression -> Column.  ``env`` scopes ``$$var``
+    references introduced by $map/$filter/$reduce."""
+    env = env or {}
+    if isinstance(expr, str) and expr.startswith("$$"):
+        name, _, path = expr[2:].partition(".")
+        if name not in env:
+            raise PipelineError(f"unbound variable {expr!r}")
+        col = env[name]
+        return col.getField(path) if path else col
     if isinstance(expr, str) and expr.startswith("$"):
         return F.col(expr[1:])
     if isinstance(expr, (int, float, bool)) or expr is None:
@@ -86,7 +96,7 @@ def translate_expr(expr: Any) -> Column:
     if isinstance(expr, str):
         return F.lit(expr)
     if isinstance(expr, list):
-        return F.array(*[translate_expr(e) for e in expr])
+        return F.array(*[translate_expr(e, env) for e in expr])
     if not isinstance(expr, dict) or len(expr) != 1:
         raise PipelineError(f"unsupported expression: {expr!r}")
 
@@ -94,24 +104,24 @@ def translate_expr(expr: Any) -> Column:
     args: list[Any] = arg if isinstance(arg, list) else [arg]
 
     def tx(i: int) -> Column:
-        return translate_expr(args[i])
+        return translate_expr(args[i], env)
 
     match op:
         case "$literal":
             return F.lit(arg)
         case "$concat":
-            return F.concat(*[translate_expr(a) for a in args])
+            return F.concat(*[translate_expr(a, env) for a in args])
         case "$toUpper":
             return F.upper(tx(0))
         case "$toLower":
             return F.lower(tx(0))
         case "$substr" | "$substrCP":
             # Mongo is 0-based; Spark substring is 1-based.
-            return F.substring(tx(0), translate_expr(args[1]) + F.lit(1), tx(2))
+            return F.substring(tx(0), translate_expr(args[1], env) + F.lit(1), tx(2))
         case "$strLenCP":
             return F.length(tx(0))
         case "$split":
-            return F.split(tx(0), translate_expr(args[1]), -1)
+            return F.split(tx(0), args[1], -1)
         case "$add":
             out = tx(0)
             for i in range(1, len(args)):
@@ -164,16 +174,16 @@ def translate_expr(expr: Any) -> Column:
         case "$cond":
             if isinstance(arg, dict):
                 return F.when(
-                    translate_expr(arg["if"]), translate_expr(arg["then"])
-                ).otherwise(translate_expr(arg["else"]))
+                    translate_expr(arg["if"], env), translate_expr(arg["then"], env)
+                ).otherwise(translate_expr(arg["else"], env))
             return F.when(tx(0), tx(1)).otherwise(tx(2))
         case "$ifNull":
-            return F.coalesce(*[translate_expr(a) for a in args])
+            return F.coalesce(*[translate_expr(a, env) for a in args])
         case "$dateToString":
             if not isinstance(arg, dict):
                 raise PipelineError("$dateToString takes {format, date}")
             return F.date_format(
-                translate_expr(arg["date"]), _date_format(arg["format"])
+                translate_expr(arg["date"], env), _date_format(arg["format"])
             )
         case "$toString":
             return tx(0).cast("string")
@@ -188,9 +198,71 @@ def translate_expr(expr: Any) -> Column:
         case "$size":
             return F.size(tx(0))
         case "$in":
-            return F.array_contains(translate_expr(args[1]), tx(0))
+            return F.array_contains(translate_expr(args[1], env), tx(0))
+        case "$trim":
+            return F.trim(translate_expr(arg["input"], env))
+        case "$ltrim":
+            return F.ltrim(translate_expr(arg["input"], env))
+        case "$rtrim":
+            return F.rtrim(translate_expr(arg["input"], env))
+        case "$toDate":
+            return tx(0).cast("timestamp")
+        case "$indexOfCP":
+            # Mongo returns 0-based, -1 when absent; instr is 1-based, 0
+            return F.instr(tx(0), args[1]) - 1
+        case "$arrayElemAt":
+            idx = args[1]
+            if not isinstance(idx, int):
+                raise PipelineError("$arrayElemAt requires a literal index")
+            # Mongo is 0-based (negatives from the end) and yields
+            # missing out-of-bounds; try_element_at is 1-based with the
+            # same negative convention and nulls out-of-bounds
+            return F.try_element_at(tx(0), F.lit(idx + 1 if idx >= 0 else idx))
+        case "$slice":
+            if len(args) == 2:
+                return F.slice(tx(0), 1, translate_expr(args[1], env))
+            return F.slice(
+                tx(0), translate_expr(args[1], env) + 1, translate_expr(args[2], env)
+            )
+        case "$map":
+            var = arg.get("as", "this")
+            return F.transform(
+                translate_expr(arg["input"], env),
+                _lambda1(arg["in"], var, env),
+            )
+        case "$filter":
+            var = arg.get("as", "this")
+            return F.filter(
+                translate_expr(arg["input"], env),
+                _lambda1(arg["cond"], var, env),
+            )
+        case "$reduce":
+            return F.aggregate(
+                translate_expr(arg["input"], env),
+                translate_expr(arg["initialValue"], env),
+                _lambda2(arg["in"], env),
+            )
         case _:
             raise PipelineError(f"unsupported expression operator {op!r}")
+
+
+def _lambda1(body: Any, var: str, env: dict) -> "Callable[[Column], Column]":
+    """One-arg lambda factory binding $$<var> (PySpark derives HOF
+    arity from the Python signature)."""
+
+    def fn(x: Column) -> Column:
+        return translate_expr(body, {**env, var: x})
+
+    return fn
+
+
+def _lambda2(body: Any, env: dict) -> "Callable[[Column, Column], Column]":
+    """Two-arg lambda for $reduce binding $$value / $$this."""
+
+    def fn(acc: Column, x: Column) -> Column:
+        return translate_expr(body, {**env, "value": acc, "this": x})
+
+    return fn
 
 
 # ---------------------------------------------------------------------------

@@ -94,3 +94,61 @@ def test_unsupported_raises(docs):
         run([{"$match": {"name": {"$type": "string"}}}], docs)
     with pytest.raises(PipelineError):
         run([{"$project": {"x": {"$dateFromParts": {}}}}], docs)
+
+
+def test_map_filter_reduce(docs):
+    got = run(
+        [
+            {
+                "$project": {
+                    "id": 1,
+                    "upper_tags": {
+                        "$map": {"input": "$tags", "as": "t", "in": {"$toUpper": "$$t"}}
+                    },
+                    "big_scores": {
+                        "$filter": {
+                            "input": "$scores", "as": "s", "cond": {"$gte": ["$$s", 5]}
+                        }
+                    },
+                    "score_sum": {
+                        "$reduce": {
+                            "input": "$scores",
+                            "initialValue": 0,
+                            "in": {"$add": ["$$value", "$$this"]},
+                        }
+                    },
+                }
+            }
+        ],
+        docs,
+    )
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["upper_tags"] == ["A", "B", "C"]
+    assert rows[1]["big_scores"] == [5, 9]
+    assert rows[3]["score_sum"] == 60
+
+
+def test_array_elem_slice_trim(docs):
+    got = run(
+        [
+            {
+                "$project": {
+                    "id": 1,
+                    "first_tag": {"$arrayElemAt": ["$tags", 0]},
+                    "last_tag": {"$arrayElemAt": ["$tags", -1]},
+                    "two_scores": {"$slice": ["$scores", 2]},
+                    "clean": {"$trim": {"input": {"$concat": ["  ", "$name", " "]}}},
+                }
+            }
+        ],
+        docs,
+    )
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["first_tag"] == "a" and rows[1]["last_tag"] == "c"
+    assert rows[1]["two_scores"] == [1, 5]
+    assert rows[2]["clean"] == "bob"
+
+
+def test_unbound_variable_raises(docs):
+    with pytest.raises(PipelineError, match="unbound"):
+        run([{"$project": {"x": {"$toUpper": "$$nope"}}}], docs)
