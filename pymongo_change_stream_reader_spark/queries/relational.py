@@ -749,3 +749,40 @@ def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY p_partkey
         """
     )
+
+
+@query(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT l_suppkey,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           COUNT(*)                  AS n_lines,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+    doc="Salted two-phase aggregation (skew mitigation): (key, salt) "
+    "partial agg -> per-key combine; identical result to the direct "
+    "aggregation, hot keys spread over 16 tasks.",
+    tags=("agg", "skew"),
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_suppkey"],
+        {
+            "raw_qty": (F.sum("l_quantity"), "sum"),
+            "n_lines": (F.count("*"), "count"),
+            "raw_max": (F.max("l_extendedprice"), "max"),
+        },
+    )
+    return out.select(
+        "l_suppkey",
+        F.round("raw_qty", 2).alias("total_qty"),
+        "n_lines",
+        F.round("raw_max", 2).alias("max_price"),
+    ).orderBy("l_suppkey")

@@ -141,3 +141,38 @@ def test_blas_cosine_matches_exact_hof(emb):
         for r in cosine_pairs_blas(emb, 0.3).collect()
     }
     assert blas == exact
+
+
+def test_salted_agg_matches_direct(spark):
+    from pymongo_change_stream_reader_spark.operators.skew import salted_agg
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    direct = {
+        r["l_suppkey"]: (r["q"], r["n"])
+        for r in li.groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("q"), F.count("*").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["l_suppkey"]: (r["q"], r["n"])
+        for r in salted_agg(
+            li,
+            ["l_suppkey"],
+            {"rq": (F.sum("l_quantity"), "sum"), "n": (F.count("*"), "count")},
+            salt_buckets=8,
+        )
+        .select("l_suppkey", F.round("rq", 2).alias("q"), "n")
+        .collect()
+    }
+    assert salted == direct
+
+
+def test_salted_agg_rejects_non_associative(spark):
+    import pytest as _pytest
+    from pymongo_change_stream_reader_spark.operators.skew import salted_agg
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    with _pytest.raises(ValueError, match="combinators"):
+        salted_agg(li, ["l_suppkey"], {"a": (F.avg("l_quantity"), "avg")})
