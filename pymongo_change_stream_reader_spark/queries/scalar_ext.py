@@ -148,3 +148,70 @@ def array_hof_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("n_long_agg"),
     ).orderBy("doc_id")
+
+
+@query(
+    "array_setops_sequence",
+    oracle="""
+    WITH t AS (
+        SELECT p_partkey,
+               string_split(p_name, ' ')  AS words,
+               string_split(p_type, ' ')  AS type_words
+        FROM part WHERE p_partkey < 200
+    )
+    SELECT p_partkey,
+           CAST(len(list_distinct(list_concat(words, type_words))) AS INT) AS union_ct,
+           CAST(len(list_intersect(words, type_words)) AS INT)             AS inter_ct,
+           CAST(len(list_filter(list_distinct(words),
+                                w -> NOT list_contains(type_words, w))) AS INT)
+                                                                           AS except_ct,
+           list_transform(range(1, 4), i -> i * 2)                         AS even_seq
+    FROM t
+    ORDER BY p_partkey
+    """,
+    doc="Array set algebra (union/intersect/except) + sequence "
+    "generation.",
+    tags=("scalar", "array"),
+)
+def array_setops_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    words = F.split("p_name", " ")
+    type_words = F.split("p_type", " ")
+    return p.select(
+        "p_partkey",
+        F.size(F.array_union(words, type_words)).alias("union_ct"),
+        F.size(F.array_intersect(words, type_words)).alias("inter_ct"),
+        F.size(F.array_except(words, type_words)).alias("except_ct"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(3)), lambda i: (i * 2).cast("long")
+        ).alias("even_seq"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "explode_outer_preserves_rows",
+    oracle="""
+    WITH t AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'error'
+                    THEN NULL
+                    ELSE string_split(event_type, '') END AS letters
+        FROM events WHERE event_id < 1000
+    )
+    SELECT event_id, unnest(COALESCE(letters, [NULL])) AS letter
+    FROM t
+    ORDER BY event_id, letter NULLS FIRST
+    """,
+    doc="explode_outer: null/empty arrays keep their parent row "
+    "(LEFT-join explode semantics).",
+    tags=("scalar", "array"),
+)
+def explode_outer_preserves_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    letters = F.when(
+        F.col("event_type") != "error", F.split("event_type", "")
+    )
+    return (
+        e.select("event_id", F.explode_outer(letters).alias("letter"))
+        .orderBy("event_id", F.col("letter").asc_nulls_first())
+    )
