@@ -73,19 +73,23 @@ def extract_features(
     out_schema = f"{id_col} LONG, n_bytes INT, features ARRAY<DOUBLE>"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                hist = [0] * FEATURE_DIM
-                for byte in data:
-                    hist[byte % FEATURE_DIM] += 1
+                if data:
+                    arr = np.frombuffer(data, dtype=np.uint8) % FEATURE_DIM
+                    hist = np.bincount(arr, minlength=FEATURE_DIM)
+                else:
+                    hist = np.zeros(FEATURE_DIM, dtype=np.int64)
                 total = max(len(data), 1)
                 rows.append(
                     {
                         id_col: doc_id,
                         "n_bytes": len(data),
-                        "features": [round(h / total, 6) for h in hist],
+                        "features": [round(float(h) / total, 6) for h in hist],
                     }
                 )
             yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "features"])

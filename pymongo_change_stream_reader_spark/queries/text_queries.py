@@ -114,17 +114,29 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the per-language hit counts once: the argmax CASE
     # references every score several times, and CollapseProject would
     # otherwise inline the tokenization into each reference (~20x).
-    hits = (
+    # tokenize once (persisted), then the 4 per-language counts scan
+    # the token array instead of re-splitting the text 4x
+    toksed = (
         d.repartition(spark.sparkContext.defaultParallelism)
         .select(
             F.col("lang").alias("label"),
-            *[
-                tx.stopword_hits(F.col("text"), lang).alias(f"s_{lang}")
-                for lang in tx.STOPWORDS
-            ],
+            F.transform(tx.tokens(F.col("text")), F.lower).alias("toks"),
         )
         .persist()
     )
+    def _in_words(words: tuple[str, ...]):
+        # 1-arg closure: PySpark derives HOF arity from the signature
+        return lambda t: t.isin(*words)
+
+    hits = toksed.select(
+        "label",
+        *[
+            F.size(F.filter(F.col("toks"), _in_words(tx.STOPWORDS[lang]))).alias(
+                f"s_{lang}"
+            )
+            for lang in tx.STOPWORDS
+        ],
+    ).persist()
     best = F.greatest(*[F.col(f"s_{lang}") for lang in tx.STOPWORDS])
     predicted = F.lit("unknown")
     for lang in sorted(tx.STOPWORDS, reverse=True):
