@@ -136,3 +136,85 @@ def test_foreach_batch_topic_cache(monkeypatch):
     # second call with a superset only needs the delta (cache hit)
     kafka_sink._ensure_topics("host:9092", {"a.b.c", "a.b.e"})
     assert kafka_sink._created_topics == {"a.b.c", "a.b.d", "a.b.e"}
+
+
+def test_rate_source_smoke(spark, tmp_path):
+    """Rate source: the built-in synthetic unbounded source (SURVEY
+    §2.C streaming sources) drives the relay-side projection."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+    )
+    shaped = stream.select(
+        F.col("timestamp").alias("ts"), F.col("value").alias("event_id")
+    )
+    q = (
+        shaped.writeStream.format("memory")
+        .queryName("rate_out")
+        .option("checkpointLocation", str(tmp_path / "ckr"))
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM rate_out").count() > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert spark.sql("SELECT * FROM rate_out").count() > 0
+
+
+def test_stateful_window_survives_restart(spark, tmp_path):
+    """Stateful streaming recovery: a windowed count restarted from its
+    checkpoint resumes with prior state instead of recounting."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "win-in"
+    src.mkdir()
+    schema = "event_id LONG, ts TIMESTAMP, value DOUBLE"
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def start():
+        stream = spark.readStream.schema(schema).json(str(src))
+        agg = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
+        return (
+            agg.writeStream.format("memory")
+            .queryName("win_restart")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckw"))
+            .start()
+        )
+
+    write("b0.json", [{"event_id": 1, "ts": "2024-01-01T00:10:00Z", "value": 1.0}])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart with one more event in the same window: state carries
+    write("b1.json", [{"event_id": 2, "ts": "2024-01-01T00:20:00Z", "value": 2.0}])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        out = {
+            r["w"]["start"].isoformat(): r["n"]
+            for r in spark.sql("SELECT * FROM win_restart").collect()
+        }
+        assert out == {"2024-01-01T00:00:00": 2}
+    finally:
+        q2.stop()
