@@ -224,6 +224,59 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             return F.slice(
                 tx(0), translate_expr(args[1], env) + 1, translate_expr(args[2], env)
             )
+        case "$switch":
+            out = None
+            for branch in arg["branches"]:
+                cond = translate_expr(branch["case"], env)
+                then = translate_expr(branch["then"], env)
+                out = F.when(cond, then) if out is None else out.when(cond, then)
+            if "default" in arg:
+                out = out.otherwise(translate_expr(arg["default"], env))
+            return out
+        case "$let":
+            inner_env = dict(env)
+            for name, val in arg["vars"].items():
+                inner_env[name] = translate_expr(val, env)
+            return translate_expr(arg["in"], inner_env)
+        case "$range":
+            step = translate_expr(args[2], env) if len(args) > 2 else F.lit(1)
+            # Mongo $range is end-exclusive; Spark sequence is inclusive
+            return F.sequence(tx(0), translate_expr(args[1], env) - 1, step)
+        case "$concatArrays":
+            return F.concat(*[translate_expr(a, env) for a in args])
+        case "$setUnion":
+            out = tx(0)
+            for i in range(1, len(args)):
+                out = F.array_union(out, tx(i))
+            return F.array_sort(out)
+        case "$setIntersection":
+            out = tx(0)
+            for i in range(1, len(args)):
+                out = F.array_intersect(out, tx(i))
+            return F.array_sort(out)
+        case "$setDifference":
+            return F.array_sort(F.array_except(tx(0), tx(1)))
+        case "$indexOfArray":
+            # Mongo: 0-based, -1 absent; array_position: 1-based, 0 absent
+            return (
+                F.array_position(tx(0), translate_expr(args[1], env)) - 1
+            ).cast("int")
+        case "$first":
+            return F.try_element_at(tx(0), F.lit(1))
+        case "$last":
+            return F.try_element_at(tx(0), F.lit(-1))
+        case "$reverseArray":
+            return F.reverse(tx(0))
+        case "$sum" if len(args) == 1:
+            # array form: {"$sum": "$scores"} sums the array's elements
+            return F.aggregate(
+                tx(0), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            )
+        case "$avg" if len(args) == 1:
+            total = F.aggregate(
+                tx(0), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            )
+            return total / F.greatest(F.size(tx(0)), F.lit(1))
         case "$map":
             var = arg.get("as", "this")
             return F.transform(

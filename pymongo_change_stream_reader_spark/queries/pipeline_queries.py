@@ -206,3 +206,64 @@ def pipeline_expr_datetostring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")
+
+
+@query(
+    "pipeline_switch_let",
+    oracle="""
+    SELECT event_id,
+           CASE
+             WHEN value >= 300 THEN 'high'
+             WHEN value >= 100 THEN 'mid'
+             ELSE 'low'
+           END AS band,
+           ROUND(value * 100 + CAST(json_extract_string(props, '$.k') AS INT), 4)
+               AS scorex
+    FROM events
+    WHERE event_id < 3000
+    ORDER BY event_id
+    """,
+    doc="$switch multi-branch + $let variable binding in computed "
+    "projections.",
+    tags=("pipeline",),
+)
+def pipeline_switch_let(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 3000}}},
+            {
+                "$project": {
+                    "event_id": 1,
+                    "band": {
+                        "$switch": {
+                            "branches": [
+                                {"case": {"$gte": ["$value", 300]}, "then": "high"},
+                                {"case": {"$gte": ["$value", 100]}, "then": "mid"},
+                            ],
+                            "default": "low",
+                        }
+                    },
+                    "scorex": {
+                        "$let": {
+                            "vars": {"cents": {"$multiply": ["$value", 100]}},
+                            "in": {
+                                "$round": [
+                                    {
+                                        "$add": [
+                                            "$$cents",
+                                            {"$toInt": "$k_str"},
+                                        ]
+                                    },
+                                    4,
+                                ]
+                            },
+                        }
+                    },
+                }
+            },
+        ]
+    )
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "k_str", F.get_json_object("props", "$.k")
+    )
+    return pipe(e).orderBy("event_id")

@@ -152,3 +152,71 @@ def test_array_elem_slice_trim(docs):
 def test_unbound_variable_raises(docs):
     with pytest.raises(PipelineError, match="unbound"):
         run([{"$project": {"x": {"$toUpper": "$$nope"}}}], docs)
+
+
+def test_switch_let_range(docs):
+    got = run(
+        [
+            {
+                "$project": {
+                    "id": 1,
+                    "size_class": {
+                        "$switch": {
+                            "branches": [
+                                {"case": {"$gte": [{"$size": "$scores"}, 3]}, "then": "big"},
+                                {"case": {"$eq": [{"$size": "$scores"}, 2]}, "then": "mid"},
+                            ],
+                            "default": "small",
+                        }
+                    },
+                    "scaled": {
+                        "$let": {
+                            "vars": {"m": {"$size": "$scores"}},
+                            "in": {"$multiply": ["$$m", 10]},
+                        }
+                    },
+                    "r": {"$range": [0, 3]},
+                }
+            }
+        ],
+        docs,
+    )
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["size_class"] == "big" and rows[2]["size_class"] == "mid"
+    assert rows[3]["scaled"] == 30
+    assert rows[1]["r"] == [0, 1, 2]
+
+
+def test_array_expression_ops(docs):
+    got = run(
+        [
+            {
+                "$project": {
+                    "id": 1,
+                    "both": {"$concatArrays": ["$tags", ["z"]]},
+                    "setu": {"$setUnion": ["$tags", ["b", "z"]]},
+                    "seti": {"$setIntersection": ["$tags", ["b", "c", "q"]]},
+                    "setd": {"$setDifference": ["$tags", ["a"]]},
+                    "idx_b": {"$indexOfArray": ["$tags", "b"]},
+                    "head": {"$first": "$tags"},
+                    "tail": {"$last": "$tags"},
+                    "rev": {"$reverseArray": "$tags"},
+                    "total": {"$sum": "$scores"},
+                    "mean": {"$avg": "$scores"},
+                }
+            }
+        ],
+        docs,
+    )
+    r1 = {r["id"]: r for r in got.collect()}[1]
+    assert r1["both"] == ["a", "b", "c", "z"]
+    assert r1["setu"] == ["a", "b", "c", "z"]
+    assert r1["seti"] == ["b", "c"]
+    assert r1["setd"] == ["b", "c"]
+    assert r1["idx_b"] == 1
+    assert r1["head"] == "a" and r1["tail"] == "c"
+    assert r1["rev"] == ["c", "b", "a"]
+    assert r1["total"] == 15.0
+    assert r1["mean"] == 5.0
+    r3 = {r["id"]: r for r in got.collect()}[3]
+    assert r3["head"] is None and r3["tail"] is None  # empty tags
