@@ -33,6 +33,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 # Submodules that register queries on import.
 _MODULES = (
     "relational",
+    "tpch_ext",
     "windows",
     "setops",
     "scalar",

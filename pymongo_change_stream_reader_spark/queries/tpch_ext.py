@@ -1,0 +1,731 @@
+"""Remaining TPC-H analogs (Q2/7/8/9/11/13/15/16/17/20/21/22).
+
+SURVEY.md §2.C relational surface — these queries complete the 22-query
+TPC-H pattern coverage (q1/3/4/5/6/10/12/14/18/19 live in relational.py).
+The reference implements none of this (it is a CDC relay; SURVEY §2.C);
+the t2 DuckDB-oracle harness declares the relational surface our engine
+must expose, so each query here is an oracle-checked Spark built-in
+composition.
+
+The driver's testdata lacks ``partsupp`` and several TPC-H columns
+(c_phone, o_comment, l_commitdate/receiptdate), so queries that need
+them are *faithful-pattern analogs*: the operator shape of the original
+(correlated scalar subquery, NOT EXISTS double-correlation, nested INs,
+scalar-aggregate threshold) is preserved on the available columns:
+
+- Q2:  min-supply-cost supplier  -> min unit-price (l_extendedprice /
+       l_quantity) supplier per part within a region.
+- Q9:  ps_supplycost             -> 0.1 * p_retailprice cost proxy.
+- Q11: partsupp stock value      -> lineitem revenue value per part.
+- Q16: partsupp supplier count   -> distinct l_suppkey per part attrs;
+       "complaint" suppliers     -> s_acctbal < 0.
+- Q20: ps_availqty threshold     -> per-(supp,part) shipped-qty HAVING.
+- Q21: receipt>commit lateness   -> latest l_shipdate in multi-supplier
+       'F' orders (EXISTS + NOT EXISTS self-joins preserved).
+- Q22: phone country code        -> c_nationkey; "no orders" (vacuous
+       here: every customer has orders) -> "no URGENT orders".
+
+Float discipline (queries/__init__): money sums in exact DECIMAL cast
+to DOUBLE; ratios rounded at 6; raw columns emitted unrounded.
+Threshold comparisons (Q11/Q17/Q20/Q22) are kept exact — integer-valued
+quantities or DECIMAL arithmetic — so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.queries import query
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for name in names:
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _volume_dec():
+    """Exact-decimal revenue term: extendedprice * (1 - discount)."""
+    return F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated scalar MIN subquery).
+# ---------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+           l_extendedprice / l_quantity AS unit_cost
+    FROM part, supplier, lineitem, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size = 15 AND p_type = 'LARGE'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND l_extendedprice / l_quantity = (
+          SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+          FROM lineitem l2, supplier s2, nation n2, region r2
+          WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 analog: cheapest-unit-price supplier per part within a "
+    "region via a correlated scalar MIN subquery (no partsupp in the "
+    "testdata; unit cost = l_extendedprice / l_quantity).",
+    tags=("sql", "subquery", "join", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: Catalyst decorrelates the scalar subquery into a per-part
+    MIN aggregate joined back on (partkey, unit_cost) — one shuffle on
+    partkey for the aggregate, one for the join; region/nation/supplier
+    dims broadcast. Double division is IEEE-deterministic on both
+    engines, so the equality join is exact."""
+    _views(spark, sf_dir, "part", "supplier", "lineitem", "nation", "region")
+    return spark.sql(
+        """
+        SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
+               l_extendedprice / l_quantity AS unit_cost
+        FROM part, supplier, lineitem, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_size = 15 AND p_type = 'LARGE'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND l_extendedprice / l_quantity = (
+              SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+              FROM lineitem l2, supplier s2, nation n2, region r2
+              WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+                AND s2.s_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations (dual-aliased dim join).
+# ---------------------------------------------------------------------------
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(l_extendedprice AS DECIMAL(14,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+            OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: bidirectional nation-pair trade volume by year; the "
+    "nation dim joins twice under different roles.",
+    tags=("join", "agg", "tpch"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both nation role-joins broadcast (25 rows); supplier and
+    customer broadcast after their nation filters; the only real
+    shuffle is lineitem<->orders on orderkey. The disjunctive
+    nation-pair predicate prunes at the dim level before the fact join."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    lo = F.lit("1995-01-01").cast("timestamp")
+    hi = F.lit("1996-12-31").cast("timestamp")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(
+            _t(spark, sf_dir, "lineitem").filter(
+                F.col("l_shipdate").between(lo, hi)
+            ),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(_t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_volume_dec()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share (conditional aggregation ratio).
+# ---------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(14,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+               n2.n_name AS nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                              AND TIMESTAMP '1996-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8: supplier-nation market share within a customer region "
+    "— conditional-sum ratio over a 7-way star join.",
+    tags=("join", "agg", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: every dim (part-filtered, supplier, customer, nation x2,
+    region) broadcasts; lineitem<->orders is the one key shuffle. The
+    ratio divides two exact-decimal sums cast to double — summation
+    order cannot perturb the quotient."""
+    _views(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders", "customer",
+        "nation", "region",
+    )
+    return spark.sql(
+        """
+        SELECT o_year,
+               ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+                     / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        FROM (
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(l_extendedprice AS DECIMAL(14,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+                   n2.n_name AS nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region   ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+              AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                  AND TIMESTAMP '1996-12-31 00:00:00'
+        ) all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit (cost-proxy arithmetic over a star join).
+# ---------------------------------------------------------------------------
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(l_extendedprice AS DECIMAL(14,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               - CAST(0.1 AS DECIMAL(2,1))
+                   * CAST(p_retailprice AS DECIMAL(12,2))
+                   * CAST(l_quantity AS DECIMAL(4,1)) AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 analog: per-nation yearly profit on 'red' parts; cost "
+    "proxy 0.1 * p_retailprice * l_quantity stands in for ps_supplycost "
+    "(no partsupp table).",
+    tags=("join", "agg", "tpch"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: part (LIKE-filtered), supplier, nation broadcast; the
+    orders join shuffles on orderkey. All money arithmetic stays in
+    exact DECIMAL until the final cast, so partial-aggregation order is
+    irrelevant."""
+    amount = _volume_dec() - (
+        F.lit("0.1").cast("decimal(2,1)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(4,1)")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(_t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important part values (scalar-aggregate threshold on a CTE).
+# ---------------------------------------------------------------------------
+@query(
+    "q11_important_values",
+    oracle="""
+    WITH part_value AS (
+        SELECT l_partkey AS ps_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS value_dec
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        GROUP BY l_partkey
+    )
+    SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM part_value
+    WHERE value_dec > (
+        SELECT SUM(value_dec) * CAST(0.001 AS DECIMAL(4,3)) FROM part_value)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+    doc="TPC-H Q11 analog: parts whose revenue through suppliers of a "
+    "nation group exceeds a fraction of the group total (lineitem revenue "
+    "stands in for partsupp stock value).",
+    tags=("sql", "subquery", "agg", "tpch"),
+)
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the CTE aggregates once (shuffle on partkey); the global
+    threshold is a 1-row scalar broadcast back over it — Spark plans the
+    re-read of part_value as a reused exchange, not a recompute. The
+    comparison is exact DECIMAL x DECIMAL."""
+    _views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(
+        """
+        WITH part_value AS (
+            SELECT l_partkey AS ps_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS value_dec
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+            GROUP BY l_partkey
+        )
+        SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        FROM part_value
+        WHERE value_dec > (
+            SELECT SUM(value_dec) * CAST(0.001 AS DECIMAL(4,3)) FROM part_value)
+        ORDER BY part_value DESC, ps_partkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double agg).
+# ---------------------------------------------------------------------------
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 analog: distribution of per-customer order counts; "
+    "the join-level exclusion predicate (priority, standing in for the "
+    "o_comment NOT LIKE) rides on the LEFT JOIN condition, not WHERE.",
+    tags=("join", "agg", "tpch"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: left join shuffles on custkey, first aggregate reuses that
+    partitioning (no second exchange); the distribution aggregate is
+    ~50 groups. COUNT of a nullable key skips the unmatched rows —
+    exactly the outer-join-aware count TPC-H Q13 tests."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (CTE reused by join + scalar MAX subquery).
+# ---------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15: supplier(s) with the maximum quarterly revenue — the "
+    "revenue view is consumed twice (join probe + scalar MAX).",
+    tags=("sql", "subquery", "agg", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: revenue aggregates once per consumer; the MAX side reduces
+    to one row and broadcasts. Equality on the exact DECIMAL revenue —
+    double ties would be ambiguous, decimal ties are real ties (TPC-H
+    explicitly allows multiple max suppliers)."""
+    _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                       * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        FROM supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier relationship count (NOT IN + count-distinct).
+# ---------------------------------------------------------------------------
+@query(
+    "q16_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 analog: distinct suppliers per part attribute class, "
+    "excluding flagged suppliers via NOT IN (lineitem is the part-supplier "
+    "link; negative balance stands in for the complaints filter).",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the NOT IN subquery is a tiny broadcast null-aware anti
+    join; part (size/brand/type-filtered) broadcasts into lineitem;
+    count-distinct expands to a two-phase (keys+suppkey, then keys)
+    aggregation — no row ever carries more than the 4 grouping columns."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    flagged = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(flagged),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated AVG subquery).
+# ---------------------------------------------------------------------------
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17: revenue lost to small-quantity orders — correlated "
+    "per-part AVG threshold (container filter replaced by p_type).",
+    tags=("sql", "subquery", "agg", "tpch"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: decorrelates to a per-partkey AVG aggregate joined back on
+    partkey; with part pre-filtered the aggregate input could be
+    semi-join-pruned first at 100 TB (Spark pushes the partkey filter
+    through). Quantities are integer-valued, so AVG is exact and the
+    0.2x threshold compare is order-independent."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (nested IN subqueries + HAVING).
+# ---------------------------------------------------------------------------
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9', 'NATION_13')
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+          HAVING SUM(l_quantity) > 50)
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 analog: suppliers who moved >50 units of any 'red' "
+    "part in 1996 — nested IN subqueries with a grouped HAVING (shipped "
+    "quantity stands in for ps_availqty).",
+    tags=("sql", "subquery", "agg", "tpch"),
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: inner IN (part LIKE) broadcasts into lineitem; the grouped
+    HAVING aggregates on (suppkey, partkey); the outer IN is a semi join
+    against the ~100-row supplier dim. Quantity sums are integer-exact."""
+    _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_5', 'NATION_9', 'NATION_13')
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY l_suppkey, l_partkey
+              HAVING SUM(l_quantity) > 50)
+        ORDER BY s_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who held orders up (EXISTS + NOT EXISTS self-joins).
+# ---------------------------------------------------------------------------
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 analog: in finished multi-supplier orders, the "
+    "supplier whose shipment was last (latest l_shipdate stands in for "
+    "receipt-after-commit lateness) — correlated EXISTS + NOT EXISTS.",
+    tags=("sql", "subquery", "join", "tpch"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both correlated subqueries decorrelate to semi/anti joins
+    of lineitem against itself on orderkey — three co-partitionable
+    scans of the same key (bucketing lineitem by orderkey makes all of
+    them exchange-free); supplier broadcasts into the result."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (anti join + scalar-average threshold).
+# ---------------------------------------------------------------------------
+@query(
+    "q22_sales_opportunity",
+    oracle="""
+    WITH pool AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        FROM customer
+        WHERE c_nationkey IN (1, 5, 9, 13, 17, 21, 24)
+    ),
+    stats AS (
+        SELECT SUM(bal) AS total, COUNT(*) AS cnt
+        FROM pool WHERE bal > 0
+    )
+    SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           ROUND(SUM(CAST(bal AS DOUBLE)), 2) AS totacctbal
+    FROM pool CROSS JOIN stats
+    WHERE bal * cnt > total
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+    doc="TPC-H Q22 analog: above-average-balance customers with no "
+    "urgent orders, by country (c_nationkey stands in for the phone "
+    "country code; every customer has orders, so the anti join targets "
+    "URGENT ones). The avg threshold is multiplied through "
+    "(bal * cnt > total) to stay in exact DECIMAL.",
+    tags=("sql", "subquery", "agg", "tpch"),
+)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: stats reduces to one row and cross-broadcasts; the NOT
+    EXISTS decorrelates to an anti join shuffled on custkey (orders is
+    pre-filtered to URGENT, ~20%). Exact-decimal threshold — no float
+    boundary can flip membership."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        WITH pool AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+            FROM customer
+            WHERE c_nationkey IN (1, 5, 9, 13, 17, 21, 24)
+        ),
+        stats AS (
+            SELECT SUM(bal) AS total, COUNT(*) AS cnt
+            FROM pool WHERE bal > 0
+        )
+        SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+               ROUND(SUM(CAST(bal AS DOUBLE)), 2) AS totacctbal
+        FROM pool CROSS JOIN stats
+        WHERE bal * cnt > total
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY cntrycode
+        """
+    )
