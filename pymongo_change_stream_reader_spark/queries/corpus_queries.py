@@ -1,0 +1,247 @@
+"""Corpus-curation queries for training-data pipelines: stratified
+sampling, PII scrubbing, quality-gate filtering, mix reporting.
+
+North-star extensions beyond the reference surface (SURVEY §2.C) — the
+operations a 100 TB pretraining-data pipeline runs between ingest and
+tokenization.  All pure JVM expressions (regexp / string / integer
+arithmetic), no Python on the executor path; every query is
+oracle-checked against DuckDB.
+
+Cross-engine discipline:
+- Sampling decisions use an explicit multiplicative hash on integer
+  ids (exact in both engines) — never engine-native rand()/hash().
+- Regexes are RE2-safe (no lookarounds); DuckDB regexp_replace gets
+  the 'g' flag to match Spark's replace-all.
+- The synthetic corpus contains no PII-shaped strings, so the scrub
+  query deterministically plants email/URL/phone tokens derived from
+  doc_id before redacting — the assertion is end-to-end non-vacuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators import text as tx
+from pymongo_change_stream_reader_spark.queries import query
+from pymongo_change_stream_reader_spark.queries.text_queries import _HITS, _TOKS
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+# Deterministic permille bucket: Knuth multiplicative hash on doc_id.
+# Integer-exact in both engines — the sample is reproducible anywhere.
+_BUCKET_SQL = "((doc_id * 2654435761) % 4294967296) % 1000"
+
+# Per-language keep rates (permille) — the mix-rebalancing knob.
+_RATES = {"en": 100, "de": 500, "es": 300, "fr": 200, "zh": 1000}
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lang}' THEN {r}" for lang, r in _RATES.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_BUCKET_SQL} < {_RATE_SQL}
+    ORDER BY doc_id
+    """,
+    doc="Stratified deterministic sampling: per-language keep rates via "
+    "a multiplicative hash bucket on doc_id — reproducible across "
+    "engines and runs, no rand().",
+    tags=("corpus", "sampling"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a narrow stateless filter — no shuffle, no state; the
+    hash-bucket predicate evaluates inside whole-stage codegen per
+    split. Changing the mix is a literal change, not a re-shard."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(1000)
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r)).otherwise(F.lit(None))
+            for lang, r in _RATES.items()
+        ],
+        F.lit(0),
+    )
+    return d.filter(bucket < rate).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+# RE2-safe redaction patterns (no lookarounds; identical Java/RE2
+# semantics for these character classes).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[A-Za-z0-9./_-]+"
+_PHONE_RE = r"[0-9]{3}-[0-9]{4}-[0-9]{4}"
+
+# Deterministic PII planting: every engine renders CAST(bigint AS
+# string) and lpad identically, so both sides scrub the same input.
+_PLANT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com via https://ex.org/d/' || CAST(doc_id AS VARCHAR)"
+    " || ' tel 010-1234-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               {_PLANT_SQL},
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_URL_RE}', '<URL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all({_PLANT_SQL}, '{_EMAIL_RE}')) AS INT)
+               AS n_emails
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="PII redaction: email/URL/phone patterns replaced with typed "
+    "placeholders (patterns planted deterministically from doc_id — "
+    "the corpus itself is PII-free).",
+    tags=("corpus", "text"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: narrow per-row regexp projection, codegen'd JVM regex —
+    no shuffle, no UDF. Three sequential regexp_replace passes keep
+    each pattern simple enough for RE2-class engines (no alternation
+    blowup)."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com via https://ex.org/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" tel 010-1234-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    n_emails = F.size(F.regexp_extract_all(planted, F.lit(f"({_EMAIL_RE})"), 1))
+    return d.select(
+        "doc_id", scrubbed.alias("scrubbed"), n_emails.alias("n_emails")
+    ).orderBy("doc_id")
+
+
+@query(
+    "quality_filter_pipeline",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(len({_TOKS}) AS INT) AS n_tokens
+    FROM documents
+    WHERE n_chars BETWEEN 100 AND 400
+      AND list_sum(list_transform({_TOKS}, w -> length(w)))
+          / greatest(len({_TOKS}), 1) BETWEEN 2 AND 12
+      AND len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))
+          / greatest(length(text), 1) < 0.05
+      AND (lang <> 'en' OR {_HITS['en']} >= 1)
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style quality gate: length bounds, mean-token-length "
+    "bounds, punctuation-density cap, and stopword-presence check for "
+    "English — the conjunctive pre-training document filter.",
+    tags=("corpus", "text"),
+)
+def quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one narrow filter pass; every predicate is a JVM
+    expression over the text column, so the gate runs at scan speed
+    and the n_chars bound prunes via parquet column statistics before
+    the regex predicates ever evaluate."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    keep = (
+        F.col("n_chars").between(100, 400)
+        & tx.mean_token_len(t).between(2, 12)
+        & (tx.punct_ratio(t) < 0.05)
+        & ((F.col("lang") != "en") | (tx.stopword_hits(t, "en") >= 1))
+    )
+    return (
+        d.filter(keep)
+        .select("doc_id", "lang", tx.token_count(t).alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "token_count_histogram",
+    oracle=f"""
+    SELECT CAST(least(len({_TOKS}) // 10, 10) AS INT) AS bucket,
+           COUNT(*)                                   AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT)          AS total_tokens
+    FROM documents
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Token-count distribution: fixed-width histogram (10-token "
+    "buckets, capped) with per-bucket token mass — the corpus-sizing "
+    "report before tokenizer runs.",
+    tags=("corpus", "text", "agg"),
+)
+def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: tokenize once per row, aggregate on ~11 buckets — the
+    shuffle carries bucket partials only. Integer floor-div bucketing
+    is engine-exact (no float binning drift)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = tx.token_count(F.col("text"))
+    return (
+        d.select(F.least(F.floor(n / 10), F.lit(10)).cast("int").alias("bucket"), n.alias("n"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").cast("bigint").alias("total_tokens"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "corpus_source_mix",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE)
+                 / (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM per), 6)
+               AS token_share
+    FROM per
+    ORDER BY lang, source
+    """,
+    doc="Training-mix report: per-(lang, source) document and token "
+    "counts with each cell's share of total corpus tokens.",
+    tags=("corpus", "agg"),
+)
+def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one aggregation over ~(langs x sources) groups; the
+    global total is a 1-row scalar broadcast joined back — the per-cell
+    table never re-scans the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("lang", "source", tx.token_count(F.col("text")).alias("n"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").cast("bigint").alias("n_tokens"))
+    )
+    total = per.agg(F.sum("n_tokens").cast("double").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias(
+                "token_share"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
