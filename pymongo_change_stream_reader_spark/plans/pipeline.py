@@ -295,8 +295,196 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                 translate_expr(arg["initialValue"], env),
                 _lambda2(arg["in"], env),
             )
+        case "$pow":
+            return F.pow(tx(0), tx(1))
+        case "$sqrt":
+            return F.sqrt(tx(0))
+        case "$exp":
+            return F.exp(tx(0))
+        case "$ln":
+            return F.log(tx(0))
+        case "$log10":
+            return F.log10(tx(0))
+        case "$trunc":
+            place = args[1] if len(args) > 1 else 0
+            if not isinstance(place, int) or place < 0:
+                raise PipelineError("$trunc requires a literal place >= 0")
+            if place == 0:
+                return tx(0).cast("long")
+            scale = F.lit(10**place)
+            return (tx(0) * scale).cast("long") / scale
+        case "$regexMatch":
+            pattern = arg["regex"]
+            if "i" in arg.get("options", ""):
+                pattern = f"(?i){pattern}"
+            return translate_expr(arg["input"], env).rlike(pattern)
+        case "$max" if len(args) == 1:
+            return F.array_max(tx(0))
+        case "$min" if len(args) == 1:
+            return F.array_min(tx(0))
+        case "$toDecimal":
+            return tx(0).cast("decimal(38,10)")
+        case "$isArray":
+            return F.typeof(tx(0)).startswith("array")
+        case "$isNumber":
+            t = F.typeof(tx(0))
+            return (
+                t.isin("int", "bigint", "smallint", "tinyint", "double", "float")
+                | t.startswith("decimal")
+            )
+        case "$year":
+            return F.year(tx(0))
+        case "$month":
+            return F.month(tx(0))
+        case "$dayOfMonth":
+            return F.dayofmonth(tx(0))
+        case "$dayOfYear":
+            return F.dayofyear(tx(0))
+        case "$dayOfWeek":
+            # Both Mongo and Spark use 1=Sunday .. 7=Saturday.
+            return F.dayofweek(tx(0))
+        case "$isoWeek":
+            return F.weekofyear(tx(0))
+        case "$isoDayOfWeek":
+            # Mongo ISO: 1=Monday .. 7=Sunday.
+            return (F.dayofweek(tx(0)) + 5) % 7 + 1
+        case "$hour":
+            return F.hour(tx(0))
+        case "$minute":
+            return F.minute(tx(0))
+        case "$second":
+            return F.second(tx(0))
+        case "$millisecond":
+            return ((F.unix_micros(tx(0)) % 1_000_000) / 1000).cast("int")
+        case "$dateTrunc":
+            if arg.get("binSize", 1) != 1:
+                raise PipelineError("$dateTrunc binSize != 1 not supported")
+            return F.date_trunc(
+                _date_unit(arg["unit"]), translate_expr(arg["date"], env)
+            )
+        case "$dateAdd":
+            return F.timestamp_add(
+                _date_unit(arg["unit"]),
+                translate_expr(arg["amount"], env),
+                translate_expr(arg["startDate"], env),
+            )
+        case "$dateSubtract":
+            return F.timestamp_add(
+                _date_unit(arg["unit"]),
+                -translate_expr(arg["amount"], env),
+                translate_expr(arg["startDate"], env),
+            )
+        case "$dateDiff":
+            return _date_diff(
+                translate_expr(arg["startDate"], env),
+                translate_expr(arg["endDate"], env),
+                _date_unit(arg["unit"]),
+            )
         case _:
             raise PipelineError(f"unsupported expression operator {op!r}")
+
+
+# Mongo $date* units -> Spark unit tokens (timestamp_add/date_trunc).
+_DATE_UNITS = {
+    "year": "YEAR",
+    "quarter": "QUARTER",
+    "month": "MONTH",
+    "week": "WEEK",
+    "day": "DAY",
+    "hour": "HOUR",
+    "minute": "MINUTE",
+    "second": "SECOND",
+    "millisecond": "MILLISECOND",
+}
+
+
+def _date_unit(unit: Any) -> str:
+    if unit not in _DATE_UNITS:
+        raise PipelineError(f"unsupported date unit {unit!r}")
+    return _DATE_UNITS[unit]
+
+
+def _date_diff(start: Column, end: Column, unit: str) -> Column:
+    """Mongo $dateDiff counts UNIT-BOUNDARY CROSSINGS between the two
+    instants (2 x 23:59 -> 3 x 00:01 is one day), not complete elapsed
+    units — so truncate both ends to the unit before differencing
+    instead of using timestamp_diff (which counts full units)."""
+    if unit == "YEAR":
+        return (F.year(end) - F.year(start)).cast("long")
+    if unit == "QUARTER":
+        return (
+            (F.year(end) - F.year(start)) * 4 + F.quarter(end) - F.quarter(start)
+        ).cast("long")
+    if unit == "MONTH":
+        return (
+            (F.year(end) - F.year(start)) * 12 + F.month(end) - F.month(start)
+        ).cast("long")
+    if unit == "DAY":
+        return F.datediff(end.cast("date"), start.cast("date")).cast("long")
+    if unit == "WEEK":
+        # Boundary = start of week; datediff of week-truncated dates / 7.
+        return (
+            F.datediff(
+                F.date_trunc("WEEK", end).cast("date"),
+                F.date_trunc("WEEK", start).cast("date"),
+            )
+            / 7
+        ).cast("long")
+    secs = {"HOUR": 3600, "MINUTE": 60, "SECOND": 1, "MILLISECOND": 0.001}[unit]
+    trunc_unit = unit if unit != "MILLISECOND" else "SECOND"
+    lo = F.unix_micros(F.date_trunc(trunc_unit, start))
+    hi = F.unix_micros(F.date_trunc(trunc_unit, end))
+    if unit == "MILLISECOND":
+        return ((F.unix_micros(end) - F.unix_micros(start)) / 1000).cast("long")
+    return ((hi - lo) / F.lit(int(secs * 1_000_000))).cast("long")
+
+
+# BSON type name -> Spark typeof() names (exact, or parametrized prefix
+# like array<...> / decimal(...)).
+_BSON_TYPES = {
+    "string": ("string",),
+    "int": ("int", "smallint", "tinyint"),
+    "long": ("bigint",),
+    "double": ("double", "float"),
+    "decimal": ("decimal",),
+    "bool": ("boolean",),
+    "date": ("timestamp", "timestamp_ntz"),
+    "array": ("array",),
+    "object": ("struct",),
+    "binData": ("binary",),
+    "number": ("int", "smallint", "tinyint", "bigint", "double", "float", "decimal"),
+}
+
+
+def _type_predicate(col: Column, val: Any) -> Column:
+    """$type on a typed column: Spark's typeof() is constant per column
+    data type, so Catalyst folds this predicate to true/false at
+    optimization time — zero per-row cost (reference surface 2.B;
+    change streams admit $type via $match passthrough)."""
+    names = val if isinstance(val, list) else [val]
+    preds: list[Column] = []
+    for name in names:
+        if name == "null":
+            preds.append(col.isNull())
+            continue
+        if name not in _BSON_TYPES:
+            raise PipelineError(f"unsupported $type name {name!r}")
+        t = F.typeof(col)
+        alts: list[Column] = []
+        for spark_name in _BSON_TYPES[name]:
+            alts.append(
+                (t == spark_name)
+                | t.startswith(spark_name + "<")
+                | t.startswith(spark_name + "(")
+            )
+        type_ok = alts[0]
+        for a in alts[1:]:
+            type_ok = type_ok | a
+        preds.append(type_ok & col.isNotNull())
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return out
 
 
 def _lambda1(body: Any, var: str, env: dict) -> "Callable[[Column], Column]":
@@ -369,6 +557,8 @@ def _field_predicate(path: str, cond: Any) -> Column:
         elif op == "$mod":
             divisor, remainder = val
             preds.append(col % F.lit(divisor) == F.lit(remainder))
+        elif op == "$type":
+            preds.append(_type_predicate(col, val))
         else:
             raise PipelineError(f"unsupported $match operator {op!r} on {path!r}")
     out = preds[0]
@@ -482,8 +672,27 @@ def _apply_stage(df: DataFrame, stage: dict) -> DataFrame:
             if not (isinstance(root, str) and root.startswith("$")):
                 raise PipelineError(f"{name} requires a field path newRoot")
             return df.select(f"{root[1:]}.*")
+        case "$redact":
+            # Row-level $redact: the expression decides $$KEEP/$$PRUNE
+            # for the whole document.  $$DESCEND recurses into
+            # subdocuments (per-field pruning) — not expressible as a
+            # row filter, so it is rejected rather than mistranslated.
+            if _contains_descend(spec):
+                raise PipelineError("$redact $$DESCEND is not supported")
+            env = {"KEEP": F.lit("KEEP"), "PRUNE": F.lit("PRUNE")}
+            return df.filter(translate_expr(spec, env) == "KEEP")
         case _:
             raise PipelineError(f"unsupported stage {name!r}")
+
+
+def _contains_descend(spec: Any) -> bool:
+    if isinstance(spec, str):
+        return spec == "$$DESCEND"
+    if isinstance(spec, dict):
+        return any(_contains_descend(v) for v in spec.values())
+    if isinstance(spec, list):
+        return any(_contains_descend(v) for v in spec)
+    return False
 
 
 def translate_pipeline(

@@ -267,3 +267,68 @@ def pipeline_switch_let(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_str", F.get_json_object("props", "$.k")
     )
     return pipe(e).orderBy("event_id")
+
+
+@query(
+    "pipeline_redact_date_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP)        AS day,
+           CAST(isodow(ts) AS INT)                          AS idow,
+           datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS age_days,
+           CAST(ts + INTERVAL 48 HOUR AS TIMESTAMP)         AS due
+    FROM events
+    WHERE regexp_matches(event_type, '^(?i)(CLICK|PURCHASE)$')
+    ORDER BY event_id
+    """,
+    doc="$redact (KEEP/PRUNE via $regexMatch) + the date family: "
+    "$dateTrunc, $isoDayOfWeek, $dateDiff (boundary-crossing "
+    "semantics), $dateAdd — SURVEY 2.B expression passthrough.",
+    tags=("pipeline",),
+)
+def pipeline_redact_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$redact": {
+                    "$cond": [
+                        {
+                            "$regexMatch": {
+                                "input": "$event_type",
+                                "regex": "^(CLICK|PURCHASE)$",
+                                "options": "i",
+                            }
+                        },
+                        "$$KEEP",
+                        "$$PRUNE",
+                    ]
+                }
+            },
+            {
+                "$addFields": {
+                    "day": {"$dateTrunc": {"date": "$ts", "unit": "day"}},
+                    "idow": {"$isoDayOfWeek": "$ts"},
+                    "age_days": {
+                        "$dateDiff": {
+                            "startDate": {"$toDate": {"$literal": "2024-01-01"}},
+                            "endDate": "$ts",
+                            "unit": "day",
+                        }
+                    },
+                    "due": {
+                        "$dateAdd": {"startDate": "$ts", "unit": "hour", "amount": 48}
+                    },
+                }
+            },
+            {
+                "$project": {
+                    "event_id": 1,
+                    "day": 1,
+                    "idow": 1,
+                    "age_days": 1,
+                    "due": 1,
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")

@@ -91,9 +91,83 @@ def test_unsupported_raises(docs):
     with pytest.raises(PipelineError):
         run([{"$group": {"_id": "$name"}}], docs)
     with pytest.raises(PipelineError):
-        run([{"$match": {"name": {"$type": "string"}}}], docs)
+        run([{"$match": {"name": {"$type": "javascript"}}}], docs)
     with pytest.raises(PipelineError):
         run([{"$project": {"x": {"$dateFromParts": {}}}}], docs)
+
+
+def test_type_predicate(docs):
+    # typeof() is constant per column type -> Catalyst folds these.
+    assert run([{"$match": {"name": {"$type": "string"}}}], docs).count() == 3
+    assert run([{"$match": {"name": {"$type": "int"}}}], docs).count() == 0
+    assert run([{"$match": {"id": {"$type": "number"}}}], docs).count() == 3
+    assert run([{"$match": {"tags": {"$type": "array"}}}], docs).count() == 3
+    assert run([{"$match": {"addr": {"$type": "object"}}}], docs).count() == 3
+    assert run([{"$match": {"addr": {"$type": ["object", "null"]}}}], docs).count() == 3
+
+
+def test_redact_keep_prune(docs):
+    got = run(
+        [{"$redact": {"$cond": [{"$gte": ["$id", 2]}, "$$KEEP", "$$PRUNE"]}}],
+        docs,
+    )
+    assert sorted(r["id"] for r in got.collect()) == [2, 3]
+    with pytest.raises(PipelineError):
+        run([{"$redact": {"$cond": [True, "$$DESCEND", "$$PRUNE"]}}], docs)
+
+
+def test_math_and_regex_ops(docs):
+    got = run(
+        [
+            {
+                "$project": {
+                    "p": {"$pow": ["$id", 2]},
+                    "r": {"$trunc": [{"$sqrt": "$id"}, 2]},
+                    "m": {"$regexMatch": {"input": "$name", "regex": "^A", "options": "i"}},
+                    "hi": {"$max": "$scores"},
+                    "lo": {"$min": "$scores"},
+                    "isa": {"$isArray": "$tags"},
+                    "isn": {"$isNumber": "$name"},
+                }
+            }
+        ],
+        docs,
+    ).collect()
+    by_p = {int(r["p"]): r for r in got}  # p = id^2 -> 1, 4, 9
+    assert by_p[1]["r"] == 1.0 and by_p[4]["r"] == 1.41
+    assert by_p[1]["m"] is True and by_p[4]["m"] is False
+    assert by_p[9]["hi"] == 30 and by_p[9]["lo"] == 10
+    assert by_p[1]["isa"] is True and by_p[1]["isn"] is False
+
+
+def test_date_family(spark):
+    df = spark.createDataFrame(
+        [("2024-03-31 22:30:45", "2024-04-01 01:10:00")],
+        "a STRING, b STRING",
+    ).selectExpr("cast(a as timestamp) a", "cast(b as timestamp) b")
+    got = run(
+        [
+            {
+                "$project": {
+                    "y": {"$year": "$a"},
+                    "dom": {"$dayOfMonth": "$a"},
+                    "idow": {"$isoDayOfWeek": "$a"},  # 2024-03-31 = Sunday
+                    "plus": {"$dateAdd": {"startDate": "$a", "unit": "day", "amount": 1}},
+                    "trunc": {"$dateTrunc": {"date": "$a", "unit": "month"}},
+                    "ddays": {"$dateDiff": {"startDate": "$a", "endDate": "$b", "unit": "day"}},
+                    "dmon": {"$dateDiff": {"startDate": "$a", "endDate": "$b", "unit": "month"}},
+                    "dhr": {"$dateDiff": {"startDate": "$a", "endDate": "$b", "unit": "hour"}},
+                }
+            }
+        ],
+        df,
+    ).collect()[0]
+    assert got["y"] == 2024 and got["dom"] == 31 and got["idow"] == 7
+    assert str(got["plus"]).startswith("2024-04-01 22:30:45")
+    assert str(got["trunc"]).startswith("2024-03-01")
+    # Boundary-crossing semantics: 22:30 -> 01:10 next day crosses one
+    # midnight, one month boundary, and three hour boundaries.
+    assert got["ddays"] == 1 and got["dmon"] == 1 and got["dhr"] == 3
 
 
 def test_map_filter_reduce(docs):
