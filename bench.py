@@ -35,6 +35,8 @@ HEADLINE = (
     "set_union_all",
     "subquery_correlated_exists",
     "scalar_explode_wordcount",
+    "q8_market_share",
+    "q21_waiting_supplier",
     # CDC relay (per-micro-batch work at batch scale)
     "cdc_envelope",
     "cdc_op_counts",
@@ -52,6 +54,9 @@ HEADLINE = (
     "text_lang_id",
     "text_fingerprint_dedup",
     "multimodal_feature_extract",
+    # corpus curation
+    "sample_stratified_hash",
+    "quality_filter_pipeline",
 )
 
 
