@@ -158,6 +158,94 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the
+    corpus into ``nlist`` cells, probe only the ``nprobe`` nearest
+    cells per query.
+
+    Centroids are the ``nlist`` lowest-id corpus vectors — a
+    deterministic stand-in for a k-means training step (the cell
+    structure, probe math, and join shape are identical; a trained
+    quantizer would only move the centroid literals).
+
+    Scale: cell assignment is a projection against broadcast centroid
+    literals; the corpus is written out partitioned by ``cell`` once,
+    and each query scores ~``nprobe/nlist`` of the corpus.  The
+    candidate join shuffles on the cell key — same plan family as
+    ``lsh_bucketed_topk`` but with data-adaptive cells instead of
+    data-oblivious hyperplanes."""
+    from pyspark.sql import Window as W
+
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
+        .orderBy("cid")
+        .limit(nlist)
+        .collect()
+    )  # bounded: nlist x dim doubles
+
+    def cell_ranking(vec: Column) -> Column:
+        """array<struct<score,cid>> sorted by centroid affinity desc."""
+        scored = [
+            F.struct(
+                F.round(
+                    dot(vec, F.array(*[F.lit(x) for x in r["cv"]])), 6
+                ).alias("score"),
+                F.lit(int(r["cid"])).alias("cid"),
+            )
+            for r in cents
+        ]
+        return F.reverse(F.array_sort(F.array(*scored)))
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cell", cell_ranking(F.col("cv"))[0]["cid"])
+        .withColumn("cn", l2_norm(F.col("cv")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(cell_ranking(F.col("qv")), 1, nprobe),
+                    lambda s: s["cid"],
+                )
+            ),
+        )
+        .withColumn("qn", l2_norm(F.col("qv")))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_dedup_pairs(
     embeddings: DataFrame,
     threshold: float,

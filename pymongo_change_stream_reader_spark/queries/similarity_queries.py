@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from pymongo_change_stream_reader_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from pymongo_change_stream_reader_spark.queries import query
@@ -56,6 +57,21 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_bucketed_topk(emb, queries, k=10, num_planes=4)
+
+
+@query(
+    "ann_ivf_coarse",
+    oracle=None,  # approximate (cell pruning); recall vs exact in pytest
+    doc="IVF coarse-quantized ANN top-10: corpus bucketed into "
+    "inverted-file cells by nearest centroid, queries probe the 4 "
+    "nearest of 16 cells — the data-adaptive counterpart to the LSH "
+    "bucket path.",
+    tags=("similarity", "approx"),
+)
+def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
 
 
 @query(

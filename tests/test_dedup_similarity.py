@@ -107,6 +107,29 @@ def test_ann_lsh_vs_brute_force(emb):
     assert len(bfset & lshset) / len(bfset) >= 0.1
 
 
+def test_ann_ivf_vs_brute_force(emb):
+    from pymongo_change_stream_reader_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(emb, queries, k=10).collect()
+    ivf = ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).collect()
+    bfset = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    ivfset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(ivf) <= 50
+    # deterministic across reruns (fixed centroid choice)
+    assert ivfset == {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).collect()
+    }
+    # near-orthogonal embeddings: cells carry limited signal, but with
+    # nprobe/nlist = 1/4 of the corpus scanned, recall must beat the
+    # random-scan floor (calibrated on this corpus)
+    assert len(bfset & ivfset) / len(bfset) >= 0.2
+    # probing ALL cells must recover the exact result
+    full = ivf_topk(emb, queries, k=10, nlist=16, nprobe=16).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in full} == bfset
+
+
 def test_brute_force_topk_is_sane(emb):
     out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=5).collect()
     assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
