@@ -147,3 +147,77 @@ def commit_stream(commit_events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas form — Spark 4's successor stateful API.
+# ---------------------------------------------------------------------------
+try:  # pragma: no cover - import surface depends on Spark build
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CommitStatefulProcessor(StatefulProcessor):
+        """The same prefix-commit ledger on transformWithStateInPandas:
+        typed ValueState instead of a raw state tuple, explicit
+        init/close lifecycle, and (unused here) timer support.  Same
+        semantics as ``commit_prefix`` — the equivalence test drives
+        both through the identical scenario."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ledger_state = handle.getValueState("ledger", STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timer_values
+        ) -> Iterator[pd.DataFrame]:
+            stored = self._ledger_state.get() if self._ledger_state.exists() else None
+            ledger = CommitLedger()
+            if stored is not None:
+                last_committed, counts, confirmed, tokens = stored
+                ledger.last_committed = last_committed
+                for c, ok, tok in zip(counts, confirmed, tokens):
+                    ledger.pending[c] = [ok, tok]
+            for pdf in rows:
+                for count, need_confirm, token in zip(
+                    pdf["count"], pdf["need_confirm"], pdf["resume_token"]
+                ):
+                    ledger.observe(
+                        int(count),
+                        bool(need_confirm),
+                        None if pd.isna(token) else token,
+                    )
+            committed_through, token, n = ledger.committable()
+            self._ledger_state.update(_state_from_ledger(ledger))
+            if n:
+                yield pd.DataFrame(
+                    {
+                        "stream_id": [key[0]],
+                        "committed_through": [committed_through],
+                        "resume_token": [token],
+                        "n_committed": [n],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    def commit_stream_tws(commit_events: DataFrame) -> DataFrame:
+        """``commit_stream`` on the transformWithState API.  Requires
+        the RocksDB state-store provider (set
+        spark.sql.streaming.stateStore.providerClass to
+        RocksDBStateStoreProvider before starting the query) and the
+        ``protobuf`` package (the TWS state server's wire protocol —
+        absent from this container, so the e2e test auto-skips; the
+        ledger semantics are covered by the shared CommitLedger unit
+        tests and the applyInPandasWithState integration)."""
+        return commit_events.groupBy(F.col("stream_id")).transformWithStateInPandas(
+            CommitStatefulProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover
+    CommitStatefulProcessor = None  # type: ignore[assignment]
+    commit_stream_tws = None  # type: ignore[assignment]

@@ -115,3 +115,86 @@ def test_streaming_integration(spark, tmp_path):
         assert (4, "t4", 2) in r1
     finally:
         q.stop()
+
+
+def test_streaming_integration_transform_with_state(spark, tmp_path):
+    """The transformWithStateInPandas form commits the identical
+    prefixes as the applyInPandasWithState form (RocksDB provider
+    required by the API).  The TWS state server speaks protobuf to the
+    Python worker, so the test skips where protobuf is absent (the
+    operator's fold logic is the shared CommitLedger, covered above)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from pymongo_change_stream_reader_spark.streaming.commit_state import (
+        commit_stream_tws,
+    )
+
+    rows = [
+        {"stream_id": "r1", "count": 1, "need_confirm": False, "resume_token": "t1"},
+        {"stream_id": "r1", "count": 2, "need_confirm": True, "resume_token": "t2"},
+        {"stream_id": "r1", "count": 2, "need_confirm": False, "resume_token": None},
+        {"stream_id": "r1", "count": 4, "need_confirm": False, "resume_token": "t4"},
+        {"stream_id": "r2", "count": 1, "need_confirm": False, "resume_token": "s1"},
+    ]
+    src = tmp_path / "commits"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            "stream_id STRING, count BIGINT, need_confirm BOOLEAN, resume_token STRING"
+        ).json(str(src))
+        q = (
+            commit_stream_tws(stream)
+            .writeStream.format("memory")
+            .queryName("commit_out_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            out = {
+                r["stream_id"]: (
+                    r["committed_through"],
+                    r["resume_token"],
+                    r["n_committed"],
+                )
+                for r in spark.sql("SELECT * FROM commit_out_tws").collect()
+            }
+            assert out == {"r1": (2, "t2", 2), "r2": (1, "s1", 1)}
+
+            with open(src / "b1.json", "w") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "stream_id": "r1",
+                            "count": 3,
+                            "need_confirm": False,
+                            "resume_token": "t3",
+                        }
+                    )
+                    + "\n"
+                )
+            q.processAllAvailable()
+            r1 = [
+                (r["committed_through"], r["resume_token"], r["n_committed"])
+                for r in spark.sql(
+                    "SELECT * FROM commit_out_tws WHERE stream_id = 'r1'"
+                ).collect()
+            ]
+            assert (4, "t4", 2) in r1
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
