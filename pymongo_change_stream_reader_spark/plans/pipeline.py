@@ -380,6 +380,28 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                 translate_expr(arg["endDate"], env),
                 _date_unit(arg["unit"]),
             )
+        case "$dateFromString":
+            ds = translate_expr(arg["dateString"], env)
+            if "format" in arg:
+                return F.to_timestamp(ds, _date_format(arg["format"]))
+            return F.to_timestamp(ds)
+        case "$objectToArray":
+            # Map column -> [{k, v}] (Mongo's document ≙ MapType here;
+            # struct inputs would need schema access at translate time)
+            return F.transform(
+                F.map_entries(tx(0)),
+                lambda e: F.struct(e["key"].alias("k"), e["value"].alias("v")),
+            )
+        case "$arrayToObject":
+            return F.map_from_entries(
+                F.transform(tx(0), lambda e: F.struct(e["k"], e["v"]))
+            )
+        case "$zip":
+            inputs = [translate_expr(a, env) for a in arg["inputs"]]
+            # Mongo yields an array of [x, y] pairs; the Spark-typed
+            # analog is an array of structs (heterogeneous element
+            # types cannot share one array type)
+            return F.arrays_zip(*inputs)
         case _:
             raise PipelineError(f"unsupported expression operator {op!r}")
 

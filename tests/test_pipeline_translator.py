@@ -294,3 +294,32 @@ def test_array_expression_ops(docs):
     assert r1["mean"] == 5.0
     r3 = {r["id"]: r for r in got.collect()}[3]
     assert r3["head"] is None and r3["tail"] is None  # empty tags
+
+
+def test_object_array_zip_ops(spark):
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 2}, ["x", "y"], [10, 20], "2024-02-29 12:00:00")],
+        "m MAP<STRING, INT>, s ARRAY<STRING>, n ARRAY<INT>, d STRING",
+    )
+    got = run(
+        [
+            {
+                "$project": {
+                    "kv": {"$objectToArray": "$m"},
+                    "back": {"$arrayToObject": {"$objectToArray": "$m"}},
+                    "z": {"$zip": {"inputs": ["$s", "$n"]}},
+                    "ts": {
+                        "$dateFromString": {
+                            "dateString": "$d",
+                            "format": "%Y-%m-%d %H:%M:%S",
+                        }
+                    },
+                }
+            }
+        ],
+        df,
+    ).collect()[0]
+    assert sorted((e["k"], e["v"]) for e in got["kv"]) == [("a", 1), ("b", 2)]
+    assert got["back"] == {"a": 1, "b": 2}
+    assert [(e["s"], e["n"]) for e in got["z"]] == [("x", 10), ("y", 20)]
+    assert str(got["ts"]).startswith("2024-02-29 12:00:00")
