@@ -533,12 +533,24 @@ def _lambda2(body: Any, env: dict) -> "Callable[[Column, Column], Column]":
 # ---------------------------------------------------------------------------
 _CMP = {
     "$eq": lambda c, v: c == v,
-    "$ne": lambda c, v: c != v,
+    # Mongo $ne is two-valued: a null/missing field does NOT equal the
+    # literal, so it MATCHES (same rule as $nin below) — plain SQL !=
+    # would return NULL and drop the row.
+    "$ne": lambda c, v: (c != v) | c.isNull(),
     "$gt": lambda c, v: c > v,
     "$gte": lambda c, v: c >= v,
     "$lt": lambda c, v: c < v,
     "$lte": lambda c, v: c <= v,
 }
+
+
+def _two_valued(pred: Column) -> Column:
+    """Collapse SQL three-valued logic to Mongo's two-valued match
+    semantics before negation: a NULL comparison means 'does not
+    match', so ~NULL must be TRUE, not NULL.  (Found by the hypothesis
+    property test: {$nor: [{a: {$eq: v}}]} must KEEP rows with a null
+    `a`.)"""
+    return F.coalesce(pred, F.lit(False))
 
 
 def _field_predicate(path: str, cond: Any) -> Column:
@@ -568,7 +580,7 @@ def _field_predicate(path: str, cond: Any) -> Column:
         elif op == "$options":
             continue  # consumed by $regex
         elif op == "$not":
-            preds.append(~_field_predicate(path, val))
+            preds.append(~_two_valued(_field_predicate(path, val)))
         elif op == "$size":
             preds.append(F.size(col) == F.lit(val))
         elif op == "$all":
@@ -633,10 +645,10 @@ def translate_match(cond: dict) -> Column:
             out = translate_match(val[0])
             for v in val[1:]:
                 out = out | translate_match(v)
-            preds.append(~out)
+            preds.append(~_two_valued(out))
             continue
         elif key == "$not":
-            preds.append(~translate_match(val))
+            preds.append(~_two_valued(translate_match(val)))
             continue
         elif key == "$expr":
             preds.append(translate_expr(val))

@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) for the $match translator: a
+randomly generated predicate tree must filter a DataFrame exactly as a
+pure-Python evaluator of Mongo's documented semantics filters the same
+rows.  (The reference validates its pipeline passthrough by shape only
+— settings.py:69-76 — because mongod owns the semantics; here WE own
+the semantics, so they get searched, not just spot-checked.)
+
+One Spark action per example is slow, so the strategy generates a
+BATCH of predicates and the test unions them into one collected
+DataFrame pass per hypothesis example.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pymongo_change_stream_reader_spark.plans.pipeline import translate_match
+
+# A fixed row universe: ints (incl. negatives), strings, nulls.
+ROWS = [
+    {"a": a, "b": b, "s": s}
+    for a in [-5, 0, 3, 7, None]
+    for b in [0, 7, 42]
+    for s in ["x", "xyz", "zzz", None]
+]
+
+_INTS = st.sampled_from([-5, 0, 3, 7, 42])
+_STRS = st.sampled_from(["x", "xyz", "zzz"])
+
+
+def _leaf() -> st.SearchStrategy:
+    int_field = st.sampled_from(["a", "b"])
+    cmp_op = st.sampled_from(["$eq", "$ne", "$gt", "$gte", "$lt", "$lte"])
+    return st.one_of(
+        st.tuples(int_field, cmp_op, _INTS).map(lambda t: {t[0]: {t[1]: t[2]}}),
+        st.tuples(int_field, st.lists(_INTS, min_size=1, max_size=3)).map(
+            lambda t: {t[0]: {"$in": t[1]}}
+        ),
+        st.tuples(st.just("s"), cmp_op, _STRS).map(lambda t: {t[0]: {t[1]: t[2]}}),
+        st.tuples(st.sampled_from(["a", "s"]), st.booleans()).map(
+            lambda t: {t[0]: {"$exists": t[1]}}
+        ),
+        _INTS.map(lambda v: {"a": v}),  # bare equality
+    )
+
+
+def _predicates(depth: int = 2) -> st.SearchStrategy:
+    return st.recursive(
+        _leaf(),
+        lambda children: st.one_of(
+            st.lists(children, min_size=2, max_size=3).map(lambda cs: {"$and": cs}),
+            st.lists(children, min_size=2, max_size=3).map(lambda cs: {"$or": cs}),
+            st.lists(children, min_size=1, max_size=2).map(lambda cs: {"$nor": cs}),
+        ),
+        max_leaves=6,
+    )
+
+
+def _eval_leaf(row: dict, field: str, cond) -> bool:
+    """Mongo's two-valued match semantics: a null/missing field fails
+    every positive comparison ($eq/$gt/$in/...), and therefore MATCHES
+    the negative ones ($ne, $nin) — negation of 'does not match' is
+    'matches'."""
+    v = row[field]
+    if not isinstance(cond, dict):
+        return v is not None and v == cond
+    ok = True
+    for op, arg in cond.items():
+        if v is None and op == "$ne":
+            continue  # null != literal -> matches
+        if v is None and op != "$exists":
+            return False
+        if op == "$eq":
+            ok &= v == arg
+        elif op == "$ne":
+            ok &= v != arg
+        elif op == "$gt":
+            ok &= v > arg
+        elif op == "$gte":
+            ok &= v >= arg
+        elif op == "$lt":
+            ok &= v < arg
+        elif op == "$lte":
+            ok &= v <= arg
+        elif op == "$in":
+            ok &= v in arg
+        elif op == "$exists":
+            ok &= (v is not None) if arg else (v is None)
+    return ok
+
+
+def _eval(row: dict, cond: dict) -> bool:
+    out = True
+    for key, val in cond.items():
+        if key == "$and":
+            out &= all(_eval(row, c) for c in val)
+        elif key == "$or":
+            out &= any(_eval(row, c) for c in val)
+        elif key == "$nor":
+            out &= not any(_eval(row, c) for c in val)
+        else:
+            out &= _eval_leaf(row, key, val)
+    return out
+
+
+@pytest.fixture(scope="module")
+def universe(spark):
+    df = spark.createDataFrame(
+        [(i, r["a"], r["b"], r["s"]) for i, r in enumerate(ROWS)],
+        "rid INT, a INT, b INT, s STRING",
+    )
+    df.persist().count()
+    return df
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(preds=st.lists(_predicates(), min_size=4, max_size=8))
+def test_match_translation_agrees_with_python_semantics(universe, preds):
+    import pyspark.sql.functions as F
+
+    # One action for the whole batch: tag each row with a bitmask of
+    # which predicates keep it.
+    cols = [
+        F.when(translate_match(p), 1).otherwise(0).alias(f"p{i}")
+        for i, p in enumerate(preds)
+    ]
+    got = universe.select("rid", *cols).collect()
+    for i, p in enumerate(preds):
+        spark_keep = {r["rid"] for r in got if r[f"p{i}"] == 1}
+        py_keep = {i2 for i2, row in enumerate(ROWS) if _eval(row, p)}
+        assert spark_keep == py_keep, f"predicate {p!r}"
