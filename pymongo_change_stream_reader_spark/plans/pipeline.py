@@ -402,6 +402,30 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             # analog is an array of structs (heterogeneous element
             # types cannot share one array type)
             return F.arrays_zip(*inputs)
+        case "$convert":
+            to_types = {
+                "string": "string",
+                "int": "int",
+                "long": "long",
+                "double": "double",
+                "decimal": "decimal(38,10)",
+                "bool": "boolean",
+                "date": "timestamp",
+            }
+            if arg.get("to") not in to_types:
+                raise PipelineError(f"unsupported $convert target {arg.get('to')!r}")
+            converted = translate_expr(arg["input"], env).try_cast(
+                to_types[arg["to"]]
+            )
+            if "onNull" in arg or "onError" in arg:
+                # try_cast folds conversion errors into null, so one
+                # coalesce serves both fallbacks (onError first, per
+                # Mongo's precedence when both are set).
+                fallback = translate_expr(
+                    arg.get("onError", arg.get("onNull")), env
+                )
+                return F.coalesce(converted, fallback)
+            return converted
         case _:
             raise PipelineError(f"unsupported expression operator {op!r}")
 

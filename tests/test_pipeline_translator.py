@@ -323,3 +323,23 @@ def test_object_array_zip_ops(spark):
     assert got["back"] == {"a": 1, "b": 2}
     assert [(e["s"], e["n"]) for e in got["z"]] == [("x", 10), ("y", 20)]
     assert str(got["ts"]).startswith("2024-02-29 12:00:00")
+
+
+def test_convert(spark):
+    df = spark.createDataFrame([("12", "nope", None)], "ok STRING, bad STRING, nul STRING")
+    got = run(
+        [
+            {
+                "$project": {
+                    "a": {"$convert": {"input": "$ok", "to": "int"}},
+                    "b": {"$convert": {"input": "$bad", "to": "int", "onError": -1}},
+                    "c": {"$convert": {"input": "$nul", "to": "int", "onNull": 0}},
+                    "d": {"$convert": {"input": "$ok", "to": "double"}},
+                }
+            }
+        ],
+        df,
+    ).collect()[0]
+    assert (got["a"], got["b"], got["c"], got["d"]) == (12, -1, 0, 12.0)
+    with pytest.raises(PipelineError):
+        run([{"$project": {"x": {"$convert": {"input": "$ok", "to": "objectId"}}}}], df)
