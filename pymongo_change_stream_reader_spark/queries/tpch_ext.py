@@ -84,30 +84,63 @@ def _volume_dec():
     tags=("sql", "subquery", "join", "tpch"),
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: Catalyst decorrelates the scalar subquery into a per-part
-    MIN aggregate joined back on (partkey, unit_cost) — one shuffle on
-    partkey for the aggregate, one for the join; region/nation/supplier
-    dims broadcast. Double division is IEEE-deterministic on both
-    engines, so the equality join is exact."""
-    _views(spark, sf_dir, "part", "supplier", "lineitem", "nation", "region")
-    return spark.sql(
-        """
-        SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name,
-               l_extendedprice / l_quantity AS unit_cost
-        FROM part, supplier, lineitem, nation, region
-        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-          AND p_size = 15 AND p_type = 'LARGE'
-          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-          AND r_name = 'ASIA'
-          AND l_extendedprice / l_quantity = (
-              SELECT MIN(l2.l_extendedprice / l2.l_quantity)
-              FROM lineitem l2, supplier s2, nation n2, region r2
-              WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
-                AND s2.s_nationkey = n2.n_nationkey
-                AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
-        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-        LIMIT 100
-        """
+    """Scale: hand-decorrelated form of the oracle's correlated scalar
+    MIN.  The naive decorrelation aggregates ALL of the region's
+    lineitems per part before the part filter applies; here the tiny
+    filtered part list broadcasts into BOTH the outer join and the
+    inner aggregate first (legal because the subquery correlates on
+    exactly those partkeys), so the MIN's input shrinks by the part
+    filter's selectivity (~1000x) and every join is broadcast — no
+    sort-merge, no shuffle beyond the final aggregate. Double division
+    is IEEE-deterministic on both engines, so the min-equality match
+    is exact."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
+    asia_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(asia_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+    )
+    mins = supply.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        supply.join(
+            F.broadcast(mins),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .distinct()
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
     )
 
 
