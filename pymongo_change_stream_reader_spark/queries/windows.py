@@ -248,3 +248,45 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "window_percentile_family",
+    oracle="""
+    SELECT s_suppkey,
+           ROUND(s_acctbal, 2)                               AS acctbal,
+           ROUND(PERCENT_RANK() OVER w, 6)                   AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6)                      AS cume,
+           ROUND(NTH_VALUE(s_acctbal, 3) OVER (
+               ORDER BY s_acctbal DESC, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING), 2)         AS third_best
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    ORDER BY s_suppkey
+    """,
+    doc="percent_rank / cume_dist / nth_value — the remaining ranking "
+    "family members (global frame on the small supplier dim; at scale "
+    "these would partition by a key as in the other window queries).",
+    tags=("window",),
+)
+def window_percentile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: an unpartitioned ORDER BY window serializes into a
+    single task — acceptable only on a dim-sized input like supplier
+    (the deliberate demonstration here); every fact-table window in
+    this catalog partitions first."""
+    w = W.orderBy("s_acctbal", "s_suppkey")
+    w_nth = W.orderBy(F.desc("s_acctbal"), F.col("s_suppkey")).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .select(
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.nth_value("s_acctbal", 3).over(w_nth), 2).alias("third_best"),
+        )
+        .orderBy("s_suppkey")
+    )
