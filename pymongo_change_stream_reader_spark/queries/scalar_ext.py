@@ -215,3 +215,47 @@ def explode_outer_preserves_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("event_id", F.explode_outer(letters).alias("letter"))
         .orderBy("event_id", F.col("letter").asc_nulls_first())
     )
+
+
+@query(
+    "scalar_hash_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)                                        AS name_md5,
+           sha256(c_name)                                     AS name_sha256,
+           base64(encode(c_name))                             AS name_b64,
+           CAST(levenshtein(left(c_name, 8), right(c_name, 8)) AS INT)
+                                                              AS name_lev,
+           repeat(left(c_name, 2), 3)                         AS name_rep,
+           reverse(c_name)                                    AS name_rev,
+           CAST(ascii(c_name) AS INT)                         AS first_code,
+           CAST(strpos(c_name, '#') AS INT)                   AS hash_pos
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    doc="Hash digests (md5/sha256/base64) and string-distance/"
+    "manipulation functions (levenshtein, repeat, reverse, ascii, "
+    "instr) — fingerprinting primitives for dedup keys.",
+    tags=("scalar",),
+)
+def scalar_hash_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: narrow codegen'd projection; md5/sha2 are the hash-key
+    primitives the exact-dedup operator shuffles on."""
+    n = F.col("c_name")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.md5(n).alias("name_md5"),
+            F.sha2(n, 256).alias("name_sha256"),
+            F.base64(n.cast("binary")).alias("name_b64"),
+            F.levenshtein(F.left(n, F.lit(8)), F.right(n, F.lit(8))).alias(
+                "name_lev"
+            ),
+            F.repeat(F.left(n, F.lit(2)), 3).alias("name_rep"),
+            F.reverse(n).alias("name_rev"),
+            F.ascii(n).alias("first_code"),
+            F.instr(n, "#").alias("hash_pos"),
+        )
+        .orderBy("c_custkey")
+    )
