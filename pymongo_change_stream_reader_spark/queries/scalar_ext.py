@@ -259,3 +259,34 @@ def scalar_hash_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "agg_bool_argminmax",
+    oracle="""
+    SELECT o_custkey,
+           bool_and(o_totalprice > 1000)              AS all_big,
+           bool_or(o_orderpriority = '1-URGENT')      AS any_urgent,
+           arg_min(o_orderkey, o_totalprice)          AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice)          AS priciest_order
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    doc="bool_and/bool_or and min_by/max_by (argmin/argmax) aggregates "
+    "(o_totalprice is tie-free per customer in this data, so the "
+    "argmin/argmax picks are deterministic on both engines).",
+    tags=("agg",),
+)
+def agg_bool_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_big"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        )
+        .orderBy("o_custkey")
+    )
