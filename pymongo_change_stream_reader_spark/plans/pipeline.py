@@ -10,9 +10,11 @@ automatically (SURVEY §4).
 
 Supported surface (change-stream-legal stages):
   $match    — full predicate language: comparison ($eq $ne $gt $gte
-              $lt $lte), membership ($in $nin), boolean ($and $or
-              $not $nor), $exists, $regex (+$options), array ($size
-              $all $elemMatch), $mod, $expr
+              $lt $lte, incl. Mongo's null-literal equality class),
+              membership ($in $nin), boolean ($and $or $not $nor),
+              $exists, $regex (+$options), array ($size $all
+              $elemMatch with operator or field-document bodies),
+              $mod, $expr
   $project  — inclusion / exclusion / computed fields
   $addFields / $set — add or overwrite columns
   $unset    — drop fields
@@ -34,7 +36,9 @@ mis-translate.
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable, Sequence
+from functools import reduce
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -121,7 +125,13 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
         case "$strLenCP":
             return F.length(tx(0))
         case "$split":
-            return F.split(tx(0), args[1], -1)
+            # Mongo's delimiter is a literal string; F.split takes a
+            # Java regex, so '.', '|', '+' etc. must be escaped
+            # (re.escape only backslash-escapes non-alphanumerics,
+            # which Java regex accepts).
+            if not isinstance(args[1], str) or args[1].startswith("$"):
+                raise PipelineError("$split requires a literal string delimiter")
+            return F.split(tx(0), re.escape(args[1]), -1)
         case "$add":
             out = tx(0)
             for i in range(1, len(args)):
@@ -148,9 +158,12 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             place = args[1] if len(args) > 1 else 0
             return F.round(tx(0), place)
         case "$eq":
-            return tx(0) == tx(1)
+            # Mongo's aggregation comparisons use the total sort order
+            # where null equals null (and never returns null itself) —
+            # the null-safe operator, not SQL three-valued equality.
+            return tx(0).eqNullSafe(tx(1))
         case "$ne":
-            return tx(0) != tx(1)
+            return ~tx(0).eqNullSafe(tx(1))
         case "$gt":
             return tx(0) > tx(1)
         case "$gte":
@@ -219,11 +232,37 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             # same negative convention and nulls out-of-bounds
             return F.try_element_at(tx(0), F.lit(idx + 1 if idx >= 0 else idx))
         case "$slice":
+            # Mongo forms: [arr, n] (n<0 = last |n| elements) and
+            # [arr, position, n] (position<0 counts from the end and
+            # clamps to the start when |position| > len; n must be
+            # positive).  Signs decide the translation, so the
+            # count/position must be literal ints.
+            arr = tx(0)
             if len(args) == 2:
-                return F.slice(tx(0), 1, translate_expr(args[1], env))
-            return F.slice(
-                tx(0), translate_expr(args[1], env) + 1, translate_expr(args[2], env)
-            )
+                n = args[1]
+                if not isinstance(n, int):
+                    raise PipelineError("$slice count must be a literal integer")
+                if n >= 0:
+                    return F.slice(arr, 1, n)
+                # last |n|: Spark's negative start errors when |start| >
+                # len, Mongo returns the whole array — clamp explicitly.
+                return F.when(
+                    F.size(arr) <= F.lit(-n), arr
+                ).otherwise(F.slice(arr, n, -n))
+            pos, n = args[1], args[2]
+            if not isinstance(pos, int) or not isinstance(n, int):
+                raise PipelineError(
+                    "$slice position and count must be literal integers"
+                )
+            if n <= 0:
+                raise PipelineError("$slice count must be positive in 3-arg form")
+            if pos >= 0:
+                return F.slice(arr, pos + 1, n)
+            # negative position: both are |pos|-from-the-end 1-based,
+            # but Mongo clamps to the array start when |pos| > len.
+            return F.when(
+                F.size(arr) < F.lit(-pos), F.slice(arr, 1, n)
+            ).otherwise(F.slice(arr, pos, n))
         case "$switch":
             out = None
             for branch in arg["branches"]:
@@ -385,6 +424,42 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             if "format" in arg:
                 return F.to_timestamp(ds, _date_format(arg["format"]))
             return F.to_timestamp(ds)
+        case "$dateFromParts":
+            if not isinstance(arg, dict) or "year" not in arg:
+                raise PipelineError("$dateFromParts requires a 'year' field")
+            known = {"year", "month", "day", "hour", "minute", "second",
+                     "millisecond"}
+            extra = set(arg) - known
+            if extra:
+                # ISO-week-date form and timezone are not translated.
+                raise PipelineError(
+                    f"unsupported $dateFromParts fields {sorted(extra)!r}"
+                )
+
+            def _part(name: str, default: int) -> Column:
+                if name in arg:
+                    return translate_expr(arg[name], env).cast("int")
+                return F.lit(default)
+
+            year = translate_expr(arg["year"], env).cast("int")
+            # Date arithmetic (add_months / date_add) instead of
+            # make_timestamp so out-of-range parts CARRY like Mongo's
+            # (month 14 -> next year Feb; day 0 -> last day of the
+            # previous month).
+            date = F.date_add(
+                F.add_months(
+                    F.make_date(year, F.lit(1), F.lit(1)),
+                    _part("month", 1) - F.lit(1),
+                ),
+                _part("day", 1) - F.lit(1),
+            )
+            return date.cast("timestamp") + F.make_dt_interval(
+                F.lit(0),
+                _part("hour", 0),
+                _part("minute", 0),
+                _part("second", 0).cast("double")
+                + _part("millisecond", 0).cast("double") / F.lit(1000.0),
+            )
         case "$objectToArray":
             # Map column -> [{k, v}] (Mongo's document ≙ MapType here;
             # struct inputs would need schema access at translate time)
@@ -577,8 +652,34 @@ def _two_valued(pred: Column) -> Column:
     return F.coalesce(pred, F.lit(False))
 
 
+def _cmp_predicate(op: str, col: Column, val: Any) -> Column:
+    """One comparison operator with Mongo's null-literal semantics:
+    {$eq: null} (and bare null) matches null/missing fields, {$ne:
+    null} matches only present non-null fields, and because null sits
+    in its own type bracket, {$gte/$lte: null} also matches only null
+    while the strict {$gt/$lt: null} match nothing (plain SQL
+    comparison against NULL would silently drop every row — the
+    inverted-translation bug this special case exists for)."""
+    if val is None:
+        if op in ("$eq", "$gte", "$lte"):
+            return col.isNull()
+        if op == "$ne":
+            return col.isNotNull()
+        return F.lit(False)  # $gt / $lt
+    return _CMP[op](col, F.lit(val))
+
+
 def _field_predicate(path: str, cond: Any) -> Column:
-    col = F.col(path)
+    return _predicate_on(F.col(path), cond, path)
+
+
+def _predicate_on(col: Column, cond: Any, path: str) -> Column:
+    """Full $match operator document applied to an arbitrary Column
+    (top-level field or an $elemMatch array element)."""
+    if cond is None:
+        # bare null matches null/missing (ADVICE r1: col == NULL
+        # matches nothing)
+        return col.isNull()
     if not isinstance(cond, dict) or not any(
         isinstance(k, str) and k.startswith("$") for k in cond
     ):
@@ -588,11 +689,22 @@ def _field_predicate(path: str, cond: Any) -> Column:
     preds: list[Column] = []
     for op, val in cond.items():
         if op in _CMP:
-            preds.append(_CMP[op](col, F.lit(val)))
+            preds.append(_cmp_predicate(op, col, val))
         elif op == "$in":
-            preds.append(col.isin(*val))
+            # a null in the list matches null/missing fields
+            rest = [v for v in val if v is not None]
+            p = col.isin(*rest) if rest else F.lit(False)
+            if any(v is None for v in val):
+                p = p | col.isNull()
+            preds.append(p)
         elif op == "$nin":
-            preds.append(~col.isin(*val) | col.isNull())
+            rest = [v for v in val if v is not None]
+            p = ~col.isin(*rest) if rest else F.lit(True)
+            if any(v is None for v in val):
+                # null listed: null/missing fields are IN the list
+                preds.append(p & col.isNotNull())
+            else:
+                preds.append(p | col.isNull())
         elif op == "$exists":
             preds.append(col.isNotNull() if val else col.isNull())
         elif op == "$regex":
@@ -604,7 +716,7 @@ def _field_predicate(path: str, cond: Any) -> Column:
         elif op == "$options":
             continue  # consumed by $regex
         elif op == "$not":
-            preds.append(~_two_valued(_field_predicate(path, val)))
+            preds.append(~_two_valued(_predicate_on(col, val, path)))
         elif op == "$size":
             preds.append(F.size(col) == F.lit(val))
         elif op == "$all":
@@ -635,16 +747,26 @@ def _element_matcher(cond: Any) -> Callable[[Column], Column]:
     return matcher
 
 
+def _get_path(col: Column, path: str) -> Column:
+    return reduce(lambda c, part: c.getField(part), path.split("."), col)
+
+
 def _element_predicate(elem: Column, cond: Any) -> Column:
-    """$elemMatch body applied to an array element."""
+    """$elemMatch body applied to an array element.  Two Mongo forms:
+    an operator doc ({$gt: 5, $lt: 9}) applied to the element itself,
+    or a field doc ({qty: {$gte: 5}, "a.b": 1}) whose predicates apply
+    to the (struct) element's fields."""
     if not isinstance(cond, dict):
         return elem == F.lit(cond)
-    preds = []
-    for op, val in cond.items():
-        if op in _CMP:
-            preds.append(_CMP[op](elem, F.lit(val)))
-        else:
-            raise PipelineError(f"unsupported $elemMatch operator {op!r}")
+    op_keys = [k for k in cond if isinstance(k, str) and k.startswith("$")]
+    if op_keys and len(op_keys) != len(cond):
+        raise PipelineError("$elemMatch cannot mix operator and field keys")
+    if op_keys or not cond:
+        return _predicate_on(elem, cond, "<element>")
+    preds = [
+        _two_valued(_predicate_on(_get_path(elem, k), v, k))
+        for k, v in cond.items()
+    ]
     out = preds[0]
     for p in preds[1:]:
         out = out & p
@@ -694,6 +816,33 @@ def translate_match(cond: dict) -> Column:
 # ---------------------------------------------------------------------------
 # Stage application.
 # ---------------------------------------------------------------------------
+def _nest_tree(paths: dict[str, Column]) -> list[Column]:
+    """Dotted output paths -> nested-struct select list, preserving
+    Mongo's {a: {b: ...}} shape ({"a.b": col} becomes
+    struct(col AS b) AS a).  Path collisions ("a" and "a.b") raise,
+    as Mongo does."""
+    tree: dict[str, Any] = {}
+    for path, col in paths.items():
+        parts = path.split(".")
+        node = tree
+        for part in parts[:-1]:
+            nxt = node.setdefault(part, {})
+            if not isinstance(nxt, dict):
+                raise PipelineError(f"$project path collision at {path!r}")
+            node = nxt
+        if parts[-1] in node:
+            raise PipelineError(f"$project path collision at {path!r}")
+        node[parts[-1]] = col
+
+    def build(node: dict[str, Any]) -> list[Column]:
+        return [
+            (F.struct(*build(sub)) if isinstance(sub, dict) else sub).alias(name)
+            for name, sub in node.items()
+        ]
+
+    return build(tree)
+
+
 def _apply_project(df: DataFrame, spec: dict) -> DataFrame:
     if not spec:
         raise PipelineError("$project requires at least one field")
@@ -703,11 +852,34 @@ def _apply_project(df: DataFrame, spec: dict) -> DataFrame:
     included = [k for k, v in spec.items() if isinstance(v, (int, bool)) and v in (1, True)]
     excluded = [k for k, v in spec.items() if isinstance(v, (int, bool)) and v in (0, False)]
     if included or computed:
-        cols = [F.col(k).alias(k.replace(".", "_")) if "." in k else F.col(k)
-                for k in included]
-        cols += [translate_expr(v).alias(k) for k, v in computed.items()]
-        return df.select(*cols)
-    return df.drop(*excluded)
+        # Mongo rejects mixed inclusion/exclusion except for _id: 0.
+        bad = [k for k in excluded if k != "_id"]
+        if bad:
+            raise PipelineError(
+                f"cannot exclude {bad!r} in an inclusion $project"
+            )
+        out: dict[str, Column] = {}
+        # _id rides along by default in inclusion mode (when the frame
+        # has one and the spec doesn't say _id: 0).
+        if (
+            "_id" in df.columns
+            and "_id" not in excluded
+            and "_id" not in included
+            and "_id" not in computed
+        ):
+            out["_id"] = F.col("_id")
+        for k in included:
+            out[k] = _get_path(F.col(k.split(".", 1)[0]), k.split(".", 1)[1]) \
+                if "." in k else F.col(k)
+        for k, v in computed.items():
+            out[k] = translate_expr(v)
+        return df.select(*_nest_tree(out))
+    # exclusion mode: top-level drops plus dropFields for dotted paths.
+    for k in excluded:
+        if "." in k:
+            root, rest = k.split(".", 1)
+            df = df.withColumn(root, F.col(root).dropFields(rest))
+    return df.drop(*[k for k in excluded if "." not in k])
 
 
 def _apply_stage(df: DataFrame, stage: dict) -> DataFrame:

@@ -27,6 +27,11 @@ ROWS = [
 ]
 
 _INTS = st.sampled_from([-5, 0, 3, 7, 42])
+# Comparison literals INCLUDE null — Mongo gives null its own
+# equality-class semantics ({a: null} matches null/missing, {$ne:
+# null} matches present non-null), which round 1's strategy never
+# sampled and round 1's translator inverted (ADVICE r1, high).
+_INTS_N = st.sampled_from([-5, 0, 3, 7, 42, None])
 _STRS = st.sampled_from(["x", "xyz", "zzz"])
 
 
@@ -34,15 +39,17 @@ def _leaf() -> st.SearchStrategy:
     int_field = st.sampled_from(["a", "b"])
     cmp_op = st.sampled_from(["$eq", "$ne", "$gt", "$gte", "$lt", "$lte"])
     return st.one_of(
-        st.tuples(int_field, cmp_op, _INTS).map(lambda t: {t[0]: {t[1]: t[2]}}),
-        st.tuples(int_field, st.lists(_INTS, min_size=1, max_size=3)).map(
-            lambda t: {t[0]: {"$in": t[1]}}
-        ),
+        st.tuples(int_field, cmp_op, _INTS_N).map(lambda t: {t[0]: {t[1]: t[2]}}),
+        st.tuples(
+            int_field,
+            st.sampled_from(["$in", "$nin"]),
+            st.lists(_INTS_N, min_size=1, max_size=3),
+        ).map(lambda t: {t[0]: {t[1]: t[2]}}),
         st.tuples(st.just("s"), cmp_op, _STRS).map(lambda t: {t[0]: {t[1]: t[2]}}),
         st.tuples(st.sampled_from(["a", "s"]), st.booleans()).map(
             lambda t: {t[0]: {"$exists": t[1]}}
         ),
-        _INTS.map(lambda v: {"a": v}),  # bare equality
+        _INTS_N.map(lambda v: {"a": v}),  # bare equality (incl. null)
     )
 
 
@@ -58,34 +65,52 @@ def _predicates(depth: int = 2) -> st.SearchStrategy:
     )
 
 
+def _in_match(v, arg: list) -> bool:
+    """Mongo $in: null in the list matches null/missing fields."""
+    if v is None:
+        return None in arg
+    return v in [x for x in arg if x is not None]
+
+
+def _cmp_match(v, op: str, arg) -> bool:
+    """One comparison with Mongo's documented null semantics: null
+    literals form their own equality class ($eq/$gte/$lte null match
+    null/missing; $ne null matches present non-null; strict $gt/$lt
+    null match nothing), and a null/missing FIELD fails every positive
+    comparison against a non-null literal but matches $ne."""
+    if arg is None:
+        if op in ("$eq", "$gte", "$lte"):
+            return v is None
+        if op == "$ne":
+            return v is not None
+        return False  # $gt / $lt
+    if op == "$ne":
+        return v is None or v != arg
+    if v is None:
+        return False
+    return {
+        "$eq": v == arg,
+        "$gt": v > arg,
+        "$gte": v >= arg,
+        "$lt": v < arg,
+        "$lte": v <= arg,
+    }[op]
+
+
 def _eval_leaf(row: dict, field: str, cond) -> bool:
-    """Mongo's two-valued match semantics: a null/missing field fails
-    every positive comparison ($eq/$gt/$in/...), and therefore MATCHES
-    the negative ones ($ne, $nin) — negation of 'does not match' is
-    'matches'."""
     v = row[field]
+    if cond is None:
+        return v is None  # bare null matches null/missing
     if not isinstance(cond, dict):
         return v is not None and v == cond
     ok = True
     for op, arg in cond.items():
-        if v is None and op == "$ne":
-            continue  # null != literal -> matches
-        if v is None and op != "$exists":
-            return False
-        if op == "$eq":
-            ok &= v == arg
-        elif op == "$ne":
-            ok &= v != arg
-        elif op == "$gt":
-            ok &= v > arg
-        elif op == "$gte":
-            ok &= v >= arg
-        elif op == "$lt":
-            ok &= v < arg
-        elif op == "$lte":
-            ok &= v <= arg
+        if op in ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"):
+            ok &= _cmp_match(v, op, arg)
         elif op == "$in":
-            ok &= v in arg
+            ok &= _in_match(v, arg)
+        elif op == "$nin":
+            ok &= not _in_match(v, arg)
         elif op == "$exists":
             ok &= (v is not None) if arg else (v is None)
     return ok

@@ -343,3 +343,178 @@ def test_convert(spark):
     assert (got["a"], got["b"], got["c"], got["d"]) == (12, -1, 0, 12.0)
     with pytest.raises(PipelineError):
         run([{"$project": {"x": {"$convert": {"input": "$ok", "to": "objectId"}}}}], df)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 fidelity fixes (ADVICE r1 + VERDICT r1 next-round items).
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def nullable(spark):
+    return spark.createDataFrame(
+        [(1, 5), (2, None), (3, 0)], "id INT, a INT"
+    )
+
+
+def test_match_null_literals(nullable):
+    """Mongo null semantics: {a: null} matches null/missing; {$ne:
+    null} keeps only present non-null (round 1 inverted this)."""
+    assert sorted(r["id"] for r in run([{"$match": {"a": None}}], nullable).collect()) == [2]
+    assert sorted(
+        r["id"] for r in run([{"$match": {"a": {"$eq": None}}}], nullable).collect()
+    ) == [2]
+    assert sorted(
+        r["id"] for r in run([{"$match": {"a": {"$ne": None}}}], nullable).collect()
+    ) == [1, 3]
+    assert sorted(
+        r["id"] for r in run([{"$match": {"a": {"$in": [None, 5]}}}], nullable).collect()
+    ) == [1, 2]
+    assert sorted(
+        r["id"] for r in run([{"$match": {"a": {"$nin": [None, 5]}}}], nullable).collect()
+    ) == [3]
+    # strict inequalities against null match nothing; $gte/$lte match null
+    assert run([{"$match": {"a": {"$gt": None}}}], nullable).count() == 0
+    assert sorted(
+        r["id"] for r in run([{"$match": {"a": {"$gte": None}}}], nullable).collect()
+    ) == [2]
+
+
+def test_expr_eq_is_null_safe(nullable):
+    """Aggregation $eq uses Mongo's total order: null == null is true,
+    and the result itself is never null."""
+    rows = {
+        r["id"]: r["isnull"]
+        for r in run(
+            [{"$project": {"id": 1, "isnull": {"$eq": ["$a", None]}}}], nullable
+        ).collect()
+    }
+    assert rows == {1: False, 2: True, 3: False}
+
+
+def test_split_literal_delimiter(docs):
+    """$split delimiters are literal strings, not regexes — '.' and
+    '|' must not explode into per-char splits."""
+    got = run(
+        [
+            {
+                "$project": {
+                    "id": 1,
+                    "by_dot": {"$split": [{"$concat": ["$name", ".x.y"]}, "."]},
+                    "by_pipe": {"$split": [{"$concat": ["$name", "|z"]}, "|"]},
+                }
+            }
+        ],
+        docs,
+    )
+    row = {r["id"]: r for r in got.collect()}[2]
+    assert row["by_dot"] == ["bob", "x", "y"]
+    assert row["by_pipe"] == ["bob", "z"]
+    with pytest.raises(PipelineError):
+        run([{"$project": {"x": {"$split": ["$name", "$name"]}}}], docs)
+
+
+def test_slice_negative_forms(docs):
+    """Mongo $slice: negative count = last |n|; 3-arg negative position
+    counts from the end and clamps to the start when |pos| > len."""
+    got = run(
+        [
+            {
+                "$project": {
+                    "id": 1,
+                    "last2": {"$slice": ["$scores", -2]},
+                    "last9": {"$slice": ["$scores", -9]},
+                    "from_neg2": {"$slice": ["$scores", -2, 1]},
+                    "clamped": {"$slice": ["$scores", -9, 2]},
+                    "mid": {"$slice": ["$scores", 1, 2]},
+                }
+            }
+        ],
+        docs,
+    )
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["last2"] == [5, 9]
+    assert rows[1]["last9"] == [1, 5, 9]  # |n| > len -> whole array
+    assert rows[1]["from_neg2"] == [5]
+    assert rows[1]["clamped"] == [1, 5]  # |pos| > len -> from start
+    assert rows[1]["mid"] == [5, 9]
+    with pytest.raises(PipelineError):
+        run([{"$project": {"x": {"$slice": ["$scores", 0, -1]}}}], docs)
+
+
+def test_elemmatch_field_documents(spark):
+    """$elemMatch with a field doc applies predicates to the struct
+    element's fields (round 1 supported only bare operator docs)."""
+    items = spark.createDataFrame(
+        [
+            (1, [{"qty": 6, "price": 3}, {"qty": 1, "price": 50}]),
+            (2, [{"qty": 9, "price": 20}]),
+            (3, [{"qty": 2, "price": 1}]),
+        ],
+        "id INT, items ARRAY<STRUCT<qty: INT, price: INT>>",
+    )
+    got = run(
+        [{"$match": {"items": {"$elemMatch": {"qty": {"$gte": 5}, "price": {"$lt": 10}}}}}],
+        items,
+    )
+    assert sorted(r["id"] for r in got.collect()) == [1]
+    # bare-value field equality inside the element doc
+    got = run([{"$match": {"items": {"$elemMatch": {"qty": 9}}}}], items)
+    assert sorted(r["id"] for r in got.collect()) == [2]
+    with pytest.raises(PipelineError):
+        run([{"$match": {"items": {"$elemMatch": {"qty": 9, "$gt": 1}}}}], items)
+
+
+def test_date_from_parts(spark):
+    df = spark.createDataFrame([(2024, 7, 13, 17, 8, 51, 823)],
+                               "y INT, mo INT, d INT, h INT, mi INT, s INT, ms INT")
+    got = run(
+        [
+            {
+                "$project": {
+                    "full": {
+                        "$dateFromParts": {
+                            "year": "$y", "month": "$mo", "day": "$d",
+                            "hour": "$h", "minute": "$mi", "second": "$s",
+                            "millisecond": "$ms",
+                        }
+                    },
+                    "defaults": {"$dateFromParts": {"year": "$y"}},
+                    "carry": {"$dateFromParts": {"year": "$y", "month": 14}},
+                }
+            }
+        ],
+        df,
+    ).collect()[0]
+    assert str(got["full"]) == "2024-07-13 17:08:51.823000"
+    assert str(got["defaults"]) == "2024-01-01 00:00:00"
+    # month 14 carries into February of the next year, as in Mongo
+    assert str(got["carry"]) == "2025-02-01 00:00:00"
+    with pytest.raises(PipelineError):
+        run([{"$project": {"x": {"$dateFromParts": {"year": 2024, "timezone": "UTC"}}}}], df)
+
+
+def test_project_id_default_and_mixed(spark):
+    df = spark.createDataFrame([(10, "x", 1)], "_id INT, name STRING, n INT")
+    # _id rides along by default in inclusion mode...
+    got = run([{"$project": {"name": 1}}], df)
+    assert got.columns == ["_id", "name"]
+    # ...unless explicitly excluded
+    got = run([{"$project": {"name": 1, "_id": 0}}], df)
+    assert got.columns == ["name"]
+    # mixed inclusion/exclusion (other than _id: 0) is an error, as in Mongo
+    with pytest.raises(PipelineError):
+        run([{"$project": {"name": 1, "n": 0}}], df)
+
+
+def test_project_dotted_nesting(docs):
+    """Dotted inclusion paths preserve Mongo's nested output shape
+    ({"addr.city": 1} -> addr.city struct), not a flattened rename."""
+    got = run([{"$project": {"id": 1, "addr.city": 1}}], docs)
+    assert got.columns == ["id", "addr"]
+    assert got.schema["addr"].dataType.simpleString() == "struct<city:string>"
+    assert sorted(r["addr"]["city"] for r in got.collect()) == ["ber", "ber", "muc"]
+    # dotted exclusion drops the nested field, keeps the rest
+    got = run([{"$project": {"addr.zip": 0}}], docs)
+    assert got.schema["addr"].dataType.simpleString() == "struct<city:string>"
+    # path collision is an error, as in Mongo
+    with pytest.raises(PipelineError):
+        run([{"$project": {"addr": 1, "addr.city": 1}}], docs)
