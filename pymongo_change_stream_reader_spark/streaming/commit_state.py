@@ -52,36 +52,50 @@ class CommitLedger:
     pending: dict[int, list] = field(default_factory=dict)
 
     def observe(self, count: int, need_confirm: bool, token: str | None) -> None:
+        # reference commit_processing.py:46,60 — events at or below the
+        # committed frontier are redeliveries; without this guard they
+        # would accumulate in pending forever.
+        if count <= self.last_committed:
+            return
         entry = self.pending.get(count)
         if entry is None:
             self.pending[count] = [not need_confirm, token]
             return
         # merge the two half-records: an ack (need_confirm=0 without a
         # token) confirms; the newest non-null token wins
+        # (commit_processing.py:83-94 _get_actual_token)
         if not need_confirm:
             entry[0] = True
         if token is not None:
             entry[1] = token
-        elif need_confirm and entry[1] is None:
-            entry[0] = entry[0] or False
 
     def committable(self) -> tuple[int, str | None, int]:
-        """(committed_through, token, n) for the longest confirmed
-        contiguous prefix; advances and clears committed entries."""
+        """(committed_through, token, n) for the confirmed contiguous
+        prefix UP TO its last token-bearing entry; advances and clears
+        the committed entries.
+
+        Trailing confirmed-but-tokenless counts are withheld
+        (reference commit_processing.py:96-118): a commit must carry a
+        resume token, otherwise the downstream token upsert would
+        regress the durable offset to null."""
         k = self.last_committed
         token = None
-        n = 0
+        commit_to = self.last_committed
         while True:
             entry = self.pending.get(k + 1)
             if entry is None or not entry[0]:
                 break
             k += 1
-            n += 1
             if entry[1] is not None:
                 token = entry[1]
-            del self.pending[k]
-        self.last_committed = k if n else self.last_committed
-        return k, token, n
+                commit_to = k
+        n = commit_to - self.last_committed
+        if n == 0:
+            return self.last_committed, None, 0
+        for c in range(self.last_committed + 1, commit_to + 1):
+            self.pending.pop(c, None)
+        self.last_committed = commit_to
+        return commit_to, token, n
 
 
 def _ledger_from_state(state: GroupState) -> CommitLedger:
