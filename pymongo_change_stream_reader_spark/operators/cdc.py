@@ -58,11 +58,11 @@ def topic(kafka_prefix: str = "") -> Column:
 
 
 def document_key_json() -> Column:
-    """A9: Extended-JSON of documentKey, e.g.
-    ``{"_id": {"$oid": "6692b4..."}}``."""
-    return F.concat(
-        F.lit('{"_id": {"$oid": "'), F.col("documentKey._id"), F.lit('"}}')
-    )
+    """A9: Extended-JSON of documentKey — carried as an opaque string
+    column end-to-end, so ANY BSON ``_id`` type (ObjectId, int, string,
+    compound document) round-trips byte-faithful to the reference's
+    ``json_util.dumps(documentKey)`` (change_event_handler.py:93-98)."""
+    return F.col("documentKey")
 
 
 def _update_description_json() -> Column:
@@ -126,4 +126,4 @@ def partition_by_key(df: DataFrame, num_partitions: int) -> DataFrame:
     change_handler.py:77-81).  At cluster scale this is the only
     shuffle on the CDC hot path; skip it when the Kafka sink's key
     hashing is ordering enough."""
-    return df.repartition(num_partitions, F.col("documentKey._id"))
+    return df.repartition(num_partitions, F.col("documentKey"))

@@ -67,12 +67,12 @@ CHANGE_EVENT_SCHEMA = T.StructType(
             ),
             True,
         ),
-        # ObjectId as 24-hex string (JSON fidelity; FIXTURES.md §1).
-        T.StructField(
-            "documentKey",
-            T.StructType([T.StructField("_id", T.StringType(), True)]),
-            True,
-        ),
+        # Extended-JSON string of the WHOLE documentKey document —
+        # `_id` can be ANY BSON value (ObjectId, int, string, compound
+        # doc), so the key is carried opaque end-to-end and emitted
+        # byte-faithful to the reference's json_util.dumps(documentKey)
+        # (reference: producing/change_event_handler.py:93-98).
+        T.StructField("documentKey", T.StringType(), True),
         T.StructField("fullDocument", T.StringType(), True),
         T.StructField("fullDocumentBeforeChange", T.StringType(), True),
         T.StructField("updateDescription", UPDATE_DESCRIPTION, True),

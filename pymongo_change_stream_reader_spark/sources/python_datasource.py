@@ -39,12 +39,27 @@ from pymongo_change_stream_reader_spark.schema import CHANGE_EVENT_SCHEMA
 _OPS = ("insert", "update", "replace", "delete", "drop")
 
 
+def _id_json(seq: int) -> str:
+    """Extended-JSON `_id` value — cycles through BSON key types
+    (ObjectId / int / string / compound doc) so the key path is
+    exercised for arbitrary `_id` shapes (A9, reference
+    change_event_handler.py:93-98 serializes ANY documentKey)."""
+    kind = seq % 4
+    if kind == 0:
+        return '{"$oid": "%s"}' % format(seq, "024x")
+    if kind == 1:
+        return str(seq)
+    if kind == 2:
+        return '"user-%d"' % seq
+    return '{"tenant": %d, "n": %d}' % (seq % 7, seq)
+
+
 def _event_for_seq(seq: int) -> tuple:
     """Deterministic change event for a global sequence number."""
     op = _OPS[seq % len(_OPS)]
-    oid = format(seq, "024x")
-    doc = '{"_id": {"$oid": "%s"}, "n": %d}' % (oid, seq)
-    prev = '{"_id": {"$oid": "%s"}, "n": %d}' % (oid, seq - 1)
+    id_json = _id_json(seq)
+    doc = '{"_id": %s, "n": %d}' % (id_json, seq)
+    prev = '{"_id": %s, "n": %d}' % (id_json, seq - 1)
     has_key = op != "drop"
     has_after = op in ("insert", "update", "replace")
     has_before = op in ("update", "replace", "delete")
@@ -54,7 +69,7 @@ def _event_for_seq(seq: int) -> tuple:
         {"t": 1700000000 + seq, "i": 1},                    # clusterTime
         None,                                               # wallTime
         {"db": "simdb", "coll": f"c{seq % 3}"},             # ns
-        {"_id": oid} if has_key else None,                  # documentKey
+        '{"_id": %s}' % id_json if has_key else None,       # documentKey
         doc if has_after else None,                         # fullDocument
         prev if has_before else None,                       # fullDocumentBeforeChange
         (

@@ -70,7 +70,10 @@ def simulate_change_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "coll"
             ),
         ).alias("ns"),
-        F.when(is_data, F.struct(oid.alias("_id"))).alias("documentKey"),
+        F.when(
+            is_data,
+            F.concat(F.lit('{"_id": {"$oid": "'), oid, F.lit('"}}')),
+        ).alias("documentKey"),
         F.when(has_after, doc).alias("fullDocument"),
         F.when(has_before, before_doc).alias("fullDocumentBeforeChange"),
         F.when(

@@ -40,7 +40,7 @@ def events(spark):
 def test_fixture_roundtrip(events):
     """Schema <-> fixture roundtrip (analog of
     test_change_events_encode_decode.py)."""
-    assert events.count() == 7
+    assert events.count() == 10
     # JSON reads are always nullable; compare structure ignoring nullability
     assert events.schema.simpleString() == CHANGE_EVENT_SCHEMA.simpleString()
     ops = {r["operationType"] for r in events.select("operationType").collect()}
@@ -53,19 +53,18 @@ def test_fixture_roundtrip(events):
 
 def test_op_filter(events):
     kept = filter_data_ops(events)
-    assert kept.count() == 4
+    assert kept.count() == 7
     assert {r["operationType"] for r in kept.collect()} == set(DATA_OPERATION_TYPES)
 
 
 def test_kafka_records_golden(events):
     records = to_kafka_records(filter_data_ops(events), "test")
-    by_value = sorted(r["value"] for r in records.collect())
+    rows = records.collect()
     assert all(
-        r["topic"] == "test.test-database.TestCollection" for r in records.collect()
+        r["topic"] == "test.test-database.TestCollection" for r in rows
     )
-    assert all(
-        r["key"] == '{"_id": {"$oid": "%s"}}' % OID for r in records.collect()
-    )
+    oid_key = '{"_id": {"$oid": "%s"}}' % OID
+    by_value = sorted(r["value"] for r in rows if r["key"] == oid_key)
     expected = sorted(
         [
             '{"after": %s, "op": "c"}' % _doc(1),
@@ -79,18 +78,35 @@ def test_kafka_records_golden(events):
     assert by_value == expected
 
 
+def test_kafka_key_arbitrary_bson_id(events):
+    """A9: the Kafka key is byte-faithful json_util.dumps(documentKey)
+    for ANY `_id` type — int, string, and compound-document keys, not
+    just ObjectId (reference change_event_handler.py:93-98)."""
+    records = to_kafka_records(filter_data_ops(events), "test")
+    keys = {r["key"]: r["value"] for r in records.collect()}
+    assert '{"_id": 42}' in keys
+    assert '{"_id": "user-7"}' in keys
+    assert '{"_id": {"tenant": 3, "name": "x"}}' in keys
+    assert keys['{"_id": 42}'] == '{"after": {"_id": 42, "a": 10}, "op": "c"}'
+    assert (
+        keys['{"_id": {"tenant": 3, "name": "x"}}']
+        == '{"after": {"_id": {"tenant": 3, "name": "x"}, "a": 12}, "op": "c"}'
+    )
+
+
 def test_topic_without_prefix(events):
     records = to_kafka_records(filter_data_ops(events), "")
     assert {r["topic"] for r in records.collect()} == {"test-database.TestCollection"}
 
 
 def test_partitioning_per_key(spark, events):
-    """A6: same documentKey -> same partition (all golden events share
-    one _id, the reference asserts all land on one queue)."""
-    parts = (
+    """A6: same documentKey -> same partition (the reference asserts
+    all events of one key land on one queue)."""
+    per_key = (
         partition_by_key(filter_data_ops(events), 4)
-        .select(F.spark_partition_id().alias("pid"))
-        .distinct()
+        .select("documentKey", F.spark_partition_id().alias("pid"))
+        .groupBy("documentKey")
+        .agg(F.countDistinct("pid").alias("npid"))
         .collect()
     )
-    assert len(parts) == 1
+    assert per_key and all(r["npid"] == 1 for r in per_key)

@@ -147,7 +147,7 @@ def test_foreach_batch_per_topic_files(spark, tmp_path):
     finally:
         q.stop()
     out = spark.read.parquet(str(out_root))
-    assert out.count() == 4
+    assert out.count() == 7
     assert {r["topic"] for r in out.select("topic").distinct().collect()} == {
         "test.test-database.TestCollection"
     }

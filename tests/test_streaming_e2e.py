@@ -44,12 +44,12 @@ def test_memory_relay_end_to_end(spark, tmp_path):
     finally:
         q.stop()
     out = spark.sql("SELECT * FROM relay_out")
-    assert out.count() == 4
+    assert out.count() == 7
     assert {r["topic"] for r in out.collect()} == {"test.test-database.TestCollection"}
     ops = sorted(
         r["value"].rsplit('"op": "', 1)[1][0] for r in out.collect()
     )
-    assert ops == ["c", "d", "u", "u"]
+    assert ops == ["c", "c", "c", "c", "d", "u", "u"]
 
 
 def test_checkpoint_restart_no_replay(spark, tmp_path):
@@ -73,7 +73,7 @@ def test_checkpoint_restart_no_replay(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    assert spark.read.parquet(out_dir).count() == 4
+    assert spark.read.parquet(out_dir).count() == 7
 
     # "restart": new query object, same checkpoint; new input appears
     shutil.copy(FIXTURE, src / "batch1.json")
@@ -84,8 +84,8 @@ def test_checkpoint_restart_no_replay(spark, tmp_path):
         q2.processAllAvailable()
     finally:
         q2.stop()
-    # 4 from batch0 (not replayed) + 4 from batch1
-    assert spark.read.parquet(out_dir).count() == 8
+    # 7 from batch0 (not replayed) + 7 from batch1
+    assert spark.read.parquet(out_dir).count() == 14
 
 
 def test_relay_is_streaming_safe(spark, tmp_path):
@@ -120,4 +120,4 @@ def test_partitioned_relay_streaming(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    assert spark.sql("SELECT * FROM relay_part_out").count() == 4
+    assert spark.sql("SELECT * FROM relay_part_out").count() == 7
