@@ -27,10 +27,30 @@ logger = logging.getLogger(__name__)
 _created_topics: set[str] = set()
 
 
-def _ensure_topics(bootstrap_servers: str, topics: set[str]) -> None:
+def _new_topic_specs(topics: set[str], settings=None) -> list[dict]:
+    """NewTopic constructor kwargs for each missing topic, taken from
+    ``EngineSettings`` exactly as the reference builds them
+    (producer.py:43-53: num_partitions / replication_factor / config
+    from NewTopicConfiguration).  Pure + lib-free so the spec wiring is
+    unit-testable without a broker."""
+    return [
+        {
+            "topic": t,
+            "num_partitions": getattr(settings, "new_topic_num_partitions", 1),
+            "replication_factor": getattr(
+                settings, "new_topic_replication_factor", 1
+            ),
+            "config": dict(getattr(settings, "new_topic_config", {}) or {}),
+        }
+        for t in sorted(topics)
+    ]
+
+
+def _ensure_topics(bootstrap_servers: str, topics: set[str], settings=None) -> None:
     missing = topics - _created_topics
     if not missing:
         return
+    specs = _new_topic_specs(missing, settings)
     try:
         from confluent_kafka.admin import AdminClient, NewTopic
     except ImportError:  # pragma: no cover - lib not bundled here
@@ -41,7 +61,7 @@ def _ensure_topics(bootstrap_servers: str, topics: set[str]) -> None:
         _created_topics.update(missing)
         return
     admin = AdminClient({"bootstrap.servers": bootstrap_servers})
-    futures = admin.create_topics([NewTopic(t) for t in sorted(missing)])
+    futures = admin.create_topics([NewTopic(**spec) for spec in specs])
     for topic_name, fut in futures.items():
         try:
             fut.result()
@@ -64,7 +84,7 @@ def foreach_batch_kafka_with_topics(
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         topics = {r["topic"] for r in batch.select("topic").distinct().collect()}
-        _ensure_topics(bootstrap_servers, topics)
+        _ensure_topics(bootstrap_servers, topics, settings)
         (
             batch.selectExpr(
                 "topic", "CAST(key AS BINARY) AS key", "CAST(value AS BINARY) AS value"
