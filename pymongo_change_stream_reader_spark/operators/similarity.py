@@ -158,12 +158,88 @@ def lsh_bucketed_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer, Lloyd-iterated in DataFrame
+    ops (VERDICT r1 asked for trained cells over the lowest-id
+    stand-in).
+
+    Each iteration: assign every corpus vector to its max-dot
+    centroid — a projection against broadcast UNIT centroid literals
+    (argmax of dot is row-norm-invariant, so the corpus needs no
+    per-row normalization — interpreted HOFs have no CSE, PERF.md) —
+    then recompute cell means with one posexplode+groupBy(cell, dim)
+    aggregation and re-project the mean onto the unit sphere.  Only
+    the nlist x dim centroid matrix ever reaches the driver (that is
+    the model, same contract as pyspark.ml KMeans); components are
+    rounded to 1e-6 so reduction order cannot perturb assignments
+    between runs.
+
+    Scale: per iteration one narrow pass + one shuffle keyed on
+    (cell, dim) with map-side partial aggregation — nlist*dim groups,
+    independent of corpus size."""
+    import math
+
+    seed = (
+        corpus.select(_as_double(F.col(vec_col)).alias("cv"))
+        .orderBy(F.col(id_col))
+        .limit(nlist)
+        .collect()
+    )  # deterministic init: the nlist lowest-id vectors, normalized
+
+    def _unit(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [round(x / n, 6) for x in v]
+
+    cents = [_unit(list(r["cv"])) for r in seed]
+
+    for _ in range(iters):
+        scored = [
+            F.struct(
+                F.round(dot(F.col("dv"), F.array(*[F.lit(x) for x in c])), 6).alias(
+                    "score"
+                ),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ]
+        assigned = (
+            corpus.select(_as_double(F.col(vec_col)).alias("dv"))
+            .select(
+                F.col("dv"),
+                F.reverse(F.array_sort(F.array(*scored)))[0]["cid"].alias("cell"),
+            )
+            .select("cell", F.posexplode(F.col("dv")).alias("pos", "x"))
+        )
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )  # bounded: nlist x dim rows — the model update
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        cents = [
+            _unit([by_cell[i][p] for p in sorted(by_cell[i])])
+            if i in by_cell
+            else cents[i]  # empty cell keeps its previous centroid
+            for i in range(nlist)
+        ]
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     nlist: int = 16,
     nprobe: int = 4,
+    train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -171,10 +247,10 @@ def ivf_topk(
     corpus into ``nlist`` cells, probe only the ``nprobe`` nearest
     cells per query.
 
-    Centroids are the ``nlist`` lowest-id corpus vectors — a
-    deterministic stand-in for a k-means training step (the cell
-    structure, probe math, and join shape are identical; a trained
-    quantizer would only move the centroid literals).
+    Centroids are spherical-k-means-trained via
+    :func:`train_ivf_centroids` (``train_iters=0`` falls back to the
+    deterministic lowest-id seed — round 1's stand-in, kept for the
+    recall-improvement test).
 
     Scale: cell assignment is a projection against broadcast centroid
     literals; the corpus is written out partitioned by ``cell`` once,
@@ -184,23 +260,18 @@ def ivf_topk(
     data-oblivious hyperplanes."""
     from pyspark.sql import Window as W
 
-    cents = (
-        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
-        .orderBy("cid")
-        .limit(nlist)
-        .collect()
-    )  # bounded: nlist x dim doubles
+    cents = train_ivf_centroids(
+        corpus, nlist, iters=train_iters, id_col=id_col, vec_col=vec_col
+    )
 
     def cell_ranking(vec: Column) -> Column:
         """array<struct<score,cid>> sorted by centroid affinity desc."""
         scored = [
             F.struct(
-                F.round(
-                    dot(vec, F.array(*[F.lit(x) for x in r["cv"]])), 6
-                ).alias("score"),
-                F.lit(int(r["cid"])).alias("cid"),
+                F.round(dot(vec, F.array(*[F.lit(x) for x in c])), 6).alias("score"),
+                F.lit(i).alias("cid"),
             )
-            for r in cents
+            for i, c in enumerate(cents)
         ]
         return F.reverse(F.array_sort(F.array(*scored)))
 
