@@ -114,7 +114,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(
-        load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
     ).orderBy("id_a", "id_b")
 
 

@@ -258,3 +258,32 @@ def test_ivf_trained_centroids(emb):
         ).collect()
     }
     assert full == bf
+
+
+def test_simhash_band_guarantee_is_complete(docs):
+    """Pigeonhole bound (VERDICT r1 #6): with bands > max_hamming
+    (the default now auto-picks that), EVERY pair within the Hamming
+    radius collides in some band — recall 1.0 vs the exact pairwise
+    sketch distances, not probabilistic."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    rows = docs.select(
+        F.col("doc_id"), simhash64("text").alias("s")
+    ).collect()
+    sketches = [(r["doc_id"], r["s"]) for r in rows]
+    for max_hamming in (3, 7):
+        exact = {
+            (min(a, b), max(a, b))
+            for i, (a, sa) in enumerate(sketches)
+            for b, sb in sketches[i + 1:]
+            if bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= max_hamming
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_pairs(
+                docs, "text", "doc_id", max_hamming=max_hamming
+            ).collect()
+        }
+        assert got == exact, f"max_hamming={max_hamming}"
