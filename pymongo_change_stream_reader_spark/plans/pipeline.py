@@ -882,6 +882,98 @@ def _apply_project(df: DataFrame, spec: dict) -> DataFrame:
     return df.drop(*[k for k in excluded if "." not in k])
 
 
+_GROUP_ACCUMULATORS: dict[str, Callable[[Column], Column]] = {
+    "$sum": F.sum,
+    "$avg": F.avg,
+    "$min": F.min,
+    "$max": F.max,
+    "$push": F.collect_list,
+    # Mongo set order is unspecified; sort for run-to-run determinism
+    "$addToSet": lambda c: F.array_sort(F.collect_set(c)),
+    "$first": lambda c: F.first(c, ignorenulls=False),
+    "$last": lambda c: F.last(c, ignorenulls=False),
+    "$stdDevPop": F.stddev_pop,
+    "$stdDevSamp": F.stddev_samp,
+}
+
+
+def _apply_group(df: DataFrame, spec: dict) -> DataFrame:
+    """$group -> groupBy().agg().  The `_id` expression becomes the
+    grouping key (null = one global group, a sub-document = a struct
+    key); each output field is one accumulator.
+
+    Not admissible inside a change-stream pipeline (mongod rejects it
+    there) but part of the general aggregation surface (SURVEY §2.B);
+    order-sensitive $first/$last follow Spark's first/last over the
+    existing partition order — deterministic only after a $sort, as in
+    Mongo."""
+    if "_id" not in spec:
+        raise PipelineError("$group requires an _id expression")
+    aggs: list[Column] = []
+    for field_name, accum in spec.items():
+        if field_name == "_id":
+            continue
+        if not isinstance(accum, dict) or len(accum) != 1:
+            raise PipelineError(
+                f"$group field {field_name!r} must be a single accumulator"
+            )
+        [(op, arg)] = accum.items()
+        if op == "$count":
+            aggs.append(F.count(F.lit(1)).alias(field_name))
+            continue
+        if op not in _GROUP_ACCUMULATORS:
+            raise PipelineError(f"unsupported $group accumulator {op!r}")
+        aggs.append(_GROUP_ACCUMULATORS[op](translate_expr(arg)).alias(field_name))
+    if not aggs:
+        raise PipelineError("$group requires at least one accumulator")
+
+    key = spec["_id"]
+    if key is None:
+        return df.agg(*aggs).select(F.lit(None).alias("_id"), "*")
+    if isinstance(key, dict) and not any(
+        isinstance(k, str) and k.startswith("$") for k in key
+    ):
+        # compound key document -> struct
+        key_col = F.struct(
+            *[translate_expr(v).alias(k) for k, v in key.items()]
+        )
+    else:
+        key_col = translate_expr(key)
+    return df.groupBy(key_col.alias("_id")).agg(*aggs)
+
+
+def _apply_unwind(df: DataFrame, spec) -> DataFrame:
+    if isinstance(spec, str):
+        path, preserve, index = spec, False, None
+    else:
+        path = spec["path"]
+        preserve = spec.get("preserveNullAndEmptyArrays", False)
+        index = spec.get("includeArrayIndex")
+    if not (isinstance(path, str) and path.startswith("$")):
+        raise PipelineError("$unwind requires a $-prefixed field path")
+    field_name = path[1:]
+    if "." in field_name or field_name not in df.columns:
+        raise PipelineError(f"$unwind path {path!r} must be a top-level array field")
+    others = [c for c in df.columns if c != field_name]
+    if index:
+        fn = F.posexplode_outer if preserve else F.posexplode
+        return df.select(
+            *others, fn(F.col(field_name)).alias(index, field_name)
+        ).withColumn(index, F.col(index).cast("long"))
+    fn = F.explode_outer if preserve else F.explode
+    return df.select(*others, fn(F.col(field_name)).alias(field_name))
+
+
+def _sort_cols(spec: dict) -> list[Column]:
+    cols = []
+    for field_name, direction in spec.items():
+        if direction not in (1, -1):
+            raise PipelineError("$sort directions must be 1 or -1")
+        col = F.col(field_name)
+        cols.append(col.asc() if direction == 1 else col.desc())
+    return cols
+
+
 def _apply_stage(df: DataFrame, stage: dict) -> DataFrame:
     [(name, spec)] = stage.items()
     match name:
@@ -911,6 +1003,30 @@ def _apply_stage(df: DataFrame, stage: dict) -> DataFrame:
                 raise PipelineError("$redact $$DESCEND is not supported")
             env = {"KEEP": F.lit("KEEP"), "PRUNE": F.lit("PRUNE")}
             return df.filter(translate_expr(spec, env) == "KEEP")
+        case "$group":
+            return _apply_group(df, spec)
+        case "$unwind":
+            return _apply_unwind(df, spec)
+        case "$sort":
+            return df.orderBy(*_sort_cols(spec))
+        case "$limit":
+            if not isinstance(spec, int) or spec < 0:
+                raise PipelineError("$limit requires a non-negative integer")
+            return df.limit(spec)
+        case "$skip":
+            if not isinstance(spec, int) or spec < 0:
+                raise PipelineError("$skip requires a non-negative integer")
+            return df.offset(spec)
+        case "$count":
+            if not isinstance(spec, str) or not spec:
+                raise PipelineError("$count requires an output field name")
+            return df.agg(F.count(F.lit(1)).alias(spec))
+        case "$sortByCount":
+            return (
+                df.groupBy(translate_expr(spec).alias("_id"))
+                .agg(F.count(F.lit(1)).alias("count"))
+                .orderBy(F.col("count").desc(), F.col("_id").asc())
+            )
         case _:
             raise PipelineError(f"unsupported stage {name!r}")
 

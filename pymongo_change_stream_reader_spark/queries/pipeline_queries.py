@@ -332,3 +332,179 @@ def pipeline_redact_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")
+
+
+@query(
+    "pipeline_group_agg",
+    oracle="""
+    SELECT event_type AS _id,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(MAX(value), 2) AS mx
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="$group with $sum/$max accumulators over an expression key -> "
+    "groupBy().agg() (one shuffle, map-side partial aggregation).",
+    tags=("pipeline", "agg"),
+)
+def pipeline_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$group": {
+                    "_id": "$event_type",
+                    "n": {"$sum": 1},
+                    "total": {"$sum": "$value"},
+                    "mx": {"$max": "$value"},
+                }
+            },
+            {
+                "$project": {
+                    "_id": 1,
+                    "n": 1,
+                    "total": {"$round": ["$total", 2]},
+                    "mx": {"$round": ["$mx", 2]},
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_unwind_split",
+    oracle="""
+    SELECT event_id, unnest(string_split(event_type, 'u')) AS parts
+    FROM events
+    """,
+    doc="$split (literal delimiter, regex-escaped) + $unwind -> "
+    "split + explode; zero-shuffle narrow plan.",
+    tags=("pipeline",),
+)
+def pipeline_unwind_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$project": {"event_id": 1, "parts": {"$split": ["$event_type", "u"]}}},
+            {"$unwind": "$parts"},
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_sort_skip_limit",
+    oracle="""
+    SELECT event_id, ROUND(value, 2) AS value
+    FROM events
+    ORDER BY value DESC, event_id
+    LIMIT 10 OFFSET 5
+    """,
+    doc="$sort/$skip/$limit page over a deterministic total order "
+    "(unique tiebreak) -> TakeOrdered-family plan, no full sort at "
+    "the driver.",
+    tags=("pipeline",),
+)
+def pipeline_sort_skip_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$sort": {"value": -1, "event_id": 1}},
+            {"$skip": 5},
+            {"$limit": 10},
+            {"$project": {"event_id": 1, "value": {"$round": ["$value", 2]}}},
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_sort_by_count",
+    oracle="""
+    SELECT event_type AS _id, COUNT(*) AS count
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="$sortByCount -> groupBy().count() with count-desc order "
+    "(hash compare is order-insensitive; the order itself is asserted "
+    "in pytest).",
+    tags=("pipeline", "agg"),
+)
+def pipeline_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline([{"$sortByCount": "$event_type"}])
+    return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_count_stage",
+    oracle="""
+    SELECT COUNT(*) AS n FROM events WHERE value > 100
+    """,
+    doc="$match + $count -> filtered global aggregate.",
+    tags=("pipeline", "agg"),
+)
+def pipeline_count_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [{"$match": {"value": {"$gt": 100}}}, {"$count": "n"}]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_elemmatch_size",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE len(string_split(event_type, 'u')) = 2
+      AND list_contains(string_split(event_type, 'u'), 'p')
+    """,
+    doc="$elemMatch ($eq body) + $size on a computed array column.",
+    tags=("pipeline",),
+)
+def pipeline_elemmatch_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$addFields": {"parts": {"$split": ["$event_type", "u"]}}},
+            {
+                "$match": {
+                    "parts": {"$elemMatch": {"$eq": "p"}, "$size": 2}
+                }
+            },
+            {"$project": {"event_id": 1, "event_type": 1}},
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_date_from_parts",
+    oracle="""
+    SELECT event_id, date_trunc('second', ts) AS rebuilt
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="$dateFromParts round-trips $year..$second of ts (carry "
+    "semantics covered in pytest).",
+    tags=("pipeline", "date"),
+)
+def pipeline_date_from_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 500}}},
+            {
+                "$addFields": {
+                    "rebuilt": {
+                        "$dateFromParts": {
+                            "year": {"$year": "$ts"},
+                            "month": {"$month": "$ts"},
+                            "day": {"$dayOfMonth": "$ts"},
+                            "hour": {"$hour": "$ts"},
+                            "minute": {"$minute": "$ts"},
+                            "second": {"$second": "$ts"},
+                        }
+                    }
+                }
+            },
+            {"$project": {"event_id": 1, "rebuilt": 1}},
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))

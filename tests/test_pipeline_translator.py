@@ -89,7 +89,9 @@ def test_substr_is_zero_based(docs):
 
 def test_unsupported_raises(docs):
     with pytest.raises(PipelineError):
-        run([{"$group": {"_id": "$name"}}], docs)
+        run([{"$merge": {"into": "t"}}], docs)
+    with pytest.raises(PipelineError):
+        run([{"$group": {"_id": "$name"}}], docs)  # no accumulator
     with pytest.raises(PipelineError):
         run([{"$match": {"name": {"$type": "javascript"}}}], docs)
     with pytest.raises(PipelineError):
@@ -518,3 +520,76 @@ def test_project_dotted_nesting(docs):
     # path collision is an error, as in Mongo
     with pytest.raises(PipelineError):
         run([{"$project": {"addr": 1, "addr.city": 1}}], docs)
+
+
+def test_group_stage(docs):
+    got = run(
+        [
+            {
+                "$group": {
+                    "_id": {"$gt": ["$id", 1]},
+                    "n": {"$count": {}},
+                    "ids": {"$push": "$id"},
+                    "mx": {"$max": "$id"},
+                }
+            },
+            {"$sort": {"mx": 1}},
+        ],
+        docs,
+    ).collect()
+    rows = {r["_id"]: r for r in got}
+    assert rows[False]["n"] == 1 and rows[False]["ids"] == [1]
+    assert rows[True]["n"] == 2 and sorted(rows[True]["ids"]) == [2, 3]
+    assert rows[True]["mx"] == 3
+    # null _id -> one global group
+    total = run(
+        [{"$group": {"_id": None, "n": {"$sum": 1}}}], docs
+    ).collect()
+    assert total[0]["_id"] is None and total[0]["n"] == 3
+    # compound document key -> struct
+    comp = run(
+        [{"$group": {"_id": {"c": "$addr.city"}, "n": {"$sum": 1}}}], docs
+    ).collect()
+    assert {(r["_id"]["c"], r["n"]) for r in comp} == {("ber", 2), ("muc", 1)}
+
+
+def test_unwind_sort_limit_skip_count(docs):
+    got = run(
+        [
+            {"$unwind": "$tags"},
+            {"$sort": {"id": 1, "tags": 1}},
+        ],
+        docs,
+    ).collect()
+    assert [(r["id"], r["tags"]) for r in got] == [
+        (1, "a"), (1, "b"), (1, "c"), (2, "b"),
+    ]
+    # carol has [] -> dropped without preserve, kept as null with it
+    kept = run(
+        [{"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": True}}],
+        docs,
+    )
+    assert kept.filter("id = 3").collect()[0]["tags"] is None
+    # includeArrayIndex
+    idx = run(
+        [{"$unwind": {"path": "$scores", "includeArrayIndex": "i"}}], docs
+    ).filter("id = 1").orderBy("i").collect()
+    assert [(r["i"], r["scores"]) for r in idx] == [(0, 1), (1, 5), (2, 9)]
+    # sort desc + skip + limit compose positionally
+    page = run(
+        [
+            {"$unwind": "$scores"},
+            {"$sort": {"scores": -1}},
+            {"$skip": 1},
+            {"$limit": 2},
+        ],
+        docs,
+    ).collect()
+    assert [r["scores"] for r in page] == [20, 10]
+    n = run([{"$count": "total"}], docs).collect()
+    assert n[0]["total"] == 3
+
+
+def test_sort_by_count(docs):
+    got = run([{"$unwind": "$tags"}, {"$sortByCount": "$tags"}], docs).collect()
+    assert [(r["_id"], r["count"]) for r in got] == [("b", 2), ("a", 1), ("c", 1)]
