@@ -61,6 +61,75 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     raise NotImplementedError("wire the PIL decode path here")
 
 
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real audio decode (PCM frames, sample-rate resample).  STUB:
+    the audio stack (soundfile/librosa) is not bundled in this
+    environment — the deterministic waveform proxy below
+    (:func:`audio_window_features`) exercises the identical Spark
+    plumbing."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "audio decode requires soundfile/librosa on the executors; "
+            "install and swap audio_window_features' int8-waveform "
+            "proxy for soundfile.read"
+        ) from exc
+    raise NotImplementedError("wire the soundfile decode path here")
+
+
+def audio_window_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window: int = 64,
+    max_windows: int = 8,
+) -> DataFrame:
+    """Deterministic audio-feature extraction over binary payloads via
+    mapInPandas: interpret the bytes as an int8 waveform and emit
+    per-window RMS energy + zero-crossing rate — the stand-in for a
+    real PCM decode + framing pipeline (same schema/batch shape a
+    librosa-backed version would produce).
+
+    Scale: identical contract to :func:`extract_features` — Arrow
+    column batches, no per-row Python calls into the JVM, decode
+    parallelism = partition count."""
+    out_schema = (
+        f"{id_col} LONG, n_windows INT, rms ARRAY<DOUBLE>, zcr ARRAY<DOUBLE>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                wave = np.frombuffer(data, dtype=np.int8).astype(np.float64)
+                n_win = min(len(wave) // window, max_windows)
+                rms, zcr = [], []
+                for w in range(n_win):
+                    seg = wave[w * window : (w + 1) * window]
+                    rms.append(round(float(np.sqrt(np.mean(seg**2))), 6))
+                    signs = np.signbit(seg)
+                    zcr.append(
+                        round(float(np.mean(signs[1:] != signs[:-1])), 6)
+                    )
+                rows.append(
+                    {
+                        id_col: doc_id,
+                        "n_windows": n_win,
+                        "rms": rms,
+                        "zcr": zcr,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_windows", "rms", "zcr"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
 def extract_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:

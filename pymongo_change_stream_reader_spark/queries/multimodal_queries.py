@@ -86,3 +86,36 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "multimodal_audio_windows",
+    oracle=None,  # mapInPandas path; waveform semantics covered in pytest
+    doc="Arrow-batched windowed audio features (int8-waveform RMS + "
+    "zero-crossing-rate proxy for a PCM decode), aggregated per "
+    "source.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.multimodal import (
+        audio_window_features,
+    )
+
+    d = with_binary_payload(
+        load_table(spark, sf_dir, "documents"), "text", mime="audio/fake"
+    )
+    feats = audio_window_features(d, "payload", "doc_id")
+    return (
+        feats.join(
+            load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_windows"), 4).alias("avg_windows"),
+            F.round(F.avg(F.element_at("rms", 1)), 6).alias("avg_rms0"),
+            F.round(F.avg(F.element_at("zcr", 1)), 6).alias("avg_zcr0"),
+        )
+        .orderBy("source")
+    )

@@ -287,3 +287,30 @@ def test_simhash_band_guarantee_is_complete(docs):
             ).collect()
         }
         assert got == exact, f"max_hamming={max_hamming}"
+
+
+def test_audio_window_features_golden(spark):
+    """Windowed int8-waveform features: byte-exact RMS/ZCR on a known
+    payload, empty payloads yield zero windows."""
+    from pymongo_change_stream_reader_spark.operators.multimodal import (
+        audio_window_features,
+        with_binary_payload,
+    )
+    import numpy as np
+
+    texts = [(1, "A" * 128), (2, "Ab" * 64), (3, "")]
+    df = with_binary_payload(
+        spark.createDataFrame(texts, "doc_id LONG, text STRING"), "text"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in audio_window_features(df, "payload", "doc_id").collect()
+    }
+    assert got[1]["n_windows"] == 2
+    # constant byte 65: RMS = 65, zero crossings = 0
+    assert got[1]["rms"] == [65.0, 65.0]
+    assert got[1]["zcr"] == [0.0, 0.0]
+    wave = np.frombuffer(b"Ab" * 64, dtype=np.int8).astype(np.float64)
+    exp_rms = round(float(np.sqrt(np.mean(wave[:64] ** 2))), 6)
+    assert got[2]["rms"][0] == exp_rms
+    assert got[3]["n_windows"] == 0 and got[3]["rms"] == []
