@@ -355,3 +355,70 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components (the step after
+    pair generation in a dedup pipeline: every component keeps one
+    canonical document).  Iterative min-label propagation in pure
+    DataFrame ops: each vertex takes the smallest label among itself
+    and its neighbors until a fixpoint; the component id is the
+    smallest doc id reachable.
+
+    Scale: per iteration one join of the (v, label) table against the
+    edge list + one min-aggregate — both shuffle on vertex id and can
+    be co-partitioned; iterations are bounded by the graph diameter
+    (near-dup clusters are shallow), and convergence is detected with
+    a single scalar aggregate (sum of labels is strictly decreasing
+    until the fixpoint).  Labels persist per round; the previous round
+    unpersists."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    # Only vertices that appear in some pair need propagation; the
+    # (usually overwhelming) singleton majority bypasses the loop and
+    # rejoins at the end with component = own id.
+    labels = (
+        edges.select(F.col("src").cast("long").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("component"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, F.col("src") == F.col("v"))
+            .groupBy("dst")
+            .agg(F.min("component").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, F.col("v") == F.col("dst"), "left")
+            .select(
+                F.col("v"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # min-propagation is monotone -> fixpoint
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    singletons = ids.select(F.col(id_col).cast("long").alias("v")).join(
+        labels.select("v"), "v", "left_anti"
+    )
+    return labels.union(
+        singletons.select("v", F.col("v").alias("component"))
+    ).select(F.col("v").alias(id_col), "component")

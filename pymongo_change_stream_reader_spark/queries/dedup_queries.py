@@ -137,3 +137,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_dedup_pairs(emb, 0.3).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE
+    g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN g ga ON ga.doc_id = id_a
+        JOIN g gb ON gb.doc_id = id_b
+        WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
+              / greatest(len(ga.grams) + len(gb.grams)
+                         - len(list_intersect(ga.grams, gb.grams)), 1) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+    )
+    SELECT CAST(v AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY v ORDER BY doc_id
+    """,
+    doc="Near-dup clustering: exact-Jaccard pairs -> connected "
+    "components via min-label propagation (each component keeps one "
+    "canonical doc); oracle computes the same transitive closure with "
+    "a recursive CTE.",
+    tags=("dedup",),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, "text", "doc_id", 0.5)
+    return connected_components(pairs, docs.select("doc_id")).orderBy("doc_id")

@@ -314,3 +314,22 @@ def test_audio_window_features_golden(spark):
     exp_rms = round(float(np.sqrt(np.mean(wave[:64] ** 2))), 6)
     assert got[2]["rms"][0] == exp_rms
     assert got[3]["n_windows"] == 0 and got[3]["rms"] == []
+
+
+def test_connected_components_chain(spark):
+    """Min-label propagation: a 3-chain collapses to one component
+    across >1 iteration (transitive closure, not just direct pairs);
+    singletons keep their own id."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6)], "id_a LONG, id_b LONG"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id LONG")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs, ids).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
