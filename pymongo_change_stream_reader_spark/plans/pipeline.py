@@ -909,21 +909,7 @@ def _apply_group(df: DataFrame, spec: dict) -> DataFrame:
     Mongo."""
     if "_id" not in spec:
         raise PipelineError("$group requires an _id expression")
-    aggs: list[Column] = []
-    for field_name, accum in spec.items():
-        if field_name == "_id":
-            continue
-        if not isinstance(accum, dict) or len(accum) != 1:
-            raise PipelineError(
-                f"$group field {field_name!r} must be a single accumulator"
-            )
-        [(op, arg)] = accum.items()
-        if op == "$count":
-            aggs.append(F.count(F.lit(1)).alias(field_name))
-            continue
-        if op not in _GROUP_ACCUMULATORS:
-            raise PipelineError(f"unsupported $group accumulator {op!r}")
-        aggs.append(_GROUP_ACCUMULATORS[op](translate_expr(arg)).alias(field_name))
+    aggs = _group_aggs({k: v for k, v in spec.items() if k != "_id"})
     if not aggs:
         raise PipelineError("$group requires at least one accumulator")
 
@@ -974,7 +960,115 @@ def _sort_cols(spec: dict) -> list[Column]:
     return cols
 
 
-def _apply_stage(df: DataFrame, stage: dict) -> DataFrame:
+def _apply_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
+    """$lookup (equality form) -> left join against the foreign frame
+    with matches collected into an array-of-structs column, [] when no
+    match — Mongo's exact output shape.  The $lookup+$unwind idiom
+    therefore lowers to a plain join, which Catalyst can broadcast or
+    shuffle as sizes dictate."""
+    unsupported = set(spec) - {"from", "localField", "foreignField", "as"}
+    if unsupported:
+        raise PipelineError(
+            f"unsupported $lookup fields {sorted(unsupported)!r} "
+            "(let/pipeline form not translated)"
+        )
+    try:
+        foreign = tables[spec["from"]]
+    except KeyError:
+        raise PipelineError(
+            f"$lookup from {spec.get('from')!r}: pass the frame via "
+            "translate_pipeline(..., tables={name: df})"
+        ) from None
+    out_col = spec["as"]
+    grouped = foreign.groupBy(
+        F.col(spec["foreignField"]).alias("__lookup_key")
+    ).agg(
+        F.collect_list(F.struct(*foreign.columns)).alias(out_col)
+    )
+    joined = df.join(
+        grouped,
+        F.col(spec["localField"]) == F.col("__lookup_key"),
+        "left",
+    ).drop("__lookup_key")
+    empty = F.array().cast(
+        dict(joined.dtypes)[out_col]
+    )
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), empty))
+
+
+def _apply_bucket(df: DataFrame, spec: dict) -> DataFrame:
+    """$bucket: assign by [boundaries[i], boundaries[i+1]) intervals,
+    out-of-range to `default` (required when any value falls outside,
+    as in Mongo)."""
+    bounds = spec.get("boundaries")
+    if not isinstance(bounds, list) or len(bounds) < 2 or bounds != sorted(bounds):
+        raise PipelineError("$bucket requires >= 2 sorted literal boundaries")
+    expr = translate_expr(spec["groupBy"])
+    bucket = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (expr >= F.lit(lo)) & (expr < F.lit(hi))
+        bucket = F.when(cond, F.lit(lo)) if bucket is None else bucket.when(
+            cond, F.lit(lo)
+        )
+    if "default" in spec:
+        bucket = bucket.otherwise(F.lit(spec["default"]))
+    out = spec.get("output", {"count": {"$sum": 1}})
+    return (
+        df.withColumn("__bucket", bucket)
+        .filter(F.col("__bucket").isNotNull())
+        .groupBy(F.col("__bucket").alias("_id"))
+        .agg(*_group_aggs(out))
+    )
+
+
+def _apply_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
+    """$bucketAuto: ~equal-count buckets via ntile; _id is the
+    {min, max} span of each bucket (Mongo's approximate contract —
+    boundary placement under ties follows the sort, as there)."""
+    from pyspark.sql import Window as W
+
+    n = spec.get("buckets")
+    if not isinstance(n, int) or n < 1:
+        raise PipelineError("$bucketAuto requires a positive bucket count")
+    expr = translate_expr(spec["groupBy"])
+    out = spec.get("output", {"count": {"$sum": 1}})
+    w = W.orderBy(expr)
+    return (
+        df.withColumn("__gb", expr)
+        .withColumn("__bucket", F.ntile(n).over(w))
+        .groupBy("__bucket")
+        .agg(
+            F.struct(
+                F.min("__gb").alias("min"), F.max("__gb").alias("max")
+            ).alias("_id"),
+            *_group_aggs(out),
+        )
+        .drop("__bucket")
+        .select("_id", *out.keys())
+    )
+
+
+def _group_aggs(out: dict) -> list[Column]:
+    aggs = []
+    for field_name, accum in out.items():
+        if not isinstance(accum, dict) or len(accum) != 1:
+            raise PipelineError(
+                f"output field {field_name!r} must be a single accumulator"
+            )
+        [(op, arg)] = accum.items()
+        if op == "$count":
+            aggs.append(F.count(F.lit(1)).alias(field_name))
+        elif op in _GROUP_ACCUMULATORS:
+            aggs.append(
+                _GROUP_ACCUMULATORS[op](translate_expr(arg)).alias(field_name)
+            )
+        else:
+            raise PipelineError(f"unsupported accumulator {op!r}")
+    return aggs
+
+
+def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> DataFrame:
+    tables = tables or {}
     [(name, spec)] = stage.items()
     match name:
         case "$match":
@@ -1027,6 +1121,23 @@ def _apply_stage(df: DataFrame, stage: dict) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("count"))
                 .orderBy(F.col("count").desc(), F.col("_id").asc())
             )
+        case "$lookup":
+            return _apply_lookup(df, spec, tables)
+        case "$unionWith":
+            coll = spec if isinstance(spec, str) else spec.get("coll")
+            if coll not in tables:
+                raise PipelineError(
+                    f"$unionWith {coll!r}: pass the frame via "
+                    "translate_pipeline(..., tables={name: df})"
+                )
+            other = tables[coll]
+            if isinstance(spec, dict) and spec.get("pipeline"):
+                other = translate_pipeline(spec["pipeline"], tables)(other)
+            return df.unionByName(other, allowMissingColumns=True)
+        case "$bucket":
+            return _apply_bucket(df, spec)
+        case "$bucketAuto":
+            return _apply_bucket_auto(df, spec)
         case _:
             raise PipelineError(f"unsupported stage {name!r}")
 
@@ -1043,15 +1154,18 @@ def _contains_descend(spec: Any) -> bool:
 
 def translate_pipeline(
     pipeline: str | Sequence[dict],
+    tables: dict[str, DataFrame] | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Compile a pipeline into a DataFrame transform.  Stages compose
     lazily, so Catalyst sees one logical plan and pushes the combined
-    predicates/pruning into the scan."""
+    predicates/pruning into the scan.  ``tables`` resolves the foreign
+    frames referenced by $lookup / $unionWith (the Mongo collection
+    namespace has no Spark analog, so the caller supplies it)."""
     stages = parse_pipeline(pipeline)
 
     def apply(df: DataFrame) -> DataFrame:
         for stage in stages:
-            df = _apply_stage(df, stage)
+            df = _apply_stage(df, stage, tables)
         return df
 
     return apply

@@ -508,3 +508,113 @@ def pipeline_date_from_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_lookup_unwind",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, ROUND(o.o_totalprice, 2) AS price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey < 2000
+    """,
+    doc="$lookup (equality form) + $unwind + nested-field $project -> "
+    "plain join: Catalyst broadcasts the grouped foreign side.",
+    tags=("pipeline", "join"),
+)
+def pipeline_lookup_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"o_orderkey": {"$lt": 2000}}},
+            {
+                "$lookup": {
+                    "from": "customer",
+                    "localField": "o_custkey",
+                    "foreignField": "c_custkey",
+                    "as": "cust",
+                }
+            },
+            {"$unwind": "$cust"},
+            {
+                "$project": {
+                    "o_orderkey": 1,
+                    "c_name": "$cust.c_name",
+                    "price": {"$round": ["$o_totalprice", 2]},
+                }
+            },
+        ],
+        tables={"customer": load_table(spark, sf_dir, "customer")},
+    )
+    return pipe(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "pipeline_union_with",
+    oracle="""
+    SELECT event_type AS _id, COUNT(*) AS n
+    FROM (
+        SELECT event_type FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT event_type FROM events WHERE event_type = 'purchase'
+    )
+    GROUP BY event_type
+    """,
+    doc="$unionWith (with a sub-pipeline on the unioned side) + $group.",
+    tags=("pipeline", "setops"),
+)
+def pipeline_union_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_type": "click"}},
+            {
+                "$unionWith": {
+                    "coll": "events",
+                    "pipeline": [{"$match": {"event_type": "purchase"}}],
+                }
+            },
+            {"$group": {"_id": "$event_type", "n": {"$sum": 1}}},
+        ],
+        tables={"events": events},
+    )
+    return pipe(events)
+
+
+@query(
+    "pipeline_bucket",
+    oracle="""
+    SELECT CASE
+             WHEN value >= 0   AND value < 50  THEN 0
+             WHEN value >= 50  AND value < 100 THEN 50
+             WHEN value >= 100 AND value < 200 THEN 100
+             WHEN value >= 200 AND value < 500 THEN 200
+           END AS _id,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY _id
+    """,
+    doc="$bucket with explicit boundaries -> CASE bucketing + "
+    "groupBy (one shuffle, partial agg map-side).",
+    tags=("pipeline", "agg"),
+)
+def pipeline_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$bucket": {
+                    "groupBy": "$value",
+                    "boundaries": [0, 50, 100, 200, 500],
+                    "output": {"n": {"$sum": 1}, "total": {"$sum": "$value"}},
+                }
+            },
+            {
+                "$project": {
+                    "_id": 1,
+                    "n": 1,
+                    "total": {"$round": ["$total", 2]},
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))

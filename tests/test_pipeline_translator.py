@@ -593,3 +593,87 @@ def test_unwind_sort_limit_skip_count(docs):
 def test_sort_by_count(docs):
     got = run([{"$unwind": "$tags"}, {"$sortByCount": "$tags"}], docs).collect()
     assert [(r["_id"], r["count"]) for r in got] == [("b", 2), ("a", 1), ("c", 1)]
+
+
+def test_lookup_stage(spark, docs):
+    """$lookup collects matches into an array-of-structs column, []
+    when no match; $lookup + $unwind lowers to a plain join."""
+    orders = spark.createDataFrame(
+        [(100, 1, "x"), (101, 1, "y"), (102, 2, "z")],
+        "oid INT, uid INT, item STRING",
+    )
+    got = translate_pipeline(
+        [{"$lookup": {"from": "orders", "localField": "id",
+                      "foreignField": "uid", "as": "ords"}}],
+        tables={"orders": orders},
+    )(docs)
+    rows = {r["id"]: r["ords"] for r in got.collect()}
+    assert sorted(o["oid"] for o in rows[1]) == [100, 101]
+    assert [o["item"] for o in rows[2]] == ["z"]
+    assert rows[3] == []  # no match -> empty array, not null
+
+    unwound = translate_pipeline(
+        [
+            {"$lookup": {"from": "orders", "localField": "id",
+                         "foreignField": "uid", "as": "o"}},
+            {"$unwind": "$o"},
+            {"$project": {"id": 1, "item": "$o.item"}},
+        ],
+        tables={"orders": orders},
+    )(docs)
+    assert sorted((r["id"], r["item"]) for r in unwound.collect()) == [
+        (1, "x"), (1, "y"), (2, "z"),
+    ]
+    with pytest.raises(PipelineError):
+        run([{"$lookup": {"from": "nope", "localField": "id",
+                          "foreignField": "uid", "as": "o"}}], docs)
+
+
+def test_union_with_stage(spark, docs):
+    extra = spark.createDataFrame([(9, "zed")], "id INT, name STRING")
+    got = translate_pipeline(
+        [{"$unionWith": {"coll": "extra"}}, {"$project": {"id": 1, "name": 1}}],
+        tables={"extra": extra},
+    )(docs)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3, 9]
+    # sub-pipeline applies to the unioned side
+    got = translate_pipeline(
+        [
+            {"$unionWith": {"coll": "extra",
+                            "pipeline": [{"$match": {"id": {"$gt": 10}}}]}},
+            {"$project": {"id": 1}},
+        ],
+        tables={"extra": extra},
+    )(docs)
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
+
+
+def test_bucket_stages(docs):
+    got = run(
+        [
+            {"$unwind": "$scores"},
+            {
+                "$bucket": {
+                    "groupBy": "$scores",
+                    "boundaries": [0, 5, 10, 100],
+                    "output": {"n": {"$sum": 1}, "mx": {"$max": "$scores"}},
+                }
+            },
+        ],
+        docs,
+    ).collect()
+    rows = {r["_id"]: (r["n"], r["mx"]) for r in got}
+    # scores: 1,5,9,2,4,10,20,30 -> [0,5): {1,2,4}, [5,10): {5,9}, [10,100): {10,20,30}
+    assert rows == {0: (3, 4), 5: (2, 9), 100 if False else 10: (3, 30)}
+    with pytest.raises(PipelineError):
+        run([{"$bucket": {"groupBy": "$id", "boundaries": [5, 1]}}], docs)
+
+    auto = run(
+        [
+            {"$unwind": "$scores"},
+            {"$bucketAuto": {"groupBy": "$scores", "buckets": 2}},
+        ],
+        docs,
+    ).collect()
+    spans = sorted((r["_id"]["min"], r["_id"]["max"], r["count"]) for r in auto)
+    assert spans == [(1, 5, 4), (9, 30, 4)]
