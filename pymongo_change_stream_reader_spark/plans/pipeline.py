@@ -1048,6 +1048,182 @@ def _apply_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     )
 
 
+def _frame_bound(b: Any, default: int) -> int:
+    from pyspark.sql import Window as W
+
+    if b == "unbounded":
+        return default
+    if b == "current":
+        return W.currentRow
+    if isinstance(b, int):
+        return b
+    raise PipelineError(f"unsupported window bound {b!r}")
+
+
+def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
+    """$setWindowFields -> Spark window functions.  partitionBy/sortBy
+    map to the window spec; `window.documents` bounds map to
+    rowsBetween; rank-family operators ignore frames (as in Mongo).
+    Aggregates without an explicit window use Mongo's default — the
+    whole partition."""
+    from pyspark.sql import Window as W
+
+    part = spec.get("partitionBy")
+    base = (
+        W.partitionBy(translate_expr(part))
+        if part is not None
+        else W.partitionBy(F.lit(1))
+    )
+    sort = spec.get("sortBy")
+    if sort:
+        base = base.orderBy(*_sort_cols(sort))
+
+    out = df
+    for field_name, op_spec in spec.get("output", {}).items():
+        if not isinstance(op_spec, dict) or not op_spec:
+            raise PipelineError(f"invalid $setWindowFields output {field_name!r}")
+        body = dict(op_spec)
+        win = body.pop("window", None)
+        if len(body) != 1:
+            raise PipelineError(
+                f"output field {field_name!r} must be a single window operator"
+            )
+        [(op, arg)] = body.items()
+        if op in ("$rank", "$denseRank", "$documentNumber"):
+            if not sort:
+                raise PipelineError(f"{op} requires sortBy")
+            fn = {
+                "$rank": F.rank,
+                "$denseRank": F.dense_rank,
+                "$documentNumber": F.row_number,
+            }[op]
+            out = out.withColumn(field_name, fn().over(base))
+            continue
+        if op == "$shift":
+            if not sort:
+                raise PipelineError("$shift requires sortBy")
+            by = arg.get("by", 1)
+            expr = translate_expr(arg["output"])
+            default = arg.get("default")
+            shifted = (
+                F.lead(expr, by, default) if by >= 0 else F.lag(expr, -by, default)
+            )
+            out = out.withColumn(field_name, shifted.over(base))
+            continue
+        agg_ops = {
+            "$sum": F.sum,
+            "$avg": F.avg,
+            "$min": F.min,
+            "$max": F.max,
+            "$count": lambda _c: F.count(F.lit(1)),
+            "$push": F.collect_list,
+            "$first": lambda c: F.first(c, ignorenulls=False),
+            "$last": lambda c: F.last(c, ignorenulls=False),
+            "$stdDevPop": F.stddev_pop,
+            "$stdDevSamp": F.stddev_samp,
+        }
+        if op not in agg_ops:
+            raise PipelineError(f"unsupported window operator {op!r}")
+        if win is not None:
+            docs = win.get("documents")
+            if not docs or len(docs) != 2:
+                raise PipelineError("window requires documents: [lo, hi]")
+            w = base.rowsBetween(
+                _frame_bound(docs[0], W.unboundedPreceding),
+                _frame_bound(docs[1], W.unboundedFollowing),
+            )
+        else:
+            # Mongo default: the entire partition
+            w = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        col = (
+            agg_ops[op](F.lit(1))
+            if op == "$count"
+            else agg_ops[op](translate_expr(arg))
+        )
+        out = out.withColumn(field_name, col.over(w))
+    return out
+
+
+def _apply_graph_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
+    """$graphLookup -> iterative breadth-first expansion over the
+    foreign frame: per round one equi-join of the frontier values
+    against connectToField plus an anti-join against the visited set
+    (both shuffle on the connect key).  Rounds are bounded by
+    ``maxDepth`` (required here — the unbounded Mongo default needs a
+    convergence loop like operators.dedup.connected_components; bound
+    it explicitly for a deterministic plan).  Matches collect into an
+    array-of-structs `as` column with an optional numeric
+    ``depthField``, [] when nothing matched — Mongo's output shape."""
+    required = {"from", "startWith", "connectFromField", "connectToField", "as"}
+    missing = required - set(spec)
+    if missing:
+        raise PipelineError(f"$graphLookup missing {sorted(missing)!r}")
+    if "maxDepth" not in spec or not isinstance(spec["maxDepth"], int):
+        raise PipelineError(
+            "$graphLookup requires a literal integer maxDepth in this engine"
+        )
+    if spec["from"] not in tables:
+        raise PipelineError(
+            f"$graphLookup from {spec['from']!r}: pass the frame via "
+            "translate_pipeline(..., tables={name: df})"
+        )
+    foreign = tables[spec["from"]]
+    to_field, from_field = spec["connectToField"], spec["connectFromField"]
+    out_col, depth_field = spec["as"], spec.get("depthField")
+
+    src = df.withColumn(
+        "__row_id", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
+    frontier = src.select(
+        "__row_id", translate_expr(spec["startWith"]).alias("__val")
+    )
+    visited = None
+    for depth in range(spec["maxDepth"] + 1):
+        matched = (
+            frontier.join(
+                foreign, F.col("__val") == F.col(to_field)
+            )
+            .select(
+                "__row_id",
+                F.struct(*foreign.columns).alias("__doc"),
+                F.lit(depth).cast("long").alias("__depth"),
+            )
+            .dropDuplicates(["__row_id", "__doc"])
+        )
+        if visited is not None:
+            matched = matched.join(
+                visited.select("__row_id", "__doc"),
+                ["__row_id", "__doc"],
+                "left_anti",
+            )
+        # Materialize each BFS round: without the checkpoint the lazy
+        # plan nests one join per round and analysis cost explodes;
+        # with it, each round is one bounded job and traversal stops
+        # at the graph's true depth.
+        matched = matched.localCheckpoint(eager=True)
+        if matched.isEmpty():
+            break
+        visited = matched if visited is None else visited.union(matched)
+        frontier = matched.select(
+            "__row_id", F.col("__doc").getField(from_field).alias("__val")
+        )
+    if visited is None:
+        visited = matched  # empty frame with the right schema
+    doc_struct = (
+        F.struct(F.col("__doc.*"), F.col("__depth").alias(depth_field))
+        if depth_field
+        else F.col("__doc")
+    )
+    collected = visited.groupBy("__row_id").agg(
+        F.collect_list(doc_struct).alias(out_col)
+    )
+    joined = src.join(collected, "__row_id", "left")
+    empty = F.array().cast(dict(joined.dtypes)[out_col])
+    return joined.withColumn(
+        out_col, F.coalesce(F.col(out_col), empty)
+    ).drop("__row_id")
+
+
 def _group_aggs(out: dict) -> list[Column]:
     aggs = []
     for field_name, accum in out.items():
@@ -1138,6 +1314,10 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
             return _apply_bucket(df, spec)
         case "$bucketAuto":
             return _apply_bucket_auto(df, spec)
+        case "$setWindowFields":
+            return _apply_set_window_fields(df, spec)
+        case "$graphLookup":
+            return _apply_graph_lookup(df, spec, tables)
         case _:
             raise PipelineError(f"unsupported stage {name!r}")
 

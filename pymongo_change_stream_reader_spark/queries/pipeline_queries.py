@@ -618,3 +618,115 @@ def pipeline_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_set_window_fields",
+    oracle="""
+    SELECT event_id,
+           ROUND(SUM(value) OVER (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+           CAST(RANK() OVER (PARTITION BY event_type ORDER BY event_id) AS INT) AS rnk,
+           ROUND(LAG(value, 1, 0.0) OVER (PARTITION BY event_type ORDER BY event_id), 2) AS prev
+    FROM events
+    WHERE event_id < 2000
+    """,
+    doc="$setWindowFields -> Spark window functions: bounded running "
+    "sum, rank, and $shift(lag) over a per-type partition.",
+    tags=("pipeline", "window"),
+)
+def pipeline_set_window_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 2000}}},
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$event_type",
+                    "sortBy": {"event_id": 1},
+                    "output": {
+                        "running": {
+                            "$sum": "$value",
+                            "window": {"documents": ["unbounded", "current"]},
+                        },
+                        "rnk": {"$rank": {}},
+                        "prev": {
+                            "$shift": {"output": "$value", "by": -1, "default": 0.0}
+                        },
+                    },
+                }
+            },
+            {
+                "$project": {
+                    "event_id": 1,
+                    "running": {"$round": ["$running", 2]},
+                    "rnk": 1,
+                    "prev": {"$round": ["$prev", 2]},
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_graph_lookup",
+    oracle="""
+    WITH RECURSIVE
+    nodes AS (
+        SELECT event_id AS id, event_id + 1 AS nxt
+        FROM events WHERE event_id < 60
+    ),
+    reach(start_id, id, depth) AS (
+        SELECT s.event_id, n.id, 0
+        FROM (SELECT event_id FROM events WHERE event_id IN (1, 25, 58)) s
+        JOIN nodes n ON n.id = s.event_id
+        UNION
+        SELECT r.start_id, n.id, r.depth + 1
+        FROM reach r JOIN nodes n ON n.id = r.id + 1
+        WHERE r.depth < 4
+    )
+    SELECT CAST(start_id AS BIGINT) AS event_id,
+           CAST(id AS BIGINT)       AS node_id,
+           CAST(depth AS BIGINT)    AS d
+    FROM reach
+    ORDER BY event_id, node_id
+    """,
+    doc="$graphLookup BFS (maxDepth 4, depthField) over a derived "
+    "chain graph + $unwind; oracle walks the same graph with a "
+    "recursive CTE.",
+    tags=("pipeline", "join"),
+)
+def pipeline_graph_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    nodes = events.filter(F.col("event_id") < 60).select(
+        F.col("event_id").cast("long").alias("id"),
+        (F.col("event_id") + 1).cast("long").alias("nxt"),
+    )
+    starters = events.filter(F.col("event_id").isin(1, 25, 58)).select(
+        F.col("event_id").cast("long").alias("event_id")
+    )
+    pipe = translate_pipeline(
+        [
+            {
+                "$graphLookup": {
+                    "from": "nodes",
+                    "startWith": "$event_id",
+                    "connectFromField": "nxt",
+                    "connectToField": "id",
+                    "as": "chain",
+                    "maxDepth": 4,
+                    "depthField": "d",
+                }
+            },
+            {"$unwind": "$chain"},
+            {
+                "$project": {
+                    "event_id": 1,
+                    "node_id": "$chain.id",
+                    "d": "$chain.d",
+                }
+            },
+        ],
+        tables={"nodes": nodes},
+    )
+    return pipe(starters).orderBy("event_id", "node_id")

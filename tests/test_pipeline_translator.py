@@ -677,3 +677,102 @@ def test_bucket_stages(docs):
     ).collect()
     spans = sorted((r["_id"]["min"], r["_id"]["max"], r["count"]) for r in auto)
     assert spans == [(1, 5, 4), (9, 30, 4)]
+
+
+def test_set_window_fields(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 4, 5.0)],
+        "grp STRING, seq INT, v DOUBLE",
+    )
+    got = run(
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$grp",
+                    "sortBy": {"seq": 1},
+                    "output": {
+                        "running": {
+                            "$sum": "$v",
+                            "window": {"documents": ["unbounded", "current"]},
+                        },
+                        "total": {"$sum": "$v"},
+                        "rnk": {"$rank": {}},
+                        "prev": {"$shift": {"output": "$v", "by": -1, "default": 0.0}},
+                        "nxt": {"$shift": {"output": "$v", "by": 1}},
+                        "win_avg": {
+                            "$avg": "$v",
+                            "window": {"documents": [-1, 1]},
+                        },
+                    },
+                }
+            }
+        ],
+        df,
+    ).collect()
+    rows = {r["seq"]: r for r in got}
+    assert [rows[s]["running"] for s in (1, 2, 3)] == [10.0, 30.0, 60.0]
+    assert rows[2]["total"] == 60.0 and rows[4]["total"] == 5.0
+    assert rows[3]["rnk"] == 3 and rows[4]["rnk"] == 1
+    assert rows[1]["prev"] == 0.0 and rows[2]["prev"] == 10.0
+    assert rows[3]["nxt"] is None
+    assert rows[2]["win_avg"] == 20.0 and rows[4]["win_avg"] == 5.0
+    with pytest.raises(PipelineError):
+        run([{"$setWindowFields": {"output": {"r": {"$rank": {}}}}}], df)
+
+
+def test_graph_lookup(spark):
+    """$graphLookup BFS: follow manager chains to maxDepth with
+    depthField; no-match rows get []."""
+    people = spark.createDataFrame(
+        [("eve", None), ("ann", "eve"), ("bob", "ann"), ("cat", "bob")],
+        "name STRING, boss STRING",
+    )
+    starters = spark.createDataFrame([("cat",), ("eve",), ("zzz",)], "who STRING")
+    got = translate_pipeline(
+        [
+            {
+                "$graphLookup": {
+                    "from": "people",
+                    "startWith": "$who",
+                    "connectFromField": "boss",
+                    "connectToField": "name",
+                    "as": "chain",
+                    "maxDepth": 1,
+                    "depthField": "d",
+                }
+            }
+        ],
+        tables={"people": people},
+    )(starters)
+    rows = {r["who"]: r["chain"] for r in got.collect()}
+    # cat (depth 0) -> bob (depth 1); stops at maxDepth
+    assert sorted((c["name"], c["d"]) for c in rows["cat"]) == [
+        ("bob", 1), ("cat", 0),
+    ]
+    assert [(c["name"], c["d"]) for c in rows["eve"]] == [("eve", 0)]
+    assert rows["zzz"] == []
+    # deeper traversal reaches the root and terminates on null boss
+    got2 = translate_pipeline(
+        [
+            {
+                "$graphLookup": {
+                    "from": "people",
+                    "startWith": "$who",
+                    "connectFromField": "boss",
+                    "connectToField": "name",
+                    "as": "chain",
+                    "maxDepth": 10,
+                }
+            }
+        ],
+        tables={"people": people},
+    )(starters)
+    rows2 = {r["who"]: sorted(c["name"] for c in r["chain"]) for r in got2.collect()}
+    assert rows2["cat"] == ["ann", "bob", "cat", "eve"]
+    with pytest.raises(PipelineError):
+        run(
+            [{"$graphLookup": {"from": "p", "startWith": "$a",
+                               "connectFromField": "x", "connectToField": "y",
+                               "as": "z", "maxDepth": 2}}],
+            starters,
+        )
