@@ -477,6 +477,45 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             # analog is an array of structs (heterogeneous element
             # types cannot share one array type)
             return F.arrays_zip(*inputs)
+        case "$sortArray":
+            by = arg.get("sortBy")
+            if by not in (1, -1):
+                raise PipelineError(
+                    "$sortArray supports scalar sortBy 1 / -1 only"
+                )
+            sorted_arr = F.array_sort(translate_expr(arg["input"], env))
+            return sorted_arr if by == 1 else F.reverse(sorted_arr)
+        case "$firstN" | "$lastN" | "$minN" | "$maxN":
+            n = arg.get("n")
+            if not isinstance(n, int) or n < 1:
+                raise PipelineError(f"{op} requires a literal n >= 1")
+            arr = translate_expr(arg["input"], env)
+            if op == "$firstN":
+                return F.slice(arr, 1, n)
+            if op == "$lastN":
+                return F.when(F.size(arr) <= n, arr).otherwise(
+                    F.slice(arr, -n, n)
+                )
+            # $minN / $maxN ignore nulls, as in Mongo
+            nonnull = F.filter(arr, lambda x: x.isNotNull())
+            ordered = (
+                F.array_sort(nonnull)
+                if op == "$minN"
+                else F.reverse(F.array_sort(nonnull))
+            )
+            return F.slice(ordered, 1, n)
+        case "$tsSecond":
+            # BSON Timestamp rides as STRUCT<t, i> (schema.py CLUSTER_TIME)
+            return tx(0).getField("t").cast("long")
+        case "$tsIncrement":
+            return tx(0).getField("i").cast("long")
+        case "$getField":
+            if isinstance(arg, str):
+                raise PipelineError("$getField requires {field, input}")
+            field_name = arg.get("field")
+            if not isinstance(field_name, str):
+                raise PipelineError("$getField field must be a literal string")
+            return translate_expr(arg["input"], env).getField(field_name)
         case "$convert":
             to_types = {
                 "string": "string",

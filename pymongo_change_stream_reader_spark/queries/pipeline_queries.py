@@ -730,3 +730,59 @@ def pipeline_graph_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables={"nodes": nodes},
     )
     return pipe(starters).orderBy("event_id", "node_id")
+
+
+def _join_csv(inp):
+    """Mongo-pipeline helper: join an array to a CSV string via
+    $reduce (+$toString), so array results hash as plain strings."""
+    return {
+        "$reduce": {
+            "input": inp,
+            "initialValue": "",
+            "in": {
+                "$cond": [
+                    {"$eq": ["$$value", ""]},
+                    {"$toString": "$$this"},
+                    {"$concat": ["$$value", ",", {"$toString": "$$this"}]},
+                ]
+            },
+        }
+    }
+
+
+@query(
+    "pipeline_array_n_ops",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, range(0, (event_id % 5) + 1) AS arr
+        FROM events WHERE event_id < 1000
+    )
+    SELECT event_id,
+           array_to_string(list_sort(arr, 'DESC'), ',')      AS desc_str,
+           array_to_string(arr[1:2], ',')                    AS first2,
+           array_to_string(CASE WHEN len(arr) <= 2 THEN arr
+                ELSE arr[len(arr)-1:len(arr)] END, ',')      AS last2,
+           array_to_string(list_sort(arr, 'DESC')[1:2], ',') AS max2
+    FROM t
+    """,
+    doc="$sortArray/$firstN/$lastN/$maxN over computed $range arrays, "
+    "reduced to CSV strings for hashing.",
+    tags=("pipeline",),
+)
+def pipeline_array_n_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = {"$range": [0, {"$add": [{"$mod": ["$event_id", 5]}, 1]}]}
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 1000}}},
+            {
+                "$project": {
+                    "event_id": 1,
+                    "desc_str": _join_csv({"$sortArray": {"input": arr, "sortBy": -1}}),
+                    "first2": _join_csv({"$firstN": {"n": 2, "input": arr}}),
+                    "last2": _join_csv({"$lastN": {"n": 2, "input": arr}}),
+                    "max2": _join_csv({"$maxN": {"n": 2, "input": arr}}),
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))

@@ -776,3 +776,34 @@ def test_graph_lookup(spark):
                                "as": "z", "maxDepth": 2}}],
             starters,
         )
+
+
+def test_array_n_and_ts_ops(spark, docs):
+    got = run(
+        [
+            {
+                "$project": {
+                    "id": 1,
+                    "sorted_desc": {"$sortArray": {"input": "$scores", "sortBy": -1}},
+                    "first2": {"$firstN": {"n": 2, "input": "$scores"}},
+                    "last2": {"$lastN": {"n": 2, "input": "$scores"}},
+                    "min2": {"$minN": {"n": 2, "input": "$scores"}},
+                    "max9": {"$maxN": {"n": 9, "input": "$scores"}},
+                }
+            }
+        ],
+        docs,
+    ).collect()
+    rows = {r["id"]: r for r in got}
+    assert rows[1]["sorted_desc"] == [9, 5, 1]
+    assert rows[1]["first2"] == [1, 5] and rows[1]["last2"] == [5, 9]
+    assert rows[2]["last2"] == [2, 4]  # n >= len -> whole array
+    assert rows[1]["min2"] == [1, 5] and rows[1]["max9"] == [9, 5, 1]
+
+    ts = spark.createDataFrame([((1720890531, 7),)], "ct STRUCT<t: LONG, i: INT>")
+    r = run(
+        [{"$project": {"s": {"$tsSecond": "$ct"}, "i": {"$tsIncrement": "$ct"},
+                       "g": {"$getField": {"field": "i", "input": "$ct"}}}}],
+        ts,
+    ).collect()[0]
+    assert r["s"] == 1720890531 and r["i"] == 7 and r["g"] == 7
