@@ -15,10 +15,16 @@ Supported surface (change-stream-legal stages):
               $exists, $regex (+$options), array ($size $all
               $elemMatch with operator or field-document bodies),
               $mod, $expr
-  $project  — inclusion / exclusion / computed fields
+  $project  — inclusion (incl. default _id, nested dotted output) /
+              exclusion / computed fields
   $addFields / $set — add or overwrite columns
   $unset    — drop fields
   $replaceRoot / $replaceWith — promote a struct column to root
+General aggregation stages (not change-stream-legal, SURVEY §2.B
+breadth): $group, $unwind, $sort, $skip, $limit, $count,
+$sortByCount, $bucket, $bucketAuto, $setWindowFields, $lookup,
+$unionWith, $graphLookup (the last three resolve foreign frames via
+``translate_pipeline(..., tables={...})``).
 Aggregation expressions inside $project/$addFields/$expr/$cond:
   field paths ("$a.b"), literals, $literal, $concat, $toUpper,
   $toLower, $substr, $strLenCP, $split, arithmetic ($add $subtract
