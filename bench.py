@@ -43,10 +43,15 @@ HEADLINE = (
     # pipeline translator
     "pipeline_match_project",
     "pipeline_addfields_compute",
+    "pipeline_group_agg",
+    "pipeline_set_window_fields",
+    "pipeline_lookup_unwind",
+    "pipeline_graph_lookup",
     # training-data operators (scale-path variants)
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_cluster_components",
     "embedding_cosine_blas",
     "ann_cosine_topk",
     "ann_lsh_bucketed",

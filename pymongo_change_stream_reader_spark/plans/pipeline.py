@@ -1269,6 +1269,88 @@ def _apply_graph_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
     ).drop("__row_id")
 
 
+def _apply_fill(df: DataFrame, spec: dict) -> DataFrame:
+    """$fill -> window last-ignore-nulls (locf) / coalesce (value).
+    `linear` interpolation is rejected rather than approximated."""
+    from pyspark.sql import Window as W
+
+    part = spec.get("partitionBy")
+    base = (
+        W.partitionBy(translate_expr(part))
+        if part is not None
+        else W.partitionBy(F.lit(1))
+    )
+    sort = spec.get("sortBy")
+    if sort:
+        base = base.orderBy(*_sort_cols(sort))
+    out = df
+    for field_name, how in spec.get("output", {}).items():
+        if not isinstance(how, dict) or len(how) != 1:
+            raise PipelineError(f"$fill output {field_name!r} must be one method")
+        if "value" in how:
+            out = out.withColumn(
+                field_name,
+                F.coalesce(F.col(field_name), translate_expr(how["value"])),
+            )
+        elif how.get("method") == "locf":
+            if not sort:
+                raise PipelineError("$fill locf requires sortBy")
+            w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+            out = out.withColumn(
+                field_name, F.last(F.col(field_name), ignorenulls=True).over(w)
+            )
+        else:
+            raise PipelineError(f"unsupported $fill method {how!r}")
+    return out
+
+
+def _apply_densify(df: DataFrame, spec: dict) -> DataFrame:
+    """$densify (numeric ranges) -> generated value spine left-joined
+    against the data; documents missing from the range appear with all
+    other fields null, as in Mongo.
+
+    Scale: the spine is a per-partition `sequence` explode (no driver
+    loop); the join shuffles on (partition, field).  bounds: "full"
+    computes the global min/max with one tiny aggregate."""
+    field_name = spec.get("field")
+    rng = spec.get("range") or {}
+    step = rng.get("step")
+    bounds = rng.get("bounds")
+    parts = spec.get("partitionByFields", [])
+    if not field_name or not isinstance(step, (int, float)) or step <= 0:
+        raise PipelineError("$densify requires field and a positive range.step")
+    if rng.get("unit"):
+        raise PipelineError("$densify date units not supported (numeric only)")
+    if bounds == "full":
+        lo_hi = df.agg(
+            F.min(field_name).alias("lo"), F.max(field_name).alias("hi")
+        ).collect()[0]
+        lo, hi = lo_hi["lo"], lo_hi["hi"]
+        if lo is None:
+            return df
+        end = F.lit(hi)
+    elif isinstance(bounds, list) and len(bounds) == 2:
+        lo, hi = bounds
+        # Mongo's explicit bounds are end-exclusive
+        end = F.lit(hi) - F.lit(step)
+    else:
+        raise PipelineError('$densify bounds must be "full" or [lo, hi)')
+    spine_vals = F.explode(
+        F.sequence(F.lit(lo), end, F.lit(step))
+    ).alias(field_name)
+    if parts:
+        spine = df.select(*parts).distinct().select(*parts, spine_vals)
+        join_cols = [*parts, field_name]
+    else:
+        spine = df.sparkSession.range(1).select(spine_vals)
+        join_cols = [field_name]
+    # Original documents all survive; the spine contributes only the
+    # MISSING (partition, value) combinations as stub rows with every
+    # other field null — Mongo's densify contract.
+    stubs = spine.join(df.select(*join_cols).distinct(), join_cols, "left_anti")
+    return df.unionByName(stubs, allowMissingColumns=True)
+
+
 def _group_aggs(out: dict) -> list[Column]:
     aggs = []
     for field_name, accum in out.items():
@@ -1363,6 +1445,10 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
             return _apply_set_window_fields(df, spec)
         case "$graphLookup":
             return _apply_graph_lookup(df, spec, tables)
+        case "$fill":
+            return _apply_fill(df, spec)
+        case "$densify":
+            return _apply_densify(df, spec)
         case _:
             raise PipelineError(f"unsupported stage {name!r}")
 

@@ -786,3 +786,104 @@ def pipeline_array_n_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_fill_locf",
+    oracle="""
+    SELECT event_id,
+           ROUND(last_value(CASE WHEN event_type = 'view' THEN NULL
+                                 ELSE value END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS filled
+    FROM events
+    WHERE event_id < 2000
+    """,
+    doc="$fill method:locf -> last-ignore-nulls window (forward fill "
+    "per user ordered by event id).",
+    tags=("pipeline", "window"),
+)
+def pipeline_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 2000}}},
+            {
+                "$addFields": {
+                    "nullable": {
+                        "$cond": [
+                            {"$eq": ["$event_type", "view"]},
+                            None,
+                            "$value",
+                        ]
+                    }
+                }
+            },
+            {
+                "$fill": {
+                    "partitionBy": "$user_id",
+                    "sortBy": {"event_id": 1},
+                    "output": {"nullable": {"method": "locf"}},
+                }
+            },
+            {
+                "$project": {
+                    "event_id": 1,
+                    "filled": {"$round": ["$nullable", 2]},
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_densify",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, CAST(event_id % 20 AS BIGINT) AS slot, COUNT(*) AS n
+        FROM events WHERE user_id < 20
+        GROUP BY user_id, slot
+    ),
+    spine AS (
+        SELECT DISTINCT d.user_id, s.slot
+        FROM d, (SELECT unnest(range(0, 20)) AS slot) s
+    )
+    SELECT s.user_id, s.slot, d.n
+    FROM spine s LEFT JOIN d ON d.user_id = s.user_id AND d.slot = s.slot
+    ORDER BY s.user_id, s.slot
+    """,
+    doc="$densify over a numeric range per partition: generated spine "
+    "rows carry null metrics; existing rows survive untouched.",
+    tags=("pipeline",),
+)
+def pipeline_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"user_id": {"$lt": 20}}},
+            {
+                "$group": {
+                    "_id": {"u": "$user_id", "s": {"$mod": ["$event_id", 20]}},
+                    "n": {"$sum": 1},
+                }
+            },
+            {
+                "$project": {
+                    "user_id": "$_id.u",
+                    "slot": {"$toLong": "$_id.s"},
+                    "n": 1,
+                    "_id": 0,
+                }
+            },
+            {
+                "$densify": {
+                    "field": "slot",
+                    "partitionByFields": ["user_id"],
+                    "range": {"step": 1, "bounds": [0, 20]},
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events")).select(
+        "user_id", "slot", "n"
+    ).orderBy("user_id", "slot")

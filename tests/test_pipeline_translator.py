@@ -807,3 +807,60 @@ def test_array_n_and_ts_ops(spark, docs):
         ts,
     ).collect()[0]
     assert r["s"] == 1720890531 and r["i"] == 7 and r["g"] == 7
+
+
+def test_fill_and_densify(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 4, None), ("b", 1, None)],
+        "grp STRING, seq INT, v DOUBLE",
+    )
+    filled = run(
+        [
+            {
+                "$fill": {
+                    "partitionBy": "$grp",
+                    "sortBy": {"seq": 1},
+                    "output": {"v": {"method": "locf"}},
+                }
+            }
+        ],
+        df,
+    ).collect()
+    rows = {(r["grp"], r["seq"]): r["v"] for r in filled}
+    assert rows[("a", 2)] == 10.0 and rows[("a", 4)] == 10.0
+    assert rows[("b", 1)] is None  # nothing earlier to carry
+
+    valued = run(
+        [{"$fill": {"output": {"v": {"value": -1}}}}], df
+    ).collect()
+    assert {r["v"] for r in valued} == {10.0, -1.0}
+
+    dense = run(
+        [
+            {
+                "$densify": {
+                    "field": "seq",
+                    "partitionByFields": ["grp"],
+                    "range": {"step": 1, "bounds": "full"},
+                }
+            }
+        ],
+        df,
+    )
+    got = sorted((r["grp"], r["seq"], r["v"]) for r in dense.collect())
+    # spine 1..4 per partition; generated rows carry null v
+    assert got == [
+        ("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, None),
+        ("b", 1, None), ("b", 2, None), ("b", 3, None), ("b", 4, None),
+    ]
+    # explicit bounds are end-exclusive
+    bounded = run(
+        [{"$densify": {"field": "seq", "partitionByFields": ["grp"],
+                       "range": {"step": 1, "bounds": [1, 4]}}}],
+        df,
+    )
+    assert sorted({r["seq"] for r in bounded.collect()}) == [1, 2, 3, 4]
+    # 4 survives via the left join (existing data), spine adds 1-3
+    assert bounded.filter("grp = 'b' AND seq = 3").count() == 1
+    with pytest.raises(PipelineError):
+        run([{"$fill": {"output": {"v": {"method": "linear"}}}}], df)
