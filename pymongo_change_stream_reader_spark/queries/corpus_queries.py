@@ -267,3 +267,84 @@ def corpus_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "corpus_e2e_curation",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, lang, text, CAST(len({_TOKS}) AS INT) AS n_tokens
+        FROM documents
+        WHERE n_chars BETWEEN 100 AND 400
+          AND list_sum(list_transform({_TOKS}, w -> length(w)))
+              / greatest(len({_TOKS}), 1) BETWEEN 2 AND 12
+          AND len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))
+              / greatest(length(text), 1) < 0.05
+          AND (lang <> 'en' OR {_HITS['en']} >= 1)
+    ),
+    canon AS (
+        SELECT MIN(doc_id)           AS doc_id,
+               min_by(lang, doc_id)  AS lang,
+               min_by(n_tokens, doc_id) AS n_tokens
+        FROM gated GROUP BY text
+    ),
+    sampled AS (
+        SELECT * FROM canon WHERE {_BUCKET_SQL} < 500
+    )
+    SELECT lang,
+           COUNT(*)                        AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)   AS total_tokens
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+    doc="End-to-end curation chain: quality gate -> exact dedup "
+    "(min-id canonical per content) -> deterministic hash sample "
+    "(500 permille) -> per-language mix report. The composition a "
+    "pretraining pipeline runs between ingest and tokenization.",
+    tags=("corpus", "dedup", "text"),
+)
+def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: tokenize once behind the persist barrier; dedup is one
+    shuffle on content; the sample is a stateless hash predicate; the
+    report is a tiny aggregate.  Same plan family at 100 TB with the
+    persisted stage written to storage instead."""
+    d = load_table(spark, sf_dir, "documents")
+    toksed = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id", "lang", "n_chars", "text",
+            tx.tokens(F.col("text")).alias("toks"),
+        )
+        .persist()
+    )
+    ntok = F.size(F.col("toks"))
+    sum_len = F.aggregate(
+        F.col("toks"), F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = sum_len / F.greatest(ntok, F.lit(1))
+    hits = F.size(
+        F.filter(F.col("toks"), lambda w: F.lower(w).isin(*tx.STOPWORDS["en"]))
+    )
+    keep = (
+        F.col("n_chars").between(100, 400)
+        & mean_len.between(2, 12)
+        & (tx.punct_ratio(F.col("text")) < 0.05)
+        & ((F.col("lang") != "en") | (hits >= 1))
+    )
+    gated = toksed.filter(keep).select(
+        "doc_id", "lang", "text", ntok.alias("n_tokens")
+    )
+    canon = gated.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", F.col("doc_id")).alias("lang"),
+        F.min_by("n_tokens", F.col("doc_id")).alias("n_tokens"),
+    )
+    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 1000
+    sampled = canon.filter(bucket < 500)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
