@@ -1449,6 +1449,22 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
             return _apply_fill(df, spec)
         case "$densify":
             return _apply_densify(df, spec)
+        case "$facet":
+            # Each sub-pipeline runs over the same input; results
+            # collapse to one row of array-of-structs columns (Mongo's
+            # single output document).  Element order within a facet
+            # array follows partition order — deterministic only if
+            # the sub-pipeline ends in a $sort, as in practice.
+            if not isinstance(spec, dict) or not spec:
+                raise PipelineError("$facet requires named sub-pipelines")
+            outs = None
+            for facet_name, sub in spec.items():
+                res = translate_pipeline(sub, tables)(df)
+                one = res.agg(
+                    F.collect_list(F.struct(*res.columns)).alias(facet_name)
+                )
+                outs = one if outs is None else outs.crossJoin(one)
+            return outs
         case _:
             raise PipelineError(f"unsupported stage {name!r}")
 

@@ -864,3 +864,26 @@ def test_fill_and_densify(spark):
     assert bounded.filter("grp = 'b' AND seq = 3").count() == 1
     with pytest.raises(PipelineError):
         run([{"$fill": {"output": {"v": {"method": "linear"}}}}], df)
+
+
+def test_facet_stage(docs):
+    got = run(
+        [
+            {
+                "$facet": {
+                    "by_city": [
+                        {"$group": {"_id": "$addr.city", "n": {"$sum": 1}}},
+                        {"$sort": {"_id": 1}},
+                    ],
+                    "total": [{"$count": "n"}],
+                }
+            }
+        ],
+        docs,
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert [(f["_id"], f["n"]) for f in row["by_city"]] == [("ber", 2), ("muc", 1)]
+    assert row["total"][0]["n"] == 3
+    with pytest.raises(PipelineError):
+        run([{"$facet": {}}], docs)
