@@ -221,3 +221,45 @@ def user_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type", "next_type")
     )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT p.event_id  AS point_id,
+           i.event_id  AS interval_id,
+           ROUND(p.value, 2) AS v
+    FROM (SELECT event_id, value FROM events WHERE event_id < 5000) p
+    JOIN (SELECT event_id, value - 5 AS lo, value + 5 AS hi
+          FROM events WHERE event_id % 97 = 0) i
+      ON p.value >= i.lo AND p.value < i.hi
+    ORDER BY point_id, interval_id
+    """,
+    doc="Bucketed range (interval) join: bucket equi-join + exact "
+    "refinement instead of the nested-loop theta join (the 100 TB "
+    "rewrite for point-in-interval matching).",
+    tags=("join", "range"),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.joins import (
+        range_join_bucketed,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    points = e.filter(F.col("event_id") < 5000).select(
+        F.col("event_id").alias("point_id"), "value"
+    )
+    intervals = e.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        (F.col("value") - 5).alias("lo"),
+        (F.col("value") + 5).alias("hi"),
+    )
+    return (
+        range_join_bucketed(points, intervals, "value", "lo", "hi", 10.0)
+        .select(
+            "point_id",
+            "interval_id",
+            F.round("value", 2).alias("v"),
+        )
+        .orderBy("point_id", "interval_id")
+    )

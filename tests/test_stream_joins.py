@@ -186,3 +186,33 @@ def test_settings_validation(monkeypatch):
             stream_reader_name="x", mongo_uri="m", kafka_bootstrap_servers="k",
             pipeline="{not-a-list}",
         )
+
+
+def test_range_join_bucketed_matches_theta(spark):
+    """Bucketed range join: identical rows to the naive theta join,
+    but the plan contains an equi-join on the bucket id, not a
+    nested-loop/cartesian join."""
+    from pyspark.sql import functions as F
+
+    from pymongo_change_stream_reader_spark.operators.joins import (
+        range_join_bucketed,
+    )
+
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "pid INT, x DOUBLE"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 5.0, 20.0), (2, 17.5, 18.5), (3, 90.0, 200.0), (4, -10.0, -1.0)],
+        "iid INT, lo DOUBLE, hi DOUBLE",
+    )
+    got = range_join_bucketed(points, intervals, "x", "lo", "hi", 10.0)
+    naive = points.join(
+        intervals, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+    )
+    assert {(r["pid"], r["iid"]) for r in got.collect()} == {
+        (r["pid"], r["iid"]) for r in naive.collect()
+    }
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" in naive_plan or "Cartesian" in naive_plan
