@@ -333,3 +333,28 @@ def test_connected_components_chain(spark):
         for r in connected_components(pairs, ids).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find and the distributed label-propagation loop
+    produce identical components (force the loop via threshold=0)."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (5, 6), (7, 5), (10, 11)], "id_a LONG, id_b LONG"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id LONG")
+    fast = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(pairs, ids).collect()
+    }
+    dist = {
+        (r["doc_id"], r["component"])
+        for r in connected_components(
+            pairs, ids, driver_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+    assert dict(fast)[7] == 5 and dict(fast)[12] == 12
