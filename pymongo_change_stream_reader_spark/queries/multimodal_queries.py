@@ -114,8 +114,10 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.round(F.avg("n_windows"), 4).alias("avg_windows"),
-            F.round(F.avg(F.element_at("rms", 1)), 6).alias("avg_rms0"),
-            F.round(F.avg(F.element_at("zcr", 1)), 6).alias("avg_zcr0"),
+            # try_element_at: zero-window docs (payload < one window) carry
+            # empty arrays, and ANSI element_at would throw on them
+            F.round(F.avg(F.try_element_at("rms", F.lit(1))), 6).alias("avg_rms0"),
+            F.round(F.avg(F.try_element_at("zcr", F.lit(1))), 6).alias("avg_zcr0"),
         )
         .orderBy("source")
     )
