@@ -193,3 +193,70 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         tx.token_count(F.col("text")).alias("n_ws_tokens"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lower(unnest({_TOKS})) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                   AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, score, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+    """,
+    doc="TF-IDF top-3 terms per document (smoothed idf, deterministic "
+    "tie-break) — keyword extraction / quality signal for corpus "
+    "curation.",
+    tags=("text", "corpus"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one explode + two hash aggregations (doc-term TF, term
+    DF); the DF side is term-cardinality-sized and broadcasts; the
+    corpus count is a scalar. The only wide exchange is the per-doc
+    top-k window, partitioned on doc_id."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("term")
+    ).withColumn("term", F.lower("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.count()  # scalar (the model-state pattern)
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
