@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from pymongo_change_stream_reader_spark.operators import text as tx
 from pymongo_change_stream_reader_spark.queries import query
+from pymongo_change_stream_reader_spark.queries.dedup_queries import _GRAMS
 from pymongo_change_stream_reader_spark.queries.text_queries import _HITS, _TOKS
 from pymongo_change_stream_reader_spark.sources.tables import load_table
 
@@ -347,4 +348,62 @@ def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "corpus_decontamination",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+    bench AS (
+        SELECT doc_id, grams FROM g WHERE {_BUCKET_SQL} < 50
+    ),
+    bench_grams AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM bench
+    ),
+    train_hits AS (
+        SELECT t.doc_id,
+               COUNT(DISTINCT i.gram) AS shared_grams
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g
+              WHERE {_BUCKET_SQL} >= 50) t
+        JOIN bench_grams i ON t.gram = i.gram
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(shared_grams AS BIGINT) AS shared_grams
+    FROM train_hits
+    WHERE shared_grams >= 3
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: flag training documents sharing "
+    ">= 3 distinct word-3-grams with a (hash-held-out) benchmark set "
+    "— the n-gram-collision eval-leakage check a pretraining "
+    "pipeline runs before training.",
+    tags=("corpus", "dedup", "text"),
+)
+def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: benchmark shingles are a broadcast-sized distinct set
+    (the held-out corpus is small by construction); the train side is
+    one explode + semi-style hash join + per-doc count — no quadratic
+    pair work."""
+    from pymongo_change_stream_reader_spark.operators.dedup import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 1000
+    grams = d.select(
+        "doc_id", bucket.alias("bucket"), word_ngrams(F.col("text"), 3).alias("grams")
+    )
+    bench_grams = (
+        grams.filter(F.col("bucket") < 50)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = grams.filter(F.col("bucket") >= 50).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("shared_grams"))
+        .filter(F.col("shared_grams") >= 3)
+        .orderBy("doc_id")
     )
