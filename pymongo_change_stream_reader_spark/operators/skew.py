@@ -52,3 +52,33 @@ def salted_agg(
             for name, (_, comb) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_cols: list[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-tolerant inner equi-join: salt the big side per row and
+    replicate the small side across every salt bucket, so a hot join
+    key's rows spread over ``salt_buckets`` reducers instead of
+    funneling into one.
+
+    Output rows are identical to ``big.join(small, key_cols)`` —
+    verified by the oracle-checked query ``join_salted_skew``.  Cost:
+    the small side shuffles ``salt_buckets``× (still far below the
+    big side); prefer ``F.broadcast`` when the small side fits in
+    memory, and this rewrite when it does not but a few keys are
+    hot.  (AQE's skew-join splitting covers sort-merge plans; the
+    salted form also works where AQE cannot, e.g. under a
+    user-forced shuffle layout.)"""
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_big.join(
+        replicated_small, [*key_cols, "__salt"]
+    ).drop("__salt")

@@ -1079,3 +1079,45 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderkey,
+           c.c_name,
+           ROUND(o.o_totalprice, 2) AS price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey < 3000
+    ORDER BY o.o_orderkey
+    """,
+    doc="Salted skew join: big side salted per row, small side "
+    "replicated per bucket — identical rows to the plain equi-join, "
+    "hot keys spread across salt_buckets reducers.",
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.skew import salted_join
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 3000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        salted_join(
+            orders,
+            customer.withColumnRenamed("c_custkey", "o_custkey"),
+            ["o_custkey"],
+            salt_buckets=8,
+        )
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
