@@ -148,13 +148,31 @@ def exact_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH.
 # ---------------------------------------------------------------------------
+def _seeded_hash(i: int) -> "Callable[[Column], Column]":
+    """Unary lambda factory for one member of the hash family.
+
+    MUST be a closure, not ``lambda g, i=i: ...``: a default arg makes
+    the lambda binary, so F.transform binds ``i`` to the ARRAY INDEX
+    Column and the f-string seed stringifies that Column's plan-unique
+    internal name — signatures were then stable only within a single
+    plan (batch self-joins never noticed) but differed across queries,
+    which breaks any persisted LSH index / stream-static join.  Found
+    by the streaming near-dup e2e."""
+    prefix = F.lit(f"mh{i}:")
+
+    def fn(g: Column) -> Column:
+        return F.xxhash64(F.concat(prefix, g))
+
+    return fn
+
+
 def minhash_signature(grams: Column, num_hashes: int = 32) -> Column:
     """num_hashes-long signature: min over shingles of seeded
-    xxhash64.  Pure expression — computed in one projection pass."""
+    xxhash64.  Pure expression — computed in one projection pass;
+    values are stable across plans, sessions, and restarts (the
+    persisted-index contract)."""
     sig = [
-        F.array_min(
-            F.transform(grams, lambda g, i=i: F.xxhash64(F.concat(F.lit(f"mh{i}:"), g)))
-        )
+        F.array_min(F.transform(grams, _seeded_hash(i)))
         for i in range(num_hashes)
     ]
     return F.array(*sig)
@@ -209,6 +227,70 @@ def _lsh_candidates_from_grams(
         )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_band_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """(doc, band, bucket) LSH band table as ONE narrow projection —
+    shingle -> signature -> band hashes in a single select, legal on
+    batch AND streaming frames (no persist barrier, so use it for
+    stream-side sketches or write it out as the static index; the
+    batch self-join path keeps its own persisted variant)."""
+    rows = num_hashes // bands
+    sig = minhash_signature(word_ngrams(F.col(text_col), n), num_hashes)
+    return df.select(
+        F.col(id_col).alias("doc"), sig.alias("sig")
+    ).select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+
+def streaming_near_dup_candidates(
+    stream: DataFrame,
+    static_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Flag in-flight documents colliding with a precomputed corpus
+    index (the streaming half of LSH dedup): the stream side computes
+    its band sketches as a narrow per-batch projection and equi-joins
+    the static ``lsh_band_table`` output on (band, bucket) — a
+    stream-static join Spark executes with the static side broadcast
+    or shuffled as size dictates.  Emits (stream doc, corpus doc)
+    candidate rows; candidates repeat per colliding band, so
+    downstream dedupes (foreachBatch distinct, or exact-Jaccard
+    verification against the corpus text).
+
+    Scale: per micro-batch the stream work is one projection; the
+    static index is date-partitioned storage in production — the same
+    contract as the reference's resumable relay, applied to dedup."""
+    stream_bands = lsh_band_table(
+        stream, text_col, id_col, num_hashes, bands, n
+    ).withColumnRenamed("doc", "stream_doc")
+    index = static_index.withColumnRenamed("doc", "corpus_doc")
+    return stream_bands.join(index, ["band", "bucket"]).select(
+        "stream_doc", "corpus_doc"
     )
 
 

@@ -358,3 +358,25 @@ def test_connected_components_paths_agree(spark):
     }
     assert fast == dist
     assert dict(fast)[7] == 5 and dict(fast)[12] == 12
+
+
+def test_minhash_signature_stable_across_plans(spark):
+    """Signatures must be a pure function of the text — identical
+    values from two independent DataFrames/plans (the persisted-index
+    contract; round 2 found the seed accidentally captured a
+    plan-unique lambda-variable name via a binary lambda)."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        minhash_signature,
+        word_ngrams,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    sigs = []
+    for doc_id in (1, 999):
+        df = spark.createDataFrame([(doc_id, text)], "doc_id LONG, text STRING")
+        sigs.append(
+            df.select(
+                minhash_signature(word_ngrams(F.col("text")), 16).alias("s")
+            ).collect()[0]["s"]
+        )
+    assert sigs[0] == sigs[1]

@@ -256,3 +256,64 @@ def test_new_topic_specs_from_settings():
     assert _new_topic_specs({"x"})[0] == {
         "topic": "x", "num_partitions": 1, "replication_factor": 1, "config": {},
     }
+
+
+def test_streaming_near_dup_flags(spark, tmp_path):
+    """Stream-static LSH dedup: documents arriving on a stream are
+    flagged against a precomputed corpus band index; the planted
+    near-duplicate is caught, the novel doc is not."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        lsh_band_table,
+        streaming_near_dup_candidates,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the tired "
+        "hunter watches from the quiet hill near the old river bridge"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "spark shuffles wide joins across the whole cluster"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    index = lsh_band_table(corpus, "text", "doc_id").persist()
+    index.count()
+
+    src = tmp_path / "in"
+    src.mkdir()
+    events = [
+        # near-dup of corpus doc 1 (one word appended -> Jaccard ~0.9)
+        {"doc_id": 100, "text": base + " today"},
+        {"doc_id": 101, "text": "an entirely unrelated sentence about databases"},
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(e) for e in events))
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .json(str(src))
+    )
+    flags = streaming_near_dup_candidates(stream, index, "text", "doc_id")
+    assert flags.isStreaming
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("near_dup_flags")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["stream_doc"], r["corpus_doc"])
+        for r in spark.sql(
+            "SELECT DISTINCT stream_doc, corpus_doc FROM near_dup_flags"
+        ).collect()
+    }
+    assert (100, 1) in got
+    assert all(sd != 101 for sd, _ in got)
