@@ -887,3 +887,29 @@ def test_facet_stage(docs):
     assert row["total"][0]["n"] == 3
     with pytest.raises(PipelineError):
         run([{"$facet": {}}], docs)
+
+
+def test_match_predicates_reach_parquet_scan(spark, tmp_path):
+    """Translated $match predicates must appear as PushedFilters in
+    the parquet scan (the optimization the reference delegates to
+    mongod, delivered here by Catalyst) — guards against stage
+    compositions that break pushdown."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", float(i)) for i in range(100)],
+        "id INT, cat STRING, v DOUBLE",
+    ).write.parquet(path)
+    df = run(
+        [
+            {"$match": {"cat": "a", "v": {"$gte": 10}}},
+            {"$project": {"id": 1, "v": 1}},
+        ],
+        spark.read.parquet(path),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "EqualTo(cat,a)" in pushed and "GreaterThanOrEqual(v,10" in pushed
+    # column pruning: the scan reads only the referenced columns
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "cat" in read_schema and "id" in read_schema
