@@ -107,6 +107,13 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
         return F.lit(expr)
     if isinstance(expr, list):
         return F.array(*[translate_expr(e, env) for e in expr])
+    if isinstance(expr, dict) and expr and not any(
+        isinstance(k, str) and k.startswith("$") for k in expr
+    ):
+        # document literal with embedded expressions -> struct
+        return F.struct(
+            *[translate_expr(v, env).alias(k) for k, v in expr.items()]
+        )
     if not isinstance(expr, dict) or len(expr) != 1:
         raise PipelineError(f"unsupported expression: {expr!r}")
 
@@ -983,8 +990,23 @@ def _apply_unwind(df: DataFrame, spec) -> DataFrame:
     if not (isinstance(path, str) and path.startswith("$")):
         raise PipelineError("$unwind requires a $-prefixed field path")
     field_name = path[1:]
-    if "." in field_name or field_name not in df.columns:
-        raise PipelineError(f"$unwind path {path!r} must be a top-level array field")
+    if "." in field_name:
+        # nested array: explode the leaf, then write the element back
+        # at its dotted position (withField handles nested paths)
+        root, rest = field_name.split(".", 1)
+        if root not in df.columns:
+            raise PipelineError(f"$unwind path {path!r}: no column {root!r}")
+        fn = F.explode_outer if preserve else F.explode
+        out = df.select(
+            "*", fn(_get_path(F.col(root), rest)).alias("__unwound")
+        ).withColumn(root, F.col(root).withField(rest, F.col("__unwound")))
+        if index:
+            raise PipelineError(
+                "$unwind includeArrayIndex is not supported on nested paths"
+            )
+        return out.drop("__unwound")
+    if field_name not in df.columns:
+        raise PipelineError(f"$unwind path {path!r} must be an array field")
     others = [c for c in df.columns if c != field_name]
     if index:
         fn = F.posexplode_outer if preserve else F.posexplode
@@ -1381,16 +1403,27 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
         case "$addFields" | "$set":
             out = df
             for field, expr in spec.items():
-                out = out.withColumn(field, translate_expr(expr))
+                if "." in field:
+                    # dotted target: write into the nested struct
+                    root, rest = field.split(".", 1)
+                    out = out.withColumn(
+                        root, F.col(root).withField(rest, translate_expr(expr))
+                    )
+                else:
+                    out = out.withColumn(field, translate_expr(expr))
             return out
         case "$unset":
             fields = [spec] if isinstance(spec, str) else list(spec)
             return df.drop(*fields)
         case "$replaceRoot" | "$replaceWith":
             root = spec["newRoot"] if name == "$replaceRoot" else spec
-            if not (isinstance(root, str) and root.startswith("$")):
-                raise PipelineError(f"{name} requires a field path newRoot")
-            return df.select(f"{root[1:]}.*")
+            if isinstance(root, str) and root.startswith("$"):
+                return df.select(f"{root[1:]}.*")
+            # expression form: any struct-valued expression can become
+            # the new root (e.g. a computed struct document)
+            return df.select(translate_expr(root).alias("__root")).select(
+                "__root.*"
+            )
         case "$redact":
             # Row-level $redact: the expression decides $$KEEP/$$PRUNE
             # for the whole document.  $$DESCEND recurses into

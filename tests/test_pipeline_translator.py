@@ -913,3 +913,24 @@ def test_match_predicates_reach_parquet_scan(spark, tmp_path):
     # column pruning: the scan reads only the referenced columns
     read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "cat" in read_schema and "id" in read_schema
+
+
+def test_nested_unwind_dotted_set_replace_expr(spark):
+    df = spark.createDataFrame(
+        [(1, {"items": [10, 20], "who": "ann"}), (2, {"items": [30], "who": "bob"})],
+        "id INT, o STRUCT<items: ARRAY<INT>, who: STRING>",
+    )
+    # nested $unwind rewrites the element back at its dotted position
+    got = run([{"$unwind": "$o.items"}], df).collect()
+    assert sorted((r["id"], r["o"]["items"], r["o"]["who"]) for r in got) == [
+        (1, 10, "ann"), (1, 20, "ann"), (2, 30, "bob"),
+    ]
+    # dotted $set writes into the nested struct
+    got = run([{"$set": {"o.who": {"$toUpper": "$o.who"}}}], df).collect()
+    assert {r["o"]["who"] for r in got} == {"ANN", "BOB"}
+    # expression-form $replaceRoot with a document literal
+    got = run(
+        [{"$replaceRoot": {"newRoot": {"name": "$o.who", "n": {"$size": "$o.items"}}}}],
+        df,
+    ).collect()
+    assert sorted((r["name"], r["n"]) for r in got) == [("ann", 2), ("bob", 1)]
