@@ -1515,16 +1515,33 @@ def _contains_descend(spec: Any) -> bool:
 def translate_pipeline(
     pipeline: str | Sequence[dict],
     tables: dict[str, DataFrame] | None = None,
+    sinks: dict[str, str] | None = None,
 ) -> Callable[[DataFrame], DataFrame]:
     """Compile a pipeline into a DataFrame transform.  Stages compose
     lazily, so Catalyst sees one logical plan and pushes the combined
     predicates/pruning into the scan.  ``tables`` resolves the foreign
     frames referenced by $lookup / $unionWith (the Mongo collection
-    namespace has no Spark analog, so the caller supplies it)."""
+    namespace has no Spark analog, so the caller supplies it);
+    ``sinks`` resolves $out targets to parquet paths ($out replaces
+    the whole target, so the write is mode=overwrite; it must be the
+    final stage, as in Mongo)."""
     stages = parse_pipeline(pipeline)
+    for i, stage in enumerate(stages):
+        if "$out" in stage and i != len(stages) - 1:
+            raise PipelineError("$out must be the last stage")
 
     def apply(df: DataFrame) -> DataFrame:
         for stage in stages:
+            if "$out" in stage:
+                spec = stage["$out"]
+                target = spec if isinstance(spec, str) else spec.get("coll")
+                if not sinks or target not in sinks:
+                    raise PipelineError(
+                        f"$out {target!r}: pass the path via "
+                        "translate_pipeline(..., sinks={name: path})"
+                    )
+                df.write.mode("overwrite").parquet(sinks[target])
+                return df.sparkSession.read.parquet(sinks[target])
             df = _apply_stage(df, stage, tables)
         return df
 

@@ -934,3 +934,25 @@ def test_nested_unwind_dotted_set_replace_expr(spark):
         df,
     ).collect()
     assert sorted((r["name"], r["n"]) for r in got) == [("ann", 2), ("bob", 1)]
+
+
+def test_out_stage(spark, docs, tmp_path):
+    """$out: terminal overwrite write to the resolved sink; the
+    returned frame reads back the written data."""
+    path = str(tmp_path / "out")
+    got = translate_pipeline(
+        [{"$match": {"id": {"$gte": 2}}}, {"$project": {"id": 1, "name": 1}},
+         {"$out": "dest"}],
+        sinks={"dest": path},
+    )(docs)
+    assert sorted(r["id"] for r in got.collect()) == [2, 3]
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == [2, 3]
+    # second run REPLACES (Mongo $out semantics), not appends
+    translate_pipeline(
+        [{"$match": {"id": 1}}, {"$out": "dest"}], sinks={"dest": path}
+    )(docs)
+    assert [r["id"] for r in spark.read.parquet(path).collect()] == [1]
+    with pytest.raises(PipelineError):
+        translate_pipeline([{"$out": "dest"}, {"$match": {}}], sinks={"dest": path})
+    with pytest.raises(PipelineError):
+        translate_pipeline([{"$out": "nope"}])(docs)
