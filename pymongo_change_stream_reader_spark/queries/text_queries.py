@@ -260,3 +260,77 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "score", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+@query(
+    "text_repetition_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM toks WHERE len(t) >= 2
+    ),
+    counts AS (
+        SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram
+    ),
+    rep AS (
+        SELECT doc_id,
+               ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_bigram_frac
+        FROM counts GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           ROUND(len(list_distinct(t))::DOUBLE / greatest(len(t), 1), 6)
+               AS distinct_token_ratio,
+           COALESCE(rep.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM toks LEFT JOIN rep ON toks.doc_id = rep.doc_id
+    ORDER BY toks.doc_id
+    """,
+    doc="Repetition quality signals (Gopher-style): most-frequent-"
+    "bigram fraction and distinct-token ratio per document — the "
+    "filters that catch boilerplate/spam in pretraining corpora.",
+    tags=("text", "corpus"),
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: tokenization is one narrow pass; the bigram counts are
+    one explode + (doc, gram) aggregation with map-side partials; the
+    per-doc max/sum is a second small aggregation on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tx.tokens(F.col("text")).alias("t"))
+    # raw (non-distinct) word bigrams via zipped slices
+    length = F.size("t") - 1
+    bigrams = F.zip_with(
+        F.slice("t", 1, length),
+        F.slice("t", 2, length),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g2 = toks.filter(F.size("t") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("gram")
+    )
+    rep = (
+        g2.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac")
+        )
+    )
+    base = toks.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct("t")) / F.greatest(F.size("t"), F.lit(1)),
+            6,
+        ).alias("distinct_token_ratio"),
+    )
+    return (
+        base.join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "distinct_token_ratio",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
