@@ -89,3 +89,65 @@ def embedding_cosine_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_blas(emb, 0.3)
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127
+                   AS scale
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> round(x / scale)) AS qv
+        FROM s
+    )
+    SELECT vec_id,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS INT) AS q_peak,
+           ROUND(list_sum(list_transform(range(1, len(v) + 1),
+                 i -> pow(v[i] - qv[i] * scale, 2))) / len(v), 10) AS mse
+    FROM q ORDER BY vec_id
+    """,
+    doc="INT8 scalar quantization of embeddings (per-vector absmax "
+    "scale): peak quantized magnitude and reconstruction MSE — the "
+    "4x-compression storage path for 100 TB embedding stores; "
+    "element order is identical on both engines so the float sums "
+    "compare bit-for-bit.",
+    tags=("similarity", "corpus"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one narrow projection — no shuffle, no UDF; at 100 TB
+    this runs as the storage-rewrite pass with qv written out as
+    array<tinyint> + one float scale per vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dv = F.col("embedding").cast("array<double>")
+    d = emb.select(F.col("vec_id"), dv.alias("v")).withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))),
+            F.lit(1e-12),
+        )
+        / 127,
+    )
+    qv = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")))
+    d = d.withColumn("qv", qv)
+    err = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("qv"),
+            lambda v, q: F.pow(v - q * F.col("scale"), F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "vec_id",
+        F.array_max(F.transform(F.col("qv"), lambda x: F.abs(x)))
+        .cast("int")
+        .alias("q_peak"),
+        F.round(err / F.size("v"), 10).alias("mse"),
+    ).orderBy("vec_id")
