@@ -49,6 +49,10 @@ def _leaf() -> st.SearchStrategy:
         st.tuples(st.sampled_from(["a", "s"]), st.booleans()).map(
             lambda t: {t[0]: {"$exists": t[1]}}
         ),
+        # field-level $not wraps an operator doc: two-valued negation
+        st.tuples(int_field, cmp_op, _INTS_N).map(
+            lambda t: {t[0]: {"$not": {t[1]: t[2]}}}
+        ),
         _INTS_N.map(lambda v: {"a": v}),  # bare equality (incl. null)
     )
 
@@ -113,6 +117,9 @@ def _eval_leaf(row: dict, field: str, cond) -> bool:
             ok &= not _in_match(v, arg)
         elif op == "$exists":
             ok &= (v is not None) if arg else (v is None)
+        elif op == "$not":
+            # two-valued: $not matches exactly when the body does not
+            ok &= not _eval_leaf(row, field, arg)
     return ok
 
 
