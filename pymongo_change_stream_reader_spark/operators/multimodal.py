@@ -166,6 +166,48 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
+def resize_payload(
+    df: DataFrame,
+    target_bytes: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize plumbing: deterministic nearest-neighbor byte resample
+    of each payload to ``target_bytes`` via mapInPandas — the stand-in
+    for an image resize (a PIL-backed version swaps only the per-item
+    function; schema, batching, and Arrow transfer are identical).
+
+    Scale: same contract as :func:`extract_features` — streaming
+    column batches, no per-row JVM crossings."""
+    if target_bytes < 1:
+        raise ValueError("target_bytes must be >= 1")
+    out_schema = f"{id_col} LONG, n_bytes INT, resized BINARY"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                if data:
+                    src = np.frombuffer(data, dtype=np.uint8)
+                    # nearest-neighbor index map (what a 1-D image
+                    # resize does per axis)
+                    idx = np.floor(
+                        np.arange(target_bytes) * (len(src) / target_bytes)
+                    ).astype(np.int64)
+                    resized = src[idx].tobytes()
+                else:
+                    resized = b"\x00" * target_bytes
+                rows.append(
+                    {id_col: doc_id, "n_bytes": len(data), "resized": resized}
+                )
+            yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "resized"])
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 10, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -380,3 +380,24 @@ def test_minhash_signature_stable_across_plans(spark):
             ).collect()[0]["s"]
         )
     assert sigs[0] == sigs[1]
+
+
+def test_resize_payload_golden(spark):
+    """Byte-resample resize: exact nearest-neighbor selection, padded
+    zeros for empty payloads, constant output width."""
+    from pymongo_change_stream_reader_spark.operators.multimodal import (
+        resize_payload,
+        with_binary_payload,
+    )
+
+    df = with_binary_payload(
+        spark.createDataFrame(
+            [(1, "abcdefgh"), (2, "xy"), (3, "")], "doc_id LONG, text STRING"
+        ),
+        "text",
+    )
+    got = {r["doc_id"]: r for r in resize_payload(df, 4).collect()}
+    assert bytes(got[1]["resized"]) == b"aceg"  # indices 0,2,4,6
+    assert bytes(got[2]["resized"]) == b"xxyy"  # upsample repeats
+    assert bytes(got[3]["resized"]) == b"\x00" * 4
+    assert all(len(bytes(r["resized"])) == 4 for r in got.values())
