@@ -935,7 +935,9 @@ def _apply_project(df: DataFrame, spec: dict) -> DataFrame:
 
 
 _GROUP_ACCUMULATORS: dict[str, Callable[[Column], Column]] = {
-    "$sum": F.sum,
+    # Mongo $sum yields 0 (not null) when the group has no numeric
+    # values — caught by the hypothesis $group property test
+    "$sum": lambda c: F.coalesce(F.sum(c), F.lit(0)),
     "$avg": F.avg,
     "$min": F.min,
     "$max": F.max,
@@ -1206,8 +1208,11 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             agg_ops[op](F.lit(1))
             if op == "$count"
             else agg_ops[op](translate_expr(arg))
-        )
-        out = out.withColumn(field_name, col.over(w))
+        ).over(w)
+        if op == "$sum":
+            # Mongo window $sum is 0 over an empty/all-null frame
+            col = F.coalesce(col, F.lit(0))
+        out = out.withColumn(field_name, col)
     return out
 
 

@@ -167,3 +167,66 @@ def test_match_translation_agrees_with_python_semantics(universe, preds):
         spark_keep = {r["rid"] for r in got if r[f"p{i}"] == 1}
         py_keep = {i2 for i2, row in enumerate(ROWS) if _eval(row, p)}
         assert spark_keep == py_keep, f"predicate {p!r}"
+
+
+# ---------------------------------------------------------------------------
+# $group accumulator semantics: random rows with nulls must aggregate
+# exactly as Mongo's documented accumulator rules (nulls ignored by
+# $sum/$avg/$min/$max; $sum of an all-null group is 0, $avg/min/max null).
+# ---------------------------------------------------------------------------
+_GVALS = st.sampled_from([0, 1, 5, -3, None])
+_GKEYS = st.sampled_from(["k1", "k2", "k3"])
+
+
+def _py_group(rows):
+    out = {}
+    for k, v in rows:
+        g = out.setdefault(k, [])
+        if v is not None:
+            g.append(v)
+    res = {}
+    for k, vals in out.items():
+        res[k] = {
+            "s": sum(vals) if vals else 0,  # Mongo $sum: all-null -> 0
+            "mn": min(vals) if vals else None,
+            "mx": max(vals) if vals else None,
+            "n": len([1 for kk, _ in rows if kk == k]),  # $count counts docs
+        }
+    return res
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(st.tuples(_GKEYS, _GVALS), min_size=1, max_size=20))
+def test_group_accumulators_match_mongo_semantics(spark, rows):
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        translate_pipeline,
+    )
+
+    df = spark.createDataFrame(rows, "k STRING, v INT")
+    got = {
+        r["_id"]: r
+        for r in translate_pipeline(
+            [
+                {
+                    "$group": {
+                        "_id": "$k",
+                        "s": {"$sum": "$v"},
+                        "mn": {"$min": "$v"},
+                        "mx": {"$max": "$v"},
+                        "n": {"$count": {}},
+                    }
+                }
+            ]
+        )(df).collect()
+    }
+    expected = _py_group(rows)
+    assert set(got) == set(expected)
+    for k, e in expected.items():
+        r = got[k]
+        assert r["s"] == e["s"], (k, "sum")  # all-null group -> 0, not null
+        assert r["mn"] == e["mn"] and r["mx"] == e["mx"]
+        assert r["n"] == e["n"]
