@@ -941,9 +941,18 @@ _GROUP_ACCUMULATORS: dict[str, Callable[[Column], Column]] = {
     "$avg": F.avg,
     "$min": F.min,
     "$max": F.max,
-    "$push": F.collect_list,
+    # struct-wrapped: collect_list/collect_set DROP nulls, Mongo's
+    # $push/$addToSet keep them
+    "$push": lambda c: F.transform(
+        F.collect_list(F.struct(c.alias("v"))), lambda s: s["v"]
+    ),
     # Mongo set order is unspecified; sort for run-to-run determinism
-    "$addToSet": lambda c: F.array_sort(F.collect_set(c)),
+    # (array_sort places nulls last, deterministically)
+    "$addToSet": lambda c: F.array_sort(
+        F.array_distinct(
+            F.transform(F.collect_list(F.struct(c.alias("v"))), lambda s: s["v"])
+        )
+    ),
     "$first": lambda c: F.first(c, ignorenulls=False),
     "$last": lambda c: F.last(c, ignorenulls=False),
     "$stdDevPop": F.stddev_pop,

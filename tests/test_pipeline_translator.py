@@ -956,3 +956,29 @@ def test_out_stage(spark, docs, tmp_path):
         translate_pipeline([{"$out": "dest"}, {"$match": {}}], sinks={"dest": path})
     with pytest.raises(PipelineError):
         translate_pipeline([{"$out": "nope"}])(docs)
+
+
+def test_push_addtoset_keep_nulls(spark):
+    """Mongo $push/$addToSet keep null members (collect_list/set drop
+    them) — preserved via struct wrapping."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 1), ("b", None)], "k STRING, v INT"
+    )
+    got = {
+        r["_id"]: r
+        for r in run(
+            [
+                {
+                    "$group": {
+                        "_id": "$k",
+                        "all": {"$push": "$v"},
+                        "uniq": {"$addToSet": "$v"},
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    assert sorted(got["a"]["all"], key=lambda x: (x is None, x)) == [1, 1, None]
+    assert got["a"]["uniq"] == [1, None]  # sorted, null last
+    assert got["b"]["all"] == [None] and got["b"]["uniq"] == [None]
