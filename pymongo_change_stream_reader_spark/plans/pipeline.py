@@ -1065,7 +1065,9 @@ def _apply_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
     )
     joined = df.join(
         grouped,
-        F.col(spec["localField"]) == F.col("__lookup_key"),
+        # null-safe: Mongo matches a null/missing localField to
+        # foreign docs whose foreignField is null/missing
+        F.col(spec["localField"]).eqNullSafe(F.col("__lookup_key")),
         "left",
     ).drop("__lookup_key")
     empty = F.array().cast(
@@ -1234,7 +1236,11 @@ def _apply_graph_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
     convergence loop like operators.dedup.connected_components; bound
     it explicitly for a deterministic plan).  Matches collect into an
     array-of-structs `as` column with an optional numeric
-    ``depthField``, [] when nothing matched — Mongo's output shape."""
+    ``depthField``, [] when nothing matched — Mongo's output shape.
+    Declared deviation: null connect values TERMINATE a path here
+    (equi-join semantics), whereas Mongo's null matches foreign docs
+    whose connectToField is null/missing — termination is almost
+    always the wanted behavior for parent-pointer graphs."""
     required = {"from", "startWith", "connectFromField", "connectToField", "as"}
     missing = required - set(spec)
     if missing:

@@ -982,3 +982,18 @@ def test_push_addtoset_keep_nulls(spark):
     assert sorted(got["a"]["all"], key=lambda x: (x is None, x)) == [1, 1, None]
     assert got["a"]["uniq"] == [1, None]  # sorted, null last
     assert got["b"]["all"] == [None] and got["b"]["uniq"] == [None]
+
+
+def test_lookup_null_safe_match(spark):
+    """Mongo $lookup matches null localField to null foreignField."""
+    left = spark.createDataFrame([(1, None), (2, 10)], "id INT, fk INT")
+    right = spark.createDataFrame([(100, None), (101, 10)], "rid INT, k INT")
+    got = {
+        r["id"]: sorted(o["rid"] for o in r["m"])
+        for r in translate_pipeline(
+            [{"$lookup": {"from": "r", "localField": "fk",
+                          "foreignField": "k", "as": "m"}}],
+            tables={"r": right},
+        )(left).collect()
+    }
+    assert got == {1: [100], 2: [101]}
