@@ -21,10 +21,13 @@ Supported surface (change-stream-legal stages):
   $unset    — drop fields
   $replaceRoot / $replaceWith — promote a struct column to root
 General aggregation stages (not change-stream-legal, SURVEY §2.B
-breadth): $group, $unwind, $sort, $skip, $limit, $count,
-$sortByCount, $bucket, $bucketAuto, $setWindowFields, $lookup,
-$unionWith, $graphLookup (the last three resolve foreign frames via
-``translate_pipeline(..., tables={...})``).
+breadth): $group, $unwind (incl. nested paths), $sort, $skip,
+$limit, $count, $sortByCount, $bucket, $bucketAuto,
+$setWindowFields, $fill, $densify, $facet, $lookup, $unionWith,
+$graphLookup ($lookup/$unionWith/$graphLookup resolve foreign frames
+via ``translate_pipeline(..., tables={...})``), and terminal $out
+(``sinks={...}``).  System variables $$ROOT/$$CURRENT are bound in
+stage expressions.
 Aggregation expressions inside $project/$addFields/$expr/$cond:
   field paths ("$a.b"), literals, $literal, $concat, $toUpper,
   $toLower, $substr, $strLenCP, $split, arithmetic ($add $subtract
@@ -923,8 +926,9 @@ def _apply_project(df: DataFrame, spec: dict) -> DataFrame:
         for k in included:
             out[k] = _get_path(F.col(k.split(".", 1)[0]), k.split(".", 1)[1]) \
                 if "." in k else F.col(k)
+        env = _root_env(df)
         for k, v in computed.items():
-            out[k] = translate_expr(v)
+            out[k] = translate_expr(v, env)
         return df.select(*_nest_tree(out))
     # exclusion mode: top-level drops plus dropFields for dotted paths.
     for k in excluded:
@@ -972,7 +976,8 @@ def _apply_group(df: DataFrame, spec: dict) -> DataFrame:
     Mongo."""
     if "_id" not in spec:
         raise PipelineError("$group requires an _id expression")
-    aggs = _group_aggs({k: v for k, v in spec.items() if k != "_id"})
+    env = _root_env(df)
+    aggs = _group_aggs({k: v for k, v in spec.items() if k != "_id"}, env)
     if not aggs:
         raise PipelineError("$group requires at least one accumulator")
 
@@ -984,10 +989,10 @@ def _apply_group(df: DataFrame, spec: dict) -> DataFrame:
     ):
         # compound key document -> struct
         key_col = F.struct(
-            *[translate_expr(v).alias(k) for k, v in key.items()]
+            *[translate_expr(v, env).alias(k) for k, v in key.items()]
         )
     else:
-        key_col = translate_expr(key)
+        key_col = translate_expr(key, env)
     return df.groupBy(key_col.alias("_id")).agg(*aggs)
 
 
@@ -1393,7 +1398,14 @@ def _apply_densify(df: DataFrame, spec: dict) -> DataFrame:
     return df.unionByName(stubs, allowMissingColumns=True)
 
 
-def _group_aggs(out: dict) -> list[Column]:
+def _root_env(df: DataFrame) -> dict[str, Column]:
+    """System variables for stage-level expressions: $$ROOT /
+    $$CURRENT are the whole input document as a struct."""
+    doc = F.struct(*[F.col(c).alias(c) for c in df.columns])
+    return {"ROOT": doc, "CURRENT": doc}
+
+
+def _group_aggs(out: dict, env: dict | None = None) -> list[Column]:
     aggs = []
     for field_name, accum in out.items():
         if not isinstance(accum, dict) or len(accum) != 1:
@@ -1405,7 +1417,7 @@ def _group_aggs(out: dict) -> list[Column]:
             aggs.append(F.count(F.lit(1)).alias(field_name))
         elif op in _GROUP_ACCUMULATORS:
             aggs.append(
-                _GROUP_ACCUMULATORS[op](translate_expr(arg)).alias(field_name)
+                _GROUP_ACCUMULATORS[op](translate_expr(arg, env)).alias(field_name)
             )
         else:
             raise PipelineError(f"unsupported accumulator {op!r}")
@@ -1422,15 +1434,16 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
             return _apply_project(df, spec)
         case "$addFields" | "$set":
             out = df
+            env = _root_env(df)
             for field, expr in spec.items():
                 if "." in field:
                     # dotted target: write into the nested struct
                     root, rest = field.split(".", 1)
                     out = out.withColumn(
-                        root, F.col(root).withField(rest, translate_expr(expr))
+                        root, F.col(root).withField(rest, translate_expr(expr, env))
                     )
                 else:
-                    out = out.withColumn(field, translate_expr(expr))
+                    out = out.withColumn(field, translate_expr(expr, env))
             return out
         case "$unset":
             fields = [spec] if isinstance(spec, str) else list(spec)
@@ -1441,7 +1454,9 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
                 return df.select(f"{root[1:]}.*")
             # expression form: any struct-valued expression can become
             # the new root (e.g. a computed struct document)
-            return df.select(translate_expr(root).alias("__root")).select(
+            return df.select(
+                translate_expr(root, _root_env(df)).alias("__root")
+            ).select(
                 "__root.*"
             )
         case "$redact":

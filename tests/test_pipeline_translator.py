@@ -997,3 +997,18 @@ def test_lookup_null_safe_match(spark):
         )(left).collect()
     }
     assert got == {1: [100], 2: [101]}
+
+
+def test_root_system_variable(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k STRING, v INT")
+    got = {
+        r["_id"]: r["docs"]
+        for r in run(
+            [{"$group": {"_id": "$k", "docs": {"$push": "$$ROOT"}}}], df
+        ).collect()
+    }
+    assert sorted((d["k"], d["v"]) for d in got["a"]) == [("a", 1), ("a", 2)]
+    assert [(d["k"], d["v"]) for d in got["b"]] == [("b", 3)]
+    # $addFields can embed the whole document; $$CURRENT aliases $$ROOT
+    got = run([{"$addFields": {"self_v": {"$getField": {"field": "v", "input": "$$CURRENT"}}}}], df)
+    assert {r["self_v"] for r in got.collect()} == {1, 2, 3}
