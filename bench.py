@@ -94,10 +94,16 @@ def main() -> None:
     )
 
     events = simulate_change_stream(spark, sf_dir)
-    t0 = time.time()
-    n_events = to_kafka_records(filter_data_ops(events), "bench").count()
-    relay_s = time.time() - t0
-    events_per_s = round(n_events / relay_s) if relay_s > 0 else 0
+    relay = to_kafka_records(filter_data_ops(events), "bench")
+    relay.count()  # warm-up (codegen + file listing), not timed
+    best = 0.0
+    for _ in range(3):  # best-of-3: the run least contaminated by noise
+        t0 = time.time()
+        n_events = relay.count()
+        dt = time.time() - t0
+        if dt > 0:
+            best = max(best, n_events / dt)
+    events_per_s = round(best)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
