@@ -1562,8 +1562,8 @@ def translate_pipeline(
     final stage, as in Mongo)."""
     stages = parse_pipeline(pipeline)
     for i, stage in enumerate(stages):
-        if "$out" in stage and i != len(stages) - 1:
-            raise PipelineError("$out must be the last stage")
+        if ("$out" in stage or "$merge" in stage) and i != len(stages) - 1:
+            raise PipelineError("$out/$merge must be the last stage")
 
     def apply(df: DataFrame) -> DataFrame:
         for stage in stages:
@@ -1577,7 +1577,67 @@ def translate_pipeline(
                     )
                 df.write.mode("overwrite").parquet(sinks[target])
                 return df.sparkSession.read.parquet(sinks[target])
+            if "$merge" in stage:
+                return _apply_merge(df, stage["$merge"], sinks)
             df = _apply_stage(df, stage, tables)
         return df
 
     return apply
+
+
+def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
+    """$merge -> upsert into a parquet target keyed by ``on``:
+    whenMatched replace/keepExisting, whenNotMatched insert/discard
+    (field-level merge and pipeline forms are rejected).  The merged
+    result is materialized to a temp directory and swapped in (the
+    local-FS analog of a transactional table swap; a lakehouse table
+    format would commit this atomically)."""
+    import shutil
+    import os
+
+    if isinstance(spec, str):
+        spec = {"into": spec}
+    target = spec.get("into")
+    on = spec.get("on", "_id")
+    when_matched = spec.get("whenMatched", "replace")
+    when_not_matched = spec.get("whenNotMatched", "insert")
+    if when_matched not in ("replace", "keepExisting"):
+        raise PipelineError(
+            f"unsupported $merge whenMatched {when_matched!r}"
+        )
+    if when_not_matched not in ("insert", "discard"):
+        raise PipelineError(
+            f"unsupported $merge whenNotMatched {when_not_matched!r}"
+        )
+    if not sinks or target not in sinks:
+        raise PipelineError(
+            f"$merge into {target!r}: pass the path via "
+            "translate_pipeline(..., sinks={name: path})"
+        )
+    path = sinks[target]
+    spark = df.sparkSession
+    if os.path.exists(path):
+        old = spark.read.parquet(path)
+        if when_matched == "replace":
+            kept_old = old.join(df.select(on).distinct(), on, "left_anti")
+            new_side = (
+                df
+                if when_not_matched == "insert"
+                else df.join(old.select(on).distinct(), on, "semi")
+            )
+        else:  # keepExisting
+            kept_old = old
+            new_side = (
+                df.join(old.select(on).distinct(), on, "left_anti")
+                if when_not_matched == "insert"
+                else spark.createDataFrame([], df.schema)
+            )
+        merged = kept_old.unionByName(new_side, allowMissingColumns=True)
+    else:
+        merged = df if when_not_matched == "insert" else df.limit(0)
+    tmp = path.rstrip("/") + "__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return spark.read.parquet(path)

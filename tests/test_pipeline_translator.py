@@ -1012,3 +1012,37 @@ def test_root_system_variable(spark):
     # $addFields can embed the whole document; $$CURRENT aliases $$ROOT
     got = run([{"$addFields": {"self_v": {"$getField": {"field": "v", "input": "$$CURRENT"}}}}], df)
     assert {r["self_v"] for r in got.collect()} == {1, 2, 3}
+
+
+def test_merge_stage_upsert(spark, tmp_path):
+    """$merge upsert semantics on a parquet target: replace matched,
+    insert unmatched; keepExisting leaves matched rows untouched."""
+    path = str(tmp_path / "m")
+    base = spark.createDataFrame(
+        [(1, "old1"), (2, "old2")], "_id INT, val STRING"
+    )
+    base.write.parquet(path)
+
+    incoming = spark.createDataFrame(
+        [(2, "NEW2"), (3, "NEW3")], "_id INT, val STRING"
+    )
+    got = translate_pipeline(
+        [{"$merge": {"into": "t", "on": "_id"}}], sinks={"t": path}
+    )(incoming)
+    rows = {r["_id"]: r["val"] for r in got.collect()}
+    assert rows == {1: "old1", 2: "NEW2", 3: "NEW3"}
+    # persisted: re-read shows the merged state
+    assert {r["_id"]: r["val"] for r in spark.read.parquet(path).collect()} == rows
+
+    # keepExisting + discard leaves the target unchanged
+    incoming2 = spark.createDataFrame([(3, "XXX"), (4, "YYY")], "_id INT, val STRING")
+    got2 = translate_pipeline(
+        [{"$merge": {"into": "t", "on": "_id",
+                     "whenMatched": "keepExisting",
+                     "whenNotMatched": "discard"}}],
+        sinks={"t": path},
+    )(incoming2)
+    assert {r["_id"]: r["val"] for r in got2.collect()} == rows
+    with pytest.raises(PipelineError):
+        translate_pipeline([{"$merge": {"into": "t", "whenMatched": "merge"}}],
+                           sinks={"t": path})(incoming2)
