@@ -1083,8 +1083,10 @@ def _apply_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
 
 def _apply_bucket(df: DataFrame, spec: dict) -> DataFrame:
     """$bucket: assign by [boundaries[i], boundaries[i+1]) intervals,
-    out-of-range to `default` (required when any value falls outside,
-    as in Mongo)."""
+    out-of-range to `default`.  Declared deviation: Mongo raises a
+    runtime error when a value falls outside the boundaries and no
+    default is given; here such documents are dropped (a translate-
+    time check cannot see the data) — pass `default` to keep them."""
     bounds = spec.get("boundaries")
     if not isinstance(bounds, list) or len(bounds) < 2 or bounds != sorted(bounds):
         raise PipelineError("$bucket requires >= 2 sorted literal boundaries")

@@ -588,6 +588,7 @@ def pipeline_union_with(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN value >= 50  AND value < 100 THEN 50
              WHEN value >= 100 AND value < 200 THEN 100
              WHEN value >= 200 AND value < 500 THEN 200
+             ELSE 999
            END AS _id,
            COUNT(*) AS n,
            ROUND(SUM(value), 2) AS total
@@ -605,6 +606,7 @@ def pipeline_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "$bucket": {
                     "groupBy": "$value",
                     "boundaries": [0, 50, 100, 200, 500],
+                    "default": 999,
                     "output": {"n": {"$sum": 1}, "total": {"$sum": "$value"}},
                 }
             },
