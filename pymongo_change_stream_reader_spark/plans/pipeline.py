@@ -1213,12 +1213,29 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             raise PipelineError(f"unsupported window operator {op!r}")
         if win is not None:
             docs = win.get("documents")
-            if not docs or len(docs) != 2:
+            rng = win.get("range")
+            if rng is not None:
+                if win.get("unit"):
+                    raise PipelineError(
+                        "window.range with a date unit is not supported"
+                    )
+                if len(rng) != 2:
+                    raise PipelineError("window.range requires [lo, hi]")
+                if not sort or len(sort) != 1 or list(sort.values()) != [1]:
+                    raise PipelineError(
+                        "window.range requires a single ascending sortBy field"
+                    )
+                w = base.rangeBetween(
+                    _frame_bound(rng[0], W.unboundedPreceding),
+                    _frame_bound(rng[1], W.unboundedFollowing),
+                )
+            elif not docs or len(docs) != 2:
                 raise PipelineError("window requires documents: [lo, hi]")
-            w = base.rowsBetween(
-                _frame_bound(docs[0], W.unboundedPreceding),
-                _frame_bound(docs[1], W.unboundedFollowing),
-            )
+            else:
+                w = base.rowsBetween(
+                    _frame_bound(docs[0], W.unboundedPreceding),
+                    _frame_bound(docs[1], W.unboundedFollowing),
+                )
         else:
             # Mongo default: the entire partition
             w = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
@@ -1365,11 +1382,14 @@ def _apply_densify(df: DataFrame, spec: dict) -> DataFrame:
     rng = spec.get("range") or {}
     step = rng.get("step")
     bounds = rng.get("bounds")
+    unit = rng.get("unit")
     parts = spec.get("partitionByFields", [])
     if not field_name or not isinstance(step, (int, float)) or step <= 0:
         raise PipelineError("$densify requires field and a positive range.step")
-    if rng.get("unit"):
-        raise PipelineError("$densify date units not supported (numeric only)")
+    if unit is not None and unit not in _DATE_UNITS:
+        raise PipelineError(f"unsupported $densify unit {unit!r}")
+    if unit is not None and not isinstance(step, int):
+        raise PipelineError("$densify date step must be an integer")
     if bounds == "full":
         lo_hi = df.agg(
             F.min(field_name).alias("lo"), F.max(field_name).alias("hi")
@@ -1377,16 +1397,29 @@ def _apply_densify(df: DataFrame, spec: dict) -> DataFrame:
         lo, hi = lo_hi["lo"], lo_hi["hi"]
         if lo is None:
             return df
-        end = F.lit(hi)
+        lo_col, end = F.lit(lo), F.lit(hi)
     elif isinstance(bounds, list) and len(bounds) == 2:
         lo, hi = bounds
         # Mongo's explicit bounds are end-exclusive
-        end = F.lit(hi) - F.lit(step)
+        if unit is not None:
+            lo_col = F.to_timestamp(F.lit(lo))
+            end = F.timestamp_add(
+                _DATE_UNITS[unit], F.lit(-step), F.to_timestamp(F.lit(hi))
+            )
+        else:
+            lo_col, end = F.lit(lo), F.lit(hi) - F.lit(step)
     else:
         raise PipelineError('$densify bounds must be "full" or [lo, hi)')
-    spine_vals = F.explode(
-        F.sequence(F.lit(lo), end, F.lit(step))
-    ).alias(field_name)
+    if unit is not None:
+        # timestamp spine: sequence over a day/hour/... interval
+        step_interval = F.expr(f"INTERVAL {int(step)} {_DATE_UNITS[unit]}")
+        spine_vals = F.explode(
+            F.sequence(lo_col, end, step_interval)
+        ).alias(field_name)
+    else:
+        spine_vals = F.explode(
+            F.sequence(lo_col, end, F.lit(step))
+        ).alias(field_name)
     if parts:
         spine = df.select(*parts).distinct().select(*parts, spine_vals)
         join_cols = [*parts, field_name]

@@ -1046,3 +1046,66 @@ def test_merge_stage_upsert(spark, tmp_path):
     with pytest.raises(PipelineError):
         translate_pipeline([{"$merge": {"into": "t", "whenMatched": "merge"}}],
                            sinks={"t": path})(incoming2)
+
+
+def test_densify_date_unit(spark):
+    """$densify with a date unit builds a timestamp spine (daily) per
+    partition; existing rows survive, gaps appear as stubs."""
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-04 00:00:00", 2.0)],
+        "k STRING, d STRING, v DOUBLE",
+    ).selectExpr("k", "cast(d as timestamp) d", "v")
+    got = run(
+        [
+            {
+                "$densify": {
+                    "field": "d",
+                    "partitionByFields": ["k"],
+                    "range": {"step": 1, "unit": "day", "bounds": "full"},
+                }
+            }
+        ],
+        df,
+    ).collect()
+    days = sorted(str(r["d"])[:10] for r in got)
+    assert days == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    vals = {str(r["d"])[:10]: r["v"] for r in got}
+    assert vals["2024-01-01"] == 1.0 and vals["2024-01-02"] is None
+
+
+def test_set_window_fields_range_frame(spark):
+    """window.range frames bound by VALUE distance on the sort key
+    (rangeBetween), not row position."""
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 10, 100.0)],
+        "grp STRING, pos INT, v DOUBLE",
+    )
+    got = {
+        r["pos"]: r["near_sum"]
+        for r in run(
+            [
+                {
+                    "$setWindowFields": {
+                        "partitionBy": "$grp",
+                        "sortBy": {"pos": 1},
+                        "output": {
+                            "near_sum": {
+                                "$sum": "$v",
+                                "window": {"range": [-1, 1]},
+                            }
+                        },
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    # pos=1: rows with pos in [0,2] -> 1+2; pos=10: only itself
+    assert got == {1: 3.0, 2: 3.0, 10: 100.0}
+    with pytest.raises(PipelineError):
+        run(
+            [{"$setWindowFields": {"sortBy": {"pos": -1},
+                                   "output": {"x": {"$sum": "$v",
+                                                    "window": {"range": [-1, 1]}}}}}],
+            df,
+        )
