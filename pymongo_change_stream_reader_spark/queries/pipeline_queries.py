@@ -889,3 +889,64 @@ def pipeline_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe(load_table(spark, sf_dir, "events")).select(
         "user_id", "slot", "n"
     ).orderBy("user_id", "slot")
+
+
+@query(
+    "pipeline_timeseries_gapfill",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n
+        FROM events WHERE user_id < 5
+        GROUP BY user_id, day
+    ),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+    spine AS (
+        SELECT u.user_id, s.day
+        FROM (SELECT DISTINCT user_id FROM d) u,
+             (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM b) s
+    )
+    SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n
+    FROM spine s LEFT JOIN d ON d.user_id = s.user_id AND d.day = s.day
+    ORDER BY s.user_id, s.day
+    """,
+    doc="Time-series gap fill: $group daily counts -> $densify (day "
+    "unit, full bounds) -> $fill zeros — the metrics-pipeline idiom "
+    "for complete per-partition time spines.",
+    tags=("pipeline", "date"),
+)
+def pipeline_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"user_id": {"$lt": 5}}},
+            {
+                "$group": {
+                    "_id": {
+                        "u": "$user_id",
+                        "d": {"$dateTrunc": {"date": "$ts", "unit": "day"}},
+                    },
+                    "n": {"$sum": 1},
+                }
+            },
+            {
+                "$project": {
+                    "user_id": "$_id.u",
+                    "day": "$_id.d",
+                    "n": 1,
+                    "_id": 0,
+                }
+            },
+            {
+                "$densify": {
+                    "field": "day",
+                    "partitionByFields": ["user_id"],
+                    "range": {"step": 1, "unit": "day", "bounds": "full"},
+                }
+            },
+            {"$fill": {"output": {"n": {"value": 0}}}},
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events")).select(
+        "user_id", "day", "n"
+    ).orderBy("user_id", "day")
