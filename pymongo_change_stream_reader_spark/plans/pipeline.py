@@ -1450,6 +1450,24 @@ def _group_aggs(out: dict, env: dict | None = None) -> list[Column]:
         [(op, arg)] = accum.items()
         if op == "$count":
             aggs.append(F.count(F.lit(1)).alias(field_name))
+        elif op == "$percentile":
+            # Mongo 7.0 accumulator; computed EXACTLY here (Mongo's
+            # 'approximate' method is a t-digest — same contract,
+            # tighter answer)
+            ps = arg.get("p")
+            if not isinstance(ps, list) or not ps:
+                raise PipelineError("$percentile requires p: [..]")
+            aggs.append(
+                F.percentile(
+                    translate_expr(arg["input"], env), ps
+                ).alias(field_name)
+            )
+        elif op == "$median":
+            aggs.append(
+                F.percentile(translate_expr(arg["input"], env), 0.5).alias(
+                    field_name
+                )
+            )
         elif op in _GROUP_ACCUMULATORS:
             aggs.append(
                 _GROUP_ACCUMULATORS[op](translate_expr(arg, env)).alias(field_name)

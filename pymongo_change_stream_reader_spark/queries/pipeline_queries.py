@@ -950,3 +950,43 @@ def pipeline_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe(load_table(spark, sf_dir, "events")).select(
         "user_id", "day", "n"
     ).orderBy("user_id", "day")
+
+
+@query(
+    "pipeline_group_percentile",
+    oracle="""
+    SELECT event_type AS _id,
+           ROUND(quantile_cont(value, 0.5), 6) AS med,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="$median / $percentile accumulators (exact interpolated "
+    "percentiles; Mongo's 'approximate' t-digest contract, tighter "
+    "answer).",
+    tags=("pipeline", "agg"),
+)
+def pipeline_group_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$group": {
+                    "_id": "$event_type",
+                    "med": {"$median": {"input": "$value"}},
+                    "p90": {
+                        "$percentile": {"input": "$value", "p": [0.9]}
+                    },
+                }
+            },
+            {
+                "$project": {
+                    "_id": 1,
+                    "med": {"$round": ["$med", 6]},
+                    "p90": {
+                        "$round": [{"$arrayElemAt": ["$p90", 0]}, 6]
+                    },
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))
