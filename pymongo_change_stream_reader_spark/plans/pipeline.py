@@ -228,12 +228,18 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             return F.size(tx(0))
         case "$in":
             return F.array_contains(translate_expr(args[1], env), tx(0))
-        case "$trim":
-            return F.trim(translate_expr(arg["input"], env))
-        case "$ltrim":
-            return F.ltrim(translate_expr(arg["input"], env))
-        case "$rtrim":
-            return F.rtrim(translate_expr(arg["input"], env))
+        case "$trim" | "$ltrim" | "$rtrim":
+            inp = translate_expr(arg["input"], env)
+            chars = arg.get("chars")
+            if chars is None:
+                fn = {"$trim": F.trim, "$ltrim": F.ltrim, "$rtrim": F.rtrim}
+                return fn[op](inp)
+            if not isinstance(chars, str):
+                raise PipelineError(f"{op} chars must be a literal string")
+            if op == "$trim":
+                return F.call_function("btrim", inp, F.lit(chars))
+            # SQL 2-arg forms: ltrim(trimStr, str) / rtrim(trimStr, str)
+            return F.call_function(op[1:], F.lit(chars), inp)
         case "$toDate":
             return tx(0).cast("timestamp")
         case "$indexOfCP":

@@ -1109,3 +1109,24 @@ def test_set_window_fields_range_frame(spark):
                                                     "window": {"range": [-1, 1]}}}}}],
             df,
         )
+
+
+def test_trim_chars_option(spark):
+    df = spark.createDataFrame([("xxhixx",), ("  sp  ",)], "t STRING")
+    got = run(
+        [
+            {
+                "$project": {
+                    "b": {"$trim": {"input": "$t", "chars": "x"}},
+                    "l": {"$ltrim": {"input": "$t", "chars": "x"}},
+                    "r": {"$rtrim": {"input": "$t", "chars": "x"}},
+                    "ws": {"$trim": {"input": "$t"}},
+                }
+            }
+        ],
+        df,
+    ).collect()
+    rows = {r["ws"]: r for r in got}
+    assert rows["xxhixx"]["b"] == "hi"
+    assert rows["xxhixx"]["l"] == "hixx" and rows["xxhixx"]["r"] == "xxhi"
+    assert rows["sp"]["ws"] == "sp"
