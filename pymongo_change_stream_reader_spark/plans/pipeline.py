@@ -505,7 +505,22 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                 raise PipelineError(
                     "$sortArray supports scalar sortBy 1 / -1 only"
                 )
-            sorted_arr = F.array_sort(translate_expr(arg["input"], env))
+            # Mongo's BSON total order ranks null LOWEST (first asc,
+            # last desc); Spark's bare array_sort puts nulls last asc,
+            # so sort with an explicit nulls-lowest comparator instead.
+            def _bson_cmp(a: Column, b: Column) -> Column:
+                return (
+                    F.when(a.isNull() & b.isNull(), F.lit(0))
+                    .when(a.isNull(), F.lit(-1))
+                    .when(b.isNull(), F.lit(1))
+                    .when(a < b, F.lit(-1))
+                    .when(a > b, F.lit(1))
+                    .otherwise(F.lit(0))
+                )
+
+            sorted_arr = F.array_sort(
+                translate_expr(arg["input"], env), _bson_cmp
+            )
             return sorted_arr if by == 1 else F.reverse(sorted_arr)
         case "$firstN" | "$lastN" | "$minN" | "$maxN":
             n = arg.get("n")
@@ -989,7 +1004,10 @@ def _apply_group(df: DataFrame, spec: dict) -> DataFrame:
 
     key = spec["_id"]
     if key is None:
-        return df.agg(*aggs).select(F.lit(None).alias("_id"), "*")
+        # groupBy on a constant (not a global .agg) so an EMPTY input
+        # yields zero groups — Mongo emits no document at all for
+        # {_id: null} over an empty stream, never a default-value row.
+        return df.groupBy(F.lit(None).alias("_id")).agg(*aggs)
     if isinstance(key, dict) and not any(
         isinstance(k, str) and k.startswith("$") for k in key
     ):
@@ -1198,6 +1216,15 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             by = arg.get("by", 1)
             expr = translate_expr(arg["output"])
             default = arg.get("default")
+            # Mongo allows any constant expression as `default`; Spark's
+            # lead/lag take a literal.  Accept scalar literals only and
+            # fail loudly at translate time — an expression document
+            # passed through would silently become a wrong literal.
+            if not isinstance(default, (type(None), bool, int, float, str)):
+                raise PipelineError(
+                    "$shift default must be a scalar literal in this "
+                    f"engine, got {default!r}"
+                )
             shifted = (
                 F.lead(expr, by, default) if by >= 0 else F.lag(expr, -by, default)
             )
@@ -1275,9 +1302,14 @@ def _apply_graph_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
     missing = required - set(spec)
     if missing:
         raise PipelineError(f"$graphLookup missing {sorted(missing)!r}")
-    if "maxDepth" not in spec or not isinstance(spec["maxDepth"], int):
+    if (
+        "maxDepth" not in spec
+        or not isinstance(spec["maxDepth"], int)
+        or spec["maxDepth"] < 0
+    ):
         raise PipelineError(
-            "$graphLookup requires a literal integer maxDepth in this engine"
+            "$graphLookup requires a literal non-negative integer maxDepth "
+            "in this engine"
         )
     if spec["from"] not in tables:
         raise PipelineError(
@@ -1404,16 +1436,21 @@ def _apply_densify(df: DataFrame, spec: dict) -> DataFrame:
         if lo is None:
             return df
         lo_col, end = F.lit(lo), F.lit(hi)
+        upper_excl = None
     elif isinstance(bounds, list) and len(bounds) == 2:
         lo, hi = bounds
-        # Mongo's explicit bounds are end-exclusive
+        # Mongo's explicit bounds are end-exclusive: the spine is every
+        # lo + k*step strictly below hi.  Generate up to hi INCLUSIVE and
+        # filter < hi afterwards — subtracting one step from the sequence
+        # end (the old form) drops the last in-range value whenever
+        # (hi - lo) is not a multiple of step (e.g. [0,10) step 3 must
+        # yield 0,3,6,9 — not 0,3,6).
         if unit is not None:
-            lo_col = F.to_timestamp(F.lit(lo))
-            end = F.timestamp_add(
-                _DATE_UNITS[unit], F.lit(-step), F.to_timestamp(F.lit(hi))
-            )
+            lo_col, end = F.to_timestamp(F.lit(lo)), F.to_timestamp(F.lit(hi))
+            upper_excl = F.to_timestamp(F.lit(hi))
         else:
-            lo_col, end = F.lit(lo), F.lit(hi) - F.lit(step)
+            lo_col, end = F.lit(lo), F.lit(hi)
+            upper_excl = F.lit(hi)
     else:
         raise PipelineError('$densify bounds must be "full" or [lo, hi)')
     if unit is not None:
@@ -1432,6 +1469,8 @@ def _apply_densify(df: DataFrame, spec: dict) -> DataFrame:
     else:
         spine = df.sparkSession.range(1).select(spine_vals)
         join_cols = [field_name]
+    if upper_excl is not None:
+        spine = spine.where(F.col(field_name) < upper_excl)
     # Original documents all survive; the spine contributes only the
     # MISSING (partition, value) combinations as stub rows with every
     # other field null — Mongo's densify contract.
@@ -1544,7 +1583,8 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
         case "$count":
             if not isinstance(spec, str) or not spec:
                 raise PipelineError("$count requires an output field name")
-            return df.agg(F.count(F.lit(1)).alias(spec))
+            # Mongo emits NO document for an empty input (not {count: 0})
+            return df.agg(F.count(F.lit(1)).alias(spec)).where(F.col(spec) > 0)
         case "$sortByCount":
             return (
                 df.groupBy(translate_expr(spec).alias("_id"))

@@ -1130,3 +1130,137 @@ def test_trim_chars_option(spark):
     assert rows["xxhixx"]["b"] == "hi"
     assert rows["xxhixx"]["l"] == "hixx" and rows["xxhixx"]["r"] == "xxhi"
     assert rows["sp"]["ws"] == "sp"
+
+
+def test_densify_step_not_dividing_span(spark):
+    """Explicit [lo, hi) bounds with a step that does NOT divide the
+    span must still emit the last in-range spine value: [0, 10) step 3
+    yields 0,3,6,9 (Mongo), not 0,3,6 (the old end = hi - step form)."""
+    df = spark.createDataFrame([(0, "x")], "seq INT, tag STRING")
+    got = run(
+        [{"$densify": {"field": "seq", "range": {"step": 3, "bounds": [0, 10]}}}],
+        df,
+    )
+    assert sorted(r["seq"] for r in got.collect()) == [0, 3, 6, 9]
+    # aligned span is unchanged (hi itself stays excluded)
+    aligned = run(
+        [{"$densify": {"field": "seq", "range": {"step": 3, "bounds": [0, 9]}}}],
+        df,
+    )
+    assert sorted(r["seq"] for r in aligned.collect()) == [0, 3, 6]
+
+
+def test_densify_date_step_not_dividing_span(spark):
+    """Same off-by-step guard on the date-unit branch: a 2-day step over
+    a 5-day window [1st, 6th) emits the 1st, 3rd AND 5th."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)], "d STRING"
+    ).selectExpr("cast(d as timestamp) d")
+    got = run(
+        [
+            {
+                "$densify": {
+                    "field": "d",
+                    "range": {
+                        "step": 2,
+                        "unit": "day",
+                        "bounds": ["2024-01-01 00:00:00", "2024-01-06 00:00:00"],
+                    },
+                }
+            }
+        ],
+        df,
+    )
+    days = sorted(str(r["d"])[:10] for r in got.collect())
+    assert days == ["2024-01-01", "2024-01-03", "2024-01-05"]
+
+
+def test_graph_lookup_negative_max_depth(spark):
+    df = spark.createDataFrame([(1, 2)], "a INT, b INT")
+    with pytest.raises(PipelineError, match="maxDepth"):
+        run(
+            [{"$graphLookup": {"from": "p", "startWith": "$a",
+                               "connectFromField": "b", "connectToField": "a",
+                               "as": "chain", "maxDepth": -1}}],
+            df,
+        )
+
+
+def test_count_and_global_group_empty_input(spark):
+    """Mongo emits NO document from $count / {$group: {_id: null}} when
+    the input is empty — not a zero/default row."""
+    df = spark.createDataFrame([(1,)], "v INT").where("v > 99")
+    assert run([{"$count": "n"}], df).collect() == []
+    assert run(
+        [{"$group": {"_id": None, "total": {"$sum": "$v"}}}], df
+    ).collect() == []
+    # non-empty inputs still produce the single summary document
+    full = spark.createDataFrame([(1,), (2,)], "v INT")
+    assert run([{"$count": "n"}], full).collect()[0]["n"] == 2
+    g = run([{"$group": {"_id": None, "total": {"$sum": "$v"}}}], full).collect()
+    assert len(g) == 1 and g[0]["total"] == 3 and g[0]["_id"] is None
+
+
+def test_sort_array_null_placement(spark):
+    """BSON order ranks null lowest: ascending puts nulls FIRST,
+    descending puts them LAST (Spark's bare array_sort is the
+    opposite on the descending side)."""
+    df = spark.createDataFrame(
+        [([3, None, 1, None, 2],)], "arr ARRAY<INT>"
+    )
+    got = run(
+        [
+            {
+                "$project": {
+                    "asc": {"$sortArray": {"input": "$arr", "sortBy": 1}},
+                    "desc": {"$sortArray": {"input": "$arr", "sortBy": -1}},
+                }
+            }
+        ],
+        df,
+    ).collect()[0]
+    assert got["asc"] == [None, None, 1, 2, 3]
+    assert got["desc"] == [3, 2, 1, None, None]
+
+
+def test_shift_default_must_be_literal(spark):
+    df = spark.createDataFrame([("a", 1, 1.0), ("a", 2, 2.0)],
+                               "grp STRING, pos INT, v DOUBLE")
+    with pytest.raises(PipelineError, match=r"\$shift default"):
+        run(
+            [
+                {
+                    "$setWindowFields": {
+                        "partitionBy": "$grp",
+                        "sortBy": {"pos": 1},
+                        "output": {
+                            "nxt": {
+                                "$shift": {
+                                    "output": "$v",
+                                    "by": 1,
+                                    "default": {"$add": [1, 2]},
+                                }
+                            }
+                        },
+                    }
+                }
+            ],
+            df,
+        )
+    # scalar literal defaults still work
+    ok = run(
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$grp",
+                    "sortBy": {"pos": 1},
+                    "output": {
+                        "nxt": {"$shift": {"output": "$v", "by": 1,
+                                           "default": -1.0}}
+                    },
+                }
+            }
+        ],
+        df,
+    ).collect()
+    assert {r["pos"]: r["nxt"] for r in ok} == {1: 2.0, 2: -1.0}
