@@ -36,6 +36,10 @@ def main() -> None:
         producers_count=cfg.producers_count,
         commit_interval_s=float(cfg.commit_interval),
         checkpoint_dir=cfg.checkpoint_dir,
+        # pipeline stays None here: mongo_change_stream pushed it down
+        # server-side above.  Relays over non-pushdown sources (custom
+        # DataSource / Kafka / file) must set RelaySettings.pipeline so
+        # build_relay applies the translated pipeline (watch.py:79).
     )
     query = start_kafka_relay(
         events, relay, cfg.kafka_bootstrap_servers, create_topics=True

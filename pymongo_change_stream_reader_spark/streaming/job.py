@@ -41,6 +41,13 @@ class RelaySettings:
     producers_count: int = 0  # 0 = let the sink's key hashing partition
     commit_interval_s: float = 30.0  # trigger cadence (settings.py:60)
     checkpoint_dir: str = "/tmp/cdc-checkpoints"
+    # User aggregation pipeline (JSON, reference settings.py:85-90).
+    # The reference applies it to EVERY cursor it opens (watch.py:79);
+    # sources that cannot push it down server-side (the custom Python
+    # DataSource, Kafka re-reads, file sources) get it applied here by
+    # build_relay via the translator.  Leave None when the source
+    # already pushed it down (the Mongo connector path).
+    pipeline: str | None = None
 
     @property
     def checkpoint_location(self) -> str:
@@ -51,8 +58,21 @@ class RelaySettings:
 
 
 def build_relay(events: DataFrame, settings: RelaySettings) -> DataFrame:
-    """filter(A5) -> envelope+routing(A8/A9/A10). Works identically on
-    batch and streaming DataFrames (tests use both)."""
+    """user pipeline (when not pushed down) -> filter(A5) ->
+    envelope+routing(A8/A9/A10). Works identically on batch and
+    streaming DataFrames (tests use both).
+
+    The user pipeline runs FIRST, on the raw change events — the same
+    position it holds in the reference, where it is part of the change
+    stream cursor itself (watch.py:79) and therefore sees events before
+    any relay-side processing."""
+    if settings.pipeline:
+        from pymongo_change_stream_reader_spark.plans.pipeline import (
+            parse_pipeline,
+            translate_pipeline,
+        )
+
+        events = translate_pipeline(parse_pipeline(settings.pipeline))(events)
     data = filter_data_ops(events)
     if settings.producers_count > 0:
         from pymongo_change_stream_reader_spark.operators.cdc import partition_by_key

@@ -121,3 +121,58 @@ def test_partitioned_relay_streaming(spark, tmp_path):
     finally:
         q.stop()
     assert spark.sql("SELECT * FROM relay_part_out").count() == 7
+
+
+def test_relay_applies_user_pipeline(spark, tmp_path):
+    """The user PIPELINE (reference settings.py:85-90) must be applied
+    on sources that cannot push it down server-side, exactly as the
+    reference runs it on every cursor (watch.py:79): a $match filters
+    events before the relay, a $set reshapes them."""
+    import json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(FIXTURE, src / "batch0.json")
+    settings = RelaySettings(
+        stream_reader_name="e2e-pipe",
+        kafka_prefix="test",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        pipeline=json.dumps(
+            [
+                {"$match": {"operationType": "insert"}},
+                {"$set": {"fullDocument": "$documentKey"}},
+            ]
+        ),
+    )
+    q = start_memory_relay(
+        stream_change_events_json(spark, str(src)), settings, "relay_pipe_out"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM relay_pipe_out").collect()
+    # only the 4 inserts survive the $match
+    assert len(rows) == 4
+    assert all(r["value"].rsplit('"op": "', 1)[1][0] == "c" for r in rows)
+    # the $set reshapes: the envelope's "after" is now the documentKey
+    for r in rows:
+        after = r["value"].split('"after": ', 1)[1].rsplit(', "op"', 1)[0]
+        assert after == r["key"]
+
+
+def test_relay_pipeline_stays_streaming(spark, tmp_path):
+    """A $match/$project user pipeline keeps the relay plan
+    streaming-safe (binds to an unbounded source)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(FIXTURE, src / "b.json")
+    df = build_relay(
+        stream_change_events_json(spark, str(src)),
+        RelaySettings(
+            stream_reader_name="plan-pipe",
+            pipeline='[{"$match": {"ns.coll": "TestCollection"}}]',
+        ),
+    )
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["topic", "key", "value"]
