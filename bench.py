@@ -67,7 +67,10 @@ HEADLINE = (
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from pymongo_change_stream_reader_spark.queries import spark_queries
+    from pymongo_change_stream_reader_spark.queries import (
+        release_caches,
+        spark_queries,
+    )
     from pymongo_change_stream_reader_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
@@ -81,6 +84,9 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        # cache hygiene: each query's persists are part of ITS timing;
+        # nothing stays resident to distort later queries (PERF.md)
+        release_caches(spark)
 
     # streaming-relay throughput: events/s through the full
     # filter -> envelope -> kafka-record projection (the identical

@@ -93,3 +93,16 @@ def oracle_sqls() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None
     }
+
+
+def release_caches(spark: SparkSession) -> None:
+    """Drop every cached table/DataFrame in the session.
+
+    Several queries persist an intermediate (a CollapseProject barrier
+    or a multi-branch scan table); the query function cannot unpersist
+    it itself — the caller materializes the returned DataFrame AFTER
+    the function returns.  Harnesses that run many queries in one
+    session (bench.py, tools/driver_sim.py, the driver) call this
+    between queries so caches never accumulate across the run and
+    identical plans never re-persist ("already cached" warnings)."""
+    spark.catalog.clearCache()

@@ -111,11 +111,14 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # Materialize the per-language hit counts once: the argmax CASE
-    # references every score several times, and CollapseProject would
-    # otherwise inline the tokenization into each reference (~20x).
-    # tokenize once (persisted), then the 4 per-language counts scan
-    # the token array instead of re-splitting the text 4x
+    # CollapseProject hygiene WITHOUT leaked caches (the old form left
+    # two never-released persists resident for the session): tokenize
+    # once behind an EAGER persist barrier (released by the harness —
+    # see release_caches in queries/__init__), compute the 4 score
+    # columns once each, then put an AGGREGATE between the scores and
+    # the argmax CASE — projections don't collapse through a groupBy,
+    # so the ~12 score references in the CASE read plain ints instead
+    # of re-inlining the interpreted HOF filters (~3x; PERF.md).
     toksed = (
         d.repartition(spark.sparkContext.defaultParallelism)
         .select(
@@ -124,29 +127,36 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    toksed.count()  # eager: lazy persists race across scan branches
+
     def _in_words(words: tuple[str, ...]):
         # 1-arg closure: PySpark derives HOF arity from the signature
         return lambda t: t.isin(*words)
 
-    hits = toksed.select(
-        "label",
-        *[
-            F.size(F.filter(F.col("toks"), _in_words(tx.STOPWORDS[lang]))).alias(
-                f"s_{lang}"
-            )
-            for lang in tx.STOPWORDS
-        ],
-    ).persist()
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in tx.STOPWORDS])
+    score_cols = [f"s_{lang}" for lang in tx.STOPWORDS]
+    hits = (
+        toksed.select(
+            "label",
+            *[
+                F.size(
+                    F.filter(F.col("toks"), _in_words(tx.STOPWORDS[lang]))
+                ).alias(f"s_{lang}")
+                for lang in tx.STOPWORDS
+            ],
+        )
+        .groupBy("label", *score_cols)
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    best = F.greatest(*[F.col(c) for c in score_cols])
     predicted = F.lit("unknown")
     for lang in sorted(tx.STOPWORDS, reverse=True):
         predicted = F.when(
             (F.col(f"s_{lang}") > 0) & (F.col(f"s_{lang}") == best), lang
         ).otherwise(predicted)
     return (
-        hits.select("label", predicted.alias("predicted"))
+        hits.select("label", predicted.alias("predicted"), "m")
         .groupBy("label", "predicted")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("m").alias("n"))
         .orderBy("label", "predicted")
     )
 

@@ -19,6 +19,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 import __spark_entry__ as entrymod
+from pymongo_change_stream_reader_spark.queries import release_caches
 from pymongo_change_stream_reader_spark.session import get_spark
 from pymongo_change_stream_reader_spark.sources.tables import TABLES
 from tests.parity import compare
@@ -64,6 +65,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - report and continue
             status = f"ERROR {type(e).__name__}: {e}"
             n_fail += 1
+        release_caches(spark)  # no cache accumulation across 146 queries
         print(f"  {name:35s} {status[:120]:120s} {time.time() - t0:5.1f}s")
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only @ {sf_dir}")
