@@ -101,7 +101,7 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
         if name not in env:
             raise PipelineError(f"unbound variable {expr!r}")
         col = env[name]
-        return col.getField(path) if path else col
+        return _get_path(col, path) if path else col
     if isinstance(expr, str) and expr.startswith("$"):
         return F.col(expr[1:])
     if isinstance(expr, (int, float, bool)) or expr is None:
@@ -1560,12 +1560,13 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
         case "$redact":
             # Row-level $redact: the expression decides $$KEEP/$$PRUNE
             # for the whole document.  $$DESCEND recurses into
-            # subdocuments (per-field pruning) — not expressible as a
-            # row filter, so it is rejected rather than mistranslated.
+            # subdocuments per-field (schema-directed rebuild below).
             if _contains_descend(spec):
-                raise PipelineError("$redact $$DESCEND is not supported")
+                return _apply_redact_descend(df, spec)
             env = {"KEEP": F.lit("KEEP"), "PRUNE": F.lit("PRUNE")}
             return df.filter(translate_expr(spec, env) == "KEEP")
+        case "$sample":
+            return _apply_sample(df, spec)
         case "$group":
             return _apply_group(df, spec)
         case "$unwind":
@@ -1644,6 +1645,159 @@ def _contains_descend(spec: Any) -> bool:
     if isinstance(spec, list):
         return any(_contains_descend(v) for v in spec)
     return False
+
+
+def _apply_sample(df: DataFrame, spec: Any) -> DataFrame:
+    """$sample, re-expressed DETERMINISTICALLY (declared deviation:
+    Mongo's $sample draws a fresh random sample per run — reference
+    settings.py:69-76 just forwards it to mongod; a reproducible
+    engine wants the same sample every run and on every engine).
+
+    Documents are ranked by ``md5(seed || ':' || key)`` — uniform and
+    bit-identical across Spark and DuckDB — and the first ``size``
+    taken.  Extensions: ``by`` (an expression; defaults to ``$_id``)
+    picks the ranking key; ``seed`` reshuffles.
+
+    Scale: TakeOrdered top-n (per-partition heaps + driver merge of n
+    rows per partition), never a full sort."""
+    if (
+        not isinstance(spec, dict)
+        or not isinstance(spec.get("size"), int)
+        or isinstance(spec.get("size"), bool)
+        or spec["size"] < 0
+    ):
+        raise PipelineError("$sample requires {size: <non-negative int>}")
+    by = spec.get("by")
+    if by is None:
+        if "_id" not in df.columns:
+            raise PipelineError(
+                "$sample needs by: '$field' when the frame has no _id column"
+            )
+        by = "$_id"
+    seed = spec.get("seed", 0)
+    key = translate_expr(by)
+    rank = F.md5(
+        F.concat(F.lit(str(seed)), F.lit(":"), key.cast("string"))
+    )
+    # tie-break on the key itself so equal hashes cannot reorder
+    return df.orderBy(rank, key).limit(spec["size"])
+
+
+def _path_exists(dtype, path: str) -> bool:
+    """Does a dotted field path exist in this (struct) schema?"""
+    from pyspark.sql.types import StructType
+
+    cur = dtype
+    for part in path.split("."):
+        if not isinstance(cur, StructType) or part not in cur.fieldNames():
+            return False
+        cur = cur[part].dataType
+    return True
+
+
+def _rewrite_for_level(spec: Any, dtype) -> Any:
+    """Rewrite field references ``$a.b`` -> ``$$CURRENT.a.b`` so the
+    SAME $redact expression can be re-evaluated against every nesting
+    level (Mongo rebinds $$CURRENT per level).  A path that does not
+    exist at this level's (static) schema becomes a null literal —
+    Mongo's missing-field behavior, minus BSON's null-sorts-lowest
+    comparison order (declared deviation: SQL null semantics apply).
+    ``$$``-vars and ``$literal`` payloads pass through untouched."""
+    if isinstance(spec, str):
+        if spec.startswith("$$"):
+            return spec
+        if spec.startswith("$"):
+            path = spec[1:]
+            if _path_exists(dtype, path):
+                return "$$CURRENT." + path
+            return {"$literal": None}
+        return spec
+    if isinstance(spec, dict):
+        return {
+            k: (v if k == "$literal" else _rewrite_for_level(v, dtype))
+            for k, v in spec.items()
+        }
+    if isinstance(spec, list):
+        return [_rewrite_for_level(v, dtype) for v in spec]
+    return spec
+
+
+def _apply_redact_descend(df: DataFrame, spec: Any) -> DataFrame:
+    """$redact with $$DESCEND: schema-directed recursive rebuild.
+
+    Mongo re-evaluates the redact expression at every document level
+    with $$CURRENT bound to that level: $$KEEP keeps the subtree
+    as-is, $$PRUNE removes it, $$DESCEND keeps scalars and recurses
+    into embedded documents (including documents inside arrays).
+
+    Spark's schema is static, so two declared deviations:
+    - a pruned embedded document FIELD becomes NULL (a column cannot
+      be dropped per-row); pruned array ELEMENTS are truly removed;
+    - recursion follows the static schema: struct fields and
+      array-of-struct elements descend; deeper generic nestings
+      (array of array of struct) are kept as scalars.
+
+    Scale: pure column expressions over the existing row layout — no
+    shuffle, no UDF; the whole rebuild runs in the projection."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    root = F.struct(*[F.col(c).alias(c) for c in df.columns])
+    sysenv = {
+        "KEEP": F.lit("KEEP"),
+        "PRUNE": F.lit("PRUNE"),
+        "DESCEND": F.lit("DESCEND"),
+        "ROOT": root,
+    }
+
+    def decide(cur: Column, dtype) -> Column:
+        return translate_expr(
+            _rewrite_for_level(spec, dtype), {**sysenv, "CURRENT": cur}
+        )
+
+    def rebuild(col: Column, dtype: "StructType") -> Column:
+        dec = decide(col, dtype)
+        children = [
+            _child(col.getField(f.name), f.dataType).alias(f.name)
+            for f in dtype.fields
+        ]
+        return (
+            F.when(col.isNull(), F.lit(None).cast(dtype))
+            .when(dec == "KEEP", col)
+            .when(dec == "PRUNE", F.lit(None).cast(dtype))
+            .otherwise(F.struct(*children))
+        )
+
+    def _child(child: Column, dt) -> Column:
+        if isinstance(dt, StructType):
+            return rebuild(child, dt)
+        if isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType):
+            et = dt.elementType
+
+            def _elem(t):
+                # 1-arg closure: PySpark derives HOF arity from the
+                # signature, so the element type must be captured, not
+                # passed as a defaulted second parameter
+                return lambda x: rebuild(x, t)
+
+            return F.filter(
+                F.transform(child, _elem(et)), lambda x: x.isNotNull()
+            )
+        return child
+
+    dec0 = decide(root, df.schema)
+    projected = [
+        F.when(dec0 == "KEEP", F.col(f.name))
+        .otherwise(_child(F.col(f.name), f.dataType))
+        .alias(f.name)
+        if isinstance(f.dataType, (StructType,))
+        or (
+            isinstance(f.dataType, ArrayType)
+            and isinstance(f.dataType.elementType, StructType)
+        )
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.filter(dec0 != "PRUNE").select(*projected)
 
 
 def translate_pipeline(

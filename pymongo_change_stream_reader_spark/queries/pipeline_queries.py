@@ -990,3 +990,80 @@ def pipeline_group_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_sample",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE event_id < 5000
+    ORDER BY md5('7:' || CAST(event_id AS VARCHAR)), event_id
+    LIMIT 100
+    """,
+    doc="$sample (declared-deterministic deviation: seeded md5 rank + "
+    "top-n; Mongo's nondeterministic draw has no reproducible oracle). "
+    "Scale: TakeOrdered top-n, never a full sort.",
+    tags=("pipeline",),
+)
+def pipeline_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 5000}}},
+            {"$sample": {"size": 100, "by": "$event_id", "seed": 7}},
+            {"$project": {"event_id": 1, "event_type": 1}},
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_redact_descend",
+    oracle="""
+    SELECT doc_id,
+           doc_id % 7 AS level,
+           CASE WHEN doc_id % 5 < 3 THEN doc_id % 5 END AS sub_level,
+           CASE WHEN doc_id % 5 < 3 THEN n_chars END AS sub_secret
+    FROM documents
+    WHERE doc_id % 7 < 3
+    ORDER BY doc_id
+    """,
+    doc="$redact $$DESCEND: per-level re-evaluation — the root decides "
+    "document survival, each embedded document independently keeps or "
+    "prunes (pruned struct fields -> NULL, the static-schema declared "
+    "deviation).  Result flattened to scalars for the oracle hash.",
+    tags=("pipeline",),
+)
+def pipeline_redact_descend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$project": {
+                    "doc_id": 1,
+                    "level": {"$mod": ["$doc_id", 7]},
+                    "sub": {
+                        "level": {"$mod": ["$doc_id", 5]},
+                        "secret": "$n_chars",
+                    },
+                }
+            },
+            {
+                "$redact": {
+                    "$cond": [
+                        {"$lt": ["$level", 3]},
+                        "$$DESCEND",
+                        "$$PRUNE",
+                    ]
+                }
+            },
+            {
+                "$project": {
+                    "doc_id": 1,
+                    "level": 1,
+                    "sub_level": "$sub.level",
+                    "sub_secret": "$sub.secret",
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -114,8 +114,9 @@ def test_redact_keep_prune(docs):
         docs,
     )
     assert sorted(r["id"] for r in got.collect()) == [2, 3]
-    with pytest.raises(PipelineError):
-        run([{"$redact": {"$cond": [True, "$$DESCEND", "$$PRUNE"]}}], docs)
+    # $$DESCEND (supported since round 3): descend-everywhere keeps all
+    got2 = run([{"$redact": {"$cond": [True, "$$DESCEND", "$$PRUNE"]}}], docs)
+    assert got2.count() == 3
 
 
 def test_math_and_regex_ops(docs):
@@ -1264,3 +1265,116 @@ def test_shift_default_must_be_literal(spark):
         df,
     ).collect()
     assert {r["pos"]: r["nxt"] for r in ok} == {1: 2.0, 2: -1.0}
+
+
+def test_sample_deterministic(spark):
+    """$sample is a declared-deterministic deviation: seeded md5 rank,
+    stable across runs; size >= input returns everything."""
+    df = spark.createDataFrame([(i,) for i in range(50)], "_id INT")
+    got1 = [r["_id"] for r in run([{"$sample": {"size": 5, "seed": 7}}], df).collect()]
+    got2 = [r["_id"] for r in run([{"$sample": {"size": 5, "seed": 7}}], df).collect()]
+    assert len(got1) == 5 and got1 == got2
+    other = [r["_id"] for r in run([{"$sample": {"size": 5, "seed": 8}}], df).collect()]
+    assert set(other) != set(got1)  # a different seed reshuffles
+    assert run([{"$sample": {"size": 99}}], df).count() == 50
+    # explicit ranking key on a frame without _id
+    named = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    assert run([{"$sample": {"size": 1, "by": "$k"}}], named).count() == 1
+    with pytest.raises(PipelineError, match=r"\$sample"):
+        run([{"$sample": {"size": -1}}], df)
+    with pytest.raises(PipelineError, match="_id"):
+        run([{"$sample": {"size": 1}}], named)
+
+
+def test_redact_descend(spark):
+    """$$DESCEND re-evaluates the expression per level: prune-marked
+    embedded documents null out (static schema), prune-marked array
+    elements are removed, scalars survive."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, (0, 100), [(0, 10), (4, 20)]),
+            (2, 1, (4, 200), [(1, 30)]),
+            (9, 9, (0, 300), [(0, 40)]),  # top-level PRUNE
+        ],
+        "doc_id INT, level INT, sub STRUCT<level: INT, secret: INT>, "
+        "items ARRAY<STRUCT<level: INT, secret: INT>>",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in run(
+            [
+                {
+                    "$redact": {
+                        "$cond": [
+                            {"$lt": ["$level", 3]},
+                            "$$DESCEND",
+                            "$$PRUNE",
+                        ]
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    assert set(got) == {1, 2}  # doc 9 pruned at the root
+    assert got[1]["sub"] == (0, 100)  # descended, level 0 < 3 kept
+    assert got[2]["sub"] is None  # level 4 pruned -> NULL field
+    assert [tuple(x) for x in got[1]["items"]] == [(0, 10)]  # element removed
+    assert [tuple(x) for x in got[2]["items"]] == [(1, 30)]
+
+
+def test_redact_descend_missing_field_is_null(spark):
+    """A field referenced by the redact expression but absent at a
+    nesting level evaluates as null (Mongo's missing-field behavior):
+    here `flag` exists only at the root, so the $eq check holds only
+    there and the subdocument prunes."""
+    df = spark.createDataFrame(
+        [(1, True, (5,))],
+        "doc_id INT, flag BOOLEAN, sub STRUCT<x: INT>",
+    )
+    got = run(
+        [
+            {
+                "$redact": {
+                    "$cond": [
+                        {"$eq": ["$flag", True]},
+                        "$$DESCEND",
+                        "$$PRUNE",
+                    ]
+                }
+            }
+        ],
+        df,
+    ).collect()
+    assert len(got) == 1 and got[0]["sub"] is None
+
+
+def test_redact_keep_stops_recursion(spark):
+    """$$KEEP keeps the whole subtree even when deeper levels would
+    have pruned."""
+    df = spark.createDataFrame(
+        [(1, 0, (9, (9,)))],
+        "doc_id INT, level INT, sub STRUCT<level: INT, inner2: STRUCT<level: INT>>",
+    )
+    got = run(
+        [
+            {
+                "$redact": {
+                    "$cond": [
+                        {"$eq": ["$level", 0]},
+                        "$$DESCEND",
+                        {
+                            "$cond": [
+                                {"$eq": ["$level", 9]},
+                                "$$KEEP",
+                                "$$PRUNE",
+                            ]
+                        },
+                    ]
+                }
+            }
+        ],
+        df,
+    ).collect()
+    # root descends; sub.level==9 -> KEEP: inner2 survives untouched
+    assert got[0]["sub"] == (9, (9,))
