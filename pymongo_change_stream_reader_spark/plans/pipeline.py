@@ -1828,8 +1828,7 @@ def translate_pipeline(
                         f"$out {target!r}: pass the path via "
                         "translate_pipeline(..., sinks={name: path})"
                     )
-                df.write.mode("overwrite").parquet(sinks[target])
-                return df.sparkSession.read.parquet(sinks[target])
+                return _versioned_commit(df, sinks[target])
             if "$merge" in stage:
                 return _apply_merge(df, stage["$merge"], sinks)
             df = _apply_stage(df, stage, tables)
@@ -1838,15 +1837,77 @@ def translate_pipeline(
     return apply
 
 
+def read_versioned_sink(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read the CURRENT committed version of a versioned parquet sink
+    (see _versioned_commit), or None when the sink does not exist.
+    Legacy plain-parquet directories (no ``_manifest``) read as-is."""
+    import os
+
+    manifest = os.path.join(path, "_manifest")
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            return spark.read.parquet(os.path.join(path, fh.read().strip()))
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    return None
+
+
+def _versioned_commit(df: DataFrame, path: str) -> DataFrame:
+    """Materialize ``df`` as the sink's next version and atomically
+    swap the manifest pointer — the local-FS analog of a lakehouse
+    table format's commit protocol:
+
+    1. write ``path/v-NNNNNN`` (a crash here leaves the previous
+       version LIVE and the half-written dir inert);
+    2. ``os.replace`` a temp manifest over ``path/_manifest`` — the
+       POSIX-atomic commit point;
+    3. only then garbage-collect superseded version dirs (a crash
+       during GC cannot affect the committed version).
+
+    Unlike ``write.mode("overwrite")`` / rmtree+rename, no failure
+    mode destroys the previous committed data, and a $merge reading
+    the current version while writing the next never races its own
+    scan.  On a real deployment this maps onto Delta/Iceberg commits;
+    the layout here keeps the same crash contract without a table
+    format on the classpath."""
+    import os
+    import shutil
+
+    os.makedirs(path, exist_ok=True)
+    versions = sorted(
+        d for d in os.listdir(path)
+        if d.startswith("v-") and os.path.isdir(os.path.join(path, d))
+    )
+    n = int(versions[-1][2:]) + 1 if versions else 1
+    vdir = f"v-{n:06d}"
+    df.write.mode("overwrite").parquet(os.path.join(path, vdir))
+    tmp = os.path.join(path, "_manifest.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(vdir)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, "_manifest"))
+    # post-commit GC: superseded versions, crash leftovers, and legacy
+    # plain-parquet files all go; only the committed version + manifest
+    # remain.  A crash anywhere in GC leaves the commit intact.
+    for entry in os.listdir(path):
+        if entry in (vdir, "_manifest"):
+            continue
+        full = os.path.join(path, entry)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            os.unlink(full)
+    return df.sparkSession.read.parquet(os.path.join(path, vdir))
+
+
 def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
     """$merge -> upsert into a parquet target keyed by ``on``:
     whenMatched replace/keepExisting, whenNotMatched insert/discard
     (field-level merge and pipeline forms are rejected).  The merged
-    result is materialized to a temp directory and swapped in (the
-    local-FS analog of a transactional table swap; a lakehouse table
-    format would commit this atomically)."""
-    import shutil
-    import os
+    result is committed through the versioned-manifest protocol
+    (_versioned_commit): a failed write can never destroy the
+    previously committed target."""
 
     if isinstance(spec, str):
         spec = {"into": spec}
@@ -1869,8 +1930,8 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
         )
     path = sinks[target]
     spark = df.sparkSession
-    if os.path.exists(path):
-        old = spark.read.parquet(path)
+    old = read_versioned_sink(spark, path)
+    if old is not None:
         if when_matched == "replace":
             kept_old = old.join(df.select(on).distinct(), on, "left_anti")
             new_side = (
@@ -1888,9 +1949,4 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
         merged = kept_old.unionByName(new_side, allowMissingColumns=True)
     else:
         merged = df if when_not_matched == "insert" else df.limit(0)
-    tmp = path.rstrip("/") + "__merge_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
-    return spark.read.parquet(path)
+    return _versioned_commit(merged, path)

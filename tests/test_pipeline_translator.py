@@ -9,6 +9,7 @@ import pytest
 from pymongo_change_stream_reader_spark.plans.pipeline import (
     PipelineError,
     parse_pipeline,
+    read_versioned_sink,
     translate_pipeline,
 )
 
@@ -947,12 +948,14 @@ def test_out_stage(spark, docs, tmp_path):
         sinks={"dest": path},
     )(docs)
     assert sorted(r["id"] for r in got.collect()) == [2, 3]
-    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == [2, 3]
+    assert sorted(
+        r["id"] for r in read_versioned_sink(spark, path).collect()
+    ) == [2, 3]
     # second run REPLACES (Mongo $out semantics), not appends
     translate_pipeline(
         [{"$match": {"id": 1}}, {"$out": "dest"}], sinks={"dest": path}
     )(docs)
-    assert [r["id"] for r in spark.read.parquet(path).collect()] == [1]
+    assert [r["id"] for r in read_versioned_sink(spark, path).collect()] == [1]
     with pytest.raises(PipelineError):
         translate_pipeline([{"$out": "dest"}, {"$match": {}}], sinks={"dest": path})
     with pytest.raises(PipelineError):
@@ -1033,7 +1036,10 @@ def test_merge_stage_upsert(spark, tmp_path):
     rows = {r["_id"]: r["val"] for r in got.collect()}
     assert rows == {1: "old1", 2: "NEW2", 3: "NEW3"}
     # persisted: re-read shows the merged state
-    assert {r["_id"]: r["val"] for r in spark.read.parquet(path).collect()} == rows
+    assert {
+        r["_id"]: r["val"]
+        for r in read_versioned_sink(spark, path).collect()
+    } == rows
 
     # keepExisting + discard leaves the target unchanged
     incoming2 = spark.createDataFrame([(3, "XXX"), (4, "YYY")], "_id INT, val STRING")
@@ -1378,3 +1384,55 @@ def test_redact_keep_stops_recursion(spark):
     ).collect()
     # root descends; sub.level==9 -> KEEP: inner2 survives untouched
     assert got[0]["sub"] == (9, (9,))
+
+
+def test_out_merge_crash_leaves_previous_version(spark, tmp_path):
+    """The versioned-manifest commit contract: a write that dies
+    mid-materialization (here: an executor-side exception while the
+    new version is being written) leaves the PREVIOUS committed
+    version fully readable — unlike overwrite/rmtree+rename, which
+    destroy the target before the new data is safe."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    path = str(tmp_path / "vt")
+    base = spark.createDataFrame([(1, "ok1"), (2, "ok2")], "_id INT, val STRING")
+    translate_pipeline([{"$out": "t"}], sinks={"t": path})(base)
+    assert {
+        r["_id"]: r["val"] for r in read_versioned_sink(spark, path).collect()
+    } == {1: "ok1", 2: "ok2"}
+
+    def boom(v):
+        raise RuntimeError("injected mid-write crash")
+
+    bomb = base.withColumn("val", F.udf(boom, IntegerType())("_id"))
+    with pytest.raises(Exception):
+        translate_pipeline([{"$out": "t"}], sinks={"t": path})(bomb)
+    # the failed commit is invisible: previous version intact
+    assert {
+        r["_id"]: r["val"] for r in read_versioned_sink(spark, path).collect()
+    } == {1: "ok1", 2: "ok2"}
+
+    # same for $merge: a crashed upsert leaves the target untouched...
+    incoming = spark.createDataFrame([(2, "NEW")], "_id INT, val STRING")
+    bomb2 = incoming.withColumn("val", F.udf(boom, IntegerType())("_id"))
+    with pytest.raises(Exception):
+        translate_pipeline(
+            [{"$merge": {"into": "t", "on": "_id"}}], sinks={"t": path}
+        )(bomb2)
+    assert {
+        r["_id"]: r["val"] for r in read_versioned_sink(spark, path).collect()
+    } == {1: "ok1", 2: "ok2"}
+
+    # ...and the NEXT commit succeeds and GCs the crash leftovers
+    translate_pipeline(
+        [{"$merge": {"into": "t", "on": "_id"}}], sinks={"t": path}
+    )(incoming)
+    assert {
+        r["_id"]: r["val"] for r in read_versioned_sink(spark, path).collect()
+    } == {1: "ok1", 2: "NEW"}
+    import os
+
+    entries = set(os.listdir(path))
+    assert "_manifest" in entries
+    assert len([e for e in entries if e.startswith("v-")]) == 1
