@@ -317,3 +317,100 @@ def test_streaming_near_dup_flags(spark, tmp_path):
     }
     assert (100, 1) in got
     assert all(sd != 101 for sd, _ in got)
+
+
+def test_parquet_demux_exactly_once_replay(spark, tmp_path):
+    """Replayed epochs (same epoch_id) must not double-write: the
+    atomic epoch-dir rename is both commit point and replay marker."""
+    from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
+        foreach_batch_parquet_demux,
+        read_parquet_demux,
+    )
+
+    out = str(tmp_path / "demux")
+    batch = spark.createDataFrame(
+        [("t.a", "k1", "v1"), ("t.b", "k2", "v2")],
+        "topic STRING, key STRING, value STRING",
+    )
+    write = foreach_batch_parquet_demux(out)
+    write(batch, 0)
+    write(batch, 0)  # injected replay of the SAME epoch
+    got = read_parquet_demux(spark, out)
+    assert got.count() == 2  # not 4
+    write(batch, 1)  # a NEW epoch appends
+    assert read_parquet_demux(spark, out).count() == 4
+    assert {r["topic"] for r in got.collect()} == {"t.a", "t.b"}
+
+
+def test_kafka_epoch_guard_skips_replay(tmp_path, spark):
+    """The Kafka foreachBatch path consults the durable epoch log
+    before producing: a marked epoch returns without touching the
+    (absent) broker, an unmarked one attempts the produce and fails —
+    proving the guard is what suppressed the write."""
+    import pytest as _pytest
+
+    from pymongo_change_stream_reader_spark.streaming.job import RelaySettings
+    from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
+        _commit_epoch,
+        foreach_batch_kafka_with_topics,
+    )
+
+    settings = RelaySettings(
+        stream_reader_name="eo-guard", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    import os
+
+    marker_dir = os.path.join(settings.checkpoint_location, "epoch_log")
+    _commit_epoch(marker_dir, 7)
+    batch = spark.createDataFrame(
+        [("t.a", "k", "v")], "topic STRING, key STRING, value STRING"
+    )
+    write = foreach_batch_kafka_with_topics("localhost:1", settings)
+    write(batch, 7)  # committed epoch: skipped, no broker needed
+    with _pytest.raises(Exception):
+        write(batch, 8)  # uncommitted epoch: tries to produce, no broker
+
+
+def test_demux_restart_replay_no_duplicates(spark, tmp_path):
+    """End-to-end injected replay: run the relay through the demux
+    sink, then WIPE the checkpoint (forcing the file source to replay
+    every batch from scratch) and run again into the same output —
+    the epoch markers absorb the replay, zero duplicate rows."""
+    import shutil as _shutil
+
+    from pymongo_change_stream_reader_spark.sources.change_events import (
+        stream_change_events_json,
+    )
+    from pymongo_change_stream_reader_spark.streaming.job import (
+        RelaySettings,
+        build_relay,
+    )
+    from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
+        foreach_batch_parquet_demux,
+        read_parquet_demux,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _shutil.copy("tests/fixtures/change_events.jsonl", src / "batch0.json")
+    out = str(tmp_path / "demux")
+    ckpt = str(tmp_path / "ckpt")
+    settings = RelaySettings(stream_reader_name="eo-e2e", kafka_prefix="test")
+
+    def run_once():
+        q = (
+            build_relay(stream_change_events_json(spark, str(src)), settings)
+            .writeStream.foreachBatch(foreach_batch_parquet_demux(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    assert read_parquet_demux(spark, out).count() == 7
+    _shutil.rmtree(ckpt)  # injected failure: all source progress lost
+    run_once()  # every epoch re-delivered with the same epoch ids
+    assert read_parquet_demux(spark, out).count() == 7
