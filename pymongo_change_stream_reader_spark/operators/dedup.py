@@ -21,7 +21,7 @@ signatures are deterministic across runs and partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pymongo_change_stream_reader_spark.operators.text import fingerprint, tokens
@@ -556,3 +556,73 @@ def connected_components(
     return labels.union(
         singletons.select("v", F.col("v").alias("component"))
     ).select(F.col("v").alias(id_col), "component")
+
+
+# ---------------------------------------------------------------------------
+# Persisted LSH index maintenance (the append-path contract at 100 TB:
+# the corpus band index lives in storage; each ingest batch queries it,
+# then appends its own bands — cost scales with the batch, never the
+# corpus).  Signatures are plan/session-stable (see _seeded_hash), so
+# an index written yesterday matches sketches computed today.
+# ---------------------------------------------------------------------------
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> None:
+    """Materialize the corpus (doc, band, bucket) table to parquet,
+    partitioned by band: an incremental probe joins on (band, bucket),
+    so partition pruning reads only the probed band directories and
+    parquet min/max stats skip bucket ranges within them."""
+    lsh_band_table(df, text_col, id_col, num_hashes, bands, n).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(path)
+
+
+def append_lsh_index(
+    df_new: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> None:
+    """Fold an ingested batch into the stored index (mode=append adds
+    new files under the same band partitions — no rewrite of existing
+    index data; compaction is a storage-side concern, as with any
+    log-structured table)."""
+    lsh_band_table(df_new, text_col, id_col, num_hashes, bands, n).write.mode(
+        "append"
+    ).partitionBy("band").parquet(path)
+
+
+def read_lsh_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def query_lsh_index(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate (new_id, corpus_id) pairs for an arriving batch vs
+    the stored index: the batch computes its sketches in one narrow
+    projection and equi-joins index buckets on (band, bucket) — the
+    batch side is tiny, so Spark broadcasts it and the index scan
+    prunes to the collided partitions."""
+    probe = lsh_band_table(batch, text_col, id_col, num_hashes, bands, n)
+    return (
+        probe.withColumnRenamed("doc", "new_id")
+        .join(index.withColumnRenamed("doc", "corpus_id"), ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )

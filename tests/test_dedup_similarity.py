@@ -401,3 +401,53 @@ def test_resize_payload_golden(spark):
     assert bytes(got[2]["resized"]) == b"xxyy"  # upsample repeats
     assert bytes(got[3]["resized"]) == b"\x00" * 4
     assert all(len(bytes(r["resized"])) == 4 for r in got.values())
+
+
+def test_persisted_lsh_index_two_batches(spark, tmp_path):
+    """The append-path contract, driven through STORAGE: batch 1
+    probes the on-disk corpus index and is folded in; batch 2 then
+    collides with batch-1 docs via the stored index alone.  The
+    stored bands are byte-identical to a freshly computed band table
+    (the plan/session-stability contract of _seeded_hash), so an
+    index written in one session serves every later one."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        append_lsh_index,
+        lsh_band_table,
+        query_lsh_index,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch1 = docs.filter(F.col("doc_id") % 3 == 1)
+    batch2 = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "lsh_index")
+
+    write_lsh_index(corpus, path, "text", "doc_id")
+    # stored == freshly computed, row for row (byte-stable signatures)
+    stored = sorted(
+        map(tuple, read_lsh_index(spark, path).select("doc", "band", "bucket").collect())
+    )
+    fresh = sorted(
+        map(tuple, lsh_band_table(corpus, "text", "doc_id").collect())
+    )
+    assert stored == fresh and len(stored) > 0
+
+    cand1 = query_lsh_index(batch1, read_lsh_index(spark, path), "text", "doc_id")
+    ids1 = {r["corpus_id"] for r in cand1.collect()}
+    assert ids1 <= {r["doc_id"] for r in corpus.collect()}  # corpus-only
+
+    append_lsh_index(batch1, path, "text", "doc_id")
+    # round 2 sees batch-1 docs through the STORED index
+    cand2 = query_lsh_index(batch2, read_lsh_index(spark, path), "text", "doc_id")
+    ids2 = {r["corpus_id"] for r in cand2.collect()}
+    b1_ids = {r["doc_id"] for r in batch1.collect()}
+    assert ids2 & b1_ids, "appended batch must be probe-visible"
+    # and the index is exactly corpus+batch1 bands after the append
+    n_after = read_lsh_index(spark, path).count()
+    n_expect = (
+        lsh_band_table(corpus, "text", "doc_id").count()
+        + lsh_band_table(batch1, "text", "doc_id").count()
+    )
+    assert n_after == n_expect
