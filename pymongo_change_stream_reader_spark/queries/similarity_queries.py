@@ -151,3 +151,29 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_peak"),
         F.round(err / F.size("v"), 10).alias("mse"),
     ).orderBy("vec_id")
+
+
+@query(
+    "ann_ivf_index",
+    oracle=None,  # approximate (cell pruning); equality to in-memory IVF + explain-verified pruning in pytest
+    doc="IVF ANN against a STORED cell-partitioned index: corpus "
+    "written once partitioned by cell, the query batch's probed cells "
+    "become a static partition predicate (PartitionFilters prunes "
+    "non-probed directories) — the repeat-query-batch serving path; "
+    "results identical to the in-memory IVF with the same training.",
+    tags=("similarity", "approx"),
+)
+def ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = f"{tempfile.gettempdir()}/spark_ivf_index_{safe}"
+    write_ivf_index(emb, path, nlist=16, train_iters=2)
+    return ivf_topk_from_index(spark, path, queries, k=10, nprobe=4)

@@ -451,3 +451,36 @@ def test_persisted_lsh_index_two_batches(spark, tmp_path):
         + lsh_band_table(batch1, "text", "doc_id").count()
     )
     assert n_after == n_expect
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The stored IVF index delivers its scale contract: the probe's
+    cell predicate lands in PartitionFilters (non-probed cell dirs are
+    never scanned) and results are IDENTICAL to the in-memory IVF path
+    with the same deterministic training."""
+    import os
+
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    queries = emb.filter(F.col("vec_id") % 10 == 0).limit(5)
+    path = str(tmp_path / "ivf")
+
+    write_ivf_index(corpus, path, nlist=8, train_iters=1)
+    assert {d for d in os.listdir(path) if d.startswith("cell=")}  # partitioned
+
+    got = ivf_topk_from_index(spark, path, queries, k=5, nprobe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in pf, f"cell predicate missing from PartitionFilters: {pf}"
+
+    # recall unchanged: identical rows to the in-memory path (same
+    # deterministic training -> same centroids -> same probes)
+    mem = ivf_topk(corpus, queries, k=5, nlist=8, nprobe=2, train_iters=1)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, mem.collect()))
