@@ -23,20 +23,35 @@ STOPWORDS = {
 }
 
 
-def tokens(text: Column) -> Column:
-    """Whitespace tokenization (empty strings removed)."""
-    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+# Word-character classes: the ASCII forms are the oracle-parity
+# default (DuckDB's RE2 renders them identically); the unicode forms
+# use JVM \p{L}/\p{N} properties so CJK ideographs, accented Latin,
+# Cyrillic etc. count as word characters — real pretraining corpora
+# are not ASCII.  Same plan shape either way: pure JVM regex, no UDF.
+_NONWORD_ASCII = "[^A-Za-z0-9]"
+_NONWORD_UNICODE = r"[^\p{L}\p{N}]"
 
 
-def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+def tokens(text: Column, unicode: bool = False) -> Column:
+    """Whitespace tokenization (empty strings removed).  ``unicode``
+    switches \s to the unicode whitespace property (NBSP, ideographic
+    space, ...)."""
+    ws = r"(?U)\s+" if unicode else r"\s+"
+    return F.filter(F.split(F.trim(text), ws), lambda t: t != "")
 
 
-def bpe_ish_token_count(text: Column) -> Column:
+def token_count(text: Column, unicode: bool = False) -> Column:
+    return F.size(tokens(text, unicode))
+
+
+def bpe_ish_token_count(text: Column, unicode: bool = False) -> Column:
     """Sub-word-ish token proxy: word-boundary pieces + digits +
-    punctuation, the standard pre-tokenizer regex shape."""
+    punctuation, the standard pre-tokenizer regex shape.  In unicode
+    mode an accented or CJK word stays ONE piece instead of splitting
+    at every non-ASCII codepoint."""
+    nonword = _NONWORD_UNICODE if unicode else _NONWORD_ASCII
     pieces = F.filter(
-        F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+        F.split(text, f"(?={nonword})|(?<={nonword})"),
         lambda t: (t != "") & (t != " "),
     )
     return F.size(pieces)
@@ -51,8 +66,12 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     return stopword_hits(text, lang) / F.greatest(token_count(text), F.lit(1))
 
 
-def punct_ratio(text: Column) -> Column:
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"([!-/:-@\[-`{-~])"), 1))
+def punct_ratio(text: Column, unicode: bool = False) -> Column:
+    """ASCII: the printable-punctuation ranges (oracle-reproducible in
+    RE2).  Unicode: the \p{P} punctuation + \p{S} symbol properties
+    (guillemets, CJK fullwidth stops, dashes, ...)."""
+    pattern = r"([\p{P}\p{S}])" if unicode else r"([!-/:-@\[-`{-~])"
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(pattern), 1))
     return n_punct / F.greatest(F.length(text), F.lit(1))
 
 

@@ -344,3 +344,25 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_unicode_stats",
+    oracle=None,  # JVM \p{L}/\p{N}/(?U)\s classes are not bit-reproducible
+    # in DuckDB's RE2 (no lookarounds, (?U) means ungreedy there);
+    # semantics pinned on CJK/accented fixtures in test_text_unicode.py
+    doc="Unicode-mode token/piece/punctuation stats (\\p{L}\\p{N} word "
+    "classes, unicode whitespace): the variant a non-ASCII pretraining "
+    "corpus needs — CJK ideographs and accented words count as word "
+    "characters instead of fracturing per codepoint.",
+    tags=("text",),
+)
+def text_unicode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        tx.token_count(t, unicode=True).alias("n_tokens"),
+        tx.bpe_ish_token_count(t, unicode=True).alias("n_pieces"),
+        F.round(tx.punct_ratio(t, unicode=True), 6).alias("punct_ratio"),
+    ).orderBy("doc_id")

@@ -1,0 +1,60 @@
+"""Unicode-mode text operators over non-Latin fixtures (CJK, accented
+Latin, Cyrillic, unicode whitespace/punctuation).  The ASCII forms
+remain the oracle-parity default; these tests pin the unicode variants'
+behavior where the ASCII classes misread real corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import pymongo_change_stream_reader_spark.operators.text as tx
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "t STRING").select(
+        col.alias("v")
+    ).collect()[0]["v"]
+
+
+def test_bpe_pieces_accented(spark):
+    t = F.col("t")
+    # ASCII mode fractures every accented codepoint: caf|é na|ï|ve
+    assert _one(spark, "café naïve", tx.bpe_ish_token_count(t)) == 5
+    # unicode mode keeps each word whole
+    assert _one(spark, "café naïve", tx.bpe_ish_token_count(t, unicode=True)) == 2
+
+
+def test_bpe_pieces_cjk_and_cyrillic(spark):
+    t = F.col("t")
+    # every CJK ideograph is non-word in ASCII -> one piece per char
+    assert _one(spark, "你好 世界", tx.bpe_ish_token_count(t)) == 4
+    assert _one(spark, "你好 世界", tx.bpe_ish_token_count(t, unicode=True)) == 2
+    assert _one(spark, "мир труд", tx.bpe_ish_token_count(t, unicode=True)) == 2
+    # ASCII/unicode agree on pure-ASCII input (oracle-parity contract)
+    for s in ("hello, world 42", "a.b.c"):
+        assert _one(spark, s, tx.bpe_ish_token_count(t)) == _one(
+            spark, s, tx.bpe_ish_token_count(t, unicode=True)
+        )
+
+
+def test_tokens_unicode_whitespace(spark):
+    t = F.col("t")
+    nbsp = "hello world"  # NBSP: unicode whitespace, not ASCII \s
+    assert _one(spark, nbsp, tx.token_count(t)) == 1
+    assert _one(spark, nbsp, tx.token_count(t, unicode=True)) == 2
+    ideographic = "你好　世界"  # U+3000 ideographic space
+    assert _one(spark, ideographic, tx.token_count(t, unicode=True)) == 2
+
+
+def test_punct_ratio_unicode(spark):
+    t = F.col("t")
+    s = "«hola»。"
+    # ASCII ranges see none of guillemets / CJK fullwidth stop
+    assert _one(spark, s, tx.punct_ratio(t)) == 0.0
+    got = _one(spark, s, tx.punct_ratio(t, unicode=True))
+    assert abs(got - 3 / len(s)) < 1e-9
+    # ASCII text scores identically in both modes
+    s2 = "a,b.c!"
+    assert _one(spark, s2, tx.punct_ratio(t)) == _one(
+        spark, s2, tx.punct_ratio(t, unicode=True)
+    )
