@@ -366,6 +366,111 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             return F.log(tx(0))
         case "$log10":
             return F.log10(tx(0))
+        case "$log":
+            # Mongo $log: [number, base]
+            return F.log(tx(0)) / F.log(tx(1))
+        case "$sin" | "$cos" | "$tan" | "$asin" | "$acos" | "$atan" | \
+                "$sinh" | "$cosh" | "$tanh" | "$asinh" | "$acosh" | "$atanh":
+            return getattr(F, op[1:])(tx(0))
+        case "$atan2":
+            return F.atan2(tx(0), tx(1))
+        case "$degreesToRadians":
+            return F.radians(tx(0))
+        case "$radiansToDegrees":
+            return F.degrees(tx(0))
+        case "$bitAnd":
+            out = tx(0)
+            for i in range(1, len(args)):
+                out = out.bitwiseAND(tx(i))
+            return out
+        case "$bitOr":
+            out = tx(0)
+            for i in range(1, len(args)):
+                out = out.bitwiseOR(tx(i))
+            return out
+        case "$bitXor":
+            out = tx(0)
+            for i in range(1, len(args)):
+                out = out.bitwiseXOR(tx(i))
+            return out
+        case "$bitNot":
+            return F.bitwise_not(tx(0))
+        case "$strcasecmp":
+            a, b = F.lower(tx(0)), F.lower(tx(1))
+            return (
+                F.when(a < b, F.lit(-1)).when(a > b, F.lit(1)).otherwise(F.lit(0))
+            )
+        case "$replaceAll":
+            find = arg.get("find")
+            if not isinstance(find, str):
+                raise PipelineError("$replaceAll requires a literal find string")
+            return F.regexp_replace(
+                translate_expr(arg["input"], env),
+                re.escape(find),
+                translate_expr(arg["replacement"], env),
+            )
+        case "$replaceOne":
+            find = arg.get("find")
+            if not isinstance(find, str):
+                raise PipelineError("$replaceOne requires a literal find string")
+            inp = translate_expr(arg["input"], env)
+            rep = translate_expr(arg["replacement"], env)
+            pos = F.instr(inp, find)  # 1-based, 0 = not found
+            return F.when(pos == 0, inp).otherwise(
+                F.concat(
+                    F.substring(inp, F.lit(1), pos - 1),
+                    rep,
+                    F.substr(inp, pos + len(find)),
+                )
+            )
+        case "$setIsSubset":
+            return F.size(F.array_except(F.array_distinct(tx(0)), tx(1))) == 0
+        case "$setEquals":
+            first_set = F.array_distinct(tx(0))
+            out = F.lit(True)
+            for i in range(1, len(args)):
+                cur = F.array_distinct(tx(i))
+                out = (
+                    out
+                    & (F.size(F.array_except(first_set, cur)) == 0)
+                    & (F.size(F.array_except(cur, first_set)) == 0)
+                )
+            return out
+        case "$anyElementTrue" | "$allElementsTrue":
+            # Mongo truthiness: false/null/0 are falsy, everything else
+            # truthy.  Supported element types here: boolean / numeric
+            # (strings would need Mongo's always-truthy rule, which a
+            # boolean cast cannot express — declared narrower).
+            arr = tx(0)
+            truthy = lambda x: F.coalesce(x.cast("boolean"), F.lit(False))  # noqa: E731
+            return (
+                F.exists(arr, truthy)
+                if op == "$anyElementTrue"
+                else F.forall(arr, truthy)
+            )
+        case "$isoWeekYear":
+            # ISO week-numbering year = calendar year of the Thursday
+            # in the date's ISO week (weeks run Mon..Sun).
+            d = tx(0)
+            iso_dow = ((F.dayofweek(d) + F.lit(5)) % 7) + 1
+            return F.year(F.date_add(d, F.lit(4) - iso_dow))
+        case "$dateToParts":
+            if not isinstance(arg, dict) or "date" not in arg:
+                raise PipelineError("$dateToParts requires {date: <expr>}")
+            if arg.get("iso8601"):
+                raise PipelineError("$dateToParts iso8601 form is not supported")
+            d = translate_expr(arg["date"], env)
+            return F.struct(
+                F.year(d).alias("year"),
+                F.month(d).alias("month"),
+                F.dayofmonth(d).alias("day"),
+                F.hour(d).alias("hour"),
+                F.minute(d).alias("minute"),
+                F.second(d).alias("second"),
+                (F.unix_micros(d) % 1_000_000 / 1000).cast("int").alias(
+                    "millisecond"
+                ),
+            )
         case "$trunc":
             place = args[1] if len(args) > 1 else 0
             if not isinstance(place, int) or place < 0:
@@ -383,6 +488,11 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             return F.array_max(tx(0))
         case "$min" if len(args) == 1:
             return F.array_min(tx(0))
+        case "$max":
+            # multi-arg form: max of the operands, nulls ignored
+            return F.greatest(*[translate_expr(a, env) for a in args])
+        case "$min":
+            return F.least(*[translate_expr(a, env) for a in args])
         case "$toDecimal":
             return tx(0).cast("decimal(38,10)")
         case "$isArray":

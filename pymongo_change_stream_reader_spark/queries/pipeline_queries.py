@@ -1067,3 +1067,67 @@ def pipeline_redact_descend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "pipeline_expr_mathops",
+    oracle="""
+    SELECT event_id,
+           ROUND(sin(value / 100.0), 6)                        AS s,
+           ROUND(atan2(value, 100.0), 6)                       AS at2,
+           ROUND(ln(greatest(value, 1.0)) / ln(2), 6)          AS lg2,
+           event_id & 255                                      AS band,
+           event_id | 7                                        AS bor,
+           xor(event_id, 255)                                  AS bxor,
+           replace(event_type, 'c', 'K')                       AS rep,
+           CASE WHEN lower(event_type) < lower('ERROR') THEN -1
+                WHEN lower(event_type) > lower('ERROR') THEN 1
+                ELSE 0 END                                     AS casecmp,
+           isoyear(ts)                                         AS iwy,
+           list_has_all(range(0, (event_id % 5) + 1), range(0, 3)) AS subset3
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+    doc="Round-3 expression surface: trig ($sin/$atan2), arbitrary-"
+    "base $log, bitwise $bitAnd/$bitOr/$bitXor, literal $replaceAll, "
+    "$strcasecmp, $isoWeekYear, and $setIsSubset over computed $range "
+    "sets — each mirrored exactly in the DuckDB oracle.",
+    tags=("pipeline",),
+)
+def pipeline_expr_mathops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 2000}}},
+            {
+                "$project": {
+                    "event_id": 1,
+                    "s": {"$round": [{"$sin": {"$divide": ["$value", 100.0]}}, 6]},
+                    "at2": {"$round": [{"$atan2": ["$value", 100.0]}, 6]},
+                    "lg2": {
+                        "$round": [
+                            {"$log": [{"$max": [{"$literal": 1.0}, "$value"]}, 2]},
+                            6,
+                        ]
+                    },
+                    "band": {"$bitAnd": ["$event_id", 255]},
+                    "bor": {"$bitOr": ["$event_id", 7]},
+                    "bxor": {"$bitXor": ["$event_id", 255]},
+                    "rep": {
+                        "$replaceAll": {
+                            "input": "$event_type", "find": "c", "replacement": "K"
+                        }
+                    },
+                    "casecmp": {"$strcasecmp": ["$event_type", "ERROR"]},
+                    "iwy": {"$isoWeekYear": "$ts"},
+                    "subset3": {
+                        "$setIsSubset": [
+                            {"$range": [0, 3]},
+                            {"$range": [0, {"$add": [{"$mod": ["$event_id", 5]}, 1]}]},
+                        ]
+                    },
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")

@@ -1436,3 +1436,115 @@ def test_out_merge_crash_leaves_previous_version(spark, tmp_path):
     entries = set(os.listdir(path))
     assert "_manifest" in entries
     assert len([e for e in entries if e.startswith("v-")]) == 1
+
+
+def test_trig_log_bitwise_ops(spark):
+    import math
+
+    df = spark.createDataFrame([(0.5, 8.0, 12, 10)], "x DOUBLE, y DOUBLE, a INT, b INT")
+    got = run(
+        [
+            {
+                "$project": {
+                    "s": {"$sin": "$x"},
+                    "at2": {"$atan2": ["$x", "$y"]},
+                    "lg": {"$log": ["$y", 2]},
+                    "deg": {"$radiansToDegrees": {"$degreesToRadians": 180}},
+                    "band": {"$bitAnd": ["$a", "$b"]},
+                    "bor": {"$bitOr": ["$a", "$b"]},
+                    "bxor": {"$bitXor": ["$a", "$b"]},
+                    "bnot": {"$bitNot": "$a"},
+                }
+            }
+        ],
+        df,
+    ).collect()[0]
+    assert abs(got["s"] - math.sin(0.5)) < 1e-12
+    assert abs(got["at2"] - math.atan2(0.5, 8.0)) < 1e-12
+    assert abs(got["lg"] - 3.0) < 1e-12
+    assert abs(got["deg"] - 180.0) < 1e-9
+    assert got["band"] == 8 and got["bor"] == 14
+    assert got["bxor"] == 6 and got["bnot"] == -13
+
+
+def test_string_replace_and_casecmp(spark):
+    df = spark.createDataFrame([("a.b.a.c",)], "t STRING")
+    got = run(
+        [
+            {
+                "$project": {
+                    "all": {"$replaceAll": {"input": "$t", "find": "a.",
+                                            "replacement": "X"}},
+                    "one": {"$replaceOne": {"input": "$t", "find": "a.",
+                                            "replacement": "X"}},
+                    "none": {"$replaceOne": {"input": "$t", "find": "zz",
+                                             "replacement": "X"}},
+                    "cmp_lt": {"$strcasecmp": ["$t", "B"]},
+                    "cmp_eq": {"$strcasecmp": ["A.B.A.C", "$t"]},
+                }
+            }
+        ],
+        df,
+    ).collect()[0]
+    # the find string is a LITERAL, not a regex ('.' must not match-any)
+    assert got["all"] == "Xb.Xc"
+    assert got["one"] == "Xb.a.c"
+    assert got["none"] == "a.b.a.c"
+    assert got["cmp_lt"] == -1 and got["cmp_eq"] == 0
+
+
+def test_set_predicates_and_element_true(spark):
+    df = spark.createDataFrame(
+        [([1, 2, 2], [2, 1, 3], [True, False], [0, 0])],
+        "a ARRAY<INT>, b ARRAY<INT>, bools ARRAY<BOOLEAN>, zeros ARRAY<INT>",
+    )
+    got = run(
+        [
+            {
+                "$project": {
+                    "sub": {"$setIsSubset": ["$a", "$b"]},
+                    "sup": {"$setIsSubset": ["$b", "$a"]},
+                    "eq_dup": {"$setEquals": ["$a", [2, 1]]},
+                    "neq": {"$setEquals": ["$a", "$b"]},
+                    "any_t": {"$anyElementTrue": "$bools"},
+                    "all_t": {"$allElementsTrue": "$bools"},
+                    "any_z": {"$anyElementTrue": "$zeros"},
+                }
+            }
+        ],
+        df,
+    ).collect()[0]
+    assert got["sub"] is True and got["sup"] is False
+    assert got["eq_dup"] is True and got["neq"] is False  # set semantics
+    assert got["any_t"] is True and got["all_t"] is False
+    assert got["any_z"] is False  # 0 is falsy
+
+
+def test_iso_week_year_and_date_to_parts(spark):
+    df = spark.createDataFrame(
+        [("2016-01-01 10:20:30.123",), ("2024-12-30 00:00:00",), ("2024-06-15 00:00:00",)],
+        "d STRING",
+    ).selectExpr("cast(d as timestamp) d")
+    got = {
+        str(r["d"])[:10]: r
+        for r in run(
+            [
+                {
+                    "$project": {
+                        "d": 1,
+                        "iwy": {"$isoWeekYear": "$d"},
+                        "parts": {"$dateToParts": {"date": "$d"}},
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    # 2016-01-01 is a Friday in ISO week 53 of 2015
+    assert got["2016-01-01"]["iwy"] == 2015
+    # 2024-12-30 is the Monday of ISO week 1 of 2025
+    assert got["2024-12-30"]["iwy"] == 2025
+    assert got["2024-06-15"]["iwy"] == 2024
+    p = got["2016-01-01"]["parts"]
+    assert (p["year"], p["month"], p["day"], p["hour"], p["minute"],
+            p["second"], p["millisecond"]) == (2016, 1, 1, 10, 20, 30, 123)
