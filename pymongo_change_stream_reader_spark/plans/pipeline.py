@@ -663,6 +663,130 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             if not isinstance(field_name, str):
                 raise PipelineError("$getField field must be a literal string")
             return translate_expr(arg["input"], env).getField(field_name)
+        case "$cmp":
+            # Three-way compare under BSON order: null ranks lowest.
+            a, b = tx(0), tx(1)
+            return (
+                F.when(a.isNull() & b.isNull(), F.lit(0))
+                .when(a.isNull(), F.lit(-1))
+                .when(b.isNull(), F.lit(1))
+                .when(a < b, F.lit(-1))
+                .when(a > b, F.lit(1))
+                .otherwise(F.lit(0))
+            )
+        case "$week":
+            # Mongo $week == strftime %U: Sunday-first weeks, days
+            # before the year's first Sunday are week 0.
+            d = tx(0)
+            return F.floor(
+                (F.dayofyear(d) + F.lit(7) - F.dayofweek(d)) / F.lit(7)
+            ).cast("int")
+        case "$strLenBytes":
+            return F.octet_length(tx(0))
+        case "$binarySize":
+            return F.octet_length(tx(0))
+        case "$substrBytes":
+            # Exact byte semantics via binary substring.  Splitting a
+            # multi-byte codepoint yields replacement chars where Mongo
+            # errors — declared deviation (no error channel in a column).
+            start = translate_expr(args[1], env)
+            return F.substring(
+                tx(0).cast("binary"), start + F.lit(1), tx(2)
+            ).cast("string")
+        case "$indexOfBytes":
+            # Byte offset of the first occurrence: find the character
+            # position, then count the bytes preceding it.
+            s, sub = tx(0), tx(1)
+            pos = F.instr(s, sub)  # 1-based chars, 0 = absent
+            return F.when(pos == 0, F.lit(-1)).otherwise(
+                F.octet_length(F.substring(s, F.lit(1), pos - 1))
+            )
+        case "$mergeObjects":
+            # Map-typed documents; later operands win per key (Mongo's
+            # last-write rule, including explicit nulls), null operands
+            # are ignored.
+            def _last_wins(nxt_col: Column):
+                return lambda k, v1, v2: F.when(
+                    F.map_contains_key(nxt_col, k), v2
+                ).otherwise(v1)
+
+            out = tx(0)
+            for i in range(1, len(args)):
+                nxt = tx(i)
+                merged = F.map_zip_with(out, nxt, _last_wins(nxt))
+                out = (
+                    F.when(nxt.isNull(), out)
+                    .when(out.isNull(), nxt)
+                    .otherwise(merged)
+                )
+            return out
+        case "$setField":
+            field = arg.get("field")
+            if not isinstance(field, str):
+                raise PipelineError("$setField field must be a literal string")
+            doc = translate_expr(arg["input"], env)
+            val = translate_expr(arg["value"], env)
+            return F.map_from_entries(
+                F.array_append(
+                    F.filter(
+                        F.map_entries(doc), lambda e: e["key"] != field
+                    ),
+                    F.struct(
+                        F.lit(field).alias("key"), val.alias("value")
+                    ),
+                )
+            )
+        case "$unsetField":
+            field = arg.get("field")
+            if not isinstance(field, str):
+                raise PipelineError("$unsetField field must be a literal string")
+            doc = translate_expr(arg["input"], env)
+            return F.map_from_entries(
+                F.filter(F.map_entries(doc), lambda e: e["key"] != field)
+            )
+        case "$regexFind":
+            pattern = arg["regex"]
+            if "i" in arg.get("options", ""):
+                pattern = f"(?i){pattern}"
+            inp = translate_expr(arg["input"], env)
+            m = F.regexp_substr(inp, F.lit(pattern))
+            idx = F.regexp_instr(inp, F.lit(pattern)) - 1
+            # Declared-narrower: {match, idx}, no `captures` array (the
+            # capture-group count isn't knowable at translate time).
+            return F.when(
+                m.isNotNull(),
+                F.struct(m.alias("match"), idx.alias("idx")),
+            )
+        case "$regexFindAll":
+            pattern = arg["regex"]
+            if "i" in arg.get("options", ""):
+                pattern = f"(?i){pattern}"
+            inp = translate_expr(arg["input"], env)
+            # Declared-narrower: array of match strings (Mongo yields
+            # an array of {match, idx, captures} documents).
+            return F.when(
+                inp.isNotNull(),
+                F.regexp_extract_all(inp, F.lit(pattern), F.lit(0)),
+            )
+        case "$stdDevPop" | "$stdDevSamp" if len(args) == 1:
+            # Array form; nulls ignored, as in the accumulator.
+            vals = F.filter(tx(0), lambda x: x.isNotNull())
+            n = F.size(vals).cast("double")
+            s = F.aggregate(
+                vals, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            )
+            ss = F.aggregate(
+                vals,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+            if op == "$stdDevPop":
+                return F.when(
+                    n > 0, F.sqrt(ss / n - (s / n) * (s / n))
+                )
+            return F.when(
+                n > 1, F.sqrt((ss - s * s / n) / (n - F.lit(1.0)))
+            )
         case "$convert":
             to_types = {
                 "string": "string",

@@ -1131,3 +1131,47 @@ def pipeline_expr_mathops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")
+
+
+@query(
+    "pipeline_expr_cmp_week_bytes",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value < 10.0 THEN -1
+                WHEN value > 10.0 THEN 1 ELSE 0 END          AS c,
+           CAST(strftime(ts, '%U') AS INT)                   AS wk,
+           strlen(event_type)                                AS blen,
+           CASE WHEN strpos(event_type, 'c') = 0 THEN -1
+                ELSE strpos(event_type, 'c') - 1 END         AS ib,
+           regexp_extract_all(event_type, '[aeiou]+')        AS vowels
+    FROM events
+    WHERE event_id < 2000
+    ORDER BY event_id
+    """,
+    doc="Round-3 expression surface, part 2: $cmp three-way compare, "
+    "$week (strftime %U semantics), $strLenBytes, $indexOfBytes (byte "
+    "offset; ASCII corpus makes the DuckDB char-based oracle exact), "
+    "and $regexFindAll match extraction.",
+    tags=("pipeline",),
+)
+def pipeline_expr_cmp_week_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 2000}}},
+            {
+                "$project": {
+                    "event_id": 1,
+                    "c": {"$cmp": ["$value", 10.0]},
+                    "wk": {"$week": "$ts"},
+                    "blen": {"$strLenBytes": "$event_type"},
+                    "ib": {"$indexOfBytes": ["$event_type", "c"]},
+                    "vowels": {
+                        "$regexFindAll": {
+                            "input": "$event_type", "regex": "[aeiou]+"
+                        }
+                    },
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")

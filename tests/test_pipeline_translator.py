@@ -1548,3 +1548,124 @@ def test_iso_week_year_and_date_to_parts(spark):
     p = got["2016-01-01"]["parts"]
     assert (p["year"], p["month"], p["day"], p["hour"], p["minute"],
             p["second"], p["millisecond"]) == (2016, 1, 1, 10, 20, 30, 123)
+
+
+def test_cmp_week_and_byte_string_ops(spark):
+    df = spark.createDataFrame(
+        [(1, 5, "héllo wörld", "2024-01-01"), (7, 3, "abc", "2024-01-07"),
+         (None, 2, "abc", "2024-12-31")],
+        "a INT, b INT, t STRING, d STRING",
+    )
+    got = {
+        r["b"]: r
+        for r in run(
+            [
+                {
+                    "$project": {
+                        "b": 1,
+                        "c": {"$cmp": ["$a", "$b"]},
+                        "wk": {"$week": {"$toDate": "$d"}},
+                        "blen": {"$strLenBytes": "$t"},
+                        "clen": {"$strLenCP": "$t"},
+                        "sb": {"$substrBytes": ["$t", 0, 3]},
+                        "ib": {"$indexOfBytes": ["$t", "w"]},
+                        "miss": {"$indexOfBytes": ["$t", "zz"]},
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    # $cmp: 1<5 -> -1; 7>3 -> 1; null ranks lowest -> -1
+    assert got[5]["c"] == -1 and got[3]["c"] == 1 and got[2]["c"] == -1
+    # strftime %U: 2024-01-01 (Mon) wk 0; 01-07 first Sunday wk 1; 12-31 wk 52
+    assert (got[5]["wk"], got[3]["wk"], got[2]["wk"]) == (0, 1, 52)
+    assert got[5]["blen"] == 13 and got[5]["clen"] == 11  # é/ö are 2 bytes
+    assert got[3]["sb"] == "abc"
+    # 'w' sits after "héllo " = 5 chars -> 7 bytes
+    assert got[5]["ib"] == 7 and got[5]["miss"] == -1
+
+
+def test_merge_set_unset_field_ops(spark):
+    df = spark.createDataFrame(
+        [(1, {"x": 1, "y": 2}, {"y": 9, "z": 3}), (2, {"x": 4}, None)],
+        "id INT, m1 MAP<STRING,INT>, m2 MAP<STRING,INT>",
+    )
+    got = {
+        r["id"]: r
+        for r in run(
+            [
+                {
+                    "$project": {
+                        "id": 1,
+                        "merged": {"$mergeObjects": ["$m1", "$m2"]},
+                        "set": {"$setField": {"field": "y", "input": "$m1",
+                                              "value": 99}},
+                        "unset": {"$unsetField": {"field": "x", "input": "$m1"}},
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    assert got[1]["merged"] == {"x": 1, "y": 9, "z": 3}  # later doc wins on y
+    assert got[2]["merged"] == {"x": 4}  # null operand ignored
+    assert got[1]["set"] == {"x": 1, "y": 99}
+    assert got[2]["set"] == {"x": 4, "y": 99}  # absent field appended
+    assert got[1]["unset"] == {"y": 2}
+
+
+def test_regex_find_ops(spark):
+    df = spark.createDataFrame(
+        [(1, "foo12 bar34"), (2, "nothing")], "id INT, t STRING"
+    )
+    got = {
+        r["id"]: r
+        for r in run(
+            [
+                {
+                    "$project": {
+                        "id": 1,
+                        "f": {"$regexFind": {"input": "$t", "regex": r"[a-z]+\d+"}},
+                        "all": {"$regexFindAll": {"input": "$t",
+                                                  "regex": r"[a-z]+\d+"}},
+                        "ci": {"$regexFind": {"input": "$t", "regex": "FOO",
+                                              "options": "i"}},
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    assert got[1]["f"]["match"] == "foo12" and got[1]["f"]["idx"] == 0
+    assert got[2]["f"] is None  # no match -> null document
+    assert got[1]["all"] == ["foo12", "bar34"] and got[2]["all"] == []
+    assert got[1]["ci"]["match"] == "foo"
+
+
+def test_stddev_array_expressions(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]), (2, [3.0]), (3, [])],
+        "id INT, v ARRAY<DOUBLE>",
+    )
+    got = {
+        r["id"]: r
+        for r in run(
+            [
+                {
+                    "$project": {
+                        "id": 1,
+                        "pop": {"$stdDevPop": "$v"},
+                        "samp": {"$stdDevSamp": "$v"},
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    assert abs(got[1]["pop"] - 2.0) < 1e-12
+    assert abs(got[1]["samp"] - math.sqrt(32.0 / 7.0)) < 1e-12
+    assert got[2]["pop"] == 0.0 and got[2]["samp"] is None  # n<2 -> null samp
+    assert got[3]["pop"] is None and got[3]["samp"] is None
