@@ -52,6 +52,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class PipelineError(ValueError):
@@ -1405,12 +1406,71 @@ def _frame_bound(b: Any, default: int) -> int:
     raise PipelineError(f"unsupported window bound {b!r}")
 
 
+# Time units for $derivative / $integral rate arithmetic (the sortBy
+# timestamp casts to epoch seconds).
+_UNIT_SECONDS = {
+    "week": 604800.0,
+    "day": 86400.0,
+    "hour": 3600.0,
+    "minute": 60.0,
+    "second": 1.0,
+    "millisecond": 0.001,
+}
+
+
+def _make_ema_fn(alpha: float, field: str, sort_fields: list):
+    """$expMovingAvg per-partition kernel: sort by the window's sortBy,
+    then pandas' adjust=False/ignore_na=True recursion == Mongo's
+    (nulls skipped in the state, null emitted for null inputs)."""
+
+    def ema_fn(pdf):
+        order = pdf.sort_values(
+            [f for f, _ in sort_fields],
+            ascending=[d == 1 for _, d in sort_fields],
+            kind="mergesort",
+        ).index
+        pdf = pdf.loc[order]
+        ema = pdf["__ema_in"].ewm(
+            alpha=alpha, adjust=False, ignore_na=True
+        ).mean()
+        pdf[field] = ema.where(pdf["__ema_in"].notna())
+        return pdf
+
+    return ema_fn
+
+
+def _linear_fill(value: Column, key: Column, base) -> Column:
+    """Linear interpolation between the nearest non-null neighbours
+    along the sort key ($linearFill / $fill method:linear).  Nulls
+    before the first or after the last known value stay null, as in
+    Mongo.  Two frame-bounded window passes — no self-join."""
+    from pyspark.sql import Window as W
+
+    w_back = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_fwd = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    v = value.cast("double")
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_k = F.last(F.when(v.isNotNull(), key), ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_k = F.first(F.when(v.isNotNull(), key), ignorenulls=True).over(w_fwd)
+    interp = prev_v + (next_v - prev_v) * (key - prev_k) / (next_k - prev_k)
+    return (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull() | next_v.isNull(), F.lit(None).cast("double"))
+        .otherwise(interp)
+    )
+
+
 def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     """$setWindowFields -> Spark window functions.  partitionBy/sortBy
     map to the window spec; `window.documents` bounds map to
     rowsBetween; rank-family operators ignore frames (as in Mongo).
     Aggregates without an explicit window use Mongo's default — the
-    whole partition."""
+    whole partition.  Time-series operators: $locf / $linearFill
+    (frame-bounded window passes), $derivative (frame-endpoint deltas),
+    $integral (per-pair trapezoid + frame sum; unbounded lower bound
+    only), $covariancePop/Samp, and $expMovingAvg (sequential
+    recursion -> one Arrow applyInPandas pass per partition)."""
     from pyspark.sql import Window as W
 
     part = spec.get("partitionBy")
@@ -1422,6 +1482,44 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     sort = spec.get("sortBy")
     if sort:
         base = base.orderBy(*_sort_cols(sort))
+
+    def make_frame(win):
+        """window.{documents,range} -> a framed WindowSpec (Mongo's
+        default without `window` is the whole partition)."""
+        if win is not None:
+            docs = win.get("documents")
+            rng = win.get("range")
+            if rng is not None:
+                if win.get("unit"):
+                    raise PipelineError(
+                        "window.range with a date unit is not supported"
+                    )
+                if len(rng) != 2:
+                    raise PipelineError("window.range requires [lo, hi]")
+                if not sort or len(sort) != 1 or list(sort.values()) != [1]:
+                    raise PipelineError(
+                        "window.range requires a single ascending sortBy field"
+                    )
+                return base.rangeBetween(
+                    _frame_bound(rng[0], W.unboundedPreceding),
+                    _frame_bound(rng[1], W.unboundedFollowing),
+                )
+            if not docs or len(docs) != 2:
+                raise PipelineError("window requires documents: [lo, hi]")
+            return base.rowsBetween(
+                _frame_bound(docs[0], W.unboundedPreceding),
+                _frame_bound(docs[1], W.unboundedFollowing),
+            )
+        return base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+
+    def sort_key() -> Column:
+        """The single sortBy field as a double (timestamps become
+        epoch seconds) for interpolation / rate arithmetic."""
+        if not sort or len(sort) != 1 or list(sort.values()) != [1]:
+            raise PipelineError(
+                "this window operator requires a single ascending sortBy field"
+            )
+        return F.col(next(iter(sort))).cast("double")
 
     out = df
     for field_name, op_spec in spec.get("output", {}).items():
@@ -1464,6 +1562,120 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             )
             out = out.withColumn(field_name, shifted.over(base))
             continue
+        if op == "$locf":
+            if not sort:
+                raise PipelineError("$locf requires sortBy")
+            w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+            out = out.withColumn(
+                field_name,
+                F.last(translate_expr(arg), ignorenulls=True).over(w),
+            )
+            continue
+        if op == "$linearFill":
+            out = out.withColumn(
+                field_name,
+                _linear_fill(translate_expr(arg), sort_key(), base),
+            )
+            continue
+        if op in ("$covariancePop", "$covarianceSamp"):
+            if not isinstance(arg, list) or len(arg) != 2:
+                raise PipelineError(f"{op} requires [x, y]")
+            fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
+            x = translate_expr(arg[0]).cast("double")
+            y = translate_expr(arg[1]).cast("double")
+            out = out.withColumn(field_name, fn(x, y).over(make_frame(win)))
+            continue
+        if op == "$derivative":
+            # (last(y) - first(y)) / (last(x) - first(x)) over the
+            # frame; one-row frames yield null (dx = 0 -> null divide).
+            inp = translate_expr(arg["input"]).cast("double")
+            k = sort_key()
+            w = make_frame(win)
+            dy = F.last(inp).over(w) - F.first(inp).over(w)
+            dx = F.last(k).over(w) - F.first(k).over(w)
+            if "unit" in arg:
+                # sortBy is a timestamp (epoch seconds after the cast);
+                # express dx in the requested unit.
+                unit_s = _UNIT_SECONDS.get(arg["unit"])
+                if unit_s is None:
+                    raise PipelineError(
+                        f"unsupported $derivative unit {arg['unit']!r}"
+                    )
+                dx = dx / F.lit(unit_s)
+            out = out.withColumn(field_name, F.try_divide(dy, dx))
+            continue
+        if op == "$integral":
+            # Trapezoidal sum between consecutive docs.  Per-row area
+            # with the previous doc, then a frame sum — exact when the
+            # frame's lower bound is unbounded (the general lower bound
+            # would need the area of the pair straddling the frame edge
+            # excluded; declared narrower).
+            if win is not None:
+                lo = (win.get("documents") or win.get("range") or [None])[0]
+                if lo != "unbounded":
+                    raise PipelineError(
+                        "$integral requires an unbounded lower window bound"
+                    )
+            inp = translate_expr(arg["input"]).cast("double")
+            k = sort_key()
+            if "unit" in arg:
+                unit_s = _UNIT_SECONDS.get(arg["unit"])
+                if unit_s is None:
+                    raise PipelineError(
+                        f"unsupported $integral unit {arg['unit']!r}"
+                    )
+                k = k / F.lit(unit_s)
+            area = (k - F.lag(k, 1).over(base)) * (
+                inp + F.lag(inp, 1).over(base)
+            ) / F.lit(2.0)
+            w = make_frame(win)
+            out = out.withColumn(
+                "__integral_area", area
+            ).withColumn(
+                field_name,
+                F.coalesce(
+                    F.sum("__integral_area").over(w), F.lit(0.0)
+                ),
+            ).drop("__integral_area")
+            continue
+        if op == "$expMovingAvg":
+            # Inherently sequential recursion (ema_i depends on
+            # ema_{i-1}) — one Arrow-batched pass per partition via
+            # applyInPandas, the same shuffle any window op pays.
+            if not sort:
+                raise PipelineError("$expMovingAvg requires sortBy")
+            n = arg.get("N")
+            alpha = arg.get("alpha")
+            if (n is None) == (alpha is None):
+                raise PipelineError(
+                    "$expMovingAvg requires exactly one of N / alpha"
+                )
+            if n is not None:
+                if not isinstance(n, int) or n < 1:
+                    raise PipelineError("$expMovingAvg N must be an int >= 1")
+                alpha = 2.0 / (n + 1)
+            inp = translate_expr(arg["input"]).cast("double")
+            part_col = (
+                translate_expr(part) if part is not None else F.lit(0)
+            )
+            tmp = out.withColumn("__ema_part", part_col).withColumn(
+                "__ema_in", inp
+            )
+            # copy: StructType.add would mutate tmp's cached schema
+            schema = T.StructType(
+                list(tmp.schema.fields)
+                + [T.StructField(field_name, T.DoubleType())]
+            )
+            sort_fields = [(f, d) for f, d in sort.items()]
+
+            out = (
+                tmp.groupBy("__ema_part")
+                .applyInPandas(
+                    _make_ema_fn(alpha, field_name, sort_fields), schema
+                )
+                .drop("__ema_part", "__ema_in")
+            )
+            continue
         agg_ops = {
             "$sum": F.sum,
             "$avg": F.avg,
@@ -1478,34 +1690,7 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
         }
         if op not in agg_ops:
             raise PipelineError(f"unsupported window operator {op!r}")
-        if win is not None:
-            docs = win.get("documents")
-            rng = win.get("range")
-            if rng is not None:
-                if win.get("unit"):
-                    raise PipelineError(
-                        "window.range with a date unit is not supported"
-                    )
-                if len(rng) != 2:
-                    raise PipelineError("window.range requires [lo, hi]")
-                if not sort or len(sort) != 1 or list(sort.values()) != [1]:
-                    raise PipelineError(
-                        "window.range requires a single ascending sortBy field"
-                    )
-                w = base.rangeBetween(
-                    _frame_bound(rng[0], W.unboundedPreceding),
-                    _frame_bound(rng[1], W.unboundedFollowing),
-                )
-            elif not docs or len(docs) != 2:
-                raise PipelineError("window requires documents: [lo, hi]")
-            else:
-                w = base.rowsBetween(
-                    _frame_bound(docs[0], W.unboundedPreceding),
-                    _frame_bound(docs[1], W.unboundedFollowing),
-                )
-        else:
-            # Mongo default: the entire partition
-            w = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        w = make_frame(win)
         col = (
             agg_ops[op](F.lit(1))
             if op == "$count"
@@ -1608,8 +1793,8 @@ def _apply_graph_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
 
 
 def _apply_fill(df: DataFrame, spec: dict) -> DataFrame:
-    """$fill -> window last-ignore-nulls (locf) / coalesce (value).
-    `linear` interpolation is rejected rather than approximated."""
+    """$fill -> window last-ignore-nulls (locf), nearest-neighbour
+    interpolation (linear), or coalesce (value)."""
     from pyspark.sql import Window as W
 
     part = spec.get("partitionBy")
@@ -1636,6 +1821,15 @@ def _apply_fill(df: DataFrame, spec: dict) -> DataFrame:
             w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
             out = out.withColumn(
                 field_name, F.last(F.col(field_name), ignorenulls=True).over(w)
+            )
+        elif how.get("method") == "linear":
+            if not sort or len(sort) != 1 or list(sort.values()) != [1]:
+                raise PipelineError(
+                    "$fill linear requires a single ascending sortBy field"
+                )
+            key = F.col(next(iter(sort))).cast("double")
+            out = out.withColumn(
+                field_name, _linear_fill(F.col(field_name), key, base)
             )
         else:
             raise PipelineError(f"unsupported $fill method {how!r}")

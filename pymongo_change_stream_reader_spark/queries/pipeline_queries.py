@@ -1175,3 +1175,111 @@ def pipeline_expr_cmp_week_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")
+
+
+@query(
+    "pipeline_window_timeseries_ops",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, value,
+               CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v2
+        FROM events WHERE event_id < 5000
+    ),
+    w AS (
+        SELECT event_id, user_id, value, v2,
+               last_value(v2 IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v2 IS NOT NULL
+                               THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+               first_value(v2 IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v2 IS NOT NULL
+                                THEN CAST(event_id AS DOUBLE) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nk,
+               lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS py,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS px,
+               covar_pop(event_id, value) OVER (PARTITION BY user_id) AS cv
+        FROM base
+    ),
+    areas AS (
+        SELECT *,
+               (event_id - px) * (value + py) / 2.0 AS pair_area
+        FROM w
+    )
+    SELECT event_id,
+           pv AS carried,
+           ROUND(CASE WHEN v2 IS NOT NULL THEN v2
+                      WHEN pv IS NULL OR nv IS NULL THEN NULL
+                      ELSE pv + (nv - pv) * (event_id - pk) / (nk - pk)
+                 END, 6)                                            AS lin,
+           ROUND((value - py) / NULLIF(CAST(event_id - px AS DOUBLE), 0), 6)
+                                                                    AS rate,
+           ROUND(COALESCE(SUM(pair_area) OVER (
+                     PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 6)
+                                                                    AS area,
+           ROUND(cv, 6)                                             AS cov
+    FROM areas
+    ORDER BY event_id
+    """,
+    doc="Round-3 time-series window surface: $locf, $linearFill "
+    "(sort-key-weighted interpolation), $derivative over a 2-doc "
+    "frame, cumulative trapezoidal $integral, and $covariancePop — "
+    "each rebuilt in the DuckDB oracle from IGNORE NULLS window "
+    "passes and lag-pair trapezoids.  Scale: every output is a "
+    "window function over the same (user_id, event_id) ordering — "
+    "one hash-shuffle on user_id serves all five.",
+    tags=("pipeline",),
+)
+def pipeline_window_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 5000}}},
+            {
+                "$set": {
+                    "v2": {
+                        "$cond": [
+                            {"$eq": ["$event_type", "click"]},
+                            None,
+                            "$value",
+                        ]
+                    }
+                }
+            },
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$user_id",
+                    "sortBy": {"event_id": 1},
+                    "output": {
+                        "carried": {"$locf": "$v2"},
+                        "lin0": {"$linearFill": "$v2"},
+                        "rate0": {
+                            "$derivative": {"input": "$value"},
+                            "window": {"documents": [-1, 0]},
+                        },
+                        "area0": {
+                            "$integral": {"input": "$value"},
+                            "window": {"documents": ["unbounded", 0]},
+                        },
+                        "cov0": {"$covariancePop": ["$event_id", "$value"]},
+                    },
+                }
+            },
+            {
+                "$project": {
+                    "event_id": 1,
+                    "carried": 1,
+                    "lin": {"$round": ["$lin0", 6]},
+                    "rate": {"$round": ["$rate0", 6]},
+                    "area": {"$round": ["$area0", 6]},
+                    "cov": {"$round": ["$cov0", 6]},
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")

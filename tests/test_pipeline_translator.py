@@ -1669,3 +1669,133 @@ def test_stddev_array_expressions(spark):
     assert abs(got[1]["samp"] - math.sqrt(32.0 / 7.0)) < 1e-12
     assert got[2]["pop"] == 0.0 and got[2]["samp"] is None  # n<2 -> null samp
     assert got[3]["pop"] is None and got[3]["samp"] is None
+
+
+def test_window_locf_and_linear_fill(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 1, None), ("a", 2, None), ("a", 4, 40.0),
+         ("a", 5, None), ("b", 0, None), ("b", 1, 7.0)],
+        "g STRING, x INT, v DOUBLE",
+    )
+    got = {
+        (r["g"], r["x"]): r
+        for r in run(
+            [
+                {
+                    "$setWindowFields": {
+                        "partitionBy": "$g",
+                        "sortBy": {"x": 1},
+                        "output": {
+                            "carried": {"$locf": "$v"},
+                            "lin": {"$linearFill": "$v"},
+                        },
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    assert got[("a", 1)]["carried"] == 10.0 and got[("a", 2)]["carried"] == 10.0
+    assert got[("a", 5)]["carried"] == 40.0
+    # interpolation is weighted by the sort key, not the row number:
+    # x=1 -> 10 + 30 * (1-0)/(4-0) = 17.5 ; x=2 -> 25.0
+    assert abs(got[("a", 1)]["lin"] - 17.5) < 1e-12
+    assert abs(got[("a", 2)]["lin"] - 25.0) < 1e-12
+    assert got[("a", 5)]["lin"] is None  # trailing null stays null
+    assert got[("b", 0)]["lin"] is None  # leading null stays null
+    assert got[("b", 1)]["lin"] == 7.0
+
+
+def test_window_derivative_integral_covariance(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("a", 2.0, 4.0), ("a", 4.0, 16.0), ("b", 1.0, 3.0)],
+        "g STRING, x DOUBLE, y DOUBLE",
+    )
+    got = {
+        (r["g"], r["x"]): r
+        for r in run(
+            [
+                {
+                    "$setWindowFields": {
+                        "partitionBy": "$g",
+                        "sortBy": {"x": 1},
+                        "output": {
+                            "rate": {
+                                "$derivative": {"input": "$y"},
+                                "window": {"documents": [-1, 0]},
+                            },
+                            "area": {
+                                "$integral": {"input": "$y"},
+                                "window": {"documents": ["unbounded", 0]},
+                            },
+                            "cov": {"$covariancePop": ["$x", "$y"]},
+                        },
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    # rate over [-1, 0]: (4-0)/(2-0)=2 ; (16-4)/(4-2)=6 ; first row null
+    assert got[("a", 0.0)]["rate"] is None
+    assert got[("a", 2.0)]["rate"] == 2.0 and got[("a", 4.0)]["rate"] == 6.0
+    # trapezoids: [0,2]x[0,4] -> 4 ; [2,4]x[4,16] -> 20 ; cumulative 0,4,24
+    assert got[("a", 0.0)]["area"] == 0.0
+    assert got[("a", 2.0)]["area"] == 4.0 and got[("a", 4.0)]["area"] == 24.0
+    # covar_pop over x=[0,2,4], y=[0,4,16]: E[xy]-E[x]E[y] = 32/3 - 40/9
+    assert abs(got[("a", 0.0)]["cov"] - 32.0 / 3.0) < 1e-9  # E[xy]-E[x]E[y]
+    assert got[("b", 1.0)]["cov"] == 0.0  # single point
+
+
+def test_window_exp_moving_avg(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 2.0), ("a", 1, 4.0), ("a", 2, None), ("a", 3, 8.0),
+         ("b", 0, 5.0)],
+        "g STRING, x INT, v DOUBLE",
+    )
+    got = {
+        (r["g"], r["x"]): r
+        for r in run(
+            [
+                {
+                    "$setWindowFields": {
+                        "partitionBy": "$g",
+                        "sortBy": {"x": 1},
+                        "output": {
+                            "ema": {"$expMovingAvg": {"input": "$v", "N": 3}},
+                        },
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    # alpha = 2/(3+1) = 0.5: 2 ; 0.5*4+0.5*2=3 ; null skipped ;
+    # 0.5*8+0.5*3=5.5
+    assert got[("a", 0)]["ema"] == 2.0 and got[("a", 1)]["ema"] == 3.0
+    assert got[("a", 2)]["ema"] is None
+    assert got[("a", 3)]["ema"] == 5.5
+    assert got[("b", 0)]["ema"] == 5.0
+    with pytest.raises(PipelineError):
+        run(
+            [{"$setWindowFields": {"sortBy": {"x": 1}, "output": {
+                "e": {"$expMovingAvg": {"input": "$v", "N": 3, "alpha": 0.5}}}}}],
+            df,
+        )
+
+
+def test_fill_linear_method(spark):
+    df = spark.createDataFrame(
+        [(0, 0.0), (1, None), (3, None), (4, 8.0), (6, None)],
+        "x INT, v DOUBLE",
+    )
+    got = {
+        r["x"]: r["v"]
+        for r in run(
+            [{"$fill": {"sortBy": {"x": 1}, "output": {"v": {"method": "linear"}}}}],
+            df,
+        ).collect()
+    }
+    assert got[0] == 0.0 and got[4] == 8.0
+    assert abs(got[1] - 2.0) < 1e-12 and abs(got[3] - 6.0) < 1e-12
+    assert got[6] is None
