@@ -93,6 +93,19 @@ def _date_format(fmt: str) -> str:
     return fmt
 
 
+def _bson_compare(a: Column, b: Column) -> Column:
+    """Three-way comparator under BSON total order: null ranks lowest
+    (first ascending, last descending)."""
+    return (
+        F.when(a.isNull() & b.isNull(), F.lit(0))
+        .when(a.isNull(), F.lit(-1))
+        .when(b.isNull(), F.lit(1))
+        .when(a < b, F.lit(-1))
+        .when(a > b, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
 def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
     """Aggregation expression -> Column.  ``env`` scopes ``$$var``
     references introduced by $map/$filter/$reduce."""
@@ -619,18 +632,8 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             # Mongo's BSON total order ranks null LOWEST (first asc,
             # last desc); Spark's bare array_sort puts nulls last asc,
             # so sort with an explicit nulls-lowest comparator instead.
-            def _bson_cmp(a: Column, b: Column) -> Column:
-                return (
-                    F.when(a.isNull() & b.isNull(), F.lit(0))
-                    .when(a.isNull(), F.lit(-1))
-                    .when(b.isNull(), F.lit(1))
-                    .when(a < b, F.lit(-1))
-                    .when(a > b, F.lit(1))
-                    .otherwise(F.lit(0))
-                )
-
             sorted_arr = F.array_sort(
-                translate_expr(arg["input"], env), _bson_cmp
+                translate_expr(arg["input"], env), _bson_compare
             )
             return sorted_arr if by == 1 else F.reverse(sorted_arr)
         case "$firstN" | "$lastN" | "$minN" | "$maxN":
@@ -1913,6 +1916,22 @@ def _root_env(df: DataFrame) -> dict[str, Column]:
     return {"ROOT": doc, "CURRENT": doc}
 
 
+def _make_chain_cmp(dirs: list[int]):
+    """Comparator over k0..kN struct fields honouring per-field sort
+    directions, BSON null-lowest per field ($topN / $bottomN)."""
+
+    def chain_cmp(a: Column, b: Column) -> Column:
+        result = F.lit(0)
+        for i in reversed(range(len(dirs))):
+            c = _bson_compare(a[f"k{i}"], b[f"k{i}"])
+            if dirs[i] == -1:
+                c = -c
+            result = F.when(c != 0, c).otherwise(result)
+        return result
+
+    return chain_cmp
+
+
 def _group_aggs(out: dict, env: dict | None = None) -> list[Column]:
     aggs = []
     for field_name, accum in out.items():
@@ -1941,6 +1960,110 @@ def _group_aggs(out: dict, env: dict | None = None) -> list[Column]:
                     field_name
                 )
             )
+        elif op in ("$top", "$bottom"):
+            # Single-doc pick by sortBy -> min_by/max_by over a struct
+            # key (lexicographic, so directions must be uniform; null
+            # key fields sort first, matching BSON's null-lowest).
+            # No group materialization — one map-side-combinable agg.
+            sort_by = arg.get("sortBy")
+            if not isinstance(sort_by, dict) or not sort_by:
+                raise PipelineError(f"{op} requires sortBy")
+            dirs = set(sort_by.values())
+            if not dirs <= {1, -1} or len(dirs) != 1:
+                raise PipelineError(
+                    f"{op} sortBy requires uniform 1 / -1 directions "
+                    "(mixed directions: use the N-form)"
+                )
+            out_expr = translate_expr(arg["output"], env)
+            key = F.struct(
+                *[translate_expr(f"${f}", env) for f in sort_by]
+            )
+            pick_min = (op == "$top") == (dirs == {1})
+            fn = F.min_by if pick_min else F.max_by
+            aggs.append(fn(out_expr, key).alias(field_name))
+        elif op in ("$topN", "$bottomN"):
+            n = arg.get("n")
+            if not isinstance(n, int) or n < 1:
+                raise PipelineError(f"{op} requires a literal n >= 1")
+            sort_by = arg.get("sortBy")
+            if not isinstance(sort_by, dict) or not sort_by or not (
+                set(sort_by.values()) <= {1, -1}
+            ):
+                raise PipelineError(f"{op} requires sortBy with 1 / -1")
+            out_expr = translate_expr(arg["output"], env)
+            key_items = [
+                (translate_expr(f"${f}", env), d)
+                for f, d in sort_by.items()
+            ]
+            item = F.struct(
+                *[kc.alias(f"k{i}") for i, (kc, _) in enumerate(key_items)],
+                out_expr.alias("v"),
+            )
+            lst = F.collect_list(item)
+
+            ordered = F.array_sort(
+                lst, _make_chain_cmp([d for _, d in key_items])
+            )
+            if op == "$topN":
+                take = F.slice(ordered, 1, n)
+            else:
+                take = F.when(F.size(ordered) <= n, ordered).otherwise(
+                    F.slice(ordered, -n, n)
+                )
+            aggs.append(
+                F.transform(take, lambda s: s["v"]).alias(field_name)
+            )
+        elif op in ("$firstN", "$lastN", "$minN", "$maxN"):
+            n = arg.get("n")
+            if not isinstance(n, int) or n < 1:
+                raise PipelineError(f"{op} requires a literal n >= 1")
+            c = translate_expr(arg["input"], env)
+            # struct wrap keeps nulls through collect_list ($firstN /
+            # $lastN retain them; $minN / $maxN drop them, as in Mongo)
+            lst = F.transform(
+                F.collect_list(F.struct(c.alias("v"))), lambda s: s["v"]
+            )
+            if op == "$firstN":
+                take = F.slice(lst, 1, n)
+            elif op == "$lastN":
+                take = F.when(F.size(lst) <= n, lst).otherwise(
+                    F.slice(lst, -n, n)
+                )
+            else:
+                nonnull = F.filter(lst, lambda x: x.isNotNull())
+                ordered = (
+                    F.array_sort(nonnull)
+                    if op == "$minN"
+                    else F.reverse(F.array_sort(nonnull))
+                )
+                take = F.slice(ordered, 1, n)
+            aggs.append(take.alias(field_name))
+        elif op == "$mergeObjects":
+            # Fold the group's documents (maps) in document order with
+            # per-key last-wins.  All-null groups yield null (Mongo
+            # yields {} — an empty map needs a value type the
+            # translator cannot know; declared deviation).
+            c = translate_expr(arg, env)
+            lst = F.transform(
+                F.collect_list(F.struct(c.alias("v"))), lambda s: s["v"]
+            )
+            nn = F.filter(lst, lambda m: m.isNotNull())
+            init = F.try_element_at(nn, F.lit(1))
+            rest = F.slice(
+                nn, F.lit(2), F.greatest(F.size(nn) - 1, F.lit(0))
+            )
+            merged = F.aggregate(
+                rest,
+                init,
+                lambda acc, m: F.map_zip_with(
+                    acc,
+                    m,
+                    lambda k, v1, v2: F.when(
+                        F.map_contains_key(m, k), v2
+                    ).otherwise(v1),
+                ),
+            )
+            aggs.append(merged.alias(field_name))
         elif op in _GROUP_ACCUMULATORS:
             aggs.append(
                 _GROUP_ACCUMULATORS[op](translate_expr(arg, env)).alias(field_name)

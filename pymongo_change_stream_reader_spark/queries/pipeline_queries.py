@@ -1283,3 +1283,59 @@ def pipeline_window_timeseries_ops(spark: SparkSession, sf_dir: str) -> DataFram
         ]
     )
     return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")
+
+
+@query(
+    "pipeline_group_top_bottom_n",
+    oracle="""
+    SELECT user_id AS _id,
+           (array_agg(event_id ORDER BY value DESC, event_id DESC))[1] AS top_ev,
+           (array_agg(event_id ORDER BY value ASC, event_id ASC))[1]   AS bottom_ev,
+           (array_agg(event_id ORDER BY value DESC, event_id ASC))[1:3] AS top3,
+           (array_agg(value ORDER BY value ASC))[1:3]                  AS low3,
+           (array_agg(value ORDER BY value DESC))[1:3]                 AS high3
+    FROM events
+    GROUP BY user_id
+    ORDER BY _id
+    """,
+    doc="$top/$bottom/$topN/$minN/$maxN group accumulators.  $top and "
+    "$bottom compile to min_by/max_by over a lexicographic struct key "
+    "— single map-side-combinable aggregates, no group "
+    "materialization; the N-forms sort one collected array per group "
+    "with a direction-aware BSON comparator (event_id tiebreak makes "
+    "every pick deterministic for the hash compare).",
+    tags=("pipeline",),
+)
+def pipeline_group_top_bottom_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$group": {
+                    "_id": "$user_id",
+                    "top_ev": {
+                        "$top": {
+                            "output": "$event_id",
+                            "sortBy": {"value": -1, "event_id": -1},
+                        }
+                    },
+                    "bottom_ev": {
+                        "$bottom": {
+                            "output": "$event_id",
+                            "sortBy": {"value": -1, "event_id": -1},
+                        }
+                    },
+                    "top3": {
+                        "$topN": {
+                            "n": 3,
+                            "output": "$event_id",
+                            "sortBy": {"value": -1, "event_id": 1},
+                        }
+                    },
+                    "low3": {"$minN": {"input": "$value", "n": 3}},
+                    "high3": {"$maxN": {"input": "$value", "n": 3}},
+                }
+            },
+            {"$sort": {"_id": 1}},
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))

@@ -1799,3 +1799,86 @@ def test_fill_linear_method(spark):
     assert got[0] == 0.0 and got[4] == 8.0
     assert abs(got[1] - 2.0) < 1e-12 and abs(got[3] - 6.0) < 1e-12
     assert got[6] is None
+
+
+def test_group_top_bottom_accumulators(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+         ("b", 1, 5.0), ("b", 2, None)],
+        "g STRING, seq INT, v DOUBLE",
+    )
+    got = {
+        r["_id"]: r
+        for r in run(
+            [
+                {
+                    "$group": {
+                        "_id": "$g",
+                        "best": {"$top": {"output": "$seq",
+                                          "sortBy": {"v": -1}}},
+                        "worst": {"$bottom": {"output": "$seq",
+                                              "sortBy": {"v": -1}}},
+                        "top2": {"$topN": {"n": 2, "output": "$seq",
+                                           "sortBy": {"v": -1}}},
+                        "bot2": {"$bottomN": {"n": 2, "output": "$seq",
+                                              "sortBy": {"v": -1}}},
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    assert got["a"]["best"] == 2 and got["a"]["worst"] == 1
+    assert got["a"]["top2"] == [2, 3] and got["a"]["bot2"] == [3, 1]
+    # null v ranks lowest under BSON order -> desc puts it last
+    assert got["b"]["best"] == 1 and got["b"]["worst"] == 2
+    assert got["b"]["top2"] == [1, 2]
+    with pytest.raises(PipelineError):
+        run([{"$group": {"_id": None, "t": {"$top": {
+            "output": "$seq", "sortBy": {"v": 1, "seq": -1}}}}}], df)
+
+
+def test_group_n_form_accumulators(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 4.0), ("a", 2, None), ("a", 3, 1.0), ("a", 4, 9.0)],
+        "g STRING, seq INT, v DOUBLE",
+    )
+    got = run(
+        [
+            {"$sort": {"seq": 1}},
+            {
+                "$group": {
+                    "_id": "$g",
+                    "f2": {"$firstN": {"input": "$v", "n": 2}},
+                    "l2": {"$lastN": {"input": "$v", "n": 2}},
+                    "mn2": {"$minN": {"input": "$v", "n": 2}},
+                    "mx2": {"$maxN": {"input": "$v", "n": 2}},
+                }
+            },
+        ],
+        df.coalesce(1),
+    ).collect()[0]
+    assert got["f2"] == [4.0, None]  # firstN keeps nulls
+    assert got["l2"] == [1.0, 9.0]
+    assert got["mn2"] == [1.0, 4.0]  # minN drops nulls
+    assert got["mx2"] == [9.0, 4.0]
+
+
+def test_group_merge_objects_accumulator(spark):
+    df = spark.createDataFrame(
+        [("a", 1, {"x": 1, "y": 2}), ("a", 2, {"y": 9, "z": 3}),
+         ("a", 3, None), ("b", 1, None)],
+        "g STRING, seq INT, m MAP<STRING,INT>",
+    )
+    got = {
+        r["_id"]: r
+        for r in run(
+            [
+                {"$sort": {"seq": 1}},
+                {"$group": {"_id": "$g", "m": {"$mergeObjects": "$m"}}},
+            ],
+            df.coalesce(1),
+        ).collect()
+    }
+    assert got["a"]["m"] == {"x": 1, "y": 9, "z": 3}  # later doc wins
+    assert got["b"]["m"] is None  # declared deviation (Mongo: {})
