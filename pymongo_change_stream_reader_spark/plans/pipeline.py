@@ -2454,11 +2454,15 @@ def _versioned_commit(df: DataFrame, path: str) -> DataFrame:
 
 def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
     """$merge -> upsert into a parquet target keyed by ``on``:
-    whenMatched replace/keepExisting, whenNotMatched insert/discard
-    (field-level merge and pipeline forms are rejected).  The merged
-    result is committed through the versioned-manifest protocol
-    (_versioned_commit): a failed write can never destroy the
-    previously committed target."""
+    whenMatched replace/keepExisting/merge, whenNotMatched
+    insert/discard (pipeline forms are rejected).  ``merge`` is
+    field-level: non-null fields of the incoming doc override, null
+    fields keep the stored value — in a fixed-schema DataFrame a
+    "missing" field ≙ null, so an incoming explicit null cannot erase
+    a stored value (declared deviation; Mongo distinguishes missing
+    from null).  The merged result is committed through the
+    versioned-manifest protocol (_versioned_commit): a failed write
+    can never destroy the previously committed target."""
 
     if isinstance(spec, str):
         spec = {"into": spec}
@@ -2466,7 +2470,7 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
     on = spec.get("on", "_id")
     when_matched = spec.get("whenMatched", "replace")
     when_not_matched = spec.get("whenNotMatched", "insert")
-    if when_matched not in ("replace", "keepExisting"):
+    if when_matched not in ("replace", "keepExisting", "merge"):
         raise PipelineError(
             f"unsupported $merge whenMatched {when_matched!r}"
         )
@@ -2489,6 +2493,40 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
                 df
                 if when_not_matched == "insert"
                 else df.join(old.select(on).distinct(), on, "semi")
+            )
+        elif when_matched == "merge":
+            # field-level: one inner join builds the merged matched
+            # rows (coalesce new-over-old per shared column, old-only
+            # and new-only columns pass through)
+            cols = [F.col(on)]
+            for c in old.columns:
+                if c == on:
+                    continue
+                if c in df.columns:
+                    cols.append(
+                        F.coalesce(
+                            F.col(f"__n.{c}"), F.col(f"__o.{c}")
+                        ).alias(c)
+                    )
+                else:
+                    cols.append(F.col(f"__o.{c}"))
+            for c in df.columns:
+                if c != on and c not in old.columns:
+                    cols.append(F.col(f"__n.{c}"))
+            matched = (
+                old.alias("__o").join(df.alias("__n"), on, "inner")
+                .select(*cols)
+            )
+            unmatched_old = old.join(
+                df.select(on).distinct(), on, "left_anti"
+            )
+            kept_old = unmatched_old.unionByName(
+                matched, allowMissingColumns=True
+            )
+            new_side = (
+                df.join(old.select(on).distinct(), on, "left_anti")
+                if when_not_matched == "insert"
+                else spark.createDataFrame([], df.schema)
             )
         else:  # keepExisting
             kept_old = old

@@ -1050,9 +1050,43 @@ def test_merge_stage_upsert(spark, tmp_path):
         sinks={"t": path},
     )(incoming2)
     assert {r["_id"]: r["val"] for r in got2.collect()} == rows
-    with pytest.raises(PipelineError):
-        translate_pipeline([{"$merge": {"into": "t", "whenMatched": "merge"}}],
-                           sinks={"t": path})(incoming2)
+
+
+def test_merge_stage_field_level(spark, tmp_path):
+    """whenMatched: merge — non-null incoming fields override, null
+    incoming fields keep the stored value; old-only and new-only
+    columns pass through."""
+    path = str(tmp_path / "fm")
+    base = spark.createDataFrame(
+        [(1, "a1", 10), (2, "a2", 20)], "_id INT, a STRING, b INT"
+    )
+    base.write.parquet(path)
+
+    incoming = spark.createDataFrame(
+        [(2, None, 99, "x2"), (3, "a3", 30, "x3")],
+        "_id INT, a STRING, b INT, c STRING",
+    )
+    got = translate_pipeline(
+        [{"$merge": {"into": "t", "on": "_id", "whenMatched": "merge"}}],
+        sinks={"t": path},
+    )(incoming)
+    rows = {r["_id"]: (r["a"], r["b"], r["c"]) for r in got.collect()}
+    assert rows[1] == ("a1", 10, None)      # untouched old row
+    assert rows[2] == ("a2", 99, "x2")      # null a kept old, b overrode
+    assert rows[3] == ("a3", 30, "x3")      # unmatched inserted
+    # merge + discard: only matched rows change
+    incoming2 = spark.createDataFrame(
+        [(3, "ZZZ", None, None), (4, "new4", 4, "x4")],
+        "_id INT, a STRING, b INT, c STRING",
+    )
+    got2 = translate_pipeline(
+        [{"$merge": {"into": "t", "on": "_id", "whenMatched": "merge",
+                     "whenNotMatched": "discard"}}],
+        sinks={"t": path},
+    )(incoming2)
+    rows2 = {r["_id"]: (r["a"], r["b"], r["c"]) for r in got2.collect()}
+    assert set(rows2) == {1, 2, 3}          # no id 4
+    assert rows2[3] == ("ZZZ", 30, "x3")    # a overrode, b/c kept
 
 
 def test_densify_date_unit(spark):
