@@ -407,3 +407,134 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_grams") >= 3)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           (doc_id * 2654435761 + 17) % 4294967296         AS skey,
+           ((doc_id * 2654435761 + 17) % 4294967296) % 64  AS shard
+    FROM documents
+    ORDER BY skey, doc_id
+    """,
+    doc="Deterministic global shuffle: a seeded multiplicative-hash "
+    "key gives every document a reproducible pseudorandom position "
+    "and output shard — the dataloader-order primitive.  Scale: the "
+    "key is a narrow projection; the total order is realized as "
+    "repartitionByRange + sortWithinPartitions (a distributed range "
+    "sort), never a single-node window.",
+    tags=("corpus", "shuffle"),
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.packing import (
+        shard_of,
+        shuffle_key,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            shuffle_key(F.col("doc_id"), seed=17).alias("skey"),
+            shard_of(F.col("doc_id"), 64, seed=17).alias("shard"),
+        )
+        .orderBy("skey", "doc_id")
+    )
+
+
+@query(
+    "corpus_pack_offsets",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks,
+               ((doc_id * 2654435761) % 4294967296) % 16 AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard, toks,
+           SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks
+               AS tok_offset,
+           CAST(FLOOR((SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks)
+               / 512.0) AS BIGINT) AS start_seq,
+           CAST(FLOOR((SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+               / 512.0) AS BIGINT) AS end_seq
+    FROM docs
+    ORDER BY doc_id
+    """,
+    doc="GPT-style concat-and-cut sequence packing: per shard the "
+    "token stream (chars/4 heuristic) is laid out in doc order and "
+    "cut every 512 tokens; start_seq/end_seq locate each document's "
+    "context windows, straddling allowed.  Pure prefix-sum window "
+    "arithmetic — integer-exact, wholly JVM-side, one shuffle on the "
+    "shard key.",
+    tags=("corpus", "packing"),
+)
+def corpus_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.packing import pack_offsets
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.ceil(F.col("n_chars") / 4.0).cast("long").alias("toks")
+    )
+    packed = pack_offsets(d, budget=512, n_shards=16)
+    return packed.select(
+        "doc_id", "shard", "toks", "tok_offset", "start_seq", "end_seq"
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_pack_greedy",
+    oracle="""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks,
+               ((doc_id * 2654435761) % 4294967296) % 16 AS shard,
+               row_number() OVER (PARTITION BY
+                   ((doc_id * 2654435761) % 4294967296) % 16
+                   ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    rec AS (
+        SELECT shard, rn, doc_id, toks, toks AS running, CAST(0 AS BIGINT) AS seq
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn, d.doc_id, d.toks,
+               CASE WHEN r.running + d.toks <= 512
+                    THEN r.running + d.toks ELSE d.toks END,
+               CASE WHEN r.running + d.toks <= 512
+                    THEN r.seq ELSE r.seq + 1 END
+        FROM rec r JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1
+    )
+    SELECT shard, seq,
+           COUNT(*)  AS n_docs,
+           SUM(toks) AS seq_tokens
+    FROM rec
+    GROUP BY shard, seq
+    ORDER BY shard, seq
+    """,
+    doc="First-fit greedy sequence packing (documents never split): "
+    "per shard in doc order a document joins the open sequence unless "
+    "it would overflow the 512-token budget.  The fill recursion is "
+    "sequential by nature, so it runs as one Arrow applyInPandas "
+    "kernel per shard — O(shard) each, parallel across shards; the "
+    "DuckDB oracle replays the same recursion as a recursive CTE.",
+    tags=("corpus", "packing"),
+)
+def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.packing import pack_greedy
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.ceil(F.col("n_chars") / 4.0).cast("long").alias("toks")
+    )
+    packed = pack_greedy(d, budget=512, n_shards=16)
+    return (
+        packed.groupBy("shard", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("seq_tokens"),
+        )
+        .orderBy("shard", "seq")
+    )
