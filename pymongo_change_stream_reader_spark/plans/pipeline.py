@@ -1859,6 +1859,36 @@ def _apply_densify(df: DataFrame, spec: dict) -> DataFrame:
         raise PipelineError(f"unsupported $densify unit {unit!r}")
     if unit is not None and not isinstance(step, int):
         raise PipelineError("$densify date step must be an integer")
+    if bounds == "partition":
+        # Per-partition [min, max] spine — one groupBy aggregate plus a
+        # sequence explode, fully distributed (no driver collect; the
+        # "full" mode's 2-scalar collect is fine, a per-key collect
+        # would not be).
+        if not parts:
+            raise PipelineError(
+                '$densify bounds "partition" requires partitionByFields'
+            )
+        if unit is not None:
+            step_interval = F.expr(
+                f"INTERVAL {int(step)} {_DATE_UNITS[unit]}"
+            )
+            seq = F.sequence(F.col("__lo"), F.col("__hi"), step_interval)
+        else:
+            seq = F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+        spine = (
+            df.groupBy(*parts)
+            .agg(
+                F.min(field_name).alias("__lo"),
+                F.max(field_name).alias("__hi"),
+            )
+            .where(F.col("__lo").isNotNull())
+            .select(*parts, F.explode(seq).alias(field_name))
+        )
+        join_cols = [*parts, field_name]
+        stubs = spine.join(
+            df.select(*join_cols).distinct(), join_cols, "left_anti"
+        )
+        return df.unionByName(stubs, allowMissingColumns=True)
     if bounds == "full":
         lo_hi = df.agg(
             F.min(field_name).alias("lo"), F.max(field_name).alias("hi")

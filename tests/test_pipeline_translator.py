@@ -1916,3 +1916,32 @@ def test_group_merge_objects_accumulator(spark):
     }
     assert got["a"]["m"] == {"x": 1, "y": 9, "z": 3}  # later doc wins
     assert got["b"]["m"] is None  # declared deviation (Mongo: {})
+
+
+def test_densify_partition_bounds(spark):
+    """bounds: "partition" builds each partition's spine from its own
+    [min, max] — fully distributed (groupBy agg, no driver collect)."""
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 3, 2.0), ("b", 10, 3.0), ("b", 12, 4.0)],
+        "k STRING, x INT, v DOUBLE",
+    )
+    got = run(
+        [
+            {
+                "$densify": {
+                    "field": "x",
+                    "partitionByFields": ["k"],
+                    "range": {"step": 1, "bounds": "partition"},
+                }
+            }
+        ],
+        df,
+    ).collect()
+    rows = {(r["k"], r["x"]): r["v"] for r in got}
+    assert set(rows) == {("a", 0), ("a", 1), ("a", 2), ("a", 3),
+                         ("b", 10), ("b", 11), ("b", 12)}
+    assert rows[("a", 1)] is None and rows[("b", 11)] is None  # stubs
+    assert rows[("a", 0)] == 1.0 and rows[("b", 12)] == 4.0
+    with pytest.raises(PipelineError):
+        run([{"$densify": {"field": "x",
+                           "range": {"step": 1, "bounds": "partition"}}}], df)
