@@ -538,3 +538,84 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "seq")
     )
+
+
+@query(
+    "text_line_dedup",
+    oracle="""
+    WITH planted AS (
+        SELECT doc_id,
+               string_split(
+                   text || ' | footer copyright example corp | id line '
+                        || CAST(doc_id AS VARCHAR),
+                   ' | ') AS segs
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id,
+               unnest(segs)               AS seg,
+               generate_subscripts(segs, 1) AS pos
+        FROM planted
+    ),
+    counts AS (
+        SELECT seg, COUNT(DISTINCT doc_id) AS dc FROM seg GROUP BY seg
+    ),
+    total AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+    SELECT s.doc_id,
+           string_agg(s.seg, ' | ' ORDER BY s.pos) AS clean_text,
+           COUNT(*)                                AS n_kept
+    FROM seg s
+    JOIN counts c USING (seg)
+    CROSS JOIN total t
+    WHERE c.dc * 2 <= t.n
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    doc="Boilerplate line removal (RefinedWeb-style): segments "
+    "occurring in more than half the corpus are dropped, surviving "
+    "segments reassemble in document order.  The corpus has no "
+    "newlines, so a common footer and a unique id line are planted "
+    "deterministically — the footer must vanish, the id line must "
+    "survive, making the check non-vacuous.  Scale: segment counting "
+    "is one hash-shuffle with map-side partial aggregation; the "
+    "corpus-size threshold rides a broadcast 1-row aggregate; "
+    "reassembly groups once on doc_id.",
+    tags=("corpus", "dedup"),
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" | footer copyright example corp | id line "),
+        F.col("doc_id").cast("string"),
+    )
+    seg = d.select(
+        "doc_id", F.posexplode(F.split(planted, r" \| ")).alias("pos", "seg")
+    )
+    counts = seg.groupBy("seg").agg(
+        F.count_distinct("doc_id").alias("dc")
+    )
+    total = d.agg(F.count_distinct("doc_id").alias("n"))
+    kept = (
+        seg.join(counts, "seg")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("dc") * 2 <= F.col("n"))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos"), F.col("seg").alias("s"))
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                " | ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .orderBy("doc_id")
+    )
