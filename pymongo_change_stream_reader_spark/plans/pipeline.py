@@ -1311,11 +1311,17 @@ def _apply_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
     match — Mongo's exact output shape.  The $lookup+$unwind idiom
     therefore lowers to a plain join, which Catalyst can broadcast or
     shuffle as sizes dictate."""
+    if "pipeline" in spec or "let" in spec:
+        if "localField" in spec or "foreignField" in spec:
+            raise PipelineError(
+                "$lookup cannot mix localField/foreignField with the "
+                "let/pipeline form here (use one or the other)"
+            )
+        return _apply_lookup_pipeline(df, spec, tables)
     unsupported = set(spec) - {"from", "localField", "foreignField", "as"}
     if unsupported:
         raise PipelineError(
-            f"unsupported $lookup fields {sorted(unsupported)!r} "
-            "(let/pipeline form not translated)"
+            f"unsupported $lookup fields {sorted(unsupported)!r}"
         )
     try:
         foreign = tables[spec["from"]]
@@ -1341,6 +1347,281 @@ def _apply_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
         dict(joined.dtypes)[out_col]
     )
     return joined.withColumn(out_col, F.coalesce(F.col(out_col), empty))
+
+
+def _lookup_uses_vars(node: Any, names: set[str]) -> bool:
+    """True if the pipeline node references any $$let variable."""
+    if isinstance(node, str):
+        return node.startswith("$$") and node[2:].split(".", 1)[0] in names
+    if isinstance(node, dict):
+        return any(_lookup_uses_vars(v, names) for v in node.values())
+    if isinstance(node, list):
+        return any(_lookup_uses_vars(n, names) for n in node)
+    return False
+
+
+def _make_field_cmp(fields: list[str], dirs: list[int]):
+    """Comparator over named struct fields for trailing $sort inside a
+    $lookup pipeline (BSON null-lowest per field)."""
+
+    def cmp(a: Column, b: Column) -> Column:
+        result = F.lit(0)
+        for i in reversed(range(len(fields))):
+            c = _bson_compare(a[fields[i]], b[fields[i]])
+            if dirs[i] == -1:
+                c = -c
+            result = F.when(c != 0, c).otherwise(result)
+        return result
+
+    return cmp
+
+
+def _apply_lookup_pipeline(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
+    """$lookup let/pipeline form.
+
+    Scope (declared; anything else raises):
+    - uncorrelated pipeline (no $$let refs): the sub-pipeline runs ONCE
+      over the foreign frame and its full result attaches to every
+      local row via a broadcast single-row cross join;
+    - correlated pipeline: the FIRST stage must be the correlated
+      ``{$match: {$expr: ...}}`` whose expression is a conjunction of
+      comparisons, each between one $$let variable and one foreign
+      field.  $eq conjuncts become join keys (null-safe, matching
+      aggregation equality); ordered comparisons become theta
+      conditions under BSON total order (null ranks lowest).
+      Later stages: row-wise uncorrelated $match/$addFields/$set/$unset
+      run on the foreign frame pre-join; a trailing $sort / $limit /
+      inclusion-$project triple is applied per matched set on the
+      collected array (sort comparator + slice + struct transform).
+
+    Scale: with only $eq conjuncts the foreign side pre-aggregates on
+    the key tuple — one shuffle of the foreign table, broadcast- or
+    shuffle-joined as sizes dictate, no row-id bookkeeping.  Theta
+    conditions fall back to a row-id join + per-row collect (two
+    shuffles) — the price of a non-equi correlation in any engine."""
+    try:
+        foreign = tables[spec["from"]]
+    except KeyError:
+        raise PipelineError(
+            f"$lookup from {spec.get('from')!r}: pass the frame via "
+            "translate_pipeline(..., tables={name: df})"
+        ) from None
+    out_col = spec["as"]
+    let_spec = spec.get("let", {})
+    pipe = list(spec.get("pipeline", []))
+    var_names = set(let_spec)
+
+    def _attach_empty_default(joined: DataFrame) -> DataFrame:
+        empty = F.array().cast(dict(joined.dtypes)[out_col])
+        return joined.withColumn(
+            out_col, F.coalesce(F.col(out_col), empty)
+        )
+
+    if not any(_lookup_uses_vars(st, var_names) for st in pipe):
+        # Uncorrelated: one execution of the sub-pipeline, one array.
+        sub = reduce(
+            lambda acc, st: _apply_stage(acc, st, tables), pipe, foreign
+        )
+        arr = sub.agg(
+            F.collect_list(F.struct(*sub.columns)).alias(out_col)
+        )
+        return _attach_empty_default(df.crossJoin(F.broadcast(arr)))
+
+    if not pipe or set(pipe[0]) != {"$match"} or not (
+        isinstance(pipe[0]["$match"], dict)
+        and set(pipe[0]["$match"]) == {"$expr"}
+    ):
+        raise PipelineError(
+            "correlated $lookup pipelines must start with the "
+            "correlated {$match: {$expr: ...}} stage"
+        )
+    rest = pipe[1:]
+    if any(_lookup_uses_vars(st, var_names) for st in rest):
+        raise PipelineError(
+            "$lookup: only the first pipeline stage may reference "
+            "$$let variables"
+        )
+
+    # peel the trailing array-level stages: [$sort] [$limit] [$project]
+    array_project = array_limit = array_sort = None
+    if rest and set(rest[-1]) == {"$project"}:
+        proj = rest.pop()["$project"]
+        if not proj or any(v != 1 for v in proj.values()):
+            raise PipelineError(
+                "trailing $lookup $project supports inclusion specs "
+                "({field: 1}) only"
+            )
+        array_project = list(proj)
+    if rest and set(rest[-1]) == {"$limit"}:
+        array_limit = rest.pop()["$limit"]
+        if not isinstance(array_limit, int) or array_limit < 1:
+            raise PipelineError("$limit requires a positive integer")
+    if rest and set(rest[-1]) == {"$sort"}:
+        array_sort = rest.pop()["$sort"]
+        if any(d not in (1, -1) for d in array_sort.values()):
+            raise PipelineError("$sort directions must be 1 or -1")
+
+    # decompose the correlated $expr into (op, local $$var, foreign field)
+    def conjuncts(e):
+        if isinstance(e, dict) and set(e) == {"$and"}:
+            out = []
+            for c in e["$and"]:
+                out.extend(conjuncts(c))
+            return out
+        return [e]
+
+    local_env = _root_env(df)
+    eq_pairs: list[tuple[Column, str]] = []   # (local expr, foreign field)
+    theta: list[tuple[str, Column, str]] = []  # (op, local expr, field)
+    _CMP = {"$eq", "$ne", "$lt", "$lte", "$gt", "$gte"}
+    for c in conjuncts(pipe[0]["$match"]["$expr"]):
+        if not (isinstance(c, dict) and len(c) == 1):
+            raise PipelineError(f"unsupported correlated $expr term {c!r}")
+        [(op, args)] = c.items()
+        if op not in _CMP or not isinstance(args, list) or len(args) != 2:
+            raise PipelineError(f"unsupported correlated $expr term {c!r}")
+        a, b = args
+
+        def _is_var(x):
+            return (
+                isinstance(x, str)
+                and x.startswith("$$")
+                and x[2:] in var_names
+            )
+
+        def _is_field(x):
+            return (
+                isinstance(x, str)
+                and x.startswith("$")
+                and not x.startswith("$$")
+            )
+
+        flip = {"$lt": "$gt", "$lte": "$gte", "$gt": "$lt", "$gte": "$lte"}
+        if _is_var(a) and _is_field(b):
+            var, field = a[2:], b[1:]
+        elif _is_var(b) and _is_field(a):
+            var, field = b[2:], a[1:]
+            op = flip.get(op, op)  # normalize to local-op-foreign
+        else:
+            raise PipelineError(
+                f"correlated $expr term must compare one $$let variable "
+                f"with one foreign field: {c!r}"
+            )
+        lexpr = translate_expr(let_spec[var], local_env)
+        if op == "$eq":
+            eq_pairs.append((lexpr, field))
+        else:
+            theta.append((op, lexpr, field))
+
+    # materialize hidden key columns on the foreign side BEFORE the
+    # row-wise stages (so $unset etc. cannot break the join), then run
+    # the remaining row-wise stages
+    fk = foreign
+    for i, (_, field) in enumerate(eq_pairs):
+        fk = fk.withColumn(f"__lk{i}", F.col(field))
+    for i, (_, _, field) in enumerate(theta):
+        fk = fk.withColumn(f"__lt{i}", F.col(field))
+    _ROW_WISE = {"$match", "$addFields", "$set", "$unset"}
+    for st in rest:
+        [(name, _)] = st.items()
+        if name not in _ROW_WISE:
+            raise PipelineError(
+                f"unsupported stage {name!r} inside a correlated "
+                "$lookup pipeline (row-wise stages plus a trailing "
+                "$sort/$limit/$project only)"
+            )
+        fk = _apply_stage(fk, st, tables)
+    struct_cols = [c for c in fk.columns if not c.startswith("__l")]
+    doc = F.struct(*[F.col(c) for c in struct_cols])
+
+    # hidden local-side key columns avoid any name ambiguity in the
+    # join condition
+    left = df
+    for i, (lexpr, _) in enumerate(eq_pairs):
+        left = left.withColumn(f"__ll{i}", lexpr)
+    for i, (_, lexpr, _) in enumerate(theta):
+        left = left.withColumn(f"__lr{i}", lexpr)
+
+    _THETA_OP = {
+        "$ne": lambda c: c != 0,
+        "$lt": lambda c: c < 0,
+        "$lte": lambda c: c <= 0,
+        "$gt": lambda c: c > 0,
+        "$gte": lambda c: c >= 0,
+    }
+    if not theta:
+        # equi-only fast path: pre-aggregate the foreign side
+        grouped = fk.groupBy(
+            *[F.col(f"__lk{i}") for i in range(len(eq_pairs))]
+        ).agg(F.collect_list(doc).alias(out_col))
+        cond = reduce(
+            lambda acc, i: acc
+            & F.col(f"__ll{i}").eqNullSafe(F.col(f"__lk{i}")),
+            range(1, len(eq_pairs)),
+            F.col("__ll0").eqNullSafe(F.col("__lk0")),
+        )
+        joined = left.join(grouped, cond, "left").drop(
+            *[f"__lk{i}" for i in range(len(eq_pairs))],
+            *[f"__ll{i}" for i in range(len(eq_pairs))],
+        )
+    else:
+        left = left.withColumn(
+            "__lookup_row", F.monotonically_increasing_id()
+        )
+        # rename the foreign doc columns to hidden names: the local and
+        # foreign frames may share column names, and the row-id join
+        # keeps both sides' columns in scope
+        fk_hidden = fk.select(
+            *[
+                F.col(c).alias(f"__fd{i}")
+                for i, c in enumerate(struct_cols)
+            ],
+            *[F.col(f"__lk{i}") for i in range(len(eq_pairs))],
+            *[F.col(f"__lt{i}") for i in range(len(theta))],
+        )
+        hidden_doc = F.struct(
+            *[
+                F.col(f"__fd{i}").alias(c)
+                for i, c in enumerate(struct_cols)
+            ]
+        )
+        cond = F.lit(True)
+        for i in range(len(eq_pairs)):
+            cond = cond & F.col(f"__ll{i}").eqNullSafe(F.col(f"__lk{i}"))
+        for i, (op, _, _) in enumerate(theta):
+            cond = cond & _THETA_OP[op](
+                _bson_compare(F.col(f"__lr{i}"), F.col(f"__lt{i}"))
+            )
+        matched = (
+            left.join(fk_hidden, cond, "inner")
+            .groupBy("__lookup_row")
+            .agg(F.collect_list(hidden_doc).alias(out_col))
+        )
+        joined = left.join(matched, "__lookup_row", "left").drop(
+            "__lookup_row",
+            *[f"__ll{i}" for i in range(len(eq_pairs))],
+            *[f"__lr{i}" for i in range(len(theta))],
+        )
+
+    arr = F.col(out_col)
+    if array_sort is not None:
+        arr = F.array_sort(
+            arr,
+            _make_field_cmp(
+                list(array_sort), [d for d in array_sort.values()]
+            ),
+        )
+    if array_limit is not None:
+        arr = F.slice(arr, 1, array_limit)
+    if array_project is not None:
+        arr = F.transform(
+            arr,
+            lambda x: F.struct(
+                *[x[f].alias(f) for f in array_project]
+            ),
+        )
+    joined = joined.withColumn(out_col, arr)
+    return _attach_empty_default(joined)
 
 
 def _apply_bucket(df: DataFrame, spec: dict) -> DataFrame:

@@ -1339,3 +1339,66 @@ def pipeline_group_top_bottom_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_lookup_let_topn",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT c.c_custkey,
+           r.rk - 1      AS rank,
+           r.o_orderkey,
+           r.o_totalprice
+    FROM customer c
+    JOIN ranked r ON r.o_custkey = c.c_custkey AND r.rk <= 2
+    WHERE c.c_custkey < 500
+    ORDER BY c_custkey, rank
+    """,
+    doc="$lookup let/pipeline form: per customer, the two most "
+    "expensive open orders via a correlated {$match: {$expr: {$eq: "
+    "[$$ck, $o_custkey]}}} + uncorrelated status filter + trailing "
+    "$sort/$limit/$project applied per matched set at the array "
+    "level.  Scale: the equi-correlation pre-aggregates the orders "
+    "side on the key — one shuffle of orders, no row-id bookkeeping; "
+    "the per-set top-2 is an array sort of each customer's matches, "
+    "never a global window.",
+    tags=("pipeline",),
+)
+def pipeline_lookup_let_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"c_custkey": {"$lt": 500}}},
+            {
+                "$lookup": {
+                    "from": "orders",
+                    "let": {"ck": "$c_custkey"},
+                    "pipeline": [
+                        {"$match": {"$expr": {"$eq": ["$$ck", "$o_custkey"]}}},
+                        {"$match": {"o_orderstatus": "O"}},
+                        {"$sort": {"o_totalprice": -1, "o_orderkey": 1}},
+                        {"$limit": 2},
+                        {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+                    ],
+                    "as": "top_orders",
+                }
+            },
+            {"$unwind": {"path": "$top_orders", "includeArrayIndex": "rank"}},
+            {
+                "$project": {
+                    "c_custkey": 1,
+                    "rank": 1,
+                    "o_orderkey": "$top_orders.o_orderkey",
+                    "o_totalprice": "$top_orders.o_totalprice",
+                }
+            },
+        ],
+        tables={"orders": load_table(spark, sf_dir, "orders")},
+    )
+    return pipe(load_table(spark, sf_dir, "customer")).orderBy(
+        "c_custkey", "rank"
+    )

@@ -27,8 +27,8 @@ def docs(spark):
     )
 
 
-def run(pipe, df):
-    return translate_pipeline(pipe)(df)
+def run(pipe, df, **kw):
+    return translate_pipeline(pipe, **kw)(df)
 
 
 def test_parse_validation():
@@ -1945,3 +1945,123 @@ def test_densify_partition_bounds(spark):
     with pytest.raises(PipelineError):
         run([{"$densify": {"field": "x",
                            "range": {"step": 1, "bounds": "partition"}}}], df)
+
+
+def _lookup_frames(spark):
+    orders = spark.createDataFrame(
+        [(1, "alice", 25.0), (2, "bob", 8.0), (3, "carol", 60.0)],
+        "order_id INT, cust STRING, budget DOUBLE",
+    )
+    items = spark.createDataFrame(
+        [("alice", "apple", 5.0), ("alice", "brie", 20.0),
+         ("alice", "caviar", 90.0), ("bob", "donut", 3.0),
+         ("dave", "egg", 1.0)],
+        "cust STRING, item STRING, price DOUBLE",
+    )
+    return orders, items
+
+
+def test_lookup_pipeline_equi_correlated(spark):
+    orders, items = _lookup_frames(spark)
+    got = {
+        r["order_id"]: r["aff"]
+        for r in run(
+            [
+                {
+                    "$lookup": {
+                        "from": "items",
+                        "let": {"c": "$cust", "cap": "$budget"},
+                        "pipeline": [
+                            {"$match": {"$expr": {"$and": [
+                                {"$eq": ["$$c", "$cust"]},
+                                {"$lte": ["$price", "$$cap"]},
+                            ]}}},
+                            {"$sort": {"price": -1}},
+                            {"$limit": 2},
+                            {"$project": {"item": 1, "price": 1}},
+                        ],
+                        "as": "aff",
+                    }
+                }
+            ],
+            orders,
+            tables={"items": items},
+        ).collect()
+    }
+    # alice: items <= 25 are apple(5), brie(20); sorted desc -> brie, apple
+    assert [(x["item"], x["price"]) for x in got[1]] == [
+        ("brie", 20.0), ("apple", 5.0)]
+    assert [(x["item"], x["price"]) for x in got[2]] == [("donut", 3.0)]
+    assert got[3] == []  # carol: no items at all -> []
+
+
+def test_lookup_pipeline_equi_only_and_rowwise(spark):
+    orders, items = _lookup_frames(spark)
+    got = {
+        r["order_id"]: sorted(x["item"] for x in r["cheap"])
+        for r in run(
+            [
+                {
+                    "$lookup": {
+                        "from": "items",
+                        "let": {"c": "$cust"},
+                        "pipeline": [
+                            {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
+                            {"$match": {"price": {"$lt": 50}}},
+                            {"$set": {"tag": {"$concat": ["x-", "$item"]}}},
+                        ],
+                        "as": "cheap",
+                    }
+                }
+            ],
+            orders,
+            tables={"items": items},
+        ).collect()
+    }
+    assert got[1] == ["apple", "brie"]  # caviar filtered by uncorrelated match
+    assert got[2] == ["donut"] and got[3] == []
+
+
+def test_lookup_pipeline_uncorrelated(spark):
+    orders, items = _lookup_frames(spark)
+    got = run(
+        [
+            {
+                "$lookup": {
+                    "from": "items",
+                    "pipeline": [
+                        {"$match": {"price": {"$gt": 10}}},
+                        {"$project": {"item": 1}},
+                    ],
+                    "as": "expensive",
+                }
+            }
+        ],
+        orders,
+        tables={"items": items},
+    ).collect()
+    # every local row gets the same full sub-pipeline result
+    for r in got:
+        assert sorted(x["item"] for x in r["expensive"]) == ["brie", "caviar"]
+
+
+def test_lookup_pipeline_rejects(spark):
+    orders, items = _lookup_frames(spark)
+    with pytest.raises(PipelineError):  # correlated ref outside stage 1
+        run([{"$lookup": {"from": "items", "let": {"c": "$cust"},
+                          "pipeline": [
+                              {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
+                              {"$match": {"$expr": {"$eq": ["$item", "$$c"]}}},
+                          ],
+                          "as": "z"}}], orders, tables={"items": items})
+    with pytest.raises(PipelineError):  # group inside correlated pipeline
+        run([{"$lookup": {"from": "items", "let": {"c": "$cust"},
+                          "pipeline": [
+                              {"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}},
+                              {"$group": {"_id": None, "n": {"$sum": 1}}},
+                          ],
+                          "as": "z"}}], orders, tables={"items": items})
+    with pytest.raises(PipelineError):  # mixing forms
+        run([{"$lookup": {"from": "items", "localField": "cust",
+                          "foreignField": "cust", "pipeline": [], "as": "z"}}],
+            orders, tables={"items": items})
