@@ -59,6 +59,41 @@ class PipelineError(ValueError):
     """Invalid or unsupported pipeline construct."""
 
 
+def _regex_group_count(pattern: str) -> int:
+    """Capture-group count of a literal regex, for $regexFind*
+    `captures` arrays.  Python's compiler when it parses (it accepts
+    the overwhelming Java-compatible subset); otherwise a scanner
+    that counts unescaped capturing ``(`` outside character classes
+    — ``(?`` opens a group only in the named forms ``(?<name>`` /
+    ``(?P<name>``."""
+    try:
+        return re.compile(pattern).groups
+    except re.error:
+        n = 0
+        i = 0
+        in_class = False
+        while i < len(pattern):
+            ch = pattern[i]
+            if ch == "\\":
+                i += 2
+                continue
+            if in_class:
+                if ch == "]":
+                    in_class = False
+            elif ch == "[":
+                in_class = True
+            elif ch == "(":
+                rest = pattern[i + 1:]
+                if not rest.startswith("?"):
+                    n += 1
+                elif rest.startswith(("?<", "?P<")) and not rest.startswith(
+                    ("?<=", "?<!")
+                ):
+                    n += 1
+            i += 1
+        return n
+
+
 # ---------------------------------------------------------------------------
 # Validation (reference: settings.py:69-76 validate_mongo_pipeline).
 # ---------------------------------------------------------------------------
@@ -752,26 +787,86 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             pattern = arg["regex"]
             if "i" in arg.get("options", ""):
                 pattern = f"(?i){pattern}"
+            n_caps = _regex_group_count(arg["regex"])
             inp = translate_expr(arg["input"], env)
             m = F.regexp_substr(inp, F.lit(pattern))
             idx = F.regexp_instr(inp, F.lit(pattern)) - 1
-            # Declared-narrower: {match, idx}, no `captures` array (the
-            # capture-group count isn't knowable at translate time).
+            # Full Mongo shape {match, idx, captures}; the pattern is a
+            # translate-time literal so the capture-group count is
+            # static.  Declared deviation: a non-participating group
+            # yields "" where Mongo yields null (Spark regexp_extract
+            # cannot distinguish the two).
+            caps = (
+                F.array(
+                    *[
+                        F.regexp_extract(inp, pattern, g)
+                        for g in range(1, n_caps + 1)
+                    ]
+                )
+                if n_caps
+                else F.array().cast("array<string>")
+            )
             return F.when(
                 m.isNotNull(),
-                F.struct(m.alias("match"), idx.alias("idx")),
+                F.struct(
+                    m.alias("match"),
+                    idx.alias("idx"),
+                    caps.alias("captures"),
+                ),
             )
         case "$regexFindAll":
             pattern = arg["regex"]
             if "i" in arg.get("options", ""):
                 pattern = f"(?i){pattern}"
+            n_caps = _regex_group_count(arg["regex"])
             inp = translate_expr(arg["input"], env)
-            # Declared-narrower: array of match strings (Mongo yields
-            # an array of {match, idx, captures} documents).
-            return F.when(
-                inp.isNotNull(),
-                F.regexp_extract_all(inp, F.lit(pattern), F.lit(0)),
+            lit_pat = F.lit(pattern)
+            matches = F.regexp_extract_all(inp, lit_pat, F.lit(0))
+            # Per-group arrays are index-aligned with `matches` (one
+            # entry per match), so the documents zip positionally.
+            grp_arrays = [
+                F.regexp_extract_all(inp, lit_pat, F.lit(g))
+                for g in range(1, n_caps + 1)
+            ]
+            # Match offsets: scan forward locating each match string
+            # after the previous match's end — exact for self-locating
+            # patterns; a lookaround/anchor that lets the same literal
+            # occur earlier WITHOUT matching can bias idx low
+            # (declared deviation; match/captures are always exact).
+            positions = F.aggregate(
+                matches,
+                F.struct(
+                    F.lit(1).alias("p"),
+                    F.array().cast("array<int>").alias("out"),
+                ),
+                lambda acc, m: F.struct(
+                    (
+                        F.call_function("locate", m, inp, acc["p"])
+                        + F.greatest(F.length(m), F.lit(1))
+                    ).alias("p"),
+                    F.concat(
+                        acc["out"],
+                        F.array(
+                            F.call_function("locate", m, inp, acc["p"])
+                            - 1
+                        ),
+                    ).alias("out"),
+                ),
+                lambda acc: acc["out"],
             )
+            docs = F.transform(
+                matches,
+                lambda m, i: F.struct(
+                    m.alias("match"),
+                    F.get(positions, i).alias("idx"),
+                    (
+                        F.array(*[F.get(g_arr, i) for g_arr in grp_arrays])
+                        if n_caps
+                        else F.array().cast("array<string>")
+                    ).alias("captures"),
+                ),
+            )
+            return F.when(inp.isNotNull(), docs)
         case "$stdDevPop" | "$stdDevSamp" if len(args) == 1:
             # Array form; nulls ignored, as in the accumulator.
             vals = F.filter(tx(0), lambda x: x.isNotNull())
@@ -1997,6 +2092,8 @@ def _apply_graph_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
     it explicitly for a deterministic plan).  Matches collect into an
     array-of-structs `as` column with an optional numeric
     ``depthField``, [] when nothing matched — Mongo's output shape.
+    ``restrictSearchWithMatch`` filters the foreign frame once up
+    front (reachable-set semantics, applied at every depth).
     Declared deviation: null connect values TERMINATE a path here
     (equi-join semantics), whereas Mongo's null matches foreign docs
     whose connectToField is null/missing — termination is almost
@@ -2020,6 +2117,18 @@ def _apply_graph_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
             "translate_pipeline(..., tables={name: df})"
         )
     foreign = tables[spec["from"]]
+    if "restrictSearchWithMatch" in spec:
+        # Applied to the foreign frame ONCE, before any traversal
+        # round — Mongo's documented semantics (the restriction is on
+        # reachable documents, not the start set).  The filter is a
+        # narrow predicate on the scan, so every BFS round joins
+        # against the already-restricted (and pushdown-pruned) side.
+        restrict = spec["restrictSearchWithMatch"]
+        if not isinstance(restrict, dict):
+            raise PipelineError(
+                "$graphLookup restrictSearchWithMatch takes a document"
+            )
+        foreign = foreign.filter(translate_match(restrict))
     to_field, from_field = spec["connectToField"], spec["connectFromField"]
     out_col, depth_field = spec["as"], spec.get("depthField")
 

@@ -1166,8 +1166,14 @@ def pipeline_expr_cmp_week_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "blen": {"$strLenBytes": "$event_type"},
                     "ib": {"$indexOfBytes": ["$event_type", "c"]},
                     "vowels": {
-                        "$regexFindAll": {
-                            "input": "$event_type", "regex": "[aeiou]+"
+                        "$map": {
+                            "input": {
+                                "$regexFindAll": {
+                                    "input": "$event_type",
+                                    "regex": "[aeiou]+",
+                                }
+                            },
+                            "in": "$$this.match",
                         }
                     },
                 }

@@ -8,6 +8,7 @@ import pytest
 
 from pymongo_change_stream_reader_spark.plans.pipeline import (
     PipelineError,
+    _regex_group_count,
     parse_pipeline,
     read_versioned_sink,
     translate_pipeline,
@@ -778,6 +779,48 @@ def test_graph_lookup(spark):
                                "as": "z", "maxDepth": 2}}],
             starters,
         )
+
+
+def test_graph_lookup_restrict_search(spark):
+    """restrictSearchWithMatch filters the reachable set, not the
+    start row: a restricted node breaks the chain for everyone
+    above it, and the predicate applies at every depth."""
+    people = spark.createDataFrame(
+        [("eve", None, "x"), ("ann", "eve", "ok"),
+         ("bob", "ann", "ok"), ("cat", "bob", "ok")],
+        "name STRING, boss STRING, tag STRING",
+    )
+    starters = spark.createDataFrame([("cat",), ("eve",)], "who STRING")
+    got = translate_pipeline(
+        [
+            {
+                "$graphLookup": {
+                    "from": "people",
+                    "startWith": "$who",
+                    "connectFromField": "boss",
+                    "connectToField": "name",
+                    "as": "chain",
+                    "maxDepth": 10,
+                    "restrictSearchWithMatch": {"tag": "ok"},
+                }
+            }
+        ],
+        tables={"people": people},
+    )(starters)
+    rows = {r["who"]: sorted(c["name"] for c in r["chain"]) for r in got.collect()}
+    # eve is excluded by the restriction, so the walk stops at ann —
+    # and eve's own start row matches nothing at all.
+    assert rows["cat"] == ["ann", "bob", "cat"]
+    assert rows["eve"] == []
+    with pytest.raises(PipelineError):
+        translate_pipeline(
+            [{"$graphLookup": {"from": "people", "startWith": "$who",
+                               "connectFromField": "boss",
+                               "connectToField": "name", "as": "z",
+                               "maxDepth": 1,
+                               "restrictSearchWithMatch": ["bad"]}}],
+            tables={"people": people},
+        )(starters)
 
 
 def test_array_n_and_ts_ops(spark, docs):
@@ -1672,9 +1715,57 @@ def test_regex_find_ops(spark):
         ).collect()
     }
     assert got[1]["f"]["match"] == "foo12" and got[1]["f"]["idx"] == 0
+    assert got[1]["f"]["captures"] == []
     assert got[2]["f"] is None  # no match -> null document
-    assert got[1]["all"] == ["foo12", "bar34"] and got[2]["all"] == []
+    assert [(d["match"], d["idx"]) for d in got[1]["all"]] == [
+        ("foo12", 0), ("bar34", 6),
+    ]
+    assert got[2]["all"] == []
     assert got[1]["ci"]["match"] == "foo"
+
+
+def test_regex_find_captures(spark):
+    """Capture groups in $regexFind/$regexFindAll: per-match captures
+    arrays, idx offsets for repeated matches, and group counting for
+    Java-only pattern syntax (possessive quantifier breaks Python's
+    re, exercising the fallback scanner)."""
+    df = spark.createDataFrame(
+        [(1, "a=1, b=22, a=333"), (2, "none here")], "id INT, t STRING"
+    )
+    got = {
+        r["id"]: r
+        for r in run(
+            [
+                {
+                    "$project": {
+                        "id": 1,
+                        "f": {"$regexFind": {
+                            "input": "$t", "regex": r"([ab])=(\d+)"}},
+                        "all": {"$regexFindAll": {
+                            "input": "$t", "regex": r"([ab])=(\d+)"}},
+                        "poss": {"$regexFind": {
+                            "input": "$t", "regex": r"(\w++)=(\d++)"}},
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    assert got[1]["f"]["match"] == "a=1"
+    assert got[1]["f"]["captures"] == ["a", "1"]
+    assert [(d["match"], d["idx"], list(d["captures"]))
+            for d in got[1]["all"]] == [
+        ("a=1", 0, ["a", "1"]),
+        ("b=22", 5, ["b", "22"]),
+        ("a=333", 11, ["a", "333"]),
+    ]
+    assert got[2]["all"] == []
+    # possessive quantifiers: Python re rejects them, the scanner
+    # still finds 2 capturing groups and the Java engine matches
+    assert got[1]["poss"]["captures"] == ["a", "1"]
+    # groups: the outer (a...) and the named (?<nm>b); (?:x) is
+    # non-capturing, \( is escaped, [()] is a class
+    assert _regex_group_count(r"(?i)(a(?:x)(?<nm>b))|\(c\)|[()]") == 2
 
 
 def test_stddev_array_expressions(spark):
