@@ -410,6 +410,48 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_decontamination_bloom",
+    doc="Bloom-filter benchmark decontamination: the benchmark-gram "
+    "set is compressed into a broadcast m-bit Bloom bitmap (built "
+    "executor-side, OR-folded on the driver) and training documents "
+    "count distinct grams hitting it — the zero-shuffle, O(MB)-index "
+    "form of corpus_decontamination for 100 TB corpora.  No false "
+    "negatives by construction (every exact hit is a bloom hit; "
+    "superset property pytest-asserted with FP-rate bound in "
+    "tests/test_bloom.py); rows-only because bloom membership is not "
+    "SQL-expressible in the oracle engine.",
+    tags=("corpus", "dedup", "text"),
+)
+def corpus_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the bitmap replaces the broadcast string set of the
+    exact form — a few hundred MB covers billions of benchmark grams
+    at ~1% FP, and the probe is a narrow per-document bit test with
+    JVM-side hashing (no shuffle, no string transfer to Python)."""
+    from pymongo_change_stream_reader_spark.operators.bloom import (
+        bloom_build,
+        bloom_hit_counts,
+    )
+    from pymongo_change_stream_reader_spark.operators.dedup import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 1000
+    grams = d.select(
+        "doc_id", bucket.alias("bucket"), word_ngrams(F.col("text"), 3).alias("grams")
+    )
+    bench = grams.filter(F.col("bucket") < 50).select(
+        F.explode("grams").alias("gram")
+    )
+    bitmap = bloom_build(bench, F.col("gram"))
+    train = grams.filter(F.col("bucket") >= 50)
+    return (
+        bloom_hit_counts(train, "doc_id", F.col("grams"), bitmap)
+        .filter(F.col("bloom_hits") >= 3)
+        .withColumnRenamed("bloom_hits", "shared_grams")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "corpus_global_shuffle",
     oracle="""
     SELECT doc_id,
