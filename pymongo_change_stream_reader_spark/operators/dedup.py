@@ -626,3 +626,120 @@ def query_lsh_index(
         .select("new_id", "corpus_id")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram span removal (exact-substring dedup, token level).
+# ---------------------------------------------------------------------------
+def positional_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams WITH position: element j is the gram starting at
+    token j (0-based).  Same zipped-slice construction as
+    word_ngrams (no per-index element_at re-evaluation), minus the
+    distinct — position alignment is the point."""
+    length = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def remove_repeated_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cut every token span covered by an n-gram that occurs in >=
+    min_docs distinct documents — the token-level form of
+    exact-substring training-data dedup (boilerplate, licenses,
+    templated headers), applied corpus-wide.
+
+    Scale shape (100 TB):
+    1. one narrow projection computes positional grams per doc;
+    2. the corpus-frequency count is explode(distinct grams) -> one
+       hash-shuffle groupBy with map-side partial aggregation;
+    3. banned-gram lookup is a second shuffle join on the gram key
+       (banned set can exceed broadcast size, so it is a plain
+       equi-join both sides pre-shuffled on gram);
+    4. span union, interval counting, and text reconstruction are
+       per-row JVM HOF expressions — no Python, no extra exchange.
+
+    Returns (id_col, n_tokens, n_spans, removed_tokens, kept_tokens,
+    cleaned_text): cleaned_text rejoins surviving tokens with single
+    spaces (whitespace-normalized by construction, matching the
+    tokenizer).
+    """
+    from pymongo_change_stream_reader_spark.operators.text import tokens
+
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).withColumn("__grams", positional_ngrams(F.col("__toks"), n))
+
+    freq = (
+        base.select(F.explode(F.array_distinct("__grams")).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram")
+    )
+
+    starts = (
+        base.select(
+            id_col, F.posexplode("__grams").alias("__j", "gram")
+        )
+        .join(freq, "gram")
+        .groupBy(id_col)
+        .agg(F.collect_set("__j").alias("__starts"))
+    )
+
+    hit = base.join(starts, id_col, "left").withColumn(
+        "__covered",
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.coalesce(
+                            "__starts", F.array().cast("array<int>")
+                        ),
+                        lambda s: F.sequence(s, s + F.lit(n - 1)),
+                    )
+                )
+            )
+        ),
+    )
+
+    cov = F.col("__covered")
+    # islands in the sorted covered-position list = removed spans
+    n_spans = F.size(
+        F.filter(
+            F.zip_with(
+                cov,
+                F.concat(F.array(F.lit(-2)), F.slice(cov, 1, F.greatest(F.size(cov) - 1, F.lit(0)))),
+                lambda c, prev: c - prev > 1,
+            ),
+            lambda x: x,
+        )
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda s: ~F.array_contains(cov, s["i"]),
+    )
+    return hit.select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        n_spans.alias("n_spans"),
+        F.size(cov).alias("removed_tokens"),
+        (F.size("__toks") - F.size(cov)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(kept, lambda s: s["t"]), " "
+        ).alias("cleaned_text"),
+    )

@@ -270,3 +270,70 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("new_id", "corpus_id")
     )
+
+
+@query(
+    "dedup_repeated_ngram_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, j,
+               t[j] || ' ' || t[j+1] || ' ' || t[j+2] || ' ' ||
+               t[j+3] || ' ' || t[j+4] AS gram
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 4)) AS u(j)
+        WHERE len(t) >= 5
+    ),
+    banned AS (
+        SELECT gram
+        FROM (SELECT DISTINCT doc_id, gram FROM grams)
+        GROUP BY gram HAVING COUNT(*) >= 3
+    ),
+    covered AS (
+        SELECT DISTINCT g.doc_id, p
+        FROM grams g JOIN banned b USING (gram),
+             LATERAL unnest(generate_series(g.j, g.j + 4)) AS c(p)
+    ),
+    isl AS (
+        SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (
+                   PARTITION BY doc_id ORDER BY p) = 1
+                    THEN 0 ELSE 1 END AS brk
+        FROM covered
+    ),
+    stats AS (
+        SELECT doc_id, COUNT(*) AS removed, SUM(brk) AS spans
+        FROM isl GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(t) AS INT)                     AS n_tokens,
+           CAST(COALESCE(spans, 0) AS INT)         AS n_spans,
+           CAST(COALESCE(removed, 0) AS INT)       AS removed_tokens,
+           CAST(len(t) - COALESCE(removed, 0) AS INT) AS kept_tokens
+    FROM toks d LEFT JOIN stats USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Exact-substring dedup at token level: cut every span covered "
+    "by a word-5-gram occurring in >= 3 distinct documents "
+    "(boilerplate, licenses, templated headers) and report per-doc "
+    "span statistics; the DuckDB oracle replays the gram frequency, "
+    "interval union, and gaps-and-islands span count in SQL.",
+    tags=("dedup", "text", "corpus"),
+)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one narrow gram projection, one hash-shuffle count with
+    map-side partials, one equi-join on the gram key (both sides
+    shuffle-partitioned — the banned set need not fit broadcast), and
+    per-row JVM HOFs for the interval algebra; the cleaned text never
+    leaves the JVM.  See operators.dedup.remove_repeated_ngrams."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        remove_repeated_ngrams,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        remove_repeated_ngrams(d, "text", "doc_id", n=5, min_docs=3)
+        .drop("cleaned_text")
+        .orderBy("doc_id")
+    )

@@ -484,3 +484,71 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     # deterministic training -> same centroids -> same probes)
     mem = ivf_topk(corpus, queries, k=5, nlist=8, nprobe=2, train_iters=1)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, mem.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram span removal.
+# ---------------------------------------------------------------------------
+def test_remove_repeated_ngrams_reconstruction(spark):
+    """Cleaned text drops exactly the covered spans; overlapping and
+    adjacent banned grams merge into one span; sub-n docs untouched."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        remove_repeated_ngrams,
+    )
+
+    # "a b c d" (n=3 grams "a b c" / "b c d") repeated in 3 docs ->
+    # both grams banned; they overlap into ONE merged 4-token span.
+    df = spark.createDataFrame(
+        [
+            (1, "x a b c d y"),
+            (2, "a b c d tail words"),
+            (3, "front a b c d"),
+            (4, "nothing shared in this one"),
+            (5, "too short"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in remove_repeated_ngrams(
+            df, "text", "doc_id", n=3, min_docs=3
+        ).collect()
+    }
+    assert (got[1]["cleaned_text"], got[1]["n_spans"]) == ("x y", 1)
+    assert (got[2]["cleaned_text"], got[2]["n_spans"]) == ("tail words", 1)
+    assert (got[3]["cleaned_text"], got[3]["n_spans"]) == ("front", 1)
+    assert got[1]["removed_tokens"] == 4 and got[1]["kept_tokens"] == 2
+    assert got[4]["n_spans"] == 0 and got[4]["cleaned_text"] == (
+        "nothing shared in this one"
+    )
+    assert got[5]["n_spans"] == 0 and got[5]["kept_tokens"] == 2
+
+
+def test_remove_repeated_ngrams_disjoint_spans_and_threshold(spark):
+    """Two separated banned regions count as two spans; a gram in
+    only min_docs-1 documents is kept."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        remove_repeated_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "p q r MID s t u"),
+            (2, "p q r OTHER s t u"),
+            (3, "p q r END s t u"),
+            (4, "rare pair here only twice"),
+            (5, "rare pair here but different"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in remove_repeated_ngrams(
+            df, "text", "doc_id", n=3, min_docs=3
+        ).collect()
+    }
+    # "p q r" and "s t u" banned (3 docs); middles differ -> 2 spans
+    assert got[1]["n_spans"] == 2 and got[1]["cleaned_text"] == "MID"
+    assert got[1]["removed_tokens"] == 6
+    # "rare pair here" appears in only 2 docs < min_docs -> kept
+    assert got[4]["n_spans"] == 0 and got[5]["n_spans"] == 0
