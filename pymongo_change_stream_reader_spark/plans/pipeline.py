@@ -2538,6 +2538,8 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
             return df.filter(translate_expr(spec, env) == "KEEP")
         case "$sample":
             return _apply_sample(df, spec)
+        case "$geoNear":
+            return _apply_geo_near(df, spec)
         case "$group":
             return _apply_group(df, spec)
         case "$unwind":
@@ -2606,6 +2608,78 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
             return outs
         case _:
             raise PipelineError(f"unsupported stage {name!r}")
+
+
+_EARTH_RADIUS_M = 6378100.0  # MongoDB's spherical-model Earth radius
+
+
+def _apply_geo_near(df: DataFrame, spec: dict) -> DataFrame:
+    """$geoNear -> distance projection + ascending sort.
+
+    ``key`` names an ``array<double>`` [lon, lat] column (the legacy
+    coordinate-pair layout; a GeoJSON ``near`` point is accepted and
+    unwrapped).  ``spherical: true`` computes haversine meters on
+    Mongo's Earth radius; false computes planar Euclidean distance in
+    coordinate units (Mongo's 2d semantics).  ``query`` filters with
+    full $match semantics BEFORE distances, so the predicate reaches
+    the scan; min/maxDistance bound the (pre-multiplier) distance;
+    ``distanceMultiplier`` scales the reported value; ``includeLocs``
+    copies the matched point.  No geo index exists here, so ``key``
+    is required rather than inferred.
+
+    Scale: distance is a narrow per-row JVM expression; the ascending
+    order is a range-partitioned sort — and the usual trailing
+    $limit collapses it into TakeOrdered (top-k, no global sort).
+    """
+    if not isinstance(spec, dict):
+        raise PipelineError("$geoNear takes a document")
+    for req in ("near", "distanceField", "key"):
+        if req not in spec:
+            raise PipelineError(f"$geoNear requires {req!r}")
+    near = spec["near"]
+    if isinstance(near, dict):
+        if near.get("type") != "Point":
+            raise PipelineError("$geoNear near must be a Point")
+        near = near.get("coordinates")
+    if not (
+        isinstance(near, (list, tuple))
+        and len(near) == 2
+        and all(isinstance(c, (int, float)) for c in near)
+    ):
+        raise PipelineError("$geoNear near must be [lon, lat]")
+    lon2, lat2 = float(near[0]), float(near[1])
+
+    key = F.col(spec["key"])
+    lon1, lat1 = key.getItem(0), key.getItem(1)
+
+    if "query" in spec:
+        df = df.filter(translate_match(spec["query"]))
+
+    if spec.get("spherical"):
+        dphi = (F.radians(F.lit(lat2)) - F.radians(lat1)) / 2
+        dlmb = (F.radians(F.lit(lon2)) - F.radians(lon1)) / 2
+        a = (
+            F.sin(dphi) * F.sin(dphi)
+            + F.cos(F.radians(lat1))
+            * F.cos(F.radians(F.lit(lat2)))
+            * F.sin(dlmb)
+            * F.sin(dlmb)
+        )
+        dist = 2 * F.lit(_EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+    else:
+        dx, dy = lon1 - F.lit(lon2), lat1 - F.lit(lat2)
+        dist = F.sqrt(dx * dx + dy * dy)
+
+    out = df.withColumn("__geo_dist", dist)
+    if "minDistance" in spec:
+        out = out.filter(F.col("__geo_dist") >= float(spec["minDistance"]))
+    if "maxDistance" in spec:
+        out = out.filter(F.col("__geo_dist") <= float(spec["maxDistance"]))
+    reported = F.col("__geo_dist") * float(spec.get("distanceMultiplier", 1.0))
+    out = out.withColumn(spec["distanceField"], reported)
+    if "includeLocs" in spec:
+        out = out.withColumn(spec["includeLocs"], key)
+    return out.drop("__geo_dist").orderBy(F.col(spec["distanceField"]).asc())
 
 
 def _contains_descend(spec: Any) -> bool:
@@ -2788,6 +2862,8 @@ def translate_pipeline(
     for i, stage in enumerate(stages):
         if ("$out" in stage or "$merge" in stage) and i != len(stages) - 1:
             raise PipelineError("$out/$merge must be the last stage")
+        if "$geoNear" in stage and i != 0:
+            raise PipelineError("$geoNear must be the first stage")
 
     def apply(df: DataFrame) -> DataFrame:
         for stage in stages:

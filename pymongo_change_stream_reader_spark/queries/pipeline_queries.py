@@ -1408,3 +1408,66 @@ def pipeline_lookup_let_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe(load_table(spark, sf_dir, "customer")).orderBy(
         "c_custkey", "rank"
     )
+
+
+@query(
+    "pipeline_geo_near",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey % 36) * 10.0 - 179.5 AS lon,
+               (c_custkey % 17) * 10.0 - 84.5  AS lat
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    d AS (
+        SELECT c_custkey,
+               2 * 6378100.0 * asin(sqrt(
+                   pow(sin((radians(42.5) - radians(lat)) / 2), 2) +
+                   cos(radians(lat)) * cos(radians(42.5)) *
+                   pow(sin((radians(12.5) - radians(lon)) / 2), 2))) AS dist
+        FROM pts
+    )
+    SELECT c_custkey, CAST(floor(dist) AS BIGINT) AS dist_m
+    FROM d WHERE dist <= 5000000
+    ORDER BY c_custkey
+    """,
+    doc="$geoNear spherical: haversine meters on Mongo's Earth radius "
+    "from a fixed point to a deterministic per-customer grid "
+    "location, query pre-filter on market segment, maxDistance "
+    "bound; distances floored to whole meters so the comparison "
+    "is robust to last-ulp libm differences between engines.",
+    tags=("pipeline", "geo"),
+)
+def pipeline_geo_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the query filter and the distance projection are narrow
+    JVM expressions on the scan (predicate pushdown holds); the
+    ascending distance order is a range sort that a trailing $limit
+    would collapse to TakeOrdered.  See plans.pipeline._apply_geo_near."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "loc",
+        F.array(
+            (F.col("c_custkey") % 36) * 10.0 - 179.5,
+            (F.col("c_custkey") % 17) * 10.0 - 84.5,
+        ),
+    )
+    pipe = translate_pipeline(
+        [
+            {
+                "$geoNear": {
+                    "near": {"type": "Point", "coordinates": [12.5, 42.5]},
+                    "key": "loc",
+                    "distanceField": "d",
+                    "spherical": True,
+                    "query": {"c_mktsegment": "BUILDING"},
+                    "maxDistance": 5_000_000,
+                }
+            },
+            {
+                "$project": {
+                    "c_custkey": 1,
+                    "dist_m": {"$toLong": {"$floor": "$d"}},
+                }
+            },
+        ]
+    )
+    return pipe(c).orderBy("c_custkey")

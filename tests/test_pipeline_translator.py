@@ -2156,3 +2156,74 @@ def test_lookup_pipeline_rejects(spark):
         run([{"$lookup": {"from": "items", "localField": "cust",
                           "foreignField": "cust", "pipeline": [], "as": "z"}}],
             orders, tables={"items": items})
+
+
+def test_geo_near_spherical_and_planar(spark):
+    """$geoNear: haversine meters on Mongo's Earth radius (spherical)
+    and planar coordinate-unit distance; query pre-filter, distance
+    bounds, multiplier, includeLocs, ascending order, first-stage
+    rule."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], "keep"),
+            (2, [1.0, 0.0], "keep"),
+            (3, [0.0, 2.0], "keep"),
+            (4, [10.0, 10.0], "keep"),
+            (5, [0.1, 0.1], "drop"),
+        ],
+        "id INT, loc ARRAY<DOUBLE>, tag STRING",
+    )
+    got = translate_pipeline(
+        [
+            {
+                "$geoNear": {
+                    "near": {"type": "Point", "coordinates": [0.0, 0.0]},
+                    "key": "loc",
+                    "distanceField": "d",
+                    "spherical": True,
+                    "query": {"tag": "keep"},
+                    "maxDistance": 1_000_000,
+                    "distanceMultiplier": 0.001,
+                    "includeLocs": "pt",
+                }
+            }
+        ]
+    )(df).collect()
+    assert [r["id"] for r in got] == [1, 2, 3]  # ascending, 4+5 gone
+    R = 6378100.0
+    one_deg_lon_km = 2 * R * math.asin(math.sin(math.radians(0.5))) / 1000
+    assert got[0]["d"] == 0.0
+    assert got[1]["d"] == pytest.approx(one_deg_lon_km, rel=1e-9)
+    assert got[2]["d"] == pytest.approx(2 * one_deg_lon_km, rel=1e-9)
+    assert list(got[1]["pt"]) == [1.0, 0.0]
+
+    planar = translate_pipeline(
+        [
+            {
+                "$geoNear": {
+                    "near": [3.0, 4.0],
+                    "key": "loc",
+                    "distanceField": "d",
+                    "minDistance": 1.0,
+                }
+            },
+            {"$limit": 2},
+        ]
+    )(df).collect()
+    # distances to (3,4): id3 sqrt(13), id2 sqrt(20), id5 ~4.86,
+    # id1 5.0, id4 ~9.22 -> limit 2 keeps id3, id2
+    assert [r["id"] for r in planar] == [3, 2]
+    assert planar[0]["d"] == pytest.approx(math.hypot(3.0, 2.0))
+
+    with pytest.raises(PipelineError):
+        translate_pipeline(
+            [{"$match": {}}, {"$geoNear": {"near": [0, 0], "key": "loc",
+                                           "distanceField": "d"}}]
+        )
+    with pytest.raises(PipelineError):
+        run([{"$geoNear": {"near": [0.0], "key": "loc",
+                           "distanceField": "d"}}], df)
+    with pytest.raises(PipelineError):
+        run([{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d"}}], df)
