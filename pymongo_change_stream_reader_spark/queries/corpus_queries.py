@@ -661,3 +661,86 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "quality_linear_scorer",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS idx,
+               COUNT(*) AS cnt
+        FROM toks GROUP BY doc_id, idx
+    ),
+    w AS (
+        SELECT i AS idx, (i * 2654435761 + 97) % 2001 - 1000 AS w
+        FROM generate_series(0, 4095) t(i)
+    ),
+    z AS (
+        SELECT doc_id,
+               SUM(w * cnt)  AS z_milli,
+               SUM(cnt)      AS n
+        FROM f JOIN w ON f.idx = w.idx
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT)                            AS n_tokens,
+           CAST(z_milli AS DOUBLE) / (1000.0 * n)       AS logit,
+           z_milli > 0                                  AS keep
+    FROM z
+    ORDER BY doc_id
+    """,
+    doc="Hashed linear quality classifier (fasttext-style inference "
+    "at corpus scale): tokens hash into a 4096-bin feature space "
+    "(engine-portable md5-prefix hash), a deterministic integer "
+    "milli-weight vector scores each document as the count-weighted "
+    "mean weight, and the sign gates keep/drop.  Integer weights "
+    "keep the aggregation exact in any summation order, so the "
+    "cross-engine comparison is bit-stable; the single terminal "
+    "division produces the float logit identically in both engines.",
+    tags=("corpus", "text", "quality"),
+)
+def quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one explode + one hash-shuffle feature count with
+    map-side partials, then a BROADCAST join against the weight
+    vector (the model is O(D) rows — a few MB even at D=2^20) and a
+    second map-side-partial sum per doc.  The model never exists
+    driver-side as anything but a tiny deterministic DataFrame; a
+    trained model would load from parquet into the same shape."""
+    D = 4096
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    )
+    idx = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+        F.lit(D),
+    )
+    feats = (
+        toks.select("doc_id", idx.alias("idx"))
+        .groupBy("doc_id", "idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+    weights = spark.range(D).select(
+        F.col("id").alias("idx"),
+        ((F.col("id") * 2654435761 + 97) % 2001 - 1000).alias("w"),
+    )
+    z = (
+        feats.join(F.broadcast(weights), "idx")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("w") * F.col("cnt")).alias("z_milli"),
+            F.sum("cnt").alias("n"),
+        )
+    )
+    return z.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.col("z_milli").cast("double") / (1000.0 * F.col("n"))).alias(
+            "logit"
+        ),
+        (F.col("z_milli") > 0).alias("keep"),
+    ).orderBy("doc_id")
