@@ -2948,10 +2948,73 @@ def _versioned_commit(df: DataFrame, path: str) -> DataFrame:
     return df.sparkSession.read.parquet(os.path.join(path, vdir))
 
 
+def _apply_when_matched_pipeline(
+    old: DataFrame, incoming: DataFrame, on: str, stages: list
+) -> DataFrame:
+    """$merge whenMatched custom-update pipeline: each stage runs
+    over the STORED document with ``$$new`` bound to the incoming
+    document (Mongo's update-pipeline form).  Supported stages:
+    $addFields/$set (dotted targets included), $unset,
+    $replaceWith/$replaceRoot; $project inside the update pipeline is
+    declared-unsupported (its _id defaulting has no analog mid-merge).
+    The whole form is one inner join plus per-row expressions — no
+    extra exchange beyond the join itself."""
+    joined = old.alias("__o").join(incoming.alias("__n"), on, "inner")
+    new_struct = F.struct(
+        *[F.col(f"__n.{c}").alias(c) for c in incoming.columns]
+    )
+    out = joined.select(
+        *[F.col(f"__o.{c}").alias(c) for c in old.columns],
+        new_struct.alias("__new"),
+    )
+    for stage in stages:
+        if not (isinstance(stage, dict) and len(stage) == 1):
+            raise PipelineError(
+                "$merge whenMatched pipeline stage must be a "
+                "single-key document"
+            )
+        [(sname, sspec)] = stage.items()
+        doc_cols = [c for c in out.columns if c != "__new"]
+        doc = F.struct(*[F.col(c).alias(c) for c in doc_cols])
+        env = {"ROOT": doc, "CURRENT": doc, "new": F.col("__new")}
+        if sname in ("$addFields", "$set"):
+            for field, expr in sspec.items():
+                if "." in field:
+                    root, rest = field.split(".", 1)
+                    out = out.withColumn(
+                        root,
+                        F.col(root).withField(
+                            rest, translate_expr(expr, env)
+                        ),
+                    )
+                else:
+                    out = out.withColumn(field, translate_expr(expr, env))
+        elif sname == "$unset":
+            fields = [sspec] if isinstance(sspec, str) else list(sspec)
+            if on in fields:
+                raise PipelineError(
+                    "$merge whenMatched pipeline cannot unset the on key"
+                )
+            out = out.drop(*fields)
+        elif sname in ("$replaceWith", "$replaceRoot"):
+            root_expr = (
+                sspec["newRoot"] if sname == "$replaceRoot" else sspec
+            )
+            out = out.select(
+                translate_expr(root_expr, env).alias("__root"), "__new"
+            ).select("__root.*", "__new")
+        else:
+            raise PipelineError(
+                f"unsupported $merge whenMatched pipeline stage {sname!r}"
+            )
+    return out.drop("__new")
+
+
 def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
     """$merge -> upsert into a parquet target keyed by ``on``:
-    whenMatched replace/keepExisting/merge, whenNotMatched
-    insert/discard (pipeline forms are rejected).  ``merge`` is
+    whenMatched replace/keepExisting/merge or a custom-update
+    pipeline (list form, $$new bound to the incoming doc),
+    whenNotMatched insert/discard.  ``merge`` is
     field-level: non-null fields of the incoming doc override, null
     fields keep the stored value — in a fixed-schema DataFrame a
     "missing" field ≙ null, so an incoming explicit null cannot erase
@@ -2966,7 +3029,11 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
     on = spec.get("on", "_id")
     when_matched = spec.get("whenMatched", "replace")
     when_not_matched = spec.get("whenNotMatched", "insert")
-    if when_matched not in ("replace", "keepExisting", "merge"):
+    if not isinstance(when_matched, list) and when_matched not in (
+        "replace",
+        "keepExisting",
+        "merge",
+    ):
         raise PipelineError(
             f"unsupported $merge whenMatched {when_matched!r}"
         )
@@ -3013,6 +3080,19 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
                 old.alias("__o").join(df.alias("__n"), on, "inner")
                 .select(*cols)
             )
+            unmatched_old = old.join(
+                df.select(on).distinct(), on, "left_anti"
+            )
+            kept_old = unmatched_old.unionByName(
+                matched, allowMissingColumns=True
+            )
+            new_side = (
+                df.join(old.select(on).distinct(), on, "left_anti")
+                if when_not_matched == "insert"
+                else spark.createDataFrame([], df.schema)
+            )
+        elif isinstance(when_matched, list):
+            matched = _apply_when_matched_pipeline(old, df, on, when_matched)
             unmatched_old = old.join(
                 df.select(on).distinct(), on, "left_anti"
             )

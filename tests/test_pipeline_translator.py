@@ -2227,3 +2227,81 @@ def test_geo_near_spherical_and_planar(spark):
                            "distanceField": "d"}}], df)
     with pytest.raises(PipelineError):
         run([{"$geoNear": {"near": [0.0, 0.0], "distanceField": "d"}}], df)
+
+
+def test_merge_stage_update_pipeline(spark, tmp_path):
+    """whenMatched: [pipeline] — the update pipeline runs over the
+    STORED doc with $$new bound to the incoming doc; unmatched
+    incoming rows insert unchanged."""
+    path = str(tmp_path / "mp")
+    base = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "_id INT, total INT, n INT"
+    )
+    base.write.parquet(path)
+
+    incoming = spark.createDataFrame(
+        [(2, 7, 1), (3, 30, 1)], "_id INT, total INT, n INT"
+    )
+    got = translate_pipeline(
+        [
+            {
+                "$merge": {
+                    "into": "t",
+                    "on": "_id",
+                    "whenMatched": [
+                        {
+                            "$set": {
+                                "total": {"$add": ["$total", "$$new.total"]},
+                                "n": {"$add": ["$n", 1]},
+                            }
+                        }
+                    ],
+                }
+            }
+        ],
+        sinks={"t": path},
+    )(incoming)
+    rows = {r["_id"]: (r["total"], r["n"]) for r in got.collect()}
+    assert rows[1] == (10, 1)   # untouched stored row
+    assert rows[2] == (27, 2)   # accumulated: stored 20 + new 7, n bumped
+    assert rows[3] == (30, 1)   # unmatched incoming inserted as-is
+
+    # $replaceWith form: swap the stored doc for a computed document
+    incoming2 = spark.createDataFrame([(3, 5, 9)], "_id INT, total INT, n INT")
+    got2 = translate_pipeline(
+        [
+            {
+                "$merge": {
+                    "into": "t",
+                    "on": "_id",
+                    "whenMatched": [
+                        {
+                            "$replaceWith": {
+                                "_id": "$_id",
+                                "total": "$$new.total",
+                                "n": {"$add": ["$n", 100]},
+                            }
+                        }
+                    ],
+                    "whenNotMatched": "discard",
+                }
+            }
+        ],
+        sinks={"t": path},
+    )(incoming2)
+    rows2 = {r["_id"]: (r["total"], r["n"]) for r in got2.collect()}
+    assert rows2[3] == (5, 101)  # new total, stored n (1) + 100
+    assert set(rows2) == {1, 2, 3}
+
+    with pytest.raises(PipelineError):
+        translate_pipeline(
+            [{"$merge": {"into": "t", "on": "_id",
+                         "whenMatched": [{"$project": {"x": 1}}]}}],
+            sinks={"t": path},
+        )(incoming)
+    with pytest.raises(PipelineError):
+        translate_pipeline(
+            [{"$merge": {"into": "t", "on": "_id",
+                         "whenMatched": [{"$unset": "_id"}]}}],
+            sinks={"t": path},
+        )(incoming)
