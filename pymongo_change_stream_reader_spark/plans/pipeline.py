@@ -50,7 +50,7 @@ from collections.abc import Callable, Sequence
 from functools import reduce
 from typing import Any
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -2538,6 +2538,18 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
             return df.filter(translate_expr(spec, env) == "KEEP")
         case "$sample":
             return _apply_sample(df, spec)
+        case "$sampleRate":
+            # Declared-deterministic deviation (like $sample): each doc
+            # keeps with probability ~rate, decided by a content hash —
+            # reproducible across runs/partitions; identical documents
+            # share one decision (Mongo draws independently per doc).
+            if not isinstance(spec, (int, float)) or not 0 <= spec <= 1:
+                raise PipelineError("$sampleRate takes a number in [0, 1]")
+            h = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(1 << 20),
+            )
+            return df.filter(h < int(spec * (1 << 20)))
         case "$geoNear":
             return _apply_geo_near(df, spec)
         case "$group":
@@ -2864,9 +2876,42 @@ def translate_pipeline(
             raise PipelineError("$out/$merge must be the last stage")
         if "$geoNear" in stage and i != 0:
             raise PipelineError("$geoNear must be the first stage")
+        if "$documents" in stage and i != 0:
+            raise PipelineError("$documents must be the first stage")
 
-    def apply(df: DataFrame) -> DataFrame:
-        for stage in stages:
+    def apply(df: DataFrame | None) -> DataFrame:
+        run_stages = stages
+        if stages and "$documents" in stages[0]:
+            # Input-producing stage: the literal documents REPLACE the
+            # input frame (which may be None — Mongo's
+            # aggregate([{$documents: ...}]) needs no collection).
+            # Literals only (declared narrower: Mongo also allows
+            # constant-foldable expressions); ingested via the JSON
+            # reader for consistent schema inference, then re-ordered
+            # to first-document key order (the reader sorts
+            # alphabetically, Mongo preserves insertion order).
+            docs = stages[0]["$documents"]
+            if not (
+                isinstance(docs, list)
+                and docs
+                and all(isinstance(d, dict) for d in docs)
+            ):
+                raise PipelineError(
+                    "$documents takes a non-empty array of documents"
+                )
+            spark = SparkSession.getActiveSession()
+            inferred = spark.read.json(
+                spark.sparkContext.parallelize(
+                    [json.dumps(d) for d in docs], 1
+                )
+            )
+            order = list(docs[0])
+            cols = [c for c in order if c in inferred.columns] + [
+                c for c in inferred.columns if c not in order
+            ]
+            df = inferred.select(*cols)
+            run_stages = stages[1:]
+        for stage in run_stages:
             if "$out" in stage:
                 spec = stage["$out"]
                 target = spec if isinstance(spec, str) else spec.get("coll")

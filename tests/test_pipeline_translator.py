@@ -2305,3 +2305,43 @@ def test_merge_stage_update_pipeline(spark, tmp_path):
                          "whenMatched": [{"$unset": "_id"}]}}],
             sinks={"t": path},
         )(incoming)
+
+
+def test_documents_stage(spark):
+    """$documents replaces the input (which may be None), first-stage
+    only; key order follows the first document."""
+    pipe = translate_pipeline(
+        [
+            {"$documents": [
+                {"k": "a", "v": 3},
+                {"k": "b", "v": 1},
+                {"k": "a", "v": 2},
+            ]},
+            {"$group": {"_id": "$k", "total": {"$sum": "$v"}}},
+            {"$sort": {"_id": 1}},
+        ]
+    )
+    got = pipe(None).collect()
+    assert [(r["_id"], r["total"]) for r in got] == [("a", 5), ("b", 1)]
+    cols = translate_pipeline([{"$documents": [{"z": 1, "a": 2}]}])(None)
+    assert cols.columns == ["z", "a"]  # first-doc order, not alphabetical
+    with pytest.raises(PipelineError):
+        translate_pipeline([{"$match": {}}, {"$documents": [{"a": 1}]}])
+    with pytest.raises(PipelineError):
+        translate_pipeline([{"$documents": []}])(None)
+
+
+def test_sample_rate_stage(spark):
+    """$sampleRate: deterministic content-hash keep decision,
+    approximate proportion, 0/1 edges, [0,1] validation."""
+    df = spark.range(0, 4000).withColumnRenamed("id", "x")
+    kept = run([{"$sampleRate": 0.25}], df)
+    n = kept.count()
+    assert 800 < n < 1200  # ~1000 expected
+    assert run([{"$sampleRate": 0.25}], df).count() == n  # deterministic
+    assert run([{"$sampleRate": 0}], df).count() == 0
+    assert run([{"$sampleRate": 1}], df).count() == 4000
+    sub = {r["x"] for r in kept.collect()}
+    assert sub <= set(range(4000))
+    with pytest.raises(PipelineError):
+        run([{"$sampleRate": 1.5}], df)
