@@ -62,6 +62,10 @@ HEADLINE = (
     # corpus curation
     "sample_stratified_hash",
     "quality_filter_pipeline",
+    # r3 additions: substring dedup, bloom decontam, model inference
+    "dedup_repeated_ngram_spans",
+    "corpus_decontamination_bloom",
+    "quality_linear_scorer",
 )
 
 
