@@ -9,7 +9,7 @@ Column so callers compose them into a single narrow projection.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Minimal per-language stopword anchors for the n-gram/stopword
@@ -123,3 +123,72 @@ def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the normalized text — the exact
     dedup key (a rolling/content hash the oracle can reproduce)."""
     return F.md5(normalized_text(text))
+
+
+def bigram_lm_tables(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Corpus bigram/prefix count model + per-doc positional bigrams.
+
+    Returns (doc_bigrams, bigram_counts, prefix_counts):
+    - doc_bigrams: (id, bigram, w1) one row per bigram OCCURRENCE
+      (LM counts occurrences, not distinct types)
+    - bigram_counts: (bigram, c_bi) corpus-wide
+    - prefix_counts: (w1, c_uni) corpus-wide first-word counts
+
+    Scale: the model build is two explode -> hash-shuffle counts with
+    map-side partials; both count tables shuffle on their key and the
+    scoring joins co-locate on the same keys — no broadcast
+    assumption (real corpus vocabularies exceed broadcast size)."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        positional_ngrams,
+    )
+
+    toks = tokens(F.col(text_col))
+    doc_bigrams = df.select(
+        F.col(id_col),
+        F.explode(positional_ngrams(toks, 2)).alias("bigram"),
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    bigram_counts = doc_bigrams.groupBy("bigram").agg(
+        F.count("*").alias("c_bi")
+    )
+    prefix_counts = doc_bigrams.groupBy("w1").agg(
+        F.count("*").alias("c_uni")
+    )
+    return doc_bigrams, bigram_counts, prefix_counts
+
+
+def bigram_lm_doc_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 1 << 16,
+) -> DataFrame:
+    """Per-document mean conditional log-probability under the
+    corpus's own add-one-smoothed bigram model — the CCNet-style
+    LM-quality proxy (repetitive/templated text scores high,
+    gibberish low).  Returns (id, n_bigrams, avg_logprob).
+
+    avg_logprob = mean over positions of
+        ln((c(w1 w2) + 1) / (c(w1) + vocab_size)).
+    Float log-sums are order-sensitive, so this form is pytest-
+    verified; the oracle-checked integer core is
+    queries.corpus_queries.quality_bigram_lm_counts."""
+    doc_bigrams, bigram_counts, prefix_counts = bigram_lm_tables(
+        df, text_col, id_col
+    )
+    scored = (
+        doc_bigrams.join(bigram_counts, "bigram")
+        .join(prefix_counts, "w1")
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.col("c_bi") + 1).cast("double")
+                / (F.col("c_uni") + F.lit(vocab_size))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg("__lp").alias("avg_logprob"),
+    )

@@ -744,3 +744,56 @@ def quality_linear_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("z_milli") > 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "quality_bigram_lm_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, t[j] || ' ' || t[j+1] AS bigram, t[j] AS w1
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(j)
+        WHERE len(t) >= 2
+    ),
+    cb AS (SELECT bigram, COUNT(*) AS c_bi FROM bi GROUP BY bigram),
+    cu AS (SELECT w1, COUNT(*) AS c_uni FROM bi GROUP BY w1)
+    SELECT bi.doc_id,
+           COUNT(*)        AS n_bigrams,
+           SUM(cb.c_bi)    AS sum_bigram_freq,
+           SUM(cu.c_uni)   AS sum_prefix_freq
+    FROM bi JOIN cb USING (bigram) JOIN cu USING (w1)
+    GROUP BY bi.doc_id
+    ORDER BY bi.doc_id
+    """,
+    doc="Bigram-LM quality scoring, integer core: per document the "
+    "bigram-position count and the exact corpus-frequency sums of its "
+    "bigrams and their prefix words — the inputs of the CCNet-style "
+    "smoothed log-probability score.  Counts are integers so the "
+    "cross-engine comparison is exact; the float log score over the "
+    "same tables is operators.text.bigram_lm_doc_scores, "
+    "pytest-verified (log-sum order sensitivity keeps it out of the "
+    "hash oracle).",
+    tags=("corpus", "text", "quality"),
+)
+def quality_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: model build = two explode -> hash-shuffle counts with
+    map-side partials; scoring joins shuffle on the same keys (no
+    broadcast assumption — real vocabularies exceed broadcast size);
+    one final per-doc aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    doc_bigrams, bigram_counts, prefix_counts = tx.bigram_lm_tables(
+        d, "text", "doc_id"
+    )
+    return (
+        doc_bigrams.join(bigram_counts, "bigram")
+        .join(prefix_counts, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("c_bi").alias("sum_bigram_freq"),
+            F.sum("c_uni").alias("sum_prefix_freq"),
+        )
+        .orderBy("doc_id")
+    )
