@@ -3078,11 +3078,12 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
         "replace",
         "keepExisting",
         "merge",
+        "fail",
     ):
         raise PipelineError(
             f"unsupported $merge whenMatched {when_matched!r}"
         )
-    if when_not_matched not in ("insert", "discard"):
+    if when_not_matched not in ("insert", "discard", "fail"):
         raise PipelineError(
             f"unsupported $merge whenNotMatched {when_not_matched!r}"
         )
@@ -3094,6 +3095,29 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
     path = sinks[target]
     spark = df.sparkSession
     old = read_versioned_sink(spark, path)
+    # "fail" modes abort the whole merge BEFORE any write — the
+    # versioned target is untouched (Mongo errors the aggregate).
+    if when_not_matched == "fail":
+        unmatched_new = (
+            df
+            if old is None
+            else df.join(old.select(on).distinct(), on, "left_anti")
+        )
+        if not unmatched_new.isEmpty():
+            raise PipelineError(
+                "$merge whenNotMatched: fail — incoming documents "
+                "have no match in the target"
+            )
+        when_not_matched = "discard"  # nothing unmatched remains
+    if when_matched == "fail":
+        if old is not None and not df.join(
+            old.select(on).distinct(), on, "semi"
+        ).isEmpty():
+            raise PipelineError(
+                "$merge whenMatched: fail — incoming documents "
+                "match existing target documents"
+            )
+        when_matched = "keepExisting"  # no matches remain by proof
     if old is not None:
         if when_matched == "replace":
             kept_old = old.join(df.select(on).distinct(), on, "left_anti")

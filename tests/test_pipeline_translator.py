@@ -2345,3 +2345,39 @@ def test_sample_rate_stage(spark):
     assert sub <= set(range(4000))
     with pytest.raises(PipelineError):
         run([{"$sampleRate": 1.5}], df)
+
+
+def test_merge_stage_fail_modes(spark, tmp_path):
+    """whenMatched/whenNotMatched 'fail' abort before any write and
+    leave the committed target untouched."""
+    path = str(tmp_path / "mf")
+    base = spark.createDataFrame([(1, "a")], "_id INT, v STRING")
+    translate_pipeline(
+        [{"$merge": {"into": "t", "on": "_id"}}], sinks={"t": path}
+    )(base)
+
+    clash = spark.createDataFrame([(1, "new")], "_id INT, v STRING")
+    with pytest.raises(PipelineError, match="whenMatched: fail"):
+        translate_pipeline(
+            [{"$merge": {"into": "t", "on": "_id",
+                         "whenMatched": "fail"}}],
+            sinks={"t": path},
+        )(clash)
+    fresh = spark.createDataFrame([(9, "x")], "_id INT, v STRING")
+    with pytest.raises(PipelineError, match="whenNotMatched: fail"):
+        translate_pipeline(
+            [{"$merge": {"into": "t", "on": "_id",
+                         "whenNotMatched": "fail"}}],
+            sinks={"t": path},
+        )(fresh)
+    # target unchanged by both failed merges
+    got = read_versioned_sink(spark, path).collect()
+    assert [(r["_id"], r["v"]) for r in got] == [(1, "a")]
+    # the combination that CAN succeed: all-matched updates pass the
+    # whenNotMatched guard
+    ok = translate_pipeline(
+        [{"$merge": {"into": "t", "on": "_id",
+                     "whenNotMatched": "fail"}}],
+        sinks={"t": path},
+    )(clash)
+    assert [(r["_id"], r["v"]) for r in ok.collect()] == [(1, "new")]
