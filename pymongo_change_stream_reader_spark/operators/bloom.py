@@ -130,16 +130,30 @@ def bloom_hit_counts(
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.frombuffer(bc.value, dtype=np.uint8)
         for pdf in batches:
-            counts = []
-            for gram_pos in pdf["gram_pos"]:
-                n_hit = 0
-                for positions in gram_pos:
-                    arr = np.asarray(positions, dtype=np.int64)
-                    if np.all(bits[arr >> 3] & (np.uint8(1) << (arr & 7).astype(np.uint8))):
-                        n_hit += 1
-                counts.append(n_hit)
+            # Vectorized over the whole Arrow batch: every gram has
+            # exactly k positions, so the batch flattens to one (G, k)
+            # int matrix -> one gather + bit-test -> per-row counts by
+            # bincount on repeated row indices.  No per-row Python.
+            n_rows = len(pdf)
+            n_grams = np.fromiter(
+                (len(g) for g in pdf["gram_pos"]), dtype=np.int64, count=n_rows
+            )
+            flat = [plist for row in pdf["gram_pos"] for plist in row]
+            if flat:
+                arr = np.asarray(flat, dtype=np.int64)  # (G, k)
+                hit = np.all(
+                    bits[arr >> 3]
+                    & (np.uint8(1) << (arr & 7).astype(np.uint8)),
+                    axis=1,
+                )
+                row_idx = np.repeat(np.arange(n_rows), n_grams)
+                counts = np.bincount(
+                    row_idx, weights=hit, minlength=n_rows
+                ).astype(np.int64)
+            else:
+                counts = np.zeros(n_rows, dtype=np.int64)
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "bloom_hits": pd.array(counts, dtype="int64")}
+                {id_col: pdf[id_col], "bloom_hits": counts}
             )
 
     id_type = dict(df.dtypes)[id_col]
