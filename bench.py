@@ -66,6 +66,7 @@ HEADLINE = (
     "dedup_repeated_ngram_spans",
     "corpus_decontamination_bloom",
     "quality_linear_scorer",
+    "ann_pq_adc",
 )
 
 

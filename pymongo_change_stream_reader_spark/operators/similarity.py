@@ -574,3 +574,277 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric-distance scoring.
+# ---------------------------------------------------------------------------
+def _sql_darr(vals: list[float]) -> str:
+    """Spark-SQL double-array literal.  Expressions are built as SQL
+    TEXT, not nested Column objects: a codebook is thousands of
+    literals, and one F.expr() call replaces thousands of py4j
+    round-trips (measured: the Column-object form spent ~30 s just
+    constructing the plan)."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def _pq_argmin_sql(book: list[list[float]], sv_sql: str) -> str:
+    """Argmin-L2 code over one subspace codebook as a SQL expression:
+    squared distance per centroid into (d2, cid) structs, array_sort,
+    take the head.  Distances rounded so reduction order can never
+    flip an assignment between runs."""
+    structs = ",".join(
+        f"named_struct('d2', round(aggregate("
+        f"zip_with({sv_sql},{_sql_darr(c)},(a,b)->(a-b)*(a-b)),"
+        f"0.0D,(acc,x)->acc+x),6),'cid',{i})"
+        for i, c in enumerate(book)
+    )
+    return f"array_sort(array({structs}))[0].cid"
+
+
+def _unit_frame(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """(out_id, unit) — unit-normalized double vectors.  The norm is
+    hoisted into its own projection so the per-element division reads
+    a computed column instead of re-running the dot product per
+    element (interpreted HOFs have no CSE — PERF.md)."""
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("__n", F.greatest(l2_norm(F.col("__v")), F.lit(1e-12)))
+        .select(
+            out_id,
+            F.transform(
+                F.col("__v"), lambda x: x / F.col("__n")
+            ).alias("unit"),
+        )
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks for product quantization.
+
+    Unit-normalized vectors split into m_sub contiguous subvectors;
+    each subspace trains k_codes L2 centroids by Lloyd iterations in
+    DataFrame ops (same discipline as train_ivf_centroids: only the
+    m_sub*k_codes*sub_dim model reaches the driver; components
+    rounded to 1e-6 for run-invariance).  All subspaces train in ONE
+    pass per iteration: the corpus explodes to (sub, subvec) rows and
+    the update shuffles once on (sub, code, pos) with map-side
+    partials — m_sub*k_codes*sub_dim groups, corpus-size-independent.
+
+    Deterministic init: subvectors of the k_codes lowest-id vectors.
+    """
+    import math
+
+    dim = corpus.select(
+        F.size(_as_double(F.col(vec_col))).alias("d")
+    ).first()["d"]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub_dim = dim // m_sub
+
+    seed_rows = (
+        corpus.select(_as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(k_codes)
+        .collect()
+    )
+
+    def _unit(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    books = [
+        [
+            [
+                round(x, 6)
+                for x in _unit(list(r["v"]))[s * sub_dim : (s + 1) * sub_dim]
+            ]
+            for r in seed_rows
+        ]
+        for s in range(m_sub)
+    ]
+
+    units = _unit_frame(corpus, id_col, vec_col, "__id")
+    subs = units.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("unit"), s * sub_dim + 1, sub_dim)
+                    for s in range(m_sub)
+                ]
+            )
+        ).alias("sub", "sv")
+    )
+
+    for _ in range(iters):
+        cases = " ".join(
+            f"WHEN {s} THEN ({_pq_argmin_sql(book, 'sv')})"
+            for s, book in enumerate(books)
+        )
+        assigned = subs.select(
+            "sub",
+            F.expr(f"CASE sub {cases} END").alias("code"),
+            "sv",
+        ).select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+        means = (
+            assigned.groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )  # bounded: m_sub * k_codes * sub_dim rows — the model update
+        table: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            table.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["m"]
+        books = [
+            [
+                (
+                    [round(table[(s, c)][p], 6) for p in sorted(table[(s, c)])]
+                    if (s, c) in table
+                    else books[s][c]  # empty code keeps its centroid
+                )
+                for c in range(k_codes)
+            ]
+            for s in range(m_sub)
+        ]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — m_sub codes per vector: sub_dim *
+    32-bit floats become log2(k_codes) bits per subspace (16-32x
+    smaller at typical settings), which is what a 100 TB embedding
+    store scans instead of the raw vectors.  One narrow JVM
+    projection."""
+    m_sub, sub_dim = len(books), len(books[0][0])
+    codes_sql = "array(" + ",".join(
+        _pq_argmin_sql(book, f"slice(unit,{s * sub_dim + 1},{sub_dim})")
+        for s, book in enumerate(books)
+    ) + ")"
+    return _unit_frame(corpus, id_col, vec_col, id_col).select(
+        id_col, F.expr(codes_sql).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ retrieval: asymmetric-distance (ADC) shortlist,
+    exact cosine re-rank — the standard compressed-index pipeline.
+
+    Stage 1 scans ONLY (id, codes): each query's per-(sub, code)
+    partial-dot lookup table rides in one SQL literal, and a
+    document's approximate dot is m_sub element_at adds — no vector
+    math per candidate.  Stage 2 joins the k*rerank shortlist back to
+    the raw vectors for exact cosine (touching rerank*k*Q rows, not
+    the corpus).  rerank=0 skips stage 2 and returns raw ADC scores.
+
+    Returns (query_id, neighbor_id, score) top-k per query,
+    deterministic tie-break on neighbor_id.
+    """
+    from pyspark.sql import Window as W
+
+    books = train_pq_codebooks(
+        corpus, m_sub, k_codes, iters, id_col, vec_col
+    )
+    sub_dim = len(books[0][0])
+    encoded = pq_encode(corpus, books, id_col, vec_col)
+
+    q_units = _unit_frame(queries, id_col, vec_col, "query_id")
+    q_rows = q_units.collect()  # query set is model-sized
+
+    entries = []
+    for qr in q_rows:
+        qv = list(qr["unit"])
+        lut = [
+            [
+                round(
+                    sum(
+                        qv[s * sub_dim + p] * books[s][c][p]
+                        for p in range(sub_dim)
+                    ),
+                    9,
+                )
+                for c in range(len(books[s]))
+            ]
+            for s in range(len(books))
+        ]
+        lut_sql = "array(" + ",".join(_sql_darr(row) for row in lut) + ")"
+        entries.append(
+            f"named_struct('query_id',{int(qr['query_id'])}L,"
+            f"'lut',{lut_sql})"
+        )
+
+    adc = (
+        encoded.select(
+            F.col(id_col).alias("neighbor_id"),
+            "codes",
+            F.expr("explode(array(" + ",".join(entries) + "))").alias("q"),
+        )
+        .filter(F.col("q.query_id") != F.col("neighbor_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            "neighbor_id",
+            F.expr(
+                "round(aggregate(zip_with(q.lut, codes,"
+                " (row, c) -> element_at(row, c + 1)),"
+                " 0.0D, (acc, x) -> acc + x), 6)"
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    shortlist_n = k if rerank <= 0 else k * rerank
+    shortlist = (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= shortlist_n)
+        .drop("rk")
+    )
+    if rerank <= 0:
+        return shortlist
+
+    c_units = _unit_frame(corpus, id_col, vec_col, "neighbor_id")
+    exact = (
+        shortlist.drop("score")
+        .join(c_units, "neighbor_id")
+        .join(
+            F.broadcast(
+                q_units.select("query_id", F.col("unit").alias("qu"))
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("unit"), F.col("qu")), 6).alias("score"),
+        )
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -177,3 +177,24 @@ def ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{tempfile.gettempdir()}/spark_ivf_index_{safe}"
     write_ivf_index(emb, path, nlist=16, train_iters=2)
     return ivf_topk_from_index(spark, path, queries, k=10, nprobe=4)
+
+
+@query(
+    "ann_pq_adc",
+    oracle=None,  # approximate (quantized scores); recall vs exact in pytest
+    doc="Product-quantization ANN top-10 with asymmetric-distance "
+    "scoring and exact re-rank: the corpus is scanned as m_sub "
+    "uint-codes per vector (16-32x smaller than the float "
+    "embeddings), each query's ADC lookup table rides as one SQL "
+    "literal, and only the k*rerank shortlist touches raw vectors — "
+    "the compressed-index retrieval pipeline for 100 TB embedding "
+    "stores.  Recall vs brute force asserted in tests/"
+    "test_dedup_similarity.py.",
+    tags=("similarity", "approx"),
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, queries, k=10, m_sub=8, k_codes=16, rerank=8)

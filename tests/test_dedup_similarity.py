@@ -552,3 +552,56 @@ def test_remove_repeated_ngrams_disjoint_spans_and_threshold(spark):
     assert got[1]["removed_tokens"] == 6
     # "rare pair here" appears in only 2 docs < min_docs -> kept
     assert got[4]["n_spans"] == 0 and got[5]["n_spans"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Product quantization.
+# ---------------------------------------------------------------------------
+def test_pq_encode_shape_and_determinism(spark):
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = train_pq_codebooks(emb, m_sub=4, k_codes=8, iters=1)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)  # 64/4 dims
+    codes = pq_encode(emb, books).collect()
+    assert all(len(r["codes"]) == 4 for r in codes)
+    assert all(0 <= c < 8 for r in codes for c in r["codes"])
+    # retrain on a repartitioned corpus -> identical model (rounding
+    # barrier makes the shuffle-order reduction deterministic)
+    books2 = train_pq_codebooks(
+        emb.repartition(7), m_sub=4, k_codes=8, iters=1
+    )
+    assert books == books2
+
+
+def test_pq_topk_recall_and_exact_limit(spark):
+    """Calibrated recall at the query settings, and the rerank-all
+    limit case recovers (at least) the exact neighbor set."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+    from pymongo_change_stream_reader_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = pq_topk(emb, queries, k=10, m_sub=8, k_codes=16, rerank=8)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.65, f"recall {recall} below calibrated floor"
+    # rerank over the whole corpus == exact search (stage 2 scores
+    # every candidate with true cosine)
+    n = emb.count()
+    full = pq_topk(emb, queries, k=10, m_sub=4, k_codes=8, rerank=n)
+    got_full = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert len(exact & got_full) / len(exact) >= 0.9
