@@ -765,14 +765,31 @@ def pq_topk(
     Returns (query_id, neighbor_id, score) top-k per query,
     deterministic tie-break on neighbor_id.
     """
-    from pyspark.sql import Window as W
-
     books = train_pq_codebooks(
         corpus, m_sub, k_codes, iters, id_col, vec_col
     )
-    sub_dim = len(books[0][0])
     encoded = pq_encode(corpus, books, id_col, vec_col)
+    return _pq_adc_search(
+        encoded, books, queries, corpus, k, rerank, id_col, vec_col
+    )
 
+
+def _pq_adc_search(
+    encoded: DataFrame,
+    books: list[list[list[float]]],
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared ADC + re-rank engine behind pq_topk and
+    pq_topk_from_index: the only difference between the two is where
+    the (id, codes) frame and the codebooks come from."""
+    from pyspark.sql import Window as W
+
+    sub_dim = len(books[0][0])
     q_units = _unit_frame(queries, id_col, vec_col, "query_id")
     q_rows = q_units.collect()  # query set is model-sized
 
@@ -847,4 +864,59 @@ def pq_topk(
         exact.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .drop("rk")
+    )
+
+
+def write_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train the codebooks, encode the corpus, and persist the
+    compressed index: a parquet of (id, codes) — the 16-32x-smaller
+    scan target — with the codebook model riding along as
+    ``_codebooks.json`` (the only driver-sized artifact).  Returns
+    the codebooks.  Ingest-once, query-many: later sessions load
+    codes + model without touching the raw embeddings."""
+    import json
+    import os
+
+    books = train_pq_codebooks(
+        corpus, m_sub, k_codes, iters, id_col, vec_col
+    )
+    pq_encode(corpus, books, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    with open(os.path.join(path, "_codebooks.json"), "w") as fh:
+        json.dump(books, fh)
+    return books
+
+
+def pq_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k against a stored PQ index: scans ONLY the code
+    parquet; raw vectors (``corpus``) are touched solely for the
+    exact re-rank of the k*rerank shortlist (pass rerank=0 to skip
+    them entirely).  Mirrors ivf_topk_from_index's read-side
+    contract."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebooks.json")) as fh:
+        books = json.load(fh)
+    encoded = spark.read.parquet(path)
+    return _pq_adc_search(
+        encoded, books, queries, corpus, k, rerank, id_col, vec_col
     )

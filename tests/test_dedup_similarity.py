@@ -605,3 +605,37 @@ def test_pq_topk_recall_and_exact_limit(spark):
     full = pq_topk(emb, queries, k=10, m_sub=4, k_codes=8, rerank=n)
     got_full = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert len(exact & got_full) / len(exact) >= 0.9
+
+
+def test_pq_index_roundtrip(spark, tmp_path):
+    """write_pq_index -> pq_topk_from_index equals the in-memory path
+    (same deterministic training -> same codebooks -> same codes),
+    and the stored index is code-only (no embedding column)."""
+    import json
+    import os
+
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        pq_topk,
+        pq_topk_from_index,
+        write_pq_index,
+    )
+    from pymongo_change_stream_reader_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    path = str(tmp_path / "pq")
+
+    books = write_pq_index(emb, path, m_sub=4, k_codes=8, iters=1)
+    with open(os.path.join(path, "_codebooks.json")) as fh:
+        assert json.load(fh) == books
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"vec_id", "codes"}
+
+    got = pq_topk_from_index(spark, path, queries, emb, k=5, rerank=4)
+    mem = pq_topk(
+        emb, queries, k=5, m_sub=4, k_codes=8, iters=1, rerank=4
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, mem.collect())
+    )
