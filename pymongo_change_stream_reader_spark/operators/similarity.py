@@ -783,10 +783,16 @@ def _pq_adc_search(
     rerank: int,
     id_col: str,
     vec_col: str,
+    probe: dict[int, list[int]] | None = None,
 ) -> DataFrame:
-    """Shared ADC + re-rank engine behind pq_topk and
-    pq_topk_from_index: the only difference between the two is where
-    the (id, codes) frame and the codebooks come from."""
+    """Shared ADC + re-rank engine behind pq_topk,
+    pq_topk_from_index, and ivfpq_topk_from_index: the callers differ
+    only in where the (id, codes) frame and codebooks come from, and
+    whether a per-query cell probe plan restricts candidates.  With
+    ``probe``, ``encoded`` must carry a ``cell`` column already
+    pruned to the probed-cell union; each query's struct rides its
+    own cell list so a row is scored only for queries probing its
+    cell."""
     from pyspark.sql import Window as W
 
     sub_dim = len(books[0][0])
@@ -810,27 +816,36 @@ def _pq_adc_search(
             for s in range(len(books))
         ]
         lut_sql = "array(" + ",".join(_sql_darr(row) for row in lut) + ")"
-        entries.append(
-            f"named_struct('query_id',{int(qr['query_id'])}L,"
-            f"'lut',{lut_sql})"
+        fields = (
+            f"'query_id',{int(qr['query_id'])}L,'lut',{lut_sql}"
         )
+        if probe is not None:
+            cells = ",".join(str(c) for c in probe[int(qr["query_id"])])
+            fields += f",'cells',array({cells})"
+        entries.append(f"named_struct({fields})")
 
-    adc = (
-        encoded.select(
-            F.col(id_col).alias("neighbor_id"),
-            "codes",
-            F.expr("explode(array(" + ",".join(entries) + "))").alias("q"),
+    cols = [
+        F.col(id_col).alias("neighbor_id"),
+        "codes",
+        F.expr("explode(array(" + ",".join(entries) + "))").alias("q"),
+    ]
+    if probe is not None:
+        cols.insert(1, F.col("cell"))
+    scan = encoded.select(*cols).filter(
+        F.col("q.query_id") != F.col("neighbor_id")
+    )
+    if probe is not None:
+        scan = scan.filter(
+            F.expr("array_contains(q.cells, cell)")
         )
-        .filter(F.col("q.query_id") != F.col("neighbor_id"))
-        .select(
-            F.col("q.query_id").alias("query_id"),
-            "neighbor_id",
-            F.expr(
-                "round(aggregate(zip_with(q.lut, codes,"
-                " (row, c) -> element_at(row, c + 1)),"
-                " 0.0D, (acc, x) -> acc + x), 6)"
-            ).alias("score"),
-        )
+    adc = scan.select(
+        F.col("q.query_id").alias("query_id"),
+        "neighbor_id",
+        F.expr(
+            "round(aggregate(zip_with(q.lut, codes,"
+            " (row, c) -> element_at(row, c + 1)),"
+            " 0.0D, (acc, x) -> acc + x), 6)"
+        ).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
@@ -919,4 +934,116 @@ def pq_topk_from_index(
     encoded = spark.read.parquet(path)
     return _pq_adc_search(
         encoded, books, queries, corpus, k, rerank, id_col, vec_col
+    )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """IVF + PQ composed index: the corpus is written cell-partitioned
+    (coarse quantizer -> PartitionFilters prune non-probed cells) AND
+    code-compressed (PQ -> each scanned row is m_sub codes, not the
+    float vector).  The two models ride together in ``_model.json``.
+    This is the standard compressed-inverted-file layout: at 100 TB
+    the scan cost drops by BOTH the nprobe/nlist cell fraction and
+    the 16-32x code compression."""
+    import json
+    import os
+
+    cents = train_ivf_centroids(
+        corpus, nlist, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    books = train_pq_codebooks(
+        corpus, m_sub, k_codes, iters, id_col, vec_col
+    )
+    scored = [
+        F.struct(
+            F.round(
+                dot(F.col("cv"), F.array(*[F.lit(x) for x in c])), 6
+            ).alias("score"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    cells = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).select(
+        id_col,
+        F.reverse(F.array_sort(F.array(*scored)))[0]["cid"].alias("cell"),
+    )
+    (
+        pq_encode(corpus, books, id_col, vec_col)
+        .join(cells, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    model = {"centroids": cents, "codebooks": books}
+    with open(os.path.join(path, "_model.json"), "w") as fh:
+        json.dump(model, fh)
+    return model
+
+
+def ivfpq_topk_from_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against the composed index: centroids rank per query on
+    the driver (the probe plan), the probed-cell union becomes a
+    static partition predicate (explain shows PartitionFilters — the
+    same contract as ivf_topk_from_index), and the ADC engine scores
+    only rows whose cell each query probes.  Exact re-rank of the
+    shortlist as in pq_topk."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_model.json")) as fh:
+        model = json.load(fh)
+    cents, books = model["centroids"], model["codebooks"]
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).collect()
+    probe: dict[int, list[int]] = {}
+    for r in qrows:
+        qv = list(r["qv"])
+        ranked = sorted(
+            (
+                (round(sum(a * b for a, b in zip(qv, c)), 6), i)
+                for i, c in enumerate(cents)
+            ),
+            key=lambda t: (-t[0], -t[1]),
+        )
+        probe[int(r["query_id"])] = [i for _, i in ranked[:nprobe]]
+    probed_union = sorted({c for cells in probe.values() for c in cells})
+
+    encoded = spark.read.parquet(path).filter(
+        F.col("cell").isin(probed_union)
+    )
+    return _pq_adc_search(
+        encoded,
+        books,
+        queries,
+        corpus,
+        k,
+        rerank,
+        id_col,
+        vec_col,
+        probe=probe,
     )

@@ -639,3 +639,57 @@ def test_pq_index_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, mem.collect())
     )
+
+
+def test_ivfpq_index_pruning_and_recall(spark, tmp_path):
+    """The composed index prunes non-probed cells at the partition
+    level (explain-verified), keeps a calibrated recall floor, and
+    probing every cell degenerates to the plain PQ stored-index
+    result (same codebooks by deterministic training)."""
+    import os
+
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk_from_index,
+        pq_topk_from_index,
+        write_ivfpq_index,
+        write_pq_index,
+    )
+    from pymongo_change_stream_reader_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivfpq")
+
+    write_ivfpq_index(emb, path, nlist=8, m_sub=8, k_codes=16, iters=1)
+    assert {d for d in os.listdir(path) if d.startswith("cell=")}
+
+    got = ivfpq_topk_from_index(
+        spark, path, queries, emb, k=10, nprobe=3, rerank=8
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in pf, f"cell predicate missing: {pf}"
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ivfpq recall {recall} below floor"
+
+    # probe-all == plain stored-PQ (identical deterministic training)
+    pq_path = str(tmp_path / "pq_plain")
+    write_pq_index(emb, pq_path, m_sub=8, k_codes=16, iters=1)
+    all_cells = ivfpq_topk_from_index(
+        spark, path, queries, emb, k=10, nprobe=8, rerank=8
+    )
+    plain = pq_topk_from_index(
+        spark, pq_path, queries, emb, k=10, rerank=8
+    )
+    assert sorted(map(tuple, all_cells.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
