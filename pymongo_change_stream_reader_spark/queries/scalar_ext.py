@@ -290,3 +290,50 @@ def agg_bool_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "scalar_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                              AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT))   AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT))   AS max_k,
+           SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
+                    THEN 1 ELSE 0 END)                           AS n_sevens
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Semi-structured JSON via Spark 4 VariantType: parse_json "
+    "once into a variant column, typed try_variant_get extraction, "
+    "aggregation over the extracted values — the engine-native path "
+    "for schemaless event payloads (vs string json_extract per "
+    "field, which re-parses the document for every access).",
+    tags=("scalar", "json"),
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: parse_json runs once per row in the scan projection;
+    every field access reads the binary variant encoding (no
+    re-parse).  The aggregation is an ordinary hash-shuffle with
+    map-side partials."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
+    k = F.try_variant_get(
+        F.parse_json(F.col("props")), "$.k", "int"
+    )
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(
+                F.when(F.col("k") % 7 == 0, 1).otherwise(0)
+            ).alias("n_sevens"),
+        )
+        .orderBy("event_type")
+    )
