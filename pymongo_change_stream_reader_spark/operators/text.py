@@ -192,3 +192,92 @@ def bigram_lm_doc_scores(
         F.count("*").alias("n_bigrams"),
         F.avg("__lp").alias("avg_logprob"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 30,
+    max_vocab_words: int = 2000,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Byte-pair-encoding training, the real iterative algorithm:
+    count adjacent symbol pairs weighted by word frequency, merge the
+    most frequent pair everywhere, repeat.
+
+    Scale shape: training runs on the WORD-FREQUENCY table, not the
+    corpus — one corpus pass builds (word, count), and every merge
+    round touches only the (bounded) vocabulary frame.  The rounds
+    are inherently sequential (each merge depends on the last), so
+    the loop is driver-coordinated like $graphLookup's BFS: per round
+    one pair-count aggregation (map-side partials), one 1-row argmax
+    collect, one JVM fold rewriting segmentations, localCheckpoint to
+    keep the plan bounded.  Tie-break: (count DESC, pair ASC) —
+    deterministic across runs and partitions.
+
+    Returns (merges, vocab) where merges is the ordered merge list
+    and vocab the final (word, count, syms) segmentation frame.
+    """
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(max_vocab_words)
+    )
+    vocab = words.select(
+        "w",
+        "cnt",
+        F.concat(
+            F.filter(F.split(F.col("w"), ""), lambda c: c != ""),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("syms"),
+                        1,
+                        F.greatest(F.size("syms") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        F.col("syms"),
+                        2,
+                        F.greatest(F.size("syms") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break  # nothing left worth merging
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a)
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.lit(a), F.lit(b))),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select(
+            "w", "cnt", merged.alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges, vocab

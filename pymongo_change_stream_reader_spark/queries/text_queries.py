@@ -366,3 +366,32 @@ def text_unicode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.bpe_ish_token_count(t, unicode=True).alias("n_pieces"),
         F.round(tx.punct_ratio(t, unicode=True), 6).alias("punct_ratio"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_bpe_trained_segmentation",
+    doc="Real BPE training (iterative most-frequent-pair merges over "
+    "the word-frequency table — vocabulary-sized state, never the "
+    "corpus; driver-coordinated rounds like $graphLookup's BFS with "
+    "a localCheckpoint per round) followed by vocabulary "
+    "segmentation.  Rows-only: the merge recursion is not "
+    "SQL-expressible; the canonical textbook example and "
+    "partitioning-invariance are pytest-golden in "
+    "tests/test_text_unicode.py.",
+    tags=("text", "tokenizer"),
+)
+def text_bpe_trained_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    merges, vocab = bpe_train_merges(
+        d, "text", n_merges=20, max_vocab_words=500
+    )
+    return vocab.select(
+        "w",
+        "cnt",
+        F.size("syms").alias("n_pieces"),
+        F.array_join("syms", " ").alias("pieces"),
+    ).orderBy(F.col("cnt").desc(), F.col("w"))

@@ -58,3 +58,48 @@ def test_punct_ratio_unicode(spark):
     assert _one(spark, s2, tx.punct_ratio(t)) == _one(
         spark, s2, tx.punct_ratio(t, unicode=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training.
+# ---------------------------------------------------------------------------
+def test_bpe_train_golden_example(spark):
+    """The textbook corpus (low/lower/newest/widest) yields the
+    canonical first merges and segmentations."""
+    from pymongo_change_stream_reader_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                "low low low low low lower lower "
+                "newest newest newest newest newest newest "
+                "widest widest widest",
+            )
+        ],
+        "text STRING",
+    )
+    merges, vocab = bpe_train_merges(df, "text", n_merges=10)
+    # ('e','s') wins round 1: 6 newest + 3 widest = 9 occurrences
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+    segs = {r["w"]: list(r["syms"]) for r in vocab.collect()}
+    assert segs["low"] == ["low</w>"]
+    assert segs["newest"] == ["newest</w>"]
+    assert segs["lower"] == ["low", "e", "r", "</w>"]
+
+
+def test_bpe_train_deterministic_across_partitioning(spark):
+    from pymongo_change_stream_reader_spark.operators.text import (
+        bpe_train_merges,
+    )
+    from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    m1, _ = bpe_train_merges(d, "text", n_merges=8, max_vocab_words=300)
+    m2, _ = bpe_train_merges(
+        d.repartition(7), "text", n_merges=8, max_vocab_words=300
+    )
+    assert m1 == m2 and len(m1) == 8
