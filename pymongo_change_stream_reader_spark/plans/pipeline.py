@@ -3036,7 +3036,8 @@ def _apply_when_matched_pipeline(
                     out = out.withColumn(field, translate_expr(expr, env))
         elif sname == "$unset":
             fields = [sspec] if isinstance(sspec, str) else list(sspec)
-            if on in fields:
+            on_keys = [on] if isinstance(on, str) else list(on)
+            if any(k in fields for k in on_keys):
                 raise PipelineError(
                     "$merge whenMatched pipeline cannot unset the on key"
                 )
@@ -3072,6 +3073,9 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
         spec = {"into": spec}
     target = spec.get("into")
     on = spec.get("on", "_id")
+    # Mongo accepts a single field or an array (compound unique key);
+    # Spark's join/select take the list form natively.
+    on = [on] if isinstance(on, str) else list(on)
     when_matched = spec.get("whenMatched", "replace")
     when_not_matched = spec.get("whenNotMatched", "insert")
     if not isinstance(when_matched, list) and when_matched not in (
@@ -3130,9 +3134,9 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
             # field-level: one inner join builds the merged matched
             # rows (coalesce new-over-old per shared column, old-only
             # and new-only columns pass through)
-            cols = [F.col(on)]
+            cols = [F.col(k) for k in on]
             for c in old.columns:
-                if c == on:
+                if c in on:
                     continue
                 if c in df.columns:
                     cols.append(
@@ -3143,7 +3147,7 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
                 else:
                     cols.append(F.col(f"__o.{c}"))
             for c in df.columns:
-                if c != on and c not in old.columns:
+                if c not in on and c not in old.columns:
                     cols.append(F.col(f"__n.{c}"))
             matched = (
                 old.alias("__o").join(df.alias("__n"), on, "inner")

@@ -2381,3 +2381,34 @@ def test_merge_stage_fail_modes(spark, tmp_path):
         sinks={"t": path},
     )(clash)
     assert [(r["_id"], r["v"]) for r in ok.collect()] == [(1, "new")]
+
+
+def test_merge_stage_compound_on(spark, tmp_path):
+    """$merge on: [field, field] — the compound unique key form."""
+    path = str(tmp_path / "mc")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 30)],
+        "k1 INT, k2 STRING, v INT",
+    )
+    base.write.parquet(path)
+    incoming = spark.createDataFrame(
+        [(1, "b", 99), (3, "c", 7)], "k1 INT, k2 STRING, v INT"
+    )
+    got = translate_pipeline(
+        [{"$merge": {"into": "t", "on": ["k1", "k2"]}}],
+        sinks={"t": path},
+    )(incoming)
+    rows = {(r["k1"], r["k2"]): r["v"] for r in got.collect()}
+    assert rows == {(1, "a"): 10, (1, "b"): 99, (2, "a"): 30, (3, "c"): 7}
+    # field-level merge over the compound key
+    incoming2 = spark.createDataFrame(
+        [(2, "a", None, "x")], "k1 INT, k2 STRING, v INT, extra STRING"
+    )
+    got2 = translate_pipeline(
+        [{"$merge": {"into": "t", "on": ["k1", "k2"],
+                     "whenMatched": "merge",
+                     "whenNotMatched": "discard"}}],
+        sinks={"t": path},
+    )(incoming2)
+    rows2 = {(r["k1"], r["k2"]): (r["v"], r["extra"]) for r in got2.collect()}
+    assert rows2[(2, "a")] == (30, "x")  # null v kept old, extra added
