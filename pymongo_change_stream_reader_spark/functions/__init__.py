@@ -13,9 +13,13 @@ from pymongo_change_stream_reader_spark.operators.cdc import (
     op_code,
     topic,
 )
+from pymongo_change_stream_reader_spark.operators.bloom import (
+    bloom_positions,
+)
 from pymongo_change_stream_reader_spark.operators.dedup import (
     jaccard,
     minhash_signature,
+    positional_ngrams,
     simhash64,
     word_ngrams,
 )
@@ -40,7 +44,8 @@ from pymongo_change_stream_reader_spark.operators.text import (
 
 __all__ = [
     "document_key_json", "envelope_value", "op_code", "topic",
-    "jaccard", "minhash_signature", "simhash64", "word_ngrams",
+    "jaccard", "minhash_signature", "positional_ngrams", "simhash64",
+    "word_ngrams", "bloom_positions",
     "cosine", "dot", "l2_norm", "lsh_bucket",
     "bpe_ish_token_count", "fingerprint", "mean_token_len",
     "normalized_text", "predicted_lang", "punct_ratio", "quality_score",
