@@ -5,11 +5,12 @@ Two paths:
   baseline; O(Q x N) via a broadcast of the (small) query set, so at
   cluster scale it is one narrow pass over the corpus, no shuffle
   until the per-query top-k (TakeOrdered-style window).
-- ``lsh_bucketed_topk``: random-hyperplane LSH — each vector maps to
-  a sign-bit bucket; search compares only same-bucket (and the
-  multi-probe variants would be a follow-on) pairs.  The scale path:
-  bucket assignment is a projection; the join shuffles on the bucket
-  key whose population is ~N/2^planes.
+- ``lsh_bucketed_topk`` / ``lsh_multiprobe_topk``: random-hyperplane
+  LSH — each vector maps to a sign-bit bucket; search compares only
+  same-bucket pairs (multi-probe also visits each Hamming-1 bucket
+  from the query side only).  The scale path: bucket assignment is a
+  projection; the join shuffles on the bucket key whose population
+  is ~N/2^planes.
 
 All arithmetic in double precision with higher-order functions
 (zip_with/aggregate) — JVM-side, no UDFs.
@@ -1046,4 +1047,74 @@ def ivfpq_topk_from_index(
         id_col,
         vec_col,
         probe=probe,
+    )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH: each query searches its own bucket PLUS every
+    bucket at Hamming distance 1 (one hyperplane sign flipped) — the
+    standard recall lever that costs num_planes+1 probe keys per
+    query instead of more tables.  The corpus side is untouched: same
+    single bucket assignment, same join shape; only the broadcast
+    query side fans out, so corpus scan cost is unchanged and the
+    per-bucket candidate population stays ~N/2^planes per probe.
+    Candidate pairs stay unique because the probe buckets of one
+    query are distinct by construction."""
+    from pyspark.sql import Window as W
+
+    planes = hyperplanes(num_planes, dim)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+        .withColumn("cn", l2_norm(F.col("cv")))
+    )
+    base = lsh_bucket(F.col("qv"), planes)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("qn", l2_norm(F.col("qv")))
+        .withColumn("__base", base)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("__base"),
+                    *[
+                        F.col("__base").bitwiseXOR(F.lit(1 << p))
+                        for p in range(num_planes)
+                    ],
+                )
+            ),
+        )
+        .drop("__base")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
     )

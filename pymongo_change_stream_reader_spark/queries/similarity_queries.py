@@ -198,3 +198,24 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return pq_topk(emb, queries, k=10, m_sub=8, k_codes=16, rerank=8)
+
+
+@query(
+    "ann_lsh_multiprobe",
+    oracle=None,  # approximate (bucket pruning); recall vs exact in pytest
+    doc="Multi-probe LSH ANN top-10: each query also probes every "
+    "Hamming-distance-1 bucket (one sign bit flipped), the standard "
+    "recall lever that fans out only the broadcast query side — "
+    "corpus scan cost and join shape are unchanged from "
+    "ann_lsh_bucketed.  Dominance over single-bucket recall asserted "
+    "in tests/test_dedup_similarity.py.",
+    tags=("similarity", "approx"),
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_multiprobe_topk(emb, queries, k=10, num_planes=4)

@@ -693,3 +693,35 @@ def test_ivfpq_index_pruning_and_recall(spark, tmp_path):
     assert sorted(map(tuple, all_cells.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_lsh_multiprobe_dominates_single_bucket(spark):
+    """Hamming-1 multi-probe recall >= single-bucket recall (its
+    candidate set is a superset by construction), measured against
+    exact top-10."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+        lsh_multiprobe_topk,
+    )
+    from pymongo_change_stream_reader_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(emb, queries, k=10, num_planes=4).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_multiprobe_topk(emb, queries, k=10, num_planes=4).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.5, f"multi-probe recall {r_multi} below floor"
