@@ -2412,3 +2412,60 @@ def test_merge_stage_compound_on(spark, tmp_path):
     )(incoming2)
     rows2 = {(r["k1"], r["k2"]): (r["v"], r["extra"]) for r in got2.collect()}
     assert rows2[(2, "a")] == (30, "x")  # null v kept old, extra added
+
+
+def test_regex_find_all_matches_python_re(spark):
+    """Table-driven cross-check of $regexFindAll against Python re on
+    a lookaround-free pattern subset (where Java and Python regex
+    semantics coincide): match strings, offsets, and captures must
+    all agree for every text."""
+    import re as _pyre
+
+    patterns = [
+        r"a+",
+        r"[ab]c",
+        r"(a|b)x(\d)",
+        r"(\w+)=(\w+)",
+        r"a.b",
+        r"(ab)+",
+        r"x(y?)z",
+    ]
+    texts = [
+        "",
+        "aaa",
+        "abc ac bc",
+        "ax1 bx2 cx3",
+        "k=v kk=vv =x a=",
+        "a_b axb a b",
+        "abab ab ababab",
+        "xz xyz xyyz",
+        "aaaa ab aac",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i INT, t STRING")
+    for pat in patterns:
+        got = {
+            r["i"]: r["out"]
+            for r in run(
+                [{"$project": {"i": 1, "out": {"$regexFindAll": {
+                    "input": "$t", "regex": pat}}}}],
+                df,
+            ).collect()
+        }
+        rx = _pyre.compile(pat)
+        for i, t in enumerate(texts):
+            expected = [
+                (
+                    m.group(0),
+                    m.start(),
+                    ["" if g is None else g for g in m.groups()],
+                )
+                for m in rx.finditer(t)
+            ]
+            actual = [
+                (d["match"], d["idx"], list(d["captures"]))
+                for d in got[i]
+            ]
+            assert actual == expected, (
+                f"pattern {pat!r} text {t!r}: {actual} != {expected}"
+            )
