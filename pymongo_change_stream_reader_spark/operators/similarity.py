@@ -1118,3 +1118,54 @@ def lsh_multiprobe_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def pq_code_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup candidates by PQ-code blocking: vectors
+    with IDENTICAL code arrays form a candidate block (exact copies
+    always collide — encoding is deterministic), and only
+    within-block pairs are verified with exact cosine >= threshold.
+
+    Scale: the self-join key is the m_sub-code array — the blocking
+    analog of SimHash bands, but data-adaptive; block populations are
+    corpus/k_codes^m_sub on spread data, so the pair work is tiny.
+    The verify join touches only candidate rows.  Recall caveat
+    (documented, same as every blocking scheme): near-dups straddling
+    a code boundary in ANY subspace are missed — pair this with
+    MinHash/SimHash text blocking or raise k*rerank retrieval for
+    recall-critical jobs."""
+    books = train_pq_codebooks(
+        corpus, m_sub, k_codes, iters, id_col, vec_col
+    )
+    encoded = pq_encode(corpus, books, id_col, vec_col)
+    a = encoded.select(
+        F.col(id_col).alias("id_a"), F.col("codes")
+    )
+    b = encoded.select(
+        F.col(id_col).alias("id_b"), F.col("codes")
+    )
+    cand = a.join(b, "codes").filter(F.col("id_a") < F.col("id_b"))
+    units_a = _unit_frame(corpus, id_col, vec_col, "id_a").withColumnRenamed(
+        "unit", "ua"
+    )
+    units_b = _unit_frame(corpus, id_col, vec_col, "id_b").withColumnRenamed(
+        "unit", "ub"
+    )
+    return (
+        cand.join(units_a, "id_a")
+        .join(units_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("ua"), F.col("ub")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -219,3 +219,31 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_multiprobe_topk(emb, queries, k=10, num_planes=4)
+
+
+@query(
+    "dedup_pq_code_blocking",
+    oracle=None,  # blocking key comes from the trained quantizer
+    doc="Embedding near-dup pairs by PQ-code blocking: identical "
+    "m_sub-code arrays form candidate blocks (the data-adaptive "
+    "analog of SimHash bands; exact copies always collide since "
+    "encoding is deterministic) and only within-block pairs are "
+    "verified with exact cosine.  Every 50th vector is planted as a "
+    "copy (id + 2000000) so the check is non-vacuous on the organic "
+    "corpus, mirroring dedup_exact_hash; planted-copy completeness "
+    "and threshold precision pytest-asserted in "
+    "tests/test_dedup_similarity.py.",
+    tags=("similarity", "dedup", "approx"),
+)
+def dedup_pq_code_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        pq_code_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"), "embedding", "label"
+    )
+    return pq_code_dedup_pairs(
+        emb.unionByName(copies), threshold=0.9
+    ).orderBy("id_a", "id_b")

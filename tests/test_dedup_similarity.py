@@ -725,3 +725,25 @@ def test_lsh_multiprobe_dominates_single_bucket(spark):
     r_multi = len(exact & multi) / len(exact)
     assert r_multi >= r_single
     assert r_multi >= 0.5, f"multi-probe recall {r_multi} below floor"
+
+
+def test_pq_code_dedup_finds_planted_copies(spark):
+    """Exact copies always share codes (deterministic encoding), so
+    planted duplicates must surface as pairs at cosine 1.0; every
+    reported pair respects the verify threshold."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        pq_code_dedup_pairs,
+    )
+    from pymongo_change_stream_reader_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    pairs = pq_code_dedup_pairs(corpus, threshold=0.95).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(20):
+        assert (i, i + 100000) in found, f"planted copy {i} missed"
+    assert all(r["cosine"] >= 0.95 for r in pairs)
