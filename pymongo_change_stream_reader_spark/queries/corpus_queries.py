@@ -797,3 +797,65 @@ def quality_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source,
+               CAST(floor(1000 * sqrt(
+                   CAST(n_tokens AS DOUBLE)
+                   / (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM per)
+               )) AS BIGINT) AS rate_permille
+        FROM per
+    )
+    SELECT d.doc_id, d.source, r.rate_permille
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {_BUCKET_SQL} < r.rate_permille
+    ORDER BY d.doc_id
+    """,
+    doc="Temperature-weighted source rebalancing (T=2): each source's "
+    "keep rate is sqrt(token_share), flattening the mixture toward "
+    "uniform the way multilingual/multi-domain pretraining mixes are "
+    "rebalanced; the keep decision is the deterministic permille "
+    "hash bucket.  Exactness across engines: counts are integers, "
+    "the share is one division of two exact doubles, and sqrt/floor "
+    "are IEEE-identical — no transcendental drift, no float-sum "
+    "order dependence.",
+    tags=("corpus", "sampling"),
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one aggregation over the handful of sources, the rate
+    table broadcast back, then a narrow stateless filter — changing
+    the temperature is a literal change, not a re-shard (same
+    contract as sample_stratified_hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("source", tx.token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    )
+    total = per.agg(F.sum("n_tokens").cast("double").alias("total"))
+    rates = per.crossJoin(F.broadcast(total)).select(
+        "source",
+        F.floor(
+            1000
+            * F.sqrt(F.col("n_tokens").cast("double") / F.col("total"))
+        )
+        .cast("bigint")
+        .alias("rate_permille"),
+    )
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) % 1000
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("rate_permille"))
+        .select("doc_id", "source", "rate_permille")
+        .orderBy("doc_id")
+    )
