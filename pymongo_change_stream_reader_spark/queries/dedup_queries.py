@@ -337,3 +337,81 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("cleaned_text")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN g ga ON ga.doc_id = id_a
+        JOIN g gb ON gb.doc_id = id_b
+        WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
+              / greatest(len(ga.grams) + len(gb.grams)
+                         - len(list_intersect(ga.grams, gb.grams)), 1) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    comp AS (
+        SELECT CAST(v AS BIGINT) AS doc_id,
+               CAST(MIN(lbl) AS BIGINT) AS component
+        FROM reach GROUP BY v
+    )
+    SELECT doc_id, component,
+           CASE WHEN ((component * 2654435761 + 13) % 4294967296) % 100 < 90
+                     THEN 'train'
+                WHEN ((component * 2654435761 + 13) % 4294967296) % 100 < 95
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM comp
+    ORDER BY doc_id
+    """,
+    doc="Leakage-safe train/val/test split: documents are first "
+    "grouped into near-dup components (exact-Jaccard edges -> "
+    "connected components) and the SPLIT IS DECIDED PER COMPONENT by "
+    "a seeded multiplicative hash — a near-duplicate can never "
+    "straddle train and eval, the invariant that makes held-out "
+    "numbers honest.  90/5/5 permille-style buckets; singleton docs "
+    "are their own component.",
+    tags=("corpus", "dedup", "sampling"),
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the clustering cost is the pair graph's, not the
+    corpus's (singletons bypass the loop — operators.dedup.
+    connected_components); the split column is a narrow hash
+    expression on the component id, so re-splitting with a new seed
+    is a literal change over the stored component table."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, "text", "doc_id", 0.5)
+    comp = connected_components(pairs, docs.select("doc_id"))
+    bucket = (
+        (F.col("component") * F.lit(2654435761) + 13) % F.lit(4294967296)
+    ) % 100
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -747,3 +747,35 @@ def test_pq_code_dedup_finds_planted_copies(spark):
     for i in range(20):
         assert (i, i + 100000) in found, f"planted copy {i} missed"
     assert all(r["cosine"] >= 0.95 for r in pairs)
+
+
+def test_leakage_safe_split_invariant(spark):
+    """No near-dup pair straddles two splits, and the split fractions
+    are plausibly 90/5/5."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        exact_jaccard_pairs,
+    )
+    from pymongo_change_stream_reader_spark.queries import load_all
+    import pyspark.sql.functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    split = load_all()["corpus_leakage_safe_split"].spark(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = exact_jaccard_pairs(docs, "text", "doc_id", 0.5)
+    straddling = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("id_a"),
+                         F.col("split").alias("sa")), "id_a")
+        .join(
+            split.select(F.col("doc_id").alias("id_b"),
+                         F.col("split").alias("sb")), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert straddling == 0
+    frac = {
+        r["split"]: r["n"]
+        for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(frac.values())
+    assert frac.get("train", 0) / total > 0.7  # dominant split
