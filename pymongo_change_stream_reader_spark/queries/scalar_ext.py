@@ -337,3 +337,53 @@ def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "io_format_roundtrip",
+    oracle="""
+    SELECT fmt,
+           COUNT(*)                        AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT)    AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT)     AS id_checksum
+    FROM documents
+    CROSS JOIN (VALUES ('csv'), ('orc'), ('parquet')) AS f(fmt)
+    GROUP BY fmt
+    ORDER BY fmt
+    """,
+    doc="Source/sink format breadth: the documents table rides "
+    "through an ORC write/read and a CSV write/read (header + "
+    "escaped quoting) and every format must reproduce identical "
+    "counts and checksums — the oracle is the parquet truth fanned "
+    "out per format, so any row lost or mangled in a roundtrip "
+    "breaks the hash match.",
+    tags=("io", "scalar"),
+)
+def io_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: both writes are one narrow pass; the CSV path only
+    carries scalar columns (CSV has no nested types — schema is
+    declared on read, no inference scan)."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    d.write.mode("overwrite").orc(f"{base}/orc")
+    d.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    frames = {
+        "parquet": d,
+        "orc": spark.read.orc(f"{base}/orc"),
+        "csv": spark.read.option("header", True)
+        .schema("doc_id BIGINT, n_chars BIGINT, text STRING")
+        .csv(f"{base}/csv"),
+    }
+    out = None
+    for fmt, df in frames.items():
+        agg = df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        ).select(F.lit(fmt).alias("fmt"), "n_docs", "total_chars", "id_checksum")
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("fmt")
