@@ -2994,7 +2994,11 @@ def _versioned_commit(df: DataFrame, path: str) -> DataFrame:
 
 
 def _apply_when_matched_pipeline(
-    old: DataFrame, incoming: DataFrame, on: str, stages: list
+    old: DataFrame,
+    incoming: DataFrame,
+    on: str,
+    stages: list,
+    let_spec: dict | None = None,
 ) -> DataFrame:
     """$merge whenMatched custom-update pipeline: each stage runs
     over the STORED document with ``$$new`` bound to the incoming
@@ -3004,14 +3008,29 @@ def _apply_when_matched_pipeline(
     declared-unsupported (its _id defaulting has no analog mid-merge).
     The whole form is one inner join plus per-row expressions — no
     extra exchange beyond the join itself."""
+    # ``let`` values evaluate against the INCOMING document (Mongo's
+    # default is {new: "$$ROOT"}), so they are computed as columns on
+    # the incoming frame BEFORE the join — bare `$field` paths inside
+    # a let expression then naturally resolve to incoming fields.
+    base_cols = list(incoming.columns)
+    let_names = list(let_spec or {})
+    for name in let_names:
+        incoming = incoming.withColumn(
+            f"__let_{name}", translate_expr((let_spec or {})[name])
+        )
     joined = old.alias("__o").join(incoming.alias("__n"), on, "inner")
     new_struct = F.struct(
-        *[F.col(f"__n.{c}").alias(c) for c in incoming.columns]
+        *[F.col(f"__n.{c}").alias(c) for c in base_cols]
     )
     out = joined.select(
         *[F.col(f"__o.{c}").alias(c) for c in old.columns],
         new_struct.alias("__new"),
+        *[
+            F.col(f"__n.__let_{n}").alias(f"__let_{n}")
+            for n in let_names
+        ],
     )
+    hidden = ["__new"] + [f"__let_{n}" for n in let_names]
     for stage in stages:
         if not (isinstance(stage, dict) and len(stage) == 1):
             raise PipelineError(
@@ -3019,9 +3038,11 @@ def _apply_when_matched_pipeline(
                 "single-key document"
             )
         [(sname, sspec)] = stage.items()
-        doc_cols = [c for c in out.columns if c != "__new"]
+        doc_cols = [c for c in out.columns if c not in hidden]
         doc = F.struct(*[F.col(c).alias(c) for c in doc_cols])
         env = {"ROOT": doc, "CURRENT": doc, "new": F.col("__new")}
+        for n in let_names:
+            env[n] = F.col(f"__let_{n}")
         if sname in ("$addFields", "$set"):
             for field, expr in sspec.items():
                 if "." in field:
@@ -3047,13 +3068,13 @@ def _apply_when_matched_pipeline(
                 sspec["newRoot"] if sname == "$replaceRoot" else sspec
             )
             out = out.select(
-                translate_expr(root_expr, env).alias("__root"), "__new"
-            ).select("__root.*", "__new")
+                translate_expr(root_expr, env).alias("__root"), *hidden
+            ).select("__root.*", *hidden)
         else:
             raise PipelineError(
                 f"unsupported $merge whenMatched pipeline stage {sname!r}"
             )
-    return out.drop("__new")
+    return out.drop(*hidden)
 
 
 def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
@@ -3165,7 +3186,9 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
                 else spark.createDataFrame([], df.schema)
             )
         elif isinstance(when_matched, list):
-            matched = _apply_when_matched_pipeline(old, df, on, when_matched)
+            matched = _apply_when_matched_pipeline(
+                old, df, on, when_matched, spec.get("let")
+            )
             unmatched_old = old.join(
                 df.select(on).distinct(), on, "left_anti"
             )

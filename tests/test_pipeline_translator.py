@@ -2469,3 +2469,35 @@ def test_regex_find_all_matches_python_re(spark):
             assert actual == expected, (
                 f"pattern {pat!r} text {t!r}: {actual} != {expected}"
             )
+
+
+def test_merge_stage_let_variables(spark, tmp_path):
+    """$merge let: values evaluate against the INCOMING document and
+    bind as $$vars inside the whenMatched pipeline."""
+    path = str(tmp_path / "ml")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "_id INT, total INT"
+    ).write.parquet(path)
+    incoming = spark.createDataFrame(
+        [(2, 5), (3, 30)], "_id INT, total INT"
+    )
+    got = translate_pipeline(
+        [
+            {
+                "$merge": {
+                    "into": "t",
+                    "on": "_id",
+                    "let": {
+                        "boosted": {"$multiply": ["$total", 10]},
+                    },
+                    "whenMatched": [
+                        {"$set": {"total": {"$add": ["$total", "$$boosted"]}}}
+                    ],
+                }
+            }
+        ],
+        sinks={"t": path},
+    )(incoming)
+    rows = {r["_id"]: r["total"] for r in got.collect()}
+    # stored 20 + (incoming 5 * 10); let saw the INCOMING total
+    assert rows == {1: 10, 2: 70, 3: 30}
