@@ -2501,3 +2501,43 @@ def test_merge_stage_let_variables(spark, tmp_path):
     rows = {r["_id"]: r["total"] for r in got.collect()}
     # stored 20 + (incoming 5 * 10); let saw the INCOMING total
     assert rows == {1: 10, 2: 70, 3: 30}
+
+
+def test_lookup_pipeline_theta_range(spark):
+    """Range-correlated $lookup (theta conjuncts beside the equality):
+    per order, same-customer items priced within the order's [lo, hi]
+    band — exercises the row-id fallback join path."""
+    orders = spark.createDataFrame(
+        [(1, "a", 10, 60), (2, "b", 5, 20), (3, "a", 100, 200)],
+        "order_id INT, cust STRING, lo INT, hi INT",
+    )
+    items = spark.createDataFrame(
+        [("a", "apple", 15), ("a", "brie", 45), ("a", "caviar", 90),
+         ("b", "donut", 10), ("b", "eclair", 25)],
+        "cust STRING, item STRING, price INT",
+    )
+    got = {
+        r["order_id"]: sorted(x["item"] for x in r["in_band"])
+        for r in translate_pipeline(
+            [
+                {
+                    "$lookup": {
+                        "from": "items",
+                        "let": {"c": "$cust", "lo": "$lo", "hi": "$hi"},
+                        "pipeline": [
+                            {"$match": {"$expr": {"$and": [
+                                {"$eq": ["$cust", "$$c"]},
+                                {"$gte": ["$price", "$$lo"]},
+                                {"$lte": ["$price", "$$hi"]},
+                            ]}}},
+                        ],
+                        "as": "in_band",
+                    }
+                }
+            ],
+            tables={"items": items},
+        )(orders).collect()
+    }
+    assert got[1] == ["apple", "brie"]   # 15, 45 in [10, 60]; 90 out
+    assert got[2] == ["donut"]           # 10 in [5, 20]; 25 out
+    assert got[3] == []                  # nothing priced 100-200
