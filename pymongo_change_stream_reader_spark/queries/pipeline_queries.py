@@ -1471,3 +1471,55 @@ def pipeline_geo_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(c).orderBy("c_custkey")
+
+
+@query(
+    "pipeline_lookup_theta_band",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(l.l_orderkey) AS INT) AS n_cheap_lines
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_extendedprice <= o.o_totalprice / 2
+    WHERE o.o_orderkey < 2000
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+    doc="Range-correlated $lookup (let/pipeline form with theta "
+    "conjuncts): each order collects its own line items priced at or "
+    "below half the order total — the equality conjunct becomes the "
+    "join key, the ordered comparison a theta condition on the "
+    "row-id fallback join.",
+    tags=("pipeline",),
+)
+def pipeline_lookup_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"o_orderkey": {"$lt": 2000}}},
+            {
+                "$lookup": {
+                    "from": "lineitem",
+                    "let": {
+                        "ok": "$o_orderkey",
+                        "cap": {"$divide": ["$o_totalprice", 2]},
+                    },
+                    "pipeline": [
+                        {"$match": {"$expr": {"$and": [
+                            {"$eq": ["$l_orderkey", "$$ok"]},
+                            {"$lte": ["$l_extendedprice", "$$cap"]},
+                        ]}}},
+                    ],
+                    "as": "cheap_lines",
+                }
+            },
+            {
+                "$project": {
+                    "o_orderkey": 1,
+                    "n_cheap_lines": {"$size": "$cheap_lines"},
+                }
+            },
+        ],
+        tables={"lineitem": load_table(spark, sf_dir, "lineitem")},
+    )
+    return pipe(load_table(spark, sf_dir, "orders")).orderBy("o_orderkey")
