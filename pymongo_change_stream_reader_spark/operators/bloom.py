@@ -119,10 +119,14 @@ def bloom_hit_counts(
     spark = SparkSession.getActiveSession()
     bc = spark.sparkContext.broadcast(bitmap)
 
+    # null grams (null text upstream) must become [] here: a null
+    # propagates through array_distinct/transform into the pandas
+    # stage where len(None) would kill the task.
+    safe_grams = F.coalesce(grams, F.array().cast("array<string>"))
     prepared = df.select(
         F.col(id_col),
         F.transform(
-            F.array_distinct(grams),
+            F.array_distinct(safe_grams),
             lambda g: bloom_positions(g, m_bits, k),
         ).alias("gram_pos"),
     )

@@ -703,16 +703,7 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                 raise PipelineError("$getField field must be a literal string")
             return translate_expr(arg["input"], env).getField(field_name)
         case "$cmp":
-            # Three-way compare under BSON order: null ranks lowest.
-            a, b = tx(0), tx(1)
-            return (
-                F.when(a.isNull() & b.isNull(), F.lit(0))
-                .when(a.isNull(), F.lit(-1))
-                .when(b.isNull(), F.lit(1))
-                .when(a < b, F.lit(-1))
-                .when(a > b, F.lit(1))
-                .otherwise(F.lit(0))
-            )
+            return _bson_compare(tx(0), tx(1))
         case "$week":
             # Mongo $week == strftime %U: Sunday-first weeks, days
             # before the year's first Sunday are week 0.
@@ -2338,18 +2329,9 @@ def _root_env(df: DataFrame) -> dict[str, Column]:
 
 def _make_chain_cmp(dirs: list[int]):
     """Comparator over k0..kN struct fields honouring per-field sort
-    directions, BSON null-lowest per field ($topN / $bottomN)."""
-
-    def chain_cmp(a: Column, b: Column) -> Column:
-        result = F.lit(0)
-        for i in reversed(range(len(dirs))):
-            c = _bson_compare(a[f"k{i}"], b[f"k{i}"])
-            if dirs[i] == -1:
-                c = -c
-            result = F.when(c != 0, c).otherwise(result)
-        return result
-
-    return chain_cmp
+    directions ($topN / $bottomN) — the positional-name instance of
+    _make_field_cmp."""
+    return _make_field_cmp([f"k{i}" for i in range(len(dirs))], dirs)
 
 
 def _group_aggs(out: dict, env: dict | None = None) -> list[Column]:

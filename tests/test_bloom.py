@@ -107,3 +107,21 @@ def test_bloom_superset_of_exact_decontamination(spark):
     assert set(exact) <= set(bloom)
     for doc_id, n in exact.items():
         assert bloom[doc_id] >= n
+
+
+def test_bloom_null_grams_row_is_zero_hits(spark, bitmap):
+    """A null grams array (null text upstream) counts as zero hits
+    instead of killing the executor task."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["key-1"]), (2, None), (3, [])],
+        "doc_id INT, grams ARRAY<STRING>",
+    )
+    got = {
+        r["doc_id"]: r["bloom_hits"]
+        for r in bloom_hit_counts(
+            df, "doc_id", F.col("grams"), bitmap, m_bits=M_BITS, k=K
+        ).collect()
+    }
+    assert got == {1: 1, 2: 0, 3: 0}
