@@ -676,8 +676,6 @@ def remove_repeated_ngrams(
     spaces (whitespace-normalized by construction, matching the
     tokenizer).
     """
-    from pymongo_change_stream_reader_spark.operators.text import tokens
-
     base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     ).withColumn("__grams", positional_ngrams(F.col("__toks"), n))
