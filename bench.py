@@ -84,14 +84,21 @@ def main() -> None:
     # JVM/codegen warm-up (not timed)
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
+    # Per-query best-of-2: this host shows intermittent steal bursts
+    # that inflate single runs 2-4x uniformly (PERF.md); the min over
+    # two repetitions estimates the true per-query cost while keeping
+    # the total bench under a few minutes.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        # cache hygiene: each query's persists are part of ITS timing;
-        # nothing stays resident to distort later queries (PERF.md)
-        release_caches(spark)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+            # cache hygiene: each query's persists are part of ITS
+            # timing; nothing stays resident to distort later queries
+            release_caches(spark)
+        timings[name] = round(best, 3)
 
     # streaming-relay throughput: events/s through the full
     # filter -> envelope -> kafka-record projection (the identical
@@ -124,6 +131,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "reps_per_query": 2,
                 "sf": float(sf) if sf else sf_dir,
                 "streaming_events_per_s": events_per_s,
             }
