@@ -59,6 +59,21 @@ class PipelineError(ValueError):
     """Invalid or unsupported pipeline construct."""
 
 
+def _regex_with_options(pattern: str, options: str) -> str:
+    """Prefix the pattern with inline flags for Mongo's regex options
+    — i/m/s/x all have exact Java inline equivalents.  An unknown
+    option letter raises instead of silently mis-translating."""
+    if not options:
+        return pattern
+    bad = set(options) - set("imsx")
+    if bad:
+        raise PipelineError(
+            f"unsupported regex option(s) {''.join(sorted(bad))!r}"
+        )
+    flags = "".join(sorted(set(options)))
+    return f"(?{flags}){pattern}"
+
+
 def _regex_group_count(pattern: str) -> int:
     """Capture-group count of a literal regex, for $regexFind*
     `captures` arrays.  Python's compiler when it parses (it accepts
@@ -453,9 +468,12 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             find = arg.get("find")
             if not isinstance(find, str):
                 raise PipelineError("$replaceAll requires a literal find string")
-            return F.regexp_replace(
+            # F.replace is LITERAL on both sides — regexp_replace would
+            # interpret $/\ in the replacement as group references
+            # (Mongo treats both find and replacement literally)
+            return F.replace(
                 translate_expr(arg["input"], env),
-                re.escape(find),
+                F.lit(find),
                 translate_expr(arg["replacement"], env),
             )
         case "$replaceOne":
@@ -529,9 +547,7 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             scale = F.lit(10**place)
             return (tx(0) * scale).cast("long") / scale
         case "$regexMatch":
-            pattern = arg["regex"]
-            if "i" in arg.get("options", ""):
-                pattern = f"(?i){pattern}"
+            pattern = _regex_with_options(arg["regex"], arg.get("options", ""))
             return translate_expr(arg["input"], env).rlike(pattern)
         case "$max" if len(args) == 1:
             return F.array_max(tx(0))
@@ -775,9 +791,7 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                 F.filter(F.map_entries(doc), lambda e: e["key"] != field)
             )
         case "$regexFind":
-            pattern = arg["regex"]
-            if "i" in arg.get("options", ""):
-                pattern = f"(?i){pattern}"
+            pattern = _regex_with_options(arg["regex"], arg.get("options", ""))
             n_caps = _regex_group_count(arg["regex"])
             inp = translate_expr(arg["input"], env)
             m = F.regexp_substr(inp, F.lit(pattern))
@@ -806,9 +820,7 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                 ),
             )
         case "$regexFindAll":
-            pattern = arg["regex"]
-            if "i" in arg.get("options", ""):
-                pattern = f"(?i){pattern}"
+            pattern = _regex_with_options(arg["regex"], arg.get("options", ""))
             n_caps = _regex_group_count(arg["regex"])
             inp = translate_expr(arg["input"], env)
             lit_pat = F.lit(pattern)
@@ -857,7 +869,13 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                     ).alias("captures"),
                 ),
             )
-            return F.when(inp.isNotNull(), docs)
+            # Mongo: null/missing input -> [] (not null)
+            return F.coalesce(
+                F.when(inp.isNotNull(), docs),
+                F.array().cast(
+                    "array<struct<match:string,idx:int,captures:array<string>>>"
+                ),
+            )
         case "$stdDevPop" | "$stdDevSamp" if len(args) == 1:
             # Array form; nulls ignored, as in the accumulator.
             vals = F.filter(tx(0), lambda x: x.isNotNull())
@@ -1617,7 +1635,13 @@ def _apply_lookup_pipeline(df: DataFrame, spec: dict, tables: dict) -> DataFrame
                 "$sort/$limit/$project only)"
             )
         fk = _apply_stage(fk, st, tables)
-    struct_cols = [c for c in fk.columns if not c.startswith("__l")]
+    # exclude exactly the hidden key columns added above — a prefix
+    # test would silently drop a legitimate foreign field that
+    # happens to start with "__l"
+    hidden_keys = {f"__lk{i}" for i in range(len(eq_pairs))} | {
+        f"__lt{i}" for i in range(len(theta))
+    }
+    struct_cols = [c for c in fk.columns if c not in hidden_keys]
     doc = F.struct(*[F.col(c) for c in struct_cols])
 
     # hidden local-side key columns avoid any name ambiguity in the
@@ -2673,7 +2697,13 @@ def _apply_geo_near(df: DataFrame, spec: dict) -> DataFrame:
     out = out.withColumn(spec["distanceField"], reported)
     if "includeLocs" in spec:
         out = out.withColumn(spec["includeLocs"], key)
-    return out.drop("__geo_dist").orderBy(F.col(spec["distanceField"]).asc())
+    # backquote the sort reference: a dotted distanceField (Mongo's
+    # canonical example is "dist.calculated") lands as a literal
+    # dot-in-name TOP-LEVEL column here (declared deviation from
+    # Mongo's nested-document shape), and a bare F.col would parse
+    # the dot as struct access
+    dist_ref = F.col("`" + spec["distanceField"].replace("`", "``") + "`")
+    return out.drop("__geo_dist").orderBy(dist_ref.asc())
 
 
 def _contains_descend(spec: Any) -> bool:
@@ -3104,6 +3134,12 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
     old = read_versioned_sink(spark, path)
     # "fail" modes abort the whole merge BEFORE any write — the
     # versioned target is untouched (Mongo errors the aggregate).
+    # Materialize the incoming frame once first: each isEmpty probe
+    # and the final write would otherwise recompute the full upstream
+    # pipeline, and a non-deterministic source could even let the
+    # checked condition diverge from the data actually merged.
+    if "fail" in (when_matched, when_not_matched):
+        df = df.localCheckpoint(eager=True)
     if when_not_matched == "fail":
         unmatched_new = (
             df

@@ -2541,3 +2541,65 @@ def test_lookup_pipeline_theta_range(spark):
     assert got[1] == ["apple", "brie"]   # 15, 45 in [10, 60]; 90 out
     assert got[2] == ["donut"]           # 10 in [5, 20]; 25 out
     assert got[3] == []                  # nothing priced 100-200
+
+
+def test_review_fixes_regex_replace_geo(spark):
+    """Round-3 review fixes: literal $replaceAll replacement ($/\\
+    not group references), full i/m/s/x regex options, [] for null
+    $regexFindAll input, dotted $geoNear distanceField, and foreign
+    '__l*' user columns surviving a correlated $lookup."""
+    df = spark.createDataFrame(
+        [(1, "price a and a", "a\nb", None)],
+        "id INT, s STRING, ml STRING, nul STRING",
+    )
+    got = run(
+        [
+            {
+                "$project": {
+                    "rep": {"$replaceAll": {
+                        "input": "$s", "find": "a",
+                        "replacement": {"$literal": "$5.00"}}},
+                    "bs": {"$replaceAll": {
+                        "input": "$s", "find": "price", "replacement": "c:\\dir"}},
+                    "dotall": {"$regexMatch": {
+                        "input": "$ml", "regex": "a.b", "options": "s"}},
+                    "nodotall": {"$regexMatch": {
+                        "input": "$ml", "regex": "a.b"}},
+                    "null_all": {"$regexFindAll": {
+                        "input": "$nul", "regex": "x"}},
+                }
+            }
+        ],
+        df,
+    ).collect()[0]
+    assert got["rep"] == "price $5.00 $5.00nd $5.00"
+    assert got["bs"] == "c:\\dir a and a"
+    assert got["dotall"] is True and got["nodotall"] is False
+    assert got["null_all"] == []
+    with pytest.raises(PipelineError):
+        run([{"$project": {"x": {"$regexMatch": {
+            "input": "$s", "regex": "a", "options": "u"}}}}], df)
+
+    # dotted distanceField sorts without UNRESOLVED_COLUMN
+    geo = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [5.0, 0.0])], "id INT, loc ARRAY<DOUBLE>"
+    )
+    rows = translate_pipeline(
+        [{"$geoNear": {"near": [0.0, 0.0], "key": "loc",
+                       "distanceField": "dist.calculated"}}]
+    )(geo).collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    assert rows[0]["dist.calculated"] == 1.0
+
+    # a user column named __label survives the correlated lookup
+    orders = spark.createDataFrame([(1, "a")], "order_id INT, cust STRING")
+    items = spark.createDataFrame(
+        [("a", "apple", "keepme")], "cust STRING, item STRING, __label STRING"
+    )
+    out = translate_pipeline(
+        [{"$lookup": {"from": "items", "let": {"c": "$cust"},
+                      "pipeline": [{"$match": {"$expr": {"$eq": ["$cust", "$$c"]}}}],
+                      "as": "m"}}],
+        tables={"items": items},
+    )(orders).collect()[0]
+    assert out["m"][0]["__label"] == "keepme"
