@@ -32,16 +32,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Knuth multiplicative hash — identical integer semantics in Spark and
-# DuckDB (see corpus_queries._BUCKET_SQL).
+# DuckDB (see corpus_queries._BUCKET_SQL).  Ids are masked to 2^31
+# BEFORE the multiply: (2^31-1) * 2654435761 ~ 5.7e18 stays inside
+# int64 in both engines, whereas the unmasked product overflows for
+# ids above ~3.5e9 (ANSI error in Spark, HUGEINT promotion in DuckDB
+# — either way the cross-engine contract breaks at corpus scale).
 _HASH_MULT = 2654435761
 _HASH_MOD = 4294967296
+_HASH_MASK = 2147483648
 
 
 def shard_of(col, n_shards: int, seed: int = 0):
     """Deterministic shard id of an integer id column."""
-    return ((col * F.lit(_HASH_MULT) + F.lit(seed)) % F.lit(_HASH_MOD)) % F.lit(
-        n_shards
-    )
+    return (
+        ((col % F.lit(_HASH_MASK)) * F.lit(_HASH_MULT) + F.lit(seed))
+        % F.lit(_HASH_MOD)
+    ) % F.lit(n_shards)
 
 
 def shuffle_key(col, seed: int = 0):
@@ -50,7 +56,9 @@ def shuffle_key(col, seed: int = 0):
     A global shuffle at scale is `repartitionByRange(N, key)` +
     `sortWithinPartitions(key)` — a distributed range sort, never a
     single-node window."""
-    return (col * F.lit(_HASH_MULT) + F.lit(seed)) % F.lit(_HASH_MOD)
+    return (
+        (col % F.lit(_HASH_MASK)) * F.lit(_HASH_MULT) + F.lit(seed)
+    ) % F.lit(_HASH_MOD)
 
 
 def pack_offsets(

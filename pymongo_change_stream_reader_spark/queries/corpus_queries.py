@@ -30,7 +30,7 @@ from pymongo_change_stream_reader_spark.sources.tables import load_table
 
 # Deterministic permille bucket: Knuth multiplicative hash on doc_id.
 # Integer-exact in both engines — the sample is reproducible anywhere.
-_BUCKET_SQL = "((doc_id * 2654435761) % 4294967296) % 1000"
+_BUCKET_SQL = "(((doc_id % 2147483648) * 2654435761) % 4294967296) % 1000"
 
 # Per-language keep rates (permille) — the mix-rebalancing knob.
 _RATES = {"en": 100, "de": 500, "es": 300, "fr": 200, "zh": 1000}
@@ -59,7 +59,7 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-bucket predicate evaluates inside whole-stage codegen per
     split. Changing the mix is a literal change, not a re-shard."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(1000)
+    bucket = (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(1000)
     rate = F.coalesce(
         *[
             F.when(F.col("lang") == lang, F.lit(r)).otherwise(F.lit(None))
@@ -339,7 +339,7 @@ def corpus_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("lang", F.col("doc_id")).alias("lang"),
         F.min_by("n_tokens", F.col("doc_id")).alias("n_tokens"),
     )
-    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 1000
+    bucket = (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)) % 1000
     sampled = canon.filter(bucket < 500)
     return (
         sampled.groupBy("lang")
@@ -388,7 +388,7 @@ def corpus_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongo_change_stream_reader_spark.operators.dedup import word_ngrams
 
     d = load_table(spark, sf_dir, "documents")
-    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 1000
+    bucket = (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)) % 1000
     grams = d.select(
         "doc_id", bucket.alias("bucket"), word_ngrams(F.col("text"), 3).alias("grams")
     )
@@ -434,7 +434,7 @@ def corpus_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pymongo_change_stream_reader_spark.operators.dedup import word_ngrams
 
     d = load_table(spark, sf_dir, "documents")
-    bucket = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) % 1000
+    bucket = (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)) % F.lit(4294967296)) % 1000
     grams = d.select(
         "doc_id", bucket.alias("bucket"), word_ngrams(F.col("text"), 3).alias("grams")
     )
@@ -455,8 +455,8 @@ def corpus_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_global_shuffle",
     oracle="""
     SELECT doc_id,
-           (doc_id * 2654435761 + 17) % 4294967296         AS skey,
-           ((doc_id * 2654435761 + 17) % 4294967296) % 64  AS shard
+           ((doc_id % 2147483648) * 2654435761 + 17) % 4294967296         AS skey,
+           (((doc_id % 2147483648) * 2654435761 + 17) % 4294967296) % 64  AS shard
     FROM documents
     ORDER BY skey, doc_id
     """,
@@ -491,7 +491,7 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH docs AS (
         SELECT doc_id,
                CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks,
-               ((doc_id * 2654435761) % 4294967296) % 16 AS shard
+               (((doc_id % 2147483648) * 2654435761) % 4294967296) % 16 AS shard
         FROM documents
     )
     SELECT doc_id, shard, toks,
@@ -533,9 +533,9 @@ def corpus_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE docs AS (
         SELECT doc_id,
                CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks,
-               ((doc_id * 2654435761) % 4294967296) % 16 AS shard,
+               (((doc_id % 2147483648) * 2654435761) % 4294967296) % 16 AS shard,
                row_number() OVER (PARTITION BY
-                   ((doc_id * 2654435761) % 4294967296) % 16
+                   (((doc_id % 2147483648) * 2654435761) % 4294967296) % 16
                    ORDER BY doc_id) AS rn
         FROM documents
     ),
@@ -851,8 +851,8 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rate_permille"),
     )
     bucket = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    ) % 1000
+        (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+    ) % F.lit(4294967296) % 1000
     return (
         d.join(F.broadcast(rates), "source")
         .filter(bucket < F.col("rate_permille"))

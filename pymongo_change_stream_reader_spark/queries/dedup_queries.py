@@ -374,9 +374,9 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM reach GROUP BY v
     )
     SELECT doc_id, component,
-           CASE WHEN ((component * 2654435761 + 13) % 4294967296) % 100 < 90
+           CASE WHEN (((component % 2147483648) * 2654435761 + 13) % 4294967296) % 100 < 90
                      THEN 'train'
-                WHEN ((component * 2654435761 + 13) % 4294967296) % 100 < 95
+                WHEN (((component % 2147483648) * 2654435761 + 13) % 4294967296) % 100 < 95
                      THEN 'val'
                 ELSE 'test' END AS split
     FROM comp
@@ -405,8 +405,8 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = exact_jaccard_pairs(docs, "text", "doc_id", 0.5)
     comp = connected_components(pairs, docs.select("doc_id"))
     bucket = (
-        (F.col("component") * F.lit(2654435761) + 13) % F.lit(4294967296)
-    ) % 100
+        (F.col("component") % F.lit(2147483648)) * F.lit(2654435761) + 13
+    ) % F.lit(4294967296) % 100
     return comp.select(
         "doc_id",
         "component",

@@ -68,11 +68,11 @@ def build_relay(events: DataFrame, settings: RelaySettings) -> DataFrame:
     any relay-side processing."""
     if settings.pipeline:
         from pymongo_change_stream_reader_spark.plans.pipeline import (
-            parse_pipeline,
             translate_pipeline,
         )
 
-        events = translate_pipeline(parse_pipeline(settings.pipeline))(events)
+        # translate_pipeline parses raw JSON strings itself
+        events = translate_pipeline(settings.pipeline)(events)
     data = filter_data_ops(events)
     if settings.producers_count > 0:
         from pymongo_change_stream_reader_spark.operators.cdc import partition_by_key

@@ -73,19 +73,58 @@ def _ensure_topics(bootstrap_servers: str, topics: set[str], settings=None) -> N
         _created_topics.add(topic_name)
 
 
-def _epoch_committed(marker_dir: str, epoch_id: int) -> bool:
+def _require_local_path(path: str, what: str) -> None:
+    """The marker/demux dirs are managed with os.path — a URI scheme
+    (s3a://, hdfs://) would silently land in a literal local './s3a:'
+    directory and defeat the replay dedup.  Refuse loudly instead of
+    degrading (never silently mis-translate)."""
+    if "://" in path:
+        raise ValueError(
+            f"{what} {path!r} uses a URI scheme; the epoch-marker "
+            "sinks manage markers on the LOCAL filesystem only — use "
+            "a local path or a transactional table sink"
+        )
+
+
+def _query_id(checkpoint_location: str | None) -> str:
+    """The streaming query id from the checkpoint's metadata file.
+
+    Stable across restarts of the SAME checkpoint; a new id appears
+    when the checkpoint is lost/reset — which is exactly the boundary
+    where epoch ids stop being unique, so the id scopes the epoch
+    markers: exactly-once within a checkpoint lifetime, honest
+    at-least-once RE-DELIVERY (never silent at-most-once loss) across
+    checkpoint loss.  Empty when no metadata exists (marker names
+    then degrade to the bare epoch form)."""
+    import json
     import os
 
-    return os.path.exists(os.path.join(marker_dir, f"epoch-{epoch_id:020d}"))
+    if not checkpoint_location:
+        return ""
+    meta = os.path.join(checkpoint_location, "metadata")
+    try:
+        with open(meta) as fh:
+            qid = json.load(fh).get("id", "")
+            return f"{qid}-" if qid else ""
+    except (OSError, ValueError):
+        return ""
 
 
-def _commit_epoch(marker_dir: str, epoch_id: int) -> None:
+def _epoch_committed(marker_dir: str, epoch_id: int, qid: str = "") -> bool:
+    import os
+
+    return os.path.exists(
+        os.path.join(marker_dir, f"epoch-{qid}{epoch_id:020d}")
+    )
+
+
+def _commit_epoch(marker_dir: str, epoch_id: int, qid: str = "") -> None:
     """Durably mark an epoch as written (atomic rename — the marker
     either exists completely or not at all)."""
     import os
 
     os.makedirs(marker_dir, exist_ok=True)
-    marker = os.path.join(marker_dir, f"epoch-{epoch_id:020d}")
+    marker = os.path.join(marker_dir, f"epoch-{qid}{epoch_id:020d}")
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(str(epoch_id))
@@ -114,11 +153,15 @@ def foreach_batch_kafka_with_topics(
     not row count; the write itself stays fully distributed."""
     import os
 
+    _require_local_path(settings.checkpoint_location, "checkpoint_location")
     marker_dir = os.path.join(settings.checkpoint_location, "epoch_log")
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        if _epoch_committed(marker_dir, epoch_id):
+        qid = _query_id(settings.checkpoint_location)
+        if _epoch_committed(marker_dir, epoch_id, qid):
             logger.info("epoch %s already produced; skipping replay", epoch_id)
+            return
+        if batch.isEmpty():  # nothing to produce, nothing to mark
             return
         topics = {r["topic"] for r in batch.select("topic").distinct().collect()}
         _ensure_topics(bootstrap_servers, topics, settings)
@@ -131,29 +174,44 @@ def foreach_batch_kafka_with_topics(
             .option("kafka.enable.idempotence", "true")
             .save()
         )
-        _commit_epoch(marker_dir, epoch_id)
+        _commit_epoch(marker_dir, epoch_id, qid)
 
     return write_batch
 
 
-def foreach_batch_parquet_demux(out_dir: str) -> Callable[[DataFrame, int], None]:
+def foreach_batch_parquet_demux(
+    out_dir: str, checkpoint_location: str | None = None
+) -> Callable[[DataFrame, int], None]:
     """File flavor of the dynamic-topic sink (reference
     tests/test_file_writer/): one parquet partition per topic,
-    EXACTLY-ONCE under replay.
+    EXACTLY-ONCE under replay within a checkpoint lifetime.
 
     Each epoch writes to a staging dir, then a single atomic rename
-    publishes ``epoch-N`` — the rename is both the commit point and
+    publishes the epoch — the rename is both the commit point and
     the replay marker, so no crash point can double-write: before the
     rename a replay overwrites the staging dir; after it, the replay
-    sees the published epoch and skips.  Readers glob
-    ``out_dir/epoch-*`` (topic rides as a partition column)."""
+    sees the published epoch and skips.  Pass ``checkpoint_location``
+    so epochs are scoped by the streaming query id: epoch ids are
+    only unique per checkpoint, and without the scope a NEW query
+    (checkpoint lost/reset) would silently SKIP batches that collide
+    with old epoch numbers — at-most-once loss.  With it, checkpoint
+    loss re-delivers (honest at-least-once across that boundary).
+    Readers union every published epoch dir."""
     import os
     import shutil
 
+    _require_local_path(out_dir, "demux out_dir")
+
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        final = os.path.join(out_dir, f"epoch-{epoch_id:020d}")
+        qid = _query_id(checkpoint_location)
+        final = os.path.join(out_dir, f"epoch-{qid}{epoch_id:020d}")
         if os.path.exists(final):
             logger.info("epoch %s already published; skipping replay", epoch_id)
+            return
+        if batch.isEmpty():
+            # a zero-row epoch has nothing to publish — and a
+            # partitionBy write of 0 rows would leave a parquet-less
+            # dir that poisons the union read
             return
         staging = final + ".staging"
         if os.path.exists(staging):  # crash leftover from a prior try
@@ -173,12 +231,25 @@ def read_parquet_demux(spark, out_dir: str):
     import os
     from functools import reduce
 
+    def has_parquet(path: str) -> bool:
+        # an epoch published from an empty batch (or a _SUCCESS-only
+        # dir) must not poison the union with schema inference errors
+        return any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(path)
+            for f in files
+        )
+
     epochs = sorted(
         d
         for d in os.listdir(out_dir)
         if d.startswith("epoch-") and not d.endswith(".staging")
     )
-    frames = [spark.read.parquet(os.path.join(out_dir, e)) for e in epochs]
+    frames = [
+        spark.read.parquet(os.path.join(out_dir, e))
+        for e in epochs
+        if has_parquet(os.path.join(out_dir, e))
+    ]
     if not frames:
         raise FileNotFoundError(f"no published epochs under {out_dir}")
     return reduce(lambda a, b: a.unionByName(b), frames)

@@ -372,10 +372,16 @@ def test_kafka_epoch_guard_skips_replay(tmp_path, spark):
 
 
 def test_demux_restart_replay_no_duplicates(spark, tmp_path):
-    """End-to-end injected replay: run the relay through the demux
-    sink, then WIPE the checkpoint (forcing the file source to replay
-    every batch from scratch) and run again into the same output —
-    the epoch markers absorb the replay, zero duplicate rows."""
+    """End-to-end exactly-once contract of the demux sink, both sides
+    of the checkpoint boundary:
+
+    - SAME checkpoint, query restarted: already-published epochs are
+      skipped (the epoch marker is query-id-scoped) — no duplicates.
+    - Checkpoint WIPED: epoch ids restart under a NEW query id, so
+      everything re-delivers (honest at-least-once) — crucially, new
+      rows that arrived before the wipe are NOT silently skipped just
+      because their epoch number collides with an old epoch's (the
+      at-most-once data-loss hole the query-id scope closes)."""
     import shutil as _shutil
 
     from pymongo_change_stream_reader_spark.sources.change_events import (
@@ -400,7 +406,9 @@ def test_demux_restart_replay_no_duplicates(spark, tmp_path):
     def run_once():
         q = (
             build_relay(stream_change_events_json(spark, str(src)), settings)
-            .writeStream.foreachBatch(foreach_batch_parquet_demux(out))
+            .writeStream.foreachBatch(
+                foreach_batch_parquet_demux(out, ckpt)
+            )
             .option("checkpointLocation", ckpt)
             .start()
         )
@@ -411,6 +419,13 @@ def test_demux_restart_replay_no_duplicates(spark, tmp_path):
 
     run_once()
     assert read_parquet_demux(spark, out).count() == 7
-    _shutil.rmtree(ckpt)  # injected failure: all source progress lost
-    run_once()  # every epoch re-delivered with the same epoch ids
+    run_once()  # same checkpoint: nothing new, nothing re-published
     assert read_parquet_demux(spark, out).count() == 7
+
+    # checkpoint loss + NEW data: the old behavior (epoch-number-only
+    # markers) would skip the replayed epoch 0 and LOSE the new rows
+    _shutil.copy("tests/fixtures/change_events.jsonl", src / "batch1.json")
+    _shutil.rmtree(ckpt)
+    run_once()
+    # old 7 + full re-delivery of both files under the new query id
+    assert read_parquet_demux(spark, out).count() == 7 + 14
