@@ -193,6 +193,16 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
     match op:
         case "$literal":
             return F.lit(arg)
+        case "$meta":
+            # Only the $vectorSearch score is meaningful here (there is
+            # no $text index); the stage leaves the score in a hidden
+            # column that the pipeline epilogue drops if unreferenced.
+            if arg != "vectorSearchScore":
+                raise PipelineError(
+                    f"unsupported $meta kind {arg!r} (only "
+                    "'vectorSearchScore' exists in this engine)"
+                )
+            return F.col(_VS_SCORE_COL)
         case "$concat":
             return F.concat(*[translate_expr(a, env) for a in args])
         case "$toUpper":
@@ -2558,6 +2568,8 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
             return df.filter(h < int(spec * (1 << 20)))
         case "$geoNear":
             return _apply_geo_near(df, spec)
+        case "$vectorSearch":
+            return _apply_vector_search(df, spec)
         case "$group":
             return _apply_group(df, spec)
         case "$unwind":
@@ -2704,6 +2716,111 @@ def _apply_geo_near(df: DataFrame, spec: dict) -> DataFrame:
     # the dot as struct access
     dist_ref = F.col("`" + spec["distanceField"].replace("`", "``") + "`")
     return out.drop("__geo_dist").orderBy(dist_ref.asc())
+
+
+_VS_SCORE_COL = "__vs_score"
+
+
+def _apply_vector_search(df: DataFrame, spec: dict) -> DataFrame:
+    """$vectorSearch -> scored exact top-k over an embedding column.
+
+    Mirrors the Atlas stage surface (reference passes any stage
+    verbatim to the server, `settings.py:69-76`): ``path`` names an
+    ``array<numeric>`` column, ``queryVector`` is a numeric literal
+    array, ``filter`` is a pre-scoring predicate (full $match
+    semantics — a superset of Atlas's restricted MQL subset), and
+    ``limit`` bounds the output.  The similarity lives in the Atlas
+    index definition, which has no analog here, so it is accepted
+    inline via a ``similarity`` key (cosine | dotProduct | euclidean,
+    default cosine).  Scores use Atlas's published normalizations:
+    cosine/dotProduct -> (1 + sim) / 2, euclidean -> 1 / (1 + dist).
+    The score rides in a hidden column readable downstream via
+    ``{"$meta": "vectorSearchScore"}`` and is dropped at pipeline end
+    when unreferenced.
+
+    Declared deviations: the scan is EXACT brute force (so
+    ``numCandidates`` is validated but is only a recall knob for the
+    approximate index this engine replaces — recall here is 1.0), and
+    ties at the rounded score break deterministically by a row
+    content hash (Atlas leaves tie order unspecified).
+
+    Scale: the query vector is a literal (broadcast by construction);
+    scoring is one narrow JVM HOF pass over the scan with the filter
+    pushed ahead of it, and sort+limit collapses to TakeOrdered —
+    no global sort, no shuffle beyond the top-k gather.  The ANN
+    index paths (IVF/PQ/LSH, operators/similarity.py) are the scale
+    alternative when brute force is too slow.
+    """
+    if not isinstance(spec, dict):
+        raise PipelineError("$vectorSearch takes a document")
+    for req in ("path", "queryVector", "limit"):
+        if req not in spec:
+            raise PipelineError(f"$vectorSearch requires {req!r}")
+    qv = spec["queryVector"]
+    if not (
+        isinstance(qv, list)
+        and qv
+        and all(
+            isinstance(x, (int, float)) and not isinstance(x, bool) for x in qv
+        )
+    ):
+        raise PipelineError("$vectorSearch queryVector must be a numeric array")
+    limit = spec["limit"]
+    if not isinstance(limit, int) or isinstance(limit, bool) or limit <= 0:
+        raise PipelineError("$vectorSearch limit must be a positive integer")
+    if "numCandidates" in spec:
+        nc = spec["numCandidates"]
+        if not isinstance(nc, int) or isinstance(nc, bool) or nc < limit:
+            raise PipelineError(
+                "$vectorSearch numCandidates must be an integer >= limit"
+            )
+        if spec.get("exact"):
+            raise PipelineError(
+                "$vectorSearch exact:true excludes numCandidates"
+            )
+    sim = spec.get("similarity", "cosine")
+    if sim not in ("cosine", "dotProduct", "euclidean"):
+        raise PipelineError(f"unsupported $vectorSearch similarity {sim!r}")
+    if "filter" in spec:
+        df = df.filter(translate_match(spec["filter"]))
+
+    v = F.transform(F.col(spec["path"]), lambda x: x.cast("double"))
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    dotpq = F.aggregate(
+        F.zip_with(v, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if sim == "cosine":
+
+        def norm(a: Column) -> Column:
+            return F.sqrt(
+                F.aggregate(
+                    F.transform(a, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+
+        score = (F.lit(1.0) + dotpq / (norm(v) * norm(q))) / F.lit(2.0)
+    elif sim == "dotProduct":
+        score = (F.lit(1.0) + dotpq) / F.lit(2.0)
+    else:
+        dist = F.sqrt(
+            F.aggregate(
+                F.zip_with(v, q, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        score = F.lit(1.0) / (F.lit(1.0) + dist)
+
+    tie = F.xxhash64(*[F.col(c) for c in df.columns])
+    return (
+        df.withColumn(_VS_SCORE_COL, F.round(score, 6))
+        .orderBy(F.col(_VS_SCORE_COL).desc(), tie)
+        .limit(limit)
+    )
 
 
 def _contains_descend(spec: Any) -> bool:
@@ -2888,6 +3005,8 @@ def translate_pipeline(
             raise PipelineError("$out/$merge must be the last stage")
         if "$geoNear" in stage and i != 0:
             raise PipelineError("$geoNear must be the first stage")
+        if "$vectorSearch" in stage and i != 0:
+            raise PipelineError("$vectorSearch must be the first stage")
         if "$documents" in stage and i != 0:
             raise PipelineError("$documents must be the first stage")
 
@@ -2936,6 +3055,10 @@ def translate_pipeline(
             if "$merge" in stage:
                 return _apply_merge(df, stage["$merge"], sinks)
             df = _apply_stage(df, stage, tables)
+        if _VS_SCORE_COL in df.columns:
+            # the hidden $vectorSearch score survives only when a
+            # later stage projected it via {"$meta": ...}
+            df = df.drop(_VS_SCORE_COL)
         return df
 
     return apply

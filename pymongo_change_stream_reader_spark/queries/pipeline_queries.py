@@ -1523,3 +1523,56 @@ def pipeline_lookup_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables={"lineitem": load_table(spark, sf_dir, "lineitem")},
     )
     return pipe(load_table(spark, sf_dir, "orders")).orderBy("o_orderkey")
+
+
+# Deterministic 64-dim query vector for $vectorSearch: values are
+# rounded to 4 dp so the literal is byte-identical in the Spark
+# pipeline and the DuckDB oracle SQL.
+_VS_QV = [round(__import__("math").sin(0.7 * i + 0.3), 4) for i in range(64)]
+_VS_QV_SQL = "[" + ", ".join(repr(x) for x in _VS_QV) + "]::DOUBLE[]"
+
+
+@query(
+    "pipeline_vector_search",
+    oracle=f"""
+    SELECT vec_id, label,
+           ROUND((1 + list_cosine_similarity(embedding::DOUBLE[],
+                                             {_VS_QV_SQL})) / 2, 6) AS score
+    FROM embeddings
+    WHERE label >= 1
+    ORDER BY score DESC, vec_id
+    LIMIT 12
+    """,
+    doc="$vectorSearch (Atlas stage surface: queryVector + filter + "
+    "limit, cosine score normalized to (1+cos)/2) followed by a "
+    "$project reading the score via {$meta: 'vectorSearchScore'} — "
+    "the Mongo vector-query surface bridged onto the engine's exact "
+    "cosine scan; filter applies before scoring and reaches the "
+    "parquet scan, sort+limit collapses to TakeOrdered.",
+    tags=("pipeline", "similarity"),
+)
+def pipeline_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$vectorSearch": {
+                    "index": "embeddings_cosine_idx",
+                    "path": "embedding",
+                    "queryVector": _VS_QV,
+                    "numCandidates": 200,
+                    "limit": 12,
+                    "filter": {"label": {"$gte": 1}},
+                }
+            },
+            {
+                "$project": {
+                    "vec_id": 1,
+                    "label": 1,
+                    "score": {"$meta": "vectorSearchScore"},
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "embeddings")).orderBy(
+        F.desc("score"), "vec_id"
+    )

@@ -2603,3 +2603,158 @@ def test_review_fixes_regex_replace_geo(spark):
         tables={"items": items},
     )(orders).collect()[0]
     assert out["m"][0]["__label"] == "keepme"
+
+
+# --- $vectorSearch ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.9, 0.1], "a"),
+            (3, [0.0, 1.0], "b"),
+            (4, [-1.0, 0.0], "a"),
+            (5, [0.6, 0.8], "b"),
+        ],
+        "vid INT, emb ARRAY<DOUBLE>, grp STRING",
+    )
+
+
+def test_vector_search_cosine_topk(vecs):
+    out = run(
+        [
+            {
+                "$vectorSearch": {
+                    "path": "emb",
+                    "queryVector": [1.0, 0.0],
+                    "limit": 3,
+                }
+            },
+            {
+                "$project": {
+                    "vid": 1,
+                    "score": {"$meta": "vectorSearchScore"},
+                }
+            },
+        ],
+        vecs,
+    ).collect()
+    assert [r["vid"] for r in out] == [1, 2, 5]
+    # Atlas normalization: cosine 1.0 -> score 1.0, cosine -1 -> 0
+    assert out[0]["score"] == 1.0
+
+
+def test_vector_search_filter_and_hidden_score_drop(vecs):
+    out = run(
+        [
+            {
+                "$vectorSearch": {
+                    "path": "emb",
+                    "queryVector": [1.0, 0.0],
+                    "limit": 10,
+                    "filter": {"grp": "b"},
+                }
+            }
+        ],
+        vecs,
+    )
+    # score column is hidden when no $meta projects it
+    assert out.columns == ["vid", "emb", "grp"]
+    assert [r["vid"] for r in out.collect()] == [5, 3]
+
+
+def test_vector_search_euclidean_and_dot(vecs):
+    euc = run(
+        [
+            {
+                "$vectorSearch": {
+                    "path": "emb",
+                    "queryVector": [1.0, 0.0],
+                    "limit": 1,
+                    "similarity": "euclidean",
+                }
+            },
+            {"$project": {"vid": 1, "s": {"$meta": "vectorSearchScore"}}},
+        ],
+        vecs,
+    ).collect()
+    assert euc[0]["vid"] == 1 and euc[0]["s"] == 1.0  # 1/(1+0)
+    dot = run(
+        [
+            {
+                "$vectorSearch": {
+                    "path": "emb",
+                    "queryVector": [2.0, 0.0],
+                    "limit": 1,
+                    "similarity": "dotProduct",
+                }
+            },
+            {"$project": {"vid": 1, "s": {"$meta": "vectorSearchScore"}}},
+        ],
+        vecs,
+    ).collect()
+    assert dot[0]["vid"] == 1 and dot[0]["s"] == 1.5  # (1 + 2)/2
+
+
+def test_vector_search_validation(vecs):
+    with pytest.raises(PipelineError, match="first stage"):
+        run(
+            [
+                {"$match": {"grp": "a"}},
+                {
+                    "$vectorSearch": {
+                        "path": "emb",
+                        "queryVector": [1.0, 0.0],
+                        "limit": 1,
+                    }
+                },
+            ],
+            vecs,
+        )
+    with pytest.raises(PipelineError, match="numCandidates"):
+        run(
+            [
+                {
+                    "$vectorSearch": {
+                        "path": "emb",
+                        "queryVector": [1.0, 0.0],
+                        "limit": 5,
+                        "numCandidates": 2,
+                    }
+                }
+            ],
+            vecs,
+        )
+    with pytest.raises(PipelineError, match="exact"):
+        run(
+            [
+                {
+                    "$vectorSearch": {
+                        "path": "emb",
+                        "queryVector": [1.0, 0.0],
+                        "limit": 1,
+                        "numCandidates": 5,
+                        "exact": True,
+                    }
+                }
+            ],
+            vecs,
+        )
+    with pytest.raises(PipelineError, match="similarity"):
+        run(
+            [
+                {
+                    "$vectorSearch": {
+                        "path": "emb",
+                        "queryVector": [1.0, 0.0],
+                        "limit": 1,
+                        "similarity": "manhattan",
+                    }
+                }
+            ],
+            vecs,
+        )
+    with pytest.raises(PipelineError, match="\\$meta"):
+        run([{"$project": {"s": {"$meta": "textScore"}}}], vecs)
