@@ -859,3 +859,145 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rate_permille")
         .orderBy("doc_id")
     )
+
+
+# DSIR hashed-ngram feature space (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): unigrams hash into
+# D bins; target/raw bag-of-bins models with Laplace smoothing give a
+# per-document importance log-weight.  The log-weight is held in
+# integer milli-nats so the per-document aggregation is exact in any
+# summation order — the only float ops are one division and one ln per
+# BIN (deterministic given identical integer operands in both engines).
+_DSIR_D = 4096
+_DSIR_IDX = "('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096"
+
+
+@query(
+    "corpus_dsir_select",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+    ),
+    b AS (
+        SELECT doc_id, lang, {_DSIR_IDX} AS idx FROM toks
+    ),
+    ct AS (SELECT idx, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY idx),
+    cq AS (SELECT idx, COUNT(*) AS cq FROM b WHERE lang <> 'en' GROUP BY idx),
+    tot AS (SELECT (SELECT COUNT(*) FROM b WHERE lang = 'en')  AS nt,
+                   (SELECT COUNT(*) FROM b WHERE lang <> 'en') AS nq),
+    w AS (
+        SELECT i AS idx,
+               CAST(ROUND(1000 * ln(
+                   ((COALESCE(ct.ct, 0) + 1) * (tot.nq + {_DSIR_D}))::DOUBLE
+                 / ((COALESCE(cq.cq, 0) + 1) * (tot.nt + {_DSIR_D}))::DOUBLE
+               )) AS BIGINT) AS w
+        FROM generate_series(0, {_DSIR_D - 1}) t(i)
+        LEFT JOIN ct ON ct.idx = i
+        LEFT JOIN cq ON cq.idx = i
+        CROSS JOIN tot
+    ),
+    f AS (
+        SELECT doc_id, idx, COUNT(*) AS cnt
+        FROM b WHERE lang <> 'en' GROUP BY doc_id, idx
+    ),
+    z AS (
+        SELECT doc_id, SUM(cnt * w) AS z_milli, SUM(cnt) AS n
+        FROM f JOIN w USING (idx) GROUP BY doc_id
+    )
+    SELECT z.doc_id, d.lang,
+           CAST(n AS BIGINT)               AS n_tokens,
+           CAST(z_milli AS BIGINT)         AS z_milli,
+           CAST(z_milli AS DOUBLE) / 1000.0 AS log_weight
+    FROM z JOIN documents d ON d.doc_id = z.doc_id
+    ORDER BY z_milli DESC, z.doc_id
+    LIMIT 40
+    """,
+    doc="DSIR data selection (hashed-unigram importance resampling): "
+    "fit smoothed bag-of-hashed-ngram models over the target slice "
+    "(en) and the raw pool, score every raw document with the summed "
+    "per-bin log-likelihood ratio in integer milli-nats, and take the "
+    "top-40 — the documents whose token distribution looks most like "
+    "the target.  Engine-portable md5-prefix hashing; integer weights "
+    "keep the aggregation bit-stable across engines.",
+    tags=("corpus", "text", "selection"),
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two hash-shuffle bin-count aggs (map-side partials) fit
+    the models; the model is O(D) rows and BROADCAST to score — one
+    explode + per-doc integer sum per raw document, no quadratic or
+    driver-side work.  At 100 TB the target slice is typically small
+    (curated corpus) and the raw pool dominates: the scoring pass is
+    one narrow scan of the pool, and the bin space D grows to 2^20
+    without changing any shuffle shape (the model stays a few MB)."""
+    D = _DSIR_D
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    )
+    idx = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+        F.lit(D),
+    )
+    b = toks.select("doc_id", "lang", idx.alias("idx"))
+    tgt = b.filter(F.col("lang") == "en").groupBy("idx").agg(
+        F.count("*").alias("ct")
+    )
+    raw = b.filter(F.col("lang") != "en").groupBy("idx").agg(
+        F.count("*").alias("cq")
+    )
+    tot = b.groupBy().agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("nq"),
+    )
+    # integer products stay exact in doubles (counts << 2^26), so the
+    # single division + ln sees identical operands in both engines
+    weights = (
+        spark.range(D)
+        .select(F.col("id").alias("idx"))
+        .join(tgt, "idx", "left")
+        .join(raw, "idx", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "idx",
+            F.round(
+                F.lit(1000)
+                * F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("nq") + D)
+                    ).cast("double")
+                    / (
+                        (F.coalesce(F.col("cq"), F.lit(0)) + 1)
+                        * (F.col("nt") + D)
+                    ).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    feats = (
+        b.filter(F.col("lang") != "en")
+        .groupBy("doc_id", "idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+    z = (
+        feats.join(F.broadcast(weights), "idx")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("w")).alias("z_milli"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
+    return (
+        z.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "z_milli",
+            (F.col("z_milli").cast("double") / 1000.0).alias("log_weight"),
+        )
+        .orderBy(F.desc("z_milli"), "doc_id")
+        .limit(40)
+    )
