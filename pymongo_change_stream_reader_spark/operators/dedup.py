@@ -741,3 +741,106 @@ def remove_repeated_ngrams(
             F.transform(kept, lambda s: s["t"]), " "
         ).alias("cleaned_text"),
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column.
+
+    1. a spherical k-means coarse quantizer (train_ivf_centroids)
+       clusters the corpus;
+    2. candidate pairs are enumerated only WITHIN a cluster — the
+       SemDeDup economy: quadratic pair work is bounded by the cell
+       population, never corpus-wide;
+    3. pairs with cosine >= threshold link into duplicate components
+       (chains collapse transitively, matching the paper's grouping);
+    4. each component keeps the member with the LOWEST cosine to its
+       cluster centroid (the paper's keep rule — retain the example
+       least typical of the cluster), ties broken by lowest id.
+
+    Returns (id, cell, centroid_sim, component, keep) for every
+    input vector; filter on ``keep`` for the deduplicated corpus.
+
+    Scale: training touches only nlist x dim driver-side (the model);
+    assignment is one narrow broadcast-literal pass; the within-cell
+    self-join shuffles both sides on the cell key, so skew is bounded
+    by the largest cell (raise nlist to shrink cells — the paper runs
+    50k clusters at web scale); components use the same bucketed
+    min-label propagation as every other dedup family here.
+    """
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        _as_double,
+        dot,
+        l2_norm,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(
+        corpus, nlist, iters, id_col=id_col, vec_col=vec_col
+    )
+    base = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("dv")
+    ).withColumn("dn", l2_norm(F.col("dv")))
+    # centroids are unit vectors, so cosine = dot/|v|; argmax over the
+    # cells by cosine equals argmax by dot (|v| constant per row)
+    scored = [
+        F.struct(
+            F.round(
+                dot(F.col("dv"), F.array(*[F.lit(x) for x in c]))
+                / F.col("dn"),
+                6,
+            ).alias("cos"),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    best = F.reverse(F.array_sort(F.array(*scored)))[0]
+    assigned = base.select(
+        F.col(id_col),
+        "dv",
+        "dn",
+        best["cos"].alias("centroid_sim"),
+        best["cid"].alias("cell"),
+    ).persist()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .where(
+            F.round(
+                dot(F.col("a.dv"), F.col("b.dv"))
+                / (F.col("a.dn") * F.col("b.dn")),
+                6,
+            )
+            >= threshold
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    comp = connected_components(
+        pairs, assigned.select(id_col), id_col=id_col
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.asc("centroid_sim"), F.asc(id_col)
+    )
+    out = (
+        assigned.join(comp, id_col)
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(id_col, "cell", "centroid_sim", "component", "keep")
+    )
+    # connected_components has already materialized the expensive pair
+    # join while `assigned` was cached; releasing the cache here only
+    # costs the final consumer one narrow re-assignment pass.
+    assigned.unpersist()
+    return out

@@ -415,3 +415,23 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_semdedup",
+    oracle=None,  # k-means assignment is not SQL-expressible; invariants in pytest
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023): "
+    "spherical k-means clusters the embedding corpus, near-duplicate "
+    "pairs are enumerated only within a cluster (cell-bounded "
+    "quadratic work), components above the cosine threshold keep the "
+    "member least similar to its cluster centroid.",
+    tags=("dedup", "similarity", "approx"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: see operators.dedup.semdedup — model-sized k-means "
+    "driver state, cell-keyed self-join, bucketed component "
+    "propagation; raise nlist to bound the largest cell."""
+    from pymongo_change_stream_reader_spark.operators.dedup import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, nlist=16, iters=1, threshold=0.9).orderBy("vec_id")

@@ -1,0 +1,66 @@
+"""SemDeDup operator invariants (no SQL oracle: the k-means
+assignment is not SQL-expressible; these pytest invariants are the
+declared correctness check, mirroring the LSH/IVF recall tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# --- SemDeDup --------------------------------------------------------------
+
+
+def _semdedup_frame(spark):
+    # two well-separated directions; planted near-dup group {1,2,3}
+    # (pairwise cosine ~1) and a distinct singleton 4 in the same
+    # cluster; 10/11 near-dups in the opposite cluster
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),
+        (3, [0.998, 0.02, 0.0]),
+        (4, [0.7, 0.7, 0.1]),
+        (10, [-1.0, 0.0, 0.0]),
+        (11, [-0.999, -0.01, 0.0]),
+        (12, [-0.6, -0.8, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+
+def test_semdedup_removes_planted_near_dups(spark):
+    from pymongo_change_stream_reader_spark.operators.dedup import semdedup
+
+    out = semdedup(
+        _semdedup_frame(spark), nlist=2, iters=2, threshold=0.99
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    # the {1,2,3} chain collapses to one component, one keeper
+    comps = {by_id[i]["component"] for i in (1, 2, 3)}
+    assert len(comps) == 1
+    assert sum(by_id[i]["keep"] for i in (1, 2, 3)) == 1
+    # the keeper is the member least similar to its centroid
+    kept = next(i for i in (1, 2, 3) if by_id[i]["keep"])
+    assert by_id[kept]["centroid_sim"] == min(
+        by_id[i]["centroid_sim"] for i in (1, 2, 3)
+    )
+    # distinct vectors survive
+    for i in (4, 12):
+        assert by_id[i]["keep"]
+    assert sum(by_id[i]["keep"] for i in (10, 11)) == 1
+    # every input row is accounted for
+    assert len(out) == 7
+
+
+def test_semdedup_deterministic_across_runs(spark):
+    from pymongo_change_stream_reader_spark.operators.dedup import semdedup
+
+    df = _semdedup_frame(spark)
+    a = sorted(map(tuple, semdedup(df, nlist=2, iters=2, threshold=0.99).collect()))
+    b = sorted(map(tuple, semdedup(df, nlist=2, iters=2, threshold=0.99).collect()))
+    assert a == b
+
+
+def test_semdedup_high_threshold_keeps_everything(spark):
+    from pymongo_change_stream_reader_spark.operators.dedup import semdedup
+
+    df = _semdedup_frame(spark).filter(F.col("vec_id").isin(1, 4, 12))
+    out = semdedup(df, nlist=2, iters=1, threshold=0.999999).collect()
+    assert all(r["keep"] for r in out)
