@@ -929,6 +929,18 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                 )
                 return F.coalesce(converted, fallback)
             return converted
+        case "$rand":
+            raise PipelineError(
+                "$rand is nondeterministic by definition and cannot be "
+                "reproduced across retries/partitions; use $sampleRate "
+                "or $sample (declared-deterministic) instead"
+            )
+        case "$function" | "$accumulator":
+            raise PipelineError(
+                f"{op} embeds server-side JavaScript, which this engine "
+                "does not execute; register a pandas UDF through the "
+                "functions facade for custom per-row/accumulator logic"
+            )
         case _:
             raise PipelineError(f"unsupported expression operator {op!r}")
 
@@ -2503,6 +2515,12 @@ def _group_aggs(out: dict, env: dict | None = None) -> list[Column]:
         elif op in _GROUP_ACCUMULATORS:
             aggs.append(
                 _GROUP_ACCUMULATORS[op](translate_expr(arg, env)).alias(field_name)
+            )
+        elif op == "$accumulator":
+            raise PipelineError(
+                "$accumulator embeds server-side JavaScript, which this "
+                "engine does not execute; register a pandas grouped-agg "
+                "UDF through the functions facade instead"
             )
         else:
             raise PipelineError(f"unsupported accumulator {op!r}")

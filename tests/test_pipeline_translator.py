@@ -2758,3 +2758,12 @@ def test_vector_search_validation(vecs):
         )
     with pytest.raises(PipelineError, match="\\$meta"):
         run([{"$project": {"s": {"$meta": "textScore"}}}], vecs)
+
+
+def test_server_side_only_operators_raise_clearly(docs):
+    with pytest.raises(PipelineError, match="sampleRate"):
+        run([{"$addFields": {"r": {"$rand": {}}}}], docs)
+    with pytest.raises(PipelineError, match="JavaScript"):
+        run([{"$addFields": {"x": {"$function": {"body": "f", "args": [], "lang": "js"}}}}], docs)
+    with pytest.raises(PipelineError, match="JavaScript"):
+        run([{"$group": {"_id": None, "x": {"$accumulator": {}}}}], docs)
