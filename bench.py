@@ -67,6 +67,10 @@ HEADLINE = (
     "corpus_decontamination_bloom",
     "quality_linear_scorer",
     "ann_pq_adc",
+    # r3 additions: Mongo vector-query surface, DSIR selection, SemDeDup
+    "pipeline_vector_search",
+    "corpus_dsir_select",
+    "dedup_semdedup",
 )
 
 
