@@ -886,6 +886,62 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                     "array<struct<match:string,idx:int,captures:array<string>>>"
                 ),
             )
+        case "$percentile" | "$median" if isinstance(arg, dict) and "input" in arg:
+            # Mongo 7.0 aggregation-expression form over an ARRAY input
+            # (the accumulator/window forms live in $group /
+            # $setWindowFields).  Computed EXACTLY with Spark's
+            # linear-interpolation definition — the same contract as
+            # the group-form $percentile here (Mongo's 'approximate'
+            # method is a t-digest; exact is a tighter answer).  Null
+            # elements are ignored; an empty/all-null input -> null.
+            if op == "$percentile":
+                ps = arg.get("p")
+                if not (
+                    isinstance(ps, list)
+                    and ps
+                    and all(
+                        isinstance(p, (int, float))
+                        and not isinstance(p, bool)
+                        and 0 <= p <= 1
+                        for p in ps
+                    )
+                ):
+                    raise PipelineError(
+                        "$percentile requires p: [numbers in 0..1]"
+                    )
+            else:
+                ps = [0.5]
+            sorted_nn = F.array_sort(
+                F.filter(
+                    F.transform(
+                        translate_expr(arg["input"], env),
+                        lambda x: x.cast("double"),
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            )
+            n = F.size(sorted_nn)
+
+            def one_pct(p: float) -> Column:
+                # linear interpolation between closest ranks, matching
+                # F.percentile / DuckDB quantile_cont
+                idx = (n - 1).cast("double") * F.lit(float(p))
+                lo = F.floor(idx)
+                frac = idx - lo
+                # try_element_at: the n==0 guard below cannot stop the
+                # out-of-range probe from evaluating under ANSI mode
+                lo_v = F.try_element_at(sorted_nn, (lo + 1).cast("int"))
+                hi_v = F.try_element_at(
+                    sorted_nn, (F.ceil(idx) + 1).cast("int")
+                )
+                interp = lo_v + (hi_v - lo_v) * frac
+                return F.when(n > 0, interp)
+
+            if op == "$median":
+                return one_pct(0.5)
+            return F.when(
+                n > 0, F.array(*[one_pct(p) for p in ps])
+            )
         case "$stdDevPop" | "$stdDevSamp" if len(args) == 1:
             # Array form; nulls ignored, as in the accumulator.
             vals = F.filter(tx(0), lambda x: x.isNotNull())

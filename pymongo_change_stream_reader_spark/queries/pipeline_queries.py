@@ -1576,3 +1576,65 @@ def pipeline_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe(load_table(spark, sf_dir, "embeddings")).orderBy(
         F.desc("score"), "vec_id"
     )
+
+
+@query(
+    "pipeline_expr_percentile",
+    oracle="""
+    SELECT user_id % 10 AS grp,
+           ROUND(quantile_cont(value, 0.5), 6)  AS med,
+           list_transform(quantile_cont(value, [0.25, 0.9]),
+                          x -> ROUND(x, 6))      AS pcts
+    FROM events
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    doc="$percentile/$median aggregation-EXPRESSION form (Mongo 7.0, "
+    "array input) — $group $push builds the per-group array, $project "
+    "computes exact linear-interpolated quantiles with JVM HOFs; "
+    "matches DuckDB quantile_cont.",
+    tags=("pipeline",),
+)
+def pipeline_expr_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$group": {
+                    "_id": {"$mod": ["$user_id", 10]},
+                    "vals": {"$push": "$value"},
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "grp": "$_id",
+                    "med": {
+                        "$round": [
+                            {
+                                "$median": {
+                                    "input": "$vals",
+                                    "method": "approximate",
+                                }
+                            },
+                            6,
+                        ]
+                    },
+                    "pcts": {
+                        "$map": {
+                            "input": {
+                                "$percentile": {
+                                    "input": "$vals",
+                                    "p": [0.25, 0.9],
+                                    "method": "approximate",
+                                }
+                            },
+                            "as": "x",
+                            "in": {"$round": ["$$x", 6]},
+                        }
+                    },
+                }
+            },
+            {"$sort": {"grp": 1}},
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))

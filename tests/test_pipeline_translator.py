@@ -2767,3 +2767,34 @@ def test_server_side_only_operators_raise_clearly(docs):
         run([{"$addFields": {"x": {"$function": {"body": "f", "args": [], "lang": "js"}}}}], docs)
     with pytest.raises(PipelineError, match="JavaScript"):
         run([{"$group": {"_id": None, "x": {"$accumulator": {}}}}], docs)
+
+
+def test_percentile_median_expression_form(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [10.0, None, 30.0]), (3, []), (4, None)],
+        "id INT, xs ARRAY<DOUBLE>",
+    )
+    out = run(
+        [
+            {
+                "$project": {
+                    "id": 1,
+                    "med": {"$median": {"input": "$xs", "method": "approximate"}},
+                    "pct": {
+                        "$percentile": {
+                            "input": "$xs",
+                            "p": [0.0, 0.5, 1.0],
+                            "method": "approximate",
+                        }
+                    },
+                }
+            }
+        ],
+        df,
+    ).orderBy("id").collect()
+    assert out[0]["med"] == 2.5 and out[0]["pct"] == [1.0, 2.5, 4.0]
+    assert out[1]["med"] == 20.0  # nulls ignored
+    assert out[2]["med"] is None and out[2]["pct"] is None  # empty -> null
+    assert out[3]["med"] is None
+    with pytest.raises(PipelineError, match="percentile"):
+        run([{"$project": {"p": {"$percentile": {"input": "$xs", "p": [1.5]}}}}], df)
