@@ -2644,6 +2644,8 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
             return _apply_geo_near(df, spec)
         case "$vectorSearch":
             return _apply_vector_search(df, spec)
+        case "$changeStreamSplitLargeEvent":
+            return _apply_split_large_event(df, spec)
         case "$group":
             return _apply_group(df, spec)
         case "$unwind":
@@ -2897,6 +2899,110 @@ def _apply_vector_search(df: DataFrame, spec: dict) -> DataFrame:
     )
 
 
+def _apply_split_large_event(df: DataFrame, spec: Any) -> DataFrame:
+    """$changeStreamSplitLargeEvent -> fragment explosion over the
+    change-event frame (the one change-stream-specific stage a CDC
+    user sends; reference passes it verbatim to mongod,
+    `settings.py:69-76`; Mongo requires it LAST in the pipeline).
+
+    Mongo splits events exceeding 16 MB into fragments, each carrying
+    ``splitEvent: {fragment: k, of: n}``; fields are never split
+    across fragments.  Fixed-schema adaptation (declared):
+
+    - the three schemaless payload fields (``fullDocument``,
+      ``fullDocumentBeforeChange``, ``updateDescription`` — sized by
+      its ``updatedFields`` payload) are the split unit, packed
+      greedy-first-fit in that order against ``maxSize`` (extension
+      key, default Mongo's 16 MB — parameterized because the limit is
+      a server constant, not part of the event data);
+    - bounded envelope fields replicate into every fragment (the
+      static schema cannot drop them; Mongo ships them in the first
+      fragment they fit);
+    - a single field larger than maxSize gets a fragment of its own
+      (Mongo errors; lenient here, declared);
+    - events that fit emit unchanged with a null ``splitEvent``
+      (Mongo adds splitEvent only to split events).
+
+    Scale: one narrow JVM pass — sizes, a 3-element fold, and a
+    per-row explode of at most n_fragments; no shuffle, no Python.
+    """
+    if not isinstance(spec, dict):
+        raise PipelineError("$changeStreamSplitLargeEvent takes a document")
+    extra = set(spec) - {"maxSize"}
+    if extra:
+        raise PipelineError(
+            f"unsupported $changeStreamSplitLargeEvent option(s) {sorted(extra)!r}"
+        )
+    max_size = spec.get("maxSize", 16 * 1024 * 1024)
+    if not isinstance(max_size, int) or isinstance(max_size, bool) or max_size <= 0:
+        raise PipelineError("maxSize must be a positive integer byte count")
+    payload = ["fullDocument", "fullDocumentBeforeChange", "updateDescription"]
+    missing = [c for c in payload if c not in df.columns]
+    if missing:
+        raise PipelineError(
+            "$changeStreamSplitLargeEvent requires a change-event frame "
+            f"(missing {missing!r})"
+        )
+
+    sizes = F.array(
+        F.coalesce(F.octet_length("fullDocument"), F.lit(0)).cast("long"),
+        F.coalesce(
+            F.octet_length("fullDocumentBeforeChange"), F.lit(0)
+        ).cast("long"),
+        F.coalesce(
+            F.octet_length(F.col("updateDescription")["updatedFields"]),
+            F.lit(0),
+        ).cast("long"),
+    )
+
+    def fold(acc: Column, s: Column) -> Column:
+        overflow = (acc["used"] > 0) & (acc["used"] + s > F.lit(max_size))
+        frag = F.when(s == 0, acc["frag"]).when(
+            overflow, acc["frag"] + 1
+        ).otherwise(acc["frag"])
+        used = F.when(s == 0, acc["used"]).when(overflow, s).otherwise(
+            acc["used"] + s
+        )
+        assigned = F.when(s == 0, F.lit(0)).otherwise(frag)
+        return F.struct(
+            frag.alias("frag"),
+            used.alias("used"),
+            F.concat(acc["a"], F.array(assigned)).alias("a"),
+        )
+
+    init = F.struct(
+        F.lit(1).alias("frag"),
+        F.lit(0).cast("long").alias("used"),
+        F.array().cast("array<int>").alias("a"),
+    )
+    packed = F.aggregate(sizes, init, fold)
+    cols = list(df.columns)
+    out = df.withColumn("__se", packed).withColumn(
+        "__k",
+        F.explode(
+            F.when(
+                F.col("__se")["frag"] >= 2,
+                F.sequence(F.lit(1), F.col("__se")["frag"]),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    k, n = F.col("__k"), F.col("__se")["frag"]
+    for i, field in enumerate(payload):
+        out = out.withColumn(
+            field,
+            F.when(
+                (k == 0) | (F.element_at(F.col("__se")["a"], i + 1) == k),
+                F.col(field),
+            ),
+        )
+    return out.select(
+        *cols,
+        F.when(
+            k > 0, F.struct(k.alias("fragment"), n.alias("of"))
+        ).alias("splitEvent"),
+    )
+
+
 def _contains_descend(spec: Any) -> bool:
     if isinstance(spec, str):
         return spec == "$$DESCEND"
@@ -3081,6 +3187,10 @@ def translate_pipeline(
             raise PipelineError("$geoNear must be the first stage")
         if "$vectorSearch" in stage and i != 0:
             raise PipelineError("$vectorSearch must be the first stage")
+        if "$changeStreamSplitLargeEvent" in stage and i != len(stages) - 1:
+            raise PipelineError(
+                "$changeStreamSplitLargeEvent must be the last stage"
+            )
         if "$documents" in stage and i != 0:
             raise PipelineError("$documents must be the first stage")
 

@@ -149,3 +149,92 @@ def cdc_heartbeat_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_id._data"), F.expr("CAST(substring(_id._data, 4) AS BIGINT)")
         ).alias("last_token"),
     )
+
+
+_UPD = "'{\"value_cents\": ' || CAST(cents AS VARCHAR) || '}'"
+_SPLIT_MAX = 80  # bytes; sized so sim updates split 3-way, replaces 2-way
+
+
+@query(
+    "cdc_split_large_event",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    ev AS (
+        SELECT 'tok' || CAST(event_id AS VARCHAR) AS ev,
+               operation AS operationType,
+               CASE WHEN operation IN ('insert','update','replace')
+                    THEN {_AFTER} END AS after,
+               CASE WHEN operation IN ('update','replace','delete')
+                    THEN {_BEFORE} END AS before,
+               CASE WHEN operation = 'update' THEN {_UPD} END AS upd
+        FROM sim
+    ),
+    sz AS (
+        SELECT *, COALESCE(length(after), 0) AS s1,
+                  COALESCE(length(before), 0) AS s2,
+                  COALESCE(length(upd), 0) AS s3
+        FROM ev
+    ),
+    g1 AS (
+        SELECT *, CASE WHEN s1 > 0 THEN 1 ELSE 0 END AS a1, s1 AS u1 FROM sz
+    ),
+    g2 AS (
+        SELECT *,
+            CASE WHEN s2 = 0 THEN 0
+                 WHEN u1 > 0 AND u1 + s2 > {_SPLIT_MAX} THEN 2
+                 ELSE 1 END AS a2,
+            CASE WHEN s2 = 0 THEN u1
+                 WHEN u1 > 0 AND u1 + s2 > {_SPLIT_MAX} THEN s2
+                 ELSE u1 + s2 END AS u2,
+            CASE WHEN s2 = 0 THEN 1
+                 WHEN u1 > 0 AND u1 + s2 > {_SPLIT_MAX} THEN 2
+                 ELSE 1 END AS f2
+        FROM g1
+    ),
+    g3 AS (
+        SELECT *,
+            CASE WHEN s3 = 0 THEN 0
+                 WHEN u2 > 0 AND u2 + s3 > {_SPLIT_MAX} THEN f2 + 1
+                 ELSE f2 END AS a3
+        FROM g2
+    ),
+    n AS (SELECT *, GREATEST(1, a1, a2, a3) AS nfrag FROM g3)
+    SELECT ev, operationType,
+           CASE WHEN k > 0 THEN CAST(k AS BIGINT) END AS fragment,
+           CASE WHEN k > 0 THEN CAST(nfrag AS BIGINT) END AS of_n,
+           CASE WHEN k = 0 OR a1 = k THEN after END AS fullDocument,
+           CASE WHEN k = 0 OR a2 = k THEN before END AS beforeDocument,
+           CASE WHEN k = 0 OR a3 = k THEN upd END AS updatedFields
+    FROM n, LATERAL unnest(
+        CASE WHEN nfrag >= 2 THEN generate_series(1, nfrag) ELSE [0] END
+    ) AS t(k)
+    ORDER BY ev, fragment
+    """,
+    doc="$changeStreamSplitLargeEvent over the simulated change "
+    "stream (maxSize=80 so updates fragment 3-way, replaces 2-way, "
+    "single-payload events pass unsplit): greedy first-fit packing "
+    "of the schemaless payload fields, splitEvent fragment/of "
+    "numbering, envelope replication — the DuckDB oracle replays the "
+    "greedy cascade and the fragment explosion.",
+    tags=("cdc", "pipeline"),
+)
+def cdc_split_large_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one narrow JVM pass (sizes + 3-element fold + per-row
+    explode), zero shuffle — the same shape as the envelope hot path."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        translate_pipeline,
+    )
+
+    pipe = translate_pipeline(
+        [{"$changeStreamSplitLargeEvent": {"maxSize": _SPLIT_MAX}}]
+    )
+    out = pipe(simulate_change_stream(spark, sf_dir))
+    return out.select(
+        F.col("_id")["_data"].alias("ev"),
+        "operationType",
+        F.col("splitEvent")["fragment"].cast("long").alias("fragment"),
+        F.col("splitEvent")["of"].cast("long").alias("of_n"),
+        "fullDocument",
+        F.col("fullDocumentBeforeChange").alias("beforeDocument"),
+        F.col("updateDescription")["updatedFields"].alias("updatedFields"),
+    ).orderBy("ev", "fragment")

@@ -2798,3 +2798,73 @@ def test_percentile_median_expression_form(spark):
     assert out[3]["med"] is None
     with pytest.raises(PipelineError, match="percentile"):
         run([{"$project": {"p": {"$percentile": {"input": "$xs", "p": [1.5]}}}}], df)
+
+
+# --- $changeStreamSplitLargeEvent ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def change_events(spark):
+    return spark.createDataFrame(
+        [
+            # update: all three payloads present
+            ("e1", "update", "A" * 50, "B" * 50, ("C" * 20, [], [])),
+            # insert: small, fits
+            ("e2", "insert", "A" * 10, None, None),
+            # delete: lone oversize before-image
+            ("e3", "delete", None, "B" * 200, None),
+            # heartbeat-ish: no payload at all
+            ("e4", "drop", None, None, None),
+        ],
+        "ev STRING, operationType STRING, fullDocument STRING, "
+        "fullDocumentBeforeChange STRING, "
+        "updateDescription STRUCT<updatedFields: STRING, "
+        "removedFields: ARRAY<STRING>, "
+        "truncatedArrays: ARRAY<STRUCT<field:STRING,newSize:INT>>>",
+    )
+
+
+def test_split_large_event_fragments(change_events):
+    out = run(
+        [{"$changeStreamSplitLargeEvent": {"maxSize": 60}}], change_events
+    ).collect()
+    by_ev = {}
+    for r in out:
+        by_ev.setdefault(r["ev"], []).append(r)
+    # e1: 50 + 50 > 60 -> frag2; + 20 > 60 -> frag3
+    e1 = sorted(by_ev["e1"], key=lambda r: r["splitEvent"]["fragment"])
+    assert [r["splitEvent"]["of"] for r in e1] == [3, 3, 3]
+    assert e1[0]["fullDocument"] == "A" * 50 and e1[0]["fullDocumentBeforeChange"] is None
+    assert e1[1]["fullDocumentBeforeChange"] == "B" * 50 and e1[1]["fullDocument"] is None
+    assert e1[2]["updateDescription"]["updatedFields"] == "C" * 20
+    assert e1[0]["updateDescription"] is None
+    # envelope fields replicate
+    assert {r["operationType"] for r in e1} == {"update"}
+    # e2 fits: unchanged, null splitEvent
+    (e2,) = by_ev["e2"]
+    assert e2["splitEvent"] is None and e2["fullDocument"] == "A" * 10
+    # e3: single oversize field -> one fragment of its own, BUT n == 1
+    # means no split happened at all (it is the only payload)
+    (e3,) = by_ev["e3"]
+    assert e3["splitEvent"] is None
+    assert e3["fullDocumentBeforeChange"] == "B" * 200
+    # e4: no payload, passes through
+    (e4,) = by_ev["e4"]
+    assert e4["splitEvent"] is None
+
+
+def test_split_large_event_validation(change_events, docs):
+    with pytest.raises(PipelineError, match="last stage"):
+        run(
+            [
+                {"$changeStreamSplitLargeEvent": {}},
+                {"$match": {"operationType": "update"}},
+            ],
+            change_events,
+        )
+    with pytest.raises(PipelineError, match="change-event frame"):
+        run([{"$changeStreamSplitLargeEvent": {}}], docs)
+    with pytest.raises(PipelineError, match="maxSize"):
+        run([{"$changeStreamSplitLargeEvent": {"maxSize": 0}}], change_events)
+    with pytest.raises(PipelineError, match="option"):
+        run([{"$changeStreamSplitLargeEvent": {"bogus": 1}}], change_events)
