@@ -227,3 +227,61 @@ def test_relay_sample_rate_streaming_safe(spark, tmp_path):
         r["key"] for r in spark.sql("SELECT * FROM relay_sr_out2").collect()
     )
     assert second == first
+
+
+def test_relay_split_large_event_fragments(spark, tmp_path):
+    """$changeStreamSplitLargeEvent as the user PIPELINE: oversized
+    events fan out into per-fragment relay records (each fragment
+    carries only its packed payload fields), small events pass
+    through as single records — end-to-end through the streaming
+    relay, exactly as mongod would fragment the cursor's events."""
+    import json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(FIXTURE, src / "b.json")
+
+    # count the data-path events and their per-event payload presence
+    # directly from the batch frame to derive the expected fan-out
+    from pymongo_change_stream_reader_spark.operators.cdc import filter_data_ops
+    from pymongo_change_stream_reader_spark.sources.change_events import (
+        read_change_events_json,
+    )
+
+    batch = filter_data_ops(read_change_events_json(spark, str(src)))
+    expected = 0
+    for r in batch.collect():
+        present = sum(
+            1
+            for v in (
+                r["fullDocument"],
+                r["fullDocumentBeforeChange"],
+                r["updateDescription"] and r["updateDescription"]["updatedFields"],
+            )
+            if v
+        )
+        # maxSize=1: every present payload field overflows into its
+        # own fragment; single-payload events stay unsplit
+        expected += present if present >= 2 else 1
+
+    settings = RelaySettings(
+        stream_reader_name="e2e-split",
+        kafka_prefix="test",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        pipeline=json.dumps([{"$changeStreamSplitLargeEvent": {"maxSize": 1}}]),
+    )
+    q = start_memory_relay(
+        stream_change_events_json(spark, str(src)), settings, "relay_split_out"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM relay_split_out").collect()
+    assert len(rows) == expected > 4  # more records than events: fan-out happened
+    # fragments of one event share its key; an update's fragments carry
+    # disjoint envelope payloads (one after-only, one before-only)
+    from collections import Counter
+
+    per_key = Counter(r["key"] for r in rows)
+    assert max(per_key.values()) >= 2
