@@ -1295,6 +1295,19 @@ def translate_match(cond: dict) -> Column:
         elif key == "$expr":
             preds.append(translate_expr(val))
             continue
+        elif key == "$where":
+            raise PipelineError(
+                "$where embeds server-side JavaScript, which this engine "
+                "does not execute; express the predicate with $expr"
+            )
+        elif key == "$comment":
+            continue  # query annotation — a no-op, as on the server
+        elif key in ("$text", "$jsonSchema"):
+            raise PipelineError(
+                f"{key} requires server-side index/metadata state with "
+                "no engine analog ($text: use $regex or the text "
+                "operators; $jsonSchema: use $type predicates)"
+            )
         elif key.startswith("$"):
             raise PipelineError(f"unsupported top-level $match operator {key!r}")
         else:

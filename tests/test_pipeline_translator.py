@@ -2868,3 +2868,15 @@ def test_split_large_event_validation(change_events, docs):
         run([{"$changeStreamSplitLargeEvent": {"maxSize": 0}}], change_events)
     with pytest.raises(PipelineError, match="option"):
         run([{"$changeStreamSplitLargeEvent": {"bogus": 1}}], change_events)
+
+
+def test_match_server_side_operators(docs):
+    with pytest.raises(PipelineError, match="JavaScript"):
+        run([{"$match": {"$where": "this.id > 1"}}], docs)
+    with pytest.raises(PipelineError, match="text"):
+        run([{"$match": {"$text": {"$search": "x"}}}], docs)
+    with pytest.raises(PipelineError, match="type"):
+        run([{"$match": {"$jsonSchema": {"required": ["id"]}}}], docs)
+    # $comment is a no-op annotation, as on the server
+    out = run([{"$match": {"id": {"$gte": 2}, "$comment": "audit"}}], docs)
+    assert out.count() == 2
