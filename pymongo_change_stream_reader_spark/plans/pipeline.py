@@ -255,25 +255,31 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
         case "$ne":
             return ~tx(0).eqNullSafe(tx(1))
         case "$gt":
-            return tx(0) > tx(1)
+            # BSON total order: null ranks below every value, so e.g.
+            # {$gt: [1, null]} is TRUE (not SQL's null) — same contract
+            # as $cmp and the null-safe $eq above
+            return _bson_compare(tx(0), tx(1)) > 0
         case "$gte":
-            return tx(0) >= tx(1)
+            return _bson_compare(tx(0), tx(1)) >= 0
         case "$lt":
-            return tx(0) < tx(1)
+            return _bson_compare(tx(0), tx(1)) < 0
         case "$lte":
-            return tx(0) <= tx(1)
+            return _bson_compare(tx(0), tx(1)) <= 0
         case "$and":
-            out = tx(0)
+            # Mongo boolean operators apply truthiness per operand:
+            # null/missing is FALSE, and the result is always a
+            # boolean, never SQL null
+            out = F.coalesce(tx(0), F.lit(False))
             for i in range(1, len(args)):
-                out = out & tx(i)
+                out = out & F.coalesce(tx(i), F.lit(False))
             return out
         case "$or":
-            out = tx(0)
+            out = F.coalesce(tx(0), F.lit(False))
             for i in range(1, len(args)):
-                out = out | tx(i)
+                out = out | F.coalesce(tx(i), F.lit(False))
             return out
         case "$not":
-            return ~tx(0)
+            return ~F.coalesce(tx(0), F.lit(False))
         case "$cond":
             if isinstance(arg, dict):
                 return F.when(

@@ -230,3 +230,122 @@ def test_group_accumulators_match_mongo_semantics(spark, rows):
         assert r["s"] == e["s"], (k, "sum")  # all-null group -> 0, not null
         assert r["mn"] == e["mn"] and r["mx"] == e["mx"]
         assert r["n"] == e["n"]
+
+
+# ---------------------------------------------------------------------------
+# Aggregation-EXPRESSION semantics: random integer expression trees
+# ($add/$subtract/$multiply/$abs/$min/$max/$ifNull/$cond over BSON-order
+# comparisons) must evaluate exactly as a pure-Python evaluator of
+# Mongo's documented rules — null-propagating arithmetic, null-ignoring
+# $min/$max, truthiness in $cond, and null-lowest total-order
+# comparisons ({$gt: [1, null]} is TRUE, not SQL null).
+# ---------------------------------------------------------------------------
+_E_INTS = st.sampled_from([-3, 0, 1, 2, 7])
+_E_FIELDS = st.sampled_from(["$a", "$b"])
+
+
+def _exprs() -> st.SearchStrategy:
+    leaf = st.one_of(_E_INTS, _E_FIELDS, st.just(None))
+
+    def node(children):
+        two = st.lists(children, min_size=2, max_size=2)
+        cmp_op = st.sampled_from(["$gt", "$gte", "$lt", "$lte", "$eq", "$ne"])
+        return st.one_of(
+            two.map(lambda cs: {"$add": cs}),
+            two.map(lambda cs: {"$subtract": cs}),
+            two.map(lambda cs: {"$multiply": cs}),
+            children.map(lambda c: {"$abs": c}),
+            two.map(lambda cs: {"$min": cs}),
+            two.map(lambda cs: {"$max": cs}),
+            two.map(lambda cs: {"$ifNull": cs}),
+            st.tuples(cmp_op, two).map(lambda t: {"$cond": [{t[0]: t[1]}, 1, 0]}),
+            st.tuples(two, two).map(
+                lambda t: {"$cond": [{"$and": [{"$gt": t[0]}, {"$lte": t[1]}]}, 1, 0]}
+            ),
+        )
+
+    return st.recursive(leaf, node, max_leaves=6)
+
+
+def _bson_cmp_py(x, y) -> int:
+    kx = (0,) if x is None else (1, x)
+    ky = (0,) if y is None else (1, y)
+    return (kx > ky) - (kx < ky)
+
+
+def _truthy(v) -> bool:
+    return not (v is None or v is False or v == 0)
+
+
+def _ev(row: dict, e):
+    if e is None or isinstance(e, int):
+        return e
+    if isinstance(e, str):
+        return row.get(e[1:])
+    [(op, arg)] = e.items()
+    if op in ("$add", "$subtract", "$multiply"):
+        vs = [_ev(row, a) for a in arg]
+        if any(v is None for v in vs):
+            return None
+        if op == "$add":
+            return vs[0] + vs[1]
+        if op == "$subtract":
+            return vs[0] - vs[1]
+        return vs[0] * vs[1]
+    if op == "$abs":
+        v = _ev(row, arg)
+        return None if v is None else abs(v)
+    if op in ("$min", "$max"):
+        vs = [v for v in (_ev(row, a) for a in arg) if v is not None]
+        if not vs:
+            return None
+        return min(vs) if op == "$min" else max(vs)
+    if op == "$ifNull":
+        v = _ev(row, arg[0])
+        return v if v is not None else _ev(row, arg[1])
+    if op == "$cond":
+        return _ev(row, arg[1]) if _truthy(_ev(row, arg[0])) else _ev(row, arg[2])
+    if op in ("$gt", "$gte", "$lt", "$lte"):
+        c = _bson_cmp_py(_ev(row, arg[0]), _ev(row, arg[1]))
+        return {"$gt": c > 0, "$gte": c >= 0, "$lt": c < 0, "$lte": c <= 0}[op]
+    if op == "$eq":
+        return _ev(row, arg[0]) == _ev(row, arg[1])
+    if op == "$ne":
+        return _ev(row, arg[0]) != _ev(row, arg[1])
+    if op == "$and":
+        return all(_truthy(_ev(row, a)) for a in arg)
+    raise AssertionError(op)
+
+
+_E_ROWS = [
+    {"a": a, "b": b}
+    for a in [-5, 0, 3, 42, None]
+    for b in [-1, 0, 7, None]
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(exprs=st.lists(_exprs(), min_size=4, max_size=8))
+def test_expression_translation_agrees_with_python_semantics(spark, exprs):
+    import pyspark.sql.functions as F
+
+    from pymongo_change_stream_reader_spark.plans.pipeline import translate_expr
+
+    df = spark.createDataFrame(
+        [(i, r["a"], r["b"]) for i, r in enumerate(_E_ROWS)],
+        "rid INT, a BIGINT, b BIGINT",
+    )
+    cols = [
+        translate_expr(e).cast("long").alias(f"e{i}") for i, e in enumerate(exprs)
+    ]
+    got = df.select("rid", *cols).collect()
+    for i, e in enumerate(exprs):
+        for r in got:
+            expect = _ev(_E_ROWS[r["rid"]], e)
+            if isinstance(expect, bool):
+                expect = int(expect)
+            assert r[f"e{i}"] == expect, (e, _E_ROWS[r["rid"]])
