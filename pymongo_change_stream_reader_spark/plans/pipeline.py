@@ -1231,6 +1231,39 @@ def _predicate_on(col: Column, cond: Any, path: str) -> Column:
             preds.append(col % F.lit(divisor) == F.lit(remainder))
         elif op == "$type":
             preds.append(_type_predicate(col, val))
+        elif op in ("$bitsAllSet", "$bitsAllClear", "$bitsAnySet", "$bitsAnyClear"):
+            # Bitmask query operators over INTEGER fields (BinData
+            # masks declared out of scope — no BSON binary reaches the
+            # relational surface).  Accepts a non-negative int mask or
+            # an array of bit positions; null/missing fields never
+            # match, as in Mongo.
+            if isinstance(val, list):
+                if not all(
+                    isinstance(p, int) and not isinstance(p, bool) and p >= 0
+                    for p in val
+                ):
+                    raise PipelineError(
+                        f"{op} positions must be non-negative integers"
+                    )
+                mask = 0
+                for p in val:
+                    mask |= 1 << p
+            elif isinstance(val, int) and not isinstance(val, bool) and val >= 0:
+                mask = val
+            else:
+                raise PipelineError(
+                    f"{op} takes a non-negative integer mask or a "
+                    "position array"
+                )
+            masked = col.cast("long").bitwiseAND(F.lit(mask))
+            preds.append(
+                {
+                    "$bitsAllSet": masked == mask,
+                    "$bitsAllClear": masked == 0,
+                    "$bitsAnySet": masked != 0,
+                    "$bitsAnyClear": masked != mask,
+                }[op]
+            )
         else:
             raise PipelineError(f"unsupported $match operator {op!r} on {path!r}")
     out = preds[0]
@@ -2731,6 +2764,12 @@ def _apply_stage(df: DataFrame, stage: dict, tables: dict | None = None) -> Data
                 )
                 outs = one if outs is None else outs.crossJoin(one)
             return outs
+        case "$search" | "$searchMeta":
+            raise PipelineError(
+                f"{name} requires an Atlas Search (Lucene) index with no "
+                "engine analog; use $match with $regex / the text "
+                "operators, or $vectorSearch for vector queries"
+            )
         case _:
             raise PipelineError(f"unsupported stage {name!r}")
 

@@ -1638,3 +1638,33 @@ def pipeline_expr_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_match_bits",
+    oracle="""
+    SELECT event_id, user_id
+    FROM events
+    WHERE (user_id & 5) = 5      -- $bitsAllSet 0b101
+      AND (user_id & 2) = 0      -- $bitsAllClear 0b010
+      AND (event_id & 12) <> 0   -- $bitsAnySet positions [2, 3]
+    ORDER BY event_id
+    """,
+    doc="$bitsAllSet/$bitsAllClear/$bitsAnySet bitmask query operators "
+    "(mask and position-array forms) -> JVM bitwiseAND predicates that "
+    "reach the scan.",
+    tags=("pipeline",),
+)
+def pipeline_match_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$match": {
+                    "user_id": {"$bitsAllSet": 5, "$bitsAllClear": 2},
+                    "event_id": {"$bitsAnySet": [2, 3]},
+                }
+            },
+            {"$project": {"event_id": 1, "user_id": 1}},
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")

@@ -2880,3 +2880,32 @@ def test_match_server_side_operators(docs):
     # $comment is a no-op annotation, as on the server
     out = run([{"$match": {"id": {"$gte": 2}, "$comment": "audit"}}], docs)
     assert out.count() == 2
+
+
+def test_bits_match_operators(spark):
+    df = spark.createDataFrame(
+        [(1, 0b1010), (2, 0b0110), (3, 0), (4, None)], "id INT, f BIGINT"
+    )
+
+    def ids(cond):
+        return sorted(r["id"] for r in run([{"$match": {"f": cond}}], df).collect())
+
+    assert ids({"$bitsAllSet": 0b0010}) == [1, 2]
+    assert ids({"$bitsAllSet": [1, 3]}) == [1]  # position-array form
+    assert ids({"$bitsAllClear": 0b0101}) == [1, 3]
+    assert ids({"$bitsAnySet": 0b1100}) == [1, 2]
+    assert ids({"$bitsAnyClear": 0b1110}) == [1, 2, 3]
+    # vacuous masks; nulls never match
+    assert ids({"$bitsAllSet": 0}) == [1, 2, 3]
+    assert ids({"$bitsAnySet": 0}) == []
+    with pytest.raises(PipelineError, match="mask"):
+        ids({"$bitsAllSet": -1})
+    with pytest.raises(PipelineError, match="positions"):
+        ids({"$bitsAllSet": [-1]})
+
+
+def test_search_stage_raises_clearly(docs):
+    with pytest.raises(PipelineError, match="Atlas"):
+        run([{"$search": {"text": {"query": "x", "path": "name"}}}], docs)
+    with pytest.raises(PipelineError, match="Atlas"):
+        run([{"$searchMeta": {}}], docs)
