@@ -57,6 +57,26 @@ class RelaySettings:
         return f"{self.checkpoint_dir}/{self.stream_reader_name}"
 
 
+# mongod's change-stream pipeline whitelist (public docs; anything
+# else is rejected server-side when the reference opens the cursor).
+_CHANGE_STREAM_STAGES = frozenset(
+    {
+        "$addFields",
+        "$match",
+        "$project",
+        "$replaceRoot",
+        "$replaceWith",
+        "$redact",
+        "$set",
+        "$unset",
+        "$changeStreamSplitLargeEvent",
+    }
+)
+# Engine extensions beyond the server whitelist that remain
+# streaming-safe (stateless row-local transforms).
+_STREAMING_SAFE_EXTENSIONS = frozenset({"$sampleRate", "$unwind"})
+
+
 def build_relay(events: DataFrame, settings: RelaySettings) -> DataFrame:
     """user pipeline (when not pushed down) -> filter(A5) ->
     envelope+routing(A8/A9/A10). Works identically on batch and
@@ -68,10 +88,28 @@ def build_relay(events: DataFrame, settings: RelaySettings) -> DataFrame:
     any relay-side processing."""
     if settings.pipeline:
         from pymongo_change_stream_reader_spark.plans.pipeline import (
+            PipelineError,
+            parse_pipeline,
             translate_pipeline,
         )
 
-        # translate_pipeline parses raw JSON strings itself
+        # Fail fast with the server's change-stream stage whitelist
+        # (mongod rejects anything else on a watch() cursor — the
+        # reference surfaces that as a server error at open time;
+        # settings.py:85-90, watch.py:79) plus the engine extensions
+        # that are streaming-safe here.  Without this gate a $group/
+        # $sort/$lookup pipeline surfaces as a deep AnalysisException
+        # when the streaming query starts.
+        allowed = _CHANGE_STREAM_STAGES | _STREAMING_SAFE_EXTENSIONS
+        for stage in parse_pipeline(settings.pipeline):
+            (name,) = stage
+            if name not in allowed:
+                raise PipelineError(
+                    f"stage {name!r} is not valid in a change-stream "
+                    f"pipeline (server whitelist: "
+                    f"{sorted(_CHANGE_STREAM_STAGES)}; engine "
+                    f"extensions: {sorted(_STREAMING_SAFE_EXTENSIONS)})"
+                )
         events = translate_pipeline(settings.pipeline)(events)
     data = filter_data_ops(events)
     if settings.producers_count > 0:

@@ -285,3 +285,41 @@ def test_relay_split_large_event_fragments(spark, tmp_path):
 
     per_key = Counter(r["key"] for r in rows)
     assert max(per_key.values()) >= 2
+
+
+def test_relay_rejects_non_change_stream_stages(spark, tmp_path):
+    """mongod rejects anything outside its change-stream stage
+    whitelist when the cursor opens; the relay fails equally fast —
+    at build time with the whitelist in the message — instead of a
+    deep AnalysisException when the streaming query starts."""
+    import json
+
+    from pymongo_change_stream_reader_spark.plans.pipeline import PipelineError
+
+    src = tmp_path / "in"
+    src.mkdir()
+    shutil.copy(FIXTURE, src / "b.json")
+    events = stream_change_events_json(spark, str(src))
+    for bad in (
+        [{"$group": {"_id": "$operationType"}}],
+        [{"$sort": {"operationType": 1}}],
+        [{"$lookup": {"from": "x", "localField": "a", "foreignField": "b", "as": "c"}}],
+    ):
+        with pytest.raises(PipelineError, match="change-stream"):
+            build_relay(
+                events,
+                RelaySettings(
+                    stream_reader_name="bad-pipe", pipeline=json.dumps(bad)
+                ),
+            )
+    # the server whitelist and the streaming-safe extensions still pass
+    ok = build_relay(
+        events,
+        RelaySettings(
+            stream_reader_name="ok-pipe",
+            pipeline=json.dumps(
+                [{"$match": {"operationType": "insert"}}, {"$sampleRate": 0.5}]
+            ),
+        ),
+    )
+    assert ok.isStreaming
