@@ -41,3 +41,31 @@ def test_partitioned_directories_exist(spark, tmp_path):
         "event_type=signup", "event_type=click", "event_type=purchase",
         "event_type=error", "event_type=view",
     }
+
+
+def test_vector_search_filter_reaches_scan(spark):
+    """$vectorSearch's `filter` must land in the parquet scan's
+    PushedFilters (scoring runs after the pruned read), and the
+    sort+limit must collapse to TakeOrdered — no global sort."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        translate_pipeline,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pipe = translate_pipeline(
+        [
+            {
+                "$vectorSearch": {
+                    "path": "embedding",
+                    "queryVector": [0.1] * 64,
+                    "limit": 5,
+                    "filter": {"label": {"$gte": 3}},
+                }
+            }
+        ]
+    )
+    plan = pipe(emb)._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "GreaterThanOrEqual(label,3)" in pushed
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
