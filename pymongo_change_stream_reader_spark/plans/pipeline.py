@@ -692,17 +692,43 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             return F.arrays_zip(*inputs)
         case "$sortArray":
             by = arg.get("sortBy")
-            if by not in (1, -1):
-                raise PipelineError(
-                    "$sortArray supports scalar sortBy 1 / -1 only"
-                )
-            # Mongo's BSON total order ranks null LOWEST (first asc,
-            # last desc); Spark's bare array_sort puts nulls last asc,
-            # so sort with an explicit nulls-lowest comparator instead.
-            sorted_arr = F.array_sort(
-                translate_expr(arg["input"], env), _bson_compare
+            inp = translate_expr(arg["input"], env)
+            if by in (1, -1):
+                # Mongo's BSON total order ranks null LOWEST (first
+                # asc, last desc); Spark's bare array_sort puts nulls
+                # last asc, so sort with an explicit nulls-lowest
+                # comparator instead.
+                sorted_arr = F.array_sort(inp, _bson_compare)
+                return sorted_arr if by == 1 else F.reverse(sorted_arr)
+            if (
+                isinstance(by, dict)
+                and by
+                and all(d in (1, -1) for d in by.values())
+            ):
+                # Document sortBy over an array of documents: compare
+                # the listed fields in spec order, each under the BSON
+                # null-lowest total order with its own direction; a
+                # null ELEMENT ranks lowest too (its field access is
+                # null on every key).
+                fields = list(by.items())
+
+                def doc_cmp(a: Column, b: Column) -> Column:
+                    cmps = [
+                        _bson_compare(a[f], b[f])
+                        if d == 1
+                        else -_bson_compare(a[f], b[f])
+                        for f, d in fields
+                    ]
+                    res = cmps[-1]
+                    for c in reversed(cmps[:-1]):
+                        res = F.when(c != 0, c).otherwise(res)
+                    return res
+
+                return F.array_sort(inp, doc_cmp)
+            raise PipelineError(
+                "$sortArray sortBy must be 1 / -1 or a document of "
+                "field: 1 / -1 directions"
             )
-            return sorted_arr if by == 1 else F.reverse(sorted_arr)
         case "$firstN" | "$lastN" | "$minN" | "$maxN":
             n = arg.get("n")
             if not isinstance(n, int) or n < 1:

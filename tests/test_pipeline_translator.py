@@ -2909,3 +2909,53 @@ def test_search_stage_raises_clearly(docs):
         run([{"$search": {"text": {"query": "x", "path": "name"}}}], docs)
     with pytest.raises(PipelineError, match="Atlas"):
         run([{"$searchMeta": {}}], docs)
+
+
+def test_sort_array_document_sortby(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    {"k": 2, "j": "b"},
+                    {"k": 1, "j": "z"},
+                    None,
+                    {"k": 2, "j": "a"},
+                    {"k": None, "j": "x"},
+                ],
+            )
+        ],
+        "id INT, xs ARRAY<STRUCT<k: INT, j: STRING>>",
+    )
+    out = run(
+        [
+            {
+                "$project": {
+                    "asc": {"$sortArray": {"input": "$xs", "sortBy": {"k": 1, "j": 1}}},
+                    "mixed": {
+                        "$sortArray": {"input": "$xs", "sortBy": {"k": -1, "j": 1}}
+                    },
+                }
+            }
+        ],
+        df,
+    ).collect()[0]
+    # null element lowest, then null-k, then k asc with j tiebreak
+    assert [None if x is None else (x["k"], x["j"]) for x in out["asc"]] == [
+        None,
+        (None, "x"),
+        (1, "z"),
+        (2, "a"),
+        (2, "b"),
+    ]
+    # k desc ranks both null-k entries last; the j:1 ascending
+    # tiebreak then puts the null ELEMENT (null j) before (None, "x")
+    assert [None if x is None else (x["k"], x["j"]) for x in out["mixed"]] == [
+        (2, "a"),
+        (2, "b"),
+        (1, "z"),
+        None,
+        (None, "x"),
+    ]
+    with pytest.raises(PipelineError, match="sortBy"):
+        run([{"$project": {"x": {"$sortArray": {"input": "$xs", "sortBy": 2}}}}], df)
