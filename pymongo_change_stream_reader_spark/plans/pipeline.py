@@ -162,6 +162,16 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
     env = env or {}
     if isinstance(expr, str) and expr.startswith("$$"):
         name, _, path = expr[2:].partition(".")
+        if name == "NOW" and "NOW" not in env:
+            # system variable: the statement timestamp (Mongo fixes it
+            # per aggregation; Spark's current_timestamp is likewise
+            # fixed per query execution)
+            return F.current_timestamp()
+        if name == "CLUSTER_TIME" and "CLUSTER_TIME" not in env:
+            raise PipelineError(
+                "$$CLUSTER_TIME is a replica-set oplog timestamp with no "
+                "engine analog; use $$NOW or the clusterTime event field"
+            )
         if name not in env:
             raise PipelineError(f"unbound variable {expr!r}")
         col = env[name]
@@ -773,6 +783,12 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             return F.octet_length(tx(0))
         case "$binarySize":
             return F.octet_length(tx(0))
+        case "$bsonSize":
+            # Document byte size; declared deviation: sized as the
+            # document's JSON serialization (the engine's wire format,
+            # per the envelope contract), not BSON framing.  Null
+            # input -> null, as in Mongo.
+            return F.octet_length(F.to_json(tx(0)))
         case "$substrBytes":
             # Exact byte semantics via binary substring.  Splitting a
             # multi-byte codepoint yields replacement chars where Mongo

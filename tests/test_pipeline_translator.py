@@ -2959,3 +2959,28 @@ def test_sort_array_document_sortby(spark):
     ]
     with pytest.raises(PipelineError, match="sortBy"):
         run([{"$project": {"x": {"$sortArray": {"input": "$xs", "sortBy": 2}}}}], df)
+
+
+def test_now_bsonsize_and_cluster_time(docs):
+    out = run(
+        [
+            {
+                "$project": {
+                    "id": 1,
+                    "now": "$$NOW",
+                    "sz": {"$bsonSize": "$addr"},
+                }
+            }
+        ],
+        docs,
+    ).collect()
+    import datetime
+
+    assert all(isinstance(r["now"], datetime.datetime) for r in out)
+    # all rows share one statement timestamp (Mongo fixes $$NOW per
+    # aggregation)
+    assert len({r["now"] for r in out}) == 1
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["sz"] == len('{"city":"ber","zip":"10115"}')
+    with pytest.raises(PipelineError, match="CLUSTER_TIME"):
+        run([{"$project": {"x": "$$CLUSTER_TIME"}}], docs)
