@@ -145,7 +145,10 @@ def _date_format(fmt: str) -> str:
 
 def _bson_compare(a: Column, b: Column) -> Column:
     """Three-way comparator under BSON total order: null ranks lowest
-    (first ascending, last descending)."""
+    (first ascending, last descending).  Declared deviation: NaN
+    follows Spark's total order (above all numbers) rather than BSON's
+    (below all numbers) — NaN cannot enter through a Mongo pipeline
+    literal, only through a pre-existing NaN column value."""
     return (
         F.when(a.isNull() & b.isNull(), F.lit(0))
         .when(a.isNull(), F.lit(-1))
@@ -166,6 +169,11 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             # system variable: the statement timestamp (Mongo fixes it
             # per aggregation; Spark's current_timestamp is likewise
             # fixed per query execution)
+            if path:
+                raise PipelineError(
+                    f"$$NOW is a timestamp, not a document — no field "
+                    f"path {path!r}"
+                )
             return F.current_timestamp()
         if name == "CLUSTER_TIME" and "CLUSTER_TIME" not in env:
             raise PipelineError(
@@ -207,6 +215,11 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             # Only the $vectorSearch score is meaningful here (there is
             # no $text index); the stage leaves the score in a hidden
             # column that the pipeline epilogue drops if unreferenced.
+            # Declared limitation: referencing it with no live
+            # $vectorSearch upstream (or after a stage that drops the
+            # hidden column, e.g. $group) surfaces as Spark's
+            # unresolved-column analysis error — translate_expr has no
+            # frame to validate against.
             if arg != "vectorSearchScore":
                 raise PipelineError(
                     f"unsupported $meta kind {arg!r} (only "
@@ -278,7 +291,10 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
         case "$and":
             # Mongo boolean operators apply truthiness per operand:
             # null/missing is FALSE, and the result is always a
-            # boolean, never SQL null
+            # boolean, never SQL null.  Declared narrower: operands
+            # must be boolean-typed expressions — Mongo's numeric
+            # truthiness (0 falsy, nonzero truthy) needs runtime type
+            # dispatch the static schema doesn't carry.
             out = F.coalesce(tx(0), F.lit(False))
             for i in range(1, len(args)):
                 out = out & F.coalesce(tx(i), F.lit(False))
@@ -723,10 +739,11 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                 fields = list(by.items())
 
                 def doc_cmp(a: Column, b: Column) -> Column:
+                    # _get_path resolves dotted keys into nested structs
                     cmps = [
-                        _bson_compare(a[f], b[f])
+                        _bson_compare(_get_path(a, f), _get_path(b, f))
                         if d == 1
-                        else -_bson_compare(a[f], b[f])
+                        else -_bson_compare(_get_path(a, f), _get_path(b, f))
                         for f, d in fields
                     ]
                     res = cmps[-1]
@@ -1281,20 +1298,29 @@ def _predicate_on(col: Column, cond: Any, path: str) -> Column:
             # match, as in Mongo.
             if isinstance(val, list):
                 if not all(
-                    isinstance(p, int) and not isinstance(p, bool) and p >= 0
+                    isinstance(p, int) and not isinstance(p, bool) and 0 <= p <= 63
                     for p in val
                 ):
                     raise PipelineError(
-                        f"{op} positions must be non-negative integers"
+                        f"{op} positions must be integers in 0..63 "
+                        "(fields are 64-bit; BinData masks are out of scope)"
                     )
                 mask = 0
                 for p in val:
                     mask |= 1 << p
-            elif isinstance(val, int) and not isinstance(val, bool) and val >= 0:
+                if mask >= 1 << 63:
+                    # position 63 is the sign bit: fold to the signed
+                    # two's-complement long the JVM bitwiseAND expects
+                    mask -= 1 << 64
+            elif (
+                isinstance(val, int)
+                and not isinstance(val, bool)
+                and 0 <= val < 1 << 63
+            ):
                 mask = val
             else:
                 raise PipelineError(
-                    f"{op} takes a non-negative integer mask or a "
+                    f"{op} takes a non-negative int64 mask or a "
                     "position array"
                 )
             masked = col.cast("long").bitwiseAND(F.lit(mask))
@@ -2957,30 +2983,27 @@ def _apply_vector_search(df: DataFrame, spec: dict) -> DataFrame:
     sim = spec.get("similarity", "cosine")
     if sim not in ("cosine", "dotProduct", "euclidean"):
         raise PipelineError(f"unsupported $vectorSearch similarity {sim!r}")
+    tie_break = spec.get("tieBreak")
+    if tie_break is not None and not (
+        isinstance(tie_break, list)
+        and tie_break
+        and all(isinstance(f, str) for f in tie_break)
+    ):
+        raise PipelineError("$vectorSearch tieBreak must be a field-name array")
     if "filter" in spec:
         df = df.filter(translate_match(spec["filter"]))
 
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        dot as _dot,
+        l2_norm as _l2,
+    )
+
     v = F.transform(F.col(spec["path"]), lambda x: x.cast("double"))
     q = F.array(*[F.lit(float(x)) for x in qv])
-    dotpq = F.aggregate(
-        F.zip_with(v, q, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     if sim == "cosine":
-
-        def norm(a: Column) -> Column:
-            return F.sqrt(
-                F.aggregate(
-                    F.transform(a, lambda x: x * x),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-
-        score = (F.lit(1.0) + dotpq / (norm(v) * norm(q))) / F.lit(2.0)
+        score = (F.lit(1.0) + _dot(v, q) / (_l2(v) * _l2(q))) / F.lit(2.0)
     elif sim == "dotProduct":
-        score = (F.lit(1.0) + dotpq) / F.lit(2.0)
+        score = (F.lit(1.0) + _dot(v, q)) / F.lit(2.0)
     else:
         dist = F.sqrt(
             F.aggregate(
@@ -2991,10 +3014,18 @@ def _apply_vector_search(df: DataFrame, spec: dict) -> DataFrame:
         )
         score = F.lit(1.0) / (F.lit(1.0) + dist)
 
-    tie = F.xxhash64(*[F.col(c) for c in df.columns])
+    # ties at the rounded score: an explicit tieBreak field list
+    # (engine extension — lets callers match an external ordering
+    # contract exactly) or a deterministic row content hash (Atlas
+    # leaves tie order unspecified)
+    tie = (
+        [F.col(f) for f in tie_break]
+        if tie_break
+        else [F.xxhash64(*[F.col(c) for c in df.columns])]
+    )
     return (
         df.withColumn(_VS_SCORE_COL, F.round(score, 6))
-        .orderBy(F.col(_VS_SCORE_COL).desc(), tie)
+        .orderBy(F.col(_VS_SCORE_COL).desc(), *tie)
         .limit(limit)
     )
 
@@ -3044,15 +3075,32 @@ def _apply_split_large_event(df: DataFrame, spec: Any) -> DataFrame:
             f"(missing {missing!r})"
         )
 
+    # A PRESENT field is sized at least 1 byte, so presence always
+    # survives packing: an empty-string document, or an
+    # updateDescription whose updatedFields is null but whose
+    # removedFields/truncatedArrays carry data, still gets assigned a
+    # fragment (size 0 means ABSENT — null column — and only then is
+    # the field skipped).
+    def _present_size(col: Column, measured: Column) -> Column:
+        return (
+            F.when(
+                col.isNotNull(),
+                F.greatest(F.coalesce(measured, F.lit(0)), F.lit(1)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
     sizes = F.array(
-        F.coalesce(F.octet_length("fullDocument"), F.lit(0)).cast("long"),
-        F.coalesce(
-            F.octet_length("fullDocumentBeforeChange"), F.lit(0)
-        ).cast("long"),
-        F.coalesce(
+        _present_size(F.col("fullDocument"), F.octet_length("fullDocument")),
+        _present_size(
+            F.col("fullDocumentBeforeChange"),
+            F.octet_length("fullDocumentBeforeChange"),
+        ),
+        _present_size(
+            F.col("updateDescription"),
             F.octet_length(F.col("updateDescription")["updatedFields"]),
-            F.lit(0),
-        ).cast("long"),
+        ),
     )
 
     def fold(acc: Column, s: Column) -> Column:
@@ -3327,6 +3375,11 @@ def translate_pipeline(
             df = inferred.select(*cols)
             run_stages = stages[1:]
         for stage in run_stages:
+            if ("$out" in stage or "$merge" in stage) and _VS_SCORE_COL in df.columns:
+                # the hidden $vectorSearch score must not leak into a
+                # terminal sink (the epilogue drop below never runs on
+                # the early-return terminal branches)
+                df = df.drop(_VS_SCORE_COL)
             if "$out" in stage:
                 spec = stage["$out"]
                 target = spec if isinstance(spec, str) else spec.get("coll")

@@ -1562,6 +1562,10 @@ def pipeline_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "numCandidates": 200,
                     "limit": 12,
                     "filter": {"label": {"$gte": 1}},
+                    # engine extension: deterministic tie-break matching
+                    # the oracle's ORDER BY score DESC, vec_id — rounded
+                    # scores CAN collide at the limit boundary
+                    "tieBreak": ["vec_id"],
                 }
             },
             {

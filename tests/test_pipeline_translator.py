@@ -2984,3 +2984,94 @@ def test_now_bsonsize_and_cluster_time(docs):
     assert by_id[1]["sz"] == len('{"city":"ber","zip":"10115"}')
     with pytest.raises(PipelineError, match="CLUSTER_TIME"):
         run([{"$project": {"x": "$$CLUSTER_TIME"}}], docs)
+
+
+def test_split_large_event_presence_not_truthiness(spark):
+    """Review regression: a zero-SIZED but PRESENT payload field must
+    still be assigned a fragment — an updateDescription whose
+    updatedFields is null but whose removedFields carry data, and an
+    empty-string document, are data Mongo always ships."""
+    df = spark.createDataFrame(
+        [
+            ("e1", "update", "A" * 50, "B" * 50, (None, ["x"], [])),
+            ("e2", "replace", "", "B" * 60, None),
+        ],
+        "ev STRING, operationType STRING, fullDocument STRING, "
+        "fullDocumentBeforeChange STRING, "
+        "updateDescription STRUCT<updatedFields: STRING, "
+        "removedFields: ARRAY<STRING>, "
+        "truncatedArrays: ARRAY<STRUCT<field:STRING,newSize:INT>>>",
+    )
+    out = run([{"$changeStreamSplitLargeEvent": {"maxSize": 60}}], df).collect()
+    by_ev = {}
+    for r in out:
+        by_ev.setdefault(r["ev"], []).append(r)
+    # e1 splits 2-way (the 1-byte-presence struct packs with the
+    # before-image); removedFields survive in exactly one fragment
+    assert len(by_ev["e1"]) == 2
+    carried = [r for r in by_ev["e1"] if r["updateDescription"] is not None]
+    assert len(carried) == 1 and carried[0]["updateDescription"]["removedFields"] == ["x"]
+    # e2: the empty-string document occupies its own fragment
+    assert len(by_ev["e2"]) == 2
+    docs = [r["fullDocument"] for r in by_ev["e2"]]
+    assert "" in docs and docs.count(None) == 1
+
+
+def test_vector_search_tiebreak_and_out_sink(vecs, tmp_path):
+    out = run(
+        [
+            {
+                "$vectorSearch": {
+                    "path": "emb",
+                    "queryVector": [1.0, 0.0],
+                    "limit": 3,
+                    "tieBreak": ["vid"],
+                }
+            },
+            {"$out": "t"}
+        ],
+        vecs,
+        sinks={"t": str(tmp_path / "vs_out")},
+    )
+    # the hidden score column must not leak into the committed sink
+    assert "__vs_score" not in out.columns
+    assert out.count() == 3
+    with pytest.raises(PipelineError, match="tieBreak"):
+        run(
+            [
+                {
+                    "$vectorSearch": {
+                        "path": "emb",
+                        "queryVector": [1.0, 0.0],
+                        "limit": 1,
+                        "tieBreak": "vid",
+                    }
+                }
+            ],
+            vecs,
+        )
+
+
+def test_bits_sign_bit_and_bounds(spark):
+    df = spark.createDataFrame([(1, -1), (2, 1)], "id INT, f BIGINT")
+
+    def ids(cond):
+        return sorted(r["id"] for r in run([{"$match": {"f": cond}}], df).collect())
+
+    # position 63 is the sign bit: set on -1 (all ones), clear on 1
+    assert ids({"$bitsAllSet": [63]}) == [1]
+    assert ids({"$bitsAllClear": [63]}) == [2]
+    with pytest.raises(PipelineError, match="0..63"):
+        ids({"$bitsAllSet": [64]})
+
+
+def test_sort_array_dotted_sortby(spark):
+    df = spark.createDataFrame(
+        [(1, [{"a": {"b": 2}}, {"a": {"b": 1}}])],
+        "id INT, xs ARRAY<STRUCT<a: STRUCT<b: INT>>>",
+    )
+    out = run(
+        [{"$project": {"s": {"$sortArray": {"input": "$xs", "sortBy": {"a.b": 1}}}}}],
+        df,
+    ).collect()[0]
+    assert [x["a"]["b"] for x in out["s"]] == [1, 2]

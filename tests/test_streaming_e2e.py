@@ -251,14 +251,17 @@ def test_relay_split_large_event_fragments(spark, tmp_path):
     batch = filter_data_ops(read_change_events_json(spark, str(src)))
     expected = 0
     for r in batch.collect():
+        # PRESENCE (not truthiness): an empty-string document or an
+        # updateDescription without updatedFields still occupies a
+        # fragment
         present = sum(
             1
             for v in (
                 r["fullDocument"],
                 r["fullDocumentBeforeChange"],
-                r["updateDescription"] and r["updateDescription"]["updatedFields"],
+                r["updateDescription"],
             )
-            if v
+            if v is not None
         )
         # maxSize=1: every present payload field overflows into its
         # own fragment; single-payload events stay unsplit
