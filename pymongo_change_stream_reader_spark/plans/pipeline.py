@@ -1959,10 +1959,73 @@ def _apply_bucket(df: DataFrame, spec: dict) -> DataFrame:
     )
 
 
+# Preferred-number mantissa tables for $bucketAuto granularity
+# (public ISO-3 Renard / IEC-60063 E-series values, as in Mongo's
+# granularity rounder).  Longer tables (R40/R80, E24+) are declared
+# narrower — rejected with a clear error, not mistranslated.
+_GRANULARITY_MANTISSAS: dict[str, list[float]] = {
+    "R5": [1.0, 1.6, 2.5, 4.0, 6.3],
+    "R10": [1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0],
+    "R20": [
+        1.0, 1.12, 1.25, 1.4, 1.6, 1.8, 2.0, 2.24, 2.5, 2.8,
+        3.15, 3.55, 4.0, 4.5, 5.0, 5.6, 6.3, 7.1, 8.0, 9.0,
+    ],
+    "1-2-5": [1.0, 2.0, 5.0],
+    "E6": [1.0, 1.5, 2.2, 3.3, 4.7, 6.8],
+    "E12": [1.0, 1.2, 1.5, 1.8, 2.2, 2.7, 3.3, 3.9, 4.7, 5.6, 6.8, 8.2],
+}
+_GRANULARITY_UNSUPPORTED = {"R40", "R80", "E24", "E48", "E96", "E192"}
+
+
+def _granularity_round(x: float, gran: str, up: bool) -> float:
+    """Round onto the preferred-number series: largest value <= x when
+    rounding down (the first bucket's floor), smallest value STRICTLY
+    greater than x when rounding up (bucket maxima are exclusive, so
+    the boundary must clear the true max)."""
+    import math
+
+    if x <= 0:
+        # 0 floors to 0; anything must round UP to the series minimum
+        return 0.0 if not up else (
+            1.0 if gran == "POWERSOF2" else _GRANULARITY_MANTISSAS[gran][0]
+        )
+    if gran == "POWERSOF2":
+        e = math.log2(x)
+        k = math.floor(round(e, 9)) if not up else math.floor(round(e, 9)) + 1
+        if not up:
+            return float(2.0**k)
+        # strict: x exactly on a power still moves to the next one
+        return float(2.0**k)
+    mants = _GRANULARITY_MANTISSAS[gran]
+    e = math.floor(round(math.log10(x), 9))
+    m = round(x / 10**e, 9)
+    if up:
+        for s in mants:
+            if s > m + 1e-9:
+                return round(s * 10.0**e, 12)
+        return round(mants[0] * 10.0 ** (e + 1), 12)
+    best = None
+    for s in mants:
+        if s <= m + 1e-9:
+            best = s
+    if best is None:  # m below the decade's first mantissa
+        return round(mants[-1] * 10.0 ** (e - 1), 12)
+    return round(best * 10.0**e, 12)
+
+
 def _apply_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     """$bucketAuto: ~equal-count buckets via ntile; _id is the
     {min, max} span of each bucket (Mongo's approximate contract —
-    boundary placement under ties follows the sort, as there)."""
+    boundary placement under ties follows the sort, as there).
+
+    With ``granularity``, the ntile split only PROPOSES boundaries:
+    the first bucket's floor rounds down onto the preferred-number
+    series, every bucket's ceiling rounds strictly up, collapsed
+    boundaries merge buckets (fewer than requested, as in Mongo), and
+    documents re-bucket against the rounded [min, max) spans.  The
+    boundary list is model-sized (n+1 values) — the only driver-side
+    state — and the re-bucketing is one broadcast-literal CASE pass.
+    """
     from pyspark.sql import Window as W
 
     n = spec.get("buckets")
@@ -1971,6 +2034,70 @@ def _apply_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     expr = translate_expr(spec["groupBy"])
     out = spec.get("output", {"count": {"$sum": 1}})
     w = W.orderBy(expr)
+    gran = spec.get("granularity")
+    if gran is not None:
+        if gran in _GRANULARITY_UNSUPPORTED:
+            raise PipelineError(
+                f"granularity {gran!r} not supported (declared narrower); "
+                f"supported: {sorted(_GRANULARITY_MANTISSAS)} + POWERSOF2"
+            )
+        if gran != "POWERSOF2" and gran not in _GRANULARITY_MANTISSAS:
+            raise PipelineError(f"unknown granularity {gran!r}")
+        stats = (
+            df.withColumn("__gb", expr)
+            .withColumn("__bucket", F.ntile(n).over(w))
+            .groupBy("__bucket")
+            .agg(F.min("__gb").alias("lo"), F.max("__gb").alias("hi"))
+            .orderBy("__bucket")
+            .collect()
+        )  # model-sized: one row per requested bucket
+        if not stats:
+            return (
+                df.withColumn("__gb", expr)
+                .groupBy(
+                    F.struct(
+                        F.lit(0.0).alias("min"), F.lit(0.0).alias("max")
+                    ).alias("_id")
+                )
+                .agg(*_group_aggs(out))
+                .limit(0)
+                .select("_id", *out.keys())
+            )
+        if any(r["lo"] is None or float(r["lo"]) < 0 for r in stats):
+            raise PipelineError(
+                "$bucketAuto granularity requires non-negative numeric "
+                "groupBy values"
+            )
+        bounds = [_granularity_round(float(stats[0]["lo"]), gran, up=False)]
+        for r in stats:
+            b = _granularity_round(float(r["hi"]), gran, up=True)
+            if b > bounds[-1]:  # collapsed boundaries merge buckets
+                bounds.append(b)
+        gb = expr.cast("double")
+        bucket_idx: Column = F.lit(None).cast("int")
+        for i in range(len(bounds) - 1):
+            bucket_idx = F.when(
+                (gb >= bounds[i]) & (gb < bounds[i + 1]), F.lit(i)
+            ).otherwise(bucket_idx)
+        ids = F.array(
+            *[
+                F.struct(
+                    F.lit(bounds[i]).alias("min"),
+                    F.lit(bounds[i + 1]).alias("max"),
+                )
+                for i in range(len(bounds) - 1)
+            ]
+        )
+        return (
+            df.withColumn("__gb", gb)
+            .withColumn("__bucket", bucket_idx)
+            .groupBy("__bucket")
+            .agg(*_group_aggs(out))
+            .withColumn("_id", F.element_at(ids, F.col("__bucket") + 1))
+            .orderBy("__bucket")
+            .drop("__bucket")
+            .select("_id", *out.keys())
+        )
     return (
         df.withColumn("__gb", expr)
         .withColumn("__bucket", F.ntile(n).over(w))

@@ -3075,3 +3075,91 @@ def test_sort_array_dotted_sortby(spark):
         df,
     ).collect()[0]
     assert [x["a"]["b"] for x in out["s"]] == [1, 2]
+
+
+def test_bucket_auto_granularity(spark):
+    df = spark.createDataFrame(
+        [(float(v),) for v in [3, 7, 14, 30, 55, 120, 250, 900]], "v DOUBLE"
+    )
+    out = run(
+        [
+            {
+                "$bucketAuto": {
+                    "groupBy": "$v",
+                    "buckets": 4,
+                    "granularity": "POWERSOF2",
+                }
+            }
+        ],
+        df,
+    ).collect()
+    # boundaries are powers of two; strictly-up ceilings clear the max
+    bounds = [r["_id"] for r in out]
+    import math
+
+    for b in bounds:
+        for x in (b["min"], b["max"]):
+            if x:
+                assert 2.0 ** round(math.log2(x)) == x
+        assert b["min"] < b["max"]
+    # contiguous, every doc counted once
+    for prev, nxt in zip(bounds, bounds[1:]):
+        assert prev["max"] == nxt["min"]
+    assert sum(r["count"] for r in out) == 8
+    assert bounds[0]["min"] <= 3 and bounds[-1]["max"] > 900
+
+    r10 = run(
+        [
+            {
+                "$bucketAuto": {
+                    "groupBy": "$v",
+                    "buckets": 2,
+                    "granularity": "R10",
+                }
+            }
+        ],
+        df,
+    ).collect()
+    assert sum(r["count"] for r in r10) == 8
+    assert r10[0]["_id"]["min"] == 2.5  # R10 floor of 3
+
+    with pytest.raises(PipelineError, match="narrower"):
+        run(
+            [{"$bucketAuto": {"groupBy": "$v", "buckets": 2, "granularity": "E96"}}],
+            df,
+        )
+    neg = spark.createDataFrame([(-1.0,), (2.0,)], "v DOUBLE")
+    with pytest.raises(PipelineError, match="non-negative"):
+        run(
+            [
+                {
+                    "$bucketAuto": {
+                        "groupBy": "$v",
+                        "buckets": 2,
+                        "granularity": "POWERSOF2",
+                    }
+                }
+            ],
+            neg,
+        )
+
+
+def test_bucket_auto_granularity_collapse(spark):
+    # all values inside one power-of-two decade -> boundaries collapse
+    # to a single bucket (fewer than requested, as in Mongo)
+    df = spark.createDataFrame([(9.0,), (9.5,), (9.9,)], "v DOUBLE")
+    out = run(
+        [
+            {
+                "$bucketAuto": {
+                    "groupBy": "$v",
+                    "buckets": 3,
+                    "granularity": "POWERSOF2",
+                }
+            }
+        ],
+        df,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["_id"]["min"] == 8.0 and out[0]["_id"]["max"] == 16.0
+    assert out[0]["count"] == 3
