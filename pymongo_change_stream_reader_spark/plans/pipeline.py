@@ -2324,16 +2324,36 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             out = out.withColumn(field_name, F.try_divide(dy, dx))
             continue
         if op == "$integral":
-            # Trapezoidal sum between consecutive docs.  Per-row area
-            # with the previous doc, then a frame sum — exact when the
-            # frame's lower bound is unbounded (the general lower bound
-            # would need the area of the pair straddling the frame edge
-            # excluded; declared narrower).
+            # Trapezoidal sum between consecutive docs: the per-row
+            # area column holds the area between row i-1 and i, so the
+            # integral from doc(a) to doc(b) is the frame sum over
+            # rows a+1..b — a bounded DOCUMENTS lower bound shifts by
+            # one row to exclude the pair straddling the frame edge.
+            # Range frames bound by sort-key VALUE, where the row
+            # shift has no analog: they stay unbounded-lower-only
+            # (declared narrower).
+            w = None
             if win is not None:
-                lo = (win.get("documents") or win.get("range") or [None])[0]
-                if lo != "unbounded":
+                docs = win.get("documents")
+                lo = (docs or win.get("range") or [None])[0]
+                if docs is not None and (isinstance(lo, int) or lo == "current"):
+                    shifted = (0 if lo == "current" else lo) + 1
+                    up = docs[1]
+                    up_num = 0 if up == "current" else up
+                    if isinstance(up_num, int) and shifted > up_num:
+                        # a frame of at most one doc spans no pair:
+                        # the integral is 0 (matches the frame-sum
+                        # coalesce below, without an invalid frame)
+                        out = out.withColumn(field_name, F.lit(0.0))
+                        continue
+                    w = base.rowsBetween(
+                        shifted, _frame_bound(up, W.unboundedFollowing)
+                    )
+                elif lo != "unbounded":
                     raise PipelineError(
-                        "$integral requires an unbounded lower window bound"
+                        "$integral requires an unbounded lower bound on "
+                        "range windows (documents windows support any "
+                        "lower bound)"
                     )
             inp = translate_expr(arg["input"]).cast("double")
             k = sort_key()
@@ -2347,7 +2367,8 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             area = (k - F.lag(k, 1).over(base)) * (
                 inp + F.lag(inp, 1).over(base)
             ) / F.lit(2.0)
-            w = make_frame(win)
+            if w is None:
+                w = make_frame(win)
             out = out.withColumn(
                 "__integral_area", area
             ).withColumn(

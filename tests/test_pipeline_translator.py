@@ -3163,3 +3163,44 @@ def test_bucket_auto_granularity_collapse(spark):
     assert len(out) == 1
     assert out[0]["_id"]["min"] == 8.0 and out[0]["_id"]["max"] == 16.0
     assert out[0]["count"] == 3
+
+
+def test_integral_bounded_documents_frame(spark):
+    # unit-spaced points with value 2 -> each adjacent pair contributes
+    # area 2; integral over documents [-2, 0] = two pairs = 4
+    df = spark.createDataFrame(
+        [(i, 2.0) for i in range(5)], "t INT, y DOUBLE"
+    )
+    out = run(
+        [
+            {
+                "$setWindowFields": {
+                    "sortBy": {"t": 1},
+                    "output": {
+                        "i2": {
+                            "$integral": {"input": "$y"},
+                            "window": {"documents": [-2, 0]},
+                        },
+                        "i1": {
+                            "$integral": {"input": "$y"},
+                            "window": {"documents": [-1, 0]},
+                        },
+                        "i0": {
+                            "$integral": {"input": "$y"},
+                            "window": {"documents": [0, 0]},
+                        },
+                        "iu": {
+                            "$integral": {"input": "$y"},
+                            "window": {"documents": ["unbounded", 0]},
+                        },
+                    },
+                }
+            },
+            {"$sort": {"t": 1}},
+        ],
+        df,
+    ).collect()
+    assert [r["i2"] for r in out] == [0.0, 2.0, 4.0, 4.0, 4.0]
+    assert [r["i1"] for r in out] == [0.0, 2.0, 2.0, 2.0, 2.0]
+    assert [r["i0"] for r in out] == [0.0] * 5  # single-doc frame: no pair
+    assert [r["iu"] for r in out] == [0.0, 2.0, 4.0, 6.0, 8.0]
