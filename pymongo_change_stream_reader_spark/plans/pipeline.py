@@ -3690,6 +3690,59 @@ def _apply_when_matched_pipeline(
             out = out.select(
                 translate_expr(root_expr, env).alias("__root"), *hidden
             ).select("__root.*", *hidden)
+        elif sname == "$project":
+            # Mid-merge $project: the on key is immutable (Mongo's
+            # update pipelines cannot remove _id), so it always
+            # survives; beyond that the stage is on-key-protected
+            # drops + computed fields over the stored doc.  Dotted
+            # inclusion paths are declared narrower (top-level only),
+            # matching the rest of the update-pipeline surface.
+            if not isinstance(sspec, dict) or not sspec:
+                raise PipelineError("$project requires at least one field")
+            computed = {
+                k: v
+                for k, v in sspec.items()
+                if not isinstance(v, (int, bool)) or v not in (0, 1)
+            }
+            included = [
+                k
+                for k, v in sspec.items()
+                if isinstance(v, (int, bool)) and v in (1, True)
+            ]
+            excluded = [
+                k
+                for k, v in sspec.items()
+                if isinstance(v, (int, bool)) and v in (0, False)
+            ]
+            on_keys = [on] if isinstance(on, str) else list(on)
+            if any("." in k for k in included + list(computed)):
+                raise PipelineError(
+                    "$merge pipeline $project supports top-level "
+                    "fields only"
+                )
+            if included or computed:
+                bad = [k for k in excluded if k not in on_keys]
+                if bad:
+                    raise PipelineError(
+                        f"cannot exclude {bad!r} in an inclusion $project"
+                    )
+                keep = set(included) | set(computed) | set(on_keys)
+                drops = [c for c in doc_cols if c not in keep]
+            else:
+                if any(k in excluded for k in on_keys):
+                    raise PipelineError(
+                        "$merge pipeline $project cannot exclude the on key"
+                    )
+                drops = [c for c in excluded if "." not in c]
+                for k in excluded:
+                    if "." in k:
+                        root, rest = k.split(".", 1)
+                        out = out.withColumn(
+                            root, F.col(root).dropFields(rest)
+                        )
+            for k, v in computed.items():
+                out = out.withColumn(k, translate_expr(v, env))
+            out = out.drop(*drops)
         else:
             raise PipelineError(
                 f"unsupported $merge whenMatched pipeline stage {sname!r}"

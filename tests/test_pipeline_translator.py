@@ -2296,7 +2296,7 @@ def test_merge_stage_update_pipeline(spark, tmp_path):
     with pytest.raises(PipelineError):
         translate_pipeline(
             [{"$merge": {"into": "t", "on": "_id",
-                         "whenMatched": [{"$project": {"x": 1}}]}}],
+                         "whenMatched": [{"$group": {"_id": None}}]}}],
             sinks={"t": path},
         )(incoming)
     with pytest.raises(PipelineError):
@@ -3204,3 +3204,55 @@ def test_integral_bounded_documents_frame(spark):
     assert [r["i1"] for r in out] == [0.0, 2.0, 2.0, 2.0, 2.0]
     assert [r["i0"] for r in out] == [0.0] * 5  # single-doc frame: no pair
     assert [r["iu"] for r in out] == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+
+def test_merge_stage_update_pipeline_project(spark, tmp_path):
+    """$project inside a $merge update pipeline: inclusion keeps the
+    on key implicitly, exclusion cannot touch it, computed fields see
+    $$new."""
+    path = str(tmp_path / "mpp")
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "_id INT, total INT, tag STRING"
+    )
+    base.write.parquet(path)
+    incoming = spark.createDataFrame(
+        [(2, 7, "x"), (4, 40, "z")], "_id INT, total INT, tag STRING"
+    )
+    got = translate_pipeline(
+        [
+            {
+                "$merge": {
+                    "into": "t",
+                    "on": "_id",
+                    "whenMatched": [
+                        {
+                            "$project": {
+                                "total": {"$add": ["$total", "$$new.total"]},
+                            }
+                        }
+                    ],
+                }
+            }
+        ],
+        sinks={"t": path},
+    )(incoming)
+    rows = {r["_id"]: r for r in got.collect()}
+    # matched row: tag projected away (null in the fixed schema),
+    # total computed from stored + incoming, _id survives implicitly
+    assert rows[2]["total"] == 27 and rows[2]["tag"] is None
+    assert rows[1]["total"] == 10 and rows[1]["tag"] == "a"
+    assert rows[4]["total"] == 40 and rows[4]["tag"] == "z"
+
+    with pytest.raises(PipelineError, match="on key"):
+        translate_pipeline(
+            [
+                {
+                    "$merge": {
+                        "into": "t",
+                        "on": "_id",
+                        "whenMatched": [{"$project": {"_id": 0}}],
+                    }
+                }
+            ],
+            sinks={"t": path},
+        )(incoming)
