@@ -3549,17 +3549,40 @@ def translate_pipeline(
     return apply
 
 
-def read_versioned_sink(spark: SparkSession, path: str) -> DataFrame | None:
-    """Read the CURRENT committed version of a versioned parquet sink
-    (see _versioned_commit), or None when the sink does not exist.
-    Legacy plain-parquet directories (no ``_manifest``) read as-is."""
+def read_versioned_sink(
+    spark: SparkSession, path: str, version: int = 0
+) -> DataFrame | None:
+    """Read a committed version of a versioned parquet sink (see
+    _versioned_commit), or None when the sink/version does not exist.
+    ``version=0`` is the CURRENT commit; ``version=-1`` the previous
+    one (the commit protocol retains exactly one superseded version —
+    the local analog of a table format's retention window, enabling
+    one-step rollback/time-travel).  Legacy plain-parquet directories
+    (no ``_manifest``) read as-is."""
     import os
 
+    if version not in (0, -1):
+        raise PipelineError(
+            "versioned sinks retain the current and previous commit "
+            "only (version 0 or -1)"
+        )
     manifest = os.path.join(path, "_manifest")
     if os.path.exists(manifest):
         with open(manifest) as fh:
-            return spark.read.parquet(os.path.join(path, fh.read().strip()))
-    if os.path.exists(path):
+            current = fh.read().strip()
+        if version == 0:
+            return spark.read.parquet(os.path.join(path, current))
+        versions = sorted(
+            d
+            for d in os.listdir(path)
+            if d.startswith("v-")
+            and d < current
+            and os.path.isdir(os.path.join(path, d))
+        )
+        if not versions:
+            return None
+        return spark.read.parquet(os.path.join(path, versions[-1]))
+    if os.path.exists(path) and version == 0:
         return spark.read.parquet(path)
     return None
 
@@ -3592,6 +3615,14 @@ def _versioned_commit(df: DataFrame, path: str) -> DataFrame:
     )
     n = int(versions[-1][2:]) + 1 if versions else 1
     vdir = f"v-{n:06d}"
+    # the previously COMMITTED version (manifest target, not merely
+    # the lexically-previous dir — that could be a crash leftover) is
+    # the one the retention window below must keep
+    prev_committed = None
+    manifest_path = os.path.join(path, "_manifest")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            prev_committed = fh.read().strip()
     df.write.mode("overwrite").parquet(os.path.join(path, vdir))
     tmp = os.path.join(path, "_manifest.tmp")
     with open(tmp, "w") as fh:
@@ -3599,11 +3630,17 @@ def _versioned_commit(df: DataFrame, path: str) -> DataFrame:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(path, "_manifest"))
-    # post-commit GC: superseded versions, crash leftovers, and legacy
-    # plain-parquet files all go; only the committed version + manifest
-    # remain.  A crash anywhere in GC leaves the commit intact.
+    # post-commit GC: older superseded versions, crash leftovers, and
+    # legacy plain-parquet files all go; the committed version, its
+    # immediate predecessor (a one-deep retention window for rollback/
+    # time-travel via read_versioned_sink(version=-1)), and the
+    # manifest remain.  A crash anywhere in GC leaves the commit
+    # intact.
+    survivors = {vdir}
+    if prev_committed:
+        survivors.add(prev_committed)
     for entry in os.listdir(path):
-        if entry in (vdir, "_manifest"):
+        if entry == "_manifest" or entry in survivors:
             continue
         full = os.path.join(path, entry)
         if os.path.isdir(full):

@@ -3256,3 +3256,37 @@ def test_merge_stage_update_pipeline_project(spark, tmp_path):
             ],
             sinks={"t": path},
         )(incoming)
+
+
+def test_versioned_sink_retention_and_time_travel(spark, tmp_path):
+    """The commit protocol retains exactly one superseded version:
+    version=-1 reads the previous commit (one-step rollback), older
+    versions are GC'd, and a crash-leftover dir is neither kept as
+    the retained predecessor nor readable as -1."""
+    import os
+
+    path = str(tmp_path / "vt")
+    for batch in ([1, 2], [3], [4, 5, 6]):
+        df = spark.createDataFrame([(i,) for i in batch], "id INT")
+        run([{"$out": "t"}], df, sinks={"t": path})
+    assert sorted(
+        r["id"] for r in read_versioned_sink(spark, path).collect()
+    ) == [4, 5, 6]
+    assert [
+        r["id"] for r in read_versioned_sink(spark, path, version=-1).collect()
+    ] == [3]
+    # only current + previous survive GC
+    vdirs = sorted(d for d in os.listdir(path) if d.startswith("v-"))
+    assert len(vdirs) == 2
+    with pytest.raises(PipelineError, match="version"):
+        read_versioned_sink(spark, path, version=-2)
+
+    # crash leftover: a half-written higher-numbered dir must not
+    # shadow the committed current (0) or previous (-1) reads
+    os.makedirs(os.path.join(path, "v-999999"))
+    assert sorted(
+        r["id"] for r in read_versioned_sink(spark, path).collect()
+    ) == [4, 5, 6]
+    assert [
+        r["id"] for r in read_versioned_sink(spark, path, version=-1).collect()
+    ] == [3]
