@@ -51,6 +51,9 @@ def test_vector_search_filter_reaches_scan(spark):
         translate_pipeline,
     )
 
+    # a cached embeddings frame from an earlier test would replace the
+    # parquet scan (InMemoryTableScan has no PushedFilters section)
+    spark.catalog.clearCache()
     emb = load_table(spark, SF_SMOKE, "embeddings")
     pipe = translate_pipeline(
         [
