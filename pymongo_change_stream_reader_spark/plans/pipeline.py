@@ -1459,14 +1459,28 @@ def _nest_tree(paths: dict[str, Column]) -> list[Column]:
     return build(tree)
 
 
+def _classify_project_spec(spec: dict) -> tuple[dict, list, list]:
+    """Split a $project spec into (computed, included, excluded) —
+    shared by the top-level stage and the $merge update-pipeline form
+    so the 0/1/expression classification cannot diverge."""
+    computed = {
+        k: v
+        for k, v in spec.items()
+        if not isinstance(v, (int, bool)) or v not in (0, 1)
+    }
+    included = [
+        k for k, v in spec.items() if isinstance(v, (int, bool)) and v in (1, True)
+    ]
+    excluded = [
+        k for k, v in spec.items() if isinstance(v, (int, bool)) and v in (0, False)
+    ]
+    return computed, included, excluded
+
+
 def _apply_project(df: DataFrame, spec: dict) -> DataFrame:
     if not spec:
         raise PipelineError("$project requires at least one field")
-    computed = {
-        k: v for k, v in spec.items() if not isinstance(v, (int, bool)) or v not in (0, 1)
-    }
-    included = [k for k, v in spec.items() if isinstance(v, (int, bool)) and v in (1, True)]
-    excluded = [k for k, v in spec.items() if isinstance(v, (int, bool)) and v in (0, False)]
+    computed, included, excluded = _classify_project_spec(spec)
     if included or computed:
         # Mongo rejects mixed inclusion/exclusion except for _id: 0.
         bad = [k for k in excluded if k != "_id"]
@@ -1981,36 +1995,57 @@ def _granularity_round(x: float, gran: str, up: bool) -> float:
     """Round onto the preferred-number series: largest value <= x when
     rounding down (the first bucket's floor), smallest value STRICTLY
     greater than x when rounding up (bucket maxima are exclusive, so
-    the boundary must clear the true max)."""
+    the boundary must clear the true max).  Post-checked against the
+    raw value so epsilon snapping can never produce a floor above x or
+    a ceiling at/below x (either would silently drop boundary docs)."""
     import math
 
+    if not math.isfinite(x):
+        raise PipelineError(
+            "$bucketAuto granularity requires finite numeric groupBy values"
+        )
     if x <= 0:
         # 0 floors to 0; anything must round UP to the series minimum
         return 0.0 if not up else (
             1.0 if gran == "POWERSOF2" else _GRANULARITY_MANTISSAS[gran][0]
         )
     if gran == "POWERSOF2":
-        e = math.log2(x)
-        k = math.floor(round(e, 9)) if not up else math.floor(round(e, 9)) + 1
-        if not up:
-            return float(2.0**k)
-        # strict: x exactly on a power still moves to the next one
-        return float(2.0**k)
+        k = math.floor(round(math.log2(x), 9)) + (1 if up else 0)
+        out = float(2.0**k)
+        if up and out <= x:
+            out = float(2.0 ** (k + 1))
+        elif not up and out > x:
+            out = float(2.0 ** (k - 1))
+        return out
     mants = _GRANULARITY_MANTISSAS[gran]
     e = math.floor(round(math.log10(x), 9))
     m = round(x / 10**e, 9)
     if up:
+        out = None
         for s in mants:
             if s > m + 1e-9:
-                return round(s * 10.0**e, 12)
-        return round(mants[0] * 10.0 ** (e + 1), 12)
+                out = round(s * 10.0**e, 12)
+                break
+        if out is None:
+            out = round(mants[0] * 10.0 ** (e + 1), 12)
+        if out <= x:  # float-drift guard: the ceiling must clear x
+            return _granularity_round(out, gran, up=True)
+        return out
     best = None
     for s in mants:
         if s <= m + 1e-9:
             best = s
-    if best is None:  # m below the decade's first mantissa
+    out = (
+        round(mants[-1] * 10.0 ** (e - 1), 12)
+        if best is None  # m below the decade's first mantissa
+        else round(best * 10.0**e, 12)
+    )
+    if out > x:  # float-drift guard: the floor must not exceed x
+        idx = mants.index(best) if best is not None else 0
+        if best is not None and idx > 0:
+            return round(mants[idx - 1] * 10.0**e, 12)
         return round(mants[-1] * 10.0 ** (e - 1), 12)
-    return round(best * 10.0**e, 12)
+    return out
 
 
 def _apply_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
@@ -2044,13 +2079,26 @@ def _apply_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
         if gran != "POWERSOF2" and gran not in _GRANULARITY_MANTISSAS:
             raise PipelineError(f"unknown granularity {gran!r}")
         stats = (
-            df.withColumn("__gb", expr)
+            df.withColumn("__gb", expr.cast("double"))
             .withColumn("__bucket", F.ntile(n).over(w))
             .groupBy("__bucket")
-            .agg(F.min("__gb").alias("lo"), F.max("__gb").alias("hi"))
+            .agg(
+                F.min("__gb").alias("lo"),
+                F.max("__gb").alias("hi"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.count("__gb").alias("nn"),
+            )
             .orderBy("__bucket")
             .collect()
         )  # model-sized: one row per requested bucket
+        if any(r["cnt"] != r["nn"] for r in stats):
+            # Mongo: granularity requires every groupBy value numeric;
+            # a null would otherwise surface as a spurious {_id: null}
+            # bucket from the re-bucketing CASE pass
+            raise PipelineError(
+                "$bucketAuto granularity requires non-null numeric "
+                "groupBy values"
+            )
         if not stats:
             return (
                 df.withColumn("__gb", expr)
@@ -2335,11 +2383,20 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             w = None
             if win is not None:
                 docs = win.get("documents")
+                if docs is not None and (
+                    not isinstance(docs, list) or len(docs) != 2
+                ):
+                    raise PipelineError("window requires documents: [lo, hi]")
                 lo = (docs or win.get("range") or [None])[0]
                 if docs is not None and (isinstance(lo, int) or lo == "current"):
-                    shifted = (0 if lo == "current" else lo) + 1
+                    lo_num = 0 if lo == "current" else lo
                     up = docs[1]
                     up_num = 0 if up == "current" else up
+                    if isinstance(up_num, int) and lo_num > up_num:
+                        raise PipelineError(
+                            "window bounds must be in ascending order"
+                        )
+                    shifted = lo_num + 1
                     if isinstance(up_num, int) and shifted > up_num:
                         # a frame of at most one doc spans no pair:
                         # the integral is 0 (matches the frame-sum
@@ -3569,19 +3626,15 @@ def read_versioned_sink(
     manifest = os.path.join(path, "_manifest")
     if os.path.exists(manifest):
         with open(manifest) as fh:
-            current = fh.read().strip()
+            lines = [ln.strip() for ln in fh.read().splitlines() if ln.strip()]
         if version == 0:
-            return spark.read.parquet(os.path.join(path, current))
-        versions = sorted(
-            d
-            for d in os.listdir(path)
-            if d.startswith("v-")
-            and d < current
-            and os.path.isdir(os.path.join(path, d))
-        )
-        if not versions:
+            return spark.read.parquet(os.path.join(path, lines[0]))
+        # the predecessor comes from the MANIFEST (recorded at commit
+        # time), never from listdir — a half-written crash-leftover dir
+        # must not masquerade as the previous committed version
+        if len(lines) < 2 or not os.path.isdir(os.path.join(path, lines[1])):
             return None
-        return spark.read.parquet(os.path.join(path, versions[-1]))
+        return spark.read.parquet(os.path.join(path, lines[1]))
     if os.path.exists(path) and version == 0:
         return spark.read.parquet(path)
     return None
@@ -3622,11 +3675,18 @@ def _versioned_commit(df: DataFrame, path: str) -> DataFrame:
     manifest_path = os.path.join(path, "_manifest")
     if os.path.exists(manifest_path):
         with open(manifest_path) as fh:
-            prev_committed = fh.read().strip()
+            first = fh.read().splitlines()
+        prev_committed = first[0].strip() if first else None
     df.write.mode("overwrite").parquet(os.path.join(path, vdir))
     tmp = os.path.join(path, "_manifest.tmp")
     with open(tmp, "w") as fh:
+        # line 1: current commit; line 2 (optional): its predecessor —
+        # recorded HERE rather than inferred from listdir so a
+        # half-written crash-leftover dir can never masquerade as the
+        # previous committed version
         fh.write(vdir)
+        if prev_committed:
+            fh.write("\n" + prev_committed)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(path, "_manifest"))
@@ -3661,8 +3721,9 @@ def _apply_when_matched_pipeline(
     over the STORED document with ``$$new`` bound to the incoming
     document (Mongo's update-pipeline form).  Supported stages:
     $addFields/$set (dotted targets included), $unset,
-    $replaceWith/$replaceRoot; $project inside the update pipeline is
-    declared-unsupported (its _id defaulting has no analog mid-merge).
+    $replaceWith/$replaceRoot, and $project (on-key-protected
+    inclusion/exclusion + computed fields; the on key — including its
+    subfields — is immutable, as _id is in Mongo update pipelines).
     The whole form is one inner join plus per-row expressions — no
     extra exchange beyond the join itself."""
     # ``let`` values evaluate against the INCOMING document (Mongo's
@@ -3736,37 +3797,38 @@ def _apply_when_matched_pipeline(
             # matching the rest of the update-pipeline surface.
             if not isinstance(sspec, dict) or not sspec:
                 raise PipelineError("$project requires at least one field")
-            computed = {
-                k: v
-                for k, v in sspec.items()
-                if not isinstance(v, (int, bool)) or v not in (0, 1)
-            }
-            included = [
-                k
-                for k, v in sspec.items()
-                if isinstance(v, (int, bool)) and v in (1, True)
-            ]
-            excluded = [
-                k
-                for k, v in sspec.items()
-                if isinstance(v, (int, bool)) and v in (0, False)
-            ]
+            computed, included, excluded = _classify_project_spec(sspec)
             on_keys = [on] if isinstance(on, str) else list(on)
+
+            def _touches_on(k: str) -> bool:
+                # whole key OR any subfield of it — the on key is
+                # immutable incl. its nested parts (Mongo update
+                # pipelines reject any _id modification)
+                return any(k == ok or k.startswith(ok + ".") for ok in on_keys)
+
             if any("." in k for k in included + list(computed)):
                 raise PipelineError(
                     "$merge pipeline $project supports top-level "
                     "fields only"
                 )
+            if any(_touches_on(k) for k in list(computed)):
+                raise PipelineError(
+                    "$merge pipeline $project cannot recompute the on key"
+                )
             if included or computed:
-                bad = [k for k in excluded if k not in on_keys]
+                bad = [k for k in excluded if not _touches_on(k)]
                 if bad:
                     raise PipelineError(
                         f"cannot exclude {bad!r} in an inclusion $project"
                     )
+                if excluded:
+                    raise PipelineError(
+                        "$merge pipeline $project cannot exclude the on key"
+                    )
                 keep = set(included) | set(computed) | set(on_keys)
                 drops = [c for c in doc_cols if c not in keep]
             else:
-                if any(k in excluded for k in on_keys):
+                if any(_touches_on(k) for k in excluded):
                     raise PipelineError(
                         "$merge pipeline $project cannot exclude the on key"
                     )

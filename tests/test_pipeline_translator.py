@@ -1512,7 +1512,13 @@ def test_out_merge_crash_leaves_previous_version(spark, tmp_path):
 
     entries = set(os.listdir(path))
     assert "_manifest" in entries
-    assert len([e for e in entries if e.startswith("v-")]) == 1
+    # current + retained predecessor (one-deep retention window);
+    # the crash-leftover dirs are gone
+    assert len([e for e in entries if e.startswith("v-")]) == 2
+    assert {
+        r["_id"]: r["val"]
+        for r in read_versioned_sink(spark, path, version=-1).collect()
+    } == {1: "ok1", 2: "ok2"}
 
 
 def test_trig_log_bitwise_ops(spark):
@@ -3290,3 +3296,116 @@ def test_versioned_sink_retention_and_time_travel(spark, tmp_path):
     assert [
         r["id"] for r in read_versioned_sink(spark, path, version=-1).collect()
     ] == [3]
+
+
+def test_granularity_null_values_and_drift_guards(spark):
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        _granularity_round,
+    )
+
+    # nulls anywhere in the groupBy -> loud error, never a null bucket
+    df = spark.createDataFrame(
+        [(None,), (5.0,), (7.0,), (9.0,)], "v DOUBLE"
+    )
+    with pytest.raises(PipelineError, match="non-null"):
+        run(
+            [
+                {
+                    "$bucketAuto": {
+                        "groupBy": "$v",
+                        "buckets": 2,
+                        "granularity": "POWERSOF2",
+                    }
+                }
+            ],
+            df,
+        )
+    # epsilon snapping must never put the floor above x / ceiling at x
+    for x in (1.9999999999, 2.0, 2.0000000001, 2.4999999999, 8.0):
+        for gran in ("POWERSOF2", "R10"):
+            lo = _granularity_round(x, gran, up=False)
+            hi = _granularity_round(x, gran, up=True)
+            assert lo <= x < hi, (x, gran, lo, hi)
+    import math
+
+    with pytest.raises(PipelineError, match="finite"):
+        _granularity_round(math.nan, "R10", up=True)
+
+
+def test_integral_window_validation(spark):
+    df = spark.createDataFrame([(i, 1.0) for i in range(3)], "t INT, y DOUBLE")
+
+    def win(w):
+        return run(
+            [
+                {
+                    "$setWindowFields": {
+                        "sortBy": {"t": 1},
+                        "output": {
+                            "i": {"$integral": {"input": "$y"}, "window": w}
+                        },
+                    }
+                }
+            ],
+            df,
+        )
+
+    with pytest.raises(PipelineError, match="documents"):
+        win({"documents": [-2]})
+    with pytest.raises(PipelineError, match="ascending"):
+        win({"documents": [2, 0]})
+
+
+def test_merge_project_on_key_subfield_guard(spark, tmp_path):
+    path = str(tmp_path / "mg")
+    base = spark.createDataFrame(
+        [((1, "a"), 10)],
+        "key STRUCT<id: INT, tag: STRING>, total INT",
+    )
+    base.write.parquet(path)
+    incoming = spark.createDataFrame(
+        [((1, "a"), 7)], "key STRUCT<id: INT, tag: STRING>, total INT"
+    )
+    with pytest.raises(PipelineError, match="on key"):
+        translate_pipeline(
+            [
+                {
+                    "$merge": {
+                        "into": "t",
+                        "on": "key",
+                        "whenMatched": [{"$project": {"key.tag": 0}}],
+                    }
+                }
+            ],
+            sinks={"t": path},
+        )(incoming)
+    with pytest.raises(PipelineError, match="recompute"):
+        translate_pipeline(
+            [
+                {
+                    "$merge": {
+                        "into": "t",
+                        "on": "key",
+                        "whenMatched": [{"$project": {"key": {"$literal": 1}}}],
+                    }
+                }
+            ],
+            sinks={"t": path},
+        )(incoming)
+
+
+def test_versioned_sink_prev_survives_crash_leftover(spark, tmp_path):
+    """version=-1 must come from the manifest, never listdir: a
+    leftover dir numbered between the two commits is not readable as
+    the predecessor."""
+    import os
+
+    path = str(tmp_path / "vc")
+    run([{"$out": "t"}], spark.createDataFrame([(1,)], "id INT"), sinks={"t": path})
+    # fake a crashed commit attempt AFTER v-000001: half-written dir
+    os.makedirs(os.path.join(path, "v-000002"))
+    run([{"$out": "t"}], spark.createDataFrame([(2,)], "id INT"), sinks={"t": path})
+    assert [
+        r["id"] for r in read_versioned_sink(spark, path, version=-1).collect()
+    ] == [1]
+    assert [r["id"] for r in read_versioned_sink(spark, path).collect()] == [2]
