@@ -2473,6 +2473,32 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 .drop("__ema_part", "__ema_in")
             )
             continue
+        if op in ("$percentile", "$median"):
+            # Mongo 7.0 window forms — computed EXACTLY over the
+            # frame, same contract as the group/expression forms
+            if not isinstance(arg, dict) or "input" not in arg:
+                raise PipelineError(f"{op} requires an input document")
+            inp = translate_expr(arg["input"])
+            if op == "$percentile":
+                ps = arg.get("p")
+                if not (
+                    isinstance(ps, list)
+                    and ps
+                    and all(
+                        isinstance(p, (int, float))
+                        and not isinstance(p, bool)
+                        and 0 <= p <= 1
+                        for p in ps
+                    )
+                ):
+                    raise PipelineError(
+                        "$percentile requires p: [numbers in 0..1]"
+                    )
+                col = F.percentile(inp, [float(p) for p in ps])
+            else:
+                col = F.percentile(inp, 0.5)
+            out = out.withColumn(field_name, col.over(make_frame(win)))
+            continue
         agg_ops = {
             "$sum": F.sum,
             "$avg": F.avg,

@@ -3409,3 +3409,49 @@ def test_versioned_sink_prev_survives_crash_leftover(spark, tmp_path):
         r["id"] for r in read_versioned_sink(spark, path, version=-1).collect()
     ] == [1]
     assert [r["id"] for r in read_versioned_sink(spark, path).collect()] == [2]
+
+
+def test_window_percentile_median(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 6)], "g STRING, t INT, v DOUBLE"
+    )
+    out = run(
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$g",
+                    "sortBy": {"t": 1},
+                    "output": {
+                        "med": {
+                            "$median": {"input": "$v", "method": "approximate"},
+                            "window": {"documents": ["unbounded", "current"]},
+                        },
+                        "p": {
+                            "$percentile": {
+                                "input": "$v",
+                                "p": [0.0, 1.0],
+                                "method": "approximate",
+                            },
+                            "window": {"documents": [-1, 0]},
+                        },
+                    },
+                }
+            },
+            {"$sort": {"t": 1}},
+        ],
+        df,
+    ).collect()
+    assert [r["med"] for r in out] == [1.0, 1.5, 2.0, 2.5, 3.0]
+    assert out[0]["p"] == [1.0, 1.0] and out[4]["p"] == [4.0, 5.0]
+    with pytest.raises(PipelineError, match="p:"):
+        run(
+            [
+                {
+                    "$setWindowFields": {
+                        "sortBy": {"t": 1},
+                        "output": {"x": {"$percentile": {"input": "$v"}}},
+                    }
+                }
+            ],
+            df,
+        )
