@@ -127,3 +127,40 @@ def partition_by_key(df: DataFrame, num_partitions: int) -> DataFrame:
     shuffle on the CDC hot path; skip it when the Kafka sink's key
     hashing is ordering enough."""
     return df.repartition(num_partitions, F.col("documentKey"))
+
+
+def reassemble_split_events(df: DataFrame) -> DataFrame:
+    """Consumer-side inverse of $changeStreamSplitLargeEvent: group
+    fragments by the event id, merge each payload field from the one
+    fragment that carries it, and verify completeness (all ``of``
+    fragments arrived).  Unsplit events (null ``splitEvent``) pass
+    through the same plan unchanged.
+
+    Output matches the pre-split change-event schema (``splitEvent``
+    removed) plus ``complete`` — false when fragments are missing, so
+    a consumer can quarantine partial events instead of silently
+    processing them.
+
+    Scale: one hash-shuffle keyed on the event id with map-side
+    partial aggregation; payload merge is first(ignorenulls) — each
+    field exists in exactly one fragment by the split contract.
+    """
+    if "splitEvent" not in df.columns:
+        raise ValueError("reassemble_split_events needs a splitEvent column")
+    payload = ["fullDocument", "fullDocumentBeforeChange", "updateDescription"]
+    envelope = [
+        c for c in df.columns if c not in payload and c != "splitEvent"
+    ]
+    aggs = [
+        *[F.first(c, ignorenulls=False).alias(c) for c in envelope if c != "_id"],
+        *[F.first(c, ignorenulls=True).alias(c) for c in payload],
+        F.count(F.lit(1)).alias("__n_frags"),
+        F.first(F.col("splitEvent")["of"], ignorenulls=True).alias("__of"),
+    ]
+    out = df.groupBy("_id").agg(*aggs)
+    return out.select(
+        *[c for c in df.columns if c != "splitEvent"],
+        F.coalesce(
+            F.col("__n_frags") == F.col("__of"), F.lit(True)
+        ).alias("complete"),
+    )

@@ -238,3 +238,49 @@ def cdc_split_large_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fullDocumentBeforeChange").alias("beforeDocument"),
         F.col("updateDescription")["updatedFields"].alias("updatedFields"),
     ).orderBy("ev", "fragment")
+
+
+@query(
+    "cdc_split_reassemble",
+    oracle=f"""
+    WITH sim AS ({_SIM})
+    SELECT 'tok' || CAST(event_id AS VARCHAR) AS ev,
+           operation AS operationType,
+           CASE WHEN operation IN ('insert','update','replace')
+                THEN {_AFTER} END AS fullDocument,
+           CASE WHEN operation IN ('update','replace','delete')
+                THEN {_BEFORE} END AS beforeDocument,
+           CASE WHEN operation = 'update' THEN {_UPD} END AS updatedFields,
+           TRUE AS complete
+    FROM sim
+    ORDER BY ev
+    """,
+    doc="split -> reassemble roundtrip as an oracle: fragmenting the "
+    "simulated stream with $changeStreamSplitLargeEvent and merging "
+    "the fragments back (operators.cdc.reassemble_split_events) must "
+    "reproduce the original events exactly — the oracle is simply the "
+    "unsplit simulation, proving the operators are inverses.",
+    tags=("cdc", "pipeline"),
+)
+def cdc_split_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the split is a narrow pass; the reassembly is one
+    hash-shuffle keyed on the event id with map-side partials."""
+    from pymongo_change_stream_reader_spark.operators.cdc import (
+        reassemble_split_events,
+    )
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        translate_pipeline,
+    )
+
+    split = translate_pipeline(
+        [{"$changeStreamSplitLargeEvent": {"maxSize": _SPLIT_MAX}}]
+    )(simulate_change_stream(spark, sf_dir))
+    back = reassemble_split_events(split)
+    return back.select(
+        F.col("_id")["_data"].alias("ev"),
+        "operationType",
+        "fullDocument",
+        F.col("fullDocumentBeforeChange").alias("beforeDocument"),
+        F.col("updateDescription")["updatedFields"].alias("updatedFields"),
+        "complete",
+    ).orderBy("ev")

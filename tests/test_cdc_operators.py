@@ -110,3 +110,60 @@ def test_partitioning_per_key(spark, events):
         .collect()
     )
     assert per_key and all(r["npid"] == 1 for r in per_key)
+
+
+def test_split_reassemble_roundtrip(spark):
+    """split -> reassemble is the identity on the simulated change
+    stream (payloads land back on their events, completeness holds),
+    and a withheld fragment flips `complete` to False."""
+    from pymongo_change_stream_reader_spark.operators.cdc import (
+        reassemble_split_events,
+    )
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        translate_pipeline,
+    )
+    from pymongo_change_stream_reader_spark.sources.simulate import (
+        simulate_change_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = simulate_change_stream(spark, SF_SMOKE)
+    split = translate_pipeline(
+        [{"$changeStreamSplitLargeEvent": {"maxSize": 80}}]
+    )(events)
+    back = reassemble_split_events(split)
+    assert back.count() == events.count()
+    assert back.filter(~F.col("complete")).count() == 0
+    key = [r["_id"]["_data"] for r in events.collect()]
+    orig = {
+        r["_id"]["_data"]: (
+            r["fullDocument"],
+            r["fullDocumentBeforeChange"],
+            r["updateDescription"],
+        )
+        for r in events.collect()
+    }
+    got = {
+        r["_id"]["_data"]: (
+            r["fullDocument"],
+            r["fullDocumentBeforeChange"],
+            r["updateDescription"],
+        )
+        for r in back.collect()
+    }
+    assert got == orig and set(got) == set(key)
+
+    # withhold one fragment of a split event -> incomplete
+    frag = split.filter(F.col("splitEvent").isNotNull()).limit(1).collect()
+    if frag:
+        ev = frag[0]["_id"]["_data"]
+        partial = split.filter(
+            ~(
+                (F.col("_id")["_data"] == ev)
+                & (F.col("splitEvent")["fragment"] == 1)
+            )
+        )
+        bad = reassemble_split_events(partial).filter(
+            F.col("_id")["_data"] == ev
+        ).collect()
+        assert len(bad) == 1 and bad[0]["complete"] is False
