@@ -1001,3 +1001,80 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("z_milli"), "doc_id")
         .limit(40)
     )
+
+
+@query(
+    "quality_ccnet_buckets",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, t[j] || ' ' || t[j+1] AS bigram, t[j] AS w1
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(j)
+        WHERE len(t) >= 2
+    ),
+    cb AS (SELECT bigram, COUNT(*) AS c_bi FROM bi GROUP BY bigram),
+    cu AS (SELECT w1, COUNT(*) AS c_uni FROM bi GROUP BY w1),
+    z AS (
+        SELECT bi.doc_id,
+               SUM(cb.c_bi) AS sbf,
+               SUM(cu.c_uni) AS spf
+        FROM bi JOIN cb USING (bigram) JOIN cu USING (w1)
+        GROUP BY bi.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id,
+               ROUND(sbf::DOUBLE / spf, 6) AS fluency,
+               NTILE(3) OVER (ORDER BY sbf::DOUBLE / spf DESC, doc_id)
+                   AS tercile
+        FROM z
+    )
+    SELECT doc_id, fluency,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+    FROM ranked
+    ORDER BY doc_id
+    """,
+    doc="CCNet-style head/middle/tail quality bucketing: documents "
+    "rank by corpus-fluency (exact integer bigram/prefix frequency "
+    "sums; one IEEE division per doc — identical operands cross-"
+    "engine), NTILE terciles with doc_id tie-break label head/middle/"
+    "tail.  CCNet keeps 'head' for pretraining and drops or "
+    "downsamples 'tail'.",
+    tags=("corpus", "text", "quality"),
+)
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the model build and per-doc sums shuffle on token keys
+    (map-side partials); the tercile NTILE runs over DOC-level
+    aggregates — at real corpus scale the single-partition sort is
+    replaced by approx-quantile thresholds (two scan passes), but the
+    doc-aggregate table is already ~10^6x smaller than the corpus."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_bigrams, bigram_counts, prefix_counts = tx.bigram_lm_tables(
+        d, "text", "doc_id"
+    )
+    z = (
+        doc_bigrams.join(bigram_counts, "bigram")
+        .join(prefix_counts, "w1")
+        .groupBy("doc_id")
+        .agg(F.sum("c_bi").alias("sbf"), F.sum("c_uni").alias("spf"))
+    )
+    key = F.col("sbf").cast("double") / F.col("spf")
+    ranked = z.select(
+        "doc_id",
+        F.round(key, 6).alias("fluency"),
+        F.ntile(3)
+        .over(W.orderBy(key.desc(), F.col("doc_id")))
+        .alias("tercile"),
+    )
+    return ranked.select(
+        "doc_id",
+        "fluency",
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).orderBy("doc_id")
