@@ -2473,6 +2473,98 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
                 .drop("__ema_part", "__ema_in")
             )
             continue
+        if op in ("$firstN", "$lastN", "$minN", "$maxN"):
+            # Window forms of the N-accumulators: the frame's rows in
+            # sort order (first/last) or by BSON value order (min/max,
+            # nulls dropped — collect_list already skips them), cut to
+            # n.  One collect over the frame, then array ops.
+            if not isinstance(arg, dict) or "input" not in arg:
+                raise PipelineError(f"{op} requires an input document")
+            n_arg = arg.get("n")
+            if not isinstance(n_arg, int) or isinstance(n_arg, bool) or n_arg < 1:
+                raise PipelineError(f"{op} requires a positive integer n")
+            lst = F.collect_list(translate_expr(arg["input"])).over(
+                make_frame(win)
+            )
+            if op == "$firstN":
+                col = F.slice(lst, 1, n_arg)
+            elif op == "$lastN":
+                col = F.slice(
+                    lst,
+                    F.greatest(F.size(lst) - n_arg + 1, F.lit(1)),
+                    n_arg,
+                )
+            elif op == "$minN":
+                col = F.slice(F.array_sort(lst, _bson_compare), 1, n_arg)
+            else:
+                col = F.slice(
+                    F.reverse(F.array_sort(lst, _bson_compare)), 1, n_arg
+                )
+            out = out.withColumn(field_name, col)
+            continue
+        if op in ("$top", "$bottom", "$topN", "$bottomN"):
+            # Window forms of the sortBy-pickers: collect the frame's
+            # (sort-key..., output) structs, sort by the keys under
+            # BSON order with per-field directions, take 1 / n.
+            if not isinstance(arg, dict) or "output" not in arg:
+                raise PipelineError(f"{op} requires an output document")
+            sort_by = arg.get("sortBy")
+            if not isinstance(sort_by, dict) or not sort_by or not all(
+                d in (1, -1) for d in sort_by.values()
+            ):
+                raise PipelineError(f"{op} requires sortBy of 1 / -1 fields")
+            if op in ("$topN", "$bottomN"):
+                n_arg = arg.get("n")
+                if (
+                    not isinstance(n_arg, int)
+                    or isinstance(n_arg, bool)
+                    or n_arg < 1
+                ):
+                    raise PipelineError(f"{op} requires a positive integer n")
+            else:
+                n_arg = 1
+            fields = list(sort_by.items())
+            entry = F.struct(
+                *[
+                    translate_expr(f"${f}").alias(f"__k{i}")
+                    for i, (f, _) in enumerate(fields)
+                ],
+                translate_expr(arg["output"]).alias("__out"),
+            )
+            lst = F.collect_list(entry).over(make_frame(win))
+
+            def pick_cmp(a: Column, b: Column) -> Column:
+                cmps = [
+                    _bson_compare(a[f"__k{i}"], b[f"__k{i}"])
+                    if d == 1
+                    else -_bson_compare(a[f"__k{i}"], b[f"__k{i}"])
+                    for i, (_, d) in enumerate(fields)
+                ]
+                res = cmps[-1]
+                for c in reversed(cmps[:-1]):
+                    res = F.when(c != 0, c).otherwise(res)
+                return res
+
+            ordered = F.array_sort(lst, pick_cmp)
+            if op == "$bottom":
+                col = F.try_element_at(ordered, F.size(ordered))["__out"]
+            elif op == "$top":
+                col = F.try_element_at(ordered, F.lit(1))["__out"]
+            elif op == "$topN":
+                col = F.transform(
+                    F.slice(ordered, 1, n_arg), lambda s: s["__out"]
+                )
+            else:  # $bottomN: the LAST n in sort order, order preserved
+                col = F.transform(
+                    F.slice(
+                        ordered,
+                        F.greatest(F.size(ordered) - n_arg + 1, F.lit(1)),
+                        n_arg,
+                    ),
+                    lambda s: s["__out"],
+                )
+            out = out.withColumn(field_name, col)
+            continue
         if op in ("$percentile", "$median"):
             # Mongo 7.0 window forms — computed EXACTLY over the
             # frame, same contract as the group/expression forms
@@ -2506,6 +2598,7 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             "$max": F.max,
             "$count": lambda _c: F.count(F.lit(1)),
             "$push": F.collect_list,
+            "$addToSet": F.collect_set,
             "$first": lambda c: F.first(c, ignorenulls=False),
             "$last": lambda c: F.last(c, ignorenulls=False),
             "$stdDevPop": F.stddev_pop,

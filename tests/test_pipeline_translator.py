@@ -3455,3 +3455,79 @@ def test_window_percentile_median(spark):
             ],
             df,
         )
+
+
+def test_window_n_family_and_pickers(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 30.0, "x"), ("a", 2, 10.0, "y"), ("a", 3, 20.0, "z"),
+         ("a", 4, None, "w")],
+        "g STRING, t INT, v DOUBLE, tag STRING",
+    )
+    out = run(
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$g",
+                    "sortBy": {"t": 1},
+                    "output": {
+                        "f2": {
+                            "$firstN": {"input": "$tag", "n": 2},
+                            "window": {"documents": ["unbounded", "unbounded"]},
+                        },
+                        "l2": {
+                            "$lastN": {"input": "$tag", "n": 2},
+                            "window": {"documents": ["unbounded", "unbounded"]},
+                        },
+                        "m2": {
+                            "$minN": {"input": "$v", "n": 2},
+                            "window": {"documents": ["unbounded", "unbounded"]},
+                        },
+                        "x2": {
+                            "$maxN": {"input": "$v", "n": 2},
+                            "window": {"documents": ["unbounded", "unbounded"]},
+                        },
+                        "s": {
+                            "$addToSet": "$g",
+                            "window": {"documents": ["unbounded", "unbounded"]},
+                        },
+                        "best": {
+                            "$top": {"sortBy": {"v": -1}, "output": "$tag"},
+                            "window": {"documents": ["unbounded", "unbounded"]},
+                        },
+                        "worst2": {
+                            "$bottomN": {
+                                "sortBy": {"v": -1},
+                                "output": "$tag",
+                                "n": 2,
+                            },
+                            "window": {"documents": ["unbounded", "unbounded"]},
+                        },
+                    },
+                }
+            },
+            {"$sort": {"t": 1}},
+        ],
+        df,
+    ).collect()
+    r = out[0]
+    assert r["f2"] == ["x", "y"] and r["l2"] == ["z", "w"]
+    assert r["m2"] == [10.0, 20.0] and r["x2"] == [30.0, 20.0]
+    assert r["s"] == ["a"]
+    # $top with v desc: null v ranks LOWEST under BSON order, so the
+    # top is the largest value (30 -> "x"); bottomN keeps sort order
+    assert r["best"] == "x"
+    assert r["worst2"] == ["y", "w"]
+    with pytest.raises(PipelineError, match="positive integer n"):
+        run(
+            [
+                {
+                    "$setWindowFields": {
+                        "sortBy": {"t": 1},
+                        "output": {
+                            "x": {"$topN": {"sortBy": {"v": 1}, "output": "$tag"}}
+                        },
+                    }
+                }
+            ],
+            df,
+        )
