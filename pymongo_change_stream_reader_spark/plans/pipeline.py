@@ -664,13 +664,23 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                 return F.to_timestamp(ds, _date_format(arg["format"]))
             return F.to_timestamp(ds)
         case "$dateFromParts":
-            if not isinstance(arg, dict) or "year" not in arg:
-                raise PipelineError("$dateFromParts requires a 'year' field")
-            known = {"year", "month", "day", "hour", "minute", "second",
-                     "millisecond"}
+            if not isinstance(arg, dict):
+                raise PipelineError("$dateFromParts takes a document")
+            iso_form = "isoWeekYear" in arg
+            if not iso_form and "year" not in arg:
+                raise PipelineError(
+                    "$dateFromParts requires 'year' or 'isoWeekYear'"
+                )
+            known = (
+                {"isoWeekYear", "isoWeek", "isoDayOfWeek", "hour",
+                 "minute", "second", "millisecond"}
+                if iso_form
+                else {"year", "month", "day", "hour", "minute", "second",
+                      "millisecond"}
+            )
             extra = set(arg) - known
             if extra:
-                # ISO-week-date form and timezone are not translated.
+                # timezone (and mixing the two calendars) not translated
                 raise PipelineError(
                     f"unsupported $dateFromParts fields {sorted(extra)!r}"
                 )
@@ -680,18 +690,32 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                     return translate_expr(arg[name], env).cast("int")
                 return F.lit(default)
 
-            year = translate_expr(arg["year"], env).cast("int")
-            # Date arithmetic (add_months / date_add) instead of
-            # make_timestamp so out-of-range parts CARRY like Mongo's
-            # (month 14 -> next year Feb; day 0 -> last day of the
-            # previous month).
-            date = F.date_add(
-                F.add_months(
-                    F.make_date(year, F.lit(1), F.lit(1)),
-                    _part("month", 1) - F.lit(1),
-                ),
-                _part("day", 1) - F.lit(1),
-            )
+            if iso_form:
+                # ISO week-date calendar: week 1 always contains Jan 4;
+                # pure date arithmetic so out-of-range isoWeek /
+                # isoDayOfWeek CARRY like Mongo's (isoWeek 60 flows
+                # into the next ISO year)
+                iso_year = translate_expr(arg["isoWeekYear"], env).cast("int")
+                anchor = F.make_date(iso_year, F.lit(1), F.lit(4))
+                week1_monday = F.date_sub(anchor, F.weekday(anchor))
+                date = F.date_add(
+                    week1_monday,
+                    (_part("isoWeek", 1) - F.lit(1)) * F.lit(7)
+                    + (_part("isoDayOfWeek", 1) - F.lit(1)),
+                )
+            else:
+                year = translate_expr(arg["year"], env).cast("int")
+                # Date arithmetic (add_months / date_add) instead of
+                # make_timestamp so out-of-range parts CARRY like
+                # Mongo's (month 14 -> next year Feb; day 0 -> last
+                # day of the previous month).
+                date = F.date_add(
+                    F.add_months(
+                        F.make_date(year, F.lit(1), F.lit(1)),
+                        _part("month", 1) - F.lit(1),
+                    ),
+                    _part("day", 1) - F.lit(1),
+                )
             return date.cast("timestamp") + F.make_dt_interval(
                 F.lit(0),
                 _part("hour", 0),

@@ -3531,3 +3531,59 @@ def test_window_n_family_and_pickers(spark):
             ],
             df,
         )
+
+
+def test_date_from_parts_iso_form(spark):
+    df = spark.createDataFrame([(1,)], "id INT")
+    out = run(
+        [
+            {
+                "$project": {
+                    # 2024 ISO week 1 Monday is 2024-01-01
+                    "a": {
+                        "$dateFromParts": {
+                            "isoWeekYear": 2024,
+                            "isoWeek": 1,
+                            "isoDayOfWeek": 1,
+                        }
+                    },
+                    # week 2, Sunday -> 2024-01-14
+                    "b": {
+                        "$dateFromParts": {
+                            "isoWeekYear": 2024,
+                            "isoWeek": 2,
+                            "isoDayOfWeek": 7,
+                            "hour": 6,
+                        }
+                    },
+                    # 2026 ISO week 1 starts Mon 2025-12-29 (Jan 4
+                    # 2026 is a Sunday) — week-1 edge across years
+                    "c": {
+                        "$dateFromParts": {
+                            "isoWeekYear": 2026,
+                            "isoWeek": 1,
+                            "isoDayOfWeek": 1,
+                        }
+                    },
+                    # carry: isoWeek 54 of 2024 flows into 2025
+                    "d": {
+                        "$dateFromParts": {
+                            "isoWeekYear": 2024,
+                            "isoWeek": 54,
+                            "isoDayOfWeek": 1,
+                        }
+                    },
+                }
+            }
+        ],
+        df,
+    ).collect()[0]
+    assert str(out["a"]) == "2024-01-01 00:00:00"
+    assert str(out["b"]) == "2024-01-14 06:00:00"
+    assert str(out["c"]) == "2025-12-29 00:00:00"
+    assert str(out["d"]) == "2025-01-06 00:00:00"
+    with pytest.raises(PipelineError, match="fields"):
+        run(
+            [{"$project": {"x": {"$dateFromParts": {"isoWeekYear": 2024, "month": 2}}}}],
+            df,
+        )
