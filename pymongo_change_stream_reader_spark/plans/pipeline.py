@@ -315,11 +315,24 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
         case "$ifNull":
             return F.coalesce(*[translate_expr(a, env) for a in args])
         case "$dateToString":
-            if not isinstance(arg, dict):
-                raise PipelineError("$dateToString takes {format, date}")
-            return F.date_format(
-                translate_expr(arg["date"], env), _date_format(arg["format"])
+            if not isinstance(arg, dict) or "date" not in arg:
+                raise PipelineError("$dateToString takes {date, format?}")
+            # Mongo's default format is the ISO-8601 form with
+            # millisecond precision and a literal Z (session is UTC);
+            # the Java pattern needs the literal T/Z quoted
+            fmt_str = (
+                _date_format(arg["format"])
+                if "format" in arg
+                else "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
             )
+            formatted = F.date_format(
+                translate_expr(arg["date"], env), fmt_str
+            )
+            if "onNull" in arg:
+                return F.coalesce(
+                    formatted, translate_expr(arg["onNull"], env)
+                )
+            return formatted
         case "$toString":
             return tx(0).cast("string")
         case "$toInt":
@@ -659,10 +672,31 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                 _date_unit(arg["unit"]),
             )
         case "$dateFromString":
+            if not isinstance(arg, dict) or "dateString" not in arg:
+                raise PipelineError("$dateFromString requires dateString")
+            if "timezone" in arg:
+                raise PipelineError(
+                    "$dateFromString timezone is not translated (the "
+                    "engine session is pinned to UTC)"
+                )
             ds = translate_expr(arg["dateString"], env)
-            if "format" in arg:
-                return F.to_timestamp(ds, _date_format(arg["format"]))
-            return F.to_timestamp(ds)
+            fmt = (
+                [_date_format(arg["format"])] if "format" in arg else []
+            )
+            if "onError" in arg:
+                # try_to_timestamp: a malformed string falls back to
+                # onError instead of failing the query (Mongo errors
+                # without onError — so does the strict path below)
+                parsed = F.coalesce(
+                    F.try_to_timestamp(ds, *[F.lit(f) for f in fmt]),
+                    translate_expr(arg["onError"], env),
+                )
+            else:
+                parsed = F.to_timestamp(ds, *fmt)
+            if "onNull" in arg:
+                # Mongo: a NULL dateString takes onNull, not onError
+                return F.when(ds.isNull(), translate_expr(arg["onNull"], env)).otherwise(parsed)
+            return parsed
         case "$dateFromParts":
             if not isinstance(arg, dict):
                 raise PipelineError("$dateFromParts takes a document")

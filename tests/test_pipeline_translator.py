@@ -3587,3 +3587,65 @@ def test_date_from_parts_iso_form(spark):
             [{"$project": {"x": {"$dateFromParts": {"isoWeekYear": 2024, "month": 2}}}}],
             df,
         )
+
+
+def test_date_string_conversions_options(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-03-05 06:07:08"), (2, "not a date"), (3, None)],
+        "id INT, s STRING",
+    )
+    out = run(
+        [
+            {
+                "$project": {
+                    "id": 1,
+                    "p": {
+                        "$dateFromString": {
+                            "dateString": "$s",
+                            "onError": {"$literal": None},
+                            "onNull": {
+                                "$dateFromString": {
+                                    "dateString": "1970-01-01 00:00:00"
+                                }
+                            },
+                        }
+                    },
+                }
+            },
+            {
+                "$project": {
+                    "id": 1,
+                    "iso": {"$dateToString": {"date": "$p"}},
+                    "fmt": {
+                        "$dateToString": {
+                            "date": "$p",
+                            "format": "%Y/%m/%d",
+                            "onNull": "missing",
+                        }
+                    },
+                }
+            },
+        ],
+        df,
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["iso"] == "2024-03-05T06:07:08.000Z"
+    assert by_id[1]["fmt"] == "2024/03/05"
+    assert by_id[2]["iso"] is None and by_id[2]["fmt"] == "missing"
+    assert by_id[3]["iso"] == "1970-01-01T00:00:00.000Z"  # onNull epoch
+    with pytest.raises(PipelineError, match="timezone"):
+        run(
+            [
+                {
+                    "$project": {
+                        "x": {
+                            "$dateFromString": {
+                                "dateString": "$s",
+                                "timezone": "America/New_York",
+                            }
+                        }
+                    }
+                }
+            ],
+            df,
+        )
