@@ -580,7 +580,24 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             if not isinstance(arg, dict) or "date" not in arg:
                 raise PipelineError("$dateToParts requires {date: <expr>}")
             if arg.get("iso8601"):
-                raise PipelineError("$dateToParts iso8601 form is not supported")
+                # ISO week-date parts: isoWeekYear is the calendar year
+                # of the Thursday in the date's ISO week; isoWeek /
+                # isoDayOfWeek reuse the $isoWeek/$isoDayOfWeek forms.
+                d = translate_expr(arg["date"], env)
+                iso_dow = ((F.dayofweek(d) + F.lit(5)) % 7) + 1
+                return F.struct(
+                    F.year(F.date_add(d, F.lit(4) - iso_dow)).alias(
+                        "isoWeekYear"
+                    ),
+                    F.weekofyear(d).alias("isoWeek"),
+                    iso_dow.alias("isoDayOfWeek"),
+                    F.hour(d).alias("hour"),
+                    F.minute(d).alias("minute"),
+                    F.second(d).alias("second"),
+                    (F.unix_micros(d) % 1_000_000 / 1000).cast("int").alias(
+                        "millisecond"
+                    ),
+                )
             d = translate_expr(arg["date"], env)
             return F.struct(
                 F.year(d).alias("year"),
@@ -648,11 +665,68 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
         case "$millisecond":
             return ((F.unix_micros(tx(0)) % 1_000_000) / 1000).cast("int")
         case "$dateTrunc":
-            if arg.get("binSize", 1) != 1:
-                raise PipelineError("$dateTrunc binSize != 1 not supported")
-            return F.date_trunc(
-                _date_unit(arg["unit"]), translate_expr(arg["date"], env)
-            )
+            # Mongo bins anchored at the reference point
+            # 2000-01-01T00:00:00Z; for unit week the anchor shifts to
+            # the first `startOfWeek` on or after it (2000-01-01 was a
+            # Saturday).  binSize must be a literal positive integer.
+            bin_size = arg.get("binSize", 1)
+            if (
+                isinstance(bin_size, bool)
+                or not isinstance(bin_size, int)
+                or bin_size < 1
+            ):
+                raise PipelineError(
+                    "$dateTrunc binSize must be a positive integer literal"
+                )
+            if arg.get("timezone") not in (None, "UTC", "+00", "+00:00", "Z"):
+                raise PipelineError(
+                    "$dateTrunc timezone other than UTC is not supported"
+                )
+            unit = arg["unit"]
+            d = translate_expr(arg["date"], env)
+            if unit in ("month", "quarter", "year"):
+                if bin_size == 1:
+                    return F.date_trunc(_date_unit(unit), d)
+                step = {"month": 1, "quarter": 3, "year": 12}[unit] * bin_size
+                months = (F.year(d) - F.lit(2000)) * 12 + (F.month(d) - 1)
+                k = months - ((months % step) + step) % step
+                return F.add_months(
+                    F.to_date(F.lit("2000-01-01")), k
+                ).cast("timestamp")
+            if unit == "week":
+                sow = str(arg.get("startOfWeek", "sunday")).lower()
+                anchors = {
+                    "saturday": "2000-01-01", "sunday": "2000-01-02",
+                    "monday": "2000-01-03", "tuesday": "2000-01-04",
+                    "wednesday": "2000-01-05", "thursday": "2000-01-06",
+                    "friday": "2000-01-07",
+                }
+                anchors.update({k[:3]: v for k, v in list(anchors.items())})
+                if sow not in anchors:
+                    raise PipelineError(
+                        f"$dateTrunc invalid startOfWeek {sow!r}"
+                    )
+                import datetime as _dt
+
+                anchor_us = int(
+                    _dt.datetime.fromisoformat(
+                        anchors[sow] + "T00:00:00+00:00"
+                    ).timestamp()
+                ) * 1_000_000
+            else:
+                if unit not in _UNIT_SECONDS:
+                    raise PipelineError(f"unsupported date unit {unit!r}")
+                if bin_size == 1:
+                    return F.date_trunc(_date_unit(unit), d)
+                # 2000-01-01T00:00:00Z = 946684800s, a whole multiple
+                # of every fixed sub-week unit.
+                anchor_us = 946_684_800 * 1_000_000
+            width = round(
+                _UNIT_SECONDS["week" if unit == "week" else unit] * 1_000_000
+            ) * bin_size
+            x = F.unix_micros(d) - F.lit(anchor_us)
+            off = ((x % width) + width) % width
+            return F.timestamp_micros(F.unix_micros(d) - off)
         case "$dateAdd":
             return F.timestamp_add(
                 _date_unit(arg["unit"]),
@@ -1648,14 +1722,27 @@ def _apply_unwind(df: DataFrame, spec) -> DataFrame:
         root, rest = field_name.split(".", 1)
         if root not in df.columns:
             raise PipelineError(f"$unwind path {path!r}: no column {root!r}")
+        if index:
+            if "." in index:
+                raise PipelineError(
+                    "$unwind includeArrayIndex must be a top-level field"
+                )
+            fn = F.posexplode_outer if preserve else F.posexplode
+            return (
+                df.select(
+                    "*",
+                    fn(_get_path(F.col(root), rest)).alias(
+                        "__unwound_idx", "__unwound"
+                    ),
+                )
+                .withColumn(root, F.col(root).withField(rest, F.col("__unwound")))
+                .withColumn(index, F.col("__unwound_idx").cast("long"))
+                .drop("__unwound", "__unwound_idx")
+            )
         fn = F.explode_outer if preserve else F.explode
         out = df.select(
             "*", fn(_get_path(F.col(root), rest)).alias("__unwound")
         ).withColumn(root, F.col(root).withField(rest, F.col("__unwound")))
-        if index:
-            raise PipelineError(
-                "$unwind includeArrayIndex is not supported on nested paths"
-            )
         return out.drop("__unwound")
     if field_name not in df.columns:
         raise PipelineError(f"$unwind path {path!r} must be an array field")
@@ -2299,11 +2386,12 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     from pyspark.sql import Window as W
 
     part = spec.get("partitionBy")
-    base = (
+    part_only = (
         W.partitionBy(translate_expr(part))
         if part is not None
         else W.partitionBy(F.lit(1))
     )
+    base = part_only
     sort = spec.get("sortBy")
     if sort:
         base = base.orderBy(*_sort_cols(sort))
@@ -2315,15 +2403,55 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             docs = win.get("documents")
             rng = win.get("range")
             if rng is not None:
-                if win.get("unit"):
-                    raise PipelineError(
-                        "window.range with a date unit is not supported"
-                    )
                 if len(rng) != 2:
                     raise PipelineError("window.range requires [lo, hi]")
                 if not sort or len(sort) != 1 or list(sort.values()) != [1]:
                     raise PipelineError(
                         "window.range requires a single ascending sortBy field"
+                    )
+                unit = win.get("unit")
+                if unit:
+                    # Date-unit range window (Mongo: sortBy must be a
+                    # date; frame covers sort values in
+                    # [cur + lo*unit, cur + hi*unit]).  Fixed-width
+                    # units map exactly onto rangeBetween over epoch
+                    # microseconds of the sort field; calendar units
+                    # (year/quarter/month) are not fixed-width and are
+                    # declared narrower.
+                    if unit not in _UNIT_SECONDS:
+                        raise PipelineError(
+                            f"window.range unit {unit!r} is not "
+                            "fixed-width (year/quarter/month range "
+                            "windows are not supported)"
+                        )
+                    scale = round(_UNIT_SECONDS[unit] * 1_000_000)
+                    sfield = next(iter(sort))
+                    ordered = part_only.orderBy(
+                        F.unix_micros(F.col(sfield).cast("timestamp"))
+                    )
+
+                    def unit_bound(b, default):
+                        if b == "unbounded":
+                            return default
+                        if b == "current":
+                            return W.currentRow
+                        if isinstance(b, bool) or not isinstance(
+                            b, (int, float)
+                        ):
+                            raise PipelineError(
+                                f"unsupported window bound {b!r}"
+                            )
+                        v = b * scale
+                        if v != int(v):
+                            raise PipelineError(
+                                f"window.range bound {b!r} with unit "
+                                f"{unit!r} is finer than microseconds"
+                            )
+                        return int(v)
+
+                    return ordered.rangeBetween(
+                        unit_bound(rng[0], W.unboundedPreceding),
+                        unit_bound(rng[1], W.unboundedFollowing),
                     )
                 return base.rangeBetween(
                     _frame_bound(rng[0], W.unboundedPreceding),

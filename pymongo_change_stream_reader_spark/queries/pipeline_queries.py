@@ -1672,3 +1672,54 @@ def pipeline_match_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "events")).orderBy("event_id")
+
+
+@query(
+    "pipeline_window_range_unit",
+    oracle="""
+    SELECT event_id,
+           ROUND(SUM(value) OVER (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW), 2) AS hour_sum,
+           CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS half_hour_n
+    FROM events
+    WHERE event_id < 2000
+    """,
+    doc="$setWindowFields date-unit range windows (Mongo `window.range` "
+    "with `unit`): fixed-width units lower onto rangeBetween over epoch "
+    "microseconds of the sortBy timestamp — value-based frames, so tied "
+    "timestamps are peers in both engines.",
+    tags=("pipeline", "window"),
+)
+def pipeline_window_range_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 2000}}},
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$event_type",
+                    "sortBy": {"ts": 1},
+                    "output": {
+                        "hour_sum": {
+                            "$sum": "$value",
+                            "window": {"range": [-1, 0], "unit": "hour"},
+                        },
+                        "half_hour_n": {
+                            "$count": {},
+                            "window": {"range": [-30, 0], "unit": "minute"},
+                        },
+                    },
+                }
+            },
+            {
+                "$project": {
+                    "event_id": 1,
+                    "hour_sum": {"$round": ["$hour_sum", 2]},
+                    "half_hour_n": 1,
+                }
+            },
+        ]
+    )
+    return pipe(load_table(spark, sf_dir, "events"))

@@ -3649,3 +3649,167 @@ def test_date_string_conversions_options(spark):
             ],
             df,
         )
+
+
+def test_window_range_date_unit(spark):
+    from datetime import datetime as DT
+
+    df = spark.createDataFrame(
+        [
+            ("a", DT(2026, 8, 14, 10, 0), 1.0),
+            ("a", DT(2026, 8, 14, 10, 30), 2.0),
+            ("a", DT(2026, 8, 14, 11, 0), 4.0),
+            ("a", DT(2026, 8, 14, 13, 0), 8.0),
+            ("b", DT(2026, 8, 14, 10, 0), 16.0),
+        ],
+        "g STRING, ts TIMESTAMP, v DOUBLE",
+    )
+    got = {
+        (r["g"], r["ts"].hour, r["ts"].minute): r["s"]
+        for r in run(
+            [
+                {
+                    "$setWindowFields": {
+                        "partitionBy": "$g",
+                        "sortBy": {"ts": 1},
+                        "output": {
+                            "s": {
+                                "$sum": "$v",
+                                "window": {
+                                    "range": [-1, 0],
+                                    "unit": "hour",
+                                },
+                            }
+                        },
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    # frame covers sort values in [cur - 1h, cur]; boundaries inclusive
+    assert got[("a", 10, 0)] == 1.0
+    assert got[("a", 10, 30)] == 3.0
+    assert got[("a", 11, 0)] == 7.0  # 10:00 is exactly on the lower bound
+    assert got[("a", 13, 0)] == 8.0
+    assert got[("b", 10, 0)] == 16.0
+    # calendar units are not fixed-width -> declared narrower
+    with pytest.raises(PipelineError, match="fixed-width"):
+        run(
+            [
+                {
+                    "$setWindowFields": {
+                        "sortBy": {"ts": 1},
+                        "output": {
+                            "s": {
+                                "$sum": "$v",
+                                "window": {"range": [-1, 0], "unit": "month"},
+                            }
+                        },
+                    }
+                }
+            ],
+            df,
+        )
+
+
+def test_date_to_parts_iso8601(spark):
+    from datetime import datetime as DT
+
+    df = spark.createDataFrame(
+        [
+            (1, DT(2000, 1, 1, 6, 7, 8, 123000)),   # Saturday -> ISO 1999-W52-6
+            (2, DT(2021, 1, 1)),                     # Friday  -> ISO 2020-W53-5
+            (3, DT(2026, 8, 14)),                    # Friday  -> ISO 2026-W33-5
+        ],
+        "id INT, d TIMESTAMP",
+    )
+    got = {
+        r["id"]: r["p"].asDict()
+        for r in run(
+            [{"$project": {"id": 1, "p": {"$dateToParts": {"date": "$d", "iso8601": True}}}}],
+            df,
+        ).collect()
+    }
+    assert got[1] == {
+        "isoWeekYear": 1999, "isoWeek": 52, "isoDayOfWeek": 6,
+        "hour": 6, "minute": 7, "second": 8, "millisecond": 123,
+    }
+    assert (got[2]["isoWeekYear"], got[2]["isoWeek"], got[2]["isoDayOfWeek"]) == (2020, 53, 5)
+    assert (got[3]["isoWeekYear"], got[3]["isoWeek"], got[3]["isoDayOfWeek"]) == (2026, 33, 5)
+
+
+def test_date_trunc_bin_size(spark):
+    from datetime import datetime as DT
+
+    df = spark.createDataFrame(
+        [
+            (1, DT(2000, 1, 5)),            # day/3 from 2000-01-01 -> 2000-01-04
+            (2, DT(2026, 8, 14, 15, 30)),   # hour/6 -> 12:00; week -> Sun Aug 9
+            (3, DT(1999, 12, 31)),          # day/2, pre-anchor -> 1999-12-30
+        ],
+        "id INT, d TIMESTAMP",
+    )
+
+    def one(expr):
+        return {
+            r["id"]: r["t"]
+            for r in run([{"$project": {"id": 1, "t": expr}}], df).collect()
+        }
+
+    got = one({"$dateTrunc": {"date": "$d", "unit": "day", "binSize": 3}})
+    assert got[1] == DT(2000, 1, 4)
+    got = one({"$dateTrunc": {"date": "$d", "unit": "day", "binSize": 2}})
+    assert got[3] == DT(1999, 12, 30)
+    got = one({"$dateTrunc": {"date": "$d", "unit": "hour", "binSize": 6}})
+    assert got[2] == DT(2026, 8, 14, 12, 0)
+    # week bins anchor on startOfWeek (Mongo default: Sunday)
+    got = one({"$dateTrunc": {"date": "$d", "unit": "week"}})
+    assert got[2] == DT(2026, 8, 9)
+    got = one({"$dateTrunc": {"date": "$d", "unit": "week", "startOfWeek": "monday"}})
+    assert got[2] == DT(2026, 8, 10)
+    got = one({"$dateTrunc": {"date": "$d", "unit": "week", "binSize": 2, "startOfWeek": "mon"}})
+    # 2-week bins from Mon 2000-01-03: Mon 2026-08-10 is 1388 weeks after
+    # the anchor (even) -> bin floor stays 2026-08-10
+    assert got[2] == DT(2026, 8, 10)
+    got = one({"$dateTrunc": {"date": "$d", "unit": "month", "binSize": 5}})
+    assert got[2] == DT(2026, 4, 1)
+    got = one({"$dateTrunc": {"date": "$d", "unit": "quarter", "binSize": 2}})
+    assert got[2] == DT(2026, 7, 1)
+    got = one({"$dateTrunc": {"date": "$d", "unit": "year", "binSize": 10}})
+    assert got[2] == DT(2020, 1, 1)
+    with pytest.raises(PipelineError, match="binSize"):
+        one({"$dateTrunc": {"date": "$d", "unit": "day", "binSize": 0}})
+    with pytest.raises(PipelineError, match="binSize"):
+        one({"$dateTrunc": {"date": "$d", "unit": "day", "binSize": 1.5}})
+
+
+def test_unwind_nested_include_array_index(spark):
+    df = spark.createDataFrame(
+        [(1, ([10, 20],)), (2, ([],)), (3, (None,))],
+        "id INT, sub STRUCT<xs: ARRAY<INT>>",
+    )
+    got = run(
+        [
+            {
+                "$unwind": {
+                    "path": "$sub.xs",
+                    "includeArrayIndex": "i",
+                    "preserveNullAndEmptyArrays": True,
+                }
+            }
+        ],
+        df,
+    ).collect()
+    rows = sorted(
+        ((r["id"], r["sub"]["xs"], r["i"]) for r in got),
+        key=lambda t: (t[0], t[2] if t[2] is not None else -1),
+    )
+    assert rows == [(1, 10, 0), (1, 20, 1), (2, None, None), (3, None, None)]
+    # without preserve, empty/null rows drop
+    got = run(
+        [{"$unwind": {"path": "$sub.xs", "includeArrayIndex": "i"}}], df
+    ).collect()
+    assert sorted((r["id"], r["sub"]["xs"], r["i"]) for r in got) == [
+        (1, 10, 0), (1, 20, 1),
+    ]
