@@ -1078,3 +1078,86 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     ).orderBy("doc_id")
+
+
+@query(
+    "corpus_unimax_mix",
+    oracle=f"""
+    WITH RECURSIVE per AS (
+        SELECT lang, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tok
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tok) AS BIGINT) * 6 // 10 AS budget FROM per
+    ),
+    ordered AS (
+        SELECT lang, n_tok,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_tok, lang) AS BIGINT) AS rn,
+               CAST((SELECT COUNT(*) FROM per) AS BIGINT) AS k
+        FROM per
+    ),
+    alloc(rn, lang, quota, remaining) AS (
+        SELECT CAST(0 AS BIGINT), CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
+               (SELECT budget FROM tot)
+        UNION ALL
+        SELECT o.rn, o.lang,
+               LEAST(o.n_tok, a.remaining // (o.k - a.rn)),
+               a.remaining - LEAST(o.n_tok, a.remaining // (o.k - a.rn))
+        FROM alloc a JOIN ordered o ON o.rn = a.rn + 1
+    ),
+    scored AS (
+        SELECT lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+               SUM(CAST(len({_TOKS}) AS BIGINT)) OVER (
+                   PARTITION BY lang
+                   ORDER BY (((doc_id % 2147483648) * 2654435761) % 4294967296),
+                            doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM documents
+    )
+    SELECT a.lang, a.quota,
+           COUNT(*) AS docs_kept,
+           CAST(SUM(s.n_tok) AS BIGINT) AS tokens_kept
+    FROM scored s JOIN alloc a ON s.lang = a.lang
+    WHERE s.cum <= a.quota
+    GROUP BY a.lang, a.quota
+    ORDER BY a.lang
+    """,
+    doc="UniMax language-balanced sampling (Chung et al. 2023): the "
+    "budget (60% of corpus tokens, 1 epoch cap) is allocated smallest "
+    "language first — each takes min(cap, remaining // langs_left) — "
+    "then documents are kept per language in deterministic hash order "
+    "until the quota fills.  The allocation walk is pure integer "
+    "arithmetic on the driver over one row per language (model-sized, "
+    "same contract as the IVF centroid table); the oracle replays it "
+    "with a recursive CTE.  Selection is one window pass partitioned "
+    "by language.",
+    tags=("corpus", "sampling"),
+)
+def corpus_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the per-language totals are a handful of rows; the
+    selection is one hash-ordered cumulative-sum window per language
+    — a single shuffle on the language key.  Changing budget/epochs
+    re-runs only the driver-side walk."""
+    from pymongo_change_stream_reader_spark.operators.sampling import (
+        unimax_quotas,
+        unimax_select,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", tx.token_count(F.col("text")).cast("bigint").alias("n_tok")
+    )
+    per = [
+        (r["lang"], r["n_tok"])
+        for r in d.groupBy("lang").agg(F.sum("n_tok").cast("bigint").alias("n_tok")).collect()
+    ]
+    budget = sum(n for _, n in per) * 6 // 10
+    kept = unimax_select(d, unimax_quotas(per, budget, epochs=1))
+    return (
+        kept.groupBy("lang", "quota")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )

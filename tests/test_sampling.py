@@ -1,0 +1,46 @@
+"""UniMax allocation invariants (operators/sampling.py)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pymongo_change_stream_reader_spark.operators.sampling import unimax_quotas
+
+
+def test_unimax_textbook_walk():
+    # budget 100 over sizes 10/30/200: smallest first takes
+    # min(10, 100//3)=10, then min(30, 90//2)=30, then min(200, 60)=60.
+    q = unimax_quotas([("big", 200), ("small", 10), ("mid", 30)], 100)
+    assert q == {"small": 10, "mid": 30, "big": 60}
+
+
+def test_unimax_epoch_cap():
+    # epochs=2 doubles every cap; the leftover budget moves up-chain.
+    q = unimax_quotas([("a", 10), ("b", 100)], 100, epochs=2)
+    assert q == {"a": 20, "b": 80}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text("ab", min_size=1, max_size=3), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 10**7),
+    st.integers(1, 3),
+)
+def test_unimax_invariants(per, budget, epochs):
+    q = unimax_quotas(per, budget, epochs)
+    sizes = dict(per)
+    # caps respected, nothing negative, budget never exceeded
+    assert all(0 <= q[lang] <= sizes[lang] * epochs for lang in q)
+    assert sum(q.values()) <= budget
+    # if no cap binds, the split is equal up to floor rounding and the
+    # budget is exhausted up to < n_langs rounding loss
+    if all(q[lang] < sizes[lang] * epochs for lang in q):
+        lo, hi = min(q.values()), max(q.values())
+        assert hi - lo <= 1
+        assert budget - sum(q.values()) < len(per)
