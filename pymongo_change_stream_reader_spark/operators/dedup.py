@@ -750,6 +750,7 @@ def semdedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication over an embedding column.
@@ -782,8 +783,12 @@ def semdedup(
         train_ivf_centroids,
     )
 
-    cents = train_ivf_centroids(
-        corpus, nlist, iters, id_col=id_col, vec_col=vec_col
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(
+            corpus, nlist, iters, id_col=id_col, vec_col=vec_col
+        )
     )
     base = corpus.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("dv")
@@ -844,3 +849,57 @@ def semdedup(
     # costs the final consumer one narrow re-assignment pass.
     assigned.unpersist()
     return out
+
+
+def write_semdedup_model(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the SemDeDup coarse quantizer once and persist it as
+    ``_centroids.json`` — the only driver-sized artifact (nlist x dim
+    floats).  Ingest-once/dedup-many: re-running semdedup against a
+    grown corpus reuses the stored model and skips every Lloyd
+    collect (the dominant fixed cost; PERF.md), the same contract as
+    write_pq_index / write_ivf_index."""
+    import json as _json
+    import os
+
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(
+        corpus, nlist, iters, id_col=id_col, vec_col=vec_col
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_centroids.json"), "w") as fh:
+        _json.dump(cents, fh)
+    return cents
+
+
+def semdedup_from_model(
+    corpus: DataFrame,
+    path: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup against a stored quantizer model: identical output to
+    ``semdedup`` trained with the same parameters (pytest-asserted),
+    with zero training actions at dedup time."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        cents = _json.load(fh)
+    return semdedup(
+        corpus,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=cents,
+    )

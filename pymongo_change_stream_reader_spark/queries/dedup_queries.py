@@ -435,3 +435,32 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, nlist=16, iters=1, threshold=0.9).orderBy("vec_id")
+
+
+@query(
+    "dedup_semdedup_indexed",
+    oracle=None,  # approximate family; equality to the in-query-trained path in pytest
+    doc="SemDeDup against a STORED quantizer model: the spherical "
+    "k-means centroids are trained once (write_semdedup_model) and "
+    "reused for every subsequent dedup pass — the ingest-once path "
+    "that amortizes the Lloyd-iteration driver collects which "
+    "dominate the in-query-trained variant's cost (PERF.md).  Output "
+    "identical to dedup_semdedup given the same training parameters "
+    "(pytest test_semdedup_model_roundtrip).",
+    tags=("dedup", "similarity", "approx"),
+)
+def dedup_semdedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        semdedup_from_model,
+        write_semdedup_model,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = f"{tempfile.gettempdir()}/spark_semdedup_model_{safe}"
+    if not os.path.exists(os.path.join(path, "_centroids.json")):
+        write_semdedup_model(emb, path, nlist=16, iters=1)
+    return semdedup_from_model(emb, path, threshold=0.9).orderBy("vec_id")

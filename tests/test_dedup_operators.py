@@ -64,3 +64,22 @@ def test_semdedup_high_threshold_keeps_everything(spark):
     df = _semdedup_frame(spark).filter(F.col("vec_id").isin(1, 4, 12))
     out = semdedup(df, nlist=2, iters=1, threshold=0.999999).collect()
     assert all(r["keep"] for r in out)
+
+
+def test_semdedup_model_roundtrip(spark, tmp_path):
+    """semdedup_from_model == semdedup trained in-query with the same
+    parameters (deterministic Lloyd training -> identical centroids ->
+    identical keep decisions)."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        semdedup,
+        semdedup_from_model,
+        write_semdedup_model,
+    )
+    from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "semdedup_model")
+    write_semdedup_model(emb, path, nlist=8, iters=1)
+    direct = semdedup(emb, nlist=8, iters=1, threshold=0.9).orderBy("vec_id")
+    stored = semdedup_from_model(emb, path, threshold=0.9).orderBy("vec_id")
+    assert direct.collect() == stored.collect()
