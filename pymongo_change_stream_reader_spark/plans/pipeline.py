@@ -3928,6 +3928,8 @@ def read_versioned_sink(
             "versioned sinks retain the current and previous commit "
             "only (version 0 or -1)"
         )
+    if _read_bucket_manifest(path) is not None:
+        return read_bucketed_sink(spark, path, version)
     manifest = os.path.join(path, "_manifest")
     if os.path.exists(manifest):
         with open(manifest) as fh:
@@ -4013,6 +4015,203 @@ def _versioned_commit(df: DataFrame, path: str) -> DataFrame:
         else:
             os.unlink(full)
     return df.sparkSession.read.parquet(os.path.join(path, vdir))
+
+
+def _read_bucket_manifest(path: str):
+    """Parse a BUCKETED sink manifest (``buckets=N`` header, then one
+    ``K:relative/dir`` line per non-empty bucket).  Returns
+    (n_buckets, {bucket: rel_dir}) or None when the path has no
+    bucketed manifest."""
+    import os
+
+    mpath = os.path.join(path, "_manifest")
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as fh:
+        lines = [ln.strip() for ln in fh.read().splitlines() if ln.strip()]
+    if not lines or not lines[0].startswith("buckets="):
+        return None
+    n = int(lines[0].split("=", 1)[1])
+    entries: dict[int, str] = {}
+    for ln in lines[1:]:
+        k, rel = ln.split(":", 1)
+        entries[int(k)] = rel
+    return n, entries
+
+
+def _bucket_of(on: list[str], n_buckets: int) -> Column:
+    """Deterministic bucket of the merge key: pmod(xxhash64(keys), n).
+    Derived from the on-key columns alone, so it is never stored —
+    any reader recomputes it identically."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in on]), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+def read_bucketed_sink(
+    spark: SparkSession, path: str, version: int = 0
+) -> DataFrame | None:
+    """Read a bucket-partitioned versioned sink: the union of every
+    bucket's current directory (``version=0``) or of the previous
+    commit's manifest snapshot (``version=-1``, kept in
+    ``_manifest.prev``).  Buckets written by different commits may
+    carry different columns (merges can add fields) — unionByName with
+    allowMissingColumns reconciles them."""
+    import os
+
+    if version not in (0, -1):
+        raise PipelineError(
+            "bucketed sinks retain the current and previous commit "
+            "only (version 0 or -1)"
+        )
+    if version == -1:
+        prev = os.path.join(path, "_manifest.prev")
+        if not os.path.exists(prev):
+            return None
+        with open(prev) as fh:
+            lines = [ln.strip() for ln in fh.read().splitlines() if ln.strip()]
+        entries = {}
+        for ln in lines[1:]:
+            k, rel = ln.split(":", 1)
+            entries[int(k)] = rel
+    else:
+        mf = _read_bucket_manifest(path)
+        if mf is None:
+            return None
+        entries = mf[1]
+    frames = [
+        spark.read.parquet(os.path.join(path, rel))
+        for rel in entries.values()
+        if os.path.isdir(os.path.join(path, rel))
+    ]
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def _apply_merge_bucketed(
+    df: DataFrame,
+    spec: dict,
+    path: str,
+    on: list[str],
+    when_matched,
+    when_not_matched: str,
+    n_buckets,
+) -> DataFrame:
+    """$merge with the engine's ``buckets: N`` extension — the
+    partition-level commit the whole-table protocol cannot give:
+
+    1. incoming keys hash to a CHANGED-bucket set (collected — at most
+       N small ints of driver state);
+    2. only those buckets' stored data joins the merge (a matching key
+       always hashes to the same bucket, so untouched buckets cannot
+       change under any whenMatched/whenNotMatched mode);
+    3. the merged changed-bucket rows are written ONCE, partitioned by
+       bucket, into the next version dir — untouched buckets keep
+       their existing directories byte-for-byte;
+    4. the manifest (bucket -> dir map) swaps atomically via
+       os.replace, with the superseded map kept in ``_manifest.prev``
+       (one-step rollback, same retention contract as the plain path).
+
+    At 100 TB this is the Delta/Iceberg-style upsert: write cost
+    scales with the touched partitions, not the table.  A crash before
+    the manifest swap leaves the previous commit live; GC removes only
+    version dirs referenced by neither manifest."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    if isinstance(n_buckets, bool) or not isinstance(n_buckets, int) or (
+        n_buckets < 1
+    ):
+        raise PipelineError("$merge buckets must be a positive integer")
+    if os.path.exists(os.path.join(path, "_manifest")) and (
+        _read_bucket_manifest(path) is None
+    ):
+        raise PipelineError(
+            "$merge buckets: target already exists as a WHOLE-TABLE "
+            "versioned sink — cannot convert in place"
+        )
+    mf = _read_bucket_manifest(path)
+    if mf is not None and mf[0] != n_buckets:
+        raise PipelineError(
+            f"$merge buckets={n_buckets} does not match the sink's "
+            f"existing bucket count {mf[0]}"
+        )
+    entries = dict(mf[1]) if mf is not None else {}
+    bcol = _bucket_of(on, n_buckets)
+    # one materialization: the distinct-bucket probe, any fail-mode
+    # probe, and the final write must all see the same incoming data
+    df = df.localCheckpoint(eager=True)
+    changed = sorted(
+        r["b"] for r in df.select(bcol.alias("b")).distinct().collect()
+    )
+    old_frames = [
+        spark.read.parquet(os.path.join(path, entries[k]))
+        for k in changed
+        if k in entries and os.path.isdir(os.path.join(path, entries[k]))
+    ]
+    old = None
+    for f in old_frames:
+        old = f if old is None else old.unionByName(
+            f, allowMissingColumns=True
+        )
+    merged = _merge_frames(
+        spark, old, df, on, when_matched, when_not_matched, spec
+    )
+    os.makedirs(path, exist_ok=True)
+    versions = sorted(
+        d
+        for d in os.listdir(path)
+        if d.startswith("v-") and os.path.isdir(os.path.join(path, d))
+    )
+    vdir = f"v-{(int(versions[-1][2:]) + 1 if versions else 1):06d}"
+    merged.withColumn("__bucket", _bucket_of(on, n_buckets)).write.partitionBy(
+        "__bucket"
+    ).mode("overwrite").parquet(os.path.join(path, vdir))
+    written = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(os.path.join(path, vdir))
+        if d.startswith("__bucket=")
+    }
+    new_entries = dict(entries)
+    for k in written:
+        new_entries[k] = f"{vdir}/__bucket={k}"
+    mpath = os.path.join(path, "_manifest")
+    # snapshot the superseded map BEFORE the commit point (rollback /
+    # version=-1); then the atomic swap
+    if os.path.exists(mpath):
+        shutil.copyfile(mpath, os.path.join(path, "_manifest.prev"))
+    tmp = os.path.join(path, "_manifest.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"buckets={n_buckets}")
+        for k in sorted(new_entries):
+            fh.write(f"\n{k}:{new_entries[k]}")
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mpath)
+    # GC: a version dir survives while EITHER manifest references any
+    # bucket inside it (superseded bucket dirs inside a still-live
+    # version dir linger until the whole dir is unreferenced —
+    # bounded retention slack, documented)
+    survivors = {rel.split("/", 1)[0] for rel in new_entries.values()}
+    prev_path = os.path.join(path, "_manifest.prev")
+    if os.path.exists(prev_path):
+        with open(prev_path) as fh:
+            for ln in fh.read().splitlines()[1:]:
+                if ln.strip():
+                    survivors.add(ln.split(":", 1)[1].split("/", 1)[0])
+    for entry in os.listdir(path):
+        if (
+            entry.startswith("v-")
+            and entry not in survivors
+            and os.path.isdir(os.path.join(path, entry))
+        ):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+    return read_bucketed_sink(spark, path)
 
 
 def _apply_when_matched_pipeline(
@@ -4196,7 +4395,38 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
         )
     path = sinks[target]
     spark = df.sparkSession
+    n_buckets = spec.get("buckets")
+    if n_buckets is not None:
+        return _apply_merge_bucketed(
+            df, spec, path, on, when_matched, when_not_matched, n_buckets
+        )
+    if _read_bucket_manifest(path) is not None:
+        raise PipelineError(
+            f"$merge into {target!r}: target is a BUCKETED sink — "
+            "pass the same 'buckets' count to merge into it"
+        )
     old = read_versioned_sink(spark, path)
+    merged = _merge_frames(
+        spark, old, df, on, when_matched, when_not_matched, spec
+    )
+    return _versioned_commit(merged, path)
+
+
+def _merge_frames(
+    spark: SparkSession,
+    old: DataFrame | None,
+    df: DataFrame,
+    on: list[str],
+    when_matched,
+    when_not_matched: str,
+    spec: dict,
+) -> DataFrame:
+    """The engine of $merge: combine the stored frame (``old``, may be
+    None) with the incoming frame under the whenMatched/whenNotMatched
+    mode matrix and return the merged result — no I/O.  Shared by the
+    whole-table commit path and the bucket-pruned path (where ``old``
+    is pre-restricted to the buckets the incoming keys hash into —
+    safe because a matching key always hashes to the same bucket)."""
     # "fail" modes abort the whole merge BEFORE any write — the
     # versioned target is untouched (Mongo errors the aggregate).
     # Materialize the incoming frame once first: each isEmpty probe
@@ -4293,4 +4523,4 @@ def _apply_merge(df: DataFrame, spec, sinks: dict | None) -> DataFrame:
         merged = kept_old.unionByName(new_side, allowMissingColumns=True)
     else:
         merged = df if when_not_matched == "insert" else df.limit(0)
-    return _versioned_commit(merged, path)
+    return merged

@@ -3813,3 +3813,87 @@ def test_unwind_nested_include_array_index(spark):
     assert sorted((r["id"], r["sub"]["xs"], r["i"]) for r in got) == [
         (1, 10, 0), (1, 20, 1),
     ]
+
+
+def _merge_into(spark, rows, schema, path, buckets=None, **spec_extra):
+    df = spark.createDataFrame(rows, schema)
+    spec = {"into": "t", "on": "id", **spec_extra}
+    if buckets is not None:
+        spec["buckets"] = buckets
+    return translate_pipeline([{"$merge": spec}], sinks={"t": path})(df)
+
+
+def test_merge_bucketed_prunes_untouched_buckets(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "bsink")
+    _merge_into(
+        spark,
+        [(i, f"v{i}") for i in range(20)],
+        "id INT, val STRING",
+        path,
+        buckets=8,
+    )
+    with open(os.path.join(path, "_manifest")) as fh:
+        m1 = dict(
+            ln.split(":", 1) for ln in fh.read().splitlines()[1:] if ln.strip()
+        )
+    # second merge touches exactly one key -> at most one bucket moves
+    got = _merge_into(
+        spark, [(3, "NEW")], "id INT, val STRING", path, buckets=8
+    )
+    with open(os.path.join(path, "_manifest")) as fh:
+        m2 = dict(
+            ln.split(":", 1) for ln in fh.read().splitlines()[1:] if ln.strip()
+        )
+    moved = [k for k in m1 if m2[k] != m1[k]]
+    assert len(moved) == 1  # only the bucket containing id=3 rewrote
+    unchanged = [k for k in m1 if m2[k] == m1[k]]
+    assert len(unchanged) == len(m1) - 1
+    vals = {r["id"]: r["val"] for r in got.collect()}
+    assert vals[3] == "NEW" and vals[4] == "v4" and len(vals) == 20
+
+
+def test_merge_bucketed_equals_whole_table(spark, tmp_path):
+    base = [(i, f"v{i}", i * 10) for i in range(30)]
+    upd = [(5, "X", -1), (31, "new", 310), (17, "Y", -2)]
+    schema = "id INT, val STRING, n INT"
+    p_plain = str(tmp_path / "plain")
+    p_buck = str(tmp_path / "buck")
+    for p, b in ((p_plain, None), (p_buck, 4)):
+        _merge_into(spark, base, schema, p, buckets=b)
+        _merge_into(spark, upd, schema, p, buckets=b)
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_versioned_sink,
+    )
+
+    plain = sorted(map(tuple, read_versioned_sink(spark, p_plain).collect()))
+    buck = sorted(map(tuple, read_versioned_sink(spark, p_buck).collect()))
+    assert plain == buck
+    # rollback snapshot: version=-1 returns the pre-update table
+    prev = sorted(map(tuple, read_versioned_sink(spark, p_buck, -1).collect()))
+    assert prev == sorted(base)
+
+
+def test_merge_bucketed_mode_and_count_guards(spark, tmp_path):
+    path = str(tmp_path / "guard")
+    _merge_into(spark, [(1, "a")], "id INT, val STRING", path, buckets=4)
+    with pytest.raises(PipelineError, match="bucket count"):
+        _merge_into(spark, [(2, "b")], "id INT, val STRING", path, buckets=8)
+    with pytest.raises(PipelineError, match="BUCKETED"):
+        _merge_into(spark, [(2, "b")], "id INT, val STRING", path)
+    # whenMatched fail probes only the changed buckets but still fails
+    with pytest.raises(PipelineError, match="whenMatched"):
+        _merge_into(
+            spark,
+            [(1, "dup")],
+            "id INT, val STRING",
+            path,
+            buckets=4,
+            whenMatched="fail",
+        )
+    # plain target cannot silently become bucketed
+    p2 = str(tmp_path / "plain2")
+    _merge_into(spark, [(1, "a")], "id INT, val STRING", p2)
+    with pytest.raises(PipelineError, match="WHOLE-TABLE"):
+        _merge_into(spark, [(2, "b")], "id INT, val STRING", p2, buckets=4)
