@@ -4162,6 +4162,26 @@ def _apply_merge_bucketed(
     merged = _merge_frames(
         spark, old, df, on, when_matched, when_not_matched, spec
     )
+    return _commit_bucketed(merged, path, on, n_buckets, entries, changed)
+
+
+def _commit_bucketed(
+    merged: DataFrame,
+    path: str,
+    on: list[str],
+    n_buckets: int,
+    entries: dict[int, str],
+    changed: "list[int] | tuple" = (),
+) -> DataFrame:
+    """Commit ``merged`` (the rewritten rows of the CHANGED buckets
+    only) into a bucketed versioned sink: one partitioned write, an
+    atomic manifest swap with a one-deep rollback snapshot, and GC of
+    version dirs referenced by neither manifest.  See
+    _apply_merge_bucketed for the full protocol contract."""
+    import os
+    import shutil
+
+    spark = merged.sparkSession
     os.makedirs(path, exist_ok=True)
     versions = sorted(
         d
@@ -4180,6 +4200,12 @@ def _apply_merge_bucketed(
     new_entries = dict(entries)
     for k in written:
         new_entries[k] = f"{vdir}/__bucket={k}"
+    # a changed bucket that produced NO rows (every document deleted —
+    # the materializer path) must drop its stale entry, not keep
+    # serving the pre-delete data
+    for k in changed:
+        if k not in written:
+            new_entries.pop(k, None)
     mpath = os.path.join(path, "_manifest")
     # snapshot the superseded map BEFORE the commit point (rollback /
     # version=-1); then the atomic swap

@@ -20,6 +20,7 @@ from pymongo_change_stream_reader_spark.operators.cdc import (
 )
 from pymongo_change_stream_reader_spark.queries import query
 from pymongo_change_stream_reader_spark.sources.simulate import simulate_change_stream
+from pymongo_change_stream_reader_spark.sources.tables import load_table
 
 # Shared SQL fragments reproducing sources/simulate.py in DuckDB.
 _SIM = """
@@ -284,3 +285,96 @@ def cdc_split_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("updateDescription")["updatedFields"].alias("updatedFields"),
         "complete",
     ).orderBy("ev")
+
+
+@query(
+    "cdc_replica_table",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    ev AS (
+        SELECT '{{"_id": ' || CAST(event_id % 101 AS VARCHAR) || '}}' AS key,
+               operation,
+               CASE WHEN operation <> 'delete'
+                    THEN '{{"v": ' || CAST(cents AS VARCHAR) || '}}'
+               END AS doc,
+               event_id AS t,
+               'tok' || CAST(event_id AS VARCHAR) AS d
+        FROM sim
+        WHERE operation IN ('insert', 'update', 'replace', 'delete')
+    ),
+    last AS (
+        SELECT key,
+               max_by(operation || '|' || COALESCE(doc, ''), t) AS payload
+        FROM ev GROUP BY key
+    )
+    SELECT key,
+           CAST(json_extract_string(
+               substr(payload, position('|' IN payload) + 1), '$.v'
+           ) AS BIGINT) AS v
+    FROM last
+    WHERE split_part(payload, '|', 1) <> 'delete'
+    ORDER BY key
+    """,
+    doc="CDC replica maintenance (streaming/materialize.py): the full "
+    "simulated change stream — re-keyed onto 101 logical documents so "
+    "every key sees a long insert/update/replace/delete history — is "
+    "applied to a bucketed parquet replica with last-writer-wins "
+    "conflict resolution, then the committed replica is read back.  "
+    "The oracle replays the same history with max_by per key.  The "
+    "apply path is the foreachBatch consumer of the relay: per-batch "
+    "work touches only the buckets the batch's keys hash into.",
+    tags=("cdc", "streaming"),
+)
+def cdc_replica_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.streaming.materialize import (
+        materialize_change_batch,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    operation = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "update")
+        .when(F.col("event_type") == "click", "replace")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("drop")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    has_after = operation.isin("insert", "update", "replace")
+    ev = e.select(
+        F.struct(
+            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
+                "_data"
+            )
+        ).alias("_id"),
+        operation.alias("operationType"),
+        F.struct(
+            F.col("event_id").alias("t"), F.lit(1).alias("i")
+        ).alias("clusterTime"),
+        F.concat(
+            F.lit('{"_id": '),
+            (F.col("event_id") % 101).cast("string"),
+            F.lit("}"),
+        ).alias("documentKey"),
+        F.when(
+            has_after,
+            F.concat(F.lit('{"v": '), cents.cast("string"), F.lit("}")),
+        ).alias("fullDocument"),
+    )
+    # fresh replica per run: the apply itself is idempotent, but the
+    # oracle models a single full-history application
+    path = tempfile.mkdtemp(prefix="spark_cdc_replica_")
+    try:
+        replica = materialize_change_batch(ev, path, n_buckets=16)
+        return (
+            replica.select(
+                "key",
+                F.get_json_object("doc", "$.v").cast("bigint").alias("v"),
+            )
+            .orderBy("key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,167 @@
+"""CDC replica maintenance: apply change events to a queryable,
+bucket-partitioned parquet replica of the watched collection — the
+Debezium->lakehouse pattern layered on the reference's change-stream
+semantics (reference emits the events to Kafka and stops;
+a downstream consumer doing exactly this is the canonical use).
+
+Contract:
+- Events must carry POST-IMAGES for updates (``fullDocument`` via
+  ``updateLookup`` / required pre-post images) — the configuration the
+  reference runs with (watch.py full_document default).  An update
+  without a post-image raises rather than silently diverging the
+  replica.
+- Within a batch, the LAST event per key wins; across batches (and
+  across micro-batch replays after a restart) conflict resolution is
+  last-writer-wins on the BSON-order triple
+  (clusterTime.t, clusterTime.i, _id._data), so re-applying any prefix
+  or suffix of the event history converges to the same table — the
+  apply is idempotent AND commutative for stale replays, which is what
+  makes the foreachBatch sink safe under Spark's at-least-once batch
+  redelivery.
+- Deletes drop the stored row only when the delete's write triple is
+  >= the stored row's (a stale replayed delete cannot resurrect-kill a
+  newer upsert).
+
+Scale: each micro-batch touches only the buckets its keys hash into
+(the bucketed versioned-sink protocol from plans/pipeline.py — write
+cost scales with touched partitions, not replica size); the per-batch
+reduction is one hash aggregation on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.plans.pipeline import (
+    PipelineError,
+    _bucket_of,
+    _commit_bucketed,
+    _read_bucket_manifest,
+    read_bucketed_sink,
+)
+
+_KEY = "documentKey"
+_ORDER = ("__t", "__i", "__d")
+
+
+def _last_event_per_key(batch: DataFrame) -> DataFrame:
+    """Reduce a micro-batch to its final effect per document key:
+    max_by the LWW triple.  One hash aggregation (map-side partials);
+    no window, no sort."""
+    ev = batch.select(
+        F.col(_KEY).alias("key"),
+        F.col("operationType").alias("op"),
+        F.col("fullDocument").alias("doc"),
+        F.col("clusterTime.t").alias("__t"),
+        F.col("clusterTime.i").alias("__i"),
+        F.col("_id._data").alias("__d"),
+    )
+    trip = F.struct(*[F.col(c) for c in _ORDER])
+    payload = F.struct(
+        F.col("op"), F.col("doc"), *[F.col(c) for c in _ORDER]
+    )
+    last = ev.groupBy("key").agg(F.max_by(payload, trip).alias("p"))
+    return last.select(
+        "key", "p.op", "p.doc", *[F.col(f"p.{c}") for c in _ORDER]
+    )
+
+
+def materialize_change_batch(
+    batch: DataFrame, path: str, n_buckets: int = 16
+) -> DataFrame:
+    """Apply one batch of change events to the replica at ``path``.
+
+    Returns the post-apply replica (key, doc, __t, __i, __d).  Only
+    data ops participate; an update lacking a post-image raises."""
+    spark = batch.sparkSession
+    data = batch.filter(
+        F.col("operationType").isin("insert", "update", "replace", "delete")
+    )
+    mf = _read_bucket_manifest(path)
+    if mf is not None and mf[0] != n_buckets:
+        raise PipelineError(
+            f"replica at {path!r} has {mf[0]} buckets, not {n_buckets}"
+        )
+    entries = dict(mf[1]) if mf is not None else {}
+    last = _last_event_per_key(data).localCheckpoint(eager=True)
+    bad = last.filter((F.col("op") != "delete") & F.col("doc").isNull())
+    if not bad.isEmpty():
+        raise PipelineError(
+            "replica maintenance requires post-images: got an "
+            "insert/update/replace event with no fullDocument "
+            "(run the stream with fullDocument=updateLookup)"
+        )
+    bcol = _bucket_of(["key"], n_buckets)
+    changed = sorted(
+        r["b"] for r in last.select(bcol.alias("b")).distinct().collect()
+    )
+    import os
+
+    old = None
+    for k in changed:
+        rel = entries.get(k)
+        if rel and os.path.isdir(os.path.join(path, rel)):
+            f = spark.read.parquet(os.path.join(path, rel))
+            old = f if old is None else old.unionByName(f)
+    new = last
+    if old is not None:
+        stale = F.struct(
+            *[F.col(f"__n.{c}") for c in _ORDER]
+        ) < F.struct(*[F.col(f"__o.{c}") for c in _ORDER])
+        joined = old.alias("__o").join(
+            new.alias("__n"), F.col("__o.key") == F.col("__n.key"), "full"
+        )
+        merged = joined.select(
+            F.coalesce(F.col("__n.key"), F.col("__o.key")).alias("key"),
+            # no new event, or the new event is a stale replay -> old
+            # row stands; otherwise the new event's doc (null = delete)
+            F.when(
+                F.col("__n.key").isNull() | stale, F.col("__o.doc")
+            )
+            .when(F.col("__n.op") != "delete", F.col("__n.doc"))
+            .alias("doc"),
+            *[
+                F.when(
+                    F.col("__n.key").isNull() | stale, F.col(f"__o.{c}")
+                )
+                .otherwise(F.col(f"__n.{c}"))
+                .alias(c)
+                for c in _ORDER
+            ],
+        ).filter(F.col("doc").isNotNull())
+    else:
+        merged = new.filter(F.col("op") != "delete").select(
+            "key", "doc", *_ORDER
+        )
+    return _commit_bucketed(merged, path, ["key"], n_buckets, entries, changed)
+
+
+def read_replica(spark: SparkSession, path: str) -> DataFrame | None:
+    """The current committed replica (key, doc, __t, __i, __d)."""
+    return read_bucketed_sink(spark, path)
+
+
+def start_replica_maintenance(
+    events: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    trigger_interval: str | None = None,
+):
+    """Streaming entry point: foreachBatch-apply the change stream to
+    the replica.  Safe under batch redelivery by the LWW contract
+    above (no epoch bookkeeping needed — the apply itself is
+    idempotent)."""
+
+    def _apply(batch_df: DataFrame, _epoch_id: int) -> None:
+        materialize_change_batch(batch_df, path, n_buckets)
+
+    writer = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -1,0 +1,164 @@
+"""CDC replica maintenance (streaming/materialize.py): change events
+applied to a bucketed queryable parquet replica with last-writer-wins
+conflict resolution."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from pymongo_change_stream_reader_spark.plans.pipeline import PipelineError
+from pymongo_change_stream_reader_spark.schema import CHANGE_EVENT_SCHEMA
+from pymongo_change_stream_reader_spark.streaming.materialize import (
+    materialize_change_batch,
+    read_replica,
+    start_replica_maintenance,
+)
+
+
+def _ev(data, op, t, i, key, doc=None):
+    return (
+        (data,),
+        op,
+        (t, i),
+        None,
+        ("db", "c"),
+        key,
+        doc,
+        None,
+        None,
+    )
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+
+def _state(spark, path):
+    rep = read_replica(spark, path)
+    return {} if rep is None else {
+        r["key"]: json.loads(r["doc"])["v"] for r in rep.collect()
+    }
+
+
+def test_materialize_upserts_and_deletes(spark, tmp_path):
+    path = str(tmp_path / "replica")
+    b1 = _frame(
+        spark,
+        [
+            _ev("a1", "insert", 10, 1, "k1", '{"v": 1}'),
+            _ev("a2", "insert", 10, 2, "k2", '{"v": 2}'),
+            _ev("a3", "update", 11, 1, "k1", '{"v": 3}'),
+            _ev("a4", "drop", 11, 2, None, None),  # non-data op ignored
+        ],
+    )
+    materialize_change_batch(b1, path, n_buckets=4)
+    assert _state(spark, path) == {"k1": 3, "k2": 2}
+    b2 = _frame(
+        spark,
+        [
+            _ev("b1", "replace", 12, 1, "k2", '{"v": 20}'),
+            _ev("b2", "delete", 12, 2, "k1", None),
+            _ev("b3", "insert", 12, 3, "k3", '{"v": 30}'),
+        ],
+    )
+    materialize_change_batch(b2, path, n_buckets=4)
+    assert _state(spark, path) == {"k2": 20, "k3": 30}
+
+
+def test_materialize_stale_replay_is_noop(spark, tmp_path):
+    path = str(tmp_path / "replica")
+    b1 = _frame(spark, [_ev("a1", "insert", 10, 1, "k1", '{"v": 1}')])
+    b2 = _frame(
+        spark,
+        [
+            _ev("b1", "update", 11, 1, "k1", '{"v": 2}'),
+            _ev("b2", "delete", 11, 2, "k9", None),  # delete of absent key
+        ],
+    )
+    materialize_change_batch(b1, path, n_buckets=4)
+    materialize_change_batch(b2, path, n_buckets=4)
+    after = _state(spark, path)
+    # replaying the OLDER batch must not regress the replica
+    materialize_change_batch(b1, path, n_buckets=4)
+    assert _state(spark, path) == after == {"k1": 2}
+    # a stale delete cannot kill a newer upsert
+    stale_del = _frame(spark, [_ev("s", "delete", 10, 5, "k1", None)])
+    materialize_change_batch(stale_del, path, n_buckets=4)
+    assert _state(spark, path) == {"k1": 2}
+
+
+def test_materialize_drops_emptied_bucket_entry(spark, tmp_path):
+    path = str(tmp_path / "replica")
+    materialize_change_batch(
+        _frame(spark, [_ev("a", "insert", 1, 1, "solo", '{"v": 1}')]),
+        path,
+        n_buckets=4,
+    )
+    materialize_change_batch(
+        _frame(spark, [_ev("b", "delete", 2, 1, "solo", None)]),
+        path,
+        n_buckets=4,
+    )
+    assert _state(spark, path) == {}
+    with open(os.path.join(path, "_manifest")) as fh:
+        assert fh.read().strip() == "buckets=4"
+
+
+def test_materialize_requires_post_image(spark, tmp_path):
+    path = str(tmp_path / "replica")
+    with pytest.raises(PipelineError, match="post-image"):
+        materialize_change_batch(
+            _frame(spark, [_ev("a", "update", 1, 1, "k1", None)]),
+            path,
+            n_buckets=4,
+        )
+    assert not os.path.exists(os.path.join(path, "_manifest"))
+
+
+def test_streaming_replica_maintenance(spark, tmp_path):
+    """File-streamed change events materialize into the replica; a
+    second run over the same checkpoint is a no-op (idempotent)."""
+    from pymongo_change_stream_reader_spark.sources.change_events import (
+        stream_change_events_json,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        {"_id": {"_data": "a1"}, "operationType": "insert",
+         "clusterTime": {"t": 10, "i": 1}, "documentKey": "k1",
+         "fullDocument": '{"v": 1}'},
+        {"_id": {"_data": "a2"}, "operationType": "update",
+         "clusterTime": {"t": 11, "i": 1}, "documentKey": "k1",
+         "fullDocument": '{"v": 5}'},
+        {"_id": {"_data": "a3"}, "operationType": "insert",
+         "clusterTime": {"t": 11, "i": 2}, "documentKey": "k2",
+         "fullDocument": '{"v": 7}'},
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows[:1]))
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows[1:]))
+    path = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_replica_maintenance(
+        stream_change_events_json(spark, str(src)), path, ckpt, n_buckets=4
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if _state(spark, path) == {"k1": 5, "k2": 7}:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert _state(spark, path) == {"k1": 5, "k2": 7}
+    # restart over the same checkpoint: no new data -> replica unchanged
+    q2 = start_replica_maintenance(
+        stream_change_events_json(spark, str(src)), path, ckpt, n_buckets=4
+    )
+    time.sleep(3)
+    q2.stop()
+    q2.awaitTermination(30)
+    assert _state(spark, path) == {"k1": 5, "k2": 7}
