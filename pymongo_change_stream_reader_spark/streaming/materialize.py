@@ -165,3 +165,32 @@ def start_replica_maintenance(
     if trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def compact_replica(
+    spark: SparkSession, path: str, files_per_bucket: int = 1
+) -> DataFrame | None:
+    """Rewrite every live bucket into one fresh version dir with
+    ``files_per_bucket`` parquet files per bucket — the maintenance
+    pass that caps the small-file growth of per-batch commits (each
+    micro-batch writes task-count files into every touched bucket; at
+    high trigger rates the replica accumulates thousands of tiny
+    files, and scan cost becomes file-open-bound).  State is
+    unchanged; the swap rides the same atomic-manifest commit, so
+    readers never observe a half-compacted table and the pre-compact
+    manifest stays one rollback step away."""
+    mf = _read_bucket_manifest(path)
+    if mf is None:
+        return None
+    n_buckets, entries = mf
+    current = read_bucketed_sink(spark, path)
+    if current is None:
+        return None
+    # repartition on the BUCKET value: every bucket's rows land in one
+    # task (files_per_bucket=1 -> exactly one file per bucket dir)
+    compacted = current.repartition(
+        max(1, files_per_bucket * n_buckets), _bucket_of(["key"], n_buckets)
+    )
+    return _commit_bucketed(
+        compacted, path, ["key"], n_buckets, entries, sorted(entries)
+    )

@@ -162,3 +162,48 @@ def test_streaming_replica_maintenance(spark, tmp_path):
     q2.stop()
     q2.awaitTermination(30)
     assert _state(spark, path) == {"k1": 5, "k2": 7}
+
+
+def test_compact_replica_preserves_state_and_shrinks_files(spark, tmp_path):
+    import glob
+
+    from pymongo_change_stream_reader_spark.streaming.materialize import (
+        compact_replica,
+    )
+
+    path = str(tmp_path / "replica")
+    # many tiny batches -> many version dirs / files
+    for i in range(6):
+        materialize_change_batch(
+            _frame(
+                spark,
+                [_ev(f"t{i}", "insert", i, 1, f"k{i}", '{"v": %d}' % i)],
+            ),
+            path,
+            n_buckets=2,
+        )
+    before_state = _state(spark, path)
+    compact_replica(spark, path)
+    assert _state(spark, path) == before_state
+    # the compaction contract: every live bucket dir holds exactly ONE
+    # parquet file afterwards (files_per_bucket=1), however many
+    # single-row commit files it had accumulated
+    with open(f"{path}/_manifest") as fh:
+        live_dirs = [ln.split(":", 1)[1] for ln in fh.read().splitlines()[1:]]
+    assert live_dirs
+    for d in live_dirs:
+        assert len(glob.glob(f"{path}/{d}/*.parquet")) == 1
+    # rollback to the pre-compaction snapshot still reads correctly
+    from pymongo_change_stream_reader_spark.streaming.materialize import (
+        read_replica,
+    )
+    import json as _json
+
+    prev = {
+        r["key"]: _json.loads(r["doc"])["v"]
+        for r in __import__(
+            "pymongo_change_stream_reader_spark.plans.pipeline",
+            fromlist=["read_bucketed_sink"],
+        ).read_bucketed_sink(spark, path, -1).collect()
+    }
+    assert prev == before_state
