@@ -76,6 +76,9 @@ HEADLINE = (
     "dedup_semdedup_indexed",
     # UniMax language-balanced sampling (r3 cont.)
     "corpus_unimax_mix",
+    # CDC replica maintenance: full-history LWW apply onto the
+    # bucketed replica (the foreachBatch consumer's per-batch plan)
+    "cdc_replica_table",
 )
 
 
