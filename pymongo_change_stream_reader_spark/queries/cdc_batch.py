@@ -367,7 +367,9 @@ def cdc_replica_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle models a single full-history application
     path = tempfile.mkdtemp(prefix="spark_cdc_replica_")
     try:
-        replica = materialize_change_batch(ev, path, n_buckets=16)
+        replica = materialize_change_batch(ev, path, n_buckets=16).filter(
+            F.col("doc").isNotNull()  # deletes persist as tombstones
+        )
         return (
             replica.select(
                 "key",

@@ -20,7 +20,13 @@ Contract:
   redelivery.
 - Deletes drop the stored row only when the delete's write triple is
   >= the stored row's (a stale replayed delete cannot resurrect-kill a
-  newer upsert).
+  newer upsert), and they persist as TOMBSTONES (doc = null) so that a
+  reordered OLDER upsert cannot resurrect a deleted key either — true
+  convergence under arbitrary batch reordering, pytest-asserted over
+  every permutation of a batch history.  ``compact_replica`` purges
+  tombstones (log-compaction semantics: protection against replays
+  older than the compaction point is traded away, exactly as in a
+  compacted Kafka topic).
 
 Scale: each micro-batch touches only the buckets its keys hash into
 (the bucketed versioned-sink protocol from plans/pipeline.py — write
@@ -129,17 +135,21 @@ def materialize_change_batch(
                 .alias(c)
                 for c in _ORDER
             ],
-        ).filter(F.col("doc").isNotNull())
+        )
     else:
-        merged = new.filter(F.col("op") != "delete").select(
-            "key", "doc", *_ORDER
+        merged = new.select(
+            "key",
+            F.when(F.col("op") != "delete", F.col("doc")).alias("doc"),
+            *_ORDER,
         )
     return _commit_bucketed(merged, path, ["key"], n_buckets, entries, changed)
 
 
 def read_replica(spark: SparkSession, path: str) -> DataFrame | None:
-    """The current committed replica (key, doc, __t, __i, __d)."""
-    return read_bucketed_sink(spark, path)
+    """The current committed replica (key, doc, __t, __i, __d),
+    tombstones filtered out."""
+    rep = read_bucketed_sink(spark, path)
+    return None if rep is None else rep.filter(F.col("doc").isNotNull())
 
 
 def start_replica_maintenance(
@@ -168,7 +178,10 @@ def start_replica_maintenance(
 
 
 def compact_replica(
-    spark: SparkSession, path: str, files_per_bucket: int = 1
+    spark: SparkSession,
+    path: str,
+    files_per_bucket: int = 1,
+    purge_tombstones: bool = True,
 ) -> DataFrame | None:
     """Rewrite every live bucket into one fresh version dir with
     ``files_per_bucket`` parquet files per bucket — the maintenance
@@ -186,6 +199,8 @@ def compact_replica(
     current = read_bucketed_sink(spark, path)
     if current is None:
         return None
+    if purge_tombstones:
+        current = current.filter(F.col("doc").isNotNull())
     # repartition on the BUCKET value: every bucket's rows land in one
     # task (files_per_bucket=1 -> exactly one file per bucket dir)
     compacted = current.repartition(

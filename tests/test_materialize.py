@@ -91,7 +91,14 @@ def test_materialize_stale_replay_is_noop(spark, tmp_path):
     assert _state(spark, path) == {"k1": 2}
 
 
-def test_materialize_drops_emptied_bucket_entry(spark, tmp_path):
+def test_materialize_tombstones_purge_on_compaction(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+    )
+    from pymongo_change_stream_reader_spark.streaming.materialize import (
+        compact_replica,
+    )
+
     path = str(tmp_path / "replica")
     materialize_change_batch(
         _frame(spark, [_ev("a", "insert", 1, 1, "solo", '{"v": 1}')]),
@@ -103,7 +110,22 @@ def test_materialize_drops_emptied_bucket_entry(spark, tmp_path):
         path,
         n_buckets=4,
     )
+    # reads hide the key, but the tombstone row persists (reorder guard)
     assert _state(spark, path) == {}
+    raw = read_bucketed_sink(spark, path).collect()
+    assert len(raw) == 1 and raw[0]["doc"] is None
+    # a reordered OLDER upsert cannot resurrect the deleted key
+    materialize_change_batch(
+        _frame(spark, [_ev("a", "insert", 1, 1, "solo", '{"v": 1}')]),
+        path,
+        n_buckets=4,
+    )
+    assert _state(spark, path) == {}
+    # compaction purges tombstones; the emptied bucket drops its entry
+    compact_replica(spark, path)
+    assert read_bucketed_sink(spark, path) is None or not read_bucketed_sink(
+        spark, path
+    ).collect()
     with open(os.path.join(path, "_manifest")) as fh:
         assert fh.read().strip() == "buckets=4"
 
@@ -207,3 +229,29 @@ def test_compact_replica_preserves_state_and_shrinks_files(spark, tmp_path):
         ).read_bucketed_sink(spark, path, -1).collect()
     }
     assert prev == before_state
+
+
+def test_materialize_batch_order_convergence(spark, tmp_path):
+    """LWW makes the apply convergent: any permutation of the batch
+    history yields the same replica — the property that makes replays
+    and out-of-order redeliveries safe."""
+    import itertools
+
+    batches = [
+        [_ev("a1", "insert", 1, 1, "k1", '{"v": 1}'),
+         _ev("a2", "insert", 1, 2, "k2", '{"v": 2}')],
+        [_ev("b1", "update", 2, 1, "k1", '{"v": 10}'),
+         _ev("b2", "delete", 2, 2, "k2", None)],
+        [_ev("c1", "replace", 3, 1, "k1", '{"v": 100}'),
+         _ev("c2", "insert", 3, 2, "k3", '{"v": 3}')],
+    ]
+    states = []
+    for perm_i, perm in enumerate(itertools.permutations(range(3))):
+        path = str(tmp_path / f"replica{perm_i}")
+        for bi in perm:
+            materialize_change_batch(
+                _frame(spark, batches[bi]), path, n_buckets=2
+            )
+        states.append(_state(spark, path))
+    assert all(s == states[0] for s in states)
+    assert states[0] == {"k1": 100, "k3": 3}
