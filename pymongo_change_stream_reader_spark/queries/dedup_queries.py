@@ -464,3 +464,103 @@ def dedup_semdedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_centroids.json")):
         write_semdedup_model(emb, path, nlist=16, iters=1)
     return semdedup_from_model(emb, path, threshold=0.9).orderBy("vec_id")
+
+
+_BUCKET = "(((doc_id % 2147483648) * 2654435761) % 4294967296) % 1000"
+
+
+@query(
+    "corpus_fuzzy_decontamination",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+    ev AS (SELECT doc_id, grams FROM g WHERE {_BUCKET} < 50),
+    tr AS (SELECT doc_id, grams FROM g WHERE {_BUCKET} >= 50),
+    ev_inv AS (SELECT doc_id, unnest(grams) AS gram FROM ev),
+    tr_inv AS (SELECT doc_id, unnest(grams) AS gram FROM tr),
+    cand AS (
+        SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+        FROM tr_inv t JOIN ev_inv e ON t.gram = e.gram
+    ),
+    verified AS (
+        SELECT train_id, eval_id,
+               round(len(list_intersect(gt.grams, ge.grams))::DOUBLE
+                     / greatest(len(gt.grams) + len(ge.grams)
+                                - len(list_intersect(gt.grams, ge.grams)),
+                                1), 6) AS jacc
+        FROM cand
+        JOIN tr gt ON gt.doc_id = train_id
+        JOIN ev ge ON ge.doc_id = eval_id
+    )
+    SELECT train_id AS doc_id,
+           COUNT(*) AS n_eval_matches,
+           MAX(jacc) AS max_jaccard
+    FROM verified
+    WHERE jacc >= 0.5
+    GROUP BY train_id
+    ORDER BY doc_id
+    """,
+    doc="FUZZY benchmark decontamination: training documents whose "
+    "word-3-gram Jaccard similarity to any (hash-held-out) benchmark "
+    "document reaches 0.5 — the near-duplicate eval-leakage check "
+    "that catches paraphrased/lightly-edited contamination the exact "
+    "n-gram collision check (corpus_decontamination) misses.  Spark "
+    "enumerates candidates by LSH band collision between the train "
+    "sketches and the benchmark band index, then verifies with exact "
+    "Jaccard; the oracle enumerates from the full inverted shingle "
+    "index.  Equality is recall-dependent: at threshold 0.5 with "
+    "32 hashes x 8 bands the collision probability is ~1 on this "
+    "corpus's planted near-dups (same data-domain caveat as "
+    "dedup_minhash_lsh — a fixture change that plants borderline-"
+    "similarity pairs could legitimately diverge).",
+    tags=("corpus", "dedup", "text"),
+)
+def corpus_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the benchmark side is small by construction — its band
+    table broadcasts; the train side is one narrow sketch projection
+    + the band equi-join; exact-Jaccard verification touches only the
+    collided pairs, never train x eval."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        jaccard,
+        lsh_band_table,
+        streaming_near_dup_candidates,
+        word_ngrams,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) % 1000
+    ev = d.filter(bucket < 50)
+    tr = d.filter(bucket >= 50)
+    cand = streaming_near_dup_candidates(
+        tr, lsh_band_table(ev, "text", "doc_id"), "text", "doc_id"
+    ).distinct()
+    gt = tr.select(
+        F.col("doc_id").alias("train_id"),
+        word_ngrams(F.col("text"), 3).alias("g_t"),
+    )
+    ge = ev.select(
+        F.col("doc_id").alias("eval_id"),
+        word_ngrams(F.col("text"), 3).alias("g_e"),
+    )
+    verified = (
+        cand.withColumnRenamed("stream_doc", "train_id")
+        .withColumnRenamed("corpus_doc", "eval_id")
+        .join(gt, "train_id")
+        .join(F.broadcast(ge), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            F.round(jaccard(F.col("g_t"), F.col("g_e")), 6).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= 0.5)
+    )
+    return (
+        verified.groupBy(F.col("train_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("jacc").alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
