@@ -77,6 +77,32 @@ _CHANGE_STREAM_STAGES = frozenset(
 _STREAMING_SAFE_EXTENSIONS = frozenset({"$sampleRate", "$unwind"})
 
 
+def _apply_user_pipeline(events: DataFrame, pipeline: str) -> DataFrame:
+    """Validate the user pipeline against the server's change-stream
+    stage whitelist and apply it.  Fail fast: mongod rejects anything
+    else on a watch() cursor — the reference surfaces that as a server
+    error at open time (settings.py:85-90, watch.py:79) — and without
+    this gate a $group/$sort/$lookup pipeline surfaces as a deep
+    AnalysisException when the streaming query starts."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        PipelineError,
+        parse_pipeline,
+        translate_pipeline,
+    )
+
+    allowed = _CHANGE_STREAM_STAGES | _STREAMING_SAFE_EXTENSIONS
+    for stage in parse_pipeline(pipeline):
+        (name,) = stage
+        if name not in allowed:
+            raise PipelineError(
+                f"stage {name!r} is not valid in a change-stream "
+                f"pipeline (server whitelist: "
+                f"{sorted(_CHANGE_STREAM_STAGES)}; engine "
+                f"extensions: {sorted(_STREAMING_SAFE_EXTENSIONS)})"
+            )
+    return translate_pipeline(pipeline)(events)
+
+
 def build_relay(events: DataFrame, settings: RelaySettings) -> DataFrame:
     """user pipeline (when not pushed down) -> filter(A5) ->
     envelope+routing(A8/A9/A10). Works identically on batch and
@@ -87,30 +113,7 @@ def build_relay(events: DataFrame, settings: RelaySettings) -> DataFrame:
     stream cursor itself (watch.py:79) and therefore sees events before
     any relay-side processing."""
     if settings.pipeline:
-        from pymongo_change_stream_reader_spark.plans.pipeline import (
-            PipelineError,
-            parse_pipeline,
-            translate_pipeline,
-        )
-
-        # Fail fast with the server's change-stream stage whitelist
-        # (mongod rejects anything else on a watch() cursor — the
-        # reference surfaces that as a server error at open time;
-        # settings.py:85-90, watch.py:79) plus the engine extensions
-        # that are streaming-safe here.  Without this gate a $group/
-        # $sort/$lookup pipeline surfaces as a deep AnalysisException
-        # when the streaming query starts.
-        allowed = _CHANGE_STREAM_STAGES | _STREAMING_SAFE_EXTENSIONS
-        for stage in parse_pipeline(settings.pipeline):
-            (name,) = stage
-            if name not in allowed:
-                raise PipelineError(
-                    f"stage {name!r} is not valid in a change-stream "
-                    f"pipeline (server whitelist: "
-                    f"{sorted(_CHANGE_STREAM_STAGES)}; engine "
-                    f"extensions: {sorted(_STREAMING_SAFE_EXTENSIONS)})"
-                )
-        events = translate_pipeline(settings.pipeline)(events)
+        events = _apply_user_pipeline(events, settings.pipeline)
     data = filter_data_ops(events)
     if settings.producers_count > 0:
         from pymongo_change_stream_reader_spark.operators.cdc import partition_by_key
@@ -187,4 +190,35 @@ def start_parquet_relay(
         .option("path", out_dir)
         .option("checkpointLocation", settings.checkpoint_location)
         .start()
+    )
+
+
+def start_replica_relay(
+    events: DataFrame,
+    settings: RelaySettings,
+    replica_path: str,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Replica sink variant (engine extension): instead of relaying
+    envelopes to Kafka, maintain a queryable bucket-partitioned
+    parquet replica of the watched collection
+    (streaming/materialize.py) — the Debezium->lakehouse consumer
+    collapsed into the relay itself.  The user pipeline (when set)
+    runs first, exactly as on every other sink; note a $project that
+    drops ``fullDocument``/``documentKey`` would defeat
+    materialization, and the materializer raises on missing
+    post-images."""
+    from pymongo_change_stream_reader_spark.streaming.materialize import (
+        start_replica_maintenance,
+    )
+
+    stream = events
+    if settings.pipeline:
+        stream = _apply_user_pipeline(events, settings.pipeline)
+    return start_replica_maintenance(
+        stream,
+        replica_path,
+        settings.checkpoint_location,
+        n_buckets=n_buckets,
+        trigger_interval=f"{settings.commit_interval_s} seconds",
     )

@@ -255,3 +255,46 @@ def test_materialize_batch_order_convergence(spark, tmp_path):
         states.append(_state(spark, path))
     assert all(s == states[0] for s in states)
     assert states[0] == {"k1": 100, "k3": 3}
+
+
+def test_replica_relay_with_user_pipeline(spark, tmp_path):
+    """start_replica_relay: the relay's replica sink applies the user
+    PIPELINE first (a $match narrowing the keyspace), then maintains
+    the replica through the checkpointed stream."""
+    from pymongo_change_stream_reader_spark.sources.change_events import (
+        stream_change_events_json,
+    )
+    from pymongo_change_stream_reader_spark.streaming.job import (
+        RelaySettings,
+        start_replica_relay,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        {"_id": {"_data": "a1"}, "operationType": "insert",
+         "clusterTime": {"t": 10, "i": 1}, "documentKey": "keep",
+         "fullDocument": '{"v": 1}'},
+        {"_id": {"_data": "a2"}, "operationType": "insert",
+         "clusterTime": {"t": 10, "i": 2}, "documentKey": "drop_me",
+         "fullDocument": '{"v": 2}'},
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    settings = RelaySettings(
+        stream_reader_name="replica-test",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        commit_interval_s=1.0,
+        pipeline='[{"$match": {"documentKey": "keep"}}]',
+    )
+    path = str(tmp_path / "replica")
+    q = start_replica_relay(
+        stream_change_events_json(spark, str(src)), settings, path, n_buckets=4
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if _state(spark, path) == {"keep": 1}:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert _state(spark, path) == {"keep": 1}
