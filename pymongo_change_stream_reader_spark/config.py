@@ -43,6 +43,11 @@ class EngineSettings:
     max_uncommitted_events: int = 1000
     # offsets: the checkpoint replaces the token collection (A16/A17)
     checkpoint_dir: str = "/tmp/cdc-checkpoints"
+    # replica sink (engine extension): maintain a queryable
+    # bucket-partitioned parquet replica instead of (or beside) the
+    # Kafka relay — streaming/materialize.py
+    replica_path: str | None = None
+    replica_buckets: int = 16
     # lifecycle
     program_start_timeout: int = 60
     program_graceful_stop_timeout: int = 20
@@ -89,6 +94,8 @@ def settings_from_env() -> EngineSettings:
         commit_interval=int(env.get("COMMIT_INTERVAL", "30")),
         max_uncommitted_events=int(env.get("MAX_UNCOMMITTED_EVENTS", "1000")),
         checkpoint_dir=env.get("CHECKPOINT_DIR", "/tmp/cdc-checkpoints"),
+        replica_path=env.get("REPLICA_PATH"),
+        replica_buckets=int(env.get("REPLICA_BUCKETS", "16")),
         program_start_timeout=int(env.get("PROGRAM_START_TIMEOUT", "60")),
         program_graceful_stop_timeout=int(
             env.get("PROGRAM_GRACEFUL_STOP_TIMEOUT", "20")

@@ -298,3 +298,19 @@ def test_replica_relay_with_user_pipeline(spark, tmp_path):
     q.stop()
     q.awaitTermination(30)
     assert _state(spark, path) == {"keep": 1}
+
+
+def test_replica_settings_from_env(monkeypatch):
+    from pymongo_change_stream_reader_spark.config import settings_from_env
+
+    for k, v in {
+        "STREAM_READER_NAME": "r1",
+        "MONGO_URI": "mongodb://h",
+        "KAFKA_BOOTSTRAP_SERVERS": "k:9092",
+        "REPLICA_PATH": "/data/replica",
+        "REPLICA_BUCKETS": "64",
+    }.items():
+        monkeypatch.setenv(k, v)
+    cfg = settings_from_env()
+    assert cfg.replica_path == "/data/replica"
+    assert cfg.replica_buckets == 64
