@@ -41,9 +41,20 @@ def main() -> None:
         # DataSource / Kafka / file) must set RelaySettings.pipeline so
         # build_relay applies the translated pipeline (watch.py:79).
     )
-    query = start_kafka_relay(
-        events, relay, cfg.kafka_bootstrap_servers, create_topics=True
-    )
+    if cfg.replica_path:
+        # engine extension: REPLICA_PATH switches the sink to replica
+        # maintenance (a queryable parquet mirror of the collection)
+        from pymongo_change_stream_reader_spark.streaming.job import (
+            start_replica_relay,
+        )
+
+        query = start_replica_relay(
+            events, relay, cfg.replica_path, n_buckets=cfg.replica_buckets
+        )
+    else:
+        query = start_kafka_relay(
+            events, relay, cfg.kafka_bootstrap_servers, create_topics=True
+        )
     query.awaitTermination()
 
 
