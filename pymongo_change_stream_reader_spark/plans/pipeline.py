@@ -1774,10 +1774,37 @@ def _apply_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
     shuffle as sizes dictate."""
     if "pipeline" in spec or "let" in spec:
         if "localField" in spec or "foreignField" in spec:
-            raise PipelineError(
-                "$lookup cannot mix localField/foreignField with the "
-                "let/pipeline form here (use one or the other)"
-            )
+            # Mongo 5.0+ combined form: localField/foreignField WITH a
+            # pipeline.  Desugar exactly as the server docs specify —
+            # an implicit let variable bound to the local field and an
+            # implicit leading {$match: {$expr: {$eq: [...]}}} — then
+            # reuse the let/pipeline machinery (the $eq conjunct
+            # becomes a null-safe join key, so the combined form keeps
+            # the single-shuffle plan of the equality form).
+            if "pipeline" not in spec:
+                raise PipelineError(
+                    "$lookup with let requires a pipeline"
+                )
+            if ("localField" in spec) != ("foreignField" in spec):
+                raise PipelineError(
+                    "$lookup combined form needs BOTH localField and "
+                    "foreignField"
+                )
+            spec = dict(spec)
+            let = dict(spec.get("let") or {})
+            var = "__implicit_local"
+            while var in let:
+                var += "_"
+            let[var] = "$" + spec.pop("localField")
+            implicit = {
+                "$match": {
+                    "$expr": {
+                        "$eq": [f"$${var}", "$" + spec.pop("foreignField")]
+                    }
+                }
+            }
+            spec["let"] = let
+            spec["pipeline"] = [implicit] + list(spec["pipeline"])
         return _apply_lookup_pipeline(df, spec, tables)
     unsupported = set(spec) - {"from", "localField", "foreignField", "as"}
     if unsupported:

@@ -2158,9 +2158,12 @@ def test_lookup_pipeline_rejects(spark):
                               {"$group": {"_id": None, "n": {"$sum": 1}}},
                           ],
                           "as": "z"}}], orders, tables={"items": items})
-    with pytest.raises(PipelineError):  # mixing forms
+    # combined localField+pipeline form is legal since Mongo 5.0 and
+    # supported (test_lookup_combined_local_field_pipeline); what stays
+    # rejected is localField WITHOUT its foreignField
+    with pytest.raises(PipelineError):
         run([{"$lookup": {"from": "items", "localField": "cust",
-                          "foreignField": "cust", "pipeline": [], "as": "z"}}],
+                          "pipeline": [], "as": "z"}}],
             orders, tables={"items": items})
 
 
@@ -3897,3 +3900,85 @@ def test_merge_bucketed_mode_and_count_guards(spark, tmp_path):
     _merge_into(spark, [(1, "a")], "id INT, val STRING", p2)
     with pytest.raises(PipelineError, match="WHOLE-TABLE"):
         _merge_into(spark, [(2, "b")], "id INT, val STRING", p2, buckets=4)
+
+
+def test_lookup_combined_local_field_pipeline(spark):
+    """Mongo 5.0+ combined $lookup: localField/foreignField together
+    with a pipeline — desugared to the implicit let + $expr $eq."""
+    orders = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "oid INT, cust STRING"
+    )
+    items = spark.createDataFrame(
+        [("a", 5, "x"), ("a", 50, "y"), ("b", 7, "z")],
+        "cust STRING, qty INT, sku STRING",
+    )
+    got = {
+        r["oid"]: [i["sku"] for i in r["big"]]
+        for r in run(
+            [
+                {
+                    "$lookup": {
+                        "from": "items",
+                        "localField": "cust",
+                        "foreignField": "cust",
+                        "pipeline": [{"$match": {"qty": {"$gte": 10}}}],
+                        "as": "big",
+                    }
+                }
+            ],
+            orders,
+            tables={"items": items},
+        ).collect()
+    }
+    assert got == {1: ["y"], 2: [], 3: []}
+    # empty pipeline == the basic equality form
+    combined = run(
+        [
+            {
+                "$lookup": {
+                    "from": "items",
+                    "localField": "cust",
+                    "foreignField": "cust",
+                    "pipeline": [],
+                    "as": "m",
+                }
+            }
+        ],
+        orders,
+        tables={"items": items},
+    )
+    basic = run(
+        [
+            {
+                "$lookup": {
+                    "from": "items",
+                    "localField": "cust",
+                    "foreignField": "cust",
+                    "as": "m",
+                }
+            }
+        ],
+        orders,
+        tables={"items": items},
+    )
+    norm = lambda df: sorted(
+        (r["oid"], sorted((i["cust"], i["qty"], i["sku"]) for i in r["m"]))
+        for r in df.collect()
+    )
+    assert norm(combined) == norm(basic)
+    # one-sided spec still rejected
+    with pytest.raises(PipelineError, match="BOTH"):
+        run(
+            [
+                {
+                    "$lookup": {
+                        "from": "items",
+                        "localField": "cust",
+                        "pipeline": [],
+                        "as": "m",
+                    }
+                }
+            ],
+            orders,
+            tables={"items": items},
+        )
