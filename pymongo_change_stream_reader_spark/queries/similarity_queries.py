@@ -251,3 +251,84 @@ def dedup_pq_code_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_code_dedup_pairs(
         emb.unionByName(copies), threshold=0.9
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "ann_knn_classify",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 25),
+    scored AS (
+        SELECT q.query_id,
+               c.vec_id AS neighbor_id,
+               c.label,
+               ROUND(list_cosine_similarity(q.qv, c.embedding::DOUBLE[]), 6) AS score
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, label, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    ), votes AS (
+        SELECT query_id, label, COUNT(*) AS n
+        FROM ranked WHERE rank <= 10 GROUP BY query_id, label
+    ), best AS (
+        SELECT query_id, label, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY n DESC, label) AS r
+        FROM votes
+    )
+    SELECT b.query_id,
+           CAST(b.label AS INT)   AS predicted,
+           CAST(b.n AS BIGINT)    AS votes,
+           CAST(q.true_label AS INT) AS true_label
+    FROM best b JOIN q ON q.query_id = b.query_id
+    WHERE b.r = 1
+    ORDER BY b.query_id
+    """,
+    doc="kNN majority-vote classification over the embedding corpus: "
+    "exact cosine top-10 neighbors per query vector, label vote with "
+    "deterministic tie-break (highest count, then lowest label) — the "
+    "retrieval-as-classifier pattern (quality tagging / weak labeling "
+    "by nearest labeled examples) running on the same broadcast-query "
+    "+ one-corpus-pass plan as ann_cosine_topk.",
+    tags=("similarity",),
+)
+def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 25)
+    topk = brute_force_topk(emb, queries, k=10)
+    votes = (
+        topk.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nbr_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("nbr_label")
+    )
+    best = votes.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") == 1
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        best.join(truth, "query_id")
+        .select(
+            "query_id",
+            F.col("nbr_label").cast("int").alias("predicted"),
+            F.col("votes").cast("bigint").alias("votes"),
+            F.col("true_label").cast("int").alias("true_label"),
+        )
+        .orderBy("query_id")
+    )
