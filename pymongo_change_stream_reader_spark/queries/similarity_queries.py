@@ -332,3 +332,79 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# Johnson-Lindenstrauss sign matrix (Achlioptas 2003 database-friendly
+# variant: entries ±1): sign(i, j) = parity of md5("i_j") — generated
+# once here and embedded as literals in BOTH the Spark expression and
+# the oracle SQL, so the two engines share bit-identical constants.
+# The embedding quantizes to integer millis first, making every dot
+# product a sum of int64 terms — exact in any summation order (and
+# exactly representable in DuckDB's double arithmetic), so the sketch
+# is hash-comparable with no float-order caveat.
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 8
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8], 16) % 2
+            else -1
+            for i in range(_JL_IN_DIM)
+        ]
+        for j in range(_JL_OUT_DIM)
+    ]
+
+
+def _jl_oracle() -> str:
+    cols = ",\n           ".join(
+        f"CAST(list_sum(list_transform(range(1, {_JL_IN_DIM + 1}), "
+        f"i -> (ARRAY{signs}::BIGINT[])[i] * m[i])) AS BIGINT) AS p{j}"
+        for j, signs in enumerate(_jl_signs())
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000, 0) AS BIGINT)) AS m
+        FROM embeddings WHERE vec_id < 50
+    )
+    SELECT vec_id, {cols}
+    FROM q ORDER BY vec_id
+    """
+
+
+@query(
+    "embedding_random_projection",
+    oracle=_jl_oracle(),
+    doc="Johnson-Lindenstrauss random projection (Achlioptas ±1 "
+    "variant): 64-dim embeddings sketch down to 8 signed-sum "
+    "components over a deterministic hash-derived sign matrix — the "
+    "cheap-distance preprocessing for billion-vector ANN (project "
+    "once, shortlist in the sketch space, verify in the original).  "
+    "Integer-milli quantization makes the sketch order-independent "
+    "and exactly hash-comparable cross-engine.",
+    tags=("similarity",),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    milli = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000, 0).cast("long"),
+    )
+    out = emb.select(F.col("vec_id"), milli.alias("m"))
+    for j, signs in enumerate(_jl_signs()):
+        sign_arr = F.array(*[F.lit(s).cast("long") for s in signs])
+        out = out.withColumn(
+            f"p{j}",
+            F.aggregate(
+                F.zip_with(F.col("m"), sign_arr, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    return out.drop("m").orderBy("vec_id")
