@@ -66,7 +66,10 @@ HEADLINE = (
     "dedup_repeated_ngram_spans",
     "corpus_decontamination_bloom",
     "quality_linear_scorer",
-    "ann_pq_adc",
+    # stored-index PQ: rep 1 trains + writes the codebook/code index,
+    # rep 2 measures the amortized serving cost (same policy as
+    # dedup_semdedup_indexed)
+    "ann_pq_index",
     # r3 additions: Mongo vector-query surface, DSIR selection, SemDeDup
     "pipeline_vector_search",
     "corpus_dsir_select",

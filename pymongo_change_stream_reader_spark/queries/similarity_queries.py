@@ -408,3 +408,33 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     return out.drop("m").orderBy("vec_id")
+
+
+@query(
+    "ann_pq_index",
+    oracle=None,  # approximate family; roundtrip-equal to in-memory PQ in pytest
+    doc="PQ ANN against the STORED compressed index "
+    "(write_pq_index/pq_topk_from_index): codebooks trained once and "
+    "persisted beside the code-only parquet; query time scans the "
+    "16-32x-compressed codes with the ADC table as one literal and "
+    "touches raw vectors only for the shortlist re-rank — the "
+    "ingest-once serving path that amortizes away the Lloyd-training "
+    "cost dominating ann_pq_adc's in-query timing (PERF.md).",
+    tags=("similarity", "approx"),
+)
+def ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        pq_topk_from_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = f"{tempfile.gettempdir()}/spark_pq_index_{safe}"
+    if not os.path.exists(os.path.join(path, "_codebooks.json")):
+        write_pq_index(emb, path, m_sub=8, k_codes=16, iters=1)
+    return pq_topk_from_index(spark, path, queries, emb, k=10, rerank=8)
