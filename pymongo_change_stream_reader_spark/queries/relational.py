@@ -1121,3 +1121,42 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "agg_hll_mergeable",
+    oracle=None,  # sketch bytes are implementation-defined; invariants in pytest
+    doc="Mergeable HLL sketches (Apache DataSketches via "
+    "hll_sketch_agg / hll_union_agg): per-source customer-cardinality "
+    "sketches unioned into a global estimate WITHOUT re-scanning — "
+    "the pre-aggregated-rollup pattern that makes 100 TB distinct "
+    "counts incremental: shards sketch independently (map-side "
+    "partial agg), the union is bytes-sized, and adding a shard "
+    "never touches the others.  Merge-vs-direct equality and "
+    "estimate-accuracy invariants in tests/test_sampling.py.",
+    tags=("agg", "approx"),
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg(F.col("o_custkey").cast("string")).alias("sk"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    per_est = per.select(
+        "o_orderstatus",
+        "n_orders",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "sk",
+    )
+    total = per_est.agg(
+        F.lit("ALL").alias("o_orderstatus"),
+        F.sum("n_orders").alias("n_orders"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+            "approx_customers"
+        ),
+    )
+    return (
+        per_est.drop("sk")
+        .unionByName(total.select("o_orderstatus", "n_orders", "approx_customers"))
+        .orderBy("o_orderstatus")
+    )

@@ -44,3 +44,35 @@ def test_unimax_invariants(per, budget, epochs):
         lo, hi = min(q.values()), max(q.values())
         assert hi - lo <= 1
         assert budget - sum(q.values()) < len(per)
+
+
+def test_hll_merge_equals_direct_and_is_accurate(spark):
+    """The sketch-union path: union of per-group sketches estimates the
+    SAME value as one direct global sketch (mergeability), and both
+    land within HLL's error envelope of the exact count."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 3_000).cast("string").alias("v"),
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e")
+    ).first()["e"]
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("v").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    assert merged == direct  # mergeability: identical sketch state
+    assert abs(merged - 3_000) / 3_000 < 0.05
+    # partition-layout invariance: same sketch after a reshuffle
+    reshuffled = (
+        df.repartition(17, "v")
+        .groupBy("g")
+        .agg(F.hll_sketch_agg("v").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    assert reshuffled == merged
