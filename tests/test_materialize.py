@@ -314,3 +314,51 @@ def test_replica_settings_from_env(monkeypatch):
     cfg = settings_from_env()
     assert cfg.replica_path == "/data/replica"
     assert cfg.replica_buckets == 64
+
+
+def test_materialize_matches_python_replay_oracle(spark, tmp_path):
+    """Randomized histories: the Spark replica after applying batches
+    in order equals a pure-Python LWW replay (the semantics oracle).
+    Covers multi-event keys, deletes, ties broken by _data, and
+    batch-boundary placement."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    keys = [f"k{i}" for i in range(6)]
+    for trial in range(5):
+        events = []
+        for seq in range(rng.randint(4, 14)):
+            op = rng.choice(["insert", "update", "replace", "delete"])
+            k = rng.choice(keys)
+            t = rng.randint(1, 4)  # deliberate t-collisions
+            i = rng.randint(1, 2)
+            d = f"d{trial}_{seq:02d}"
+            doc = None if op == "delete" else '{"v": %d}' % seq
+            events.append((d, op, t, i, k, doc))
+        # python replay: LWW on (t, i, d) with tombstones
+        state = {}
+        for d, op, t, i, k, doc in events:
+            cur = state.get(k)
+            if cur is None or (t, i, d) >= cur[0]:
+                state[k] = ((t, i, d), doc)
+        expect = {
+            k: json.loads(doc)["v"]
+            for k, (_, doc) in state.items()
+            if doc is not None
+        }
+        # split into random contiguous batches and apply
+        path = str(tmp_path / f"rep{trial}")
+        cuts = sorted(
+            rng.sample(range(1, len(events)), min(2, len(events) - 1))
+        )
+        chunks = [
+            events[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(events)])
+            if events[a:b]
+        ]
+        for chunk in chunks:
+            materialize_change_batch(
+                _frame(spark, [_ev(*e) for e in chunk]), path, n_buckets=4
+            )
+        assert _state(spark, path) == expect, f"trial {trial}"
