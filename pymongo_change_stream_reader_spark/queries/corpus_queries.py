@@ -1161,3 +1161,46 @@ def corpus_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "sample_stratified_exact_n",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (((doc_id % 2147483648) * 2654435761)
+                             % 4294967296), doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20
+    ORDER BY doc_id
+    """,
+    doc="Exact-n stratified sampling: exactly min(20, stratum size) "
+    "documents per language, drawn in deterministic hash order — the "
+    "fixed-budget counterpart to the rate-based "
+    "sample_stratified_hash (eval-set construction, per-language "
+    "probes).  One window pass partitioned by the stratum key; no "
+    "rand(), reproducible across runs/partitionings/engines.",
+    tags=("corpus", "sampling"),
+)
+def sample_stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pymongo_change_stream_reader_spark.operators.sampling import (
+        hash_order_key,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        hash_order_key(F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .withColumn("rn", F.col("rn").cast("bigint"))
+        .orderBy("doc_id")
+    )
