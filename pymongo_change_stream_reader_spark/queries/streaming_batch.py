@@ -263,3 +263,60 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("point_id", "interval_id")
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(min(date_trunc('week', ts)) AS DATE) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               f.cohort,
+               CAST(floor(date_diff('day', f.cohort,
+                    CAST(date_trunc('week', e.ts) AS DATE)) / 7)
+                    AS BIGINT) AS week_n
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort, week_n, COUNT(*) AS active_users
+    FROM activity
+    WHERE week_n <= 8
+    GROUP BY cohort, week_n
+    ORDER BY cohort, week_n
+    """,
+    doc="Cohort retention: users grouped by first-seen week, counted "
+    "in each subsequent activity week (weeks 0..8) — the classic "
+    "product-analytics rollup.  Two hash aggregations (first-seen, "
+    "distinct user-week) and one join on user_id; the cohort frame "
+    "never materializes a user x week matrix.",
+    tags=("relational", "agg"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts")).cast("date")
+    firsts = (
+        e.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort"))
+    )
+    activity = (
+        e.select("user_id", wk.alias("wk"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("bigint")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_n") <= 8)
+        .groupBy("cohort", "week_n")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort", "week_n")
+    )

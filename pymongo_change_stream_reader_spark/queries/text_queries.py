@@ -395,3 +395,62 @@ def text_bpe_trained_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.size("syms").alias("n_pieces"),
         F.array_join("syms", " ").alias("pieces"),
     ).orderBy(F.col("cnt").desc(), F.col("w"))
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents WHERE doc_id < 500
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               array_to_string(t[i * 24 + 1 : i * 24 + 32], ' ') AS chunk,
+               CAST(least(32, len(t) - i * 24) AS BIGINT) AS n_tokens
+        FROM toks,
+             LATERAL unnest(range(0, greatest(1,
+                 CAST(ceil((len(t) - 8)::DOUBLE / 24) AS BIGINT)))) u(i)
+        WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_id, chunk, n_tokens
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="Sliding-window chunking (size 32 tokens, stride 24 = 8-token "
+    "overlap) — the retrieval/embedding prep step that splits long "
+    "documents into overlapping passages.  Chunk boundaries are pure "
+    "arithmetic over the token array (slice + stride), computed as "
+    "one JVM-HOF projection + posexplode: no UDF, no shuffle beyond "
+    "the explode, deterministic chunk ids.",
+    tags=("text",),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    size, stride = 32, 24
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    toks = tx.tokens(F.col("text"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - (size - stride)).cast("double") / stride).cast(
+            "long"
+        ),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, i.cast("int") * stride + 1, size), " "
+            ).alias("chunk"),
+            F.least(
+                F.lit(size).cast("long"),
+                (F.size(toks) - i.cast("int") * stride).cast("long"),
+            ).alias("n_tokens"),
+        ),
+    )
+    return (
+        d.filter(F.size(toks) > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.chunk", "c.n_tokens")
+        .orderBy("doc_id", "chunk_id")
+    )
