@@ -454,3 +454,78 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "c.chunk_id", "c.chunk", "c.n_tokens")
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len({_TOKS}) >= 3 THEN
+                   list_transform(range(1, len({_TOKS}) - 1),
+                       i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]
+                            || ' ' || {_TOKS}[i+2])
+               ELSE [] END AS grams
+        FROM documents WHERE doc_id < 300
+    ),
+    fp AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(0, greatest(0, len(grams) - 3)),
+                   i -> list_min(list_transform(grams[i+1:i+4],
+                        x -> ('0x' || substr(md5(x), 1, 8))::UBIGINT))
+               ))) AS fingerprint
+        FROM g
+    )
+    SELECT doc_id, CAST(fingerprint AS BIGINT) AS fingerprint
+    FROM fp ORDER BY doc_id, fingerprint
+    """,
+    doc="Winnowing document fingerprints (Schleimer et al. 2003, the "
+    "MOSS local-fingerprinting algorithm): hash every word-3-gram, "
+    "slide a window of 4 consecutive hashes, select each window's "
+    "minimum — guaranteeing any match of >= 6 consecutive tokens "
+    "shares a fingerprint, with a bounded fraction of hashes kept.  "
+    "Pure JVM expressions (md5-prefix hash shared bit-identically "
+    "with the oracle); positions are omitted — the selected-value "
+    "SET is the dedup/overlap index.  One narrow projection + "
+    "explode; fingerprint-equality joins then find cross-document "
+    "overlaps without any pairwise scan.",
+    tags=("text", "dedup"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.dedup import word_ngrams
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    # positional grams (word_ngrams dedupes — winnowing needs the
+    # positional sequence, so build the gram list without distinct)
+    toks = tx.tokens(F.col("text"))
+    length = F.size(toks) - 2
+    grams = F.slice(toks, 1, length)
+    for j in range(1, 3):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, length),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(F.size(toks) >= 3, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    h = lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+    # guard: Spark's sequence(0, hi) runs DESCENDING when hi < 0, so a
+    # doc with < 4 grams must short-circuit to no windows explicitly
+    fps = F.when(
+        F.size("grams") >= 4,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("grams") - 4),
+                lambda i: F.array_min(
+                    F.transform(F.slice("grams", i.cast("int") + 1, 4), h)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        d.select("doc_id", grams.alias("grams"))
+        .select("doc_id", F.explode(fps).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
