@@ -529,3 +529,60 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(fps).alias("fingerprint"))
         .orderBy("doc_id", "fingerprint")
     )
+
+
+@query(
+    "text_winnowing_overlap_pairs",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len({_TOKS}) >= 3 THEN
+                   list_transform(range(1, len({_TOKS}) - 1),
+                       i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]
+                            || ' ' || {_TOKS}[i+2])
+               ELSE [] END AS grams
+        FROM documents WHERE doc_id < 300
+    ),
+    fp AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(0, greatest(0, len(grams) - 3)),
+                   i -> list_min(list_transform(grams[i+1:i+4],
+                        x -> ('0x' || substr(md5(x), 1, 8))::UBIGINT))
+               ))) AS fingerprint
+        FROM g WHERE len(grams) >= 4
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*) AS shared_fingerprints
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+    HAVING COUNT(*) >= 3
+    ORDER BY id_a, id_b
+    """,
+    doc="MOSS-style overlap detection: document pairs sharing >= 3 "
+    "winnowing fingerprints — localized-copy detection (a >= 6-token "
+    "verbatim span is guaranteed to collide) through one fingerprint "
+    "equi-join + pair count, never a pairwise text scan.  The "
+    "fingerprint index is what a plagiarism/license-contamination "
+    "sweep stores; the join cost scales with collisions, not with "
+    "corpus-squared.",
+    tags=("text", "dedup"),
+)
+def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = text_winnowing_fingerprints(spark, sf_dir)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= 3)
+        .orderBy("id_a", "id_b")
+    )
