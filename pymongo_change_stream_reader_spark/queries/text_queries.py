@@ -586,3 +586,77 @@ def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_fingerprints") >= 3)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "text_sparse_cosine_pairs",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok
+              FROM documents WHERE doc_id < 120)
+        GROUP BY doc_id, tok
+    ),
+    norms AS (
+        SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nsq FROM tf GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(dot / (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE)), 6)
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = id_a
+    JOIN norms nb ON nb.doc_id = id_b
+    WHERE dot / (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE)) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    doc="Sparse bag-of-words cosine similarity pairs: term-frequency "
+    "vectors compared through one token equi-join (dot products and "
+    "norms are INTEGER sums — exact in any aggregation order; the "
+    "single sqrt/divide at the end is IEEE-deterministic, so the "
+    "score is bit-stable cross-engine).  The sparse counterpart to "
+    "the dense embedding-cosine path: no embedding model needed, "
+    "cost scales with shared-term collisions (inverted index), not "
+    "docs-squared.",
+    tags=("text", "dedup"),
+)
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    tf = (
+        d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("nsq")
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nsq").alias("nsq_b"))
+    cos = F.col("dot") / (
+        F.sqrt(F.col("nsq_a").cast("double"))
+        * F.sqrt(F.col("nsq_b").cast("double"))
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= 0.6)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
