@@ -631,7 +631,10 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
+    tf.count()  # eager: four consumers (a/b sides, two norm joins) —
+    # without the barrier each re-runs the explode + count shuffle
     norms = tf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("nsq")
     )
