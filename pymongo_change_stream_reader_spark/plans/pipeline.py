@@ -2502,9 +2502,16 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
         return F.col(next(iter(sort))).cast("double")
 
     out = df
+    dotted_moves: list[tuple[str, str]] = []
     for field_name, op_spec in spec.get("output", {}).items():
         if not isinstance(op_spec, dict) or not op_spec:
             raise PipelineError(f"invalid $setWindowFields output {field_name!r}")
+        if "." in field_name:
+            # dotted output path (Mongo writes into the nested doc):
+            # compute under a temp name, relocate after the loop
+            tmp = f"__swf_dotted_{len(dotted_moves)}"
+            dotted_moves.append((tmp, field_name))
+            field_name = tmp
         body = dict(op_spec)
         win = body.pop("window", None)
         if len(body) != 1:
@@ -2829,6 +2836,11 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
             # Mongo window $sum is 0 over an empty/all-null frame
             col = F.coalesce(col, F.lit(0))
         out = out.withColumn(field_name, col)
+    for tmp, target in dotted_moves:
+        root, rest = target.split(".", 1)
+        out = out.withColumn(
+            root, F.col(root).withField(rest, F.col(tmp))
+        ).drop(tmp)
     return out
 
 

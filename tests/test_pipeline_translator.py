@@ -3982,3 +3982,36 @@ def test_lookup_combined_local_field_pipeline(spark):
             orders,
             tables={"items": items},
         )
+
+
+def test_set_window_fields_dotted_output(spark):
+    """Mongo writes dotted output paths INTO the nested document."""
+    df = spark.createDataFrame(
+        [(1, 10.0, (0.0,)), (2, 20.0, (0.0,)), (3, 30.0, (0.0,))],
+        "id INT, v DOUBLE, stats STRUCT<run: DOUBLE>",
+    )
+    got = {
+        r["id"]: r
+        for r in run(
+            [
+                {
+                    "$setWindowFields": {
+                        "sortBy": {"id": 1},
+                        "output": {
+                            "stats.run": {
+                                "$sum": "$v",
+                                "window": {
+                                    "documents": ["unbounded", "current"]
+                                },
+                            },
+                            "rnk": {"$rank": {}},
+                        },
+                    }
+                }
+            ],
+            df,
+        ).collect()
+    }
+    assert got[2]["stats"]["run"] == 30.0 and got[3]["stats"]["run"] == 60.0
+    assert got[2]["rnk"] == 2
+    assert "stats.run" not in got[1].asDict()  # no flat dotted column
