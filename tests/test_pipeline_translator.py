@@ -4015,3 +4015,71 @@ def test_set_window_fields_dotted_output(spark):
     assert got[2]["stats"]["run"] == 30.0 and got[3]["stats"]["run"] == 60.0
     assert got[2]["rnk"] == 2
     assert "stats.run" not in got[1].asDict()  # no flat dotted column
+
+
+def test_date_trunc_bin_size_property(spark):
+    """Randomized $dateTrunc binSize vs a pure-Python replay of
+    Mongo's anchor arithmetic (reference point 2000-01-01, week
+    anchors on startOfWeek)."""
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    rng = random.Random(42)
+    anchor = datetime(2000, 1, 1, tzinfo=timezone.utc)
+
+    def py_trunc(dt, unit, bin_size, sow="sunday"):
+        if unit in ("month", "quarter", "year"):
+            step = {"month": 1, "quarter": 3, "year": 12}[unit] * bin_size
+            months = (dt.year - 2000) * 12 + dt.month - 1
+            k = months - ((months % step) + step) % step
+            y, m = 2000 + k // 12, k % 12 + 1
+            return datetime(y, m, 1)
+        if unit == "week":
+            offsets = {"saturday": 0, "sunday": 1, "monday": 2,
+                       "tuesday": 3, "wednesday": 4, "thursday": 5,
+                       "friday": 6}
+            a = anchor + timedelta(days=offsets[sow])
+            width = bin_size * 7 * 86400
+        else:
+            a = anchor
+            width = bin_size * {"day": 86400, "hour": 3600,
+                                "minute": 60, "second": 1}[unit]
+        x = int((dt - a).total_seconds())
+        off = ((x % width) + width) % width
+        return (dt - timedelta(seconds=off)).replace(tzinfo=None)
+
+    cases = []
+    for _ in range(40):
+        dt = datetime(1995, 1, 1, tzinfo=timezone.utc) + timedelta(
+            seconds=rng.randint(0, 40 * 365 * 86400)
+        )
+        unit = rng.choice(
+            ["day", "hour", "minute", "second", "week", "month",
+             "quarter", "year"]
+        )
+        bin_size = rng.randint(1, 9)
+        sow = rng.choice(["sunday", "monday", "thursday"])
+        cases.append((dt, unit, bin_size, sow))
+    df = spark.createDataFrame(
+        [(i, c[0].replace(tzinfo=None)) for i, c in enumerate(cases)],
+        "id INT, d TIMESTAMP",
+    )
+    exprs = {
+        f"t{i}": {
+            "$dateTrunc": {
+                "date": "$d",
+                "unit": u,
+                "binSize": b,
+                **({"startOfWeek": s} if u == "week" else {}),
+            }
+        }
+        for i, (_, u, b, s) in enumerate(cases)
+    }
+    row = {
+        r["id"]: r
+        for r in run([{"$project": {"id": 1, **exprs}}], df).collect()
+    }
+    for i, (dt, u, b, s) in enumerate(cases):
+        got = row[i][f"t{i}"]
+        want = py_trunc(dt, u, b, s)
+        assert got == want, (i, dt, u, b, s, got, want)
