@@ -1160,3 +1160,42 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(total.select("o_orderstatus", "n_orders", "approx_customers"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS distinct_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="EXACT distinct counting via mergeable bitmaps "
+    "(bitmap_bucket_number / bitmap_construct_agg / bitmap_count): "
+    "keys bucket into 32k-bit bitmap segments built with map-side "
+    "partial aggregation, segment popcounts sum to the exact distinct "
+    "— the pre-aggregable exact counterpart to the HLL sketch rollup "
+    "(agg_hll_mergeable): distinct-count cubes can be stored per "
+    "segment and merged incrementally without approximation.",
+    tags=("agg",),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    segments = o.select(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+        F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+    )
+    per_segment = segments.groupBy("o_orderstatus", "bkt").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    return (
+        per_segment.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)"))
+            .cast("bigint")
+            .alias("distinct_customers")
+        )
+        .orderBy("o_orderstatus")
+    )
