@@ -663,3 +663,65 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "text_script_detection",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, '[A-Za-z]')) AS latin_n,
+               len(regexp_extract_all(text, '[一-鿿]'))   AS cjk_n,
+               len(regexp_extract_all(text, '[À-ÿ]'))    AS accented_n
+        FROM documents
+    ),
+    dom AS (
+        SELECT lang,
+               CASE
+                   WHEN cjk_n > latin_n + accented_n THEN 'cjk'
+                   WHEN latin_n + accented_n > 0 THEN 'latin'
+                   ELSE 'other'
+               END AS script,
+               latin_n + accented_n + cjk_n AS letters
+        FROM counts
+    )
+    SELECT lang, script,
+           COUNT(*) AS n_docs,
+           CAST(SUM(letters) AS BIGINT) AS letters
+    FROM dom
+    GROUP BY lang, script
+    ORDER BY lang, script
+    """,
+    doc="Unicode script detection: per-document Latin / accented-Latin "
+    "/ CJK codepoint counts via plain codepoint-range regex classes "
+    "(identical semantics in Java regex and RE2) -> dominant script "
+    "per document, aggregated per labeled language — the script-"
+    "consistency screen a multilingual corpus runs before language-"
+    "specific processing (mislabeled or transliterated docs show up "
+    "as script/label disagreement).  One narrow JVM regexp_count "
+    "projection; no tokenization needed.",
+    tags=("text",),
+)
+def text_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    latin = F.regexp_count(F.col("text"), F.lit("[A-Za-z]"))
+    cjk = F.regexp_count(F.col("text"), F.lit("[一-鿿]"))
+    accented = F.regexp_count(F.col("text"), F.lit("[À-ÿ]"))
+    script = (
+        F.when(cjk > latin + accented, "cjk")
+        .when(latin + accented > 0, "latin")
+        .otherwise("other")
+    )
+    return (
+        d.select(
+            "lang",
+            script.alias("script"),
+            (latin + accented + cjk).alias("letters"),
+        )
+        .groupBy("lang", "script")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("letters").cast("bigint").alias("letters"),
+        )
+        .orderBy("lang", "script")
+    )
