@@ -634,6 +634,27 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
             return tx(0).cast("decimal(38,10)")
         case "$isArray":
             return F.typeof(tx(0)).startswith("array")
+        case "$type":
+            # Expression $type: the BSON type NAME of the operand.
+            # typeof() is constant per column data type, so the CASE
+            # folds to a literal (plus the per-row null test) — same
+            # zero-cost contract as the $match $type predicate.
+            c = tx(0)
+            t = F.typeof(c)
+            name_expr = F.lit("object")  # struct/map fall-through
+            for bson, sparks in _BSON_TYPES.items():
+                if bson == "number":
+                    continue
+                cond = None
+                for sn in sparks:
+                    alt = (
+                        (t == sn)
+                        | t.startswith(sn + "<")
+                        | t.startswith(sn + "(")
+                    )
+                    cond = alt if cond is None else (cond | alt)
+                name_expr = F.when(cond, F.lit(bson)).otherwise(name_expr)
+            return F.when(c.isNull(), F.lit("null")).otherwise(name_expr)
         case "$isNumber":
             t = F.typeof(tx(0))
             return (

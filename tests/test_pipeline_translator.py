@@ -4083,3 +4083,30 @@ def test_date_trunc_bin_size_property(spark):
         got = row[i][f"t{i}"]
         want = py_trunc(dt, u, b, s)
         assert got == want, (i, dt, u, b, s, got, want)
+
+
+def test_type_expression_operator(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 2.5, [1], (1,), None)],
+        "i INT, s STRING, d DOUBLE, arr ARRAY<INT>, st STRUCT<x: INT>, "
+        "miss STRING",
+    )
+    row = run(
+        [
+            {
+                "$project": {
+                    "ti": {"$type": "$i"},
+                    "ts": {"$type": "$s"},
+                    "td": {"$type": "$d"},
+                    "ta": {"$type": "$arr"},
+                    "to": {"$type": "$st"},
+                    "tn": {"$type": "$miss"},
+                    "tl": {"$type": {"$literal": 9999999999}},
+                }
+            }
+        ],
+        df,
+    ).collect()[0]
+    assert (row["ti"], row["ts"], row["td"]) == ("int", "string", "double")
+    assert (row["ta"], row["to"], row["tn"]) == ("array", "object", "null")
+    assert row["tl"] == "long"
