@@ -725,3 +725,58 @@ def text_script_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "script")
     )
+
+
+_PRETOK = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9\s]+"
+
+
+@query(
+    "text_tokenizer_efficiency",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(text, '{_PRETOK}')) AS BIGINT)
+                   AS n_pieces
+        FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_chars) AS BIGINT)  AS total_chars,
+           CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+           ROUND(SUM(n_chars)::DOUBLE / greatest(SUM(n_pieces), 1), 4)
+               AS chars_per_piece
+    FROM per
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Tokenizer-efficiency profile: characters per pre-token piece "
+    "per language, using a lookaround-free GPT-2-style pre-tokenizer "
+    "(letter runs | digit runs | punctuation runs - identical "
+    "semantics in Java regex and RE2).  The fertility metric that "
+    "decides per-language token budgets and surfaces scripts a "
+    "tokenizer handles poorly (CJK shows ~1 char/piece under a "
+    "Latin-centric pre-tokenizer).  One narrow regexp projection + "
+    "one aggregation; exact integer sums, single terminal division.",
+    tags=("text",),
+)
+def text_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_pieces = F.regexp_count(F.col("text"), F.lit(_PRETOK))
+    per = d.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_pieces.cast("bigint").alias("n_pieces"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.greatest(F.sum("n_pieces"), F.lit(1)),
+                4,
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("lang")
+    )
