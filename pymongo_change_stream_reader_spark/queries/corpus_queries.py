@@ -1204,3 +1204,54 @@ def sample_stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.col("rn").cast("bigint"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "quality_adaptive_length_gate",
+    oracle="""
+    WITH bounds AS (
+        SELECT lang,
+               quantile_cont(n_chars, 0.05) AS lo,
+               quantile_cont(n_chars, 0.95) AS hi
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS kept,
+           ROUND(b.lo, 4) AS lo,
+           ROUND(b.hi, 4) AS hi
+    FROM documents d JOIN bounds b ON d.lang = b.lang
+    WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+    GROUP BY d.lang, b.lo, b.hi
+    ORDER BY d.lang
+    """,
+    doc="Per-language adaptive length gate: keep documents inside the "
+    "language's own [P5, P95] character-length band — the "
+    "distribution-aware counterpart to fixed length thresholds "
+    "(Gopher-style absolute cutoffs misfire across languages whose "
+    "natural lengths differ).  Exact interpolated percentiles per "
+    "group (one small aggregate, broadcast back), then a narrow "
+    "filter join — no window over the full corpus.",
+    tags=("corpus", "text"),
+)
+def quality_adaptive_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(bounds), "lang")
+        .filter(
+            (F.col("n_chars") >= F.col("lo"))
+            & (F.col("n_chars") <= F.col("hi"))
+        )
+        .groupBy("lang", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .select(
+            "lang",
+            "kept",
+            F.round("lo", 4).alias("lo"),
+            F.round("hi", 4).alias("hi"),
+        )
+        .orderBy("lang")
+    )
