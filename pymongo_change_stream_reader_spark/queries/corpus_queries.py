@@ -1255,3 +1255,54 @@ def quality_adaptive_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "corpus_conversation_assembly",
+    oracle="""
+    WITH turns AS (
+        SELECT user_id, event_id,
+               event_type || '|' || CAST(CAST(round(value * 100, 0)
+                   AS BIGINT) AS VARCHAR) AS line
+        FROM events WHERE user_id < 200
+    )
+    SELECT user_id,
+           string_agg(line, CHR(10) ORDER BY event_id) AS convo,
+           COUNT(*) AS n_turns
+    FROM turns
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Conversation/document assembly: per-entity turns gathered in "
+    "event order and rendered into one training document — the SFT/"
+    "chat-transcript prep step (group -> order -> template -> "
+    "concat).  Spark has no ordered string_agg, so the turns collect "
+    "as (order_key, line) structs, array_sort puts them in event "
+    "order inside each group, and one array_join renders the "
+    "document — a single hash aggregation, no window pass.",
+    tags=("corpus", "text"),
+)
+def corpus_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    line = F.concat(
+        F.col("event_type"),
+        F.lit("|"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+    )
+    turns = e.select(
+        "user_id",
+        F.struct(F.col("event_id"), line.alias("line")).alias("t"),
+    )
+    return (
+        turns.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("t")), lambda s: s["line"]
+                ),
+                "\n",
+            ).alias("convo"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .orderBy("user_id")
+    )
