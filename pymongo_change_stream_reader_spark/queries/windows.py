@@ -290,3 +290,72 @@ def window_percentile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "window_gaps_islands_sessions",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         <= 1800000000
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WHERE user_id < 300
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_n
+        FROM marked
+    )
+    SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+           COUNT(*) AS n_events,
+           CAST(min(event_id) AS BIGINT) AS first_event,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+               AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_n
+    ORDER BY user_id, session_n
+    """,
+    doc="Batch sessionization by gaps-and-islands: a 30-minute "
+    "inactivity gap starts a new session (lag -> boundary flag -> "
+    "running sum = session id), then one aggregation per session — "
+    "the classic batch counterpart to the streaming session window "
+    "(events_session_window).  One window shuffle on user_id; the "
+    "session id needs no join back.",
+    tags=("window", "relational"),
+)
+def window_gaps_islands_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap <= 1_800_000_000, 0).otherwise(1).alias("new_session"),
+    )
+    sessions = marked.withColumn(
+        "session_n",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            (
+                F.max(F.unix_timestamp(F.col("ts")))
+                - F.min(F.unix_timestamp(F.col("ts")))
+            ).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_n")
+    )
