@@ -209,3 +209,39 @@ def compact_replica(
     return _commit_bucketed(
         compacted, path, ["key"], n_buckets, entries, sorted(entries)
     )
+
+
+def replica_changes(spark: SparkSession, path: str) -> DataFrame | None:
+    """Change feed between the previous and current commit (the
+    one-deep retention window): per key, `op` is ``insert`` (absent
+    before), ``update`` (write triple advanced), or ``delete``
+    (tombstoned or removed by compaction purge).  The downstream
+    incremental-consumer API a lakehouse exposes as a change data
+    feed — computed as one full-outer join of two manifest snapshots,
+    reading only bucket dirs, never replaying events."""
+    cur = read_bucketed_sink(spark, path)
+    prev = read_bucketed_sink(spark, path, -1)
+    if cur is None or prev is None:
+        return None
+    trip = lambda side: F.struct(
+        *[F.col(f"{side}.{c}") for c in _ORDER]
+    )
+    live = lambda side: F.col(f"{side}.key").isNotNull() & F.col(
+        f"{side}.doc"
+    ).isNotNull()
+    j = prev.alias("p").join(
+        cur.alias("c"), F.col("p.key") == F.col("c.key"), "full"
+    )
+    op = (
+        F.when(~live("p") & live("c"), "insert")
+        .when(live("p") & ~live("c"), "delete")
+        .when(live("p") & live("c") & (trip("c") != trip("p")), "update")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("c.key"), F.col("p.key")).alias("key"),
+            op.alias("op"),
+            F.col("c.doc").alias("doc"),
+        )
+        .filter(F.col("op").isNotNull())
+    )

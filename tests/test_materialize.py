@@ -362,3 +362,44 @@ def test_materialize_matches_python_replay_oracle(spark, tmp_path):
                 _frame(spark, [_ev(*e) for e in chunk]), path, n_buckets=4
             )
         assert _state(spark, path) == expect, f"trial {trial}"
+
+
+def test_replica_changes_feed(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.streaming.materialize import (
+        replica_changes,
+    )
+
+    path = str(tmp_path / "replica")
+    materialize_change_batch(
+        _frame(
+            spark,
+            [
+                _ev("a1", "insert", 1, 1, "k1", '{"v": 1}'),
+                _ev("a2", "insert", 1, 2, "k2", '{"v": 2}'),
+                _ev("a3", "insert", 1, 3, "k3", '{"v": 3}'),
+            ],
+        ),
+        path,
+        n_buckets=2,
+    )
+    materialize_change_batch(
+        _frame(
+            spark,
+            [
+                _ev("b1", "update", 2, 1, "k1", '{"v": 10}'),
+                _ev("b2", "delete", 2, 2, "k2", None),
+                _ev("b3", "insert", 2, 3, "k4", '{"v": 4}'),
+            ],
+        ),
+        path,
+        n_buckets=2,
+    )
+    feed = {
+        r["key"]: (r["op"], r["doc"])
+        for r in replica_changes(spark, path).collect()
+    }
+    assert feed == {
+        "k1": ("update", '{"v": 10}'),
+        "k2": ("delete", None),
+        "k4": ("insert", '{"v": 4}'),
+    }  # k3 untouched -> absent from the feed
