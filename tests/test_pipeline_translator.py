@@ -4110,3 +4110,41 @@ def test_type_expression_operator(spark):
     assert (row["ti"], row["ts"], row["td"]) == ("int", "string", "double")
     assert (row["ta"], row["to"], row["tn"]) == ("array", "object", "null")
     assert row["tl"] == "long"
+
+
+def test_merge_bucketed_equals_whole_table_mode_matrix(spark, tmp_path):
+    """Randomized: for every whenMatched x whenNotMatched mode pair
+    (fail modes excluded — they abort identically), a bucketed merge
+    sequence lands byte-identical to the whole-table protocol."""
+    import random
+
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_versioned_sink,
+    )
+
+    rng = random.Random(7)
+    modes_m = ["replace", "keepExisting", "merge"]
+    modes_n = ["insert", "discard"]
+    for trial, (wm, wn) in enumerate(
+        [(m, n) for m in modes_m for n in modes_n]
+    ):
+        base = [(i, f"v{i}", i) for i in rng.sample(range(50), 20)]
+        upd = [
+            (rng.randrange(60), f"u{j}", -j) for j in range(8)
+        ]
+        schema = "id INT, val STRING, n INT"
+        p_plain = str(tmp_path / f"plain{trial}")
+        p_buck = str(tmp_path / f"buck{trial}")
+        for p, b in ((p_plain, None), (p_buck, 5)):
+            _merge_into(spark, base, schema, p, buckets=b)
+            _merge_into(
+                spark, upd, schema, p, buckets=b,
+                whenMatched=wm, whenNotMatched=wn,
+            )
+        plain = sorted(
+            map(tuple, read_versioned_sink(spark, p_plain).collect())
+        )
+        buck = sorted(
+            map(tuple, read_versioned_sink(spark, p_buck).collect())
+        )
+        assert plain == buck, (wm, wn)
