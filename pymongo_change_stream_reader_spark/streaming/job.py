@@ -214,6 +214,22 @@ def start_replica_relay(
 
     stream = events
     if settings.pipeline:
+        from pymongo_change_stream_reader_spark.plans.pipeline import (
+            PipelineError,
+            parse_pipeline,
+        )
+
+        if any(
+            "$changeStreamSplitLargeEvent" in st
+            for st in parse_pipeline(settings.pipeline)
+        ):
+            # fragments would upsert as partial documents; the Kafka
+            # relay is the split-events consumer (reassembly happens
+            # downstream via operators.cdc.reassemble_split_events)
+            raise PipelineError(
+                "$changeStreamSplitLargeEvent cannot feed the replica "
+                "sink — materialization needs whole documents"
+            )
         stream = _apply_user_pipeline(events, settings.pipeline)
     return start_replica_maintenance(
         stream,

@@ -403,3 +403,29 @@ def test_replica_changes_feed(spark, tmp_path):
         "k2": ("delete", None),
         "k4": ("insert", '{"v": 4}'),
     }  # k3 untouched -> absent from the feed
+
+
+def test_replica_relay_rejects_split_pipeline(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.plans.pipeline import PipelineError
+    from pymongo_change_stream_reader_spark.sources.change_events import (
+        stream_change_events_json,
+    )
+    from pymongo_change_stream_reader_spark.streaming.job import (
+        RelaySettings,
+        start_replica_relay,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    (src / "b0.json").write_text("")
+    settings = RelaySettings(
+        stream_reader_name="split-guard",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        pipeline='[{"$changeStreamSplitLargeEvent": {}}]',
+    )
+    with pytest.raises(PipelineError, match="whole documents"):
+        start_replica_relay(
+            stream_change_events_json(spark, str(src)),
+            settings,
+            str(tmp_path / "replica"),
+        )
