@@ -779,3 +779,44 @@ def test_leakage_safe_split_invariant(spark):
     }
     total = sum(frac.values())
     assert frac.get("train", 0) / total > 0.7  # dominant split
+
+
+def test_winnowing_shared_span_guarantee(spark):
+    """Winnowing's core guarantee: two documents sharing >= w+n-1 = 6
+    consecutive tokens (window 4 over 3-grams) share at least one
+    selected fingerprint, wherever the span sits in either document."""
+    import random
+
+    from pymongo_change_stream_reader_spark.queries.text_queries import (
+        text_winnowing_fingerprints,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(50)]
+    span = " ".join(rng.choices(vocab, k=6))
+    rows = []
+    for i in range(6):
+        pre = " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+        post = " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+        rows.append((i, f"{pre} {span} {post}".strip()))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    import pymongo_change_stream_reader_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda s, sf, name: df
+        import pymongo_change_stream_reader_spark.queries.text_queries as tq
+
+        orig2 = tq.load_table
+        tq.load_table = lambda s, sf, name: df
+        fps = text_winnowing_fingerprints(spark, "ignored").collect()
+    finally:
+        tables.load_table = orig
+        tq.load_table = orig2
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for a in range(6):
+        for b in range(a + 1, 6):
+            assert by_doc[a] & by_doc[b], (a, b)
