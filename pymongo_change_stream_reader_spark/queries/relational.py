@@ -1199,3 +1199,39 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey < 100
+    ORDER BY c.c_custkey, t.o_orderkey
+    """,
+    doc="Correlated LATERAL subquery join (top-2 orders per customer "
+    "by price): the SQL-standard per-row dependent subquery, executed "
+    "through Catalyst's lateral-join decorrelation — the optimizer "
+    "rewrites the per-customer ORDER BY/LIMIT into a partitioned "
+    "window top-k rather than re-running the subquery per row.",
+    tags=("join", "subquery"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "orders"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"__lat_{name}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM __lat_customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM __lat_orders o WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey < 100
+        ORDER BY c.c_custkey, t.o_orderkey
+        """
+    )
