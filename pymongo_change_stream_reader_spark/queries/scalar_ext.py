@@ -387,3 +387,38 @@ def io_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(fmt).alias("fmt"), "n_docs", "total_chars", "id_checksum")
         out = agg if out is None else out.unionByName(agg)
     return out.orderBy("fmt")
+
+
+@query(
+    "scalar_try_functions",
+    oracle="""
+    SELECT l_orderkey,
+           l_quantity / NULLIF(l_linenumber - 1, 0)          AS div_maybe,
+           try_cast(l_returnflag AS INT)                     AS flag_int,
+           try_cast(CAST(l_shipdate AS VARCHAR) AS INT)      AS date_int,
+           CAST(floor(l_extendedprice) AS BIGINT) + l_orderkey AS sum_ok
+    FROM lineitem
+    WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Error-safe expression family under ANSI mode: try_divide / "
+    "try_cast / try_add fold would-be runtime errors (divide-by-zero, "
+    "malformed casts) into NULL instead of failing the job — the "
+    "posture a 100 TB batch needs, where one poisoned row must not "
+    "kill a 6-hour query.  The oracle replays DuckDB's NULL-on-error "
+    "forms (NULLIF guard, try_cast).",
+    tags=("scalar",),
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        F.try_divide(
+            F.col("l_quantity"), F.col("l_linenumber") - 1
+        ).alias("div_maybe"),
+        F.col("l_returnflag").try_cast("int").alias("flag_int"),
+        F.col("l_shipdate").cast("string").try_cast("int").alias("date_int"),
+        F.try_add(
+            F.floor(F.col("l_extendedprice")).cast("bigint"), F.col("l_orderkey")
+        ).alias("sum_ok"),
+    ).orderBy("l_orderkey", "l_linenumber")
