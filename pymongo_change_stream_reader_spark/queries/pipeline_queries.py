@@ -1723,3 +1723,58 @@ def pipeline_window_range_unit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return pipe(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pipeline_facet_profile",
+    oracle="""
+    SELECT
+        (SELECT list_sort(list(event_type || ':' || CAST(n AS VARCHAR)))
+         FROM (SELECT event_type, COUNT(*) AS n FROM events
+               WHERE event_id < 3000 GROUP BY event_type))     AS by_type,
+        (SELECT list_sort(list(CAST(h AS VARCHAR) || ':'
+                               || CAST(n AS VARCHAR)))
+         FROM (SELECT EXTRACT(hour FROM ts) AS h, COUNT(*) AS n
+               FROM events WHERE event_id < 3000 GROUP BY h))  AS by_hour,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+         WHERE event_id < 3000)                                AS total
+    """,
+    doc="$facet fan-out: one input pass feeds independent sub-pipelines "
+    "($sortByCount by type, $group by hour, $count) whose results "
+    "collapse into a single profile document — the one-shot dashboard "
+    "pattern.  Facet arrays are canonicalized to sorted strings for "
+    "the order-insensitive oracle compare (facet element order is "
+    "only defined under a trailing $sort; the CONTENT is what the "
+    "oracle pins).",
+    tags=("pipeline", "agg"),
+)
+def pipeline_facet_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 3000}}},
+            {
+                "$facet": {
+                    "by_type": [{"$sortByCount": "$event_type"}],
+                    "by_hour": [
+                        {"$addFields": {"h": {"$hour": "$ts"}}},
+                        {"$group": {"_id": "$h", "n": {"$sum": 1}}},
+                    ],
+                    "totals": [{"$count": "n"}],
+                }
+            },
+        ]
+    )
+    out = pipe(load_table(spark, sf_dir, "events"))
+    render = lambda col, key, val: F.array_sort(
+        F.transform(
+            F.col(col),
+            lambda x: F.concat(
+                x[key].cast("string"), F.lit(":"), x[val].cast("string")
+            ),
+        )
+    )
+    return out.select(
+        render("by_type", "_id", "count").alias("by_type"),
+        render("by_hour", "_id", "n").alias("by_hour"),
+        F.element_at(F.col("totals"), 1)["n"].cast("bigint").alias("total"),
+    )
