@@ -1778,3 +1778,38 @@ def pipeline_facet_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         render("by_hour", "_id", "n").alias("by_hour"),
         F.element_at(F.col("totals"), 1)["n"].cast("bigint").alias("total"),
     )
+
+
+@query(
+    "pipeline_bucket_auto",
+    oracle="""
+    WITH r AS (
+        SELECT value AS v,
+               ntile(4) OVER (ORDER BY value) AS b
+        FROM events WHERE event_id < 2000
+    )
+    SELECT ROUND(MIN(v), 4) AS lo,
+           ROUND(MAX(v), 4) AS hi,
+           COUNT(*) AS count
+    FROM r GROUP BY b ORDER BY lo
+    """,
+    doc="$bucketAuto (no granularity): ntile proposes 4 equal-count "
+    "buckets over the value distribution; the oracle replays the "
+    "positional split.  Output is tie-permutation-invariant: rows "
+    "with equal values at a boundary can land in either bucket "
+    "without changing any bucket's min/max/count.",
+    tags=("pipeline", "agg"),
+)
+def pipeline_bucket_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {"$match": {"event_id": {"$lt": 2000}}},
+            {"$bucketAuto": {"groupBy": "$value", "buckets": 4}},
+        ]
+    )
+    out = pipe(load_table(spark, sf_dir, "events"))
+    return out.select(
+        F.round(F.col("_id.min"), 4).alias("lo"),
+        F.round(F.col("_id.max"), 4).alias("hi"),
+        F.col("count"),
+    ).orderBy("lo")
