@@ -1813,3 +1813,35 @@ def pipeline_bucket_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_id.max"), 4).alias("hi"),
         F.col("count"),
     ).orderBy("lo")
+
+
+@query(
+    "pipeline_documents_literal",
+    oracle="""
+    SELECT k, CAST(n * 10 AS BIGINT) AS n10
+    FROM (VALUES ('a', 1), ('b', 2), ('c', 3)) AS t(k, n)
+    WHERE n >= 2
+    ORDER BY k
+    """,
+    doc="$documents input-producing stage: aggregate over literal "
+    "documents with NO collection input (Mongo's "
+    "db.aggregate([{$documents: ...}])), composed with $match and a "
+    "computed $project — the inline-data path used for lookup seeds "
+    "and tests.",
+    tags=("pipeline",),
+)
+def pipeline_documents_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pipe = translate_pipeline(
+        [
+            {
+                "$documents": [
+                    {"k": "a", "n": 1},
+                    {"k": "b", "n": 2},
+                    {"k": "c", "n": 3},
+                ]
+            },
+            {"$match": {"n": {"$gte": 2}}},
+            {"$project": {"k": 1, "n10": {"$multiply": ["$n", 10]}}},
+        ]
+    )
+    return pipe(None).orderBy("k")
