@@ -82,6 +82,10 @@ HEADLINE = (
     # CDC replica maintenance: full-history LWW apply onto the
     # bucketed replica (the foreachBatch consumer's per-batch plan)
     "cdc_replica_table",
+    # late r3: winnowing fingerprint selection (localized-copy index)
+    # and exact distinct via mergeable bitmap segments
+    "text_winnowing_fingerprints",
+    "agg_bitmap_distinct",
 )
 
 
