@@ -4091,11 +4091,17 @@ def _read_bucket_manifest(path: str):
         lines = [ln.strip() for ln in fh.read().splitlines() if ln.strip()]
     if not lines or not lines[0].startswith("buckets="):
         return None
-    n = int(lines[0].split("=", 1)[1])
-    entries: dict[int, str] = {}
-    for ln in lines[1:]:
-        k, rel = ln.split(":", 1)
-        entries[int(k)] = rel
+    try:
+        n = int(lines[0].split("=", 1)[1])
+        entries: dict[int, str] = {}
+        for ln in lines[1:]:
+            k, rel = ln.split(":", 1)
+            entries[int(k)] = rel
+    except ValueError as exc:
+        raise PipelineError(
+            f"corrupt bucketed-sink manifest at {mpath!r}: {exc} — "
+            "restore from _manifest.prev or recreate the sink"
+        ) from exc
     return n, entries
 
 

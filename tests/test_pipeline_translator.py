@@ -4148,3 +4148,38 @@ def test_merge_bucketed_equals_whole_table_mode_matrix(spark, tmp_path):
             map(tuple, read_versioned_sink(spark, p_buck).collect())
         )
         assert plain == buck, (wm, wn)
+
+
+def test_merge_bucketed_pipeline_when_matched(spark, tmp_path):
+    """whenMatched custom-update pipelines run identically through the
+    bucket-pruned path."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_versioned_sink,
+    )
+
+    base = [(i, i * 10) for i in range(12)]
+    upd = [(3, 999), (7, 999), (20, 5)]
+    schema = "id INT, n INT"
+    wm = [{"$set": {"n": {"$add": ["$n", {"$multiply": ["$$new.n", 0]}, 1]}}}]
+    outs = []
+    for p, b in ((str(tmp_path / "p"), None), (str(tmp_path / "b"), 4)):
+        _merge_into(spark, base, schema, p, buckets=b)
+        _merge_into(spark, upd, schema, p, buckets=b, whenMatched=wm)
+        outs.append(
+            sorted(map(tuple, read_versioned_sink(spark, p).collect()))
+        )
+    assert outs[0] == outs[1]
+    vals = dict(outs[1])
+    assert vals[3] == 31 and vals[7] == 71  # stored n + 1
+    assert vals[20] == 5  # inserted unmatched
+
+
+def test_bucketed_manifest_corruption_raises(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "sink")
+    _merge_into(spark, [(1, "a")], "id INT, val STRING", path, buckets=2)
+    with open(os.path.join(path, "_manifest"), "w") as fh:
+        fh.write("buckets=2\nnot_a_number:v-000001/__bucket=0")
+    with pytest.raises(PipelineError, match="corrupt bucketed-sink"):
+        _merge_into(spark, [(2, "b")], "id INT, val STRING", path, buckets=2)
