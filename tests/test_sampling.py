@@ -76,3 +76,43 @@ def test_hll_merge_equals_direct_and_is_accurate(spark):
         .first()["e"]
     )
     assert reshuffled == merged
+
+
+def test_unimax_select_matches_python_replay(spark):
+    """Distributed selection == a pure-Python replay of the same hash
+    order and quota walk, across random corpora."""
+    import random
+
+    from pymongo_change_stream_reader_spark.operators.sampling import (
+        unimax_quotas,
+        unimax_select,
+    )
+
+    rng = random.Random(5)
+    for trial in range(3):
+        docs = [
+            (i, rng.choice(["aa", "bb", "cc"]), rng.randint(1, 40))
+            for i in range(rng.randint(10, 60))
+        ]
+        per = {}
+        for _, lang, n in docs:
+            per[lang] = per.get(lang, 0) + n
+        budget = sum(per.values()) * 2 // 3
+        quotas = unimax_quotas(sorted(per.items()), budget)
+        # python replay
+        key = lambda d: (((d % 2147483648) * 2654435761) % 4294967296, d)
+        expect = set()
+        for lang in per:
+            cum = 0
+            for doc_id, _, n in sorted(
+                (d for d in docs if d[1] == lang), key=lambda d: key(d[0])
+            ):
+                if cum + n <= quotas[lang]:
+                    cum += n
+                    expect.add(doc_id)
+        df = spark.createDataFrame(docs, "doc_id LONG, lang STRING, n_tok LONG")
+        got = {
+            r["doc_id"]
+            for r in unimax_select(df, quotas).collect()
+        }
+        assert got == expect, trial
