@@ -101,14 +101,18 @@ def test_unimax_select_matches_python_replay(spark):
         quotas = unimax_quotas(sorted(per.items()), budget)
         # python replay
         key = lambda d: (((d % 2147483648) * 2654435761) % 4294967296, d)
+        # PREFIX rule (matches the one-window-pass operator): walk in
+        # hash order accumulating EVERY doc's tokens; keep while the
+        # inclusive cumulative stays within quota.  (A greedy skip-and-
+        # continue would need per-row state, not a window cumsum.)
         expect = set()
         for lang in per:
             cum = 0
             for doc_id, _, n in sorted(
                 (d for d in docs if d[1] == lang), key=lambda d: key(d[0])
             ):
-                if cum + n <= quotas[lang]:
-                    cum += n
+                cum += n
+                if cum <= quotas[lang]:
                     expect.add(doc_id)
         df = spark.createDataFrame(docs, "doc_id LONG, lang STRING, n_tok LONG")
         got = {
