@@ -380,3 +380,111 @@ def cdc_replica_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "cdc_replica_pipeline_query",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    ev AS (
+        SELECT '{{"_id": ' || CAST(event_id % 101 AS VARCHAR) || '}}' AS key,
+               operation,
+               CASE WHEN operation <> 'delete'
+                    THEN '{{"v": ' || CAST(cents AS VARCHAR) || '}}'
+               END AS doc,
+               event_id AS t
+        FROM sim
+        WHERE operation IN ('insert', 'update', 'replace', 'delete')
+    ),
+    last AS (
+        SELECT key,
+               max_by(operation || '|' || COALESCE(doc, ''), t) AS payload
+        FROM ev GROUP BY key
+    ),
+    live AS (
+        SELECT CAST(json_extract_string(
+                   substr(payload, position('|' IN payload) + 1), '$.v'
+               ) AS BIGINT) AS v
+        FROM last WHERE split_part(payload, '|', 1) <> 'delete'
+    )
+    SELECT CAST(v % 5 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(v) AS BIGINT) AS total
+    FROM live
+    WHERE v >= 100
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="The full circle: the change stream materializes into the "
+    "replica (LWW + tombstones), the replica's documents project to "
+    "typed columns, and the USER'S OWN Mongo pipeline language "
+    "($match/$addFields/$group) queries the result — a reference "
+    "user keeps both their collection (as the replica) and their "
+    "query dialect after switching engines.",
+    tags=("cdc", "pipeline"),
+)
+def cdc_replica_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        translate_pipeline,
+    )
+    from pymongo_change_stream_reader_spark.streaming.materialize import (
+        materialize_change_batch,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    operation = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "update")
+        .when(F.col("event_type") == "click", "replace")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("drop")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    ev = e.select(
+        F.struct(
+            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias("_data")
+        ).alias("_id"),
+        operation.alias("operationType"),
+        F.struct(F.col("event_id").alias("t"), F.lit(1).alias("i")).alias(
+            "clusterTime"
+        ),
+        F.concat(
+            F.lit('{"_id": '), (F.col("event_id") % 101).cast("string"), F.lit("}")
+        ).alias("documentKey"),
+        F.when(
+            operation.isin("insert", "update", "replace"),
+            F.concat(F.lit('{"v": '), cents.cast("string"), F.lit("}")),
+        ).alias("fullDocument"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_cdc_replica_q_")
+    try:
+        replica = materialize_change_batch(ev, path, n_buckets=16).filter(
+            F.col("doc").isNotNull()
+        )
+        typed = replica.select(
+            F.get_json_object("doc", "$.v").cast("long").alias("v")
+        )
+        pipe = translate_pipeline(
+            [
+                {"$match": {"v": {"$gte": 100}}},
+                {"$addFields": {"bucket": {"$mod": ["$v", 5]}}},
+                {
+                    "$group": {
+                        "_id": "$bucket",
+                        "n": {"$sum": 1},
+                        "total": {"$sum": "$v"},
+                    }
+                },
+            ]
+        )
+        out = pipe(typed).select(
+            F.col("_id").cast("bigint").alias("bucket"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("total").cast("bigint").alias("total"),
+        ).orderBy("bucket")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
