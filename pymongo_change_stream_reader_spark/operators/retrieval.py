@@ -1,0 +1,153 @@
+"""Lexical and hybrid retrieval operators over the documents table.
+
+BM25 ranking (Robertson/Okapi) and reciprocal-rank fusion — the
+retrieval counterpart of the embedding ANN family in
+``operators/similarity.py``.  The reference
+(`/root/reference/pymongo_change_stream_reader`) has no query engine of
+its own; these extend the north-star corpus/retrieval surface
+(SURVEY.md §2.C) the way a RAG / training-data pipeline uses the
+engine: keyword search, vector search, and their fusion.
+
+Scale design (100 TB corpus):
+
+- The **postings table** (doc_id, term, tf) is one explode + one hash
+  aggregation with map-side partials; it shuffles on term, the same
+  key the per-term lookups join on.
+- The **query side is tiny** (a handful of probe documents' distinct
+  terms).  Document frequencies are joined onto the query terms FIRST
+  — so the vocabulary-sized df table is reduced to |query terms| rows
+  before it broadcasts against the postings.  The full df table is
+  never broadcast (real vocabularies exceed broadcast size).
+- Corpus constants (N, avgdl) are scalars — the model-state pattern
+  used by the TF-IDF and IVF operators.
+- Per-query top-k is one window partitioned by query_id, ranked on the
+  ROUNDED score with a deterministic doc_id tie-break so ranking is
+  reproducible across engines and float summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators import text as tx
+
+
+def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, term, tf) — lower-cased whitespace terms."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tx.tokens(F.col(text_col))).alias("term"),
+    ).withColumn("term", F.lower("term"))
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    probe_ids: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 "more-like-this": each probe document's distinct terms are
+    a query; every OTHER document sharing at least one term is scored.
+
+    score(q, d) = sum over t in q of
+        idf(t) * tf(t,d) * (k1+1) / (tf(t,d) + k1*(1 - b + b*|d|/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Output: (query_id, doc_id, score) — score rounded to 4 (the sum
+    over query terms is order-sensitive in the last ulps; 4 decimals
+    is ~10 orders above that noise).
+    """
+    post = _postings(docs, text_col, id_col)
+    doclen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # Corpus constants: scalars, not broadcast-join state.
+    n_docs, avgdl = (
+        doclen.agg(
+            F.count("*").cast("double"), F.avg(F.col("dl").cast("double"))
+        ).collect()[0]
+    )
+    dfreq = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # Query terms (tiny) pick up their df — vocabulary never broadcasts.
+    qterms = (
+        post.filter(F.col("doc_id").isin(probe_ids))
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .join(dfreq, "term")
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .select("query_id", "term", "idf")
+    )
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(doclen, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("s"),
+        )
+    )
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("s"), 4).alias("score")
+    )
+
+
+def topk_ranked(
+    scored: DataFrame, k: int, score_col: str = "score"
+) -> DataFrame:
+    """Per-query top-k on the rounded score, doc_id tie-break."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 60,
+    names: tuple[str, str] = ("bm25_rank", "vec_rank"),
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, doc_id, rank) lists:
+
+        rrf(d) = sum over lists of 1 / (k + rank_list(d))
+
+    A document absent from one list contributes only the other term
+    (standard RRF).  The fused score is a sum of exact small rationals
+    evaluated identically in any IEEE engine — the most hash-stable
+    fusion there is.  Output keeps both source ranks (nullable).
+    """
+    a = ranked_a.select("query_id", "doc_id", F.col("rank").alias(names[0]))
+    b = ranked_b.select("query_id", "doc_id", F.col("rank").alias(names[1]))
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        names[0],
+        names[1],
+        F.round(
+            F.coalesce(1.0 / (F.lit(k) + F.col(names[0])), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col(names[1])), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused

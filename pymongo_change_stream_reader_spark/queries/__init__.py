@@ -45,6 +45,7 @@ _MODULES = (
     "dedup_queries",
     "similarity_queries",
     "text_queries",
+    "retrieval_queries",
     "corpus_queries",
     "multimodal_queries",
 )

@@ -1,0 +1,174 @@
+"""Retrieval queries: BM25 keyword search and hybrid BM25+vector
+reciprocal-rank fusion over the documents/embeddings tables.
+
+The north-star serving surface of a curated corpus (SURVEY.md §2.C):
+keyword top-k, vector top-k (``similarity_queries``), and their RRF
+fusion — the standard hybrid-search shape used by RAG stacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.retrieval import (
+    bm25_scores,
+    rrf_fuse,
+    topk_ranked,
+)
+from pymongo_change_stream_reader_spark.operators.similarity import (
+    brute_force_topk,
+)
+from pymongo_change_stream_reader_spark.queries import query
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w <> '')"
+
+# Shared oracle CTE chain: BM25 postings/stats + per-probe-doc scores
+# (k1=1.2, b=0.75, Robertson idf ln(1+(N-df+.5)/(df+.5))), score
+# rounded to 4 BEFORE ranking so rank order is reproducible across
+# engines/summation orders (same convention as ann_cosine_topk).
+_BM25_CTES = f"""
+    toks AS (
+        SELECT doc_id, lower(unnest({_TOKS})) AS term FROM documents
+    ),
+    post AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM post GROUP BY doc_id),
+    consts AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               AVG(CAST(dl AS DOUBLE))  AS avgdl
+        FROM dl
+    ),
+    dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM post GROUP BY term
+    ),
+    qt AS (
+        SELECT p.doc_id AS query_id, p.term,
+               ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) AS idf
+        FROM post p JOIN dfreq d USING (term) CROSS JOIN consts c
+        WHERE p.doc_id < 5
+    ),
+    bm25 AS (
+        SELECT qt.query_id, p.doc_id,
+               ROUND(SUM(qt.idf * p.tf * 2.2
+                     / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl))),
+                     4) AS score
+        FROM qt JOIN post p USING (term)
+        JOIN dl ON dl.doc_id = p.doc_id
+        CROSS JOIN consts c
+        WHERE p.doc_id <> qt.query_id
+        GROUP BY qt.query_id, p.doc_id
+    )
+"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM bm25
+    )
+    SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+    doc="BM25 more-like-this top-10 for 5 probe documents (k1=1.2, "
+    "b=0.75, Robertson idf) — lexical retrieval over the corpus.  "
+    "Postings shuffle once on term; the df lookup happens on the "
+    "tiny query-term side so the vocabulary never broadcasts.",
+    tags=("text", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: postings = one explode + hash agg (map-side partials);
+    per-term candidate lookup is a broadcast of |probe terms| rows
+    against the postings, shuffled on the same term key the postings
+    aggregation already produced; top-k is one window on query_id."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(d, probe_ids=[0, 1, 2, 3, 4])
+    return (
+        topk_ranked(scored, k=10)
+        .select("query_id", "doc_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "retrieval_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    bm25_ranked AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS INT) AS bm25_rank
+        FROM bm25
+        QUALIFY bm25_rank <= 50
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id < 5),
+    cos AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(q.v, c.embedding::DOUBLE[]),
+                     6) AS score
+        FROM qv q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    vec_ranked AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS INT) AS vec_rank
+        FROM cos
+        QUALIFY vec_rank <= 50
+    ),
+    fused AS (
+        SELECT query_id, doc_id, bm25_rank, vec_rank,
+               ROUND(COALESCE(1.0 / (60 + bm25_rank), 0.0)
+                     + COALESCE(1.0 / (60 + vec_rank), 0.0), 6) AS rrf
+        FROM bm25_ranked FULL JOIN vec_ranked USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, bm25_rank, vec_rank, rrf,
+           CAST(rnk AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+        FROM fused
+    )
+    WHERE rnk <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="Hybrid retrieval: BM25 top-50 and exact-cosine top-50 per "
+    "probe fused by reciprocal rank (k=60), top-5 kept.  RRF sums "
+    "exact small rationals over integer ranks — hash-stable across "
+    "engines by construction.  doc_id <-> vec_id pairs the two "
+    "modalities of the same item.",
+    tags=("retrieval", "similarity"),
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both legs are per-query top-k lists (tiny); the fusion
+    full-outer join is |queries| x 50 rows a side — driver-free,
+    broadcast-sized regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm25 = topk_ranked(bm25_scores(d, probe_ids=[0, 1, 2, 3, 4]), k=50)
+    vec = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=50
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse(bm25, vec, k=60)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "doc_id", "bm25_rank", "vec_rank", "rrf", "rank"
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,99 @@
+"""BM25 and RRF hybrid retrieval: pinned against a pure-Python
+reference implementation on a hand-built corpus, plus the fusion
+algebra invariants."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.retrieval import (
+    bm25_scores,
+    rrf_fuse,
+    topk_ranked,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick red fox"),
+    (2, "lazy dogs sleep all day"),
+    (3, "quick brown foxes are quick"),
+    (4, "an unrelated document about spark engines"),
+    (5, "spark engines process the quick data"),
+]
+
+
+def _py_bm25(probe_ids, k1=1.2, b=0.75):
+    """Reference BM25 in plain Python (independent of the Spark op)."""
+    toks = {i: [w.lower() for w in t.split()] for i, t in DOCS}
+    tf = {
+        i: {w: ws.count(w) for w in set(ws)} for i, ws in toks.items()
+    }
+    dl = {i: len(ws) for i, ws in toks.items()}
+    n = float(len(DOCS))
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for ws in tf.values():
+        for w in ws:
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for q in probe_ids:
+        for d, ws in tf.items():
+            if d == q:
+                continue
+            s = 0.0
+            for w in tf[q]:
+                if w not in ws:
+                    continue
+                idf = math.log(1 + (n - df[w] + 0.5) / (df[w] + 0.5))
+                s += (
+                    idf
+                    * ws[w]
+                    * (k1 + 1)
+                    / (ws[w] + k1 * (1 - b + b * dl[d] / avgdl))
+                )
+            if s > 0.0:
+                out[(q, d)] = round(s, 4)
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    d = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(d, probe_ids=[0, 4]).collect()
+    }
+    assert got == _py_bm25([0, 4])
+
+
+def test_bm25_self_excluded_and_rank_deterministic(spark):
+    d = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    ranked = topk_ranked(bm25_scores(d, probe_ids=[1]), k=10).collect()
+    assert all(r["doc_id"] != 1 for r in ranked)
+    # ranks are 1..n with score non-increasing, doc_id tie-break
+    ranked.sort(key=lambda r: r["rank"])
+    assert [r["rank"] for r in ranked] == list(range(1, len(ranked) + 1))
+    for a, z in zip(ranked, ranked[1:]):
+        assert (a["score"], -a["doc_id"]) >= (z["score"], -z["doc_id"])
+
+
+def test_rrf_fusion_algebra(spark):
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id LONG, doc_id LONG, rank INT",
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)],
+        "query_id LONG, doc_id LONG, rank INT",
+    )
+    got = {
+        r["doc_id"]: (r["bm25_rank"], r["vec_rank"], r["rrf"])
+        for r in rrf_fuse(a, b, k=60).collect()
+    }
+    # doc in both lists sums both reciprocal terms
+    assert got[11] == (2, 1, round(1 / 62 + 1 / 61, 6))
+    # doc in exactly one list keeps a null rank for the other leg
+    assert got[10] == (1, None, round(1 / 61, 6))
+    assert got[13] == (None, 2, round(1 / 62, 6))
+    assert set(got) == {10, 11, 12, 13}
