@@ -86,6 +86,8 @@ HEADLINE = (
     # and exact distinct via mergeable bitmap segments
     "text_winnowing_fingerprints",
     "agg_bitmap_distinct",
+    # late r3: hybrid retrieval (BM25 lexical leg + cosine leg + RRF)
+    "retrieval_hybrid_rrf",
 )
 
 

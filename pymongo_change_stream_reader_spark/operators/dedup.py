@@ -145,6 +145,51 @@ def exact_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float, n: int = 3
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT:
+    c(a->b) = |Sa ∩ Sb| / |Sa|.
+
+    Catches the quote/excerpt/superset case symmetric Jaccard misses —
+    a short document fully embedded in a much longer one has Jaccard
+    |a|/|b| (tiny) but containment 1.0.  A pair is kept when EITHER
+    direction reaches ``threshold``; both directions are emitted so the
+    caller can tell which side is the contained (drop-candidate) doc.
+
+    Same plan shape as :func:`exact_jaccard_pairs`: intersections come
+    from one pair-count aggregation over the inverted shingle index
+    (one shuffle on gram), never per-pair array intersection; the
+    per-doc set sizes broadcast.  The filter compares the ROUNDED
+    score so the keep/drop decision is reproducible across engines.
+    """
+    grams = _grams_table(df, text_col, id_col, n)
+    sizes = grams.select("doc", F.size("grams").alias("sz"))
+    inv = grams.select("doc", F.explode("grams").alias("gram"))
+    inter = (
+        inv.alias("a")
+        .join(
+            inv.alias("b"),
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias("c_ab"),
+            F.round(F.col("inter") / F.col("sz_b"), 6).alias("c_ba"),
+        )
+        .filter(F.greatest("c_ab", "c_ba") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH.
 # ---------------------------------------------------------------------------

@@ -92,6 +92,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               ROUND(inter / len(ga.grams), 6) AS c_ab,
+               ROUND(inter / len(gb.grams), 6) AS c_ba
+        FROM cand
+        JOIN g ga ON ga.doc_id = id_a
+        JOIN g gb ON gb.doc_id = id_b
+    )
+    SELECT * FROM scored WHERE greatest(c_ab, c_ba) >= 0.9
+    ORDER BY id_a, id_b
+    """,
+    doc="Asymmetric n-gram containment pairs (either direction >= "
+    "0.9): |Sa cap Sb|/|Sa| — catches excerpt/superset duplication "
+    "that symmetric Jaccard under-scores.  Same one-shuffle "
+    "inverted-index pair-count plan as dedup_ngram_jaccard.",
+    tags=("dedup",),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", 0.9
+    ).orderBy("id_a", "id_b")
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=None,  # sketch/banding composition; verified vs exact pairs in pytest
     doc="MinHash(32)+LSH(8 bands) near-dup pairs verified by exact "
