@@ -229,6 +229,101 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_survivor_selection",
+    oracle=f"""
+    WITH RECURSIVE
+    g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN g ga ON ga.doc_id = id_a
+        JOIN g gb ON gb.doc_id = id_b
+        WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
+              / greatest(len(ga.grams) + len(gb.grams)
+                         - len(list_intersect(ga.grams, gb.grams)), 1) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(v, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v
+    ),
+    comp AS (
+        SELECT CAST(v AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+        FROM reach GROUP BY v
+    ),
+    scored AS (
+        SELECT comp.component, comp.doc_id,
+               CAST(len({_TOKS}) AS INT) AS n_tokens
+        FROM comp JOIN documents USING (doc_id)
+    ),
+    sized AS (
+        SELECT component, COUNT(*) AS n_members FROM scored GROUP BY component
+    )
+    SELECT s.component, s.doc_id AS survivor_id, s.n_tokens, z.n_members
+    FROM scored s JOIN sized z USING (component)
+    WHERE z.n_members >= 2
+      AND (s.n_tokens, -s.doc_id) = (
+          SELECT MAX((t.n_tokens, -t.doc_id)) FROM scored t
+          WHERE t.component = s.component)
+    ORDER BY component
+    """,
+    doc="Dedup survivor selection — the end-step of corpus dedup: "
+    "near-dup clusters (exact-Jaccard >= 0.5 components) each keep "
+    "ONE representative, the longest member with doc_id tie-break; "
+    "singleton components pass through untouched (filtered here to "
+    "show only the real dup clusters).",
+    tags=("dedup", "corpus"),
+)
+def dedup_survivor_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: components via the same min-label propagation as
+    dedup_cluster_components; the argmax-per-component is one window
+    over the component key — no extra shuffle beyond the clustering
+    itself."""
+    from pyspark.sql import Window as W
+
+    from pymongo_change_stream_reader_spark.operators import text as tx
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, "text", "doc_id", 0.5)
+    comp = connected_components(pairs, docs.select("doc_id"))
+    scored = comp.join(
+        docs.select(
+            "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    w = W.partitionBy("component").orderBy(
+        F.desc("n_tokens"), F.col("doc_id")
+    )
+    cw = W.partitionBy("component")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(cw))
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_id"),
+            "n_tokens",
+            "n_members",
+        )
+        .orderBy("component")
+    )
+
+
+@query(
     "dedup_incremental_lsh",
     oracle=f"""
     WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
