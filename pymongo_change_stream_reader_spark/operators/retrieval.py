@@ -34,12 +34,27 @@ from pymongo_change_stream_reader_spark.operators import text as tx
 
 
 def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, term, tf) — lower-cased whitespace terms."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tx.tokens(F.col(text_col))).alias("term"),
-    ).withColumn("term", F.lower("term"))
-    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    """(doc_id, term, tf) — lower-cased whitespace terms.
+
+    Materialized eagerly: four consumers scan it (doclen, df, query
+    terms, the candidate join), which without the barrier each re-run
+    the explode over the full corpus — 4 corpus passes instead of 1.
+    At cluster scale this is the inverted index you write to storage
+    once; released by the harness's release_caches() (the
+    _grams_table contract)."""
+    # Repartition first: a single-file source would serialize the
+    # tokenize explode on one core (the _grams_table lesson).
+    toks = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tx.tokens(F.col(text_col))).alias("term"),
+        )
+        .withColumn("term", F.lower("term"))
+    )
+    post = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    post.count()  # eager: lazy persists race across join branches
+    return post
 
 
 def bm25_scores(
