@@ -1306,3 +1306,83 @@ def corpus_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_DTR = f"round(len(list_distinct({_TOKS}))::DOUBLE / greatest(len({_TOKS}), 1), 6)"
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, {_DTR} AS score FROM documents
+    ),
+    cuts AS (
+        SELECT quantile_cont(score, 0.25) AS c1,
+               quantile_cont(score, 0.50) AS c2,
+               quantile_cont(score, 0.75) AS c3
+        FROM scored
+    ),
+    phased AS (
+        SELECT doc_id, score,
+               CAST(1 + CAST(score < c3 AS INT) + CAST(score < c2 AS INT)
+                    + CAST(score < c1 AS INT) AS INT) AS phase
+        FROM scored CROSS JOIN cuts
+    )
+    SELECT doc_id, score, phase,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY phase
+               ORDER BY ((doc_id % 2147483648) * 2654435761 + 23)
+                        % 4294967296, doc_id) AS INT) AS order_in_phase
+    FROM phased
+    ORDER BY phase, order_in_phase
+    """,
+    doc="Curriculum data ordering: 4 quality phases (distinct-token "
+    "ratio quartiles, cleanest first) with a deterministic seeded "
+    "shuffle inside each phase — the anneal-by-quality dataloader "
+    "order.  Phase boundaries come from ONE percentile aggregation "
+    "and assignment is a comparison against the broadcast cutoffs — "
+    "never a global ntile window (single-partition at scale); the "
+    "intra-phase order is the shuffle_key primitive, realized at "
+    "scale as repartitionByRange within phase.",
+    tags=("corpus", "sampling"),
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from pymongo_change_stream_reader_spark.operators.packing import (
+        shuffle_key,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("score"),
+    )
+    cuts = scored.agg(
+        F.expr("percentile(score, 0.25)").alias("c1"),
+        F.expr("percentile(score, 0.50)").alias("c2"),
+        F.expr("percentile(score, 0.75)").alias("c3"),
+    )
+    phased = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "score",
+        (
+            F.lit(1)
+            + (F.col("score") < F.col("c3")).cast("int")
+            + (F.col("score") < F.col("c2")).cast("int")
+            + (F.col("score") < F.col("c1")).cast("int")
+        ).alias("phase"),
+    )
+    w = W.partitionBy("phase").orderBy(
+        shuffle_key(F.col("doc_id"), seed=23), F.col("doc_id")
+    )
+    return (
+        phased.withColumn("order_in_phase", F.row_number().over(w))
+        .orderBy("phase", "order_in_phase")
+    )

@@ -696,3 +696,53 @@ def corpus_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_ngram_novelty",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    first_seen AS (SELECT gram, MIN(doc_id) AS first_doc FROM inv GROUP BY gram)
+    SELECT inv.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(SUM(CAST(first_doc = inv.doc_id AS INT))::DOUBLE
+                 / COUNT(*), 6) AS novel_frac
+    FROM inv JOIN first_seen USING (gram)
+    GROUP BY inv.doc_id
+    ORDER BY inv.doc_id
+    """,
+    doc="N-gram novelty per document in ingest order: the fraction of "
+    "a doc's distinct 3-grams first seen in THAT doc (first-seen = "
+    "min doc_id over the corpus).  The redundancy-growth signal a "
+    "streaming-ingest pipeline tracks — near-dups of earlier docs "
+    "score ~0, fresh content ~1.  One inverted index, one min "
+    "aggregation on the gram key, one join back on the same key.",
+    tags=("dedup", "corpus"),
+)
+def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: both aggregations and the join shuffle on the gram key
+    (AQE reuses the partitioning); no pairwise work anywhere —
+    cost is linear in total distinct grams."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        _grams_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    inv = _grams_table(docs, "text", "doc_id", 3).select(
+        F.col("doc").alias("doc_id"), F.explode("grams").alias("gram")
+    )
+    first_seen = inv.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        inv.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+                / F.count("*"),
+                6,
+            ).alias("novel_frac"),
+        )
+        .orderBy("doc_id")
+    )
