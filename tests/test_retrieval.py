@@ -97,3 +97,34 @@ def test_rrf_fusion_algebra(spark):
     assert got[10] == (1, None, round(1 / 61, 6))
     assert got[13] == (None, 2, round(1 / 62, 6))
     assert set(got) == {10, 11, 12, 13}
+
+
+def test_bm25_randomized_corpora_match_python(spark):
+    """Three seeded pseudo-random corpora (varying vocab sizes and doc
+    lengths, incl. repeated terms and an empty-ish doc) must agree
+    with the pure-Python scorer exactly at the rounded width."""
+    import random
+
+    for seed in (11, 29, 47):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(rng.randint(5, 30))]
+        corpus = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60))))
+            for i in range(rng.randint(4, 12))
+        ]
+        probes = [0, len(corpus) - 1]
+
+        global DOCS
+        saved = DOCS
+        try:
+            DOCS = corpus  # reuse the reference impl over this corpus
+            expect = _py_bm25(probes)
+        finally:
+            DOCS = saved
+
+        d = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+        got = {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_scores(d, probe_ids=probes).collect()
+        }
+        assert got == expect, f"seed {seed}"
