@@ -172,3 +172,66 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "retrieval_context_assembly",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    ranked AS (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM bm25
+        QUALIFY rank <= 3
+    )
+    SELECT r.query_id,
+           CAST(COUNT(*) AS INT) AS n_ctx,
+           string_agg('[' || r.rank || '] doc ' || r.doc_id || ': '
+                      || substr(d.text, 1, 80),
+                      chr(10) || '---' || chr(10)
+                      ORDER BY r.rank) AS context
+    FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+    GROUP BY r.query_id
+    ORDER BY r.query_id
+    """,
+    doc="RAG context assembly: the BM25 top-3 passages per probe "
+    "query rendered into one ordered context block ('[rank] doc id: "
+    "snippet' separated by ---) — the retrieve-then-assemble step a "
+    "RAG stack runs per request.  Spark has no ordered string_agg, "
+    "so blocks collect as (rank, part) structs, array_sort orders "
+    "them inside each group, and one array_join renders the context "
+    "(the conversation-assembly pattern: a single hash aggregation, "
+    "no window pass).",
+    tags=("retrieval", "text"),
+)
+def retrieval_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the rank lists are |queries| x 3 rows; the text join
+    fetches only those docs (broadcast of the tiny ranked side
+    against the corpus scan); assembly is one hash aggregation over
+    |queries| groups."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = topk_ranked(bm25_scores(d, probe_ids=[0, 1, 2, 3, 4]), k=3)
+    part = F.concat(
+        F.lit("["), F.col("rank").cast("string"),
+        F.lit("] doc "), F.col("doc_id").cast("string"),
+        F.lit(": "), F.substring(F.col("text"), 1, 80),
+    )
+    blocks = ranked.join(d.select("doc_id", "text"), "doc_id").select(
+        "query_id", F.struct("rank", part.alias("part")).alias("t")
+    )
+    return (
+        blocks.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_ctx"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("t")), lambda s: s["part"]
+                ),
+                "\n---\n",
+            ).alias("context"),
+        )
+        .select("query_id", "n_ctx", "context")
+        .orderBy("query_id")
+    )
