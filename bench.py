@@ -87,7 +87,10 @@ HEADLINE = (
     "text_winnowing_fingerprints",
     "agg_bitmap_distinct",
     # late r3: hybrid retrieval (BM25 lexical leg + cosine leg + RRF)
+    # and the stored-BM25-index serving path (rep 1 builds, rep 2
+    # measures the amortized query-many cost)
     "retrieval_hybrid_rrf",
+    "text_bm25_indexed",
 )
 
 

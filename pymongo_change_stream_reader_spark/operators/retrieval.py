@@ -85,6 +85,23 @@ def bm25_scores(
         ).collect()[0]
     )
     dfreq = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return _score_from_tables(
+        post, doclen, dfreq, n_docs, avgdl, probe_ids, k1, b
+    )
+
+
+def _score_from_tables(
+    post: DataFrame,
+    doclen: DataFrame,
+    dfreq: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    probe_ids: list[int],
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared scoring core — identical math for the in-memory and the
+    stored-index paths (roundtrip equality is pytest-pinned)."""
     # Query terms (tiny) pick up their df — vocabulary never broadcasts.
     qterms = (
         post.filter(F.col("doc_id").isin(probe_ids))
@@ -119,6 +136,62 @@ def bm25_scores(
     )
     return scored.groupBy("query_id", "doc_id").agg(
         F.round(F.sum("s"), 4).alias("score")
+    )
+
+
+def write_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the BM25 serving index: postings / doclen / df
+    parquet tables plus ``_consts.json`` (N, avgdl — the only
+    driver-sized artifact).  Ingest-once, query-many: later sessions
+    score against the stored tables without touching raw text (the
+    write_pq_index / write_semdedup_model contract).  At scale the
+    postings table would be bucketed on term so the query-term join
+    is exchange-free."""
+    import json
+    import os
+
+    post = _postings(docs, text_col, id_col)
+    post.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    doclen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    doclen.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    post.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    ).write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
+    n_docs, avgdl = (
+        doclen.agg(
+            F.count("*").cast("double"), F.avg(F.col("dl").cast("double"))
+        ).collect()[0]
+    )
+    post.unpersist()
+    with open(os.path.join(path, "_consts.json"), "w") as fh:
+        json.dump({"n_docs": n_docs, "avgdl": avgdl}, fh)
+
+
+def bm25_scores_from_index(
+    spark,
+    path: str,
+    probe_ids: list[int],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score probe queries against a stored BM25 index — reads only
+    the postings/doclen/df tables; raw text never loads."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_consts.json")) as fh:
+        consts = json.load(fh)
+    post = spark.read.parquet(os.path.join(path, "postings"))
+    doclen = spark.read.parquet(os.path.join(path, "doclen"))
+    dfreq = spark.read.parquet(os.path.join(path, "dfreq"))
+    return _score_from_tables(
+        post, doclen, dfreq, consts["n_docs"], consts["avgdl"],
+        probe_ids, k1, b,
     )
 
 

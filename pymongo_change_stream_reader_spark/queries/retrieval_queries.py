@@ -235,3 +235,48 @@ def retrieval_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "n_ctx", "context")
         .orderBy("query_id")
     )
+
+
+@query(
+    "text_bm25_indexed",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM bm25
+    )
+    SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+    doc="BM25 top-10 served from a STORED index (postings/doclen/df "
+    "parquet + consts JSON, written once by write_bm25_index): the "
+    "query-many path scores against the stored tables without "
+    "touching raw text — same contract as ann_pq_index / "
+    "dedup_semdedup_indexed, and bit-identical output to "
+    "text_bm25_topk (shared scoring core), so the same oracle "
+    "applies.  Rep 1 of the bench builds the index; rep 2 measures "
+    "the amortized serving cost.",
+    tags=("text", "retrieval", "indexed"),
+)
+def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.retrieval import (
+        bm25_scores_from_index,
+        write_bm25_index,
+    )
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = f"{tempfile.gettempdir()}/spark_bm25_index_{safe}"
+    if not os.path.exists(os.path.join(path, "_consts.json")):
+        d = load_table(spark, sf_dir, "documents")
+        write_bm25_index(d, path)
+    scored = bm25_scores_from_index(spark, path, probe_ids=[0, 1, 2, 3, 4])
+    return (
+        topk_ranked(scored, k=10)
+        .select("query_id", "doc_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )

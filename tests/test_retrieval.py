@@ -128,3 +128,25 @@ def test_bm25_randomized_corpora_match_python(spark):
             for r in bm25_scores(d, probe_ids=probes).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+def test_bm25_stored_index_roundtrip_equals_in_memory(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.operators.retrieval import (
+        bm25_scores_from_index,
+        write_bm25_index,
+    )
+
+    d = spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+    expect = sorted(
+        map(tuple, bm25_scores(d, probe_ids=[0, 4]).collect())
+    )
+    path = str(tmp_path / "bm25_index")
+    write_bm25_index(d, path)
+    spark.catalog.clearCache()
+    got = sorted(
+        map(
+            tuple,
+            bm25_scores_from_index(spark, path, probe_ids=[0, 4]).collect(),
+        )
+    )
+    assert got == expect
