@@ -1386,3 +1386,81 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         phased.withColumn("order_in_phase", F.row_number().over(w))
         .orderBy("phase", "order_in_phase")
     )
+
+
+@query(
+    "corpus_token_budget_allocation",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS total FROM per),
+    base AS (
+        SELECT source, n_tokens,
+               (100000 * n_tokens) // total       AS base_alloc,
+               (100000 * n_tokens) % total        AS frac
+        FROM per CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rnk,
+               100000 - SUM(base_alloc) OVER ()              AS leftover
+        FROM base
+    )
+    SELECT source, n_tokens,
+           CAST(base_alloc + CAST(rnk <= leftover AS INT) AS BIGINT)
+               AS alloc_tokens
+    FROM ranked
+    ORDER BY source
+    """,
+    doc="Token-budget allocation across sources (budget 100k): "
+    "proportional share with largest-remainder rounding, so the "
+    "allocations are integers that sum EXACTLY to the budget — the "
+    "sampling-quota step of a budgeted pretraining mix.  All integer "
+    "arithmetic (floor-div + remainder rank), bit-stable across "
+    "engines; the remainder rank breaks ties by source name.",
+    tags=("corpus", "sampling"),
+)
+def corpus_token_budget_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale: one aggregation over the handful of sources; the window
+    runs over |sources| rows — never document-sized data."""
+    from pyspark.sql import Window as W
+
+    budget = 100000
+    d = load_table(spark, sf_dir, "documents")
+    per = (
+        d.select("source", tx.token_count(F.col("text")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total"))
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.floor(F.lit(budget) * F.col("n_tokens") / F.col("total"))
+        .cast("bigint")
+        .alias("base_alloc"),
+        ((F.lit(budget) * F.col("n_tokens")) % F.col("total")).alias("frac"),
+    )
+    w_rank = W.orderBy(F.desc("frac"), F.col("source"))
+    w_all = W.partitionBy()
+    return (
+        base.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn(
+            "leftover", F.lit(budget) - F.sum("base_alloc").over(w_all)
+        )
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("base_alloc")
+                + (F.col("rnk") <= F.col("leftover")).cast("int")
+            )
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )
