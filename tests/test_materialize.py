@@ -429,3 +429,44 @@ def test_replica_relay_rejects_split_pipeline(spark, tmp_path):
             settings,
             str(tmp_path / "replica"),
         )
+
+
+def test_replica_relay_rejects_pipeline_dropping_required_cols(spark, tmp_path):
+    """ADVICE r3: a user $unset/$project that drops a column the
+    materializer needs must fail fast with a PipelineError naming the
+    field — not a deep AnalysisException at streaming start."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        PipelineError,
+    )
+    from pymongo_change_stream_reader_spark.sources.change_events import (
+        stream_change_events_json,
+    )
+    from pymongo_change_stream_reader_spark.streaming.job import (
+        RelaySettings,
+        start_replica_relay,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        json.dumps(
+            {"_id": {"_data": "a1"}, "operationType": "insert",
+             "clusterTime": {"t": 1, "i": 1}, "documentKey": "k",
+             "fullDocument": "{}"}
+        )
+    )
+    stream = stream_change_events_json(spark, str(src))
+    for pipe, needle in [
+        ('[{"$unset": "clusterTime"}]', "clusterTime.t"),
+        ('[{"$project": {"documentKey": 1, "operationType": 1}}]',
+         "fullDocument"),
+    ]:
+        settings = RelaySettings(
+            stream_reader_name="replica-guard",
+            checkpoint_dir=str(tmp_path / f"ckpt{needle}"),
+            pipeline=pipe,
+        )
+        with pytest.raises(PipelineError, match="replica sink"):
+            start_replica_relay(
+                stream, settings, str(tmp_path / "rep"), n_buckets=4
+            )

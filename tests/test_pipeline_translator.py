@@ -4183,3 +4183,101 @@ def test_bucketed_manifest_corruption_raises(spark, tmp_path):
         fh.write("buckets=2\nnot_a_number:v-000001/__bucket=0")
     with pytest.raises(PipelineError, match="corrupt bucketed-sink"):
         _merge_into(spark, [(2, "b")], "id INT, val STRING", path, buckets=2)
+
+
+def test_merge_bucketed_time_travel_retain(spark, tmp_path):
+    """retain=3: the three newest commits stay readable via version
+    0/-1/-2; -3 is outside the window and says so."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+    )
+
+    path = str(tmp_path / "tt")
+    schema = "id INT, val STRING"
+    for step in range(4):  # 4 commits, window keeps the newest 3
+        _merge_into(
+            spark, [(1, f"s{step}")], schema, path, buckets=4, retain=3
+        )
+    assert read_bucketed_sink(spark, path).collect()[0]["val"] == "s3"
+    assert read_bucketed_sink(spark, path, -1).collect()[0]["val"] == "s2"
+    assert read_bucketed_sink(spark, path, -2).collect()[0]["val"] == "s1"
+    with pytest.raises(PipelineError, match="retention window"):
+        read_bucketed_sink(spark, path, -3)
+    with pytest.raises(PipelineError, match="version"):
+        read_bucketed_sink(spark, path, 1)
+
+
+def test_merge_bucketed_vacuum_under_concurrent_reader(spark, tmp_path):
+    """vacuum keeps the newest `keep` commits; a reader that already
+    resolved a RETAINED version keeps working, and re-resolving a
+    vacuumed version raises rather than reading stale dirs."""
+    import os
+
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+        vacuum_bucketed_sink,
+    )
+
+    path = str(tmp_path / "vac")
+    schema = "id INT, val STRING"
+    # a single key -> every commit rewrites exactly one bucket, so each
+    # manifest references exactly its own vdir and the post-vacuum disk
+    # state is fully determined
+    for step in range(4):
+        _merge_into(
+            spark, [(7, f"s{step}")], schema, path, buckets=4, retain=4
+        )
+    # concurrent reader pins version -1 (commit s2) BEFORE the vacuum
+    pinned = read_bucketed_sink(spark, path, -1)
+    dropped = vacuum_bucketed_sink(path, keep=2)
+    assert dropped == 2
+    # the pinned version (-1) is inside keep=2 -> its files survive GC
+    assert {r["val"] for r in pinned.collect()} == {"s2"}
+    assert read_bucketed_sink(spark, path, -1).collect()[0]["val"] == "s2"
+    with pytest.raises(PipelineError, match="retention window"):
+        read_bucketed_sink(spark, path, -2)
+    # version dirs outside the window are GONE from disk
+    vdirs = sorted(d for d in os.listdir(path) if d.startswith("v-"))
+    assert vdirs == ["v-000003", "v-000004"]
+    with pytest.raises(PipelineError, match=">= 1"):
+        vacuum_bucketed_sink(path, keep=0)
+
+
+def test_bucketed_prev_manifest_corrupt_shares_validation(spark, tmp_path):
+    """ADVICE r3: version=-1 must go through _read_bucket_manifest so a
+    truncated/corrupt snapshot raises the documented PipelineError, not
+    a raw ValueError."""
+    import os
+
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+    )
+
+    path = str(tmp_path / "corrupt_prev")
+    _merge_into(spark, [(1, "a")], "id INT, val STRING", path, buckets=2)
+    _merge_into(spark, [(1, "b")], "id INT, val STRING", path, buckets=2)
+    # corrupt the -1 snapshot (history file for the previous commit)
+    for name in os.listdir(path):
+        if name.startswith("_manifest.h-") and name < "_manifest.h-v-000002":
+            with open(os.path.join(path, name), "w") as fh:
+                fh.write("buckets=2\nnot_a_number:v-000001/__bucket=0")
+    with pytest.raises(PipelineError, match="corrupt bucketed-sink"):
+        read_bucketed_sink(spark, path, -1)
+
+
+def test_bucketed_legacy_prev_fallback(spark, tmp_path):
+    """A sink written before history snapshots existed (only
+    _manifest + _manifest.prev on disk) still answers version=-1."""
+    import os
+
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+    )
+
+    path = str(tmp_path / "legacy")
+    _merge_into(spark, [(1, "old")], "id INT, val STRING", path, buckets=2)
+    _merge_into(spark, [(1, "new")], "id INT, val STRING", path, buckets=2)
+    for name in list(os.listdir(path)):
+        if name.startswith("_manifest.h-"):
+            os.unlink(os.path.join(path, name))
+    assert read_bucketed_sink(spark, path, -1).collect()[0]["val"] == "old"
