@@ -91,6 +91,12 @@ HEADLINE = (
     # measures the amortized query-many cost)
     "retrieval_hybrid_rrf",
     "text_bm25_indexed",
+    # r4: the two plans converted from single-task global windows to
+    # the distributed range-exchange rank (operators/ranking.py) —
+    # benched so a regression back to a serialized sort shows up as a
+    # timing cliff, not just an explain-test failure
+    "quality_ccnet_buckets",
+    "pipeline_bucket_auto",
 )
 
 

@@ -6,11 +6,13 @@ Pattern (for image/audio/video at 100 TB): the payload travels as a
 the heavy per-item work is vectorized Python over columnar batches,
 while everything around it (filter, join, partition) stays JVM-side.
 
-The actual image/audio codecs are not available in this environment,
-so ``decode_image``/``decode_audio`` raise ``NotImplementedError``
-behind an import-try, and ``extract_features`` ships a deterministic
-byte-histogram "decoder" that exercises the real plumbing (schema,
-batching, Arrow transfer) end-to-end.
+``decode_image``/``decode_audio`` are REAL implementations gated on
+their codec libraries (pillow / soundfile — not bundled in this
+environment, so they raise a NotImplementedError pointing at
+RUNBOOK.md §3 and the named gated tests until the libs are installed);
+``extract_features``/``audio_window_features`` are the dependency-free
+deterministic decoders that exercise the identical plumbing (schema,
+batching, Arrow transfer) end-to-end in any environment.
 """
 
 from __future__ import annotations
@@ -47,35 +49,160 @@ def with_binary_payload(
     )
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode (resize, pixel stats).  STUB: the imaging
-    stack (PIL/opencv) is not bundled in this environment."""
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real image decode via PIL over Arrow-batched mapInPandas:
+    (width, height, mode, per-channel mean pixel) per payload;
+    undecodable payloads yield null fields rather than failing the
+    task (a corpus always contains corrupt blobs).
+
+    ENV-GATED on pillow — absent here (RUNBOOK.md §3;
+    tests/test_integration_gated.py::test_decode_image_real runs when
+    it is installed).  Same schema/batch contract as
+    :func:`extract_features`, so the plumbing is tested either way."""
     try:
-        import PIL  # noqa: F401
+        from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "image decode requires pillow/opencv on the executors; "
-            "install and swap the byte-histogram extractor in "
-            "extract_features for PIL.Image.open"
+            "image decode requires pillow on the executors — "
+            "`pip install pillow` on every node, then run "
+            "tests/test_integration_gated.py::test_decode_image_real "
+            "(RUNBOOK.md §3)"
         ) from exc
-    raise NotImplementedError("wire the PIL decode path here")
+
+    out_schema = (
+        f"{id_col} LONG, width INT, height INT, mode STRING, "
+        "mean_pixel ARRAY<DOUBLE>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        cols = [id_col, "width", "height", "mode", "mean_pixel"]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    img = Image.open(io.BytesIO(data))
+                    img.load()
+                    arr = np.asarray(img, dtype=np.float64)
+                    if arr.ndim == 2:
+                        arr = arr[:, :, None]
+                    rows.append(
+                        {
+                            id_col: doc_id,
+                            "width": img.width,
+                            "height": img.height,
+                            "mode": img.mode,
+                            "mean_pixel": [
+                                round(float(m), 6)
+                                for m in arr.mean(axis=(0, 1))
+                            ],
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            id_col: doc_id,
+                            "width": None,
+                            "height": None,
+                            "mode": None,
+                            "mean_pixel": None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
-def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real audio decode (PCM frames, sample-rate resample).  STUB:
-    the audio stack (soundfile/librosa) is not bundled in this
-    environment — the deterministic waveform proxy below
-    (:func:`audio_window_features`) exercises the identical Spark
-    plumbing."""
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    window: int = 1024,
+    max_windows: int = 16,
+) -> DataFrame:
+    """Real audio decode via soundfile over Arrow-batched mapInPandas:
+    (sample_rate, n_frames, n_channels, per-window RMS) per payload;
+    undecodable payloads yield null fields.
+
+    ENV-GATED on soundfile — absent here (RUNBOOK.md §3;
+    tests/test_integration_gated.py::test_decode_audio_real runs when
+    it is installed).  :func:`audio_window_features` is the
+    dependency-free proxy with the identical Spark plumbing."""
     try:
         import soundfile  # noqa: F401
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "audio decode requires soundfile/librosa on the executors; "
-            "install and swap audio_window_features' int8-waveform "
-            "proxy for soundfile.read"
+            "audio decode requires soundfile on the executors — "
+            "`pip install soundfile` on every node, then run "
+            "tests/test_integration_gated.py::test_decode_audio_real "
+            "(RUNBOOK.md §3)"
         ) from exc
-    raise NotImplementedError("wire the soundfile decode path here")
+
+    out_schema = (
+        f"{id_col} LONG, sample_rate INT, n_frames LONG, n_channels INT, "
+        "rms ARRAY<DOUBLE>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        cols = [id_col, "sample_rate", "n_frames", "n_channels", "rms"]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    wave, rate = sf.read(io.BytesIO(data), dtype="float64")
+                    if wave.ndim == 1:
+                        wave = wave[:, None]
+                    mono = wave.mean(axis=1)
+                    n_win = min(len(mono) // window, max_windows)
+                    rms = [
+                        round(
+                            float(
+                                np.sqrt(
+                                    np.mean(
+                                        mono[w * window : (w + 1) * window]
+                                        ** 2
+                                    )
+                                )
+                            ),
+                            6,
+                        )
+                        for w in range(n_win)
+                    ]
+                    rows.append(
+                        {
+                            id_col: doc_id,
+                            "sample_rate": int(rate),
+                            "n_frames": int(wave.shape[0]),
+                            "n_channels": int(wave.shape[1]),
+                            "rms": rms,
+                        }
+                    )
+                except Exception:
+                    rows.append(
+                        {
+                            id_col: doc_id,
+                            "sample_rate": None,
+                            "n_frames": None,
+                            "n_channels": None,
+                            "rms": None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
 
 
 def audio_window_features(

@@ -438,3 +438,57 @@ def ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(path, "_codebooks.json")):
         write_pq_index(emb, path, m_sub=8, k_codes=16, iters=1)
     return pq_topk_from_index(spark, path, queries, emb, k=10, rerank=8)
+
+
+@query(
+    "similarity_recall_report",
+    oracle=None,  # recall of approximate methods — not SQL-expressible
+    doc="Recall@10 of every approximate ANN family vs brute_force_topk "
+    "on the same 5 query vectors: (method, k, hits, truth_pairs, "
+    "recall).  Promotes the scattered per-method recall pytests into a "
+    "first-class registered query so a recall regression surfaces in "
+    "CORRECTNESS/bench, not only in tests (r3 verdict ask #6); the "
+    "per-method floors stay pytest-asserted in "
+    "tests/test_dedup_similarity.py::test_similarity_recall_report_floors.",
+    tags=("similarity", "approx"),
+)
+def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each method is the same distributed plan it has as a
+    standalone query; the report adds one broadcast-sized join per
+    method (truth is n_queries x k rows) and a 4-row driver result."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+        pq_topk,
+    )
+
+    k = 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = (
+        brute_force_topk(emb, queries, k=k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # probed once per method
+    )
+    n_truth = truth.count()
+    methods = {
+        "lsh_bucketed": lsh_bucketed_topk(emb, queries, k=k, num_planes=4),
+        "lsh_multiprobe": lsh_multiprobe_topk(
+            emb, queries, k=k, num_planes=4
+        ),
+        "ivf_nlist16_nprobe4": ivf_topk(emb, queries, k=k, nlist=16, nprobe=4),
+        "pq_m8_k16_rerank8": pq_topk(
+            emb, queries, k=k, m_sub=8, k_codes=16, iters=1, rerank=8
+        ),
+    }
+    rows = []
+    for name, df in methods.items():
+        hits = (
+            df.select("query_id", "neighbor_id")
+            .join(F.broadcast(truth), ["query_id", "neighbor_id"])
+            .count()
+        )
+        rows.append((name, k, hits, n_truth, round(hits / n_truth, 4)))
+    return spark.createDataFrame(
+        sorted(rows),
+        "method STRING, k INT, hits LONG, truth_pairs LONG, recall DOUBLE",
+    )

@@ -74,12 +74,17 @@ def _last_event_per_key(batch: DataFrame) -> DataFrame:
 
 
 def materialize_change_batch(
-    batch: DataFrame, path: str, n_buckets: int = 16
+    batch: DataFrame, path: str, n_buckets: int = 16, retain: int = 2
 ) -> DataFrame:
     """Apply one batch of change events to the replica at ``path``.
 
     Returns the post-apply replica (key, doc, __t, __i, __d).  Only
-    data ops participate; an update lacking a post-image raises."""
+    data ops participate; an update lacking a post-image raises.
+    ``retain`` widens the replica's time-travel window (the newest N
+    commits stay readable via ``read_bucketed_sink(path, -n)``; see
+    _commit_bucketed) — at high trigger rates prefer the default 2 and
+    periodic ``vacuum_bucketed_sink``, since every retained commit
+    pins its superseded bucket dirs on disk."""
     spark = batch.sparkSession
     data = batch.filter(
         F.col("operationType").isin("insert", "update", "replace", "delete")
@@ -142,7 +147,9 @@ def materialize_change_batch(
             F.when(F.col("op") != "delete", F.col("doc")).alias("doc"),
             *_ORDER,
         )
-    return _commit_bucketed(merged, path, ["key"], n_buckets, entries, changed)
+    return _commit_bucketed(
+        merged, path, ["key"], n_buckets, entries, changed, retain=retain
+    )
 
 
 def read_replica(spark: SparkSession, path: str) -> DataFrame | None:
@@ -158,14 +165,16 @@ def start_replica_maintenance(
     checkpoint_dir: str,
     n_buckets: int = 16,
     trigger_interval: str | None = None,
+    retain: int = 2,
 ):
     """Streaming entry point: foreachBatch-apply the change stream to
     the replica.  Safe under batch redelivery by the LWW contract
     above (no epoch bookkeeping needed — the apply itself is
-    idempotent)."""
+    idempotent).  ``retain`` = replica time-travel depth in commits
+    (see materialize_change_batch)."""
 
     def _apply(batch_df: DataFrame, _epoch_id: int) -> None:
-        materialize_change_batch(batch_df, path, n_buckets)
+        materialize_change_batch(batch_df, path, n_buckets, retain=retain)
 
     writer = (
         events.writeStream.foreachBatch(_apply)
@@ -182,6 +191,7 @@ def compact_replica(
     path: str,
     files_per_bucket: int = 1,
     purge_tombstones: bool = True,
+    retain: int = 2,
 ) -> DataFrame | None:
     """Rewrite every live bucket into one fresh version dir with
     ``files_per_bucket`` parquet files per bucket — the maintenance
@@ -206,8 +216,13 @@ def compact_replica(
     compacted = current.repartition(
         max(1, files_per_bucket * n_buckets), _bucket_of(["key"], n_buckets)
     )
+    # NOTE: the compact commit applies its own `retain` — with the
+    # default 2 it also narrows a wider time-travel window (history
+    # snapshots beyond `retain` are pruned), consistent with the
+    # documented compaction trade-off; pass a larger retain to keep it.
     return _commit_bucketed(
-        compacted, path, ["key"], n_buckets, entries, sorted(entries)
+        compacted, path, ["key"], n_buckets, entries, sorted(entries),
+        retain=retain,
     )
 
 

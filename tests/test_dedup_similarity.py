@@ -820,3 +820,35 @@ def test_winnowing_shared_span_guarantee(spark):
     for a in range(6):
         for b in range(a + 1, 6):
             assert by_doc[a] & by_doc[b], (a, b)
+
+
+def test_similarity_recall_report_floors(spark):
+    """r3 verdict ask #6: the registered recall report must carry the
+    same calibrated floors the scattered per-method pytests assert —
+    a regression in any approximate family now fails BOTH here and in
+    the driver-visible query output."""
+    from pymongo_change_stream_reader_spark.queries.similarity_queries import (
+        similarity_recall_report,
+    )
+
+    rep = {
+        r["method"]: r
+        for r in similarity_recall_report(spark, SF_SMOKE).collect()
+    }
+    assert set(rep) == {
+        "lsh_bucketed",
+        "lsh_multiprobe",
+        "ivf_nlist16_nprobe4",
+        "pq_m8_k16_rerank8",
+    }
+    for r in rep.values():
+        assert r["k"] == 10 and r["truth_pairs"] == 50
+        assert r["recall"] == round(r["hits"] / r["truth_pairs"], 4)
+    # calibrated floors (same corpus as the per-method tests above)
+    assert rep["lsh_bucketed"]["recall"] >= 0.1
+    assert rep["lsh_multiprobe"]["recall"] >= 0.5
+    assert (
+        rep["lsh_multiprobe"]["recall"] >= rep["lsh_bucketed"]["recall"]
+    )  # probing a superset of buckets
+    assert rep["ivf_nlist16_nprobe4"]["recall"] >= 0.5
+    assert rep["pq_m8_k16_rerank8"]["recall"] >= 0.65

@@ -470,3 +470,32 @@ def test_replica_relay_rejects_pipeline_dropping_required_cols(spark, tmp_path):
             start_replica_relay(
                 stream, settings, str(tmp_path / "rep"), n_buckets=4
             )
+
+
+def test_replica_time_travel_with_retain(spark, tmp_path):
+    """retain=3 on the materializer: each micro-batch commit stays
+    readable 3 deep — the replica-side face of the bucketed-sink
+    history (r4)."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+    )
+    from pymongo_change_stream_reader_spark.streaming.materialize import (
+        materialize_change_batch,
+    )
+
+    path = str(tmp_path / "replica")
+    for step in range(3):
+        batch = spark.createDataFrame(
+            [(f"d{step}", "insert", 1 + step, 1, "k1", '{"v": %d}' % step)],
+            "d STRING, op STRING, t INT, i INT, k STRING, doc STRING",
+        ).selectExpr(
+            "named_struct('_data', d) AS _id",
+            "op AS operationType",
+            "named_struct('t', t, 'i', i) AS clusterTime",
+            "k AS documentKey",
+            "doc AS fullDocument",
+        )
+        materialize_change_batch(batch, path, n_buckets=4, retain=3)
+    assert read_bucketed_sink(spark, path).collect()[0]["doc"] == '{"v": 2}'
+    assert read_bucketed_sink(spark, path, -1).collect()[0]["doc"] == '{"v": 1}'
+    assert read_bucketed_sink(spark, path, -2).collect()[0]["doc"] == '{"v": 0}'

@@ -103,3 +103,43 @@ def test_bpe_train_deterministic_across_partitioning(spark):
         d.repartition(7), "text", n_merges=8, max_vocab_words=300
     )
     assert m1 == m2 and len(m1) == 8
+
+
+def test_bpe_job_count_linear_in_merges(spark):
+    """r3 verdict ask #3: V merges must cost a BOUNDED number of Spark
+    jobs per round (<=3: pair-count+argmax collect, checkpoint
+    materialization, and slack for the rewrite) plus a constant setup —
+    the scheduler cost a driver-coordinated train pays, asserted so a
+    regression to corpus-sized or quadratic job counts surfaces here."""
+    from pymongo_change_stream_reader_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("aa bb aa bb cc dd aa bb cc",)] * 4, "text STRING"
+    )
+    sc = spark.sparkContext
+    group = "bpe-job-count-test"
+    sc.setJobGroup(group, "count BPE jobs")
+    try:
+        merges, _ = bpe_train_merges(df, "text", n_merges=6)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    v = max(1, len(merges))
+    assert len(jobs) <= 3 * v + 4, (len(jobs), v)
+
+
+def test_bpe_merge_count_gate(spark):
+    """n_merges beyond the documented MAX_BPE_MERGES bound raises
+    instead of launching an unbounded scheduler loop."""
+    import pytest
+
+    from pymongo_change_stream_reader_spark.operators.text import (
+        MAX_BPE_MERGES,
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame([("a b",)], "text STRING")
+    with pytest.raises(ValueError, match="bounded"):
+        bpe_train_merges(df, "text", n_merges=MAX_BPE_MERGES + 1)
