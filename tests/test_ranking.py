@@ -137,3 +137,30 @@ def test_sanity_probe_detects_unpartitioned_window(spark):
         "rn", F.row_number().over(W.partitionBy("id").orderBy("id"))
     )
     assert not _has_unpartitioned_window(good)
+
+
+def test_ntile_arithmetic_property():
+    """Hypothesis-style exhaustive sweep (small domain, no Spark): the
+    pure bucket arithmetic must satisfy the SQL-standard NTILE spec for
+    EVERY (n_rows, tiles) pair — bucket sizes differ by at most 1,
+    larger buckets come first, all rows covered in order."""
+    for n_rows in range(1, 60):
+        for tiles in range(1, 12):
+            q, r = divmod(n_rows, tiles)
+            sizes = [q + 1] * r + [q] * (tiles - r)
+            sizes = [s for s in sizes if s > 0]
+            want, bucket = [], 1
+            for s in sizes:
+                want.extend([bucket] * s)
+                bucket += 1
+            # reference expansion vs the closed-form expression
+            got = []
+            big = r * (q + 1)
+            for rank in range(1, n_rows + 1):
+                if q == 0:
+                    got.append(rank)
+                elif rank <= big:
+                    got.append(-(-rank // (q + 1)))  # ceil
+                else:
+                    got.append(r + -(-(rank - big) // q))
+            assert got == want, (n_rows, tiles)
