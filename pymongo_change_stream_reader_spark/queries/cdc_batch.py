@@ -488,3 +488,126 @@ def cdc_replica_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "cdc_replica_change_feed",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    ev AS (
+        SELECT '{{"_id": ' || CAST(event_id % 101 AS VARCHAR) || '}}' AS key,
+               operation,
+               CASE WHEN operation <> 'delete'
+                    THEN '{{"v": ' || CAST(cents AS VARCHAR) || '}}'
+               END AS doc,
+               event_id AS t
+        FROM sim
+        WHERE operation IN ('insert', 'update', 'replace', 'delete')
+    ),
+    prev AS (
+        SELECT key,
+               max_by(operation || '|' || COALESCE(doc, ''), t) AS p,
+               MAX(t) AS wt
+        FROM ev WHERE t % 2 = 0 GROUP BY key
+    ),
+    cur AS (
+        SELECT key,
+               max_by(operation || '|' || COALESCE(doc, ''), t) AS p,
+               MAX(t) AS wt
+        FROM ev GROUP BY key
+    ),
+    j AS (
+        SELECT COALESCE(c.key, p.key) AS key,
+               p.key IS NOT NULL
+                   AND split_part(p.p, '|', 1) <> 'delete' AS live_p,
+               c.key IS NOT NULL
+                   AND split_part(c.p, '|', 1) <> 'delete' AS live_c,
+               c.wt AS cwt, p.wt AS pwt,
+               substr(c.p, position('|' IN c.p) + 1) AS cdoc
+        FROM prev p FULL JOIN cur c ON p.key = c.key
+    )
+    SELECT key,
+           CASE WHEN NOT live_p AND live_c THEN 'insert'
+                WHEN live_p AND NOT live_c THEN 'delete'
+                WHEN live_p AND live_c
+                     AND (pwt IS NULL OR cwt <> pwt) THEN 'update'
+           END AS op,
+           CASE WHEN live_c
+                THEN CAST(json_extract_string(cdoc, '$.v') AS BIGINT)
+           END AS v
+    FROM j
+    WHERE (NOT live_p AND live_c)
+       OR (live_p AND NOT live_c)
+       OR (live_p AND live_c AND (pwt IS NULL OR cwt <> pwt))
+    ORDER BY key
+    """,
+    doc="Replica CHANGE FEED between two retained commits "
+    "(streaming/materialize.py replica_changes + the r4 N-version "
+    "retention): the simulated history applies in two micro-batches "
+    "(even event ids, then odd), and the feed classifies each key as "
+    "insert (absent before), delete (tombstoned), or update (write "
+    "triple advanced) between version -1 and the current commit — the "
+    "incremental-consumer API a lakehouse exposes as a change data "
+    "feed.  The oracle replays both prefix states with max_by and "
+    "joins them.",
+    tags=("cdc", "streaming"),
+)
+def cdc_replica_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two bucket-pruned LWW applies + ONE full-outer join of
+    two manifest snapshots (bucket-dir reads only — events never
+    replay to compute the feed)."""
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.streaming.materialize import (
+        materialize_change_batch,
+        replica_changes,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    operation = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "update")
+        .when(F.col("event_type") == "click", "replace")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("drop")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    ev = e.select(
+        F.struct(
+            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
+                "_data"
+            )
+        ).alias("_id"),
+        operation.alias("operationType"),
+        F.struct(
+            F.col("event_id").alias("t"), F.lit(1).alias("i")
+        ).alias("clusterTime"),
+        F.concat(
+            F.lit('{"_id": '), (F.col("event_id") % 101).cast("string"), F.lit("}")
+        ).alias("documentKey"),
+        F.when(
+            operation.isin("insert", "update", "replace"),
+            F.concat(F.lit('{"v": '), cents.cast("string"), F.lit("}")),
+        ).alias("fullDocument"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_cdc_feed_")
+    try:
+        materialize_change_batch(
+            ev.filter(F.col("clusterTime.t") % 2 == 0), path, n_buckets=16
+        )
+        materialize_change_batch(
+            ev.filter(F.col("clusterTime.t") % 2 == 1), path, n_buckets=16
+        )
+        feed = replica_changes(spark, path)
+        return (
+            feed.select(
+                "key",
+                "op",
+                F.get_json_object("doc", "$.v").cast("bigint").alias("v"),
+            )
+            .orderBy("key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

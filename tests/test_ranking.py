@@ -164,3 +164,33 @@ def test_ntile_arithmetic_property():
                 else:
                     got.append(r + -(-(rank - big) // q))
             assert got == want, (n_rows, tiles)
+
+
+def test_global_rank_randomized_with_nulls_and_ties(spark):
+    """Randomized parity vs the single-window plan across partition
+    counts: heavy ties, nulls in the order key (Spark default
+    nulls-first asc), negative values — the shapes a corpus-scale
+    order-by actually contains.  The doc column keeps the order total."""
+    import random
+
+    rng = random.Random(20260814)
+    rows = [
+        (
+            rng.choice([None, -3, -1, 0, 0, 0, 2, 2, 7]),
+            f"d{i:04d}",
+        )
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "k INT, doc STRING")
+    order = [F.col("k"), F.col("doc").desc()]
+    want = {
+        (r["k"], r["doc"]): r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy(*order))
+        ).collect()
+    }
+    for nparts in (1, 5, 64):
+        ranked, n = with_global_rank(df, order, num_partitions=nparts)
+        assert n == 800
+        got = {(r["k"], r["doc"]): r["__rank"] for r in ranked.collect()}
+        assert got == want, f"mismatch at num_partitions={nparts}"
