@@ -159,6 +159,17 @@ def _bson_compare(a: Column, b: Column) -> Column:
     )
 
 
+def _millis_of(d: Column) -> Column:
+    """Mongo millisecond-of-second (0..999) of a timestamp — floored
+    mod, because Spark's % takes the dividend's sign and pre-1970
+    timestamps would otherwise yield -999..0 (same double-mod pattern
+    as $dateTrunc).  Shared by $millisecond and both $dateToParts
+    forms so the fix cannot drift between copies."""
+    return (
+        ((F.unix_micros(d) % 1_000_000 + 1_000_000) % 1_000_000) / 1000
+    ).cast("int")
+
+
 def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
     """Aggregation expression -> Column.  ``env`` scopes ``$$var``
     references introduced by $map/$filter/$reduce."""
@@ -594,15 +605,7 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                     F.hour(d).alias("hour"),
                     F.minute(d).alias("minute"),
                     F.second(d).alias("second"),
-                    # floored mod: Spark's % takes the dividend's sign, so
-                    # pre-1970 timestamps would yield -999..0; Mongo returns
-                    # 0..999 (same double-mod pattern as $dateTrunc).
-                    (
-                        ((F.unix_micros(d) % 1_000_000 + 1_000_000) % 1_000_000)
-                        / 1000
-                    )
-                    .cast("int")
-                    .alias("millisecond"),
+                    _millis_of(d).alias("millisecond"),
                 )
             d = translate_expr(arg["date"], env)
             return F.struct(
@@ -612,14 +615,7 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
                 F.hour(d).alias("hour"),
                 F.minute(d).alias("minute"),
                 F.second(d).alias("second"),
-                # floored mod — see iso8601 branch: Mongo's millisecond is
-                # 0..999 even for pre-epoch dates.
-                (
-                    ((F.unix_micros(d) % 1_000_000 + 1_000_000) % 1_000_000)
-                    / 1000
-                )
-                .cast("int")
-                .alias("millisecond"),
+                _millis_of(d).alias("millisecond"),
             )
         case "$trunc":
             place = args[1] if len(args) > 1 else 0
@@ -695,7 +691,7 @@ def translate_expr(expr: Any, env: dict[str, Column] | None = None) -> Column:
         case "$second":
             return F.second(tx(0))
         case "$millisecond":
-            return ((F.unix_micros(tx(0)) % 1_000_000) / 1000).cast("int")
+            return _millis_of(tx(0))
         case "$dateTrunc":
             # Mongo bins anchored at the reference point
             # 2000-01-01T00:00:00Z; for unit week the anchor shifts to
@@ -4303,6 +4299,20 @@ def _apply_merge_bucketed(
     )
 
 
+def _write_atomic(dest: str, body: str) -> None:
+    """Durable single-file write: tmp + fsync + os.replace — the file
+    at ``dest`` either keeps its old content or holds the complete new
+    body; no crash point exposes a truncation."""
+    import os
+
+    tmp = dest + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(body)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, dest)
+
+
 def _commit_bucketed(
     merged: DataFrame,
     path: str,
@@ -4325,14 +4335,22 @@ def _commit_bucketed(
     import os
     import shutil
 
+    # validate BEFORE any filesystem mutation: an invalid retain must
+    # leave the sink untouched, not raise with the commit half-installed
+    if isinstance(retain, bool) or not isinstance(retain, int) or retain < 1:
+        raise PipelineError("bucketed-sink retain must be an int >= 1")
     spark = merged.sparkSession
     os.makedirs(path, exist_ok=True)
-    versions = sorted(
-        d
+    # next version number = max over BOTH live v-dirs AND history
+    # snapshot names: an all-deletes commit's (empty) v-dir is GC'd,
+    # and reusing its number would silently overwrite that commit's
+    # history snapshot — version numbers must never recycle
+    seen = [
+        int(d[2:])
         for d in os.listdir(path)
         if d.startswith("v-") and os.path.isdir(os.path.join(path, d))
-    )
-    vdir = f"v-{(int(versions[-1][2:]) + 1 if versions else 1):06d}"
+    ] + [int(h.rsplit("v-", 1)[1]) for h in _bucket_history_files(path)]
+    vdir = f"v-{(max(seen) + 1 if seen else 1):06d}"
     merged.withColumn("__bucket", _bucket_of(on, n_buckets)).write.partitionBy(
         "__bucket"
     ).mode("overwrite").parquet(os.path.join(path, vdir))
@@ -4351,23 +4369,25 @@ def _commit_bucketed(
         if k not in written:
             new_entries.pop(k, None)
     mpath = os.path.join(path, "_manifest")
-    # snapshot the superseded map BEFORE the commit point (rollback /
-    # version=-1); then the atomic swap
+    body = f"buckets={n_buckets}" + "".join(
+        f"\n{k}:{new_entries[k]}" for k in sorted(new_entries)
+    )
+    # archive this commit's history snapshot FIRST (durably: tmp +
+    # fsync + os.replace, same discipline as the main manifest — a
+    # crash mid-write must never leave a truncated _manifest.h-* that
+    # poisons every later commit's GC pass), then snapshot the
+    # superseded map (rollback / legacy version=-1), then the atomic
+    # swap that IS the commit point.  Crash ordering: history-before-
+    # swap means a crash in between leaves a PHANTOM snapshot (a fully
+    # written commit that never became current) occupying one retention
+    # slot until it ages out — its data dirs are GC-protected, so
+    # reading it is consistent.  The reverse order would instead leave
+    # the current commit with NO snapshot, permanently off-by-one-ing
+    # every version=-n read across that boundary — strictly worse.
+    _write_atomic(os.path.join(path, f"_manifest.h-{vdir}"), body)
     if os.path.exists(mpath):
         shutil.copyfile(mpath, os.path.join(path, "_manifest.prev"))
-    tmp = os.path.join(path, "_manifest.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(f"buckets={n_buckets}")
-        for k in sorted(new_entries):
-            fh.write(f"\n{k}:{new_entries[k]}")
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, mpath)
-    # archive the manifest just installed as this commit's history
-    # snapshot, then prune history to the newest `retain` commits
-    if isinstance(retain, bool) or not isinstance(retain, int) or retain < 1:
-        raise PipelineError("bucketed-sink retain must be an int >= 1")
-    shutil.copyfile(mpath, os.path.join(path, f"_manifest.h-{vdir}"))
+    _write_atomic(mpath, body)
     hist = _bucket_history_files(path)
     for stale in hist[: max(0, len(hist) - retain)]:
         os.unlink(os.path.join(path, stale))
@@ -4416,6 +4436,15 @@ def vacuum_bucketed_sink(path: str, keep: int = 1) -> int:
 
     if isinstance(keep, bool) or not isinstance(keep, int) or keep < 1:
         raise PipelineError("vacuum keep must be an int >= 1")
+    if _read_bucket_manifest(path) is None:
+        # NOT a bucketed sink (whole-table manifests start with a
+        # version dir, not 'buckets=') — proceeding would compute an
+        # empty survivor set and delete EVERY v-* dir including the
+        # current commit
+        raise PipelineError(
+            f"{path!r} is not a bucketed versioned sink; vacuum applies "
+            "to bucketed sinks only"
+        )
     hist = _bucket_history_files(path)
     stale = hist[: max(0, len(hist) - keep)]
     for name in stale:

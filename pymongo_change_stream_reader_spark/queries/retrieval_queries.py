@@ -121,10 +121,17 @@ def _bm25_scored_serving(spark, sf_dir: str, probe_ids: list[int]):
     h = hashlib.sha256(os.path.abspath(src).encode())
     stats = []
     if os.path.isdir(src):
-        for root, _dirs, files in os.walk(src):
+        for root, dirs, files in os.walk(src):
+            dirs.sort()  # os.walk order is otherwise arbitrary —
+            # the fingerprint must be deterministic across runs
+            rel_root = os.path.relpath(root, src)
             for f in sorted(files):
                 st = os.stat(os.path.join(root, f))
-                stats.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+                # root-relative path (not basename): same-named files
+                # in different partitions must not collide
+                stats.append(
+                    f"{rel_root}/{f}:{st.st_size}:{st.st_mtime_ns}"
+                )
     elif os.path.exists(src):
         st = os.stat(src)
         stats.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")

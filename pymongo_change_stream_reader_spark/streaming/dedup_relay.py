@@ -101,7 +101,11 @@ def dedup_flag_batch(
             bands,
             n,
         )
-        flagged = cand.filter(F.col("new_id") != F.col("corpus_id"))
+        # one materialization: count and append must not re-run the
+        # index-scan join (the per-batch hot-path cost) twice
+        flagged = cand.filter(
+            F.col("new_id") != F.col("corpus_id")
+        ).localCheckpoint(eager=True)
         n_flags = flagged.count()
         if n_flags:
             flagged.write.mode("append").parquet(flags_path)

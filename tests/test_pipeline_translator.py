@@ -4281,3 +4281,102 @@ def test_bucketed_legacy_prev_fallback(spark, tmp_path):
         if name.startswith("_manifest.h-"):
             os.unlink(os.path.join(path, name))
     assert read_bucketed_sink(spark, path, -1).collect()[0]["val"] == "old"
+
+
+def test_millisecond_pre_epoch_floored(spark):
+    """$millisecond (standalone) and both $dateToParts forms must
+    return 0..999 for pre-1970 timestamps (review r4: the standalone
+    operator had kept the signed mod)."""
+    df = spark.createDataFrame(
+        [("1969-12-31 23:59:59.500",), ("1971-01-01 00:00:00.250",)],
+        "ts STRING",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS d")
+    got = run(
+        [
+            {
+                "$project": {
+                    "ms": {"$millisecond": "$d"},
+                    "parts": {"$dateToParts": {"date": "$d"}},
+                    "iso": {
+                        "$dateToParts": {"date": "$d", "iso8601": True}
+                    },
+                }
+            }
+        ],
+        df,
+    ).collect()
+    assert [r["ms"] for r in got] == [500, 250]
+    assert [r["parts"]["millisecond"] for r in got] == [500, 250]
+    assert [r["iso"]["millisecond"] for r in got] == [500, 250]
+
+
+def test_vacuum_refuses_whole_table_sink(spark, tmp_path):
+    """Review r4: vacuum on a WHOLE-TABLE versioned sink must refuse
+    loudly — its empty survivor set would otherwise delete every
+    version dir including the current commit."""
+    import os
+
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_versioned_sink,
+        vacuum_bucketed_sink,
+    )
+
+    path = str(tmp_path / "whole")
+    _merge_into(spark, [(1, "a")], "id INT, val STRING", path)  # no buckets
+    with pytest.raises(PipelineError, match="not a bucketed"):
+        vacuum_bucketed_sink(path, keep=1)
+    assert read_versioned_sink(spark, path).count() == 1
+    assert any(d.startswith("v-") for d in os.listdir(path))
+
+
+def test_merge_bucketed_invalid_retain_leaves_sink_untouched(spark, tmp_path):
+    """Review r4: retain validation must run BEFORE any filesystem
+    mutation — a failed merge cannot half-install a commit."""
+    import os
+
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+    )
+
+    path = str(tmp_path / "guard")
+    _merge_into(spark, [(1, "a")], "id INT, val STRING", path, buckets=2)
+    before = sorted(os.listdir(path))
+    with pytest.raises(PipelineError, match="retain"):
+        _merge_into(
+            spark, [(1, "b")], "id INT, val STRING", path, buckets=2,
+            retain=0,
+        )
+    assert sorted(os.listdir(path)) == before
+    assert read_bucketed_sink(spark, path).collect()[0]["val"] == "a"
+
+
+def test_merge_bucketed_version_numbers_never_recycle(spark, tmp_path):
+    """Review r4: a commit whose merged frame is EMPTY (first merge
+    with whenNotMatched=discard) gets its v-dir GC'd; the next commit
+    must still take a FRESH version number — reusing it would clobber
+    the empty commit's history snapshot and silently skip it in time
+    travel."""
+    import os
+
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+    )
+
+    path = str(tmp_path / "norecycle")
+    # commit 1: everything discarded -> empty manifest, v-000001 GC'd
+    _merge_into(
+        spark, [(1, "x")], "id INT, val STRING", path, buckets=2,
+        whenNotMatched="discard", retain=3,
+    )
+    assert read_bucketed_sink(spark, path) is None  # honest empty state
+    # commit 2: real rows — must NOT reuse v-000001's number
+    _merge_into(
+        spark, [(1, "y")], "id INT, val STRING", path, buckets=2, retain=3
+    )
+    hist = sorted(
+        h for h in os.listdir(path) if h.startswith("_manifest.h-")
+    )
+    assert hist == ["_manifest.h-v-000001", "_manifest.h-v-000002"]
+    assert read_bucketed_sink(spark, path).collect()[0]["val"] == "y"
+    # version -1 is the empty commit (None = no live buckets), intact
+    assert read_bucketed_sink(spark, path, -1) is None
