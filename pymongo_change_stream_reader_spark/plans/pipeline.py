@@ -4138,19 +4138,26 @@ def _read_bucket_manifest(path: str, filename: str = "_manifest"):
 
 
 def _bucket_history_files(path: str) -> list[str]:
-    """Retained manifest-history snapshots, OLDEST FIRST.  Each commit
-    archives the manifest it installs as ``_manifest.h-v-NNNNNN``
-    (NNNNNN = the version dir that commit created), so the lexical
-    order of the fixed-width names is the commit order."""
+    """Retained manifest-history snapshots, OLDEST FIRST (numeric
+    commit order — NOT lexical: zero-padding runs out at v-1000000,
+    well inside a long-lived streaming replica's commit count).  Each
+    commit archives the manifest it installs as
+    ``_manifest.h-v-NNNNNN`` (NNNNNN = the version dir that commit
+    created).  ``.tmp`` crash leftovers from _write_atomic are never
+    history entries."""
     import os
 
     if not os.path.isdir(path):
         return []
     return sorted(
-        e
-        for e in os.listdir(path)
-        if e.startswith("_manifest.h-v-")
-        and os.path.isfile(os.path.join(path, e))
+        (
+            e
+            for e in os.listdir(path)
+            if e.startswith("_manifest.h-v-")
+            and not e.endswith(".tmp")
+            and os.path.isfile(os.path.join(path, e))
+        ),
+        key=lambda e: int(e.rsplit("v-", 1)[1]),
     )
 
 
@@ -4171,7 +4178,13 @@ def read_bucketed_sink(
     commit's manifest snapshot (``version=-1``, kept in
     ``_manifest.prev``).  Buckets written by different commits may
     carry different columns (merges can add fields) — unionByName with
-    allowMissingColumns reconciles them."""
+    allowMissingColumns reconciles them.
+
+    Asymmetry, by contract: ``version=-1`` with nothing retained
+    returns None (indistinguishable from — and usually meaning — "only
+    one commit ever happened"; replica_changes relies on that probe),
+    while ``-n`` for n >= 2 outside the window raises, because deeper
+    offsets are only ever requested deliberately."""
     import os
 
     if not isinstance(version, int) or version > 0:
@@ -4385,8 +4398,15 @@ def _commit_bucketed(
     # the current commit with NO snapshot, permanently off-by-one-ing
     # every version=-n read across that boundary — strictly worse.
     _write_atomic(os.path.join(path, f"_manifest.h-{vdir}"), body)
-    if os.path.exists(mpath):
-        shutil.copyfile(mpath, os.path.join(path, "_manifest.prev"))
+    prev_path = os.path.join(path, "_manifest.prev")
+    if retain >= 2:
+        if os.path.exists(mpath):
+            shutil.copyfile(mpath, prev_path)
+    elif os.path.exists(prev_path):
+        # retain=1 means ONLY the current commit is retained: a live
+        # _manifest.prev would keep serving version=-1 (and pinning its
+        # dirs) outside the declared window
+        os.unlink(prev_path)
     _write_atomic(mpath, body)
     hist = _bucket_history_files(path)
     for stale in hist[: max(0, len(hist) - retain)]:

@@ -140,10 +140,17 @@ def _bm25_scored_serving(spark, sf_dir: str, probe_ids: list[int]):
         tempfile.gettempdir(), f"spark_bm25_cache_{getpass.getuser()}"
     )
     os.makedirs(base, mode=0o700, exist_ok=True)
-    if os.stat(base).st_uid != os.getuid():
+    # lstat + symlink rejection: os.stat follows links, so a
+    # pre-created symlink pointing at a victim-owned world-writable dir
+    # would pass a stat-based owner check while redirecting the index
+    # to attacker-controlled storage
+    st = os.lstat(base)
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
         raise RuntimeError(
-            f"BM25 index cache dir {base!r} is owned by another user — "
-            "remove it or set a different TMPDIR"
+            f"BM25 index cache dir {base!r} is a symlink/non-dir or "
+            "owned by another user — remove it or set a different TMPDIR"
         )
     path = os.path.join(base, h.hexdigest()[:24])
     if not os.path.exists(os.path.join(path, "_consts.json")):

@@ -50,6 +50,7 @@ from pymongo_change_stream_reader_spark.operators.dedup import (
 )
 from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
     _commit_epoch,
+    _dir_has_parquet,
     _epoch_committed,
     _query_id,
     _require_local_path,
@@ -60,11 +61,27 @@ logger = logging.getLogger(__name__)
 _DATA_OPS = ("insert", "update", "replace")
 
 
-def _index_has_data(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet")
-        for _, _, files in os.walk(path)
-        for f in files
+def _last_doc_per_key(batch: DataFrame, text_col: str, key_col: str):
+    """One (doc, text) row per key: the LAST data-op event by the LWW
+    triple (clusterTime.t, clusterTime.i, _id._data) — the same
+    reduction the replica materializer uses, so the index always
+    stores the LIVE document version, never an arbitrary superseded
+    one (and the choice is deterministic under replay).  Frames
+    without the change-event columns (direct batch use of
+    dedup_flag_batch) fall back to max_by on the text itself —
+    still deterministic, just not time-ordered."""
+    cols = set(batch.columns)
+    if {"clusterTime", "_id"} <= cols:
+        order = F.struct(
+            F.col("clusterTime.t"), F.col("clusterTime.i"), F.col("_id._data")
+        )
+    else:
+        order = F.col(text_col)
+    return (
+        batch.filter(F.col("operationType").isin(*_DATA_OPS))
+        .filter(F.col(text_col).isNotNull())
+        .groupBy(F.col(key_col).alias("doc"))
+        .agg(F.max_by(F.col(text_col), order).alias("text"))
     )
 
 
@@ -77,20 +94,20 @@ def dedup_flag_batch(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    epoch_id: int = 0,
 ) -> int:
     """Apply one batch of change events: probe-then-append (see module
-    docstring).  Returns the number of flagged (new, corpus) pairs.
-    Batch-testable without a streaming query, like
+    docstring).  Returns the number of flagged (new, corpus) pairs;
+    flag rows carry ``epoch`` so replay-window duplicates are
+    attributable.  Batch-testable without a streaming query, like
     materialize_change_batch."""
-    docs = (
-        batch.filter(F.col("operationType").isin(*_DATA_OPS))
-        .filter(F.col(text_col).isNotNull())
-        .select(F.col(key_col).alias("doc"), F.col(text_col).alias("text"))
-        .dropDuplicates(["doc"])
-        .localCheckpoint(eager=True)  # probed AND appended below
+    _require_local_path(index_path, "index_path")
+    _require_local_path(flags_path, "flags_path")
+    docs = _last_doc_per_key(batch, text_col, key_col).localCheckpoint(
+        eager=True  # probed AND appended below
     )
     n_flags = 0
-    if _index_has_data(index_path):
+    if _dir_has_parquet(index_path):
         spark = batch.sparkSession
         cand = query_lsh_index(
             docs,
@@ -103,9 +120,11 @@ def dedup_flag_batch(
         )
         # one materialization: count and append must not re-run the
         # index-scan join (the per-batch hot-path cost) twice
-        flagged = cand.filter(
-            F.col("new_id") != F.col("corpus_id")
-        ).localCheckpoint(eager=True)
+        flagged = (
+            cand.filter(F.col("new_id") != F.col("corpus_id"))
+            .withColumn("epoch", F.lit(epoch_id).cast("long"))
+            .localCheckpoint(eager=True)
+        )
         n_flags = flagged.count()
         if n_flags:
             flagged.write.mode("append").parquet(flags_path)
@@ -129,6 +148,7 @@ def start_streaming_dedup(
     epoch-marker replay protection."""
     _require_local_path(checkpoint_dir, "checkpoint_dir")
     _require_local_path(index_path, "index_path")
+    _require_local_path(flags_path, "flags_path")
     marker_dir = os.path.join(checkpoint_dir, "epoch_log")
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -147,6 +167,7 @@ def start_streaming_dedup(
             num_hashes,
             bands,
             n,
+            epoch_id=epoch_id,
         )
         _commit_epoch(marker_dir, epoch_id, qid)
 
@@ -161,8 +182,11 @@ def start_streaming_dedup(
 
 
 def read_dedup_flags(spark, flags_path: str) -> DataFrame | None:
-    """The accumulated (new_id, corpus_id) near-dup flags, or None
-    before any flag has been written."""
-    if not _index_has_data(flags_path):
+    """The accumulated (new_id, corpus_id, epoch) near-dup flags, or
+    None before any flag has been written.  LOCAL paths only (the
+    existence probe is driver-side) — a URI raises loudly rather than
+    silently reporting no flags."""
+    _require_local_path(flags_path, "flags_path")
+    if not _dir_has_parquet(flags_path):
         return None
     return spark.read.parquet(flags_path)

@@ -222,6 +222,20 @@ def foreach_batch_parquet_demux(
     return write_batch
 
 
+def _dir_has_parquet(path: str) -> bool:
+    """True when any parquet file exists under ``path`` (LOCAL
+    filesystem — callers gate URIs via _require_local_path).  Shared by
+    the demux reader and the dedup-relay index/flags probes so the
+    probe cannot drift between sibling modules."""
+    import os
+
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(path)
+        for f in files
+    )
+
+
 def read_parquet_demux(spark, out_dir: str):
     """Read every PUBLISHED epoch of a parquet-demux sink (staging
     dirs are invisible by construction).  Each epoch dir is its own
@@ -231,14 +245,9 @@ def read_parquet_demux(spark, out_dir: str):
     import os
     from functools import reduce
 
-    def has_parquet(path: str) -> bool:
-        # an epoch published from an empty batch (or a _SUCCESS-only
-        # dir) must not poison the union with schema inference errors
-        return any(
-            f.endswith(".parquet")
-            for _, _, files in os.walk(path)
-            for f in files
-        )
+    # an epoch published from an empty batch (or a _SUCCESS-only
+    # dir) must not poison the union with schema inference errors
+    has_parquet = _dir_has_parquet
 
     epochs = sorted(
         d

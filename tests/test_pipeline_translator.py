@@ -4380,3 +4380,51 @@ def test_merge_bucketed_version_numbers_never_recycle(spark, tmp_path):
     assert read_bucketed_sink(spark, path).collect()[0]["val"] == "y"
     # version -1 is the empty commit (None = no live buckets), intact
     assert read_bucketed_sink(spark, path, -1) is None
+
+
+def test_bucketed_history_ignores_tmp_and_retain_one(spark, tmp_path):
+    """Review r4: a crash leftover `_manifest.h-*.tmp` must never be
+    parsed as a history entry, and retain=1 keeps ONLY the current
+    commit (no _manifest.prev resurrection of version -1)."""
+    import os
+
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+    )
+
+    path = str(tmp_path / "r1")
+    schema = "id INT, val STRING"
+    _merge_into(spark, [(1, "a")], schema, path, buckets=2, retain=1)
+    # plant a crash leftover from a hypothetical interrupted snapshot
+    with open(os.path.join(path, "_manifest.h-v-000099.tmp"), "w") as fh:
+        fh.write("buckets=2")  # truncated — must never be read
+    _merge_into(spark, [(1, "b")], schema, path, buckets=2, retain=1)
+    assert read_bucketed_sink(spark, path).collect()[0]["val"] == "b"
+    # retain=1: nothing before the current commit is retained
+    assert read_bucketed_sink(spark, path, -1) is None
+    assert not os.path.exists(os.path.join(path, "_manifest.prev"))
+    hist = [h for h in os.listdir(path) if h.startswith("_manifest.h-")]
+    assert sorted(h for h in hist if not h.endswith(".tmp")) == [
+        "_manifest.h-v-000002"
+    ]
+
+
+def test_bucketed_history_numeric_order_beyond_padding(spark, tmp_path):
+    """Review r4: history ordering is numeric, so version numbers past
+    the 6-digit zero-padding (v-1000000) still sort after v-999999."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        _bucket_history_files,
+    )
+    import os
+
+    path = str(tmp_path / "big")
+    os.makedirs(path)
+    for n in ("000002", "999999", "1000000", "1000001"):
+        with open(os.path.join(path, f"_manifest.h-v-{n}"), "w") as fh:
+            fh.write("buckets=2")
+    assert _bucket_history_files(path) == [
+        "_manifest.h-v-000002",
+        "_manifest.h-v-999999",
+        "_manifest.h-v-1000000",
+        "_manifest.h-v-1000001",
+    ]

@@ -137,3 +137,57 @@ def test_dedup_flag_batch_batchwise(spark, tmp_path):
         (r["new_id"], r["corpus_id"])
         for r in read_dedup_flags(spark, flags).collect()
     } == {("k3", "k1")}
+
+
+def test_dedup_flag_batch_lww_last_event_wins(spark, tmp_path):
+    """Review r4: a batch with insert(k1, textA) then update(k1, textB)
+    must index/flag the LWW-LAST text (textB), not an arbitrary row —
+    a later near-dup of textB is flagged, one of the superseded textA
+    is not."""
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    b0 = spark.createDataFrame(
+        [
+            ("insert", "k1", LONG_A, 1, 1, "d1"),
+            ("update", "k1", LONG_B, 1, 2, "d2"),  # later triple wins
+        ],
+        "operationType STRING, documentKey STRING, fullDocument STRING, "
+        "t INT, i INT, d STRING",
+    ).selectExpr(
+        "operationType",
+        "documentKey",
+        "fullDocument",
+        "named_struct('t', t, 'i', i) AS clusterTime",
+        "named_struct('_data', d) AS _id",
+    )
+    assert dedup_flag_batch(b0, index, flags) == 0
+    # index holds exactly one doc's bands (the LWW winner)
+    assert spark.read.parquet(index).count() == 8
+    probe = spark.createDataFrame(
+        [("insert", "k2", LONG_B), ("insert", "k3", LONG_A)],
+        "operationType STRING, documentKey STRING, fullDocument STRING",
+    )
+    dedup_flag_batch(probe, index, flags, epoch_id=7)
+    got = {
+        (r["new_id"], r["corpus_id"], r["epoch"])
+        for r in read_dedup_flags(spark, flags).collect()
+    }
+    assert ("k2", "k1", 7) in got          # near-dup of the LIVE text
+    assert all(new != "k3" for new, _, _ in got)  # stale text not indexed
+
+
+def test_dedup_relay_rejects_uri_paths(spark, tmp_path):
+    """Review r4: URI flags/index paths must raise loudly — the
+    driver-side probes are local-filesystem-only."""
+    import pytest as _pytest
+
+    b = spark.createDataFrame(
+        [("insert", "k", LONG_A)],
+        "operationType STRING, documentKey STRING, fullDocument STRING",
+    )
+    with _pytest.raises(ValueError, match="URI scheme"):
+        dedup_flag_batch(b, "s3a://bkt/idx", str(tmp_path / "f"))
+    with _pytest.raises(ValueError, match="URI scheme"):
+        dedup_flag_batch(b, str(tmp_path / "i"), "s3a://bkt/flags")
+    with _pytest.raises(ValueError, match="URI scheme"):
+        read_dedup_flags(spark, "hdfs://nn/flags")
