@@ -103,10 +103,16 @@ def _score_from_tables(
     """Shared scoring core — identical math for the in-memory and the
     stored-index paths (roundtrip equality is pytest-pinned)."""
     # Query terms (tiny) pick up their df — vocabulary never broadcasts.
+    # The df table may hold SEGMENT rows (one per append batch, the
+    # LSM contract of append_bm25_index): join-then-aggregate keeps the
+    # segment merge at |query terms| x segments rows, never a
+    # vocabulary-wide aggregation.
     qterms = (
         post.filter(F.col("doc_id").isin(probe_ids))
         .select(F.col("doc_id").alias("query_id"), "term")
         .join(dfreq, "term")
+        .groupBy("query_id", "term")
+        .agg(F.sum("df").alias("df"))
         .withColumn(
             "idf",
             F.log(
@@ -162,14 +168,106 @@ def write_bm25_index(
     post.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     ).write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
-    n_docs, avgdl = (
-        doclen.agg(
-            F.count("*").cast("double"), F.avg(F.col("dl").cast("double"))
-        ).collect()[0]
-    )
+    n_docs, total_len = doclen.agg(
+        F.count("*").cast("double"), F.sum("dl").cast("long")
+    ).collect()[0]
     post.unpersist()
-    with open(os.path.join(path, "_consts.json"), "w") as fh:
-        json.dump({"n_docs": n_docs, "avgdl": avgdl}, fh)
+    _write_consts(path, n_docs, int(total_len or 0))
+
+
+def _write_consts(path: str, n_docs: float, total_len: int) -> None:
+    """Durable consts write (tmp + os.replace).  ``total_len`` (an
+    exact integer) is stored alongside avgdl so incremental appends
+    recompute avgdl EXACTLY as a from-scratch build would — doc
+    lengths are ints, their double sum is exact below 2^53, so
+    total_len / n_docs == F.avg(dl) bit-for-bit."""
+    import json
+    import os
+
+    tmp = os.path.join(path, "_consts.json.tmp")
+    avgdl = (total_len / n_docs) if n_docs else 0.0
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"n_docs": n_docs, "avgdl": avgdl, "total_len": total_len}, fh
+        )
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(path, "_consts.json"))
+
+
+def append_bm25_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    check_new_ids: bool = True,
+) -> int:
+    """Fold a batch of NEW documents into a stored BM25 index — the
+    LSM append path (the lsh append_lsh_index contract applied to
+    lexical retrieval):
+
+    - postings/doclen: plain parquet appends (new files, no rewrite);
+    - dfreq: appends SEGMENT rows (term, df-of-this-batch); readers
+      merge segments per queried term only (join-then-aggregate in
+      _score_from_tables — never a vocabulary-wide compaction);
+    - _consts.json: n_docs/total_len advance exactly (integer sums),
+      so avgdl equals the from-scratch build bit-for-bit and the
+      append path stays score-identical to write_bm25_index
+      (pytest-pinned).
+
+    Append-ONLY: re-ingesting an existing doc_id would double-count
+    its terms; with ``check_new_ids`` (default) a collision raises
+    before anything is written (one broadcast anti-join of the
+    batch's ids against the stored doclen).  Returns the number of
+    documents appended."""
+    import json
+    import os
+
+    spark = new_docs.sparkSession
+    with open(os.path.join(path, "_consts.json")) as fh:
+        consts = json.load(fh)
+    if "total_len" not in consts:
+        # index written before the append path existed: derive the
+        # exact total once from the stored doclen
+        consts["total_len"] = int(
+            spark.read.parquet(os.path.join(path, "doclen"))
+            .agg(F.sum("dl"))
+            .collect()[0][0]
+            or 0
+        )
+    post = _postings(new_docs, text_col, id_col)
+    try:
+        doclen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        doclen = doclen.localCheckpoint(eager=True)  # appended + counted
+        if check_new_ids:
+            stored = spark.read.parquet(os.path.join(path, "doclen")).select(
+                "doc_id"
+            )
+            n_dup = doclen.join(stored, "doc_id", "left_semi").count()
+            if n_dup:
+                raise ValueError(
+                    f"append_bm25_index: {n_dup} doc_id(s) already in the "
+                    "index — the BM25 index is append-only (re-ingesting "
+                    "double-counts terms); dedupe upstream or rebuild"
+                )
+        n_new, new_len = doclen.agg(
+            F.count("*").cast("double"), F.sum("dl").cast("long")
+        ).collect()[0]
+        if not n_new:
+            return 0
+        post.write.mode("append").parquet(os.path.join(path, "postings"))
+        doclen.write.mode("append").parquet(os.path.join(path, "doclen"))
+        post.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        ).write.mode("append").parquet(os.path.join(path, "dfreq"))
+        _write_consts(
+            path,
+            consts["n_docs"] + n_new,
+            consts["total_len"] + int(new_len or 0),
+        )
+        return int(n_new)
+    finally:
+        post.unpersist()
 
 
 def bm25_scores_from_index(

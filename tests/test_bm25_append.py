@@ -1,0 +1,171 @@
+"""BM25 index LSM append path (operators/retrieval.py
+append_bm25_index + streaming/index_relay.py): an index grown by
+appends must score BIT-IDENTICALLY to one built from scratch over the
+same corpus, duplicate ingestion is refused, and the streaming
+consumer folds micro-batches with replay protection."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.retrieval import (
+    append_bm25_index,
+    bm25_scores_from_index,
+    write_bm25_index,
+)
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .limit(300)
+        .cache()
+    )
+
+
+def _scores(spark, path, probes=(0, 1, 2)):
+    return {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores_from_index(
+            spark, path, probe_ids=list(probes)
+        ).collect()
+    }
+
+
+def test_append_equals_rebuild(spark, tmp_path, docs):
+    """write(A) + append(B) + append(C) == write(A|B|C), score for
+    score — postings/doclen appends, df segment merge, and the exact
+    integer consts advance together preserve bit-parity."""
+    full = str(tmp_path / "full")
+    grown = str(tmp_path / "grown")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    c = docs.filter(F.col("doc_id") % 3 == 2)
+    write_bm25_index(docs, full)
+    write_bm25_index(a, grown)
+    assert append_bm25_index(b, grown) == b.count()
+    assert append_bm25_index(c, grown) == c.count()
+    want, got = _scores(spark, full), _scores(spark, grown)
+    assert want == got and len(want) > 0
+    # consts advanced exactly
+    cf = json.load(open(f"{full}/_consts.json"))
+    cg = json.load(open(f"{grown}/_consts.json"))
+    assert (cf["n_docs"], cf["total_len"], cf["avgdl"]) == (
+        cg["n_docs"],
+        cg["total_len"],
+        cg["avgdl"],
+    )
+
+
+def test_append_refuses_duplicate_ids(spark, tmp_path, docs):
+    path = str(tmp_path / "idx")
+    write_bm25_index(docs.limit(50), path)
+    with pytest.raises(ValueError, match="append-only"):
+        append_bm25_index(docs.limit(10), path)  # overlapping ids
+    # empty append is a no-op
+    assert append_bm25_index(docs.limit(0), path) == 0
+
+
+def test_append_legacy_consts_without_total_len(spark, tmp_path, docs):
+    """An index written before total_len existed derives it from the
+    stored doclen once, then appends normally."""
+    import os
+
+    path = str(tmp_path / "legacy")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    write_bm25_index(a, path)
+    consts = json.load(open(os.path.join(path, "_consts.json")))
+    del consts["total_len"]
+    with open(os.path.join(path, "_consts.json"), "w") as fh:
+        json.dump(consts, fh)
+    append_bm25_index(docs.filter(F.col("doc_id") % 2 == 1), path)
+    full = str(tmp_path / "full")
+    write_bm25_index(docs, full)
+    assert _scores(spark, path) == _scores(spark, full)
+
+
+def test_streaming_bm25_index_two_batches(spark, tmp_path):
+    """e2e: batch 0 builds the index, batch 1 appends; an update to an
+    already-ingested key is skipped (append-only), and scores match a
+    from-scratch build over the final corpus."""
+    from pymongo_change_stream_reader_spark.sources.change_events import (
+        stream_change_events_json,
+    )
+    from pymongo_change_stream_reader_spark.streaming.index_relay import (
+        start_streaming_bm25_index,
+    )
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog in the sun",
+        1: "distributed query engines process terabytes of data daily",
+        2: "a second quick brown fox jumps over another lazy dog today",
+    }
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def event(data, key, text, t):
+        return json.dumps(
+            {
+                "_id": {"_data": data},
+                "operationType": "insert",
+                "clusterTime": {"t": t, "i": 1},
+                "documentKey": key,
+                "fullDocument": text,
+            }
+        )
+
+    (src / "b0.json").write_text(
+        "\n".join([event("a1", "0", texts[0], 1), event("a2", "1", texts[1], 1)])
+    )
+    index = str(tmp_path / "bm25")
+    q = start_streaming_bm25_index(
+        stream_change_events_json(spark, str(src)),
+        index,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        assert json.load(open(f"{index}/_consts.json"))["n_docs"] == 2.0
+        (src / "b1.json").write_text(
+            "\n".join(
+                [
+                    event("a3", "2", texts[2], 2),
+                    event("a4", "0", "an update that must be skipped", 2),
+                ]
+            )
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    assert json.load(open(f"{index}/_consts.json"))["n_docs"] == 3.0
+    # parity with a from-scratch build over the same 3 documents
+    ref = str(tmp_path / "ref")
+    write_bm25_index(
+        spark.createDataFrame(
+            [(str(k), v) for k, v in texts.items()],
+            "doc_id STRING, text STRING",
+        ),
+        ref,
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores_from_index(
+            spark, index, probe_ids=["0"]
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores_from_index(spark, ref, probe_ids=["0"]).collect()
+    }
+    assert got == want
+    # doc 0 and doc 2 share fox/dog terms -> a real nonzero score exists
+    assert got[("0", "2")] > 0
