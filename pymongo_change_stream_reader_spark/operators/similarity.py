@@ -461,24 +461,15 @@ def cosine_pairs_blas(
 # the cell predicate in PartitionFilters — pytest-asserted), so each
 # batch reads ~nprobe/nlist of the corpus bytes.
 # ---------------------------------------------------------------------------
-def write_ivf_index(
+def _cell_assignment(
     corpus: DataFrame,
-    path: str,
-    nlist: int = 16,
-    train_iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[list[float]]:
-    """Train the coarse quantizer, assign every corpus vector to its
-    cell, and write the corpus cell-partitioned; the centroid model
-    (nlist x dim floats — the only driver-sized artifact) rides along
-    as ``_centroids.json``.  Returns the centroids."""
-    import json
-    import os
-
-    cents = train_ivf_centroids(
-        corpus, nlist, iters=train_iters, id_col=id_col, vec_col=vec_col
-    )
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(neighbor_id, cv, cn, cell): each vector labeled with its
+    nearest-centroid cell — the shared projection of the index write
+    and the append path, so assignment can never drift between them."""
     scored = [
         F.struct(
             F.round(dot(F.col("cv"), F.array(*[F.lit(x) for x in c])), 6).alias(
@@ -488,20 +479,89 @@ def write_ivf_index(
         )
         for i, c in enumerate(cents)
     ]
-    (
+    return (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             _as_double(F.col(vec_col)).alias("cv"),
         )
         .withColumn("cell", F.reverse(F.array_sort(F.array(*scored)))[0]["cid"])
         .withColumn("cn", l2_norm(F.col("cv")))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(path)
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Train the coarse quantizer (or take ``centroids`` precomputed —
+    the rebuild-with-frozen-quantizer path), assign every corpus
+    vector to its cell, and write the corpus cell-partitioned; the
+    centroid model (nlist x dim floats — the only driver-sized
+    artifact) rides along as ``_centroids.json``.  Returns the
+    centroids."""
+    import json
+    import os
+
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(
+            corpus, nlist, iters=train_iters, id_col=id_col, vec_col=vec_col
+        )
+    )
+    _cell_assignment(corpus, cents, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as fh:
         json.dump(cents, fh)
     return cents
+
+
+def append_ivf_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    check_new_ids: bool = True,
+) -> int:
+    """Fold new vectors into a stored IVF index: assign each to its
+    nearest EXISTING centroid and append into the cell partitions —
+    the classic IVF serving behavior (the quantizer stays frozen;
+    centroid drift is a periodic-retrain concern, not an ingest-path
+    one).  Bit-identical to rebuilding the whole index with the same
+    frozen centroids (shared _cell_assignment; pytest-pinned).
+    Append-only on ids — with ``check_new_ids`` a collision raises
+    before anything is written (an id-column-only scan of the index).
+    Returns the number of vectors appended."""
+    import json
+    import os
+
+    spark = new_vecs.sparkSession
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        cents = json.load(fh)
+    assigned = _cell_assignment(new_vecs, cents, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    n_new = assigned.count()
+    if not n_new:
+        return 0
+    if check_new_ids:
+        stored = spark.read.parquet(path).select("neighbor_id")
+        n_dup = assigned.select("neighbor_id").join(
+            stored, "neighbor_id", "left_semi"
+        ).count()
+        if n_dup:
+            raise ValueError(
+                f"append_ivf_index: {n_dup} id(s) already in the index — "
+                "the IVF index is append-only; dedupe upstream or rebuild"
+            )
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    return n_new
 
 
 def ivf_topk_from_index(

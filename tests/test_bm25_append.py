@@ -169,3 +169,43 @@ def test_streaming_bm25_index_two_batches(spark, tmp_path):
     assert got == want
     # doc 0 and doc 2 share fox/dog terms -> a real nonzero score exists
     assert got[("0", "2")] > 0
+
+
+def test_ivf_append_equals_frozen_rebuild(spark, tmp_path):
+    """append_ivf_index == rebuilding the whole index with the SAME
+    frozen centroids, query result for query result; duplicate ids
+    refuse; partition pruning still applies to the appended index."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .limit(400)
+        .cache()
+    )
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    grown = str(tmp_path / "grown")
+    cents = write_ivf_index(a, grown, nlist=8, train_iters=1)
+    assert append_ivf_index(b, grown) == b.count()
+    ref = str(tmp_path / "ref")
+    write_ivf_index(emb, ref, centroids=cents)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    def res(path):
+        return sorted(
+            map(
+                tuple,
+                ivf_topk_from_index(
+                    spark, path, queries, k=5, nprobe=3
+                ).collect(),
+            )
+        )
+
+    assert res(grown) == res(ref) and len(res(grown)) > 0
+    with pytest.raises(ValueError, match="append-only"):
+        append_ivf_index(b.limit(3), grown)
+    assert append_ivf_index(b.limit(0), grown) == 0
