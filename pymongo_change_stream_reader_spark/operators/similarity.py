@@ -972,6 +972,46 @@ def write_pq_index(
     return books
 
 
+def append_pq_index(
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    check_new_ids: bool = True,
+) -> int:
+    """Fold new vectors into a stored PQ index: encode with the FROZEN
+    stored codebooks and append the (id, codes) rows — the same
+    frozen-quantizer serving contract as append_ivf_index (codebook
+    drift is a periodic-retrain concern).  Bit-identical to encoding
+    the union with the same codebooks (shared pq_encode), append-only
+    id guard, pytest-pinned in tests/test_bm25_append.py.  Returns the
+    number of vectors appended."""
+    import json
+    import os
+
+    spark = new_vecs.sparkSession
+    with open(os.path.join(path, "_codebooks.json")) as fh:
+        books = json.load(fh)
+    encoded = pq_encode(new_vecs, books, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    n_new = encoded.count()
+    if not n_new:
+        return 0
+    if check_new_ids:
+        stored = spark.read.parquet(path).select(id_col)
+        n_dup = encoded.select(id_col).join(
+            stored, id_col, "left_semi"
+        ).count()
+        if n_dup:
+            raise ValueError(
+                f"append_pq_index: {n_dup} id(s) already in the index — "
+                "the PQ index is append-only; dedupe upstream or rebuild"
+            )
+    encoded.write.mode("append").parquet(path)
+    return n_new
+
+
 def pq_topk_from_index(
     spark: SparkSession,
     path: str,

@@ -209,3 +209,43 @@ def test_ivf_append_equals_frozen_rebuild(spark, tmp_path):
     with pytest.raises(ValueError, match="append-only"):
         append_ivf_index(b.limit(3), grown)
     assert append_ivf_index(b.limit(0), grown) == 0
+
+
+def test_pq_append_equals_frozen_rebuild(spark, tmp_path):
+    """append_pq_index == re-encoding the union with the SAME frozen
+    codebooks; duplicate ids refuse; empty append no-ops."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        append_pq_index,
+        pq_topk_from_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(300).cache()
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    grown = str(tmp_path / "grown")
+    write_pq_index(a, grown, m_sub=4, k_codes=8, iters=1)
+    assert append_pq_index(b, grown) == b.count()
+    # reference: encode the union with the same stored codebooks
+    import json
+
+    books = json.load(open(f"{grown}/_codebooks.json"))
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    ref = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(emb, books).collect()
+    }
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(grown).collect()
+    }
+    assert got == ref and len(got) == emb.count()
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = pq_topk_from_index(spark, grown, queries, emb, k=5, rerank=4)
+    assert out.count() == 3 * 5
+    with pytest.raises(ValueError, match="append-only"):
+        append_pq_index(b.limit(2), grown)
+    assert append_pq_index(b.limit(0), grown) == 0
