@@ -1,0 +1,159 @@
+"""Index-table maintenance: compaction for the append-path serving
+indexes (BM25 postings/doclen/df segments, LSH bands, IVF cells, PQ
+codes).
+
+Every append batch adds new parquet files (and, for BM25 df, SEGMENT
+rows); at streaming trigger rates a table accumulates thousands of
+tiny files and scan cost becomes file-open-bound — the same
+small-file problem `compact_replica` solves for the CDC replica.
+``compact_parquet_table`` rewrites a table directory into a bounded
+file count with a crash-recoverable swap:
+
+1. the compacted copy is written to ``<dir>.compact-tmp``;
+2. the live dir renames to ``<dir>.old`` and the copy renames into
+   place (two metadata renames back-to-back — the only window in
+   which the table is missing);
+3. ``<dir>.old`` is removed.
+
+A crash inside the window leaves ``<dir>`` absent with ``.old`` (and
+possibly ``.compact-tmp``) present; ``recover_table`` restores the
+pre-compaction state, and compaction itself refuses to run while
+leftovers exist.  This is deliberately simpler than the bucketed
+sink's manifest protocol: index tables are rebuildable caches, so the
+contract is "never silently serve a half-compacted table", not
+multi-version time travel.
+
+For BM25 specifically, ``compact_bm25_index`` also MERGES the df
+segment rows (one row per term again) — readers already merge
+segments per queried term, so this is a scan-cost optimization, not a
+correctness requirement; scores are unchanged (pytest-pinned).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+
+def _check_no_leftovers(table_dir: str) -> None:
+    for suffix in (".old", ".compact-tmp"):
+        if os.path.exists(table_dir + suffix):
+            raise RuntimeError(
+                f"{table_dir + suffix} exists — a previous compaction "
+                "crashed mid-swap; run recover_table() first"
+            )
+
+
+def recover_table(table_dir: str) -> bool:
+    """Restore a table after a compaction crash: if the live dir is
+    missing but ``.old`` exists, the pre-compaction data comes back;
+    stale ``.compact-tmp`` is removed either way.  Returns True if a
+    restore happened."""
+    restored = False
+    old = table_dir + ".old"
+    if os.path.exists(old) and not os.path.exists(table_dir):
+        os.rename(old, table_dir)
+        restored = True
+    tmp = table_dir + ".compact-tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(old) and os.path.exists(table_dir):
+        # swap completed before the crash; the backup is just garbage
+        shutil.rmtree(old, ignore_errors=True)
+    return restored
+
+
+def compact_parquet_table(
+    spark: SparkSession,
+    table_dir: str,
+    num_files: int = 1,
+    partition_by: str | None = None,
+    transform=None,
+    preserve_files: tuple[str, ...] = (),
+) -> int:
+    """Rewrite ``table_dir`` into ``num_files`` parquet files (per
+    partition dir when ``partition_by`` is given), optionally applying
+    ``transform(df) -> df`` first (must preserve semantics — used for
+    the BM25 df segment merge).  ``preserve_files`` (model sidecars
+    like ``_centroids.json``) are copied into the compacted dir
+    BEFORE the swap, so no crash point leaves a table without its
+    model.  Returns the row count written."""
+    _check_no_leftovers(table_dir)
+    df: DataFrame = spark.read.parquet(table_dir)
+    if transform is not None:
+        df = transform(df)
+    tmp = table_dir + ".compact-tmp"
+    writer = df.repartition(max(1, num_files)).write.mode("overwrite")
+    if partition_by:
+        # repartition on the partition column so each partition dir
+        # gets at most num_files files, not num_files x partitions
+        writer = (
+            df.repartition(max(1, num_files), F.col(partition_by))
+            .write.mode("overwrite")
+            .partitionBy(partition_by)
+        )
+    writer.parquet(tmp)
+    for name in preserve_files:
+        shutil.copyfile(
+            os.path.join(table_dir, name), os.path.join(tmp, name)
+        )
+    n = spark.read.parquet(tmp).count()
+    old = table_dir + ".old"
+    os.rename(table_dir, old)
+    os.rename(tmp, table_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
+def compact_bm25_index(
+    spark: SparkSession, path: str, num_files: int = 1
+) -> dict[str, int]:
+    """Compact all three BM25 index tables; df segments merge back to
+    one row per term.  Scores are unchanged (the reader's per-term
+    segment merge makes compaction transparent)."""
+    counts = {}
+    counts["postings"] = compact_parquet_table(
+        spark, os.path.join(path, "postings"), num_files
+    )
+    counts["doclen"] = compact_parquet_table(
+        spark, os.path.join(path, "doclen"), num_files
+    )
+    counts["dfreq"] = compact_parquet_table(
+        spark,
+        os.path.join(path, "dfreq"),
+        num_files,
+        transform=lambda df: df.groupBy("term").agg(
+            F.sum("df").alias("df")
+        ),
+    )
+    return counts
+
+
+def compact_lsh_index(
+    spark: SparkSession, path: str, num_files: int = 1
+) -> int:
+    """Compact the band-partitioned LSH index (operators/dedup.py):
+    band partitioning is preserved so probes keep pruning."""
+    return compact_parquet_table(spark, path, num_files, partition_by="band")
+
+
+def compact_ivf_index(
+    spark: SparkSession, path: str, num_files: int = 1
+) -> int:
+    """Compact the cell-partitioned IVF index, preserving cell
+    partition pruning; the _centroids.json model sidecar rides into
+    the compacted dir before the swap (no crash point leaves an index
+    without its model)."""
+    return compact_parquet_table(
+        spark,
+        path,
+        num_files,
+        partition_by="cell",
+        preserve_files=("_centroids.json",),
+    )

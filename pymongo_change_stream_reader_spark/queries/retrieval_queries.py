@@ -333,3 +333,57 @@ def text_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "score", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "text_bm25_incremental",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM bm25
+    )
+    SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+    doc="BM25 top-10 served from an index grown INCREMENTALLY "
+    "(write the even-doc half, then fold the odd half via "
+    "append_bm25_index's LSM path: postings/doclen appends + df "
+    "SEGMENT rows + exact integer consts advance).  The same oracle "
+    "as text_bm25_topk applies because the append path is "
+    "score-bit-identical to a from-scratch build — the driver gate "
+    "now proves the incremental-indexing contract, not just pytest.",
+    tags=("text", "retrieval", "indexed", "incremental"),
+)
+def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the append cost is the batch's tokenize + tiny metadata;
+    the serving scan is identical to text_bm25_indexed (segment df
+    rows merge per queried term only)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.retrieval import (
+        append_bm25_index,
+        bm25_scores_from_index,
+        write_bm25_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="spark_bm25_incr_")
+    try:
+        write_bm25_index(d.filter(F.col("doc_id") % 2 == 0), path)
+        append_bm25_index(d.filter(F.col("doc_id") % 2 == 1), path)
+        scored = bm25_scores_from_index(
+            spark, path, probe_ids=[0, 1, 2, 3, 4]
+        )
+        return (
+            topk_ranked(scored, k=10)
+            .select("query_id", "doc_id", "score", "rank")
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,144 @@
+"""Compaction for the append-path serving indexes
+(operators/maintenance.py): bounded file counts, unchanged query
+results, model sidecars preserved, and crash recovery."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.maintenance import (
+    compact_bm25_index,
+    compact_ivf_index,
+    compact_lsh_index,
+    compact_parquet_table,
+    recover_table,
+)
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _parquet_files(path: str) -> int:
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def test_compact_bm25_merges_segments_scores_unchanged(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.operators.retrieval import (
+        append_bm25_index,
+        bm25_scores_from_index,
+        write_bm25_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).limit(200)
+    path = str(tmp_path / "bm25")
+    write_bm25_index(docs.filter(F.col("doc_id") % 3 == 0), path)
+    append_bm25_index(docs.filter(F.col("doc_id") % 3 == 1), path)
+    append_bm25_index(docs.filter(F.col("doc_id") % 3 == 2), path)
+
+    def scores():
+        return {
+            (r["query_id"], r["doc_id"]): r["score"]
+            for r in bm25_scores_from_index(
+                spark, path, probe_ids=[0, 1, 2]
+            ).collect()
+        }
+
+    before = scores()
+    dfreq = spark.read.parquet(os.path.join(path, "dfreq"))
+    assert dfreq.count() > dfreq.select("term").distinct().count()  # segments
+    counts = compact_bm25_index(spark, path, num_files=1)
+    assert counts["dfreq"] == spark.read.parquet(
+        os.path.join(path, "dfreq")
+    ).select("term").distinct().count()  # merged: one row per term
+    assert _parquet_files(os.path.join(path, "postings")) == 1
+    assert scores() == before and len(before) > 0
+
+
+def test_compact_lsh_preserves_band_pruning_and_rows(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        append_lsh_index,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).limit(120)
+    path = str(tmp_path / "lsh")
+    write_lsh_index(docs.filter(F.col("doc_id") % 2 == 0), path, "text", "doc_id")
+    append_lsh_index(docs.filter(F.col("doc_id") % 2 == 1), path, "text", "doc_id")
+    before = sorted(map(tuple, read_lsh_index(spark, path).collect()))
+    compact_lsh_index(spark, path, num_files=1)
+    after = sorted(map(tuple, read_lsh_index(spark, path).collect()))
+    assert after == before
+    # band partition dirs survive (partition pruning intact)
+    assert any(d.startswith("band=") for d in os.listdir(path))
+
+
+def test_compact_ivf_preserves_model_and_results(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(300)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, nlist=8, train_iters=1
+    )
+    append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    queries = emb.filter(F.col("vec_id") < 3)
+    before = sorted(
+        map(tuple, ivf_topk_from_index(spark, path, queries, k=5).collect())
+    )
+    compact_ivf_index(spark, path, num_files=1)
+    assert os.path.exists(os.path.join(path, "_centroids.json"))
+    after = sorted(
+        map(tuple, ivf_topk_from_index(spark, path, queries, k=5).collect())
+    )
+    assert after == before and len(after) > 0
+    assert any(d.startswith("cell=") for d in os.listdir(path))
+
+
+def test_compaction_crash_recovery(spark, tmp_path, monkeypatch):
+    """Injected crash between the two swap renames: the table dir is
+    missing, compaction refuses to run, recover_table restores the
+    pre-compaction data byte-for-byte."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "id INT, val STRING"
+    ).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    real_rename = os.rename
+    calls = []
+
+    def crashing_rename(src, dst):
+        calls.append(src)
+        if len(calls) == 2:  # the tmp -> live rename
+            raise OSError("injected crash mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="injected"):
+        compact_parquet_table(spark, path, num_files=1)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.exists(path)  # the crash window
+    # compaction refuses to run over crash leftovers (the .old guard
+    # fires before any read)
+    with pytest.raises(RuntimeError, match="recover_table"):
+        compact_parquet_table(spark, path, num_files=1)
+    assert recover_table(path) is True
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    # leftovers cleaned; a fresh compaction now succeeds
+    assert compact_parquet_table(spark, path, num_files=1) == 50
