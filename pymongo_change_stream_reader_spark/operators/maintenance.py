@@ -27,6 +27,14 @@ For BM25 specifically, ``compact_bm25_index`` also MERGES the df
 segment rows (one row per term again) — readers already merge
 segments per queried term, so this is a scan-cost optimization, not a
 correctness requirement; scores are unchanged (pytest-pinned).
+
+Writers are mutually exclusive: appends and compaction on the same
+index take ``IndexWriteLock`` (O_EXCL lock file) — without it, files
+appended between a compaction's read and its swap would silently land
+in ``.old`` and be deleted.  Model sidecars (``_centroids.json``,
+``_codebooks.json``) are preserved through the swap by the per-index
+wrappers — use those, not the generic ``compact_parquet_table``, on
+IVF/PQ paths.
 """
 
 from __future__ import annotations
@@ -39,6 +47,59 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
+
+
+class IndexWriteLock:
+    """Cross-process mutual exclusion for index writers: appends and
+    compaction both mutate the same directories, and a compaction
+    racing a concurrent append would silently destroy the appended
+    files (the compaction's read lists files at scan time; anything
+    landing later goes to ``.old`` and is removed).  O_EXCL lock-file
+    creation under the index root; a crashed holder leaves a stale
+    lock whose path (and owning pid) the error names for manual
+    removal — never auto-broken, because the other explanation for a
+    stale-looking lock is a live writer."""
+
+    def __init__(self, lock_path: str):
+        # an explicit lock-FILE path: for single-dir indexes (LSH/IVF/
+        # PQ) use a SIBLING file (``<dir>.writelock``) so the lock
+        # survives the compaction swap renaming the dir itself; for
+        # multi-table roots (BM25) a file under the never-renamed root
+        self.path = lock_path
+        self._fd: int | None = None
+
+    def __enter__(self):
+        parent = os.path.dirname(self.path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        try:
+            self._fd = os.open(
+                self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            try:
+                with open(self.path) as fh:
+                    holder = fh.read().strip() or "unknown"
+            except OSError:
+                holder = "unknown"
+            raise RuntimeError(
+                f"index at {os.path.dirname(self.path)!r} is locked by "
+                f"another writer (pid {holder}) — appends and compaction "
+                "are mutually exclusive; if that process is dead, remove "
+                f"{self.path}"
+            ) from None
+        os.write(self._fd, str(os.getpid()).encode())
+        return self
+
+    def __exit__(self, *exc):
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        return False
 
 
 def _check_no_leftovers(table_dir: str) -> None:
@@ -89,15 +150,28 @@ def compact_parquet_table(
     if transform is not None:
         df = transform(df)
     tmp = table_dir + ".compact-tmp"
-    writer = df.repartition(max(1, num_files)).write.mode("overwrite")
     if partition_by:
-        # repartition on the partition column so each partition dir
-        # gets at most num_files files, not num_files x partitions
+        # (partition col, salt) repartition: each partition dir's rows
+        # spread over at most num_files distinct tasks (a task writes
+        # one file per dir), so files-per-dir <= num_files while task
+        # parallelism stays at defaultParallelism — hashing on the
+        # partition column ALONE would serialize each cell/band into
+        # one task and ignore num_files
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(max(1, num_files)),
+        )
         writer = (
-            df.repartition(max(1, num_files), F.col(partition_by))
+            df.repartition(
+                max(num_files, spark.sparkContext.defaultParallelism),
+                F.col(partition_by),
+                salt,
+            )
             .write.mode("overwrite")
             .partitionBy(partition_by)
         )
+    else:
+        writer = df.repartition(max(1, num_files)).write.mode("overwrite")
     writer.parquet(tmp)
     for name in preserve_files:
         shutil.copyfile(
@@ -111,36 +185,50 @@ def compact_parquet_table(
     return n
 
 
+def bm25_lock(path: str) -> IndexWriteLock:
+    """The BM25 index-root write lock (root itself is never renamed,
+    so the lock lives under it) — shared by append_bm25_index and
+    compact_bm25_index."""
+    return IndexWriteLock(os.path.join(path, "_write.lock"))
+
+
 def compact_bm25_index(
     spark: SparkSession, path: str, num_files: int = 1
 ) -> dict[str, int]:
     """Compact all three BM25 index tables; df segments merge back to
     one row per term.  Scores are unchanged (the reader's per-term
-    segment merge makes compaction transparent)."""
-    counts = {}
-    counts["postings"] = compact_parquet_table(
-        spark, os.path.join(path, "postings"), num_files
-    )
-    counts["doclen"] = compact_parquet_table(
-        spark, os.path.join(path, "doclen"), num_files
-    )
-    counts["dfreq"] = compact_parquet_table(
-        spark,
-        os.path.join(path, "dfreq"),
-        num_files,
-        transform=lambda df: df.groupBy("term").agg(
-            F.sum("df").alias("df")
-        ),
-    )
-    return counts
+    segment merge makes compaction transparent).  Takes the index
+    write lock — a concurrent append would otherwise lose its files to
+    the swap."""
+    with bm25_lock(path):
+        counts = {}
+        counts["postings"] = compact_parquet_table(
+            spark, os.path.join(path, "postings"), num_files
+        )
+        counts["doclen"] = compact_parquet_table(
+            spark, os.path.join(path, "doclen"), num_files
+        )
+        counts["dfreq"] = compact_parquet_table(
+            spark,
+            os.path.join(path, "dfreq"),
+            num_files,
+            transform=lambda df: df.groupBy("term").agg(
+                F.sum("df").alias("df")
+            ),
+        )
+        return counts
 
 
 def compact_lsh_index(
     spark: SparkSession, path: str, num_files: int = 1
 ) -> int:
     """Compact the band-partitioned LSH index (operators/dedup.py):
-    band partitioning is preserved so probes keep pruning."""
-    return compact_parquet_table(spark, path, num_files, partition_by="band")
+    band partitioning is preserved so probes keep pruning.  Sibling
+    write lock (appenders should hold the same — see IndexWriteLock)."""
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        return compact_parquet_table(
+            spark, path, num_files, partition_by="band"
+        )
 
 
 def compact_ivf_index(
@@ -150,10 +238,23 @@ def compact_ivf_index(
     partition pruning; the _centroids.json model sidecar rides into
     the compacted dir before the swap (no crash point leaves an index
     without its model)."""
-    return compact_parquet_table(
-        spark,
-        path,
-        num_files,
-        partition_by="cell",
-        preserve_files=("_centroids.json",),
-    )
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        return compact_parquet_table(
+            spark,
+            path,
+            num_files,
+            partition_by="cell",
+            preserve_files=("_centroids.json",),
+        )
+
+
+def compact_pq_index(
+    spark: SparkSession, path: str, num_files: int = 1
+) -> int:
+    """Compact the PQ code table; the _codebooks.json model sidecar is
+    preserved (using the generic compact_parquet_table directly would
+    destroy it — the codebooks are not reproducible from the codes)."""
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        return compact_parquet_table(
+            spark, path, num_files, preserve_files=("_codebooks.json",)
+        )

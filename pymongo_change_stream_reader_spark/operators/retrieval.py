@@ -195,6 +195,50 @@ def _write_consts(path: str, n_docs: float, total_len: int) -> None:
     os.replace(tmp, os.path.join(path, "_consts.json"))
 
 
+_BM25_TABLES = ("postings", "doclen", "dfreq")
+
+
+def _list_table_files(path: str, table: str) -> list[str]:
+    import os
+
+    root = os.path.join(path, table)
+    out = []
+    for r, _dirs, files in os.walk(root):
+        rel = os.path.relpath(r, root)
+        out.extend(
+            f if rel == "." else os.path.join(rel, f) for f in files
+        )
+    return sorted(out)
+
+
+def recover_bm25_append(path: str) -> bool:
+    """Roll back a crashed append_bm25_index: the append journal
+    records each table's file listing and the consts BEFORE the
+    append, so recovery deletes any file not in the listing and
+    restores the consts — the index returns to its exact pre-append
+    state and the batch can be re-applied cleanly (the streaming
+    consumer does this automatically; its epoch marker commits only
+    after a full append).  Returns True if a rollback happened."""
+    import json
+    import os
+
+    jpath = os.path.join(path, "_append_journal.json")
+    if not os.path.exists(jpath):
+        return False
+    with open(jpath) as fh:
+        journal = json.load(fh)
+    for table in _BM25_TABLES:
+        keep = set(journal["files"][table])
+        root = os.path.join(path, table)
+        for rel in _list_table_files(path, table):
+            if rel not in keep:
+                os.unlink(os.path.join(root, rel))
+    c = journal["consts"]
+    _write_consts(path, c["n_docs"], c["total_len"])
+    os.unlink(jpath)
+    return True
+
+
 def append_bm25_index(
     new_docs: DataFrame,
     path: str,
@@ -215,6 +259,17 @@ def append_bm25_index(
       append path stays score-identical to write_bm25_index
       (pytest-pinned).
 
+    CRASH SAFETY: the append spans four durable writes, so before the
+    first one a JOURNAL (per-table file listings + consts) is written;
+    a crash at any point leaves the journal in place, further appends
+    refuse until ``recover_bm25_append`` rolls the partial append
+    back, and the batch then re-applies cleanly — without this, a
+    replay after a mid-append crash would either double-append
+    postings or permanently skip the batch's dfreq/consts (both
+    silent score corruption).  The whole append holds the index write
+    lock (mutually exclusive with compaction — see
+    operators/maintenance.py).
+
     Append-ONLY: re-ingesting an existing doc_id would double-count
     its terms; with ``check_new_ids`` (default) a collision raises
     before anything is written (one broadcast anti-join of the
@@ -223,51 +278,80 @@ def append_bm25_index(
     import json
     import os
 
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        bm25_lock,
+    )
+
     spark = new_docs.sparkSession
-    with open(os.path.join(path, "_consts.json")) as fh:
-        consts = json.load(fh)
-    if "total_len" not in consts:
-        # index written before the append path existed: derive the
-        # exact total once from the stored doclen
-        consts["total_len"] = int(
-            spark.read.parquet(os.path.join(path, "doclen"))
-            .agg(F.sum("dl"))
-            .collect()[0][0]
-            or 0
+    if os.path.exists(os.path.join(path, "_append_journal.json")):
+        raise RuntimeError(
+            f"BM25 index at {path!r} has a crashed-append journal — "
+            "run recover_bm25_append() first"
         )
-    post = _postings(new_docs, text_col, id_col)
-    try:
-        doclen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        doclen = doclen.localCheckpoint(eager=True)  # appended + counted
-        if check_new_ids:
-            stored = spark.read.parquet(os.path.join(path, "doclen")).select(
-                "doc_id"
+    with bm25_lock(path):
+        with open(os.path.join(path, "_consts.json")) as fh:
+            consts = json.load(fh)
+        if "total_len" not in consts:
+            # index written before the append path existed: derive the
+            # exact total once from the stored doclen
+            consts["total_len"] = int(
+                spark.read.parquet(os.path.join(path, "doclen"))
+                .agg(F.sum("dl"))
+                .collect()[0][0]
+                or 0
             )
-            n_dup = doclen.join(stored, "doc_id", "left_semi").count()
-            if n_dup:
-                raise ValueError(
-                    f"append_bm25_index: {n_dup} doc_id(s) already in the "
-                    "index — the BM25 index is append-only (re-ingesting "
-                    "double-counts terms); dedupe upstream or rebuild"
-                )
-        n_new, new_len = doclen.agg(
-            F.count("*").cast("double"), F.sum("dl").cast("long")
-        ).collect()[0]
-        if not n_new:
-            return 0
-        post.write.mode("append").parquet(os.path.join(path, "postings"))
-        doclen.write.mode("append").parquet(os.path.join(path, "doclen"))
-        post.groupBy("term").agg(
-            F.countDistinct("doc_id").alias("df")
-        ).write.mode("append").parquet(os.path.join(path, "dfreq"))
-        _write_consts(
-            path,
-            consts["n_docs"] + n_new,
-            consts["total_len"] + int(new_len or 0),
-        )
-        return int(n_new)
-    finally:
-        post.unpersist()
+        post = _postings(new_docs, text_col, id_col)
+        try:
+            doclen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+            doclen = doclen.localCheckpoint(eager=True)  # appended + counted
+            if check_new_ids:
+                stored = spark.read.parquet(
+                    os.path.join(path, "doclen")
+                ).select("doc_id")
+                n_dup = doclen.join(stored, "doc_id", "left_semi").count()
+                if n_dup:
+                    raise ValueError(
+                        f"append_bm25_index: {n_dup} doc_id(s) already in "
+                        "the index — the BM25 index is append-only "
+                        "(re-ingesting double-counts terms); dedupe "
+                        "upstream or rebuild"
+                    )
+            n_new, new_len = doclen.agg(
+                F.count("*").cast("double"), F.sum("dl").cast("long")
+            ).collect()[0]
+            if not n_new:
+                return 0
+            # journal BEFORE the first durable write (tmp+fsync+replace)
+            journal = {
+                "files": {
+                    t: _list_table_files(path, t) for t in _BM25_TABLES
+                },
+                "consts": {
+                    "n_docs": consts["n_docs"],
+                    "total_len": consts["total_len"],
+                },
+            }
+            jpath = os.path.join(path, "_append_journal.json")
+            jtmp = jpath + ".tmp"
+            with open(jtmp, "w") as fh:
+                json.dump(journal, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(jtmp, jpath)
+            post.write.mode("append").parquet(os.path.join(path, "postings"))
+            doclen.write.mode("append").parquet(os.path.join(path, "doclen"))
+            post.groupBy("term").agg(
+                F.countDistinct("doc_id").alias("df")
+            ).write.mode("append").parquet(os.path.join(path, "dfreq"))
+            _write_consts(
+                path,
+                consts["n_docs"] + n_new,
+                consts["total_len"] + int(new_len or 0),
+            )
+            os.unlink(jpath)  # commit point: the append is complete
+            return int(n_new)
+        finally:
+            post.unpersist()
 
 
 def bm25_scores_from_index(

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from pymongo_change_stream_reader_spark.operators.retrieval import (
     append_bm25_index,
+    recover_bm25_append,
     write_bm25_index,
 )
 from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
@@ -73,6 +74,16 @@ def bm25_ingest_batch(
         if n:
             write_bm25_index(docs, index_path, "text", "doc_id")
         return n
+    # a crashed previous append rolls back here BEFORE the anti-join:
+    # its epoch never committed, so this batch IS the replay and must
+    # see the exact pre-crash index state (append_bm25_index refuses
+    # to run over a live journal otherwise)
+    if recover_bm25_append(index_path):
+        logger.warning(
+            "bm25 index at %s: rolled back a crashed append before "
+            "re-applying the replayed batch",
+            index_path,
+        )
     stored = spark.read.parquet(os.path.join(index_path, "doclen")).select(
         "doc_id"
     )

@@ -142,3 +142,89 @@ def test_compaction_crash_recovery(spark, tmp_path, monkeypatch):
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
     # leftovers cleaned; a fresh compaction now succeeds
     assert compact_parquet_table(spark, path, num_files=1) == 50
+
+
+def test_bm25_append_crash_journal_rollback(spark, tmp_path, monkeypatch):
+    """Review r4: a crash mid-append (after postings, before dfreq)
+    must be fully rolled back by recover_bm25_append — further appends
+    refuse while the journal lives, and after recovery the replayed
+    batch produces an index score-identical to a clean build."""
+    from pymongo_change_stream_reader_spark.operators import retrieval as R
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text"
+    ).limit(120)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "bm25")
+    R.write_bm25_index(a, path)
+    pre_files = {
+        t: R._list_table_files(path, t)
+        for t in ("postings", "doclen", "dfreq")
+    }
+
+    # crash after the SECOND table append (postings + doclen written,
+    # dfreq and consts not)
+    real_parquet = type(docs.write).parquet
+    calls = []
+
+    def crashing_parquet(self, p, *a_, **kw):
+        if "/bm25/" in p or p.endswith(("postings", "doclen", "dfreq")):
+            calls.append(p)
+            if len(calls) == 2:
+                real_parquet(self, p, *a_, **kw)  # doclen lands...
+                raise OSError("injected crash after doclen append")
+        return real_parquet(self, p, *a_, **kw)
+
+    monkeypatch.setattr(type(docs.write), "parquet", crashing_parquet)
+    with pytest.raises(OSError, match="injected"):
+        R.append_bm25_index(b, path)
+    monkeypatch.setattr(type(docs.write), "parquet", real_parquet)
+
+    # journal alive: appends refuse
+    with pytest.raises(RuntimeError, match="recover_bm25_append"):
+        R.append_bm25_index(b, path)
+    assert R.recover_bm25_append(path) is True
+    # exact pre-append state restored
+    for t in ("postings", "doclen", "dfreq"):
+        assert R._list_table_files(path, t) == pre_files[t]
+    # replay applies cleanly and matches a from-scratch build
+    assert R.append_bm25_index(b, path) == b.count()
+    ref = str(tmp_path / "ref")
+    R.write_bm25_index(docs, ref)
+    score = lambda p: {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in R.bm25_scores_from_index(spark, p, probe_ids=[0, 2]).collect()
+    }
+    assert score(path) == score(ref)
+
+
+def test_index_write_lock_mutual_exclusion(tmp_path):
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    lock_path = str(tmp_path / "idx" / "_write.lock")
+    with IndexWriteLock(lock_path):
+        with pytest.raises(RuntimeError, match="locked by another writer"):
+            with IndexWriteLock(lock_path):
+                pass
+    # released: reacquire fine
+    with IndexWriteLock(lock_path):
+        pass
+    assert not os.path.exists(lock_path)
+
+
+def test_compact_partitioned_honors_num_files(spark, tmp_path):
+    """Review r4: num_files must spread a partition dir across up to
+    num_files files (salted repartition), not silently collapse every
+    partition into one single-task file."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i % 2, i) for i in range(2000)], "cell INT, v INT"
+    ).write.partitionBy("cell").parquet(path)
+    compact_parquet_table(spark, path, num_files=4, partition_by="cell")
+    for cell in (0, 1):
+        n = _parquet_files(os.path.join(path, f"cell={cell}"))
+        assert 2 <= n <= 4, n  # spread, and bounded by num_files
+    assert spark.read.parquet(path).count() == 2000
