@@ -639,11 +639,18 @@ def append_lsh_index(
 ) -> None:
     """Fold an ingested batch into the stored index (mode=append adds
     new files under the same band partitions — no rewrite of existing
-    index data; compaction is a storage-side concern, as with any
-    log-structured table)."""
-    lsh_band_table(df_new, text_col, id_col, num_hashes, bands, n).write.mode(
-        "append"
-    ).partitionBy("band").parquet(path)
+    index data; ``compact_lsh_index`` in operators/maintenance.py caps
+    the small-file growth).  Holds the index write lock: a compaction
+    racing this append would silently delete the appended files in its
+    swap."""
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        lsh_band_table(
+            df_new, text_col, id_col, num_hashes, bands, n
+        ).write.mode("append").partitionBy("band").parquet(path)
 
 
 def read_lsh_index(spark: SparkSession, path: str) -> DataFrame:

@@ -541,6 +541,10 @@ def append_ivf_index(
     import json
     import os
 
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
     spark = new_vecs.sparkSession
     with open(os.path.join(path, "_centroids.json")) as fh:
         cents = json.load(fh)
@@ -550,17 +554,20 @@ def append_ivf_index(
     n_new = assigned.count()
     if not n_new:
         return 0
-    if check_new_ids:
-        stored = spark.read.parquet(path).select("neighbor_id")
-        n_dup = assigned.select("neighbor_id").join(
-            stored, "neighbor_id", "left_semi"
-        ).count()
-        if n_dup:
-            raise ValueError(
-                f"append_ivf_index: {n_dup} id(s) already in the index — "
-                "the IVF index is append-only; dedupe upstream or rebuild"
-            )
-    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    # mutual exclusion with compact_ivf_index: files appended during a
+    # compaction's read->swap window would be silently deleted
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        if check_new_ids:
+            stored = spark.read.parquet(path).select("neighbor_id")
+            n_dup = assigned.select("neighbor_id").join(
+                stored, "neighbor_id", "left_semi"
+            ).count()
+            if n_dup:
+                raise ValueError(
+                    f"append_ivf_index: {n_dup} id(s) already in the index — "
+                    "the IVF index is append-only; dedupe upstream or rebuild"
+                )
+        assigned.write.mode("append").partitionBy("cell").parquet(path)
     return n_new
 
 
@@ -989,6 +996,10 @@ def append_pq_index(
     import json
     import os
 
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
     spark = new_vecs.sparkSession
     with open(os.path.join(path, "_codebooks.json")) as fh:
         books = json.load(fh)
@@ -998,17 +1009,18 @@ def append_pq_index(
     n_new = encoded.count()
     if not n_new:
         return 0
-    if check_new_ids:
-        stored = spark.read.parquet(path).select(id_col)
-        n_dup = encoded.select(id_col).join(
-            stored, id_col, "left_semi"
-        ).count()
-        if n_dup:
-            raise ValueError(
-                f"append_pq_index: {n_dup} id(s) already in the index — "
-                "the PQ index is append-only; dedupe upstream or rebuild"
-            )
-    encoded.write.mode("append").parquet(path)
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        if check_new_ids:
+            stored = spark.read.parquet(path).select(id_col)
+            n_dup = encoded.select(id_col).join(
+                stored, id_col, "left_semi"
+            ).count()
+            if n_dup:
+                raise ValueError(
+                    f"append_pq_index: {n_dup} id(s) already in the index — "
+                    "the PQ index is append-only; dedupe upstream or rebuild"
+                )
+        encoded.write.mode("append").parquet(path)
     return n_new
 
 
