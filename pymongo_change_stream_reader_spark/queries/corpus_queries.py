@@ -1474,3 +1474,171 @@ def corpus_token_budget_allocation(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "corpus_curation_e2e",
+    oracle=f"""
+    WITH gated AS (
+        SELECT doc_id, source, text, {_TOKS} AS toks
+        FROM documents
+        WHERE n_chars BETWEEN 100 AND 400
+          AND list_sum(list_transform({_TOKS}, w -> length(w)))
+              / greatest(len({_TOKS}), 1) BETWEEN 2 AND 12
+          AND len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]'))
+              / greatest(length(text), 1) < 0.05
+          AND (lang <> 'en' OR {_HITS['en']} >= 1)
+          AND {_BUCKET_SQL} >= 50
+    ),
+    surv AS (
+        SELECT doc_id, source, text, toks FROM gated
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text))
+    ),
+    bench_grams AS (
+        SELECT DISTINCT unnest({_GRAMS}) AS gram
+        FROM documents WHERE {_BUCKET_SQL} < 50
+    ),
+    cont AS (
+        SELECT s.doc_id
+        FROM (SELECT doc_id, unnest({_GRAMS}) AS gram FROM surv) s
+        JOIN bench_grams b USING (gram)
+        GROUP BY s.doc_id
+        HAVING COUNT(DISTINCT s.gram) >= 3
+    ),
+    clean AS (
+        SELECT * FROM surv
+        WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    ),
+    per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT)        AS kept_docs,
+               CAST(SUM(len(toks)) AS BIGINT)  AS kept_tokens
+        FROM clean GROUP BY source
+    ),
+    tot AS (SELECT SUM(kept_tokens) AS total FROM per),
+    base AS (
+        SELECT source, kept_docs, kept_tokens,
+               (100000 * kept_tokens) // total AS base_alloc,
+               (100000 * kept_tokens) % total  AS frac
+        FROM per CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rnk,
+               100000 - SUM(base_alloc) OVER ()              AS leftover
+        FROM base
+    )
+    SELECT source, kept_docs, kept_tokens,
+           CAST(base_alloc + CAST(rnk <= leftover AS INT) AS BIGINT)
+               AS alloc_tokens
+    FROM ranked ORDER BY source
+    """,
+    doc="The COMPOSED curation pipeline, end to end in one plan: "
+    "Gopher-style quality gate -> train-split selection (hash "
+    "permille) -> exact-dup survivor (min doc_id per sha256) -> "
+    "benchmark decontamination (drop docs sharing >=3 distinct "
+    "3-grams with the held-out split) -> per-source token report "
+    "with largest-remainder budget allocation.  Every stage exists "
+    "as a standalone oracle query; this one proves they COMPOSE "
+    "into the single pass a real pretraining-data pipeline runs.",
+    tags=("corpus", "dedup", "text", "sampling"),
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one tokenize behind the persist barrier feeds the gates
+    AND the decontamination grams; exact-dup shuffle is on the 32-byte
+    hash; bench grams broadcast (held-out split is small by
+    construction); the budget window runs over |sources| rows."""
+    from pyspark.sql import Window as W
+
+    from pymongo_change_stream_reader_spark.operators.dedup import word_ngrams
+
+    budget = 100000
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) % 1000
+    toksed = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            "text",
+            tx.tokens(F.col("text")).alias("toks"),
+            bucket.alias("bucket"),
+        )
+        .persist()
+    )
+    ntok = F.size("toks")
+    sum_len = F.aggregate(
+        F.col("toks"), F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = sum_len / F.greatest(ntok, F.lit(1))
+    hits = F.size(
+        F.filter(F.col("toks"), lambda w: F.lower(w).isin(*tx.STOPWORDS["en"]))
+    )
+    gated = toksed.filter(
+        F.col("n_chars").between(100, 400)
+        & mean_len.between(2, 12)
+        & (tx.punct_ratio(F.col("text")) < 0.05)
+        & ((F.col("lang") != "en") | (hits >= 1))
+        & (F.col("bucket") >= 50)
+    )
+    w_hash = W.partitionBy(F.sha2(F.col("text"), 256))
+    surv = (
+        gated.withColumn("keep_id", F.min("doc_id").over(w_hash))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+    bench = (
+        toksed.filter(F.col("bucket") < 50)
+        .select(F.explode(word_ngrams(F.col("text"), 3)).alias("gram"))
+        .distinct()
+    )
+    cont = (
+        surv.select("doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("sg"))
+        .filter(F.col("sg") >= 3)
+        .select("doc_id")
+    )
+    clean = surv.join(cont, "doc_id", "left_anti")
+    per = clean.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("kept_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("kept_tokens"),
+    )
+    tot = per.agg(F.sum("kept_tokens").alias("total"))
+    base = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "kept_docs",
+        "kept_tokens",
+        F.expr(f"(CAST({budget} AS BIGINT) * kept_tokens) div total")
+        .cast("bigint")
+        .alias("base_alloc"),
+        F.expr(f"(CAST({budget} AS BIGINT) * kept_tokens) % total").alias(
+            "frac"
+        ),
+    )
+    w_rank = W.orderBy(F.desc("frac"), F.col("source"))
+    w_all = W.partitionBy()
+    return (
+        base.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn(
+            "leftover", F.lit(budget) - F.sum("base_alloc").over(w_all)
+        )
+        .select(
+            "source",
+            "kept_docs",
+            "kept_tokens",
+            (
+                F.col("base_alloc")
+                + (F.col("rnk") <= F.col("leftover")).cast("int")
+            )
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )
