@@ -97,6 +97,10 @@ HEADLINE = (
     # timing cliff, not just an explain-test failure
     "quality_ccnet_buckets",
     "pipeline_bucket_auto",
+    # r4: the composed curation pipeline (gate -> split -> exact-dup
+    # survivor -> decontaminate -> budget) — the flagship multi-stage
+    # plan; regressions in any stage's composition surface here
+    "corpus_curation_e2e",
 )
 
 
