@@ -152,6 +152,55 @@ def materialize_change_batch(
     )
 
 
+def bootstrap_replica(
+    snapshot: DataFrame,
+    path: str,
+    key_col: str,
+    doc_col: str,
+    n_buckets: int = 16,
+    retain: int = 2,
+) -> DataFrame:
+    """Seed the replica from a SNAPSHOT of the collection — the
+    classic CDC bootstrap: load the initial copy first, then start the
+    change-stream relay from a resume token captured BEFORE the
+    snapshot read, and let LWW converge the overlap.
+
+    Snapshot rows get the MINIMAL write triple (t=0, i=0, _data='') —
+    ordered below every real change event — so any event replayed from
+    the overlap window (events that committed while the snapshot was
+    being read) wins over the snapshot copy, and convergence follows
+    from the same LWW contract that makes batch replay safe.  Refuses
+    a non-empty replica (bootstrap is a create-time operation; use the
+    stream for everything after)."""
+    if _read_bucket_manifest(path) is not None:
+        raise PipelineError(
+            f"replica at {path!r} already exists — bootstrap seeds a NEW "
+            "replica; the change stream maintains an existing one"
+        )
+    seeded = snapshot.select(
+        F.col(key_col).alias("key"),
+        F.col(doc_col).alias("doc"),
+        F.lit(0).alias("__t"),
+        F.lit(0).alias("__i"),
+        F.lit("").alias("__d"),
+    )
+    bad = seeded.filter(F.col("doc").isNull())
+    if not bad.isEmpty():
+        raise PipelineError(
+            "bootstrap snapshot contains null documents — a snapshot "
+            "row is by definition a live document"
+        )
+    changed = sorted(
+        r["b"]
+        for r in seeded.select(_bucket_of(["key"], n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    return _commit_bucketed(
+        seeded, path, ["key"], n_buckets, {}, changed, retain=retain
+    )
+
+
 def read_replica(spark: SparkSession, path: str) -> DataFrame | None:
     """The current committed replica (key, doc, __t, __i, __d),
     tombstones filtered out."""

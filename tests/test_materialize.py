@@ -499,3 +499,52 @@ def test_replica_time_travel_with_retain(spark, tmp_path):
     assert read_bucketed_sink(spark, path).collect()[0]["doc"] == '{"v": 2}'
     assert read_bucketed_sink(spark, path, -1).collect()[0]["doc"] == '{"v": 1}'
     assert read_bucketed_sink(spark, path, -2).collect()[0]["doc"] == '{"v": 0}'
+
+
+def test_bootstrap_replica_then_stream_converges(spark, tmp_path):
+    """r4: the snapshot+stream handoff — bootstrap seeds the replica
+    with the minimal write triple, so overlap-window events (already
+    reflected in the snapshot OR newer) converge under LWW: a replayed
+    older event cannot clobber the snapshot copy of a newer state,
+    while a genuinely newer event always wins."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        PipelineError as PErr,
+    )
+    from pymongo_change_stream_reader_spark.streaming.materialize import (
+        bootstrap_replica,
+        materialize_change_batch,
+        read_replica,
+    )
+
+    path = str(tmp_path / "replica")
+    snap = spark.createDataFrame(
+        [("k1", '{"v": 10}'), ("k2", '{"v": 20}')], "k STRING, d STRING"
+    )
+    bootstrap_replica(snap, path, "k", "d", n_buckets=4)
+    assert {
+        r["key"]: r["doc"] for r in read_replica(spark, path).collect()
+    } == {"k1": '{"v": 10}', "k2": '{"v": 20}'}
+    # double-bootstrap refuses
+    with pytest.raises(PErr, match="already exists"):
+        bootstrap_replica(snap, path, "k", "d", n_buckets=4)
+
+    # overlap replay: an update to k1 (any real triple > the snapshot
+    # minimal triple) wins; a delete of k2 tombstones it; k3 is new
+    batch = spark.createDataFrame(
+        [
+            ("d1", "update", 1, 1, "k1", '{"v": 11}'),
+            ("d2", "delete", 1, 2, "k2", None),
+            ("d3", "insert", 1, 3, "k3", '{"v": 30}'),
+        ],
+        "d STRING, op STRING, t INT, i INT, k STRING, doc STRING",
+    ).selectExpr(
+        "named_struct('_data', d) AS _id",
+        "op AS operationType",
+        "named_struct('t', t, 'i', i) AS clusterTime",
+        "k AS documentKey",
+        "doc AS fullDocument",
+    )
+    materialize_change_batch(batch, path, n_buckets=4)
+    assert {
+        r["key"]: r["doc"] for r in read_replica(spark, path).collect()
+    } == {"k1": '{"v": 11}', "k3": '{"v": 30}'}

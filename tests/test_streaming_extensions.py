@@ -501,3 +501,63 @@ def test_demux_multi_topic_mid_batch_crash_no_partial_topic(
     # and a further replay of the published epoch is a no-op
     write(batch, 0)
     assert read_parquet_demux(spark, out).count() == 4
+
+
+def test_streaming_metrics_recorder(spark, tmp_path):
+    """r4: per-batch progress persists through the listener and reads
+    back as a DataFrame — relay throughput is queryable after the
+    fact (the reference's Prometheus counters, Spark-native)."""
+    import shutil as _shutil
+    import time as _time
+
+    from pymongo_change_stream_reader_spark.sources.change_events import (
+        stream_change_events_json,
+    )
+    from pymongo_change_stream_reader_spark.streaming.job import (
+        RelaySettings,
+        start_memory_relay,
+    )
+    from pymongo_change_stream_reader_spark.streaming.metrics import (
+        attach_metrics_recorder,
+        read_streaming_metrics,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _shutil.copy("tests/fixtures/change_events.jsonl", src / "b0.json")
+    mpath = str(tmp_path / "metrics.jsonl")
+    rec = attach_metrics_recorder(spark, mpath)
+    try:
+        settings = RelaySettings(
+            stream_reader_name="metrics-e2e",
+            kafka_prefix="m",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q = start_memory_relay(
+            stream_change_events_json(spark, str(src)),
+            settings,
+            "metrics_out",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        # listener events deliver asynchronously — poll briefly
+        deadline = _time.time() + 30
+        rows = []
+        while _time.time() < deadline:
+            m = read_streaming_metrics(spark, mpath)
+            if m is not None:
+                rows = (
+                    m.filter("event = 'progress' AND numInputRows > 0")
+                    .collect()
+                )
+                if rows:
+                    break
+            _time.sleep(0.5)
+        assert rows, "no progress rows recorded"
+        assert sum(int(r["numInputRows"]) for r in rows) >= 7
+        assert all(r["id"] for r in rows)
+    finally:
+        spark.streams.removeListener(rec)
