@@ -51,14 +51,21 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # Shingling + exact Jaccard (the verifier / oracle semantics).
 # ---------------------------------------------------------------------------
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles.
+    """Distinct word n-gram shingles from raw text (tokenizes
+    internally; when a token array already exists — e.g. behind a
+    persist barrier — use :func:`ngrams_from_tokens` to avoid a
+    redundant regex-split pass)."""
+    return ngrams_from_tokens(tokens(text), n)
+
+
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a TOKEN ARRAY column.
 
     Built from zipped array slices, NOT per-index element_at: Spark
     does no common-subexpression elimination inside an expression, so
-    an element_at formulation re-evaluates the tokenization subtree
-    per gram per position (O(tokens²) splits per document).  Slices
-    reference the token array O(n) times total."""
-    toks = tokens(text)
+    an element_at formulation re-evaluates the token-array subtree
+    per gram per position (O(tokens²) evaluations per document).
+    Slices reference the token array O(n) times total."""
     length = F.size(toks) - (n - 1)
     grams = F.slice(toks, 1, length)
     for j in range(1, n):

@@ -54,51 +54,64 @@ class IndexWriteLock:
     compaction both mutate the same directories, and a compaction
     racing a concurrent append would silently destroy the appended
     files (the compaction's read lists files at scan time; anything
-    landing later goes to ``.old`` and is removed).  O_EXCL lock-file
-    creation under the index root; a crashed holder leaves a stale
-    lock whose path (and owning pid) the error names for manual
-    removal — never auto-broken, because the other explanation for a
-    stale-looking lock is a live writer."""
+    landing later goes to ``.old`` and is removed).
 
-    def __init__(self, lock_path: str):
+    Implemented with ``fcntl.flock`` on a lock file: the kernel
+    releases the lock when the holding process dies (no stale-lock
+    manual cleanup, which matters for the streaming relays that append
+    every micro-batch and must survive a driver crash+restart), and
+    acquisition BLOCKS up to ``timeout_s`` — so an append arriving
+    during a long compaction waits instead of failing the streaming
+    query.  Index paths are local-filesystem by contract
+    (_require_local_path), where flock is reliable."""
+
+    def __init__(self, lock_path: str, timeout_s: float = 300.0):
         # an explicit lock-FILE path: for single-dir indexes (LSH/IVF/
         # PQ) use a SIBLING file (``<dir>.writelock``) so the lock
         # survives the compaction swap renaming the dir itself; for
         # multi-table roots (BM25) a file under the never-renamed root
         self.path = lock_path
+        self.timeout_s = timeout_s
         self._fd: int | None = None
 
     def __enter__(self):
+        import fcntl
+        import time
+
         parent = os.path.dirname(self.path)
         if parent:
             os.makedirs(parent, exist_ok=True)
-        try:
-            self._fd = os.open(
-                self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
-        except FileExistsError:
+        self._fd = os.open(self.path, os.O_CREAT | os.O_WRONLY)
+        deadline = time.monotonic() + self.timeout_s
+        while True:
             try:
-                with open(self.path) as fh:
-                    holder = fh.read().strip() or "unknown"
-            except OSError:
-                holder = "unknown"
-            raise RuntimeError(
-                f"index at {os.path.dirname(self.path)!r} is locked by "
-                f"another writer (pid {holder}) — appends and compaction "
-                "are mutually exclusive; if that process is dead, remove "
-                f"{self.path}"
-            ) from None
+                fcntl.flock(self._fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except BlockingIOError:
+                if time.monotonic() >= deadline:
+                    os.close(self._fd)
+                    self._fd = None
+                    raise RuntimeError(
+                        f"index write lock {self.path!r} still held after "
+                        f"{self.timeout_s:.0f}s — another writer "
+                        "(append/compaction) is running long; raise "
+                        "timeout_s or investigate"
+                    ) from None
+                time.sleep(0.2)
+        os.ftruncate(self._fd, 0)
         os.write(self._fd, str(os.getpid()).encode())
         return self
 
     def __exit__(self, *exc):
+        import fcntl
+
         if self._fd is not None:
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
             os.close(self._fd)
             self._fd = None
-        try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass
+        # the lock file itself stays — unlinking would race a waiter
+        # that already opened it (its flock would then guard an
+        # unlinked inode while a third writer locks a fresh file)
         return False
 
 

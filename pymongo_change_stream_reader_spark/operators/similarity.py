@@ -546,17 +546,19 @@ def append_ivf_index(
     )
 
     spark = new_vecs.sparkSession
-    with open(os.path.join(path, "_centroids.json")) as fh:
-        cents = json.load(fh)
-    assigned = _cell_assignment(new_vecs, cents, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
-    n_new = assigned.count()
-    if not n_new:
-        return 0
-    # mutual exclusion with compact_ivf_index: files appended during a
-    # compaction's read->swap window would be silently deleted
+    # the whole append — INCLUDING the model-sidecar read — runs under
+    # the write lock: during a compaction's swap window the directory
+    # is briefly absent, and an unlocked read would hit a raw
+    # FileNotFoundError instead of waiting for the swap to finish
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        with open(os.path.join(path, "_centroids.json")) as fh:
+            cents = json.load(fh)
+        assigned = _cell_assignment(
+            new_vecs, cents, id_col, vec_col
+        ).localCheckpoint(eager=True)
+        n_new = assigned.count()
+        if not n_new:
+            return 0
         if check_new_ids:
             stored = spark.read.parquet(path).select("neighbor_id")
             n_dup = assigned.select("neighbor_id").join(
@@ -1001,15 +1003,16 @@ def append_pq_index(
     )
 
     spark = new_vecs.sparkSession
-    with open(os.path.join(path, "_codebooks.json")) as fh:
-        books = json.load(fh)
-    encoded = pq_encode(new_vecs, books, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
-    n_new = encoded.count()
-    if not n_new:
-        return 0
+    # sidecar read under the lock — see append_ivf_index
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        with open(os.path.join(path, "_codebooks.json")) as fh:
+            books = json.load(fh)
+        encoded = pq_encode(new_vecs, books, id_col, vec_col).localCheckpoint(
+            eager=True
+        )
+        n_new = encoded.count()
+        if not n_new:
+            return 0
         if check_new_ids:
             stored = spark.read.parquet(path).select(id_col)
             n_dup = encoded.select(id_col).join(

@@ -1395,6 +1395,85 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Largest-remainder budget allocation — shared by the standalone
+# token-budget query and the composed curation pipeline so the
+# rounding contract (bigint floor-div, remainder rank with key
+# tie-break, allocations summing EXACTLY to the budget) lives in one
+# place on both engines.
+# ---------------------------------------------------------------------------
+_BUDGET = 100000
+
+
+def _alloc_sql(key: str, amount: str, keep: str = "") -> str:
+    """DuckDB CTE tail: assumes a prior CTE ``per`` with columns
+    (key, [keep,] amount); emits tot/base/ranked and the final select
+    producing (key, [keep,] amount, alloc_tokens) ordered by key."""
+    return f"""
+    tot AS (SELECT SUM({amount}) AS total FROM per),
+    base AS (
+        SELECT {key}, {keep}{amount},
+               ({_BUDGET} * {amount}) // total AS base_alloc,
+               ({_BUDGET} * {amount}) % total  AS frac
+        FROM per CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY frac DESC, {key}) AS rnk,
+               {_BUDGET} - SUM(base_alloc) OVER ()           AS leftover
+        FROM base
+    )
+    SELECT {key}, {keep}{amount},
+           CAST(base_alloc + CAST(rnk <= leftover AS INT) AS BIGINT)
+               AS alloc_tokens
+    FROM ranked ORDER BY {key}
+    """
+
+
+def _largest_remainder_alloc(
+    per: DataFrame, key_col: str, amount_col: str, keep_cols: tuple = ()
+) -> DataFrame:
+    """Spark side of _alloc_sql: integer-exact proportional allocation
+    with largest-remainder rounding.  `div`/`%` on bigint — no float
+    round-trip, so budget*amount stays exact past 2^53; the windows
+    run over |keys| rows (sources/languages), never document-sized
+    data."""
+    from pyspark.sql import Window as W
+
+    tot = per.agg(F.sum(amount_col).alias("total"))
+    base = per.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        *keep_cols,
+        amount_col,
+        F.expr(f"(CAST({_BUDGET} AS BIGINT) * {amount_col}) div total")
+        .cast("bigint")
+        .alias("base_alloc"),
+        F.expr(f"(CAST({_BUDGET} AS BIGINT) * {amount_col}) % total").alias(
+            "frac"
+        ),
+    )
+    w_rank = W.orderBy(F.desc("frac"), F.col(key_col))
+    w_all = W.partitionBy()
+    return (
+        base.withColumn("rnk", F.row_number().over(w_rank))
+        .withColumn(
+            "leftover", F.lit(_BUDGET) - F.sum("base_alloc").over(w_all)
+        )
+        .select(
+            key_col,
+            *keep_cols,
+            amount_col,
+            (
+                F.col("base_alloc")
+                + (F.col("rnk") <= F.col("leftover")).cast("int")
+            )
+            .cast("bigint")
+            .alias("alloc_tokens"),
+        )
+        .orderBy(key_col)
+    )
+
+
 @query(
     "corpus_token_budget_allocation",
     oracle=f"""
@@ -1402,24 +1481,7 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
         FROM documents GROUP BY source
     ),
-    tot AS (SELECT SUM(n_tokens) AS total FROM per),
-    base AS (
-        SELECT source, n_tokens,
-               (100000 * n_tokens) // total       AS base_alloc,
-               (100000 * n_tokens) % total        AS frac
-        FROM per CROSS JOIN tot
-    ),
-    ranked AS (
-        SELECT *,
-               ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rnk,
-               100000 - SUM(base_alloc) OVER ()              AS leftover
-        FROM base
-    )
-    SELECT source, n_tokens,
-           CAST(base_alloc + CAST(rnk <= leftover AS INT) AS BIGINT)
-               AS alloc_tokens
-    FROM ranked
-    ORDER BY source
+    {_alloc_sql("source", "n_tokens")}
     """,
     doc="Token-budget allocation across sources (budget 100k): "
     "proportional share with largest-remainder rounding, so the "
@@ -1434,46 +1496,13 @@ def corpus_token_budget_allocation(
 ) -> DataFrame:
     """Scale: one aggregation over the handful of sources; the window
     runs over |sources| rows — never document-sized data."""
-    from pyspark.sql import Window as W
-
-    budget = 100000
     d = load_table(spark, sf_dir, "documents")
     per = (
         d.select("source", tx.token_count(F.col("text")).alias("n"))
         .groupBy("source")
         .agg(F.sum("n").cast("bigint").alias("n_tokens"))
     )
-    tot = per.agg(F.sum("n_tokens").alias("total"))
-    base = per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "n_tokens",
-        # `div` is Spark's integer floor-division on bigint — no float
-        # round-trip, so budget*n_tokens stays exact past 2^53 (a >90B-token
-        # corpus at budget 100k), matching the DuckDB `//` oracle bit-for-bit.
-        F.expr(f"(CAST({budget} AS BIGINT) * n_tokens) div total")
-        .cast("bigint")
-        .alias("base_alloc"),
-        F.expr(f"(CAST({budget} AS BIGINT) * n_tokens) % total").alias("frac"),
-    )
-    w_rank = W.orderBy(F.desc("frac"), F.col("source"))
-    w_all = W.partitionBy()
-    return (
-        base.withColumn("rnk", F.row_number().over(w_rank))
-        .withColumn(
-            "leftover", F.lit(budget) - F.sum("base_alloc").over(w_all)
-        )
-        .select(
-            "source",
-            "n_tokens",
-            (
-                F.col("base_alloc")
-                + (F.col("rnk") <= F.col("leftover")).cast("int")
-            )
-            .cast("bigint")
-            .alias("alloc_tokens"),
-        )
-        .orderBy("source")
-    )
+    return _largest_remainder_alloc(per, "source", "n_tokens")
 
 
 @query(
@@ -1515,23 +1544,7 @@ def corpus_token_budget_allocation(
                CAST(SUM(len(toks)) AS BIGINT)  AS kept_tokens
         FROM clean GROUP BY source
     ),
-    tot AS (SELECT SUM(kept_tokens) AS total FROM per),
-    base AS (
-        SELECT source, kept_docs, kept_tokens,
-               (100000 * kept_tokens) // total AS base_alloc,
-               (100000 * kept_tokens) % total  AS frac
-        FROM per CROSS JOIN tot
-    ),
-    ranked AS (
-        SELECT *,
-               ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rnk,
-               100000 - SUM(base_alloc) OVER ()              AS leftover
-        FROM base
-    )
-    SELECT source, kept_docs, kept_tokens,
-           CAST(base_alloc + CAST(rnk <= leftover AS INT) AS BIGINT)
-               AS alloc_tokens
-    FROM ranked ORDER BY source
+    {_alloc_sql("source", "kept_tokens", keep="kept_docs, ")}
     """,
     doc="The COMPOSED curation pipeline, end to end in one plan: "
     "Gopher-style quality gate -> train-split selection (hash "
@@ -1550,9 +1563,10 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction); the budget window runs over |sources| rows."""
     from pyspark.sql import Window as W
 
-    from pymongo_change_stream_reader_spark.operators.dedup import word_ngrams
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        ngrams_from_tokens,
+    )
 
-    budget = 100000
     d = load_table(spark, sf_dir, "documents")
     bucket = (
         ((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
@@ -1592,13 +1606,18 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keep_id"))
         .drop("keep_id")
     )
+    # grams from the PERSISTED token array — no second regex-split
+    # pass over the corpus (the docstring's one-tokenize contract)
     bench = (
         toksed.filter(F.col("bucket") < 50)
-        .select(F.explode(word_ngrams(F.col("text"), 3)).alias("gram"))
+        .select(F.explode(ngrams_from_tokens(F.col("toks"), 3)).alias("gram"))
         .distinct()
     )
     cont = (
-        surv.select("doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("gram"))
+        surv.select(
+            "doc_id",
+            F.explode(ngrams_from_tokens(F.col("toks"), 3)).alias("gram"),
+        )
         .join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("sg"))
@@ -1610,35 +1629,6 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("kept_docs"),
         F.sum(F.size("toks")).cast("bigint").alias("kept_tokens"),
     )
-    tot = per.agg(F.sum("kept_tokens").alias("total"))
-    base = per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "kept_docs",
-        "kept_tokens",
-        F.expr(f"(CAST({budget} AS BIGINT) * kept_tokens) div total")
-        .cast("bigint")
-        .alias("base_alloc"),
-        F.expr(f"(CAST({budget} AS BIGINT) * kept_tokens) % total").alias(
-            "frac"
-        ),
-    )
-    w_rank = W.orderBy(F.desc("frac"), F.col("source"))
-    w_all = W.partitionBy()
-    return (
-        base.withColumn("rnk", F.row_number().over(w_rank))
-        .withColumn(
-            "leftover", F.lit(budget) - F.sum("base_alloc").over(w_all)
-        )
-        .select(
-            "source",
-            "kept_docs",
-            "kept_tokens",
-            (
-                F.col("base_alloc")
-                + (F.col("rnk") <= F.col("leftover")).cast("int")
-            )
-            .cast("bigint")
-            .alias("alloc_tokens"),
-        )
-        .orderBy("source")
+    return _largest_remainder_alloc(
+        per, "source", "kept_tokens", keep_cols=("kept_docs",)
     )

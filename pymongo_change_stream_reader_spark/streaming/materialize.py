@@ -177,27 +177,37 @@ def bootstrap_replica(
             f"replica at {path!r} already exists — bootstrap seeds a NEW "
             "replica; the change stream maintains an existing one"
         )
+    # ONE materialization: the validation probes and the commit write
+    # must see the same rows (a snapshot of a live source is not
+    # deterministic across jobs — the materialize_change_batch lesson)
     seeded = snapshot.select(
         F.col(key_col).alias("key"),
         F.col(doc_col).alias("doc"),
         F.lit(0).alias("__t"),
         F.lit(0).alias("__i"),
         F.lit("").alias("__d"),
-    )
-    bad = seeded.filter(F.col("doc").isNull())
-    if not bad.isEmpty():
+    ).localCheckpoint(eager=True)
+    if not seeded.filter(F.col("doc").isNull()).isEmpty():
         raise PipelineError(
             "bootstrap snapshot contains null documents — a snapshot "
             "row is by definition a live document"
         )
-    changed = sorted(
-        r["b"]
-        for r in seeded.select(_bucket_of(["key"], n_buckets).alias("b"))
-        .distinct()
-        .collect()
-    )
+    # one-row-per-key is the invariant every downstream LWW merge
+    # assumes (_last_event_per_key guarantees it on the event path);
+    # duplicate snapshot keys would multiply through the full-outer
+    # merge forever
+    n_rows, n_keys = seeded.agg(
+        F.count("*"), F.count_distinct("key")
+    ).collect()[0]
+    if n_rows != n_keys:
+        raise PipelineError(
+            f"bootstrap snapshot has {n_rows - n_keys} duplicate "
+            f"key(s) in {key_col!r} — dedupe the snapshot (one row per "
+            "document) before seeding the replica"
+        )
+    # entries is empty, so `changed` has nothing to prune: ()
     return _commit_bucketed(
-        seeded, path, ["key"], n_buckets, {}, changed, retain=retain
+        seeded, path, ["key"], n_buckets, {}, (), retain=retain
     )
 
 

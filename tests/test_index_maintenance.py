@@ -200,19 +200,34 @@ def test_bm25_append_crash_journal_rollback(spark, tmp_path, monkeypatch):
 
 
 def test_index_write_lock_mutual_exclusion(tmp_path):
+    """flock semantics: a held lock blocks a second writer until its
+    timeout; release makes reacquisition immediate; and (the crash
+    story) the kernel drops the lock with the holder's fd — no stale
+    lock file can wedge a restarted streaming relay."""
+    import time
+
     from pymongo_change_stream_reader_spark.operators.maintenance import (
         IndexWriteLock,
     )
 
     lock_path = str(tmp_path / "idx" / "_write.lock")
     with IndexWriteLock(lock_path):
-        with pytest.raises(RuntimeError, match="locked by another writer"):
-            with IndexWriteLock(lock_path):
+        t0 = time.monotonic()
+        with pytest.raises(RuntimeError, match="still held"):
+            with IndexWriteLock(lock_path, timeout_s=0.7):
                 pass
-    # released: reacquire fine
-    with IndexWriteLock(lock_path):
-        pass
-    assert not os.path.exists(lock_path)
+        assert time.monotonic() - t0 >= 0.6  # it WAITED, not failed fast
+    # released: reacquire without delay
+    t0 = time.monotonic()
+    with IndexWriteLock(lock_path, timeout_s=5):
+        assert time.monotonic() - t0 < 1.0
+    # crash simulation: an abandoned fd (no __exit__) still releases
+    # on close — emulating process death
+    lk = IndexWriteLock(lock_path, timeout_s=5).__enter__()
+    os.close(lk._fd)  # what the kernel does when the holder dies
+    lk._fd = None
+    with IndexWriteLock(lock_path, timeout_s=2):
+        pass  # acquires despite the "crashed" holder never unlocking
 
 
 def test_compact_partitioned_honors_num_files(spark, tmp_path):
