@@ -611,3 +611,125 @@ def cdc_replica_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "cdc_replica_bootstrap_handoff",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    ev AS (
+        SELECT '{{"_id": ' || CAST(event_id % 101 AS VARCHAR) || '}}' AS key,
+               operation,
+               CASE WHEN operation <> 'delete'
+                    THEN '{{"v": ' || CAST(cents AS VARCHAR) || '}}'
+               END AS doc,
+               event_id AS t
+        FROM sim
+        WHERE operation IN ('insert', 'update', 'replace', 'delete')
+    ),
+    last AS (
+        SELECT key,
+               max_by(operation || '|' || COALESCE(doc, ''), t) AS payload
+        FROM ev GROUP BY key
+    )
+    SELECT key,
+           CAST(json_extract_string(
+               substr(payload, position('|' IN payload) + 1), '$.v'
+           ) AS BIGINT) AS v
+    FROM last
+    WHERE split_part(payload, '|', 1) <> 'delete'
+    ORDER BY key
+    """,
+    doc="The snapshot+stream HANDOFF, end to end: the replica is "
+    "bootstrapped from a snapshot of the collection state at the "
+    "half-way point of the history (live documents only, minimal "
+    "write triples), then the second half of the change stream "
+    "applies on top — and the result must equal a full-history LWW "
+    "replay (the cdc_replica_table oracle), which is exactly the "
+    "convergence guarantee the bootstrap contract promises when the "
+    "stream resumes from a token at or before the snapshot point.",
+    tags=("cdc", "streaming"),
+)
+def cdc_replica_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the snapshot is one LWW aggregation over the prefix; the
+    handoff applies only suffix batches — the replica never replays
+    history it was seeded with."""
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.streaming.materialize import (
+        bootstrap_replica,
+        materialize_change_batch,
+        read_replica,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    operation = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "update")
+        .when(F.col("event_type") == "click", "replace")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("drop")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    ev = e.filter(
+        operation.isin("insert", "update", "replace", "delete")
+    ).select(
+        F.struct(
+            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
+                "_data"
+            )
+        ).alias("_id"),
+        operation.alias("operationType"),
+        F.struct(
+            F.col("event_id").alias("t"), F.lit(1).alias("i")
+        ).alias("clusterTime"),
+        F.concat(
+            F.lit('{"_id": '), (F.col("event_id") % 101).cast("string"), F.lit("}")
+        ).alias("documentKey"),
+        F.when(
+            operation.isin("insert", "update", "replace"),
+            F.concat(F.lit('{"v": '), cents.cast("string"), F.lit("}")),
+        ).alias("fullDocument"),
+    )
+    # snapshot point: half-way through the history (integer div — the
+    # same cut is computable in any engine, though the oracle doesn't
+    # need it: handoff == full replay is the claim under test)
+    threshold = ev.agg(F.max("clusterTime.t")).collect()[0][0] // 2
+    prefix = ev.filter(F.col("clusterTime.t") <= threshold)
+    # the snapshot = LWW state of the prefix, LIVE documents only
+    snap = (
+        prefix.groupBy("documentKey")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("operationType").alias("op"),
+                    F.col("fullDocument").alias("doc"),
+                ),
+                F.struct(
+                    F.col("clusterTime.t"),
+                    F.col("clusterTime.i"),
+                    F.col("_id._data"),
+                ),
+            ).alias("p")
+        )
+        .filter(F.col("p.op") != "delete")
+        .select(F.col("documentKey").alias("k"), F.col("p.doc").alias("d"))
+    )
+    path = tempfile.mkdtemp(prefix="spark_cdc_handoff_")
+    try:
+        bootstrap_replica(snap, path, "k", "d", n_buckets=16)
+        materialize_change_batch(
+            ev.filter(F.col("clusterTime.t") > threshold), path, n_buckets=16
+        )
+        rep = read_replica(spark, path)
+        return (
+            rep.select(
+                "key",
+                F.get_json_object("doc", "$.v").cast("bigint").alias("v"),
+            )
+            .orderBy("key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
