@@ -41,6 +41,60 @@ _SIM = """
     FROM events
 """
 
+# The replica-family event envelope: the simulated history re-keyed
+# onto 101 logical documents.  ONE definition on each engine — the
+# four replica queries (table / pipeline / change feed / bootstrap
+# handoff) all consume it, so the key modulus, cents rounding, and
+# triple fields can never desynchronize between a query and its
+# oracle.  SQL side assumes a prior CTE `sim` (= _SIM).
+_EV_SQL = """
+        SELECT '{"_id": ' || CAST(event_id % 101 AS VARCHAR) || '}' AS key,
+               operation,
+               CASE WHEN operation <> 'delete'
+                    THEN '{"v": ' || CAST(cents AS VARCHAR) || '}'
+               END AS doc,
+               event_id AS t,
+               'tok' || CAST(event_id AS VARCHAR) AS d
+        FROM sim
+        WHERE operation IN ('insert', 'update', 'replace', 'delete')
+"""
+
+
+def _replica_events(e: DataFrame) -> DataFrame:
+    """Spark side of _EV_SQL: change-event envelopes over the events
+    table, one row per data op."""
+    operation = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "update")
+        .when(F.col("event_type") == "click", "replace")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("drop")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return e.filter(
+        operation.isin("insert", "update", "replace", "delete")
+    ).select(
+        F.struct(
+            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
+                "_data"
+            )
+        ).alias("_id"),
+        operation.alias("operationType"),
+        F.struct(
+            F.col("event_id").alias("t"), F.lit(1).alias("i")
+        ).alias("clusterTime"),
+        F.concat(
+            F.lit('{"_id": '),
+            (F.col("event_id") % 101).cast("string"),
+            F.lit("}"),
+        ).alias("documentKey"),
+        F.when(
+            operation.isin("insert", "update", "replace"),
+            F.concat(F.lit('{"v": '), cents.cast("string"), F.lit("}")),
+        ).alias("fullDocument"),
+    )
+
+
 _DOC = (
     "'{{\"_id\": {{\"$oid\": \"' || oid || '\"}}, \"value_cents\": ' || "
     "CAST({cents} AS VARCHAR) || ', \"k\": ' || CAST(k AS VARCHAR) || '}}'"
@@ -291,17 +345,7 @@ def cdc_split_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_replica_table",
     oracle=f"""
     WITH sim AS ({_SIM}),
-    ev AS (
-        SELECT '{{"_id": ' || CAST(event_id % 101 AS VARCHAR) || '}}' AS key,
-               operation,
-               CASE WHEN operation <> 'delete'
-                    THEN '{{"v": ' || CAST(cents AS VARCHAR) || '}}'
-               END AS doc,
-               event_id AS t,
-               'tok' || CAST(event_id AS VARCHAR) AS d
-        FROM sim
-        WHERE operation IN ('insert', 'update', 'replace', 'delete')
-    ),
+    ev AS ({_EV_SQL}),
     last AS (
         SELECT key,
                max_by(operation || '|' || COALESCE(doc, ''), t) AS payload
@@ -333,36 +377,7 @@ def cdc_replica_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize_change_batch,
     )
 
-    e = load_table(spark, sf_dir, "events")
-    operation = (
-        F.when(F.col("event_type") == "signup", "insert")
-        .when(F.col("event_type") == "purchase", "update")
-        .when(F.col("event_type") == "click", "replace")
-        .when(F.col("event_type") == "error", "delete")
-        .otherwise("drop")
-    )
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    has_after = operation.isin("insert", "update", "replace")
-    ev = e.select(
-        F.struct(
-            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
-                "_data"
-            )
-        ).alias("_id"),
-        operation.alias("operationType"),
-        F.struct(
-            F.col("event_id").alias("t"), F.lit(1).alias("i")
-        ).alias("clusterTime"),
-        F.concat(
-            F.lit('{"_id": '),
-            (F.col("event_id") % 101).cast("string"),
-            F.lit("}"),
-        ).alias("documentKey"),
-        F.when(
-            has_after,
-            F.concat(F.lit('{"v": '), cents.cast("string"), F.lit("}")),
-        ).alias("fullDocument"),
-    )
+    ev = _replica_events(load_table(spark, sf_dir, "events"))
     # fresh replica per run: the apply itself is idempotent, but the
     # oracle models a single full-history application
     path = tempfile.mkdtemp(prefix="spark_cdc_replica_")
@@ -386,16 +401,7 @@ def cdc_replica_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_replica_pipeline_query",
     oracle=f"""
     WITH sim AS ({_SIM}),
-    ev AS (
-        SELECT '{{"_id": ' || CAST(event_id % 101 AS VARCHAR) || '}}' AS key,
-               operation,
-               CASE WHEN operation <> 'delete'
-                    THEN '{{"v": ' || CAST(cents AS VARCHAR) || '}}'
-               END AS doc,
-               event_id AS t
-        FROM sim
-        WHERE operation IN ('insert', 'update', 'replace', 'delete')
-    ),
+    ev AS ({_EV_SQL}),
     last AS (
         SELECT key,
                max_by(operation || '|' || COALESCE(doc, ''), t) AS payload
@@ -434,31 +440,7 @@ def cdc_replica_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize_change_batch,
     )
 
-    e = load_table(spark, sf_dir, "events")
-    operation = (
-        F.when(F.col("event_type") == "signup", "insert")
-        .when(F.col("event_type") == "purchase", "update")
-        .when(F.col("event_type") == "click", "replace")
-        .when(F.col("event_type") == "error", "delete")
-        .otherwise("drop")
-    )
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    ev = e.select(
-        F.struct(
-            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias("_data")
-        ).alias("_id"),
-        operation.alias("operationType"),
-        F.struct(F.col("event_id").alias("t"), F.lit(1).alias("i")).alias(
-            "clusterTime"
-        ),
-        F.concat(
-            F.lit('{"_id": '), (F.col("event_id") % 101).cast("string"), F.lit("}")
-        ).alias("documentKey"),
-        F.when(
-            operation.isin("insert", "update", "replace"),
-            F.concat(F.lit('{"v": '), cents.cast("string"), F.lit("}")),
-        ).alias("fullDocument"),
-    )
+    ev = _replica_events(load_table(spark, sf_dir, "events"))
     path = tempfile.mkdtemp(prefix="spark_cdc_replica_q_")
     try:
         replica = materialize_change_batch(ev, path, n_buckets=16).filter(
@@ -494,16 +476,7 @@ def cdc_replica_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_replica_change_feed",
     oracle=f"""
     WITH sim AS ({_SIM}),
-    ev AS (
-        SELECT '{{"_id": ' || CAST(event_id % 101 AS VARCHAR) || '}}' AS key,
-               operation,
-               CASE WHEN operation <> 'delete'
-                    THEN '{{"v": ' || CAST(cents AS VARCHAR) || '}}'
-               END AS doc,
-               event_id AS t
-        FROM sim
-        WHERE operation IN ('insert', 'update', 'replace', 'delete')
-    ),
+    ev AS ({_EV_SQL}),
     prev AS (
         SELECT key,
                max_by(operation || '|' || COALESCE(doc, ''), t) AS p,
@@ -564,33 +537,7 @@ def cdc_replica_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         replica_changes,
     )
 
-    e = load_table(spark, sf_dir, "events")
-    operation = (
-        F.when(F.col("event_type") == "signup", "insert")
-        .when(F.col("event_type") == "purchase", "update")
-        .when(F.col("event_type") == "click", "replace")
-        .when(F.col("event_type") == "error", "delete")
-        .otherwise("drop")
-    )
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    ev = e.select(
-        F.struct(
-            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
-                "_data"
-            )
-        ).alias("_id"),
-        operation.alias("operationType"),
-        F.struct(
-            F.col("event_id").alias("t"), F.lit(1).alias("i")
-        ).alias("clusterTime"),
-        F.concat(
-            F.lit('{"_id": '), (F.col("event_id") % 101).cast("string"), F.lit("}")
-        ).alias("documentKey"),
-        F.when(
-            operation.isin("insert", "update", "replace"),
-            F.concat(F.lit('{"v": '), cents.cast("string"), F.lit("}")),
-        ).alias("fullDocument"),
-    )
+    ev = _replica_events(load_table(spark, sf_dir, "events"))
     path = tempfile.mkdtemp(prefix="spark_cdc_feed_")
     try:
         materialize_change_batch(
@@ -617,16 +564,7 @@ def cdc_replica_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_replica_bootstrap_handoff",
     oracle=f"""
     WITH sim AS ({_SIM}),
-    ev AS (
-        SELECT '{{"_id": ' || CAST(event_id % 101 AS VARCHAR) || '}}' AS key,
-               operation,
-               CASE WHEN operation <> 'delete'
-                    THEN '{{"v": ' || CAST(cents AS VARCHAR) || '}}'
-               END AS doc,
-               event_id AS t
-        FROM sim
-        WHERE operation IN ('insert', 'update', 'replace', 'delete')
-    ),
+    ev AS ({_EV_SQL}),
     last AS (
         SELECT key,
                max_by(operation || '|' || COALESCE(doc, ''), t) AS payload
@@ -643,85 +581,57 @@ def cdc_replica_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The snapshot+stream HANDOFF, end to end: the replica is "
     "bootstrapped from a snapshot of the collection state at the "
     "half-way point of the history (live documents only, minimal "
-    "write triples), then the second half of the change stream "
-    "applies on top — and the result must equal a full-history LWW "
-    "replay (the cdc_replica_table oracle), which is exactly the "
-    "convergence guarantee the bootstrap contract promises when the "
-    "stream resumes from a token at or before the snapshot point.",
+    "write triples), then the FULL change stream replays on top — "
+    "the resume-at-or-before-the-snapshot-point case, where every "
+    "prefix event is an OVERLAP replay of state the snapshot already "
+    "holds — and the result must equal a full-history LWW replay "
+    "(the cdc_replica_table oracle): replayed events converge, never "
+    "corrupt, which is the whole point of seeding snapshots with "
+    "minimal write triples.",
     tags=("cdc", "streaming"),
 )
 def cdc_replica_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the snapshot is one LWW aggregation over the prefix; the
-    handoff applies only suffix batches — the replica never replays
-    history it was seeded with."""
+    """Scale: the snapshot is one LWW aggregation over the prefix;
+    the handoff then re-applies the FULL stream — deliberately
+    including the prefix the snapshot already reflects — so the
+    OVERLAP-replay direction of the bootstrap contract (stream resumes
+    from a token at or before the snapshot point; replayed events must
+    converge, not corrupt) is what the oracle verifies."""
     import shutil
     import tempfile
 
     from pymongo_change_stream_reader_spark.streaming.materialize import (
+        _last_event_per_key,
         bootstrap_replica,
         materialize_change_batch,
         read_replica,
     )
 
-    e = load_table(spark, sf_dir, "events")
-    operation = (
-        F.when(F.col("event_type") == "signup", "insert")
-        .when(F.col("event_type") == "purchase", "update")
-        .when(F.col("event_type") == "click", "replace")
-        .when(F.col("event_type") == "error", "delete")
-        .otherwise("drop")
+    # one source scan: the threshold agg, snapshot build, and stream
+    # apply all read this frame
+    ev = _replica_events(load_table(spark, sf_dir, "events")).localCheckpoint(
+        eager=True
     )
-    cents = F.round(F.col("value") * 100, 0).cast("long")
-    ev = e.filter(
-        operation.isin("insert", "update", "replace", "delete")
-    ).select(
-        F.struct(
-            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
-                "_data"
-            )
-        ).alias("_id"),
-        operation.alias("operationType"),
-        F.struct(
-            F.col("event_id").alias("t"), F.lit(1).alias("i")
-        ).alias("clusterTime"),
-        F.concat(
-            F.lit('{"_id": '), (F.col("event_id") % 101).cast("string"), F.lit("}")
-        ).alias("documentKey"),
-        F.when(
-            operation.isin("insert", "update", "replace"),
-            F.concat(F.lit('{"v": '), cents.cast("string"), F.lit("}")),
-        ).alias("fullDocument"),
-    )
-    # snapshot point: half-way through the history (integer div — the
-    # same cut is computable in any engine, though the oracle doesn't
-    # need it: handoff == full replay is the claim under test)
-    threshold = ev.agg(F.max("clusterTime.t")).collect()[0][0] // 2
-    prefix = ev.filter(F.col("clusterTime.t") <= threshold)
-    # the snapshot = LWW state of the prefix, LIVE documents only
+    tmax = ev.agg(F.max("clusterTime.t")).collect()[0][0]
+    if tmax is None:  # no data ops at this sf: honest empty result
+        return spark.createDataFrame([], "key STRING, v BIGINT")
+    # snapshot point: half-way through the history (integer div)
+    threshold = tmax // 2
+    # the snapshot = LWW state of the prefix, LIVE documents only —
+    # through the SAME reduction the materializer uses, so the
+    # snapshot models exactly what a real bootstrap would see
     snap = (
-        prefix.groupBy("documentKey")
-        .agg(
-            F.max_by(
-                F.struct(
-                    F.col("operationType").alias("op"),
-                    F.col("fullDocument").alias("doc"),
-                ),
-                F.struct(
-                    F.col("clusterTime.t"),
-                    F.col("clusterTime.i"),
-                    F.col("_id._data"),
-                ),
-            ).alias("p")
-        )
-        .filter(F.col("p.op") != "delete")
-        .select(F.col("documentKey").alias("k"), F.col("p.doc").alias("d"))
+        _last_event_per_key(ev.filter(F.col("clusterTime.t") <= threshold))
+        .filter(F.col("op") != "delete")
+        .select(F.col("key").alias("k"), F.col("doc").alias("d"))
     )
     path = tempfile.mkdtemp(prefix="spark_cdc_handoff_")
     try:
         bootstrap_replica(snap, path, "k", "d", n_buckets=16)
-        materialize_change_batch(
-            ev.filter(F.col("clusterTime.t") > threshold), path, n_buckets=16
-        )
+        # resume AT-OR-BEFORE the snapshot point: apply the whole
+        # stream, prefix included — overlap events beat the snapshot's
+        # minimal triples and must reproduce the same state
+        materialize_change_batch(ev, path, n_buckets=16)
         rep = read_replica(spark, path)
         return (
             rep.select(
