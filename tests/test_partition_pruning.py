@@ -72,3 +72,22 @@ def test_vector_search_filter_reaches_scan(spark):
     assert "GreaterThanOrEqual(label,3)" in pushed
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_curation_e2e_plan_shape(spark):
+    """The composed curation pipeline's physical plan at smoke scale:
+    every join broadcasts (bench grams, contamination anti-join, the
+    1-row budget total), nothing falls back to a sort-merge or
+    cartesian shape, and the corpus source materializes ONCE behind
+    the persist barrier (consumers read InMemoryTableScan)."""
+    from pymongo_change_stream_reader_spark.queries.corpus_queries import (
+        corpus_curation_e2e,
+    )
+
+    df = corpus_curation_e2e(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("CartesianProduct") == 0
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("InMemoryTableScan") >= 2  # persist barrier in use
+    assert df.count() > 0
