@@ -4161,6 +4161,28 @@ def _bucket_history_files(path: str) -> list[str]:
     )
 
 
+def bucketed_sink_lock(path: str):
+    """Cross-process write lock for a bucketed versioned sink: every
+    read-merge-commit sequence (``$merge buckets``, the replica
+    materializer, ``compact_replica``) and every GC pass
+    (``vacuum_bucketed_sink``) takes it, so a compaction cannot base
+    its rewrite on a snapshot a concurrent micro-batch is advancing
+    (the manifest swap alone gives last-writer-wins — the LOSING
+    commit's effect would silently vanish), and a vacuum cannot GC an
+    in-flight commit's version dir before the manifest references it.
+    flock-based (kernel-released on crash), BLOCKING — a writer
+    arriving during a long compaction waits instead of failing the
+    streaming query.  The lock file lives under the sink root, which
+    is never renamed."""
+    import os as _os
+
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    return IndexWriteLock(_os.path.join(path, "_write.lock"))
+
+
 def _bucket_of(on: list[str], n_buckets: int) -> Column:
     """Deterministic bucket of the merge key: pmod(xxhash64(keys), n).
     Derived from the on-key columns alone, so it is never stored —
@@ -4195,7 +4217,21 @@ def read_bucketed_sink(
     if version < 0:
         hist = _bucket_history_files(path)
         # hist is oldest-first and its LAST entry is the current
-        # commit's snapshot, so -n indexes hist[-1 - n]
+        # commit's snapshot, so -n indexes hist[-1 - n].  A crash
+        # between the history write and the manifest swap leaves a
+        # PHANTOM trailing snapshot (a commit that never became
+        # current — see the crash-ordering note in _commit_bucketed);
+        # indexing through it would silently return the CURRENT data
+        # for version=-1.  After every successful commit the newest
+        # snapshot equals _manifest by construction, so a differing
+        # trailing entry is conclusively a phantom — skip it.
+        if hist:
+            cur_mf = _read_bucket_manifest(path)
+            if (
+                cur_mf is not None
+                and _read_bucket_manifest(path, hist[-1]) != cur_mf
+            ):
+                hist = hist[:-1]
         idx = len(hist) - 1 + version
         if 0 <= idx < len(hist):
             mf = _read_bucket_manifest(path, hist[idx])
@@ -4428,16 +4464,30 @@ def _gc_bucket_versions(path: str) -> None:
     import shutil
 
     survivors: set[str] = set()
-    names = ["_manifest", "_manifest.prev"] + _bucket_history_files(path)
+    hist = _bucket_history_files(path)
+    names = ["_manifest", "_manifest.prev"] + hist
     for name in names:
         mf = _read_bucket_manifest(path, name)
         if mf is not None:
             survivors |= {rel.split("/", 1)[0] for rel in mf[1].values()}
+    # High-watermark guard (defense in depth under the sink write
+    # lock): an IN-FLIGHT commit writes its v-dir long before any
+    # manifest references it, so a dir numbered above every retained
+    # reference AND above every completed commit's history snapshot
+    # may be mid-write — never GC it.  A CRASHED commit's orphan dir
+    # becomes collectable as soon as the next successful commit takes
+    # a higher number (version numbers never recycle).
+    watermark = max(
+        [int(d[2:]) for d in survivors]
+        + [int(h.rsplit("v-", 1)[1]) for h in hist]
+        + [0]
+    )
     for entry in os.listdir(path):
         if (
             entry.startswith("v-")
             and entry not in survivors
             and os.path.isdir(os.path.join(path, entry))
+            and int(entry[2:]) <= watermark
         ):
             shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
 
