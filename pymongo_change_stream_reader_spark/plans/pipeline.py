@@ -4215,6 +4215,15 @@ def read_bucketed_sink(
             "offset (-n = n commits back, within the retention window)"
         )
     if version < 0:
+        cur_mf = _read_bucket_manifest(path)
+        if cur_mf is None:
+            # no current manifest means no commit ever succeeded: a
+            # crash between the FIRST commit's history write and its
+            # manifest swap leaves only a phantom snapshot, and serving
+            # it would return never-committed data for version=-1 while
+            # version=0 says the sink does not exist.  Nonexistent for
+            # ALL versions, consistently.
+            return None
         hist = _bucket_history_files(path)
         # hist is oldest-first and its LAST entry is the current
         # commit's snapshot, so -n indexes hist[-1 - n].  A crash
@@ -4223,15 +4232,11 @@ def read_bucketed_sink(
         # current — see the crash-ordering note in _commit_bucketed);
         # indexing through it would silently return the CURRENT data
         # for version=-1.  After every successful commit the newest
-        # snapshot equals _manifest by construction, so a differing
-        # trailing entry is conclusively a phantom — skip it.
-        if hist:
-            cur_mf = _read_bucket_manifest(path)
-            if (
-                cur_mf is not None
-                and _read_bucket_manifest(path, hist[-1]) != cur_mf
-            ):
-                hist = hist[:-1]
+        # snapshot equals _manifest by construction (buried phantoms
+        # are purged at commit time), so a differing trailing entry is
+        # conclusively a phantom — skip it.
+        if hist and _read_bucket_manifest(path, hist[-1]) != cur_mf:
+            hist = hist[:-1]
         idx = len(hist) - 1 + version
         if 0 <= idx < len(hist):
             mf = _read_bucket_manifest(path, hist[idx])
@@ -4303,49 +4308,56 @@ def _apply_merge_bucketed(
         n_buckets < 1
     ):
         raise PipelineError("$merge buckets must be a positive integer")
-    if os.path.exists(os.path.join(path, "_manifest")) and (
-        _read_bucket_manifest(path) is None
-    ):
-        raise PipelineError(
-            "$merge buckets: target already exists as a WHOLE-TABLE "
-            "versioned sink — cannot convert in place"
-        )
-    mf = _read_bucket_manifest(path)
-    if mf is not None and mf[0] != n_buckets:
-        raise PipelineError(
-            f"$merge buckets={n_buckets} does not match the sink's "
-            f"existing bucket count {mf[0]}"
-        )
-    entries = dict(mf[1]) if mf is not None else {}
-    bcol = _bucket_of(on, n_buckets)
     # one materialization: the distinct-bucket probe, any fail-mode
-    # probe, and the final write must all see the same incoming data
+    # probe, and the final write must all see the same incoming data —
+    # done BEFORE taking the write lock, so the (possibly long) Spark
+    # job that computes the batch never holds other writers up
     df = df.localCheckpoint(eager=True)
+    bcol = _bucket_of(on, n_buckets)
     changed = sorted(
         r["b"] for r in df.select(bcol.alias("b")).distinct().collect()
     )
-    old_frames = [
-        spark.read.parquet(os.path.join(path, entries[k]))
-        for k in changed
-        if k in entries and os.path.isdir(os.path.join(path, entries[k]))
-    ]
-    old = None
-    for f in old_frames:
-        old = f if old is None else old.unionByName(
-            f, allowMissingColumns=True
+    # the read-merge-commit sequence holds the sink write lock: the
+    # stored-bucket snapshot this merge bases itself on must stay the
+    # CURRENT manifest until this commit swaps it in, or a concurrent
+    # committer's effect silently vanishes (last-writer-wins)
+    with bucketed_sink_lock(path):
+        if os.path.exists(os.path.join(path, "_manifest")) and (
+            _read_bucket_manifest(path) is None
+        ):
+            raise PipelineError(
+                "$merge buckets: target already exists as a WHOLE-TABLE "
+                "versioned sink — cannot convert in place"
+            )
+        mf = _read_bucket_manifest(path)
+        if mf is not None and mf[0] != n_buckets:
+            raise PipelineError(
+                f"$merge buckets={n_buckets} does not match the sink's "
+                f"existing bucket count {mf[0]}"
+            )
+        entries = dict(mf[1]) if mf is not None else {}
+        old_frames = [
+            spark.read.parquet(os.path.join(path, entries[k]))
+            for k in changed
+            if k in entries and os.path.isdir(os.path.join(path, entries[k]))
+        ]
+        old = None
+        for f in old_frames:
+            old = f if old is None else old.unionByName(
+                f, allowMissingColumns=True
+            )
+        merged = _merge_frames(
+            spark, old, df, on, when_matched, when_not_matched, spec
         )
-    merged = _merge_frames(
-        spark, old, df, on, when_matched, when_not_matched, spec
-    )
-    return _commit_bucketed(
-        merged,
-        path,
-        on,
-        n_buckets,
-        entries,
-        changed,
-        retain=spec.get("retain", 2),
-    )
+        return _commit_bucketed(
+            merged,
+            path,
+            on,
+            n_buckets,
+            entries,
+            changed,
+            retain=spec.get("retain", 2),
+        )
 
 
 def _write_atomic(dest: str, body: str) -> None:
@@ -4380,7 +4392,13 @@ def _commit_bucketed(
     current+prev contract; larger values widen the time-travel /
     rollback window at the cost of keeping superseded bucket dirs on
     disk until they age out or ``vacuum_bucketed_sink`` prunes them.
-    See _apply_merge_bucketed for the full protocol contract."""
+    See _apply_merge_bucketed for the full protocol contract.
+
+    CALLERS HOLD ``bucketed_sink_lock(path)`` — every read-merge-commit
+    path ($merge buckets, materialize_change_batch, bootstrap_replica,
+    compact_replica) wraps its manifest-read → commit span in the lock;
+    this function must not re-acquire it (flock on a second fd of the
+    same file blocks even within one process)."""
     import os
     import shutil
 
@@ -4400,6 +4418,34 @@ def _commit_bucketed(
         if d.startswith("v-") and os.path.isdir(os.path.join(path, d))
     ] + [int(h.rsplit("v-", 1)[1]) for h in _bucket_history_files(path)]
     vdir = f"v-{(max(seen) + 1 if seen else 1):06d}"
+    # purge PHANTOM history snapshots left by a crash between a prior
+    # commit's history write and its manifest swap: after a successful
+    # commit the newest snapshot equals _manifest by construction, so
+    # every snapshot NEWER than the newest one matching the installed
+    # manifest was never current.  Without this purge, THIS commit's
+    # snapshot would bury the phantom mid-history, after which
+    # read_bucketed_sink(version=-1) resolves to the phantom —
+    # never-committed data served as "the previous commit" — and every
+    # deeper -n read is off by one.  (Purged AFTER `seen` so the
+    # phantom's version number still counts toward never-recycling.)
+    cur_body = _read_bucket_manifest(path)
+    hist0 = _bucket_history_files(path)
+    if cur_body is None:
+        # no commit ever succeeded: every snapshot is a phantom
+        phantoms = hist0
+    else:
+        # everything strictly newer than the newest snapshot matching
+        # the installed manifest; if NO snapshot matches (externally
+        # tampered / legacy sink), purge nothing — conservative
+        phantoms = []
+        for name in reversed(hist0):
+            if _read_bucket_manifest(path, name) == cur_body:
+                break
+            phantoms.append(name)
+        else:
+            phantoms = []
+    for name in phantoms:
+        os.unlink(os.path.join(path, name))
     merged.withColumn("__bucket", _bucket_of(on, n_buckets)).write.partitionBy(
         "__bucket"
     ).mode("overwrite").parquet(os.path.join(path, vdir))
@@ -4506,23 +4552,29 @@ def vacuum_bucketed_sink(path: str, keep: int = 1) -> int:
 
     if isinstance(keep, bool) or not isinstance(keep, int) or keep < 1:
         raise PipelineError("vacuum keep must be an int >= 1")
-    if _read_bucket_manifest(path) is None:
-        # NOT a bucketed sink (whole-table manifests start with a
-        # version dir, not 'buckets=') — proceeding would compute an
-        # empty survivor set and delete EVERY v-* dir including the
-        # current commit
-        raise PipelineError(
-            f"{path!r} is not a bucketed versioned sink; vacuum applies "
-            "to bucketed sinks only"
-        )
-    hist = _bucket_history_files(path)
-    stale = hist[: max(0, len(hist) - keep)]
-    for name in stale:
-        os.unlink(os.path.join(path, name))
-    if keep == 1 and os.path.exists(os.path.join(path, "_manifest.prev")):
-        os.unlink(os.path.join(path, "_manifest.prev"))
-    _gc_bucket_versions(path)
-    return len(stale)
+    # GC holds the sink write lock: without it a vacuum racing an
+    # in-flight commit could delete the version dir the commit has
+    # written but whose manifest swap hasn't landed yet (the
+    # high-watermark guard in _gc_bucket_versions is defense in depth
+    # behind this lock, not a substitute for it)
+    with bucketed_sink_lock(path):
+        if _read_bucket_manifest(path) is None:
+            # NOT a bucketed sink (whole-table manifests start with a
+            # version dir, not 'buckets=') — proceeding would compute an
+            # empty survivor set and delete EVERY v-* dir including the
+            # current commit
+            raise PipelineError(
+                f"{path!r} is not a bucketed versioned sink; vacuum "
+                "applies to bucketed sinks only"
+            )
+        hist = _bucket_history_files(path)
+        stale = hist[: max(0, len(hist) - keep)]
+        for name in stale:
+            os.unlink(os.path.join(path, name))
+        if keep == 1 and os.path.exists(os.path.join(path, "_manifest.prev")):
+            os.unlink(os.path.join(path, "_manifest.prev"))
+        _gc_bucket_versions(path)
+        return len(stale)
 
 
 def _apply_when_matched_pipeline(

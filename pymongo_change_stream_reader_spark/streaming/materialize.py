@@ -44,6 +44,7 @@ from pymongo_change_stream_reader_spark.plans.pipeline import (
     _bucket_of,
     _commit_bucketed,
     _read_bucket_manifest,
+    bucketed_sink_lock,
     read_bucketed_sink,
 )
 
@@ -89,12 +90,9 @@ def materialize_change_batch(
     data = batch.filter(
         F.col("operationType").isin("insert", "update", "replace", "delete")
     )
-    mf = _read_bucket_manifest(path)
-    if mf is not None and mf[0] != n_buckets:
-        raise PipelineError(
-            f"replica at {path!r} has {mf[0]} buckets, not {n_buckets}"
-        )
-    entries = dict(mf[1]) if mf is not None else {}
+    # batch reduction + validation probes run BEFORE the write lock —
+    # the Spark jobs that compute the batch's effect must not hold
+    # other writers (compaction, vacuum) up
     last = _last_event_per_key(data).localCheckpoint(eager=True)
     bad = last.filter((F.col("op") != "delete") & F.col("doc").isNull())
     if not bad.isEmpty():
@@ -107,8 +105,29 @@ def materialize_change_batch(
     changed = sorted(
         r["b"] for r in last.select(bcol.alias("b")).distinct().collect()
     )
+    # read-merge-commit under the sink write lock: the stored-bucket
+    # snapshot this apply bases itself on must stay current until the
+    # commit's manifest swap, or a concurrent compaction/committer's
+    # effect is silently lost (last-writer-wins)
+    with bucketed_sink_lock(path):
+        return _materialize_locked(
+            spark, last, path, n_buckets, changed, retain
+        )
+
+
+def _materialize_locked(
+    spark, last, path: str, n_buckets: int, changed, retain: int
+) -> DataFrame:
+    """The manifest-read → LWW-merge → commit span of
+    materialize_change_batch; callers hold bucketed_sink_lock."""
     import os
 
+    mf = _read_bucket_manifest(path)
+    if mf is not None and mf[0] != n_buckets:
+        raise PipelineError(
+            f"replica at {path!r} has {mf[0]} buckets, not {n_buckets}"
+        )
+    entries = dict(mf[1]) if mf is not None else {}
     old = None
     for k in changed:
         rel = entries.get(k)
@@ -172,6 +191,8 @@ def bootstrap_replica(
     from the same LWW contract that makes batch replay safe.  Refuses
     a non-empty replica (bootstrap is a create-time operation; use the
     stream for everything after)."""
+    # existence probe repeated under the lock below; this early copy
+    # just fails fast before the snapshot materialization
     if _read_bucket_manifest(path) is not None:
         raise PipelineError(
             f"replica at {path!r} already exists — bootstrap seeds a NEW "
@@ -206,9 +227,15 @@ def bootstrap_replica(
             "document) before seeding the replica"
         )
     # entries is empty, so `changed` has nothing to prune: ()
-    return _commit_bucketed(
-        seeded, path, ["key"], n_buckets, {}, (), retain=retain
-    )
+    with bucketed_sink_lock(path):
+        if _read_bucket_manifest(path) is not None:
+            raise PipelineError(
+                f"replica at {path!r} already exists — bootstrap seeds a "
+                "NEW replica; the change stream maintains an existing one"
+            )
+        return _commit_bucketed(
+            seeded, path, ["key"], n_buckets, {}, (), retain=retain
+        )
 
 
 def read_replica(spark: SparkSession, path: str) -> DataFrame | None:
@@ -261,28 +288,36 @@ def compact_replica(
     unchanged; the swap rides the same atomic-manifest commit, so
     readers never observe a half-compacted table and the pre-compact
     manifest stays one rollback step away."""
-    mf = _read_bucket_manifest(path)
-    if mf is None:
-        return None
-    n_buckets, entries = mf
-    current = read_bucketed_sink(spark, path)
-    if current is None:
-        return None
-    if purge_tombstones:
-        current = current.filter(F.col("doc").isNotNull())
-    # repartition on the BUCKET value: every bucket's rows land in one
-    # task (files_per_bucket=1 -> exactly one file per bucket dir)
-    compacted = current.repartition(
-        max(1, files_per_bucket * n_buckets), _bucket_of(["key"], n_buckets)
-    )
-    # NOTE: the compact commit applies its own `retain` — with the
-    # default 2 it also narrows a wider time-travel window (history
-    # snapshots beyond `retain` are pruned), consistent with the
-    # documented compaction trade-off; pass a larger retain to keep it.
-    return _commit_bucketed(
-        compacted, path, ["key"], n_buckets, entries, sorted(entries),
-        retain=retain,
-    )
+    # the WHOLE read-rewrite-commit sequence holds the sink write lock:
+    # a micro-batch commit landing between the compaction's read and
+    # its manifest swap would otherwise be silently erased by the
+    # compaction's swap (last-writer-wins lost update)
+    with bucketed_sink_lock(path):
+        mf = _read_bucket_manifest(path)
+        if mf is None:
+            return None
+        n_buckets, entries = mf
+        current = read_bucketed_sink(spark, path)
+        if current is None:
+            return None
+        if purge_tombstones:
+            current = current.filter(F.col("doc").isNotNull())
+        # repartition on the BUCKET value: every bucket's rows land in
+        # one task (files_per_bucket=1 -> exactly one file per bucket
+        # dir)
+        compacted = current.repartition(
+            max(1, files_per_bucket * n_buckets),
+            _bucket_of(["key"], n_buckets),
+        )
+        # NOTE: the compact commit applies its own `retain` — with the
+        # default 2 it also narrows a wider time-travel window (history
+        # snapshots beyond `retain` are pruned), consistent with the
+        # documented compaction trade-off; pass a larger retain to keep
+        # it.
+        return _commit_bucketed(
+            compacted, path, ["key"], n_buckets, entries, sorted(entries),
+            retain=retain,
+        )
 
 
 def replica_changes(spark: SparkSession, path: str) -> DataFrame | None:
