@@ -208,27 +208,66 @@ def bm25_lock(path: str) -> IndexWriteLock:
 def compact_bm25_index(
     spark: SparkSession, path: str, num_files: int = 1
 ) -> dict[str, int]:
-    """Compact all three BM25 index tables; df segments merge back to
-    one row per term.  Scores are unchanged (the reader's per-term
-    segment merge makes compaction transparent).  Takes the index
-    write lock — a concurrent append would otherwise lose its files to
-    the swap."""
+    """Compact the BM25 index tables; df segments merge back to one
+    row per term.  Scores are unchanged (the reader's per-term segment
+    merge makes compaction transparent).  Takes the index write lock —
+    a concurrent append would otherwise lose its files to the swap.
+
+    An index that has seen updates/deletes additionally PURGES its
+    dead generations: postings/doclen drop every tombstoned
+    (doc_id, gen) row, dfreq is REBUILT from the live postings (the
+    additive segment rows go stale under updates), and the tombstone
+    set clears — after which the scorer returns to the stored-dfreq
+    fast path and index size reflects the live corpus again.  This is
+    the segment-merge half of the generation contract in
+    _bm25_apply_locked."""
+    from pymongo_change_stream_reader_spark.operators.retrieval import (
+        _read_tombstones,
+        _with_gen,
+    )
+
     with bm25_lock(path):
+        tomb = _read_tombstones(spark, path)
+        if tomb is not None:
+            # the tombstones dir is immutable while this lock is held
+            # (appenders block), so the lazy anti-join below reads a
+            # stable set; the dir is only removed after every swap
+
+            def _purge(df):
+                return _with_gen(df).join(
+                    F.broadcast(tomb), ["doc_id", "gen"], "left_anti"
+                )
+
+        else:
+            _purge = _with_gen
         counts = {}
         counts["postings"] = compact_parquet_table(
-            spark, os.path.join(path, "postings"), num_files
+            spark, os.path.join(path, "postings"), num_files,
+            transform=_purge,
         )
         counts["doclen"] = compact_parquet_table(
-            spark, os.path.join(path, "doclen"), num_files
+            spark, os.path.join(path, "doclen"), num_files,
+            transform=_purge,
         )
+        live_post = spark.read.parquet(os.path.join(path, "postings"))
         counts["dfreq"] = compact_parquet_table(
             spark,
             os.path.join(path, "dfreq"),
             num_files,
-            transform=lambda df: df.groupBy("term").agg(
-                F.sum("df").alias("df")
+            transform=(
+                # rebuilt exactly from the live postings when updates
+                # happened; plain segment merge otherwise
+                (lambda _df: live_post.groupBy("term").agg(
+                    F.countDistinct("doc_id").alias("df")
+                ))
+                if tomb is not None
+                else (lambda df: df.groupBy("term").agg(
+                    F.sum("df").alias("df")
+                ))
             ),
         )
+        if tomb is not None:
+            shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
         return counts
 
 

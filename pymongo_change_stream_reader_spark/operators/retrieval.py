@@ -157,14 +157,25 @@ def write_bm25_index(
     score against the stored tables without touching raw text (the
     write_pq_index / write_semdedup_model contract).  At scale the
     postings table would be bucketed on term so the query-term join
-    is exchange-free."""
+    is exchange-free.
+
+    Rows carry a GENERATION number (gen=0 at build): an update
+    re-ingests the document under gen+1 and tombstones the old
+    (doc_id, gen) — see upsert_bm25_index / delete_from_bm25_index —
+    so the index serves a corpus that updates and deletes, the
+    reference's insert/update/replace/delete loop
+    (reference change_handler.py:11,43-48)."""
     import json
     import os
 
     post = _postings(docs, text_col, id_col)
-    post.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    post.select(
+        "doc_id", F.lit(0).alias("gen"), "term", "tf"
+    ).write.mode("overwrite").parquet(os.path.join(path, "postings"))
     doclen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    doclen.write.mode("overwrite").parquet(os.path.join(path, "doclen"))
+    doclen.select(
+        "doc_id", F.lit(0).alias("gen"), "dl"
+    ).write.mode("overwrite").parquet(os.path.join(path, "doclen"))
     post.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     ).write.mode("overwrite").parquet(os.path.join(path, "dfreq"))
@@ -195,7 +206,49 @@ def _write_consts(path: str, n_docs: float, total_len: int) -> None:
     os.replace(tmp, os.path.join(path, "_consts.json"))
 
 
-_BM25_TABLES = ("postings", "doclen", "dfreq")
+_BM25_TABLES = ("postings", "doclen", "dfreq", "tombstones")
+
+
+def _with_gen(df: DataFrame) -> DataFrame:
+    """Compat shim for indexes written before generations existed:
+    their rows are all generation 0."""
+    return df if "gen" in df.columns else df.withColumn("gen", F.lit(0))
+
+
+def _read_tombstones(spark, path: str) -> DataFrame | None:
+    """The dead-generation set (doc_id, gen), or None when the index
+    has never seen an update/delete (the pure-append fast path keeps
+    its stored-dfreq scoring)."""
+    import os
+
+    root = os.path.join(path, "tombstones")
+    if not os.path.isdir(root) or not any(
+        f.endswith(".parquet") for f in _list_table_files(path, "tombstones")
+    ):
+        return None
+    return spark.read.parquet(root).select("doc_id", "gen")
+
+
+def _live_bm25_tables(spark, path: str):
+    """(live postings, live doclen, has_tombstones): stored rows minus
+    tombstoned generations.  The tombstone side broadcasts — it holds
+    one row per superseded/deleted document version and is bounded by
+    compact_bm25_index, which purges dead rows and clears it."""
+    import os
+
+    post = _with_gen(spark.read.parquet(os.path.join(path, "postings")))
+    doclen = _with_gen(spark.read.parquet(os.path.join(path, "doclen")))
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        post = post.join(F.broadcast(tomb), ["doc_id", "gen"], "left_anti")
+        doclen = doclen.join(
+            F.broadcast(tomb), ["doc_id", "gen"], "left_anti"
+        )
+    return (
+        post.select("doc_id", "term", "tf"),
+        doclen.select("doc_id", "dl"),
+        tomb is not None,
+    )
 
 
 def _list_table_files(path: str, table: str) -> list[str]:
@@ -228,7 +281,9 @@ def recover_bm25_append(path: str) -> bool:
     with open(jpath) as fh:
         journal = json.load(fh)
     for table in _BM25_TABLES:
-        keep = set(journal["files"][table])
+        # journals written before the update/delete path existed have
+        # no tombstones listing — and no tombstone files to roll back
+        keep = set(journal["files"].get(table, []))
         root = os.path.join(path, table)
         for rel in _list_table_files(path, table):
             if rel not in keep:
@@ -239,6 +294,200 @@ def recover_bm25_append(path: str) -> bool:
     return True
 
 
+def _load_consts(spark, path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_consts.json")) as fh:
+        consts = json.load(fh)
+    if "total_len" not in consts:
+        # index written before the append path existed: derive the
+        # exact total once from the stored doclen
+        consts["total_len"] = int(
+            spark.read.parquet(os.path.join(path, "doclen"))
+            .agg(F.sum("dl"))
+            .collect()[0][0]
+            or 0
+        )
+    return consts
+
+
+def _check_no_journal(path: str) -> None:
+    import os
+
+    if os.path.exists(os.path.join(path, "_append_journal.json")):
+        raise RuntimeError(
+            f"BM25 index at {path!r} has a crashed-append journal — "
+            "run recover_bm25_append() first"
+        )
+
+
+def _bm25_apply_locked(
+    spark,
+    path: str,
+    upserts: DataFrame | None,
+    delete_ids: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    forbid_existing: bool = False,
+) -> dict:
+    """Apply one batch of document changes (insert / update / delete)
+    to a stored BM25 index — the LSM write path shared by
+    append_bm25_index, upsert_bm25_index, delete_from_bm25_index, and
+    the streaming relay.  CALLERS HOLD bm25_lock(path) and have
+    verified no crashed-append journal is live.
+
+    Semantics (generation-tagged segments):
+
+    - an id already LIVE in the index is tombstoned — its current
+      (doc_id, gen) row lands in the ``tombstones`` table — and, for
+      upserts, re-ingested under gen+1 (updates); an id never seen
+      inserts at gen 0; deletes tombstone without re-ingest;
+    - postings/doclen: plain parquet appends (new files, no rewrite);
+    - dfreq: appends SEGMENT rows (term, df-of-this-batch); once any
+      tombstone exists the scorer derives df from live postings
+      instead (see bm25_scores_from_index) and compact_bm25_index
+      rebuilds the table exactly;
+    - _consts.json: n_docs/total_len advance exactly (integer sums,
+      dead lengths subtracted), so avgdl equals a from-scratch build
+      over the LIVE corpus bit-for-bit.
+
+    CRASH SAFETY: the apply spans several durable writes, so before
+    the first one a JOURNAL (per-table file listings + consts) is
+    written; a crash at any point leaves the journal in place, further
+    writes refuse until ``recover_bm25_append`` rolls the partial
+    apply back (tombstone files included), and the batch then
+    re-applies cleanly.
+
+    An id must appear on only ONE side (upsert xor delete) within a
+    batch — the streaming relay's last-effect-per-key reduction
+    guarantees that; batch callers own it.
+
+    Reference parity: this is the reference's per-event index loop —
+    insert/update/replace upsert the document, delete removes it
+    (reference change_handler.py:11,43-48) — expressed as batch-sized
+    appends plus a tombstone set instead of per-row index mutations.
+    """
+    import json
+    import os
+
+    consts = _load_consts(spark, path)
+    stored = _with_gen(
+        spark.read.parquet(os.path.join(path, "doclen"))
+    ).select("doc_id", "gen", "dl")
+    tomb = _read_tombstones(spark, path)
+    live = (
+        stored
+        if tomb is None
+        else stored.join(F.broadcast(tomb), ["doc_id", "gen"], "left_anti")
+    )
+    up_ids = (
+        upserts.select(F.col(id_col).alias("doc_id")).distinct()
+        if upserts is not None
+        else None
+    )
+    del_ids = (
+        delete_ids.select(F.col(id_col).alias("doc_id")).distinct()
+        if delete_ids is not None
+        else None
+    )
+    ids_in = up_ids if del_ids is None else (
+        del_ids if up_ids is None else up_ids.unionByName(del_ids).distinct()
+    )
+    if ids_in is None:
+        return {"upserted": 0, "tombstoned": 0}
+    # tombstone targets: the LIVE generation of every incoming id that
+    # exists — batch-sized after the broadcast semi-join, checkpointed
+    # because it is aggregated AND written below, and must be pinned
+    # BEFORE this apply appends to the very table it reads
+    existing = live.join(
+        F.broadcast(ids_in), "doc_id", "inner"
+    ).localCheckpoint(eager=True)
+    if forbid_existing and up_ids is not None:
+        n_dup = existing.join(F.broadcast(up_ids), "doc_id", "left_semi").count()
+        if n_dup:
+            raise ValueError(
+                f"append_bm25_index: {n_dup} doc_id(s) already in "
+                "the index — the BM25 index is append-only "
+                "(re-ingesting double-counts terms); use "
+                "upsert_bm25_index for updates"
+            )
+    # new generation per upserted id = max STORED gen (live or dead:
+    # a deleted-then-reinserted id must clear its own tombstone) + 1
+    genmap = None
+    if up_ids is not None:
+        genmap = (
+            stored.join(F.broadcast(up_ids), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg((F.max("gen") + 1).alias("gen"))
+            .localCheckpoint(eager=True)
+        )
+    post = _postings(
+        upserts
+        if upserts is not None
+        else spark.createDataFrame(
+            [], f"{id_col} long, {text_col} string"
+        ),
+        text_col,
+        id_col,
+    )
+    try:
+        post_g = post.join(F.broadcast(genmap), "doc_id", "left").withColumn(
+            "gen", F.coalesce(F.col("gen"), F.lit(0))
+        ) if genmap is not None else post.withColumn("gen", F.lit(0))
+        doclen_new = (
+            post_g.groupBy("doc_id", "gen")
+            .agg(F.sum("tf").alias("dl"))
+            .localCheckpoint(eager=True)
+        )
+        n_new, new_len = doclen_new.agg(
+            F.count("*").cast("double"), F.sum("dl").cast("long")
+        ).collect()[0]
+        n_dead, dead_len = existing.agg(
+            F.count("*").cast("double"), F.sum("dl").cast("long")
+        ).collect()[0]
+        if not n_new and not n_dead:
+            return {"upserted": 0, "tombstoned": 0}
+        # journal BEFORE the first durable write (tmp+fsync+replace)
+        journal = {
+            "files": {t: _list_table_files(path, t) for t in _BM25_TABLES},
+            "consts": {
+                "n_docs": consts["n_docs"],
+                "total_len": consts["total_len"],
+            },
+        }
+        jpath = os.path.join(path, "_append_journal.json")
+        jtmp = jpath + ".tmp"
+        with open(jtmp, "w") as fh:
+            json.dump(journal, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(jtmp, jpath)
+        if n_new:
+            post_g.select("doc_id", "gen", "term", "tf").write.mode(
+                "append"
+            ).parquet(os.path.join(path, "postings"))
+            doclen_new.select("doc_id", "gen", "dl").write.mode(
+                "append"
+            ).parquet(os.path.join(path, "doclen"))
+            post_g.groupBy("term").agg(
+                F.countDistinct("doc_id").alias("df")
+            ).write.mode("append").parquet(os.path.join(path, "dfreq"))
+        if n_dead:
+            existing.select("doc_id", "gen").write.mode("append").parquet(
+                os.path.join(path, "tombstones")
+            )
+        _write_consts(
+            path,
+            consts["n_docs"] + n_new - n_dead,
+            consts["total_len"] + int(new_len or 0) - int(dead_len or 0),
+        )
+        os.unlink(jpath)  # commit point: the apply is complete
+        return {"upserted": int(n_new), "tombstoned": int(n_dead)}
+    finally:
+        post.unpersist()
+
+
 def append_bm25_index(
     new_docs: DataFrame,
     path: str,
@@ -246,112 +495,77 @@ def append_bm25_index(
     id_col: str = "doc_id",
     check_new_ids: bool = True,
 ) -> int:
-    """Fold a batch of NEW documents into a stored BM25 index — the
-    LSM append path (the lsh append_lsh_index contract applied to
-    lexical retrieval):
+    """Fold a batch of documents into a stored BM25 index — the LSM
+    append path (the lsh append_lsh_index contract applied to lexical
+    retrieval); see _bm25_apply_locked for the write protocol and
+    crash-safety journal.
 
-    - postings/doclen: plain parquet appends (new files, no rewrite);
-    - dfreq: appends SEGMENT rows (term, df-of-this-batch); readers
-      merge segments per queried term only (join-then-aggregate in
-      _score_from_tables — never a vocabulary-wide compaction);
-    - _consts.json: n_docs/total_len advance exactly (integer sums),
-      so avgdl equals the from-scratch build bit-for-bit and the
-      append path stays score-identical to write_bm25_index
-      (pytest-pinned).
-
-    CRASH SAFETY: the append spans four durable writes, so before the
-    first one a JOURNAL (per-table file listings + consts) is written;
-    a crash at any point leaves the journal in place, further appends
-    refuse until ``recover_bm25_append`` rolls the partial append
-    back, and the batch then re-applies cleanly — without this, a
-    replay after a mid-append crash would either double-append
-    postings or permanently skip the batch's dfreq/consts (both
-    silent score corruption).  The whole append holds the index write
-    lock (mutually exclusive with compaction — see
-    operators/maintenance.py).
-
-    Append-ONLY: re-ingesting an existing doc_id would double-count
-    its terms; with ``check_new_ids`` (default) a collision raises
-    before anything is written (one broadcast anti-join of the
-    batch's ids against the stored doclen).  Returns the number of
-    documents appended."""
-    import json
-    import os
-
+    With ``check_new_ids`` (default) an id already LIVE in the index
+    raises before anything is written (classic append-only contract);
+    with ``check_new_ids=False`` existing ids are UPDATED in place
+    (tombstone + re-ingest under the next generation) instead of
+    silently corrupting scores.  Returns the number of documents
+    ingested."""
     from pymongo_change_stream_reader_spark.operators.maintenance import (
         bm25_lock,
     )
 
     spark = new_docs.sparkSession
-    if os.path.exists(os.path.join(path, "_append_journal.json")):
-        raise RuntimeError(
-            f"BM25 index at {path!r} has a crashed-append journal — "
-            "run recover_bm25_append() first"
-        )
     with bm25_lock(path):
-        with open(os.path.join(path, "_consts.json")) as fh:
-            consts = json.load(fh)
-        if "total_len" not in consts:
-            # index written before the append path existed: derive the
-            # exact total once from the stored doclen
-            consts["total_len"] = int(
-                spark.read.parquet(os.path.join(path, "doclen"))
-                .agg(F.sum("dl"))
-                .collect()[0][0]
-                or 0
-            )
-        post = _postings(new_docs, text_col, id_col)
-        try:
-            doclen = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-            doclen = doclen.localCheckpoint(eager=True)  # appended + counted
-            if check_new_ids:
-                stored = spark.read.parquet(
-                    os.path.join(path, "doclen")
-                ).select("doc_id")
-                n_dup = doclen.join(stored, "doc_id", "left_semi").count()
-                if n_dup:
-                    raise ValueError(
-                        f"append_bm25_index: {n_dup} doc_id(s) already in "
-                        "the index — the BM25 index is append-only "
-                        "(re-ingesting double-counts terms); dedupe "
-                        "upstream or rebuild"
-                    )
-            n_new, new_len = doclen.agg(
-                F.count("*").cast("double"), F.sum("dl").cast("long")
-            ).collect()[0]
-            if not n_new:
-                return 0
-            # journal BEFORE the first durable write (tmp+fsync+replace)
-            journal = {
-                "files": {
-                    t: _list_table_files(path, t) for t in _BM25_TABLES
-                },
-                "consts": {
-                    "n_docs": consts["n_docs"],
-                    "total_len": consts["total_len"],
-                },
-            }
-            jpath = os.path.join(path, "_append_journal.json")
-            jtmp = jpath + ".tmp"
-            with open(jtmp, "w") as fh:
-                json.dump(journal, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(jtmp, jpath)
-            post.write.mode("append").parquet(os.path.join(path, "postings"))
-            doclen.write.mode("append").parquet(os.path.join(path, "doclen"))
-            post.groupBy("term").agg(
-                F.countDistinct("doc_id").alias("df")
-            ).write.mode("append").parquet(os.path.join(path, "dfreq"))
-            _write_consts(
-                path,
-                consts["n_docs"] + n_new,
-                consts["total_len"] + int(new_len or 0),
-            )
-            os.unlink(jpath)  # commit point: the append is complete
-            return int(n_new)
-        finally:
-            post.unpersist()
+        # the journal check runs INSIDE the lock: a writer that passed
+        # a pre-lock check, blocked, and woke after the holder crashed
+        # would append over half-applied state and bake the corruption
+        # into its own journal (ADVICE r5 medium)
+        _check_no_journal(path)
+        return _bm25_apply_locked(
+            spark,
+            path,
+            new_docs,
+            None,
+            text_col,
+            id_col,
+            forbid_existing=check_new_ids,
+        )["upserted"]
+
+
+def upsert_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Insert-or-update documents in a stored BM25 index: new ids
+    append at generation 0, existing ids tombstone their live
+    generation and re-ingest under the next one.  One row per id
+    (reduce upstream — the relay's last-effect-per-key).  Returns
+    ``{"upserted": n, "tombstoned": m}``; scores afterwards equal a
+    from-scratch build over the post-update corpus (oracle- and
+    pytest-pinned)."""
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        bm25_lock,
+    )
+
+    spark = docs.sparkSession
+    with bm25_lock(path):
+        _check_no_journal(path)
+        return _bm25_apply_locked(spark, path, docs, None, text_col, id_col)
+
+
+def delete_from_bm25_index(
+    ids: DataFrame, path: str, id_col: str = "doc_id"
+) -> dict:
+    """Remove documents from a stored BM25 index by id: their live
+    (doc_id, gen) rows join the tombstone set and the exact consts
+    shrink; data files are untouched until compact_bm25_index purges
+    dead generations.  Unknown ids are no-ops."""
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        bm25_lock,
+    )
+
+    spark = ids.sparkSession
+    with bm25_lock(path):
+        _check_no_journal(path)
+        return _bm25_apply_locked(spark, path, None, ids, "text", id_col)
 
 
 def bm25_scores_from_index(
@@ -362,15 +576,34 @@ def bm25_scores_from_index(
     b: float = 0.75,
 ) -> DataFrame:
     """Score probe queries against a stored BM25 index — reads only
-    the postings/doclen/df tables; raw text never loads."""
+    the postings/doclen/df tables; raw text never loads.
+
+    Indexes that have seen updates/deletes (a non-empty tombstone set)
+    score against the LIVE rows, and df comes from the live postings
+    restricted to the probe terms instead of the stored segment table
+    (whose segments are additive-only and go stale under updates) —
+    the same filtered postings scan the candidate join makes anyway,
+    so the extra cost is one |query-term|-keyed aggregation.  Results
+    equal a from-scratch build over the live corpus."""
     import json
     import os
 
     with open(os.path.join(path, "_consts.json")) as fh:
         consts = json.load(fh)
-    post = spark.read.parquet(os.path.join(path, "postings"))
-    doclen = spark.read.parquet(os.path.join(path, "doclen"))
-    dfreq = spark.read.parquet(os.path.join(path, "dfreq"))
+    post, doclen, has_tomb = _live_bm25_tables(spark, path)
+    if has_tomb:
+        qterm_names = (
+            post.filter(F.col("doc_id").isin(probe_ids))
+            .select("term")
+            .distinct()
+        )
+        dfreq = (
+            post.join(F.broadcast(qterm_names), "term")
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+        )
+    else:
+        dfreq = spark.read.parquet(os.path.join(path, "dfreq"))
     return _score_from_tables(
         post, doclen, dfreq, consts["n_docs"], consts["avgdl"],
         probe_ids, k1, b,

@@ -387,3 +387,72 @@ def text_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "text_bm25_upserted",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS INT) AS rank
+        FROM bm25
+    )
+    SELECT * FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+    doc="BM25 top-10 served from an index that absorbed UPDATES and "
+    "DELETES through the generation-tagged LSM path: the index is "
+    "first built WRONG (every doc_id%7==0 text replaced by a stale "
+    "placeholder, plus extra documents that don't belong), then "
+    "upsert_bm25_index re-ingests the true texts and "
+    "delete_from_bm25_index removes the extras — the reference's "
+    "insert/update/replace/delete loop (change_handler.py:11,43-48). "
+    "The standard corpus oracle applies because the post-change index "
+    "must equal a from-scratch build over the live corpus, score for "
+    "score.",
+    tags=("text", "retrieval", "indexed", "incremental"),
+)
+def text_bm25_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each change batch costs its own tokenize + batch-sized
+    metadata (tombstones, consts); the serving scan filters dead
+    generations with one broadcast anti-join, and df for the probe
+    terms comes from the same filtered postings scan the candidate
+    join makes anyway."""
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.retrieval import (
+        bm25_scores_from_index,
+        delete_from_bm25_index,
+        upsert_bm25_index,
+        write_bm25_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stale = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("stale placeholder text")
+        ).otherwise(F.col("text")),
+    )
+    extras = d.limit(20).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    path = tempfile.mkdtemp(prefix="spark_bm25_ups_")
+    try:
+        write_bm25_index(stale.unionByName(extras), path)
+        upsert_bm25_index(d.filter(F.col("doc_id") % 7 == 0), path)
+        delete_from_bm25_index(extras.select("doc_id"), path)
+        scored = bm25_scores_from_index(
+            spark, path, probe_ids=[0, 1, 2, 3, 4]
+        )
+        return (
+            topk_ranked(scored, k=10)
+            .select("query_id", "doc_id", "score", "rank")
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

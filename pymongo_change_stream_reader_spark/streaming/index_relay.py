@@ -1,30 +1,33 @@
 """Online BM25 serving-index maintenance from the change stream — the
 lexical-retrieval sibling of the streaming LSH dedup consumer
-(streaming/dedup_relay.py): each micro-batch's new documents fold into
-the stored BM25 index (operators/retrieval.py append_bm25_index), so
-the ingest-once/query-many serving contract holds for a corpus that
-never stops growing.
+(streaming/dedup_relay.py): each micro-batch's document changes fold
+into the stored BM25 index, so the ingest-once/query-many serving
+contract holds for a corpus that never stops CHANGING — inserts,
+updates, replaces, and deletes, the reference's full per-event loop
+(reference change_handler.py:11,43-48), not inserts alone.
 
 Per micro-batch:
 
-1. reduce the batch to one (doc, text) row per key — the LWW triple
-   reduction shared with the dedup relay;
-2. if the index does not exist yet, build it from the batch
-   (write_bm25_index); otherwise append (postings/doclen appends +
-   df SEGMENT rows + exact consts advance — see append_bm25_index);
+1. reduce the batch to its FINAL EFFECT per key — upsert with the
+   last document text, or delete if the last event is a delete (the
+   LWW triple reduction shared with the replica materializer);
+2. if the index does not exist yet, build it from the batch's upserts
+   (write_bm25_index); otherwise apply changes through the
+   generation-tagged LSM path (_bm25_apply_locked): new ids append at
+   gen 0, updated ids tombstone their live generation and re-ingest
+   under the next one, deletes tombstone only — scores afterwards
+   equal a from-scratch rebuild over the live corpus;
 3. the epoch marker (query-id scoped, streaming/kafka_sink.py) guards
-   replays: a redelivered batch cannot double-append.
-
-The BM25 index is append-only: a batch that UPDATES an existing
-document's text cannot be folded (re-ingesting a doc_id would
-double-count its terms), so by default those keys are skipped with a
-warning — an updating corpus should either relay inserts only into
-the index or rebuild periodically (the classic search-engine segment
-merge, out of scope for the online path).
+   replays: a redelivered batch cannot double-apply, and a crashed
+   half-applied batch rolls back via the append journal BEFORE the
+   replay re-applies (both the journal check and the recovery run
+   INSIDE the index write lock — a pre-lock check could pass, block,
+   and wake over a newer holder's crashed state).
 
 Scale: per batch, tokenize cost = the batch; the only index-sized
-reads are the doclen id column (duplicate-id guard) and nothing else —
-the corpus is never re-tokenized.
+reads are the doclen id/gen columns (live-generation lookup) — the
+corpus is never re-tokenized.  Tombstone growth is bounded by
+compact_bm25_index, which purges dead generations and clears the set.
 """
 
 from __future__ import annotations
@@ -35,13 +38,13 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pymongo_change_stream_reader_spark.operators.maintenance import (
+    bm25_lock,
+)
 from pymongo_change_stream_reader_spark.operators.retrieval import (
-    append_bm25_index,
+    _bm25_apply_locked,
     recover_bm25_append,
     write_bm25_index,
-)
-from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
-    _last_doc_per_key,
 )
 from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
     _commit_epoch,
@@ -52,57 +55,81 @@ from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
 
 logger = logging.getLogger(__name__)
 
+_DATA_OPS = ("insert", "update", "replace", "delete")
+
+
+def _last_effect_per_key(batch: DataFrame, text_col: str, key_col: str):
+    """One (doc, op, text) row per key: the batch's FINAL effect by the
+    LWW triple (clusterTime.t, clusterTime.i, _id._data) — delete if
+    the last event is a delete, else upsert with the last text.  The
+    same reduction the replica materializer uses, so the index always
+    converges to the LIVE document set under any batch replay.
+
+    Non-delete events without a post-image are dropped before the
+    reduction (can't index what we can't see — run the stream with
+    fullDocument=updateLookup).  Frames without the change-event
+    columns (direct batch use) fall back to ordering on the text
+    itself — still deterministic, just not time-ordered."""
+    cols = set(batch.columns)
+    if {"clusterTime", "_id"} <= cols:
+        order = F.struct(
+            F.col("clusterTime.t"), F.col("clusterTime.i"), F.col("_id._data")
+        )
+    else:
+        order = F.struct(F.col(text_col))
+    payload = F.struct(
+        F.col("operationType").alias("op"), F.col(text_col).alias("text")
+    )
+    return (
+        batch.filter(F.col("operationType").isin(*_DATA_OPS))
+        .filter(
+            (F.col("operationType") == "delete")
+            | F.col(text_col).isNotNull()
+        )
+        .groupBy(F.col(key_col).alias("doc"))
+        .agg(F.max_by(payload, order).alias("p"))
+        .select("doc", F.col("p.op").alias("op"), F.col("p.text").alias("text"))
+    )
+
 
 def bm25_ingest_batch(
     batch: DataFrame,
     index_path: str,
     text_col: str = "fullDocument",
     key_col: str = "documentKey",
-) -> int:
+) -> dict:
     """Fold one batch of change events into the stored BM25 index.
-    Returns the number of documents ingested.  Keys already present in
-    the index are skipped (append-only contract; logged)."""
+    Returns ``{"upserted": n, "tombstoned": m}``."""
     _require_local_path(index_path, "index_path")
-    docs = (
-        _last_doc_per_key(batch, text_col, key_col)
-        .select(F.col("doc").alias("doc_id"), F.col("text"))
-        .localCheckpoint(eager=True)
+    effects = _last_effect_per_key(batch, text_col, key_col).localCheckpoint(
+        eager=True  # split two ways + aggregated below
+    )
+    upserts = effects.filter(F.col("op") != "delete").select(
+        F.col("doc").alias("doc_id"), F.col("text")
+    )
+    deletes = effects.filter(F.col("op") == "delete").select(
+        F.col("doc").alias("doc_id")
     )
     spark = batch.sparkSession
     if not os.path.exists(os.path.join(index_path, "_consts.json")):
-        n = docs.count()
+        # deletes against an index that doesn't exist yet are no-ops
+        n = upserts.count()
         if n:
-            write_bm25_index(docs, index_path, "text", "doc_id")
-        return n
-    # a crashed previous append rolls back here BEFORE the anti-join:
-    # its epoch never committed, so this batch IS the replay and must
-    # see the exact pre-crash index state (append_bm25_index refuses
-    # to run over a live journal otherwise)
-    if recover_bm25_append(index_path):
-        logger.warning(
-            "bm25 index at %s: rolled back a crashed append before "
-            "re-applying the replayed batch",
-            index_path,
+            write_bm25_index(upserts, index_path, "text", "doc_id")
+        return {"upserted": int(n), "tombstoned": 0}
+    with bm25_lock(index_path):
+        # a crashed previous apply rolls back here, INSIDE the lock:
+        # its epoch never committed, so this batch IS the replay and
+        # must see the exact pre-crash index state
+        if recover_bm25_append(index_path):
+            logger.warning(
+                "bm25 index at %s: rolled back a crashed apply before "
+                "re-applying the replayed batch",
+                index_path,
+            )
+        return _bm25_apply_locked(
+            spark, index_path, upserts, deletes, "text", "doc_id"
         )
-    stored = spark.read.parquet(os.path.join(index_path, "doclen")).select(
-        "doc_id"
-    )
-    fresh = docs.join(stored, "doc_id", "left_anti").localCheckpoint(
-        eager=True
-    )
-    n_skipped = docs.count() - fresh.count()
-    if n_skipped:
-        logger.warning(
-            "bm25 index at %s: skipped %d already-ingested key(s) — the "
-            "index is append-only (updates need a rebuild/segment merge)",
-            index_path,
-            n_skipped,
-        )
-    # check_new_ids=False: the anti-join above IS the guard, and unlike
-    # the raise-on-collision default it lets insert+update mixes flow
-    return append_bm25_index(
-        fresh, index_path, "text", "doc_id", check_new_ids=False
-    )
 
 
 def start_streaming_bm25_index(

@@ -92,9 +92,11 @@ def test_append_legacy_consts_without_total_len(spark, tmp_path, docs):
 
 
 def test_streaming_bm25_index_two_batches(spark, tmp_path):
-    """e2e: batch 0 builds the index, batch 1 appends; an update to an
-    already-ingested key is skipped (append-only), and scores match a
-    from-scratch build over the final corpus."""
+    """e2e: batch 0 builds the index, batch 1 appends a new doc,
+    UPDATES an already-ingested key (generation-tagged re-ingest —
+    the reference's update loop, change_handler.py:43-48), and
+    DELETES another; scores match a from-scratch build over the final
+    live corpus."""
     from pymongo_change_stream_reader_spark.sources.change_events import (
         stream_change_events_json,
     )
@@ -104,25 +106,34 @@ def test_streaming_bm25_index_two_batches(spark, tmp_path):
 
     texts = {
         0: "the quick brown fox jumps over the lazy dog in the sun",
-        1: "distributed query engines process terabytes of data daily",
         2: "a second quick brown fox jumps over another lazy dog today",
     }
+    updated0 = "an updated fox document about query engines and dogs"
     src = tmp_path / "in"
     src.mkdir()
 
-    def event(data, key, text, t):
-        return json.dumps(
-            {
-                "_id": {"_data": data},
-                "operationType": "insert",
-                "clusterTime": {"t": t, "i": 1},
-                "documentKey": key,
-                "fullDocument": text,
-            }
-        )
+    def event(data, key, text, t, op="insert"):
+        body = {
+            "_id": {"_data": data},
+            "operationType": op,
+            "clusterTime": {"t": t, "i": 1},
+            "documentKey": key,
+            "fullDocument": text,
+        }
+        return json.dumps(body)
 
     (src / "b0.json").write_text(
-        "\n".join([event("a1", "0", texts[0], 1), event("a2", "1", texts[1], 1)])
+        "\n".join(
+            [
+                event("a1", "0", texts[0], 1),
+                event(
+                    "a2",
+                    "1",
+                    "distributed query engines process terabytes daily",
+                    1,
+                ),
+            ]
+        )
     )
     index = str(tmp_path / "bm25")
     q = start_streaming_bm25_index(
@@ -137,7 +148,8 @@ def test_streaming_bm25_index_two_batches(spark, tmp_path):
             "\n".join(
                 [
                     event("a3", "2", texts[2], 2),
-                    event("a4", "0", "an update that must be skipped", 2),
+                    event("a4", "0", updated0, 2, op="update"),
+                    event("a5", "1", None, 2, op="delete"),
                 ]
             )
         )
@@ -146,12 +158,13 @@ def test_streaming_bm25_index_two_batches(spark, tmp_path):
         q.stop()
         q.awaitTermination(30)
 
-    assert json.load(open(f"{index}/_consts.json"))["n_docs"] == 3.0
-    # parity with a from-scratch build over the same 3 documents
+    # insert(2) + update(0) + delete(1): 2 live docs
+    assert json.load(open(f"{index}/_consts.json"))["n_docs"] == 2.0
+    # parity with a from-scratch build over the final LIVE corpus
     ref = str(tmp_path / "ref")
     write_bm25_index(
         spark.createDataFrame(
-            [(str(k), v) for k, v in texts.items()],
+            [("0", updated0), ("2", texts[2])],
             "doc_id STRING, text STRING",
         ),
         ref,
@@ -167,7 +180,7 @@ def test_streaming_bm25_index_two_batches(spark, tmp_path):
         for r in bm25_scores_from_index(spark, ref, probe_ids=["0"]).collect()
     }
     assert got == want
-    # doc 0 and doc 2 share fox/dog terms -> a real nonzero score exists
+    # doc 0 (updated) and doc 2 share fox/dog terms -> nonzero score
     assert got[("0", "2")] > 0
 
 
