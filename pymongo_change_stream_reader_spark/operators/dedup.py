@@ -617,6 +617,41 @@ def connected_components(
 # corpus).  Signatures are plan/session-stable (see _seeded_hash), so
 # an index written yesterday matches sketches computed today.
 # ---------------------------------------------------------------------------
+def _lsh_registry_path(path: str) -> str:
+    return path.rstrip("/") + "_docs"
+
+
+def _lsh_tombstone_path(path: str) -> str:
+    return path.rstrip("/") + "_tombstones"
+
+
+def _lsh_lock_path(path: str) -> str:
+    return path.rstrip("/") + ".writelock"
+
+
+def _lsh_with_gen(df: DataFrame) -> DataFrame:
+    """Compat shim for indexes written before generations existed:
+    their rows are all generation 0."""
+    return df if "gen" in df.columns else df.withColumn("gen", F.lit(0))
+
+
+def _read_lsh_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """Dead (doc, gen) pairs of an index under update/delete relay
+    maintenance, or None for a pure-append index."""
+    import os
+
+    tpath = _lsh_tombstone_path(path)
+    if not os.path.isdir(tpath) or not any(
+        f.endswith(".parquet")
+        for _r, _d, files in os.walk(tpath)
+        for f in files
+    ):
+        return None
+    # distinct: a crash between tombstone write and the epoch marker
+    # replays the write — duplicate dead pairs must not matter
+    return spark.read.parquet(tpath).select("doc", "gen").distinct()
+
+
 def write_lsh_index(
     df: DataFrame,
     path: str,
@@ -626,13 +661,15 @@ def write_lsh_index(
     bands: int = 8,
     n: int = 3,
 ) -> None:
-    """Materialize the corpus (doc, band, bucket) table to parquet,
-    partitioned by band: an incremental probe joins on (band, bucket),
-    so partition pruning reads only the probed band directories and
-    parquet min/max stats skip bucket ranges within them."""
-    lsh_band_table(df, text_col, id_col, num_hashes, bands, n).write.mode(
-        "overwrite"
-    ).partitionBy("band").parquet(path)
+    """Materialize the corpus (doc, gen, band, bucket) table to
+    parquet, partitioned by band: an incremental probe joins on
+    (band, bucket), so partition pruning reads only the probed band
+    directories and parquet min/max stats skip bucket ranges within
+    them.  ``gen`` starts at 0; the streaming relay's update/delete
+    hygiene advances it (see tombstone_lsh_docs)."""
+    lsh_band_table(df, text_col, id_col, num_hashes, bands, n).withColumn(
+        "gen", F.lit(0)
+    ).write.mode("overwrite").partitionBy("band").parquet(path)
 
 
 def append_lsh_index(
@@ -643,25 +680,115 @@ def append_lsh_index(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    track_generations: bool = False,
 ) -> None:
     """Fold an ingested batch into the stored index (mode=append adds
     new files under the same band partitions — no rewrite of existing
     index data; ``compact_lsh_index`` in operators/maintenance.py caps
     the small-file growth).  Holds the index write lock: a compaction
     racing this append would silently delete the appended files in its
-    swap."""
+    swap.
+
+    ``track_generations`` (the streaming relay's mode): each doc's
+    sketch rows get gen = 1 + its highest generation ever registered
+    (0 if never seen), and the (doc, gen) pair lands in the registry
+    sidecar (``<path>_docs``) — the metadata tombstone_lsh_docs reads
+    to retire superseded/deleted versions.  A re-ingested id therefore
+    never collides with its own tombstone.  Without it (pure batch
+    appends), rows are gen 0 and no registry is kept."""
     from pymongo_change_stream_reader_spark.operators.maintenance import (
         IndexWriteLock,
     )
 
-    with IndexWriteLock(path.rstrip("/") + ".writelock"):
-        lsh_band_table(
-            df_new, text_col, id_col, num_hashes, bands, n
-        ).write.mode("append").partitionBy("band").parquet(path)
+    spark = df_new.sparkSession
+    with IndexWriteLock(_lsh_lock_path(path)):
+        bt = lsh_band_table(df_new, text_col, id_col, num_hashes, bands, n)
+        if not track_generations:
+            bt.withColumn("gen", F.lit(0)).write.mode("append").partitionBy(
+                "band"
+            ).parquet(path)
+            return
+        import os
+
+        ids = df_new.select(F.col(id_col).alias("doc")).distinct()
+        reg_path = _lsh_registry_path(path)
+        genmap = None
+        if os.path.isdir(reg_path):
+            # highest gen EVER (live or dead): a deleted-then-
+            # reinserted doc must clear its own tombstone
+            genmap = (
+                spark.read.parquet(reg_path)
+                .join(F.broadcast(ids), "doc", "left_semi")
+                .groupBy("doc")
+                .agg((F.max("gen") + 1).alias("gen"))
+                .localCheckpoint(eager=True)  # pinned before we append
+                # to the registry it reads
+            )
+        if genmap is not None:
+            bt_g = bt.join(F.broadcast(genmap), "doc", "left").withColumn(
+                "gen", F.coalesce(F.col("gen"), F.lit(0))
+            )
+            reg_new = ids.join(F.broadcast(genmap), "doc", "left").withColumn(
+                "gen", F.coalesce(F.col("gen"), F.lit(0))
+            )
+        else:
+            bt_g = bt.withColumn("gen", F.lit(0))
+            reg_new = ids.withColumn("gen", F.lit(0))
+        bt_g.write.mode("append").partitionBy("band").parquet(path)
+        reg_new.select("doc", "gen").write.mode("append").parquet(reg_path)
+
+
+def tombstone_lsh_docs(ids: DataFrame, path: str, id_col: str = "doc") -> int:
+    """Retire the LIVE generation of each given doc id from a
+    registry-tracked LSH index: the (doc, gen) pairs join the
+    tombstone sidecar, after which read_lsh_index no longer serves
+    their sketch rows (no stale flags against deleted/superseded
+    documents) and compact_lsh_index physically purges them.  Ids with
+    no live registration are no-ops.  Returns the number of
+    tombstoned versions.
+
+    Reference parity: the delete/update half of the reference's event
+    loop (reference change_handler.py:11,43-48) applied to the dedup
+    index — without it the index never forgets and flags point at
+    documents that no longer exist."""
+    import os
+
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    spark = ids.sparkSession
+    reg_path = _lsh_registry_path(path)
+    with IndexWriteLock(_lsh_lock_path(path)):
+        if not os.path.isdir(reg_path):
+            return 0
+        want = ids.select(F.col(id_col).alias("doc")).distinct()
+        reg = spark.read.parquet(reg_path).select("doc", "gen").distinct()
+        tomb = _read_lsh_tombstones(spark, path)
+        live = (
+            reg
+            if tomb is None
+            else reg.join(F.broadcast(tomb), ["doc", "gen"], "left_anti")
+        )
+        dead = (
+            live.join(F.broadcast(want), "doc", "left_semi")
+            .localCheckpoint(eager=True)  # counted AND written
+        )
+        n = dead.count()
+        if n:
+            dead.write.mode("append").parquet(_lsh_tombstone_path(path))
+        return int(n)
 
 
 def read_lsh_index(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """The LIVE index rows: tombstoned (doc, gen) sketch rows are
+    filtered with one broadcast anti-join (the dead set is bounded by
+    compact_lsh_index, which purges and clears it)."""
+    idx = _lsh_with_gen(spark.read.parquet(path))
+    tomb = _read_lsh_tombstones(spark, path)
+    if tomb is not None:
+        idx = idx.join(F.broadcast(tomb), ["doc", "gen"], "left_anti")
+    return idx
 
 
 def query_lsh_index(

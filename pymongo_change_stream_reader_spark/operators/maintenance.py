@@ -65,13 +65,24 @@ class IndexWriteLock:
     query.  Index paths are local-filesystem by contract
     (_require_local_path), where flock is reliable."""
 
-    def __init__(self, lock_path: str, timeout_s: float = 300.0):
+    def __init__(
+        self,
+        lock_path: str,
+        timeout_s: float = 300.0,
+        shared: bool = False,
+    ):
         # an explicit lock-FILE path: for single-dir indexes (LSH/IVF/
         # PQ) use a SIBLING file (``<dir>.writelock``) so the lock
         # survives the compaction swap renaming the dir itself; for
-        # multi-table roots (BM25) a file under the never-renamed root
+        # multi-table roots (BM25) a file under the never-renamed root.
+        # ``shared=True`` takes a READ lock (flock LOCK_SH): readers
+        # that materialize results from the index dirs (the streaming
+        # probe) hold it so a compaction's dir swap cannot yank files
+        # out from under a running scan — shared among readers,
+        # excluded by any writer's exclusive lock.
         self.path = lock_path
         self.timeout_s = timeout_s
+        self.shared = shared
         self._fd: int | None = None
 
     def __enter__(self):
@@ -82,10 +93,11 @@ class IndexWriteLock:
         if parent:
             os.makedirs(parent, exist_ok=True)
         self._fd = os.open(self.path, os.O_CREAT | os.O_WRONLY)
+        mode = fcntl.LOCK_SH if self.shared else fcntl.LOCK_EX
         deadline = time.monotonic() + self.timeout_s
         while True:
             try:
-                fcntl.flock(self._fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                fcntl.flock(self._fd, mode | fcntl.LOCK_NB)
                 break
             except BlockingIOError:
                 if time.monotonic() >= deadline:
@@ -98,8 +110,11 @@ class IndexWriteLock:
                         "timeout_s or investigate"
                     ) from None
                 time.sleep(0.2)
-        os.ftruncate(self._fd, 0)
-        os.write(self._fd, str(os.getpid()).encode())
+        if not self.shared:
+            # informational holder pid — writers only (concurrent
+            # shared holders would scribble over each other)
+            os.ftruncate(self._fd, 0)
+            os.write(self._fd, str(os.getpid()).encode())
         return self
 
     def __exit__(self, *exc):
@@ -276,11 +291,42 @@ def compact_lsh_index(
 ) -> int:
     """Compact the band-partitioned LSH index (operators/dedup.py):
     band partitioning is preserved so probes keep pruning.  Sibling
-    write lock (appenders should hold the same — see IndexWriteLock)."""
+    write lock (appenders should hold the same — see IndexWriteLock).
+
+    A registry-tracked index (streaming relay with updates/deletes)
+    additionally PURGES dead generations: sketch and registry rows of
+    every tombstoned (doc, gen) are dropped, replay-residue duplicate
+    rows collapse (distinct — duplicates only ever widened candidate
+    sets), and the tombstone sidecar clears, so index size tracks the
+    live corpus under churn instead of growing without bound."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        _lsh_registry_path,
+        _lsh_tombstone_path,
+        _lsh_with_gen,
+        _read_lsh_tombstones,
+    )
+
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
-        return compact_parquet_table(
-            spark, path, num_files, partition_by="band"
+        tomb = _read_lsh_tombstones(spark, path)
+        reg_path = _lsh_registry_path(path)
+
+        def _purge(df):
+            out = _lsh_with_gen(df)
+            if tomb is not None:
+                out = out.distinct().join(
+                    F.broadcast(tomb), ["doc", "gen"], "left_anti"
+                )
+            return out
+
+        n = compact_parquet_table(
+            spark, path, num_files, partition_by="band", transform=_purge
         )
+        if os.path.isdir(reg_path):
+            compact_parquet_table(spark, reg_path, num_files,
+                                  transform=_purge)
+        if tomb is not None:
+            shutil.rmtree(_lsh_tombstone_path(path), ignore_errors=True)
+        return n
 
 
 def compact_ivf_index(

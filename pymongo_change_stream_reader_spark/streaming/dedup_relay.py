@@ -5,34 +5,47 @@ already-ingested corpus — the streaming half of training-data dedup,
 wired as a foreachBatch consumer exactly like the replica
 materializer (streaming/materialize.py).
 
-Per micro-batch (r3 verdict ask #5):
+Per micro-batch:
 
-1. reduce the batch to its data-op documents (one row per key);
-2. PROBE the stored index first — ``query_lsh_index`` equi-joins the
-   batch's band sketches against the on-disk (band, bucket) table, so
-   a document is never flagged against itself and flags always mean
-   "near-dup of something ingested in an EARLIER batch";
-3. append the flagged (new_id, corpus_id, epoch) pairs to the flags
-   table (downstream drops or reviews them — candidate semantics, the
-   same contract as lsh_candidate_pairs; exact-Jaccard verification
-   needs the corpus text and runs downstream where that text lives);
-4. APPEND the batch's own band sketches to the index — cost scales
-   with the batch, never the corpus (the append-path contract of
-   write_lsh_index/append_lsh_index).
+1. reduce the batch to its FINAL effect per key — upsert with the
+   last document text, or delete (the LWW reduction shared with the
+   replica materializer and the BM25 relay);
+2. TOMBSTONE the live generation of every incoming key
+   (tombstone_lsh_docs): a deleted document's sketch stops matching
+   future arrivals, and an updated document's superseded sketch
+   retires instead of accumulating forever — the reference's
+   update/delete loop (reference change_handler.py:11,43-48);
+3. PROBE the stored index — ``query_lsh_index`` equi-joins the
+   batch's band sketches against the LIVE on-disk (band, bucket)
+   rows, so a document is never flagged against itself, a superseded
+   version, or a deleted document, and flags always mean "near-dup of
+   something LIVE from an earlier batch".  The probe holds the index
+   lock SHARED so a concurrent compaction's directory swap cannot
+   yank files out from under the running scan;
+4. overwrite this epoch's flag partition (``flags/epoch=N``) with the
+   flagged (new_id, corpus_id) pairs — overwrite, not append, so a
+   replayed epoch lands the same rows instead of duplicating them
+   (candidate semantics; exact-Jaccard verification runs downstream
+   where the corpus text lives);
+5. APPEND the batch's own band sketches under the next generation per
+   key (append_lsh_index track_generations) — cost scales with the
+   batch, never the corpus.
 
 Replay safety: the epoch-marker pattern from the Kafka sink
-(streaming/kafka_sink.py) — a durable per-epoch marker scoped by the
-streaming query id short-circuits replayed epochs, so a redelivered
-batch cannot double-append the index or double-flag.  The remaining
-at-least-once window (crash between the writes and the marker) is the
-same one documented for every non-transactional sink here; duplicate
-band rows only widen candidate sets, never lose flags.
+(streaming/kafka_sink.py) short-circuits replayed epochs.  A crash
+between the writes and the marker replays the batch: step 2 then
+retires the crashed attempt's own sketches (they registered as the
+live generation), step 4 overwrites the same epoch partition, and
+step 5 appends the next generation — the index converges to exactly
+one live version per key and flags never double-count.  Leftover dead
+rows and duplicate registry rows are purged by compact_lsh_index.
 
 Scale: the probe is a (tiny) batch-side broadcast against a
-band-partition-pruned index scan; the append writes only new files
-under existing band partitions.  Signatures are plan/session-stable
-(_seeded_hash), so an index written yesterday matches sketches
-computed today.
+band-partition-pruned index scan; tombstone lookups read only the
+registry sidecar (one row per ingested version); the append writes
+only new files under existing band partitions.  Signatures are
+plan/session-stable (_seeded_hash), so an index written yesterday
+matches sketches computed today.
 """
 
 from __future__ import annotations
@@ -44,9 +57,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pymongo_change_stream_reader_spark.operators.dedup import (
+    _lsh_lock_path,
     append_lsh_index,
     query_lsh_index,
     read_lsh_index,
+    tombstone_lsh_docs,
+)
+from pymongo_change_stream_reader_spark.operators.maintenance import (
+    IndexWriteLock,
 )
 from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
     _commit_epoch,
@@ -61,30 +79,6 @@ logger = logging.getLogger(__name__)
 _DATA_OPS = ("insert", "update", "replace")
 
 
-def _last_doc_per_key(batch: DataFrame, text_col: str, key_col: str):
-    """One (doc, text) row per key: the LAST data-op event by the LWW
-    triple (clusterTime.t, clusterTime.i, _id._data) — the same
-    reduction the replica materializer uses, so the index always
-    stores the LIVE document version, never an arbitrary superseded
-    one (and the choice is deterministic under replay).  Frames
-    without the change-event columns (direct batch use of
-    dedup_flag_batch) fall back to max_by on the text itself —
-    still deterministic, just not time-ordered."""
-    cols = set(batch.columns)
-    if {"clusterTime", "_id"} <= cols:
-        order = F.struct(
-            F.col("clusterTime.t"), F.col("clusterTime.i"), F.col("_id._data")
-        )
-    else:
-        order = F.col(text_col)
-    return (
-        batch.filter(F.col("operationType").isin(*_DATA_OPS))
-        .filter(F.col(text_col).isNotNull())
-        .groupBy(F.col(key_col).alias("doc"))
-        .agg(F.max_by(F.col(text_col), order).alias("text"))
-    )
-
-
 def dedup_flag_batch(
     batch: DataFrame,
     index_path: str,
@@ -96,39 +90,59 @@ def dedup_flag_batch(
     n: int = 3,
     epoch_id: int = 0,
 ) -> int:
-    """Apply one batch of change events: probe-then-append (see module
-    docstring).  Returns the number of flagged (new, corpus) pairs;
-    flag rows carry ``epoch`` so replay-window duplicates are
-    attributable.  Batch-testable without a streaming query, like
+    """Apply one batch of change events: tombstone, probe, flag,
+    append (see module docstring).  Returns the number of flagged
+    (new, corpus) pairs; ``epoch_id`` is the idempotence key — each
+    batch overwrites its own ``epoch=N`` flag partition, so callers
+    must use distinct epochs per batch (the streaming wrapper does).
+    Batch-testable without a streaming query, like
     materialize_change_batch."""
+    from pymongo_change_stream_reader_spark.streaming.index_relay import (
+        _last_effect_per_key,
+    )
+
     _require_local_path(index_path, "index_path")
     _require_local_path(flags_path, "flags_path")
-    docs = _last_doc_per_key(batch, text_col, key_col).localCheckpoint(
-        eager=True  # probed AND appended below
+    effects = _last_effect_per_key(batch, text_col, key_col).localCheckpoint(
+        eager=True  # split, probed AND appended below
     )
+    docs = effects.filter(F.col("op") != "delete").select("doc", "text")
     n_flags = 0
+    spark = batch.sparkSession
     if _dir_has_parquet(index_path):
-        spark = batch.sparkSession
-        cand = query_lsh_index(
-            docs,
-            read_lsh_index(spark, index_path),
-            "text",
-            "doc",
-            num_hashes,
-            bands,
-            n,
-        )
-        # one materialization: count and append must not re-run the
-        # index-scan join (the per-batch hot-path cost) twice
-        flagged = (
-            cand.filter(F.col("new_id") != F.col("corpus_id"))
-            .withColumn("epoch", F.lit(epoch_id).cast("long"))
-            .localCheckpoint(eager=True)
-        )
+        # retire every incoming key's live generation FIRST: the probe
+        # must not flag an update against its own superseded sketch,
+        # and replays must retire the crashed attempt's rows before
+        # re-probing (module docstring, replay safety)
+        tombstone_lsh_docs(effects.select("doc"), index_path)
+        with IndexWriteLock(_lsh_lock_path(index_path), shared=True):
+            cand = query_lsh_index(
+                docs,
+                read_lsh_index(spark, index_path),
+                "text",
+                "doc",
+                num_hashes,
+                bands,
+                n,
+            )
+            # one materialization INSIDE the shared lock: count and
+            # write must not re-run the index-scan join, and the scan
+            # must finish before any compaction may swap the dirs
+            flagged = (
+                cand.filter(F.col("new_id") != F.col("corpus_id"))
+                .localCheckpoint(eager=True)
+            )
         n_flags = flagged.count()
-        if n_flags:
-            flagged.write.mode("append").parquet(flags_path)
-    append_lsh_index(docs, index_path, "text", "doc", num_hashes, bands, n)
+        # overwrite THIS epoch's partition — idempotent under replay
+        # (an append would double-count flag rows if the previous
+        # attempt crashed between the flags write and the marker)
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(flags_path, f"epoch={int(epoch_id)}")
+        )
+    append_lsh_index(
+        docs, index_path, "text", "doc", num_hashes, bands, n,
+        track_generations=True,
+    )
     return n_flags
 
 

@@ -191,3 +191,183 @@ def test_dedup_relay_rejects_uri_paths(spark, tmp_path):
         dedup_flag_batch(b, str(tmp_path / "i"), "s3a://bkt/flags")
     with _pytest.raises(ValueError, match="URI scheme"):
         read_dedup_flags(spark, "hdfs://nn/flags")
+
+
+def _batch(spark, rows):
+    """Change-event frame without clusterTime (direct batch use)."""
+    return spark.createDataFrame(
+        rows, "operationType STRING, documentKey STRING, fullDocument STRING"
+    )
+
+
+def test_delete_retires_sketch_no_stale_flags(spark, tmp_path):
+    """r4 ask #2 / r5 weak: a deleted document's sketch must stop
+    matching — flags never point at documents that no longer exist."""
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k1", LONG_A), ("insert", "k2", LONG_B)]),
+        index, flags, epoch_id=0,
+    )
+    dedup_flag_batch(
+        _batch(spark, [("delete", "k1", None)]), index, flags, epoch_id=1
+    )
+    # a near-dup of the DELETED text must not flag; live text still does
+    n = dedup_flag_batch(
+        _batch(spark, [("insert", "k9", LONG_A), ("insert", "k10", LONG_B)]),
+        index, flags, epoch_id=2,
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in read_dedup_flags(spark, flags).collect()
+    }
+    assert ("k10", "k2") in got
+    assert all(corpus != "k1" for _new, corpus in got)
+    assert n == 1
+
+
+def test_update_retires_superseded_sketch(spark, tmp_path):
+    """An updated document's OLD sketch retires: probes match only the
+    live version, and the update itself never flags against its own
+    superseded sketch."""
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k1", LONG_A)]), index, flags, epoch_id=0
+    )
+    assert (
+        dedup_flag_batch(
+            _batch(spark, [("update", "k1", LONG_B)]),
+            index, flags, epoch_id=1,
+        )
+        == 0  # no self-flag against its own superseded sketch
+    )
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k9", LONG_A), ("insert", "k10", LONG_B)]),
+        index, flags, epoch_id=2,
+    )
+    got = {
+        (r["new_id"], r["corpus_id"], r["epoch"])
+        for r in read_dedup_flags(spark, flags).collect()
+    }
+    # LONG_B matches the live k1; LONG_A (the superseded text) doesn't
+    assert ("k10", "k1", 2) in got
+    assert all(not (new == "k9" and c == "k1") for new, c, _e in got)
+
+
+def test_compact_purges_dead_rows_and_shrinks(spark, tmp_path):
+    """delete -> compact -> the doc's rows are physically gone, the
+    index row count shrinks, the tombstone sidecar clears, and
+    post-compaction probes still work."""
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        compact_lsh_index,
+    )
+
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k1", LONG_A), ("insert", "k2", LONG_B)]),
+        index, flags, epoch_id=0,
+    )
+    dedup_flag_batch(
+        _batch(spark, [("update", "k2", LONG_B + " updated tail words")]),
+        index, flags, epoch_id=1,
+    )
+    dedup_flag_batch(
+        _batch(spark, [("delete", "k1", None)]), index, flags, epoch_id=2
+    )
+    # raw rows: k1 gen0 (dead) + k2 gen0 (dead) + k2 gen1 = 3 x 8
+    assert spark.read.parquet(index).count() == 3 * 8
+    n = compact_lsh_index(spark, index)
+    assert n == 8  # only k2's live generation survives
+    assert not os.path.isdir(index + "_tombstones")
+    # registry keeps exactly the live registration
+    reg = {
+        (r["doc"], r["gen"])
+        for r in spark.read.parquet(index + "_docs").collect()
+    }
+    assert reg == {("k2", 1)}
+    # probes keep working and the purged doc cannot flag
+    n = dedup_flag_batch(
+        _batch(spark, [("insert", "k9", LONG_A)]), index, flags, epoch_id=3
+    )
+    assert n == 0
+
+
+def test_delete_then_reinsert_is_live_again(spark, tmp_path):
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k1", LONG_A)]), index, flags, epoch_id=0
+    )
+    dedup_flag_batch(
+        _batch(spark, [("delete", "k1", None)]), index, flags, epoch_id=1
+    )
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k1", LONG_A)]), index, flags, epoch_id=2
+    )
+    # the re-inserted generation clears its own tombstone: a new
+    # near-dup flags against k1 again
+    n = dedup_flag_batch(
+        _batch(spark, [("insert", "k9", LONG_A)]), index, flags, epoch_id=3
+    )
+    assert n == 1
+
+
+def test_flag_epoch_overwrite_is_idempotent(spark, tmp_path):
+    """ADVICE r5 low: a crash between the flags write and the epoch
+    marker replays the batch — the epoch partition must OVERWRITE, so
+    flag rows never double-count."""
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k1", LONG_A)]), index, flags, epoch_id=0
+    )
+    for _ in range(2):  # the replay: same epoch id, same batch
+        dedup_flag_batch(
+            _batch(spark, [("insert", "k9", LONG_A)]),
+            index, flags, epoch_id=1,
+        )
+    rows = read_dedup_flags(spark, flags).collect()
+    assert len(rows) == 1  # one flag row, not two
+    assert (rows[0]["new_id"], rows[0]["corpus_id"]) == ("k9", "k1")
+
+
+def test_probe_blocks_while_compaction_holds_lock(spark, tmp_path):
+    """ADVICE r5 low: the probe holds the index lock SHARED, so a
+    compaction's directory swap cannot yank files from under a running
+    scan — a cross-process exclusive holder delays the whole batch."""
+    import subprocess
+    import sys
+
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k1", LONG_A)]), index, flags, epoch_id=0
+    )
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import fcntl, os, sys, time\n"
+            "fd = os.open(sys.argv[1], os.O_CREAT | os.O_WRONLY)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "print('HELD', flush=True)\n"
+            "time.sleep(1.5)\n",
+            index + ".writelock",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    assert holder.stdout.readline().strip() == "HELD"
+    t0 = time.monotonic()
+    n = dedup_flag_batch(
+        _batch(spark, [("insert", "k9", LONG_A)]), index, flags, epoch_id=1
+    )
+    elapsed = time.monotonic() - t0
+    holder.wait()
+    assert n == 1
+    assert elapsed >= 1.2, (
+        f"batch returned in {elapsed:.2f}s under an exclusive index lock "
+        "— the probe/append paths are not taking the lock"
+    )
