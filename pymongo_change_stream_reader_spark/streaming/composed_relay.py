@@ -1,0 +1,201 @@
+"""Single-pass composed relay: replica materialization + near-dup
+flagging + BM25 index maintenance in ONE foreachBatch consumer.
+
+Running the three consumers as separate streaming queries (the
+individual ``start_replica_maintenance`` / ``start_streaming_dedup`` /
+``start_streaming_bm25_index`` entry points) reads the change-stream
+source three times and keeps three checkpoints whose offsets drift
+apart.  This composition reads each micro-batch ONCE — the batch is
+pinned with an eager localCheckpoint so the three applies share one
+source scan instead of re-triggering it per action — and fans it out
+to every enabled store.
+
+Exactly-once per store, replay-correct as a whole:
+
+- the REPLICA apply is idempotent by construction (the LWW merge —
+  re-applying a batch is a no-op), so it runs unconditionally;
+- the DEDUP and BM25 applies each keep their OWN epoch marker
+  (query-id-scoped, streaming/kafka_sink.py): a crash after dedup
+  committed but before BM25 ran replays the batch with dedup
+  short-circuited and BM25 applied — no store double-applies, no
+  store is skipped.  Within each store the same crash-recovery
+  machinery as the standalone relays applies (per-epoch flag
+  partition overwrite; the BM25 append journal rollback inside the
+  index write lock).
+
+Reference parity: the reference process runs ONE change-stream cursor
+and dispatches each event to every consumer in-process (reference
+process_manager.py, change_handler.py) — this is that topology on
+Structured Streaming, where the per-store markers replace the
+reference's single prefix-commit because Spark redelivers whole
+micro-batches.
+
+Scale: one source read per trigger; each store's apply stays
+batch-sized (the contracts of materialize_change_batch,
+dedup_flag_batch, bm25_ingest_batch).  The applies run sequentially in
+the driver's foreachBatch thread — they mutate independent stores, so
+they COULD overlap, but the shared Spark scheduler already overlaps
+their jobs' tasks and sequential applies keep the per-store crash
+story trivially ordered.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import DataFrame
+
+from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
+    dedup_flag_batch,
+)
+from pymongo_change_stream_reader_spark.streaming.index_relay import (
+    bm25_ingest_batch,
+)
+from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
+    _commit_epoch,
+    _epoch_committed,
+    _query_id,
+    _require_local_path,
+)
+from pymongo_change_stream_reader_spark.streaming.materialize import (
+    materialize_change_batch,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def composed_apply_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    checkpoint_dir: str,
+    replica_path: str | None = None,
+    dedup_index_path: str | None = None,
+    dedup_flags_path: str | None = None,
+    bm25_index_path: str | None = None,
+    text_col: str = "fullDocument",
+    key_col: str = "documentKey",
+    n_buckets: int = 16,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    retain: int = 2,
+) -> dict:
+    """Apply one micro-batch to every enabled store (see module
+    docstring).  Returns per-store outcomes: ``applied`` /
+    ``replayed-skip`` / ``disabled``.  Batch-testable without a
+    streaming query."""
+    qid = _query_id(checkpoint_dir)
+    outcome: dict[str, str] = {}
+    # ONE materialization of the source batch, shared by every store
+    pinned = batch.localCheckpoint(eager=True)
+    if replica_path is not None:
+        # idempotent by LWW — replays converge without a marker
+        materialize_change_batch(
+            pinned, replica_path, n_buckets, retain=retain
+        )
+        outcome["replica"] = "applied"
+    else:
+        outcome["replica"] = "disabled"
+    if dedup_index_path is not None:
+        marker = os.path.join(checkpoint_dir, "dedup_epoch_log")
+        if _epoch_committed(marker, epoch_id, qid):
+            outcome["dedup"] = "replayed-skip"
+        else:
+            dedup_flag_batch(
+                pinned,
+                dedup_index_path,
+                dedup_flags_path,
+                text_col,
+                key_col,
+                num_hashes,
+                bands,
+                n,
+                epoch_id=epoch_id,
+            )
+            _commit_epoch(marker, epoch_id, qid)
+            outcome["dedup"] = "applied"
+    else:
+        outcome["dedup"] = "disabled"
+    if bm25_index_path is not None:
+        marker = os.path.join(checkpoint_dir, "bm25_epoch_log")
+        if _epoch_committed(marker, epoch_id, qid):
+            outcome["bm25"] = "replayed-skip"
+        else:
+            bm25_ingest_batch(pinned, bm25_index_path, text_col, key_col)
+            _commit_epoch(marker, epoch_id, qid)
+            outcome["bm25"] = "applied"
+    else:
+        outcome["bm25"] = "disabled"
+    return outcome
+
+
+def start_composed_relay(
+    events: DataFrame,
+    checkpoint_dir: str,
+    replica_path: str | None = None,
+    dedup_index_path: str | None = None,
+    dedup_flags_path: str | None = None,
+    bm25_index_path: str | None = None,
+    text_col: str = "fullDocument",
+    key_col: str = "documentKey",
+    n_buckets: int = 16,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    retain: int = 2,
+    trigger_interval: str | None = None,
+):
+    """Streaming entry point: one stream, one source read per trigger,
+    every enabled store maintained.  Enable a store by passing its
+    path(s); at least one must be enabled."""
+    if replica_path is None and dedup_index_path is None and (
+        bm25_index_path is None
+    ):
+        raise ValueError(
+            "composed relay: enable at least one store (replica_path, "
+            "dedup_index_path(+dedup_flags_path), or bm25_index_path)"
+        )
+    if (dedup_index_path is None) != (dedup_flags_path is None):
+        raise ValueError(
+            "composed relay: dedup needs BOTH dedup_index_path and "
+            "dedup_flags_path"
+        )
+    _require_local_path(checkpoint_dir, "checkpoint_dir")
+    for p, name in (
+        (replica_path, "replica_path"),
+        (dedup_index_path, "dedup_index_path"),
+        (dedup_flags_path, "dedup_flags_path"),
+        (bm25_index_path, "bm25_index_path"),
+    ):
+        if p is not None:
+            _require_local_path(p, name)
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        composed_apply_batch(
+            batch_df,
+            epoch_id,
+            checkpoint_dir,
+            replica_path,
+            dedup_index_path,
+            dedup_flags_path,
+            bm25_index_path,
+            text_col,
+            key_col,
+            n_buckets,
+            num_hashes,
+            bands,
+            n,
+            retain,
+        )
+
+    writer = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

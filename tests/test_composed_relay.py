@@ -1,0 +1,195 @@
+"""Single-pass composed relay (streaming/composed_relay.py): one
+stream maintains the CDC replica, the near-dup flag store, and the
+BM25 serving index from a single source read per micro-batch, with
+per-store epoch markers so a replay after a partial crash re-applies
+exactly the stores that missed.
+
+Reference parity: the reference dispatches one change-stream cursor's
+events to every consumer in-process (reference process_manager.py);
+this is that topology on Structured Streaming."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.sources.change_events import (
+    stream_change_events_json,
+)
+from pymongo_change_stream_reader_spark.streaming.composed_relay import (
+    composed_apply_batch,
+    start_composed_relay,
+)
+from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
+    read_dedup_flags,
+)
+from pymongo_change_stream_reader_spark.streaming.materialize import (
+    read_replica,
+)
+
+LONG_A = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill in the afternoon sun"
+)
+LONG_B = (
+    "completely different content about distributed query engines "
+    "processing one hundred terabytes of training data every day"
+)
+
+
+def _event(data, key, text, t=1, op="insert"):
+    return json.dumps(
+        {
+            "_id": {"_data": data},
+            "operationType": op,
+            "clusterTime": {"t": t, "i": 1},
+            "documentKey": key,
+            "fullDocument": text,
+        }
+    )
+
+
+def _paths(tmp_path):
+    return dict(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        replica_path=str(tmp_path / "replica"),
+        dedup_index_path=str(tmp_path / "lsh"),
+        dedup_flags_path=str(tmp_path / "flags"),
+        bm25_index_path=str(tmp_path / "bm25"),
+    )
+
+
+def test_composed_relay_two_batches_with_restart_replay(spark, tmp_path):
+    """e2e: two micro-batches through one composed stream, then a
+    RESTART over the same checkpoint (the replay path) — all three
+    stores end correct and nothing double-applies."""
+    src = tmp_path / "in"
+    src.mkdir()
+    p = _paths(tmp_path)
+    (src / "b0.json").write_text(
+        "\n".join(
+            [_event("a1", "k1", LONG_A), _event("a2", "k2", LONG_B)]
+        )
+    )
+
+    def _run():
+        q = start_composed_relay(
+            stream_change_events_json(spark, str(src)), **p
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    _run()
+    # batch 1: a near-dup of k1, an update of k2
+    (src / "b1.json").write_text(
+        "\n".join(
+            [
+                _event("a3", "k9", LONG_A, t=2),
+                _event("a4", "k2", LONG_B + " with an updated tail", t=2,
+                       op="update"),
+            ]
+        )
+    )
+    _run()
+    # batch 2: delete k1; k10 repeats k1's text but must NOT flag
+    # against the now-deleted document (k9 carries the same text live,
+    # so it flags against k9 instead)
+    (src / "b2.json").write_text(
+        "\n".join(
+            [
+                _event("a5", "k1", None, t=3, op="delete"),
+                _event("a6", "k10", LONG_A, t=3),
+            ]
+        )
+    )
+    _run()
+    _run()  # restart with nothing new: pure replay path, must be a no-op
+
+    # replica: k1 deleted, k2 updated, k9/k10 live
+    rep = {
+        r["key"]: r["doc"] for r in read_replica(spark, p["replica_path"]).collect()
+    }
+    assert set(rep) == {"k2", "k9", "k10"}
+    assert rep["k2"].endswith("updated tail")
+    # dedup: k9 flagged against k1 (live at the time), exactly once;
+    # k10 flagged only against the live k9 — never the deleted k1
+    flags = sorted(
+        (r["new_id"], r["corpus_id"])
+        for r in read_dedup_flags(spark, p["dedup_flags_path"]).collect()
+    )
+    assert flags == [("k10", "k9"), ("k9", "k1")]
+    # bm25: exactly the live corpus (delete + update applied once) —
+    # n_docs == 3 and no crashed-append journal left behind
+    consts = json.load(open(f"{p['bm25_index_path']}/_consts.json"))
+    assert consts["n_docs"] == 3.0
+    assert not os.path.exists(
+        f"{p['bm25_index_path']}/_append_journal.json"
+    )
+
+
+def test_partial_crash_replays_only_missing_stores(spark, tmp_path):
+    """A crash after dedup committed its marker but before BM25 ran:
+    the replay skips dedup (no double-flag) and applies BM25."""
+    def _mk(spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "operationType STRING, documentKey STRING, "
+            "fullDocument STRING, t INT, i INT, d STRING",
+        ).selectExpr(
+            "operationType",
+            "documentKey",
+            "fullDocument",
+            "named_struct('t', t, 'i', i) AS clusterTime",
+            "named_struct('_data', d) AS _id",
+        )
+
+    p = _paths(tmp_path)
+    os.makedirs(p["checkpoint_dir"], exist_ok=True)
+    batch0 = _mk(spark, [("insert", "k1", LONG_A, 1, 1, "a1")])
+    out = composed_apply_batch(batch0, 0, **{
+        k: v for k, v in p.items()
+    })
+    assert out == {"replica": "applied", "dedup": "applied",
+                   "bm25": "applied"}
+    # simulate the partial crash on epoch 1: pre-commit ONLY dedup's
+    # marker, then run the "replay"
+    from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
+        _commit_epoch,
+        _query_id,
+    )
+
+    qid = _query_id(p["checkpoint_dir"])
+    _commit_epoch(
+        os.path.join(p["checkpoint_dir"], "dedup_epoch_log"), 1, qid
+    )
+    batch1 = _mk(spark, [("insert", "k9", LONG_A, 2, 1, "a2")])
+    out = composed_apply_batch(batch1, 1, **{k: v for k, v in p.items()})
+    assert out == {"replica": "applied", "dedup": "replayed-skip",
+                   "bm25": "applied"}
+    # dedup never ran for epoch 1 -> no flags; bm25 holds both docs
+    assert read_dedup_flags(spark, p["dedup_flags_path"]) is None
+    consts = json.load(open(f"{p['bm25_index_path']}/_consts.json"))
+    assert consts["n_docs"] == 2.0
+    # replica applied both batches (idempotent, markerless)
+    assert {
+        r["key"] for r in read_replica(spark, p["replica_path"]).collect()
+    } == {"k1", "k9"}
+
+
+def test_composed_relay_validates_configuration(spark, tmp_path):
+    import pytest
+
+    events = spark.createDataFrame([], "x INT")
+    with pytest.raises(ValueError, match="at least one store"):
+        start_composed_relay(events, str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="BOTH dedup_index_path"):
+        start_composed_relay(
+            events,
+            str(tmp_path / "c"),
+            dedup_index_path=str(tmp_path / "i"),
+        )
