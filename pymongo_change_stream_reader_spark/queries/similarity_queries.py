@@ -445,9 +445,11 @@ def ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # recall of approximate methods — not SQL-expressible
     doc="Recall@10 of every approximate ANN family vs brute_force_topk "
     "on the same 5 query vectors: (method, k, hits, truth_pairs, "
-    "recall).  Promotes the scattered per-method recall pytests into a "
-    "first-class registered query so a recall regression surfaces in "
-    "CORRECTNESS/bench, not only in tests (r3 verdict ask #6); the "
+    "recall) — the four in-memory families PLUS the stored-index "
+    "serving paths (IVF / PQ / composed IVF-PQ from persisted "
+    "indexes), so a regression in either the algorithms or the "
+    "index read/write roundtrip surfaces in CORRECTNESS/bench, not "
+    "only in tests (r3 verdict ask #6, completed per r5 #5); the "
     "per-method floors stay pytest-asserted in "
     "tests/test_dedup_similarity.py::test_similarity_recall_report_floors.",
     tags=("similarity", "approx"),
@@ -455,10 +457,21 @@ def ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: each method is the same distributed plan it has as a
     standalone query; the report adds one broadcast-sized join per
-    method (truth is n_queries x k rows) and a 4-row driver result."""
+    method (truth is n_queries x k rows) and a 7-row driver result.
+    The stored-index rows reuse the same persisted-index paths as
+    their standalone queries (built once per sf_dir)."""
+    import os
+    import tempfile
+
     from pymongo_change_stream_reader_spark.operators.similarity import (
+        ivf_topk_from_index,
+        ivfpq_topk_from_index,
         lsh_multiprobe_topk,
         pq_topk,
+        pq_topk_from_index,
+        write_ivf_index,
+        write_ivfpq_index,
+        write_pq_index,
     )
 
     k = 10
@@ -470,6 +483,21 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # probed once per method
     )
     n_truth = truth.count()
+    safe = sf_dir.strip("/").replace("/", "_")
+    tmp = tempfile.gettempdir()
+    ivf_path = f"{tmp}/spark_ivf_index_{safe}"
+    pq_path = f"{tmp}/spark_pq_index_{safe}"
+    ivfpq_path = f"{tmp}/spark_ivfpq_index_{safe}"
+    # same paths + params as ann_ivf_index / ann_pq_index, so the
+    # report piggybacks on an index those queries already built
+    if not os.path.exists(os.path.join(ivf_path, "_centroids.json")):
+        write_ivf_index(emb, ivf_path, nlist=16, train_iters=2)
+    if not os.path.exists(os.path.join(pq_path, "_codebooks.json")):
+        write_pq_index(emb, pq_path, m_sub=8, k_codes=16, iters=1)
+    if not os.path.exists(os.path.join(ivfpq_path, "_model.json")):
+        write_ivfpq_index(
+            emb, ivfpq_path, nlist=16, m_sub=8, k_codes=16, iters=1
+        )
     methods = {
         "lsh_bucketed": lsh_bucketed_topk(emb, queries, k=k, num_planes=4),
         "lsh_multiprobe": lsh_multiprobe_topk(
@@ -478,6 +506,15 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_nlist16_nprobe4": ivf_topk(emb, queries, k=k, nlist=16, nprobe=4),
         "pq_m8_k16_rerank8": pq_topk(
             emb, queries, k=k, m_sub=8, k_codes=16, iters=1, rerank=8
+        ),
+        "ivf_from_index": ivf_topk_from_index(
+            spark, ivf_path, queries, k=k, nprobe=4
+        ),
+        "pq_from_index": pq_topk_from_index(
+            spark, pq_path, queries, emb, k=k, rerank=8
+        ),
+        "ivfpq_from_index": ivfpq_topk_from_index(
+            spark, ivfpq_path, queries, emb, k=k, nprobe=4, rerank=8
         ),
     }
     rows = []

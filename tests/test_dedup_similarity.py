@@ -840,6 +840,9 @@ def test_similarity_recall_report_floors(spark):
         "lsh_multiprobe",
         "ivf_nlist16_nprobe4",
         "pq_m8_k16_rerank8",
+        "ivf_from_index",
+        "pq_from_index",
+        "ivfpq_from_index",
     }
     for r in rep.values():
         assert r["k"] == 10 and r["truth_pairs"] == 50
@@ -852,3 +855,15 @@ def test_similarity_recall_report_floors(spark):
     )  # probing a superset of buckets
     assert rep["ivf_nlist16_nprobe4"]["recall"] >= 0.5
     assert rep["pq_m8_k16_rerank8"]["recall"] >= 0.65
+    # stored-index serving paths (r5 verdict ask #5): same training
+    # params as their in-memory siblings -> identical recall (the
+    # write/read roundtrip must not change results), and the composed
+    # IVF-PQ index holds its own calibrated floor
+    assert (
+        rep["ivf_from_index"]["recall"]
+        == rep["ivf_nlist16_nprobe4"]["recall"]
+    )
+    assert (
+        rep["pq_from_index"]["recall"] == rep["pq_m8_k16_rerank8"]["recall"]
+    )
+    assert rep["ivfpq_from_index"]["recall"] >= 0.5
