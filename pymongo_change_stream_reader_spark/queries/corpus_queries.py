@@ -1242,6 +1242,15 @@ def sample_stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_adaptive_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # EXACT percentile is safe at 100 TB here because its aggregation
+    # state is a counts-map over DISTINCT values, not a buffer of all
+    # rows — and n_chars is a bounded-cardinality integer (distinct
+    # values <= the max document length in characters, ~10^5-10^6
+    # entries per lang group regardless of corpus row count).  For an
+    # UNBOUNDED-cardinality column (raw doubles, timestamps) swap in
+    # approx_percentile(col, p, accuracy) — 1/accuracy relative rank
+    # error, default 10^-4 — and accept that the DuckDB oracle's exact
+    # interpolation no longer hash-matches.
     bounds = d.groupBy("lang").agg(
         F.expr("percentile(n_chars, 0.05)").alias("lo"),
         F.expr("percentile(n_chars, 0.95)").alias("hi"),
