@@ -746,3 +746,135 @@ def dedup_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CHURN_TEXT = (
+    "churn placeholder text shared by every updated corpus document"
+)
+
+
+@query(
+    "dedup_lsh_churn",
+    oracle=f"""
+    WITH live AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 9 = 0 THEN '{_CHURN_TEXT}'
+                    ELSE text END AS text
+        FROM documents
+        WHERE doc_id % 10 <> 0 AND doc_id % 7 <> 1
+    ),
+    newg AS (
+        SELECT doc_id, {_GRAMS} AS grams FROM documents
+        WHERE doc_id % 10 = 0
+    ),
+    oldg AS (SELECT doc_id, {_GRAMS} AS grams FROM live),
+    inv_new AS (SELECT doc_id, unnest(grams) AS gram FROM newg),
+    inv_old AS (SELECT doc_id, unnest(grams) AS gram FROM oldg),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+        FROM inv_new n JOIN inv_old o ON n.gram = o.gram
+    )
+    SELECT new_id, corpus_id,
+           ROUND(len(list_intersect(gn.grams, go.grams))::DOUBLE
+                 / greatest(len(gn.grams) + len(go.grams)
+                            - len(list_intersect(gn.grams, go.grams)), 1),
+                 6) AS jaccard
+    FROM cand
+    JOIN newg gn ON gn.doc_id = new_id
+    JOIN oldg go ON go.doc_id = corpus_id
+    WHERE len(list_intersect(gn.grams, go.grams))::DOUBLE
+          / greatest(len(gn.grams) + len(go.grams)
+                     - len(list_intersect(gn.grams, go.grams)), 1) >= 0.5
+    ORDER BY new_id, corpus_id
+    """,
+    doc="Incremental dedup against an index that has CHURNED: the "
+    "corpus index is built through the generation-tracked relay path, "
+    "then every doc_id%7==1 document is DELETED (tombstone_lsh_docs) "
+    "and every remaining doc_id%9==0 document is UPDATED to an "
+    "unrelated placeholder (tombstone + next-generation re-ingest) — "
+    "the reference's insert/update/replace/delete loop "
+    "(change_handler.py:11,43-48) applied to the dedup index.  The "
+    "arriving batch (doc_id%10==0) probes the LIVE index; the oracle "
+    "enumerates exact-Jaccard pairs against the post-churn corpus, so "
+    "a flag surviving against a deleted document or a superseded text "
+    "is a driver-gate FAILURE, not just a pytest one.  Same "
+    "recall-completeness caveat as dedup_incremental_lsh (planted "
+    "near-dups sit far above the 0.5 threshold).",
+    tags=("dedup", "incremental"),
+)
+def dedup_lsh_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: churn cost is batch-sized (registry lookups + tombstone
+    appends + next-generation sketch appends); the probe is the same
+    band-pruned index join as the append-only path, now minus one
+    broadcast anti-join against the (bounded, compaction-cleared)
+    tombstone set."""
+    import os
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        _grams_table,
+        append_lsh_index,
+        jaccard,
+        query_lsh_index,
+        read_lsh_index,
+        tombstone_lsh_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus0 = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    path = tempfile.mkdtemp(prefix="spark_lsh_churn_") + "/idx"
+    try:
+        # build through the generation-tracked path (registry sidecar)
+        append_lsh_index(
+            corpus0, path, "text", "doc_id", track_generations=True
+        )
+        # DELETE every %7==1 document
+        tombstone_lsh_docs(
+            corpus0.filter(F.col("doc_id") % 7 == 1).select(
+                F.col("doc_id").alias("doc")
+            ),
+            path,
+        )
+        # UPDATE every remaining %9==0 document to the placeholder
+        upd = corpus0.filter(
+            (F.col("doc_id") % 9 == 0) & (F.col("doc_id") % 7 != 1)
+        ).select("doc_id", F.lit(_CHURN_TEXT).alias("text"))
+        tombstone_lsh_docs(
+            upd.select(F.col("doc_id").alias("doc")), path
+        )
+        append_lsh_index(upd, path, "text", "doc_id",
+                         track_generations=True)
+        cand = query_lsh_index(
+            new, read_lsh_index(spark, path), "text", "doc_id"
+        )
+        # verify with exact Jaccard against the POST-CHURN live corpus
+        live = corpus0.filter(F.col("doc_id") % 7 != 1).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 9 == 0, F.lit(_CHURN_TEXT)
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        gn = _grams_table(new, "text", "doc_id", 3).select(
+            F.col("doc").alias("new_id"), F.col("grams").alias("grams_n")
+        )
+        go = _grams_table(live, "text", "doc_id", 3).select(
+            F.col("doc").alias("corpus_id"), F.col("grams").alias("grams_o")
+        )
+        return (
+            cand.join(gn, "new_id")
+            .join(go, "corpus_id")
+            .select(
+                "new_id",
+                "corpus_id",
+                F.round(
+                    jaccard(F.col("grams_n"), F.col("grams_o")), 6
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.5)
+            .orderBy("new_id", "corpus_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
