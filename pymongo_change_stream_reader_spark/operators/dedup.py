@@ -700,8 +700,25 @@ def append_lsh_index(
         IndexWriteLock,
     )
 
+    import os as _os
+
     spark = df_new.sparkSession
     with IndexWriteLock(_lsh_lock_path(path)):
+        if _os.path.isdir(path) and any(
+            f.endswith(".parquet")
+            for _r, _d, files in _os.walk(path)
+            for f in files
+        ):
+            if "gen" not in spark.read.parquet(path).columns:
+                # legacy index: appending gen-tagged files would mix
+                # schemas in one parquet dir (nondeterministic reads —
+                # gen null or dropped).  Compaction rewrites every row
+                # with gen=0; all writers agree afterwards.
+                raise RuntimeError(
+                    f"LSH index at {path!r} predates generation "
+                    "tagging — run compact_lsh_index(spark, path) once "
+                    "to migrate it before appending"
+                )
         bt = lsh_band_table(df_new, text_col, id_col, num_hashes, bands, n)
         if not track_generations:
             bt.withColumn("gen", F.lit(0)).write.mode("append").partitionBy(

@@ -239,9 +239,15 @@ def compact_bm25_index(
     from pymongo_change_stream_reader_spark.operators.retrieval import (
         _read_tombstones,
         _with_gen,
+        recover_bm25_append,
     )
 
     with bm25_lock(path):
+        # roll back a crashed append BEFORE compacting: the journal's
+        # keep-set lists pre-compaction file names, so compacting over
+        # a live journal and recovering later would delete every
+        # compacted file — the whole index (review r6 finding #1)
+        recover_bm25_append(path)
         tomb = _read_tombstones(spark, path)
         if tomb is not None:
             # the tombstones dir is immutable while this lock is held
@@ -300,13 +306,14 @@ def compact_lsh_index(
     sets), and the tombstone sidecar clears, so index size tracks the
     live corpus under churn instead of growing without bound."""
     from pymongo_change_stream_reader_spark.operators.dedup import (
+        _lsh_lock_path,
         _lsh_registry_path,
         _lsh_tombstone_path,
         _lsh_with_gen,
         _read_lsh_tombstones,
     )
 
-    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+    with IndexWriteLock(_lsh_lock_path(path)):
         tomb = _read_lsh_tombstones(spark, path)
         reg_path = _lsh_registry_path(path)
 

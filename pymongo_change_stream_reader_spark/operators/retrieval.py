@@ -372,9 +372,20 @@ def _bm25_apply_locked(
     import os
 
     consts = _load_consts(spark, path)
-    stored = _with_gen(
-        spark.read.parquet(os.path.join(path, "doclen"))
-    ).select("doc_id", "gen", "dl")
+    raw_doclen = spark.read.parquet(os.path.join(path, "doclen"))
+    if "gen" not in raw_doclen.columns:
+        # legacy index (written before generations existed): appending
+        # gen-tagged files would MIX schemas within one parquet dir,
+        # and spark.read without mergeSchema resolves the mix
+        # nondeterministically (gen read as null, or dropped) — either
+        # way the tombstone anti-join breaks.  Compaction rewrites
+        # every row with gen=0, after which all writers agree.
+        raise RuntimeError(
+            f"BM25 index at {path!r} predates generation tagging — run "
+            "compact_bm25_index(spark, path) once to migrate it before "
+            "appending/updating/deleting"
+        )
+    stored = raw_doclen.select("doc_id", "gen", "dl")
     tomb = _read_tombstones(spark, path)
     live = (
         stored

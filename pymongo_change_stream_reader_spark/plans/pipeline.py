@@ -4360,6 +4360,35 @@ def _apply_merge_bucketed(
         )
 
 
+def _purge_phantom_history(path: str) -> list[str]:
+    """Delete PHANTOM history snapshots — commits whose manifest swap
+    never landed.  After a successful commit the newest snapshot
+    equals ``_manifest`` by construction, so every snapshot NEWER than
+    the newest one matching the installed manifest was never current;
+    with no ``_manifest`` at all (first-commit crash) every snapshot
+    is a phantom.  If no snapshot matches a present manifest
+    (externally tampered / legacy sink) nothing is purged —
+    conservative.  Callers hold ``bucketed_sink_lock``.  Returns the
+    purged names."""
+    import os
+
+    cur_body = _read_bucket_manifest(path)
+    hist0 = _bucket_history_files(path)
+    if cur_body is None:
+        phantoms = hist0
+    else:
+        phantoms = []
+        for name in reversed(hist0):
+            if _read_bucket_manifest(path, name) == cur_body:
+                break
+            phantoms.append(name)
+        else:
+            phantoms = []
+    for name in phantoms:
+        os.unlink(os.path.join(path, name))
+    return phantoms
+
+
 def _write_atomic(dest: str, body: str) -> None:
     """Durable single-file write: tmp + fsync + os.replace — the file
     at ``dest`` either keeps its old content or holds the complete new
@@ -4419,33 +4448,13 @@ def _commit_bucketed(
     ] + [int(h.rsplit("v-", 1)[1]) for h in _bucket_history_files(path)]
     vdir = f"v-{(max(seen) + 1 if seen else 1):06d}"
     # purge PHANTOM history snapshots left by a crash between a prior
-    # commit's history write and its manifest swap: after a successful
-    # commit the newest snapshot equals _manifest by construction, so
-    # every snapshot NEWER than the newest one matching the installed
-    # manifest was never current.  Without this purge, THIS commit's
-    # snapshot would bury the phantom mid-history, after which
-    # read_bucketed_sink(version=-1) resolves to the phantom —
+    # commit's history write and its manifest swap.  Without this,
+    # THIS commit's snapshot would bury the phantom mid-history, after
+    # which read_bucketed_sink(version=-1) resolves to the phantom —
     # never-committed data served as "the previous commit" — and every
     # deeper -n read is off by one.  (Purged AFTER `seen` so the
     # phantom's version number still counts toward never-recycling.)
-    cur_body = _read_bucket_manifest(path)
-    hist0 = _bucket_history_files(path)
-    if cur_body is None:
-        # no commit ever succeeded: every snapshot is a phantom
-        phantoms = hist0
-    else:
-        # everything strictly newer than the newest snapshot matching
-        # the installed manifest; if NO snapshot matches (externally
-        # tampered / legacy sink), purge nothing — conservative
-        phantoms = []
-        for name in reversed(hist0):
-            if _read_bucket_manifest(path, name) == cur_body:
-                break
-            phantoms.append(name)
-        else:
-            phantoms = []
-    for name in phantoms:
-        os.unlink(os.path.join(path, name))
+    _purge_phantom_history(path)
     merged.withColumn("__bucket", _bucket_of(on, n_buckets)).write.partitionBy(
         "__bucket"
     ).mode("overwrite").parquet(os.path.join(path, vdir))
@@ -4567,6 +4576,13 @@ def vacuum_bucketed_sink(path: str, keep: int = 1) -> int:
                 f"{path!r} is not a bucketed versioned sink; vacuum "
                 "applies to bucketed sinks only"
             )
+        # purge phantoms FIRST: a trailing phantom would otherwise
+        # count toward `keep` and push the REAL anchor snapshot (the
+        # one matching _manifest) into the stale set — after which the
+        # next commit's purge finds no anchor, goes conservative, and
+        # buries the phantom where version=-1 serves it (review r6
+        # finding #2)
+        _purge_phantom_history(path)
         hist = _bucket_history_files(path)
         stale = hist[: max(0, len(hist) - keep)]
         for name in stale:

@@ -437,7 +437,10 @@ def text_bm25_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 7 == 0, F.lit("stale placeholder text")
         ).otherwise(F.col("text")),
     )
-    extras = d.limit(20).select(
+    # doc_id < 20, not limit(20): limit without an order is not
+    # deterministic across separate Spark actions, and the SAME rows
+    # must be indexed and later deleted
+    extras = d.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
     path = tempfile.mkdtemp(prefix="spark_bm25_ups_")

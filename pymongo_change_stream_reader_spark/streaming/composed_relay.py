@@ -112,6 +112,7 @@ def composed_apply_batch(
                 bands,
                 n,
                 epoch_id=epoch_id,
+                scope=qid,
             )
             _commit_epoch(marker, epoch_id, qid)
             outcome["dedup"] = "applied"

@@ -89,12 +89,19 @@ def dedup_flag_batch(
     bands: int = 8,
     n: int = 3,
     epoch_id: int = 0,
+    scope: str = "",
 ) -> int:
     """Apply one batch of change events: tombstone, probe, flag,
     append (see module docstring).  Returns the number of flagged
-    (new, corpus) pairs; ``epoch_id`` is the idempotence key — each
-    batch overwrites its own ``epoch=N`` flag partition, so callers
-    must use distinct epochs per batch (the streaming wrapper does).
+    (new, corpus) pairs; ``(scope, epoch_id)`` is the idempotence
+    key — each batch overwrites its own ``epoch=N`` flag partition
+    (nested under ``q=<scope>`` when a scope is given), so callers
+    must use distinct epochs per batch within a scope.  The streaming
+    wrapper passes its query id as the scope: epoch ids restart from 0
+    after a checkpoint reset, and an unscoped overwrite would DELETE
+    the previous incarnation's accumulated flags instead of appending
+    alongside them.  Don't mix scoped and unscoped writers on one
+    flags store — the two directory depths break partition discovery.
     Batch-testable without a streaming query, like
     materialize_change_batch."""
     from pymongo_change_stream_reader_spark.streaming.index_relay import (
@@ -133,12 +140,22 @@ def dedup_flag_batch(
                 .localCheckpoint(eager=True)
             )
         n_flags = flagged.count()
-        # overwrite THIS epoch's partition — idempotent under replay
-        # (an append would double-count flag rows if the previous
-        # attempt crashed between the flags write and the marker)
-        flagged.write.mode("overwrite").parquet(
-            os.path.join(flags_path, f"epoch={int(epoch_id)}")
-        )
+        if n_flags:
+            # overwrite THIS epoch's partition — idempotent under
+            # replay (an append would double-count flag rows if the
+            # previous attempt crashed between the flags write and the
+            # marker).  Zero-flag batches write NOTHING: the probe is
+            # deterministic for a replayed batch (the tombstone step is
+            # idempotent and the index append happens after), so a
+            # replay can never need to CLEAR a previous attempt's
+            # rows — and skipping keeps read_dedup_flags' None contract
+            # plus avoids one empty partition dir per quiet trigger.
+            part = os.path.join(flags_path, f"epoch={int(epoch_id)}")
+            if scope:
+                part = os.path.join(
+                    flags_path, f"q={scope}", f"epoch={int(epoch_id)}"
+                )
+            flagged.write.mode("overwrite").parquet(part)
     append_lsh_index(
         docs, index_path, "text", "doc", num_hashes, bands, n,
         track_generations=True,
@@ -182,6 +199,7 @@ def start_streaming_dedup(
             bands,
             n,
             epoch_id=epoch_id,
+            scope=qid,
         )
         _commit_epoch(marker_dir, epoch_id, qid)
 
@@ -196,11 +214,29 @@ def start_streaming_dedup(
 
 
 def read_dedup_flags(spark, flags_path: str) -> DataFrame | None:
-    """The accumulated (new_id, corpus_id, epoch) near-dup flags, or
-    None before any flag has been written.  LOCAL paths only (the
-    existence probe is driver-side) — a URI raises loudly rather than
-    silently reporting no flags."""
+    """The accumulated (new_id, corpus_id, epoch[, q]) near-dup flags,
+    or None before any flag has been written.  ``epoch`` (and ``q``
+    for streaming-written stores) are partition columns.  LOCAL paths
+    only (the existence probe is driver-side) — a URI raises loudly
+    rather than silently reporting no flags.
+
+    MIGRATION NOTE: a flags store written before the per-epoch
+    partition layout (flat part-*.parquet at the root with an `epoch`
+    data column) cannot be mixed with the partitioned layout — Spark's
+    partition discovery rejects leaf files at two depths.  Re-home or
+    clear a flat store before pointing the upgraded relay at it; the
+    error below names the fix."""
     _require_local_path(flags_path, "flags_path")
     if not _dir_has_parquet(flags_path):
         return None
-    return spark.read.parquet(flags_path)
+    try:
+        return spark.read.parquet(flags_path)
+    except Exception as exc:  # AnalysisException: conflicting depths
+        if "Conflicting directory structures" in str(exc):
+            raise RuntimeError(
+                f"flags store at {flags_path!r} mixes the legacy flat "
+                "layout with epoch partitions — move the old "
+                "part-*.parquet files into their own directory (or "
+                "clear them) and retry"
+            ) from exc
+        raise

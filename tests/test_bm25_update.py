@@ -194,3 +194,67 @@ def test_crash_mid_apply_rolls_back_exactly(
     full = str(tmp_path / "full")
     write_bm25_index(_final_corpus(spark, docs), full)
     assert _scores(spark, full) == _scores(spark, path)
+
+
+def test_compact_over_crashed_journal_recovers_first(
+    spark, tmp_path, docs, monkeypatch
+):
+    """Review r6 #1: compacting over a live crashed-append journal
+    would rename every file the journal's keep-set lists, so a later
+    recovery would delete the entire compacted index.  Compaction must
+    roll the crashed append back FIRST."""
+    import pymongo_change_stream_reader_spark.operators.retrieval as rt
+
+    path = str(tmp_path / "idx")
+    write_bm25_index(docs, path)
+    pre = _scores(spark, path)
+    updated = _final_corpus(spark, docs).filter(F.col("doc_id") % 7 == 0)
+    real = rt._write_consts
+    monkeypatch.setattr(
+        rt, "_write_consts", lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected crash")
+        )
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        upsert_bm25_index(updated, path)
+    monkeypatch.setattr(rt, "_write_consts", real)
+    # compaction rolls the crashed append back, then compacts cleanly
+    compact_bm25_index(spark, path)
+    assert not os.path.exists(os.path.join(path, "_append_journal.json"))
+    assert _scores(spark, path) == pre
+    # and the replayed batch applies to the rebuild-equal result
+    upsert_bm25_index(updated, path)
+    full = str(tmp_path / "full")
+    write_bm25_index(_final_corpus(spark, docs), full)
+    assert _scores(spark, full) == _scores(spark, path)
+
+
+def test_legacy_index_without_gen_refuses_then_migrates(
+    spark, tmp_path, docs
+):
+    """Review r6 #3: appending gen-tagged files into a pre-generation
+    index would mix parquet schemas nondeterministically; writers must
+    refuse, and one compaction migrates the index in place."""
+    import shutil
+
+    path = str(tmp_path / "idx")
+    write_bm25_index(docs, path)
+    # strip the gen column from both data tables = a legacy index
+    for table in ("postings", "doclen"):
+        t = os.path.join(path, table)
+        spark.read.parquet(t).drop("gen").write.mode("overwrite").parquet(
+            t + ".legacy"
+        )
+        shutil.rmtree(t)
+        os.rename(t + ".legacy", t)
+    updated = _final_corpus(spark, docs).filter(F.col("doc_id") % 7 == 0)
+    with pytest.raises(RuntimeError, match="predates generation"):
+        upsert_bm25_index(updated, path)
+    compact_bm25_index(spark, path)  # the migration
+    assert "gen" in spark.read.parquet(
+        os.path.join(path, "doclen")
+    ).columns
+    upsert_bm25_index(updated, path)
+    full = str(tmp_path / "full")
+    write_bm25_index(_final_corpus(spark, docs), full)
+    assert _scores(spark, full) == _scores(spark, path)

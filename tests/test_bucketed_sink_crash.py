@@ -200,3 +200,23 @@ def test_write_paths_block_on_held_sink_lock(spark, tmp_path, op):
     )
     if expect is not None:
         assert _vals(read_bucketed_sink(spark, path)) == expect
+
+
+def test_vacuum_purges_phantom_instead_of_anchor(spark, tmp_path):
+    """Review r6 #2: a trailing phantom must not count toward `keep` —
+    vacuum(keep=1) on [c1, c2, phantom] must retire c1 AND the
+    phantom, keeping c2 (the real anchor), so the next commit's purge
+    still finds its anchor and version=-1 stays truthful."""
+    path = str(tmp_path / "sink")
+    _merge(spark, [(1, "c1")], path)
+    _merge(spark, [(1, "c2")], path)
+    phantom = _write_phantom(path)
+    vacuum_bucketed_sink(path, keep=1)
+    names = os.listdir(path)
+    assert phantom not in names
+    # the anchor (c2's snapshot) survives; only c1's was vacuumed
+    assert _bucket_history_files(path) == ["_manifest.h-v-000002"]
+    assert _vals(read_bucketed_sink(spark, path)) == [(1, "c2")]
+    # next commit: version=-1 resolves to c2, never the phantom
+    _merge(spark, [(1, "c3")], path)
+    assert _vals(read_bucketed_sink(spark, path, -1)) == [(1, "c2")]

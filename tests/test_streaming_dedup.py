@@ -371,3 +371,88 @@ def test_probe_blocks_while_compaction_holds_lock(spark, tmp_path):
         f"batch returned in {elapsed:.2f}s under an exclusive index lock "
         "— the probe/append paths are not taking the lock"
     )
+
+
+def test_legacy_lsh_index_refuses_then_migrates(spark, tmp_path):
+    """Review r6 #4: appending gen-tagged files into a pre-generation
+    band dir would mix parquet schemas; writers refuse, and one
+    compaction migrates in place."""
+    import pytest as _pytest
+
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        append_lsh_index,
+        lsh_band_table,
+    )
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        compact_lsh_index,
+    )
+
+    index = str(tmp_path / "idx")
+    legacy = spark.createDataFrame([("k1", LONG_A)], "doc STRING, text STRING")
+    # a legacy index: band table WITHOUT the gen column
+    lsh_band_table(legacy, "text", "doc").write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(index)
+    batch = spark.createDataFrame([("k2", LONG_B)], "doc STRING, text STRING")
+    with _pytest.raises(RuntimeError, match="predates generation"):
+        append_lsh_index(batch, index, "text", "doc")
+    compact_lsh_index(spark, index)  # the migration
+    assert "gen" in spark.read.parquet(index).columns
+    append_lsh_index(batch, index, "text", "doc")
+    assert spark.read.parquet(index).count() == 2 * 8
+
+
+def test_flag_scope_isolates_checkpoint_incarnations(spark, tmp_path):
+    """Review r6 #5: after a checkpoint reset, epoch ids restart from
+    0 — the new incarnation's overwrite must not delete the previous
+    incarnation's accumulated flags.  The query-id scope isolates
+    them."""
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k1", LONG_A)]),
+        index, flags, epoch_id=0, scope="qid-old",
+    )
+    assert (
+        dedup_flag_batch(
+            _batch(spark, [("insert", "k9", LONG_A)]),
+            index, flags, epoch_id=1, scope="qid-old",
+        )
+        == 1
+    )
+    # "checkpoint reset": a new incarnation restarts at epoch 0/1
+    assert (
+        dedup_flag_batch(
+            _batch(spark, [("insert", "k10", LONG_A)]),
+            index, flags, epoch_id=1, scope="qid-new",
+        )
+        >= 1
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in read_dedup_flags(spark, flags).collect()
+    }
+    # the old incarnation's flag survived alongside the new one's
+    assert ("k9", "k1") in got
+    assert ("k10", "k1") in got
+
+
+def test_zero_flag_batch_writes_nothing(spark, tmp_path):
+    """Review r6 #7: quiet batches must not leave one empty partition
+    dir per trigger — and read_dedup_flags keeps its None contract
+    until a flag actually exists."""
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k1", LONG_A)]), index, flags, epoch_id=0
+    )
+    # second batch: novel text, no flags -> nothing written at all
+    assert (
+        dedup_flag_batch(
+            _batch(spark, [("insert", "k2", LONG_B)]),
+            index, flags, epoch_id=1,
+        )
+        == 0
+    )
+    assert read_dedup_flags(spark, flags) is None
+    assert not os.path.isdir(os.path.join(flags, "epoch=1"))
