@@ -336,30 +336,76 @@ def compact_lsh_index(
         return n
 
 
+def _ann_purge_transform(spark: SparkSession, path: str, idx_id_col: str):
+    """Shared compactor transform for the ANN serving indexes: shim
+    the generation column (pre-generation rows become gen 0 — the
+    in-place migration path writers demand), and when a tombstone
+    sidecar exists, drop the dead (id, gen) rows.  Returns (transform,
+    had_tombstones)."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        _read_ann_tombstones,
+    )
+
+    tomb = _read_ann_tombstones(spark, path, idx_id_col)
+
+    def _t(df):
+        if "gen" not in df.columns:
+            df = df.withColumn("gen", F.lit(0))
+        if tomb is not None:
+            df = df.join(
+                F.broadcast(tomb), [idx_id_col, "gen"], "left_anti"
+            )
+        return df
+
+    return _t, tomb is not None
+
+
 def compact_ivf_index(
     spark: SparkSession, path: str, num_files: int = 1
 ) -> int:
     """Compact the cell-partitioned IVF index, preserving cell
     partition pruning; the _centroids.json model sidecar rides into
     the compacted dir before the swap (no crash point leaves an index
-    without its model)."""
+    without its model).  Tombstoned generations (updates/deletes) are
+    physically purged and the tombstone sidecar clears; a
+    pre-generation index is migrated in place (every row gen 0)."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        _ann_tombstone_path,
+    )
+
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
-        return compact_parquet_table(
+        transform, had_tomb = _ann_purge_transform(spark, path, "neighbor_id")
+        n = compact_parquet_table(
             spark,
             path,
             num_files,
             partition_by="cell",
             preserve_files=("_centroids.json",),
+            transform=transform,
         )
+        if had_tomb:
+            shutil.rmtree(_ann_tombstone_path(path), ignore_errors=True)
+        return n
 
 
 def compact_pq_index(
-    spark: SparkSession, path: str, num_files: int = 1
+    spark: SparkSession, path: str, num_files: int = 1, id_col: str = "vec_id"
 ) -> int:
     """Compact the PQ code table; the _codebooks.json model sidecar is
     preserved (using the generic compact_parquet_table directly would
-    destroy it — the codebooks are not reproducible from the codes)."""
+    destroy it — the codebooks are not reproducible from the codes).
+    Tombstoned generations are purged and the sidecar clears, same as
+    compact_ivf_index; ``id_col`` names the stored id column."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        _ann_tombstone_path,
+    )
+
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
-        return compact_parquet_table(
-            spark, path, num_files, preserve_files=("_codebooks.json",)
+        transform, had_tomb = _ann_purge_transform(spark, path, id_col)
+        n = compact_parquet_table(
+            spark, path, num_files, preserve_files=("_codebooks.json",),
+            transform=transform,
         )
+        if had_tomb:
+            shutil.rmtree(_ann_tombstone_path(path), ignore_errors=True)
+        return n

@@ -489,6 +489,140 @@ def _cell_assignment(
     )
 
 
+def _ann_tombstone_path(path: str) -> str:
+    return path.rstrip("/") + "_tombstones"
+
+
+def _read_ann_tombstones(spark, path: str, idx_id_col: str):
+    """Dead (id, gen) pairs of a stored ANN index under update/delete
+    maintenance, or None for a pure-append index.  Same sidecar
+    contract as the LSH/BM25 tombstone sets (bounded — the index
+    compactor purges and clears it)."""
+    import os
+
+    tpath = _ann_tombstone_path(path)
+    if not os.path.isdir(tpath) or not any(
+        f.endswith(".parquet")
+        for _r, _d, files in os.walk(tpath)
+        for f in files
+    ):
+        return None
+    return spark.read.parquet(tpath).select(idx_id_col, "gen").distinct()
+
+
+def _ann_live_read(spark, path: str, idx_id_col: str) -> DataFrame:
+    """The LIVE rows of a stored ANN index: gen-shimmed (pre-
+    generation indexes are all gen 0) and tombstone-filtered with one
+    broadcast anti-join."""
+    df = spark.read.parquet(path)
+    if "gen" not in df.columns:
+        df = df.withColumn("gen", F.lit(0))
+    tomb = _read_ann_tombstones(spark, path, idx_id_col)
+    if tomb is not None:
+        df = df.join(F.broadcast(tomb), [idx_id_col, "gen"], "left_anti")
+    return df
+
+
+def _ann_require_gen_format(df: DataFrame, path: str, compactor: str) -> None:
+    """Writers refuse a pre-generation index: appending gen-tagged
+    files would mix parquet schemas in one dir (nondeterministic
+    reads — gen null or dropped), breaking the tombstone anti-join.
+    One compaction migrates in place (its transform writes gen=0)."""
+    if "gen" not in df.columns:
+        raise RuntimeError(
+            f"ANN index at {path!r} predates generation tagging — run "
+            f"{compactor}(spark, path) once to migrate it before "
+            "appending/updating/deleting"
+        )
+
+
+def _ann_apply_gens(
+    spark,
+    path: str,
+    new_rows: DataFrame,
+    idx_id_col: str,
+    check_new_ids: bool,
+    op_name: str,
+) -> DataFrame:
+    """Shared generation step of the IVF/PQ append paths (callers hold
+    the index write lock): raises on LIVE id collisions when
+    ``check_new_ids``, otherwise TOMBSTONES the colliding live
+    generations (upsert — the reference's update loop,
+    change_handler.py:43-48); returns ``new_rows`` with each id's next
+    generation attached (max stored gen + 1, or 0 for never-seen ids —
+    a re-inserted id clears its own tombstone).  Only the (id, gen)
+    columns of the stored index are scanned."""
+    import os
+
+    raw = spark.read.parquet(path)
+    _ann_require_gen_format(
+        raw,
+        path,
+        "compact_ivf_index" if idx_id_col == "neighbor_id"
+        else "compact_pq_index",
+    )
+    stored = raw.select(idx_id_col, "gen")
+    ids = new_rows.select(idx_id_col).distinct()
+    tomb = _read_ann_tombstones(spark, path, idx_id_col)
+    live = (
+        stored
+        if tomb is None
+        else stored.join(F.broadcast(tomb), [idx_id_col, "gen"], "left_anti")
+    )
+    existing = live.join(
+        F.broadcast(ids), idx_id_col, "inner"
+    ).localCheckpoint(eager=True)
+    n_existing = existing.count()
+    if n_existing and check_new_ids:
+        raise ValueError(
+            f"{op_name}: {n_existing} id(s) already live in the index — "
+            "append-only mode refuses re-ingestion; pass "
+            "check_new_ids=False to update in place"
+        )
+    genmap = (
+        stored.join(F.broadcast(ids), idx_id_col, "left_semi")
+        .groupBy(idx_id_col)
+        .agg((F.max("gen") + 1).alias("gen"))
+        .localCheckpoint(eager=True)  # pinned before the index append
+    )
+    if n_existing:
+        existing.select(idx_id_col, "gen").write.mode("append").parquet(
+            _ann_tombstone_path(path)
+        )
+    return new_rows.join(F.broadcast(genmap), idx_id_col, "left").withColumn(
+        "gen", F.coalesce(F.col("gen"), F.lit(0))
+    )
+
+
+def _ann_delete(spark, path: str, ids: DataFrame, idx_id_col: str) -> int:
+    """Tombstone the live generation of each given id (callers hold
+    the index write lock).  Unknown ids are no-ops; data files are
+    untouched until the index compactor purges dead generations."""
+    raw = spark.read.parquet(path)
+    _ann_require_gen_format(
+        raw,
+        path,
+        "compact_ivf_index" if idx_id_col == "neighbor_id"
+        else "compact_pq_index",
+    )
+    stored = raw.select(idx_id_col, "gen")
+    tomb = _read_ann_tombstones(spark, path, idx_id_col)
+    live = (
+        stored
+        if tomb is None
+        else stored.join(F.broadcast(tomb), [idx_id_col, "gen"], "left_anti")
+    )
+    dead = live.join(
+        F.broadcast(ids.select(idx_id_col).distinct()), idx_id_col, "inner"
+    ).localCheckpoint(eager=True)
+    n = dead.count()
+    if n:
+        dead.select(idx_id_col, "gen").write.mode("append").parquet(
+            _ann_tombstone_path(path)
+        )
+    return int(n)
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -514,9 +648,9 @@ def write_ivf_index(
             corpus, nlist, iters=train_iters, id_col=id_col, vec_col=vec_col
         )
     )
-    _cell_assignment(corpus, cents, id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(path)
+    _cell_assignment(corpus, cents, id_col, vec_col).withColumn(
+        "gen", F.lit(0)
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
     with open(os.path.join(path, "_centroids.json"), "w") as fh:
         json.dump(cents, fh)
     return cents
@@ -535,9 +669,14 @@ def append_ivf_index(
     centroid drift is a periodic-retrain concern, not an ingest-path
     one).  Bit-identical to rebuilding the whole index with the same
     frozen centroids (shared _cell_assignment; pytest-pinned).
-    Append-only on ids — with ``check_new_ids`` a collision raises
-    before anything is written (an id-column-only scan of the index).
-    Returns the number of vectors appended."""
+
+    ``check_new_ids`` (default): an id already LIVE in the index
+    raises before anything is written; with ``check_new_ids=False``
+    existing ids are UPDATED — their live generation is tombstoned and
+    the new vector appends under the next one (serving results then
+    equal a frozen-quantizer rebuild over the live vectors; see
+    delete_from_ivf_index for pure removal).  Returns the number of
+    vectors appended."""
     import json
     import os
 
@@ -559,17 +698,11 @@ def append_ivf_index(
         n_new = assigned.count()
         if not n_new:
             return 0
-        if check_new_ids:
-            stored = spark.read.parquet(path).select("neighbor_id")
-            n_dup = assigned.select("neighbor_id").join(
-                stored, "neighbor_id", "left_semi"
-            ).count()
-            if n_dup:
-                raise ValueError(
-                    f"append_ivf_index: {n_dup} id(s) already in the index — "
-                    "the IVF index is append-only; dedupe upstream or rebuild"
-                )
-        assigned.write.mode("append").partitionBy("cell").parquet(path)
+        assigned_g = _ann_apply_gens(
+            spark, path, assigned, "neighbor_id", check_new_ids,
+            "append_ivf_index",
+        )
+        assigned_g.write.mode("append").partitionBy("cell").parquet(path)
     return n_new
 
 
@@ -626,7 +759,11 @@ def ivf_topk_from_index(
         f"query_id LONG, qv ARRAY<DOUBLE>, cell INT",
     ).withColumn("qn", l2_norm(F.col("qv")))
 
-    c = spark.read.parquet(path).filter(F.col("cell").isin(probed_cells))
+    # live rows only: the cell predicate pushes below the tombstone
+    # anti-join, so partition pruning is unchanged
+    c = _ann_live_read(spark, path, "neighbor_id").filter(
+        F.col("cell").isin(probed_cells)
+    )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -973,12 +1110,52 @@ def write_pq_index(
     books = train_pq_codebooks(
         corpus, m_sub, k_codes, iters, id_col, vec_col
     )
-    pq_encode(corpus, books, id_col, vec_col).write.mode(
-        "overwrite"
-    ).parquet(path)
+    pq_encode(corpus, books, id_col, vec_col).withColumn(
+        "gen", F.lit(0)
+    ).write.mode("overwrite").parquet(path)
     with open(os.path.join(path, "_codebooks.json"), "w") as fh:
         json.dump(books, fh)
     return books
+
+
+def delete_from_ivf_index(
+    ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> int:
+    """Remove vectors from a stored IVF index by id: their live
+    (neighbor_id, gen) rows join the tombstone sidecar and serving
+    queries stop returning them; compact_ivf_index physically purges.
+    Unknown ids are no-ops.  Returns the number of tombstoned rows.
+
+    Reference parity: the delete half of the reference's event loop
+    (reference change_handler.py:11,43-48) applied to the ANN serving
+    index — completing the update/delete hygiene story across every
+    appendable store (BM25, LSH, IVF, PQ)."""
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    spark = ids.sparkSession
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        return _ann_delete(
+            spark,
+            path,
+            ids.select(F.col(id_col).alias("neighbor_id")),
+            "neighbor_id",
+        )
+
+
+def delete_from_pq_index(
+    ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> int:
+    """delete_from_ivf_index's PQ sibling (the stored id column is the
+    caller's ``id_col``)."""
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    spark = ids.sparkSession
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        return _ann_delete(spark, path, ids.select(id_col), id_col)
 
 
 def append_pq_index(
@@ -992,8 +1169,12 @@ def append_pq_index(
     stored codebooks and append the (id, codes) rows — the same
     frozen-quantizer serving contract as append_ivf_index (codebook
     drift is a periodic-retrain concern).  Bit-identical to encoding
-    the union with the same codebooks (shared pq_encode), append-only
-    id guard, pytest-pinned in tests/test_bm25_append.py.  Returns the
+    the union with the same codebooks (shared pq_encode), pytest-pinned
+    in tests/test_bm25_append.py.
+
+    ``check_new_ids`` (default): an id already LIVE raises; with
+    ``check_new_ids=False`` existing ids are UPDATED (tombstone +
+    next-generation re-encode — see append_ivf_index).  Returns the
     number of vectors appended."""
     import json
     import os
@@ -1013,17 +1194,10 @@ def append_pq_index(
         n_new = encoded.count()
         if not n_new:
             return 0
-        if check_new_ids:
-            stored = spark.read.parquet(path).select(id_col)
-            n_dup = encoded.select(id_col).join(
-                stored, id_col, "left_semi"
-            ).count()
-            if n_dup:
-                raise ValueError(
-                    f"append_pq_index: {n_dup} id(s) already in the index — "
-                    "the PQ index is append-only; dedupe upstream or rebuild"
-                )
-        encoded.write.mode("append").parquet(path)
+        encoded_g = _ann_apply_gens(
+            spark, path, encoded, id_col, check_new_ids, "append_pq_index"
+        )
+        encoded_g.write.mode("append").parquet(path)
     return n_new
 
 
@@ -1047,7 +1221,7 @@ def pq_topk_from_index(
 
     with open(os.path.join(path, "_codebooks.json")) as fh:
         books = json.load(fh)
-    encoded = spark.read.parquet(path)
+    encoded = _ann_live_read(spark, path, id_col)
     return _pq_adc_search(
         encoded, books, queries, corpus, k, rerank, id_col, vec_col
     )

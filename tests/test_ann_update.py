@@ -1,0 +1,176 @@
+"""IVF/PQ serving-index update/delete hygiene
+(operators/similarity.py delete_from_ivf_index / delete_from_pq_index
++ generation-tagged upsert appends): serving results after updates and
+deletes must equal a frozen-quantizer rebuild over the live vectors,
+and compaction physically purges dead generations.
+
+This completes the update/delete story across every appendable store
+(BM25, LSH, IVF, PQ) — the reference's insert/update/replace/delete
+loop (reference change_handler.py:11,43-48)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.maintenance import (
+    compact_ivf_index,
+    compact_pq_index,
+)
+from pymongo_change_stream_reader_spark.operators.similarity import (
+    append_ivf_index,
+    append_pq_index,
+    delete_from_ivf_index,
+    delete_from_pq_index,
+    ivf_topk_from_index,
+    pq_topk_from_index,
+    write_ivf_index,
+    write_pq_index,
+)
+from pymongo_change_stream_reader_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def _perturbed(emb):
+    """Every %7==0 vector negated — the post-update truth (negation
+    keeps the norm, flips every cosine)."""
+    return emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 7 == 0,
+            F.transform(F.col("embedding"), lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+
+
+def _ivf_top(spark, path, emb, probes=(0, 1, 2)):
+    q = emb.filter(F.col("vec_id").isin(*probes))
+    return sorted(
+        map(
+            tuple,
+            ivf_topk_from_index(spark, path, q, k=5, nprobe=4)
+            .select("query_id", "neighbor_id", "score", "rank")
+            .collect(),
+        )
+    )
+
+
+def _pq_top(spark, path, emb, corpus, probes=(0, 1, 2)):
+    q = emb.filter(F.col("vec_id").isin(*probes))
+    return sorted(
+        map(
+            tuple,
+            pq_topk_from_index(spark, path, q, corpus, k=5, rerank=4)
+            .select("query_id", "neighbor_id", "score")
+            .collect(),
+        )
+    )
+
+
+def test_ivf_delete_and_update_equal_frozen_rebuild(spark, tmp_path, emb):
+    churned = str(tmp_path / "churned")
+    cents = write_ivf_index(emb, churned, nlist=8, train_iters=1)
+    # DELETE every %5==3 vector
+    dead = emb.filter(F.col("vec_id") % 5 == 3).select("vec_id")
+    n = delete_from_ivf_index(dead, churned)
+    assert n == dead.count()
+    # UPDATE every %7==0 vector still live (negated embedding)
+    upd = _perturbed(emb).filter(
+        (F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 5 != 3)
+    )
+    append_ivf_index(upd, churned, check_new_ids=False)
+    # frozen rebuild over the live vectors with the SAME centroids
+    live = _perturbed(emb).filter(F.col("vec_id") % 5 != 3)
+    rebuilt = str(tmp_path / "rebuilt")
+    write_ivf_index(live, rebuilt, centroids=cents)
+    assert _ivf_top(spark, churned, emb) == _ivf_top(spark, rebuilt, emb)
+    # compaction purges: row count equals the live set, sidecar clears
+    compact_ivf_index(spark, churned)
+    assert not os.path.isdir(churned + "_tombstones")
+    assert spark.read.parquet(churned).count() == live.count()
+    assert _ivf_top(spark, churned, emb) == _ivf_top(spark, rebuilt, emb)
+
+
+def test_ivf_append_refuses_live_dup_but_revives_deleted(
+    spark, tmp_path, emb
+):
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, nlist=8, train_iters=1)
+    with pytest.raises(ValueError, match="already live"):
+        append_ivf_index(emb.limit(5), path)  # live collision
+    victim = emb.filter(F.col("vec_id") == 0)
+    delete_from_ivf_index(victim.select("vec_id"), path)
+    # re-append after delete: allowed even in append-only mode (the id
+    # is no longer live), and the new generation clears the tombstone
+    append_ivf_index(victim, path)
+    full = str(tmp_path / "full")
+    cents = json.load(open(os.path.join(path, "_centroids.json")))
+    write_ivf_index(emb, full, centroids=cents)
+    assert _ivf_top(spark, path, emb) == _ivf_top(spark, full, emb)
+
+
+def test_pq_delete_and_update_equal_frozen_rebuild(spark, tmp_path, emb):
+    churned = str(tmp_path / "churned")
+    write_pq_index(emb, churned, m_sub=8, k_codes=16, iters=1)
+    dead = emb.filter(F.col("vec_id") % 5 == 3).select("vec_id")
+    assert delete_from_pq_index(dead, churned) == dead.count()
+    upd = _perturbed(emb).filter(
+        (F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 5 != 3)
+    )
+    append_pq_index(upd, churned, check_new_ids=False)
+    live = _perturbed(emb).filter(F.col("vec_id") % 5 != 3)
+    # frozen rebuild: re-encode the live vectors with the SAME books
+    # by building a fresh index dir from the stored codebooks
+    import shutil
+
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    rebuilt = str(tmp_path / "rebuilt")
+    books = json.load(open(os.path.join(churned, "_codebooks.json")))
+    pq_encode(live, books).withColumn("gen", F.lit(0)).write.mode(
+        "overwrite"
+    ).parquet(rebuilt)
+    shutil.copyfile(
+        os.path.join(churned, "_codebooks.json"),
+        os.path.join(rebuilt, "_codebooks.json"),
+    )
+    # the exact re-rank side must also see only live vectors
+    assert _pq_top(spark, churned, emb, live) == _pq_top(
+        spark, rebuilt, emb, live
+    )
+    compact_pq_index(spark, churned)
+    assert not os.path.isdir(churned + "_tombstones")
+    assert spark.read.parquet(churned).count() == live.count()
+
+
+def test_legacy_ivf_index_refuses_then_migrates(spark, tmp_path, emb):
+    import shutil
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, nlist=8, train_iters=1)
+    # strip gen = a pre-generation index (sidecar preserved)
+    legacy = path + ".legacy"
+    spark.read.parquet(path).drop("gen").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(legacy)
+    shutil.copyfile(
+        os.path.join(path, "_centroids.json"),
+        os.path.join(legacy, "_centroids.json"),
+    )
+    shutil.rmtree(path)
+    os.rename(legacy, path)
+    with pytest.raises(RuntimeError, match="predates generation"):
+        delete_from_ivf_index(emb.limit(1).select("vec_id"), path)
+    compact_ivf_index(spark, path)  # the migration
+    assert "gen" in spark.read.parquet(path).columns
+    assert delete_from_ivf_index(emb.limit(1).select("vec_id"), path) == 1

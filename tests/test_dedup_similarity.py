@@ -630,7 +630,9 @@ def test_pq_index_roundtrip(spark, tmp_path):
     with open(os.path.join(path, "_codebooks.json")) as fh:
         assert json.load(fh) == books
     stored = spark.read.parquet(path)
-    assert set(stored.columns) == {"vec_id", "codes"}
+    # code-only + the generation tag (update/delete hygiene) — still
+    # no embedding column
+    assert set(stored.columns) == {"vec_id", "codes", "gen"}
 
     got = pq_topk_from_index(spark, path, queries, emb, k=5, rerank=4)
     mem = pq_topk(
