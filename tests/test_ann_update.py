@@ -174,3 +174,32 @@ def test_legacy_ivf_index_refuses_then_migrates(spark, tmp_path, emb):
     compact_ivf_index(spark, path)  # the migration
     assert "gen" in spark.read.parquet(path).columns
     assert delete_from_ivf_index(emb.limit(1).select("vec_id"), path) == 1
+
+
+def test_ivf_pruning_survives_tombstone_filter(spark, tmp_path, emb):
+    """Scale contract under churn: the tombstone anti-join must not
+    defeat cell partition pruning — the probe's cell predicate still
+    lands in PartitionFilters, and no-tombstone indexes add no join at
+    all (the pure-append fast path is untouched)."""
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, nlist=8, train_iters=1)
+    q = emb.filter(F.col("vec_id") < 3)
+
+    # fast path: no tombstones -> no anti-join in the plan
+    plan = (
+        ivf_topk_from_index(spark, path, q, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "LeftAnti" not in plan and "ExistenceJoin" not in plan
+
+    delete_from_ivf_index(
+        emb.filter(F.col("vec_id") % 5 == 3).select("vec_id"), path
+    )
+    plan = (
+        ivf_topk_from_index(spark, path, q, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "cell" in pf, f"cell predicate lost under tombstones: {pf}"
+    assert "BroadcastHashJoin" in plan  # the anti-join broadcasts
