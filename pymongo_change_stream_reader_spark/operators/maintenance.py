@@ -371,9 +371,14 @@ def compact_ivf_index(
     pre-generation index is migrated in place (every row gen 0)."""
     from pymongo_change_stream_reader_spark.operators.similarity import (
         _ann_tombstone_path,
+        _recover_ann_append_locked,
     )
 
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        # roll back a crashed append BEFORE compacting: the journal is
+        # a sibling file, so it would survive the dir swap with stale
+        # listings — recovering AFTER would delete every compacted file
+        _recover_ann_append_locked(path)
         transform, had_tomb = _ann_purge_transform(spark, path, "neighbor_id")
         n = compact_parquet_table(
             spark,
@@ -398,9 +403,13 @@ def compact_pq_index(
     compact_ivf_index; ``id_col`` names the stored id column."""
     from pymongo_change_stream_reader_spark.operators.similarity import (
         _ann_tombstone_path,
+        _recover_ann_append_locked,
     )
 
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        # crashed-append rollback before the rewrite — see
+        # compact_ivf_index
+        _recover_ann_append_locked(path)
         transform, had_tomb = _ann_purge_transform(spark, path, id_col)
         n = compact_parquet_table(
             spark, path, num_files, preserve_files=("_codebooks.json",),

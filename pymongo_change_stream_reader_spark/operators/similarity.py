@@ -493,6 +493,108 @@ def _ann_tombstone_path(path: str) -> str:
     return path.rstrip("/") + "_tombstones"
 
 
+def _ann_journal_path(path: str) -> str:
+    # a SIBLING file (like the .writelock): the compaction swap renames
+    # the index dir itself, and a journal inside it would ride through
+    # the swap with stale listings
+    return path.rstrip("/") + ".append_journal.json"
+
+
+def _ann_list_files(root: str) -> list[str]:
+    """Recursive relative file listing of a local index/tombstone dir
+    ([] when absent) — the rollback unit of the append journal."""
+    import os
+
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for r, _d, files in os.walk(root):
+        rel = os.path.relpath(r, root)
+        out.extend(f if rel == "." else os.path.join(rel, f) for f in files)
+    return sorted(out)
+
+
+def _ann_write_journal(path: str) -> None:
+    """Durably record the index + tombstone-sidecar file listings
+    BEFORE the first write of an append/update/delete (tmp + fsync +
+    replace — the BM25 journal contract, retrieval.py): a crash at any
+    later point is rolled back by recover_ann_append deleting every
+    file not in the listing.  Caller holds the index write lock and
+    has verified no live journal."""
+    import json
+    import os
+
+    jpath = _ann_journal_path(path)
+    journal = {
+        "index_files": _ann_list_files(path),
+        "tombstone_files": _ann_list_files(_ann_tombstone_path(path)),
+    }
+    tmp = jpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(journal, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, jpath)
+
+
+def _ann_check_no_journal(path: str) -> None:
+    import os
+
+    if os.path.exists(_ann_journal_path(path)):
+        raise RuntimeError(
+            f"ANN index at {path!r} has a crashed-append journal — run "
+            "recover_ann_append() first (compaction also rolls a crashed "
+            "append back before rewriting)"
+        )
+
+
+def _recover_ann_append_locked(path: str) -> bool:
+    """Rollback body of recover_ann_append — callers hold the index
+    write lock (flock is not reentrant across fds within a process, so
+    this must never re-acquire it)."""
+    import json
+    import os
+
+    jpath = _ann_journal_path(path)
+    if not os.path.exists(jpath):
+        return False
+    with open(jpath) as fh:
+        journal = json.load(fh)
+    for root, keep in (
+        (path, set(journal["index_files"])),
+        (_ann_tombstone_path(path), set(journal["tombstone_files"])),
+    ):
+        for rel in _ann_list_files(root):
+            if rel not in keep:
+                os.unlink(os.path.join(root, rel))
+        # drop dirs the crashed write created (a new cell partition; a
+        # first-update tombstone sidecar): empty dirs read fine, but
+        # the tree should return to its exact pre-append state
+        if os.path.isdir(root):
+            for r, _dirs, _files in os.walk(root, topdown=False):
+                if r != path and not os.listdir(r):
+                    os.rmdir(r)
+    os.unlink(jpath)
+    return True
+
+
+def recover_ann_append(path: str) -> bool:
+    """Roll back a crashed append/update/delete on a stored IVF or PQ
+    index: the append journal records the index and tombstone-sidecar
+    file listings BEFORE the first durable write, so recovery deletes
+    everything newer and the index returns to its exact pre-append
+    state — the refused batch can then be re-applied cleanly.  Writers
+    and serving reads refuse an index with a live journal (half-applied
+    updates may have tombstoned an id whose replacement row never
+    landed).  Returns True if a rollback happened."""
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        return _recover_ann_append_locked(path)
+
+
 def _read_ann_tombstones(spark, path: str, idx_id_col: str):
     """Dead (id, gen) pairs of a stored ANN index under update/delete
     maintenance, or None for a pure-append index.  Same sidecar
@@ -513,7 +615,10 @@ def _read_ann_tombstones(spark, path: str, idx_id_col: str):
 def _ann_live_read(spark, path: str, idx_id_col: str) -> DataFrame:
     """The LIVE rows of a stored ANN index: gen-shimmed (pre-
     generation indexes are all gen 0) and tombstone-filtered with one
-    broadcast anti-join."""
+    broadcast anti-join.  Refuses a live crashed-append journal — a
+    half-applied update may have tombstoned ids whose replacement rows
+    never landed."""
+    _ann_check_no_journal(path)
     df = spark.read.parquet(path)
     if "gen" not in df.columns:
         df = df.withColumn("gen", F.lit(0))
@@ -690,6 +795,9 @@ def append_ivf_index(
     # is briefly absent, and an unlocked read would hit a raw
     # FileNotFoundError instead of waiting for the swap to finish
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        # journal check INSIDE the lock (a writer that checked before
+        # blocking could wake over a holder's half-applied crash)
+        _ann_check_no_journal(path)
         with open(os.path.join(path, "_centroids.json")) as fh:
             cents = json.load(fh)
         assigned = _cell_assignment(
@@ -698,11 +806,20 @@ def append_ivf_index(
         n_new = assigned.count()
         if not n_new:
             return 0
-        assigned_g = _ann_apply_gens(
-            spark, path, assigned, "neighbor_id", check_new_ids,
-            "append_ivf_index",
-        )
-        assigned_g.write.mode("append").partitionBy("cell").parquet(path)
+        # journal BEFORE the first durable write: the update path is
+        # two appends (tombstones, then data) — a crash between them
+        # would otherwise silently DELETE the updated ids
+        _ann_write_journal(path)
+        try:
+            assigned_g = _ann_apply_gens(
+                spark, path, assigned, "neighbor_id", check_new_ids,
+                "append_ivf_index",
+            )
+            assigned_g.write.mode("append").partitionBy("cell").parquet(path)
+        except BaseException:
+            _recover_ann_append_locked(path)
+            raise
+        os.unlink(_ann_journal_path(path))
     return n_new
 
 
@@ -1134,14 +1251,24 @@ def delete_from_ivf_index(
         IndexWriteLock,
     )
 
+    import os
+
     spark = ids.sparkSession
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
-        return _ann_delete(
-            spark,
-            path,
-            ids.select(F.col(id_col).alias("neighbor_id")),
-            "neighbor_id",
-        )
+        _ann_check_no_journal(path)
+        _ann_write_journal(path)
+        try:
+            n = _ann_delete(
+                spark,
+                path,
+                ids.select(F.col(id_col).alias("neighbor_id")),
+                "neighbor_id",
+            )
+        except BaseException:
+            _recover_ann_append_locked(path)
+            raise
+        os.unlink(_ann_journal_path(path))
+        return n
 
 
 def delete_from_pq_index(
@@ -1153,9 +1280,19 @@ def delete_from_pq_index(
         IndexWriteLock,
     )
 
+    import os
+
     spark = ids.sparkSession
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
-        return _ann_delete(spark, path, ids.select(id_col), id_col)
+        _ann_check_no_journal(path)
+        _ann_write_journal(path)
+        try:
+            n = _ann_delete(spark, path, ids.select(id_col), id_col)
+        except BaseException:
+            _recover_ann_append_locked(path)
+            raise
+        os.unlink(_ann_journal_path(path))
+        return n
 
 
 def append_pq_index(
@@ -1186,6 +1323,7 @@ def append_pq_index(
     spark = new_vecs.sparkSession
     # sidecar read under the lock — see append_ivf_index
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        _ann_check_no_journal(path)
         with open(os.path.join(path, "_codebooks.json")) as fh:
             books = json.load(fh)
         encoded = pq_encode(new_vecs, books, id_col, vec_col).localCheckpoint(
@@ -1194,10 +1332,19 @@ def append_pq_index(
         n_new = encoded.count()
         if not n_new:
             return 0
-        encoded_g = _ann_apply_gens(
-            spark, path, encoded, id_col, check_new_ids, "append_pq_index"
-        )
-        encoded_g.write.mode("append").parquet(path)
+        # journal before the tombstone+data write pair — see
+        # append_ivf_index
+        _ann_write_journal(path)
+        try:
+            encoded_g = _ann_apply_gens(
+                spark, path, encoded, id_col, check_new_ids,
+                "append_pq_index",
+            )
+            encoded_g.write.mode("append").parquet(path)
+        except BaseException:
+            _recover_ann_append_locked(path)
+            raise
+        os.unlink(_ann_journal_path(path))
     return n_new
 
 

@@ -203,3 +203,135 @@ def test_ivf_pruning_survives_tombstone_filter(spark, tmp_path, emb):
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "cell" in pf, f"cell predicate lost under tombstones: {pf}"
     assert "BroadcastHashJoin" in plan  # the anti-join broadcasts
+
+
+def test_ivf_update_crash_between_tombstone_and_data_append(
+    spark, tmp_path, emb, monkeypatch
+):
+    """The update path is two appends (tombstones, then data): a crash
+    between them must not silently DELETE the updated ids.  The append
+    journal rolls the half-applied batch back — in-process on the
+    exception path here; recover_ann_append covers process death."""
+    import pymongo_change_stream_reader_spark.operators.similarity as sim
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, nlist=8, train_iters=1)
+    before = _ivf_top(spark, path, emb)
+    before_files = sim._ann_list_files(path)
+
+    orig = sim._ann_apply_gens
+
+    def crash_after_tombstones(*a, **kw):
+        orig(*a, **kw)  # real tombstone write happens
+        raise RuntimeError("injected crash before the data append")
+
+    monkeypatch.setattr(sim, "_ann_apply_gens", crash_after_tombstones)
+    upd = _perturbed(emb).filter(F.col("vec_id") % 7 == 0)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_ivf_index(upd, path, check_new_ids=False)
+    monkeypatch.undo()
+
+    # rolled back in-process: no journal, no tombstone sidecar, exact
+    # pre-append file listing, identical serving results
+    assert not os.path.exists(sim._ann_journal_path(path))
+    assert not os.path.isdir(path + "_tombstones")
+    assert sim._ann_list_files(path) == before_files
+    assert _ivf_top(spark, path, emb) == before
+    # and the batch re-applies cleanly
+    append_ivf_index(upd, path, check_new_ids=False)
+    cents = json.load(open(os.path.join(path, "_centroids.json")))
+    rebuilt = str(tmp_path / "rebuilt")
+    write_ivf_index(_perturbed(emb), rebuilt, centroids=cents)
+    assert _ivf_top(spark, path, emb) == _ivf_top(spark, rebuilt, emb)
+
+
+def test_ivf_process_death_journal_refuses_then_recovers(
+    spark, tmp_path, emb
+):
+    """Process-death shape: a live journal with half-applied writes on
+    disk.  Writers AND serving reads refuse; recover_ann_append rolls
+    back to the exact pre-append state."""
+    import pymongo_change_stream_reader_spark.operators.similarity as sim
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        recover_ann_append,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, nlist=8, train_iters=1)
+    before = _ivf_top(spark, path, emb)
+
+    # simulate: journal written, tombstones landed, data append never did
+    sim._ann_write_journal(path)
+    victims = (
+        spark.read.parquet(path)
+        .filter(F.col("neighbor_id") % 7 == 0)
+        .select("neighbor_id", "gen")
+    )
+    victims.write.mode("append").parquet(path + "_tombstones")
+
+    with pytest.raises(RuntimeError, match="crashed-append journal"):
+        ivf_topk_from_index(
+            spark, path, emb.filter(F.col("vec_id") < 2), k=5
+        )
+    with pytest.raises(RuntimeError, match="crashed-append journal"):
+        append_ivf_index(_perturbed(emb).limit(3), path, check_new_ids=False)
+    with pytest.raises(RuntimeError, match="crashed-append journal"):
+        delete_from_ivf_index(emb.limit(1).select("vec_id"), path)
+
+    assert recover_ann_append(path) is True
+    assert not os.path.isdir(path + "_tombstones")
+    assert _ivf_top(spark, path, emb) == before
+    assert recover_ann_append(path) is False  # idempotent
+
+
+def test_ivf_compact_rolls_back_crashed_append_first(spark, tmp_path, emb):
+    """The journal is a sibling file: it would survive the compaction
+    dir swap with stale listings, and recovering AFTER would delete
+    every compacted file.  The compactor must roll back first."""
+    import pymongo_change_stream_reader_spark.operators.similarity as sim
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, nlist=8, train_iters=1)
+    before = _ivf_top(spark, path, emb)
+
+    sim._ann_write_journal(path)
+    # half-applied crash state: tombstones with no replacement data
+    (
+        spark.read.parquet(path)
+        .filter(F.col("neighbor_id") % 7 == 0)
+        .select("neighbor_id", "gen")
+        .write.mode("append")
+        .parquet(path + "_tombstones")
+    )
+    compact_ivf_index(spark, path)
+    # crashed half-update rolled back, NOT baked into the rewrite
+    assert not os.path.exists(sim._ann_journal_path(path))
+    assert spark.read.parquet(path).count() == emb.count()
+    assert _ivf_top(spark, path, emb) == before
+
+
+def test_pq_delete_crash_rolls_back(spark, tmp_path, emb, monkeypatch):
+    import pymongo_change_stream_reader_spark.operators.similarity as sim
+
+    path = str(tmp_path / "idx")
+    write_pq_index(emb, path, m_sub=8, k_codes=16, iters=1)
+    before = _pq_top(spark, path, emb, emb)
+    before_files = sim._ann_list_files(path)
+
+    orig = sim._ann_delete
+
+    def crash_after_tombstones(*a, **kw):
+        orig(*a, **kw)
+        raise RuntimeError("injected crash after the tombstone write")
+
+    monkeypatch.setattr(sim, "_ann_delete", crash_after_tombstones)
+    with pytest.raises(RuntimeError, match="injected"):
+        delete_from_pq_index(
+            emb.filter(F.col("vec_id") % 5 == 3).select("vec_id"), path
+        )
+    monkeypatch.undo()
+
+    assert not os.path.exists(sim._ann_journal_path(path))
+    assert not os.path.isdir(path + "_tombstones")
+    assert sim._ann_list_files(path) == before_files
+    assert _pq_top(spark, path, emb, emb) == before
