@@ -648,15 +648,16 @@ def _ann_apply_gens(
     idx_id_col: str,
     check_new_ids: bool,
     op_name: str,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Shared generation step of the IVF/PQ append paths (callers hold
     the index write lock): raises on LIVE id collisions when
     ``check_new_ids``, otherwise TOMBSTONES the colliding live
     generations (upsert — the reference's update loop,
-    change_handler.py:43-48); returns ``new_rows`` with each id's next
-    generation attached (max stored gen + 1, or 0 for never-seen ids —
-    a re-inserted id clears its own tombstone).  Only the (id, gen)
-    columns of the stored index are scanned."""
+    change_handler.py:43-48); returns (``new_rows`` with each id's next
+    generation attached — max stored gen + 1, or 0 for never-seen ids,
+    a re-inserted id clearing its own tombstone —, the collision count
+    tombstoned).  Only the (id, gen) columns of the stored index are
+    scanned."""
     import os
 
     raw = spark.read.parquet(path)
@@ -694,9 +695,10 @@ def _ann_apply_gens(
         existing.select(idx_id_col, "gen").write.mode("append").parquet(
             _ann_tombstone_path(path)
         )
-    return new_rows.join(F.broadcast(genmap), idx_id_col, "left").withColumn(
-        "gen", F.coalesce(F.col("gen"), F.lit(0))
-    )
+    with_gen = new_rows.join(
+        F.broadcast(genmap), idx_id_col, "left"
+    ).withColumn("gen", F.coalesce(F.col("gen"), F.lit(0)))
+    return with_gen, int(n_existing)
 
 
 def _ann_delete(spark, path: str, ids: DataFrame, idx_id_col: str) -> int:
@@ -811,7 +813,7 @@ def append_ivf_index(
         # would otherwise silently DELETE the updated ids
         _ann_write_journal(path)
         try:
-            assigned_g = _ann_apply_gens(
+            assigned_g, _ = _ann_apply_gens(
                 spark, path, assigned, "neighbor_id", check_new_ids,
                 "append_ivf_index",
             )
@@ -821,6 +823,103 @@ def append_ivf_index(
             raise
         os.unlink(_ann_journal_path(path))
     return n_new
+
+
+def _ivf_apply_locked(
+    spark,
+    path: str,
+    upserts: DataFrame | None,
+    delete_ids: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """Apply one batch of vector changes (insert / update / delete) to
+    a stored IVF index — the shared write path of upsert_ivf_index and
+    the streaming ANN relay.  Callers hold the index write lock and
+    have settled the journal (refused it, or rolled it back for a
+    replay).  The WHOLE batch runs under ONE journal: delete
+    tombstones, then upsert (live collisions tombstone + next-gen
+    re-assign, never-seen ids at gen 0) — a crash at any point rolls
+    the full batch back, so readers never see deletes applied without
+    the batch's updates.  Returns {"upserted": n, "tombstoned": m}.
+
+    Reference parity: the insert/update/replace/delete event loop
+    (reference change_handler.py:11,43-48) applied to the vector
+    serving index, completing the same contract BM25 gets from
+    _bm25_apply_locked."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        cents = json.load(fh)
+    assigned = None
+    n_new = 0
+    if upserts is not None:
+        # frozen-quantizer assignment BEFORE any write: bit-identical
+        # to a rebuild with the same centroids (shared _cell_assignment)
+        assigned = _cell_assignment(
+            upserts, cents, id_col, vec_col
+        ).localCheckpoint(eager=True)
+        n_new = assigned.count()
+    dels = None
+    if delete_ids is not None:
+        dels = (
+            delete_ids.select(F.col(id_col).alias("neighbor_id"))
+            .distinct()
+            .localCheckpoint(eager=True)  # pinned before writes mutate
+        )
+        if not dels.count():
+            dels = None
+    if not n_new and dels is None:
+        return {"upserted": 0, "tombstoned": 0}
+    _ann_write_journal(path)
+    try:
+        n_tomb = (
+            _ann_delete(spark, path, dels, "neighbor_id")
+            if dels is not None
+            else 0
+        )
+        n_coll = 0
+        if n_new:
+            assigned_g, n_coll = _ann_apply_gens(
+                spark, path, assigned, "neighbor_id", False,
+                "upsert_ivf_index",
+            )
+            assigned_g.write.mode("append").partitionBy("cell").parquet(path)
+    except BaseException:
+        _recover_ann_append_locked(path)
+        raise
+    os.unlink(_ann_journal_path(path))
+    # tombstoned counts deletes AND update collisions — the BM25
+    # convention (_bm25_apply_locked)
+    return {"upserted": int(n_new), "tombstoned": int(n_tomb) + int(n_coll)}
+
+
+def upsert_ivf_index(
+    new_vecs: DataFrame | None,
+    path: str,
+    delete_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Insert-or-update vectors in a stored IVF index (and optionally
+    delete by id) as ONE atomic journaled batch: new ids append at
+    generation 0, existing ids tombstone their live generation and
+    re-assign under the next one with the FROZEN stored centroids;
+    ``delete_ids`` rows leave the serving set.  One row per id (reduce
+    upstream — the relay's last-effect-per-key).  Serving results
+    afterwards equal a frozen-quantizer rebuild over the live vectors
+    (pytest-pinned).  The BM25 sibling is upsert_bm25_index."""
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    spark = (new_vecs if new_vecs is not None else delete_ids).sparkSession
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        _ann_check_no_journal(path)
+        return _ivf_apply_locked(
+            spark, path, new_vecs, delete_ids, id_col, vec_col
+        )
 
 
 def ivf_topk_from_index(
@@ -1336,7 +1435,7 @@ def append_pq_index(
         # append_ivf_index
         _ann_write_journal(path)
         try:
-            encoded_g = _ann_apply_gens(
+            encoded_g, _ = _ann_apply_gens(
                 spark, path, encoded, id_col, check_new_ids,
                 "append_pq_index",
             )

@@ -182,11 +182,11 @@ def ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivf_churned",
     oracle=None,  # approximate family; frozen-rebuild equality after churn is pytest-pinned (tests/test_ann_update.py)
-    doc="IVF ANN served from an index that has CHURNED: every "
-    "vec_id%5==3 vector DELETED (delete_from_ivf_index tombstones its "
-    "live generation) and every remaining %7==0 vector UPDATED "
-    "in place (append with check_new_ids=False: tombstone + "
-    "next-generation re-assign) — the reference's "
+    doc="IVF ANN served from an index that has CHURNED: one atomic "
+    "upsert_ivf_index batch DELETES every vec_id%5==3 vector "
+    "(tombstones its live generation) and UPDATES every remaining "
+    "%7==0 vector in place (tombstone + next-generation re-assign), "
+    "under ONE crash journal — the reference's "
     "insert/update/replace/delete loop (change_handler.py:11,43-48) "
     "applied to the ANN serving index.  Results equal a "
     "frozen-quantizer rebuild over the live vectors; a deleted "
@@ -205,9 +205,8 @@ def ann_ivf_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from pymongo_change_stream_reader_spark.operators.similarity import (
-        append_ivf_index,
-        delete_from_ivf_index,
         ivf_topk_from_index,
+        upsert_ivf_index,
         write_ivf_index,
     )
 
@@ -215,15 +214,16 @@ def ann_ivf_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="spark_ivf_churn_") + "/idx"
     try:
         write_ivf_index(emb, path, nlist=16, train_iters=1)
-        delete_from_ivf_index(
-            emb.filter(F.col("vec_id") % 5 == 3).select("vec_id"), path
-        )
         updated = emb.filter(
             (F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 5 != 3)
         ).withColumn(
             "embedding", F.transform(F.col("embedding"), lambda x: -x)
         )
-        append_ivf_index(updated, path, check_new_ids=False)
+        upsert_ivf_index(
+            updated,
+            path,
+            delete_ids=emb.filter(F.col("vec_id") % 5 == 3).select("vec_id"),
+        )
         q = emb.filter(F.col("vec_id") < 5)
         return ivf_topk_from_index(
             spark, path, q, k=10, nprobe=4

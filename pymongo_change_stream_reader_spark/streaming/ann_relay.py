@@ -1,0 +1,140 @@
+"""Online ANN serving-index maintenance from the change stream — the
+vector-retrieval sibling of the BM25 relay (streaming/index_relay.py):
+each micro-batch's document changes fold into the stored IVF index, so
+similarity serving stays current for a corpus that never stops
+CHANGING — inserts, updates, replaces, and deletes, the reference's
+full per-event loop (reference change_handler.py:11,43-48).
+
+Per micro-batch:
+
+1. reduce the batch to its FINAL EFFECT per key — upsert with the last
+   embedding, or delete if the last event is a delete (the LWW triple
+   reduction shared with the replica materializer and BM25 relay);
+2. apply through the journaled IVF batch path (_ivf_apply_locked):
+   deletes tombstone the live generation, new ids assign to their
+   nearest FROZEN centroid at gen 0, updated ids tombstone + re-assign
+   under the next generation — serving results afterwards equal a
+   frozen-quantizer rebuild over the live vectors, and the whole batch
+   is ONE journal span (a crash rolls all of it back together);
+3. the epoch marker (query-id scoped, streaming/kafka_sink.py) guards
+   replays, and a crashed half-applied batch rolls back via the append
+   journal INSIDE the index write lock before the replay re-applies.
+
+The index must be BOOTSTRAPPED from a corpus snapshot
+(write_ivf_index) before the relay starts: the quantizer trains once
+on representative data and stays frozen on the ingest path — training
+centroids on whatever the first micro-batch happens to contain would
+freeze a non-representative model (centroid drift is a periodic
+retrain + rebuild concern, same as the reference's resume-from-token
+bootstrap split, reference run.py).
+
+Scale: per batch, assignment cost = |batch| x nlist broadcast-compare;
+the only index-sized reads are the (id, gen) columns.  Tombstone
+growth is bounded by compact_ivf_index, which purges dead generations
+and clears the sidecar.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.maintenance import (
+    IndexWriteLock,
+)
+from pymongo_change_stream_reader_spark.operators.similarity import (
+    _ivf_apply_locked,
+    _recover_ann_append_locked,
+)
+from pymongo_change_stream_reader_spark.streaming.index_relay import (
+    _last_effect_per_key,
+)
+from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
+    _commit_epoch,
+    _epoch_committed,
+    _query_id,
+    _require_local_path,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def ann_ingest_batch(
+    batch: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    key_col: str = "documentKey",
+) -> dict:
+    """Fold one batch of change events into the stored IVF index.
+    Returns ``{"upserted": n, "tombstoned": m}``."""
+    _require_local_path(index_path, "index_path")
+    if not os.path.exists(os.path.join(index_path, "_centroids.json")):
+        raise RuntimeError(
+            f"no IVF index at {index_path!r} — bootstrap it from a corpus "
+            "snapshot with write_ivf_index() before starting the relay "
+            "(training the quantizer on a first micro-batch would freeze "
+            "centroids from a non-representative sample)"
+        )
+    # the same LWW reduction as the BM25 relay, over the embedding
+    # column (max_by orders on the event's cluster time, not the value)
+    effects = _last_effect_per_key(batch, vec_col, key_col).localCheckpoint(
+        eager=True  # split two ways below
+    )
+    upserts = effects.filter(F.col("op") != "delete").select(
+        F.col("doc").alias("vec_id"), F.col("text").alias("embedding")
+    )
+    deletes = effects.filter(F.col("op") == "delete").select(
+        F.col("doc").alias("vec_id")
+    )
+    spark = batch.sparkSession
+    with IndexWriteLock(index_path.rstrip("/") + ".writelock"):
+        # a crashed previous apply rolls back here, INSIDE the lock:
+        # its epoch never committed, so this batch IS the replay and
+        # must see the exact pre-crash index state
+        if _recover_ann_append_locked(index_path):
+            logger.warning(
+                "IVF index at %s: rolled back a crashed apply before "
+                "re-applying the replayed batch",
+                index_path,
+            )
+        return _ivf_apply_locked(
+            spark, index_path, upserts, deletes, "vec_id", "embedding"
+        )
+
+
+def start_streaming_ann_index(
+    events: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    key_col: str = "documentKey",
+    trigger_interval: str | None = None,
+):
+    """Streaming entry point: foreachBatch fold-into-index with
+    epoch-marker replay protection (same contract as
+    start_streaming_bm25_index)."""
+    _require_local_path(checkpoint_dir, "checkpoint_dir")
+    _require_local_path(index_path, "index_path")
+    marker_dir = os.path.join(checkpoint_dir, "epoch_log")
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        qid = _query_id(checkpoint_dir)
+        if _epoch_committed(marker_dir, epoch_id, qid):
+            logger.info("epoch %s already ingested; skipping replay", epoch_id)
+            return
+        if batch_df.isEmpty():
+            return
+        ann_ingest_batch(batch_df, index_path, vec_col, key_col)
+        _commit_epoch(marker_dir, epoch_id, qid)
+
+    writer = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -1,27 +1,28 @@
 """Single-pass composed relay: replica materialization + near-dup
-flagging + BM25 index maintenance in ONE foreachBatch consumer.
+flagging + BM25 index maintenance + ANN index maintenance in ONE
+foreachBatch consumer.
 
-Running the three consumers as separate streaming queries (the
-individual ``start_replica_maintenance`` / ``start_streaming_dedup`` /
-``start_streaming_bm25_index`` entry points) reads the change-stream
-source three times and keeps three checkpoints whose offsets drift
-apart.  This composition reads each micro-batch ONCE — the batch is
-pinned with an eager localCheckpoint so the three applies share one
-source scan instead of re-triggering it per action — and fans it out
-to every enabled store.
+Running the consumers as separate streaming queries (the individual
+``start_replica_maintenance`` / ``start_streaming_dedup`` /
+``start_streaming_bm25_index`` / ``start_streaming_ann_index`` entry
+points) reads the change-stream source once per store and keeps
+checkpoints whose offsets drift apart.  This composition reads each
+micro-batch ONCE — the batch is pinned with an eager localCheckpoint
+so the applies share one source scan instead of re-triggering it per
+action — and fans it out to every enabled store.
 
 Exactly-once per store, replay-correct as a whole:
 
 - the REPLICA apply is idempotent by construction (the LWW merge —
   re-applying a batch is a no-op), so it runs unconditionally;
-- the DEDUP and BM25 applies each keep their OWN epoch marker
+- the DEDUP, BM25, and ANN applies each keep their OWN epoch marker
   (query-id-scoped, streaming/kafka_sink.py): a crash after dedup
   committed but before BM25 ran replays the batch with dedup
   short-circuited and BM25 applied — no store double-applies, no
   store is skipped.  Within each store the same crash-recovery
   machinery as the standalone relays applies (per-epoch flag
-  partition overwrite; the BM25 append journal rollback inside the
-  index write lock).
+  partition overwrite; the BM25/ANN append journal rollback inside
+  the index write lock).
 
 Reference parity: the reference process runs ONE change-stream cursor
 and dispatches each event to every consumer in-process (reference
@@ -32,7 +33,8 @@ micro-batches.
 
 Scale: one source read per trigger; each store's apply stays
 batch-sized (the contracts of materialize_change_batch,
-dedup_flag_batch, bm25_ingest_batch).  The applies run sequentially in
+dedup_flag_batch, bm25_ingest_batch, ann_ingest_batch).  The applies
+run sequentially in
 the driver's foreachBatch thread — they mutate independent stores, so
 they COULD overlap, but the shared Spark scheduler already overlaps
 their jobs' tasks and sequential applies keep the per-store crash
@@ -46,6 +48,9 @@ import os
 
 from pyspark.sql import DataFrame
 
+from pymongo_change_stream_reader_spark.streaming.ann_relay import (
+    ann_ingest_batch,
+)
 from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
     dedup_flag_batch,
 )
@@ -80,11 +85,17 @@ def composed_apply_batch(
     bands: int = 8,
     n: int = 3,
     retain: int = 2,
+    ann_index_path: str | None = None,
+    ann_vec_col: str = "embedding",
+    ann_key_col: str | None = None,
 ) -> dict:
     """Apply one micro-batch to every enabled store (see module
     docstring).  Returns per-store outcomes: ``applied`` /
     ``replayed-skip`` / ``disabled``.  Batch-testable without a
-    streaming query."""
+    streaming query.  The ANN store reads the embedding from
+    ``ann_vec_col`` (decode upstream if it rides as JSON text) and its
+    id from ``ann_key_col`` (defaults to ``key_col``) — the id type
+    must match the bootstrapped index."""
     qid = _query_id(checkpoint_dir)
     outcome: dict[str, str] = {}
     # ONE materialization of the source batch, shared by every store
@@ -128,6 +139,18 @@ def composed_apply_batch(
             outcome["bm25"] = "applied"
     else:
         outcome["bm25"] = "disabled"
+    if ann_index_path is not None:
+        marker = os.path.join(checkpoint_dir, "ann_epoch_log")
+        if _epoch_committed(marker, epoch_id, qid):
+            outcome["ann"] = "replayed-skip"
+        else:
+            ann_ingest_batch(
+                pinned, ann_index_path, ann_vec_col, ann_key_col or key_col
+            )
+            _commit_epoch(marker, epoch_id, qid)
+            outcome["ann"] = "applied"
+    else:
+        outcome["ann"] = "disabled"
     return outcome
 
 
@@ -146,16 +169,23 @@ def start_composed_relay(
     n: int = 3,
     retain: int = 2,
     trigger_interval: str | None = None,
+    ann_index_path: str | None = None,
+    ann_vec_col: str = "embedding",
+    ann_key_col: str | None = None,
 ):
     """Streaming entry point: one stream, one source read per trigger,
     every enabled store maintained.  Enable a store by passing its
     path(s); at least one must be enabled."""
-    if replica_path is None and dedup_index_path is None and (
-        bm25_index_path is None
+    if (
+        replica_path is None
+        and dedup_index_path is None
+        and bm25_index_path is None
+        and ann_index_path is None
     ):
         raise ValueError(
             "composed relay: enable at least one store (replica_path, "
-            "dedup_index_path(+dedup_flags_path), or bm25_index_path)"
+            "dedup_index_path(+dedup_flags_path), bm25_index_path, or "
+            "ann_index_path)"
         )
     if (dedup_index_path is None) != (dedup_flags_path is None):
         raise ValueError(
@@ -168,6 +198,7 @@ def start_composed_relay(
         (dedup_index_path, "dedup_index_path"),
         (dedup_flags_path, "dedup_flags_path"),
         (bm25_index_path, "bm25_index_path"),
+        (ann_index_path, "ann_index_path"),
     ):
         if p is not None:
             _require_local_path(p, name)
@@ -190,6 +221,9 @@ def start_composed_relay(
             bands,
             n,
             retain,
+            ann_index_path=ann_index_path,
+            ann_vec_col=ann_vec_col,
+            ann_key_col=ann_key_col,
         )
 
     writer = (

@@ -1,0 +1,236 @@
+"""Streaming ANN serving-index maintenance (streaming/ann_relay.py)
+and the atomic batch upsert (operators/similarity.py
+upsert_ivf_index / _ivf_apply_locked): the reference's
+insert/update/replace/delete loop (reference change_handler.py:11,
+43-48) applied to the vector serving index, with the whole batch under
+ONE crash journal."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.similarity import (
+    ivf_topk_from_index,
+    upsert_ivf_index,
+    write_ivf_index,
+)
+
+DIM = 4
+
+
+def _vec(i: int) -> list[float]:
+    # deterministic, well-spread unit-ish vectors
+    return [
+        float((i * 13 + d * 7) % 19) / 19.0 + (0.01 * d)
+        for d in range(DIM)
+    ]
+
+
+def _snapshot(spark, ids):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in ids],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+
+
+def _top(spark, path, queries):
+    return sorted(
+        map(
+            tuple,
+            ivf_topk_from_index(spark, path, queries, k=4, nprobe=3)
+            .select("query_id", "neighbor_id", "score", "rank")
+            .collect(),
+        )
+    )
+
+
+def test_upsert_ivf_index_atomic_batch(spark, tmp_path):
+    """One call = insert + update + delete; serving equals a
+    frozen-quantizer rebuild over the live vectors."""
+    path = str(tmp_path / "idx")
+    cents = write_ivf_index(
+        _snapshot(spark, range(20)), path, nlist=4, train_iters=1
+    )
+    # update 3/9 (perturbed), insert 100/101, delete 5/15
+    upd = spark.createDataFrame(
+        [(3, _vec(33)), (9, _vec(99)), (100, _vec(100)), (101, _vec(101))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    dels = spark.createDataFrame([(5,), (15,)], "vec_id LONG")
+    out = upsert_ivf_index(upd, path, delete_ids=dels)
+    assert out["upserted"] == 4
+    # 2 deleted + 2 live collisions (3, 9) tombstoned
+    assert out["tombstoned"] == 4
+    assert not os.path.exists(path + ".append_journal.json")
+
+    live = spark.createDataFrame(
+        [
+            (i, _vec(33 if i == 3 else (99 if i == 9 else i)))
+            for i in range(20)
+            if i not in (5, 15)
+        ]
+        + [(100, _vec(100)), (101, _vec(101))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    write_ivf_index(live, rebuilt, centroids=cents)
+    q = _snapshot(spark, [0, 3, 9])
+    assert _top(spark, path, q) == _top(spark, rebuilt, q)
+
+
+def test_upsert_ivf_index_crash_is_atomic_across_deletes(
+    spark, tmp_path, monkeypatch
+):
+    """The batch's deletes and upserts share ONE journal: a crash after
+    the delete tombstones landed but before the upsert data append must
+    roll back the DELETES too — readers never see a half-applied
+    batch."""
+    import pymongo_change_stream_reader_spark.operators.similarity as sim
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(_snapshot(spark, range(20)), path, nlist=4, train_iters=1)
+    q = _snapshot(spark, [0, 3])
+    before = _top(spark, path, q)
+    before_files = sim._ann_list_files(path)
+
+    orig = sim._ann_apply_gens
+
+    def crash(*a, **kw):
+        orig(*a, **kw)  # collision tombstones land
+        raise RuntimeError("injected crash before the data append")
+
+    monkeypatch.setattr(sim, "_ann_apply_gens", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        upsert_ivf_index(
+            spark.createDataFrame(
+                [(3, _vec(33))], "vec_id LONG, embedding ARRAY<DOUBLE>"
+            ),
+            path,
+            delete_ids=spark.createDataFrame([(5,)], "vec_id LONG"),
+        )
+    monkeypatch.undo()
+
+    # the delete of 5 was tombstoned BEFORE the crash — rollback must
+    # have restored it along with everything else
+    assert sim._ann_list_files(path) == before_files
+    assert not os.path.isdir(path + "_tombstones")
+    assert _top(spark, path, q) == before
+
+
+def test_ann_ingest_requires_bootstrap(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.streaming.ann_relay import (
+        ann_ingest_batch,
+    )
+
+    batch = spark.createDataFrame(
+        [("insert", "1", _vec(1))],
+        "operationType STRING, documentKey STRING, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(RuntimeError, match="bootstrap"):
+        ann_ingest_batch(batch, str(tmp_path / "missing"))
+
+
+def test_streaming_ann_index_two_batches_and_replay(spark, tmp_path):
+    """e2e: bootstrap from a snapshot, stream insert/update/delete over
+    two micro-batches, match a frozen-quantizer rebuild of the live
+    set; a checkpoint restart replays nothing (epoch markers)."""
+    from pymongo_change_stream_reader_spark.sources.change_events import (
+        stream_change_events_json,
+    )
+    from pymongo_change_stream_reader_spark.streaming.ann_relay import (
+        start_streaming_ann_index,
+    )
+    import pymongo_change_stream_reader_spark.operators.similarity as sim
+
+    index = str(tmp_path / "ivf")
+    cents = write_ivf_index(
+        _snapshot(spark, range(10)), index, nlist=4, train_iters=1
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def event(data, key, vec, t, op="insert"):
+        return json.dumps(
+            {
+                "_id": {"_data": data},
+                "operationType": op,
+                "clusterTime": {"t": t, "i": 1},
+                "documentKey": str(key),
+                "fullDocument": None if vec is None else json.dumps(vec),
+            }
+        )
+
+    (src / "b0.json").write_text(
+        "\n".join(
+            [
+                event("a1", 20, _vec(20), 1),  # insert new id
+                event("a2", 3, _vec(33), 1, op="update"),
+            ]
+        )
+    )
+
+    def _stream():
+        # the embedding rides as a JSON string in fullDocument; the
+        # relay is column-generic, so decode + key-cast upstream
+        return (
+            stream_change_events_json(spark, str(src))
+            .withColumn(
+                "embedding", F.from_json("fullDocument", "array<double>")
+            )
+            .withColumn("vec_key", F.col("documentKey").cast("long"))
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    q = start_streaming_ann_index(
+        _stream(), index, ckpt, vec_col="embedding", key_col="vec_key"
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b1.json").write_text(
+            "\n".join(
+                [
+                    event("a3", 5, None, 2, op="delete"),
+                    event("a4", 3, _vec(44), 2, op="replace"),
+                    # delete-then-reinsert within one batch: LWW keeps
+                    # only the insert
+                    event("a5", 7, None, 2, op="delete"),
+                    event("a6", 7, _vec(77), 3),
+                ]
+            )
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    live = spark.createDataFrame(
+        [
+            (i, _vec({3: 44, 7: 77}.get(i, i)))
+            for i in range(10)
+            if i != 5
+        ]
+        + [(20, _vec(20))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    write_ivf_index(live, rebuilt, centroids=cents)
+    queries = _snapshot(spark, [0, 3, 7])
+    assert _top(spark, index, queries) == _top(spark, rebuilt, queries)
+
+    # restart over the same source: epoch markers skip both batches —
+    # the index files do not change
+    files_before = sim._ann_list_files(index)
+    q2 = start_streaming_ann_index(
+        _stream(), index, ckpt, vec_col="embedding", key_col="vec_key"
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+    assert sim._ann_list_files(index) == files_before
+    assert _top(spark, index, queries) == _top(spark, rebuilt, queries)

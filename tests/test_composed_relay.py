@@ -155,7 +155,7 @@ def test_partial_crash_replays_only_missing_stores(spark, tmp_path):
         k: v for k, v in p.items()
     })
     assert out == {"replica": "applied", "dedup": "applied",
-                   "bm25": "applied"}
+                   "bm25": "applied", "ann": "disabled"}
     # simulate the partial crash on epoch 1: pre-commit ONLY dedup's
     # marker, then run the "replay"
     from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
@@ -170,7 +170,7 @@ def test_partial_crash_replays_only_missing_stores(spark, tmp_path):
     batch1 = _mk(spark, [("insert", "k9", LONG_A, 2, 1, "a2")])
     out = composed_apply_batch(batch1, 1, **{k: v for k, v in p.items()})
     assert out == {"replica": "applied", "dedup": "replayed-skip",
-                   "bm25": "applied"}
+                   "bm25": "applied", "ann": "disabled"}
     # dedup never ran for epoch 1 -> no flags; bm25 holds both docs
     assert read_dedup_flags(spark, p["dedup_flags_path"]) is None
     consts = json.load(open(f"{p['bm25_index_path']}/_consts.json"))
@@ -193,3 +193,85 @@ def test_composed_relay_validates_configuration(spark, tmp_path):
             str(tmp_path / "c"),
             dedup_index_path=str(tmp_path / "i"),
         )
+
+
+def test_composed_relay_with_ann_store(spark, tmp_path):
+    """All FOUR stores from one batch: the events carry both document
+    text (fullDocument -> replica/dedup/BM25) and an embedding column
+    (-> the bootstrapped IVF index), with the ANN id read from its own
+    key column.  A pre-committed ANN marker on the next epoch skips
+    only the ANN apply."""
+    import pymongo_change_stream_reader_spark.operators.similarity as sim
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        write_ivf_index,
+    )
+    from tests.test_ann_relay import _snapshot, _top, _vec
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "operationType STRING, documentKey STRING, "
+            "fullDocument STRING, embedding ARRAY<DOUBLE>, "
+            "t INT, i INT, d STRING",
+        ).selectExpr(
+            "operationType",
+            "documentKey",
+            "fullDocument",
+            "embedding",
+            "CAST(documentKey AS LONG) AS vec_key",
+            "named_struct('t', t, 'i', i) AS clusterTime",
+            "named_struct('_data', d) AS _id",
+        )
+
+    p = _paths(tmp_path)
+    p["ann_index_path"] = str(tmp_path / "ivf")
+    os.makedirs(p["checkpoint_dir"], exist_ok=True)
+    cents = write_ivf_index(
+        _snapshot(spark, range(10)), p["ann_index_path"], nlist=4,
+        train_iters=1,
+    )
+
+    batch0 = _mk(
+        [
+            ("insert", "20", LONG_A, _vec(20), 1, 1, "a1"),
+            ("update", "3", LONG_B, _vec(33), 1, 2, "a2"),
+            ("delete", "5", None, None, 1, 3, "a3"),
+        ]
+    )
+    out = composed_apply_batch(
+        batch0, 0, ann_key_col="vec_key", **p
+    )
+    assert out == {"replica": "applied", "dedup": "applied",
+                   "bm25": "applied", "ann": "applied"}
+
+    live = spark.createDataFrame(
+        [(i, _vec(33 if i == 3 else i)) for i in range(10) if i != 5]
+        + [(20, _vec(20))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    write_ivf_index(live, rebuilt, centroids=cents)
+    queries = _snapshot(spark, [0, 3])
+    assert _top(spark, p["ann_index_path"], queries) == _top(
+        spark, rebuilt, queries
+    )
+
+    # partial crash: ANN's epoch-1 marker committed, nothing else —
+    # the replay applies every store EXCEPT ann
+    from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
+        _commit_epoch,
+        _query_id,
+    )
+
+    qid = _query_id(p["checkpoint_dir"])
+    _commit_epoch(os.path.join(p["checkpoint_dir"], "ann_epoch_log"), 1, qid)
+    files_before = sim._ann_list_files(p["ann_index_path"])
+    batch1 = _mk([("insert", "21", LONG_B, _vec(21), 2, 1, "a4")])
+    out = composed_apply_batch(batch1, 1, ann_key_col="vec_key", **p)
+    assert out == {"replica": "applied", "dedup": "applied",
+                   "bm25": "applied", "ann": "replayed-skip"}
+    assert sim._ann_list_files(p["ann_index_path"]) == files_before
+    # the other stores DID apply batch 1
+    assert "21" in {
+        r["key"] for r in read_replica(spark, p["replica_path"]).collect()
+    }
