@@ -1334,6 +1334,73 @@ def write_pq_index(
     return books
 
 
+def upsert_pq_index(
+    new_vecs: DataFrame | None,
+    path: str,
+    delete_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """upsert_ivf_index's PQ sibling: insert-or-update vectors in a
+    stored PQ code table (and optionally delete by id) as ONE atomic
+    journaled batch — encode with the FROZEN stored codebooks, delete
+    tombstones and the generation-tagged append under a single journal
+    span.  One row per id (reduce upstream).  Returns
+    ``{"upserted": n, "tombstoned": m}`` with m counting deletes plus
+    update collisions."""
+    import json
+    import os
+
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    spark = (new_vecs if new_vecs is not None else delete_ids).sparkSession
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        _ann_check_no_journal(path)
+        with open(os.path.join(path, "_codebooks.json")) as fh:
+            books = json.load(fh)
+        encoded = None
+        n_new = 0
+        if new_vecs is not None:
+            encoded = pq_encode(
+                new_vecs, books, id_col, vec_col
+            ).localCheckpoint(eager=True)
+            n_new = encoded.count()
+        dels = None
+        if delete_ids is not None:
+            dels = (
+                delete_ids.select(id_col)
+                .distinct()
+                .localCheckpoint(eager=True)  # pinned before writes
+            )
+            if not dels.count():
+                dels = None
+        if not n_new and dels is None:
+            return {"upserted": 0, "tombstoned": 0}
+        _ann_write_journal(path)
+        try:
+            n_tomb = (
+                _ann_delete(spark, path, dels, id_col)
+                if dels is not None
+                else 0
+            )
+            n_coll = 0
+            if n_new:
+                encoded_g, n_coll = _ann_apply_gens(
+                    spark, path, encoded, id_col, False, "upsert_pq_index"
+                )
+                encoded_g.write.mode("append").parquet(path)
+        except BaseException:
+            _recover_ann_append_locked(path)
+            raise
+        os.unlink(_ann_journal_path(path))
+        return {
+            "upserted": int(n_new),
+            "tombstoned": int(n_tomb) + int(n_coll),
+        }
+
+
 def delete_from_ivf_index(
     ids: DataFrame, path: str, id_col: str = "vec_id"
 ) -> int:

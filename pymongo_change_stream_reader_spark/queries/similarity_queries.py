@@ -494,6 +494,62 @@ def ann_pq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq_churned",
+    oracle=None,  # approximate family; frozen-codebook rebuild equality after churn is pytest-pinned (tests/test_ann_relay.py)
+    doc="PQ ANN served from a code table that has CHURNED: one atomic "
+    "upsert_pq_index batch DELETES every vec_id%5==3 vector and "
+    "UPDATES every remaining %7==0 vector in place (frozen-codebook "
+    "re-encode under the next generation), all under ONE crash "
+    "journal — ann_ivf_churned's sibling on the compressed serving "
+    "path.  A deleted neighbor in the top-k or a stale code surviving "
+    "the update surfaces driver-side.",
+    tags=("similarity", "approx", "incremental"),
+)
+def ann_pq_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: churn cost is batch-sized (an (id, gen)-column scan +
+    tombstone append + re-encoded code append); the serving scan stays
+    the 16-32x-compressed code table with one broadcast tombstone
+    anti-join."""
+    import os
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        pq_topk_from_index,
+        upsert_pq_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="spark_pq_churn_") + "/idx"
+    try:
+        write_pq_index(emb, path, m_sub=8, k_codes=16, iters=1)
+        updated = emb.filter(
+            (F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 5 != 3)
+        ).withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: -x)
+        )
+        live = emb.filter(F.col("vec_id") % 5 != 3).withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 7 == 0,
+                F.transform(F.col("embedding"), lambda x: -x),
+            ).otherwise(F.col("embedding")),
+        )
+        upsert_pq_index(
+            updated,
+            path,
+            delete_ids=emb.filter(F.col("vec_id") % 5 == 3).select("vec_id"),
+        )
+        q = emb.filter(F.col("vec_id") < 5)
+        return pq_topk_from_index(
+            spark, path, q, live, k=10, rerank=8
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+@query(
     "similarity_recall_report",
     oracle=None,  # recall of approximate methods — not SQL-expressible
     doc="Recall@10 of every approximate ANN family vs brute_force_topk "

@@ -234,3 +234,57 @@ def test_streaming_ann_index_two_batches_and_replay(spark, tmp_path):
         q2.awaitTermination(30)
     assert sim._ann_list_files(index) == files_before
     assert _top(spark, index, queries) == _top(spark, rebuilt, queries)
+
+
+def test_upsert_pq_index_atomic_batch(spark, tmp_path):
+    """PQ sibling: one call = insert + update + delete; codes equal a
+    frozen-codebook re-encode of the live vectors."""
+    import json
+    import shutil
+
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_from_index,
+        upsert_pq_index,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_pq_index(
+        _snapshot(spark, range(20)), path, m_sub=2, k_codes=8, iters=1
+    )
+    upd = spark.createDataFrame(
+        [(3, _vec(33)), (100, _vec(100))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = upsert_pq_index(
+        upd, path, delete_ids=spark.createDataFrame([(5,)], "vec_id LONG")
+    )
+    assert out == {"upserted": 2, "tombstoned": 2}  # delete 5 + collide 3
+    assert not os.path.exists(path + ".append_journal.json")
+
+    live = spark.createDataFrame(
+        [(i, _vec(33 if i == 3 else i)) for i in range(20) if i != 5]
+        + [(100, _vec(100))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    books = json.load(open(os.path.join(path, "_codebooks.json")))
+    pq_encode(live, books).withColumn("gen", F.lit(0)).write.parquet(rebuilt)
+    shutil.copyfile(
+        os.path.join(path, "_codebooks.json"),
+        os.path.join(rebuilt, "_codebooks.json"),
+    )
+    q = _snapshot(spark, [0, 3])
+
+    def top(p):
+        return sorted(
+            map(
+                tuple,
+                pq_topk_from_index(spark, p, q, live, k=4, rerank=4)
+                .select("query_id", "neighbor_id", "score")
+                .collect(),
+            )
+        )
+
+    assert top(path) == top(rebuilt)
