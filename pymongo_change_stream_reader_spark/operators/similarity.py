@@ -641,6 +641,29 @@ def _ann_require_gen_format(df: DataFrame, path: str, compactor: str) -> None:
         )
 
 
+def _ann_require_id_type(
+    raw: DataFrame, incoming: DataFrame, idx_id_col: str, path: str,
+    op_name: str,
+) -> None:
+    """Refuse an id-type mismatch BEFORE any write: appending or
+    tombstoning ids of a different type would mix parquet schemas in
+    the index/tombstone dirs — the batch would 'succeed' and clear its
+    journal, and only the NEXT read would fail, permanently.  The
+    classic trap is a LONG-keyed index fed a change stream's STRING
+    documentKey — cast the key upstream (the relay's ann_key_col /
+    key_col points at the properly-typed column)."""
+    want = raw.schema[idx_id_col].dataType
+    got = incoming.schema[idx_id_col].dataType
+    if want != got:
+        raise TypeError(
+            f"{op_name}: id column {idx_id_col!r} arrives as "
+            f"{got.simpleString()} but the index at {path!r} stores "
+            f"{want.simpleString()} — cast the incoming ids to the stored "
+            "type (a change stream's documentKey is a STRING; cast it, or "
+            "point the relay's key column at a properly-typed one)"
+        )
+
+
 def _ann_apply_gens(
     spark,
     path: str,
@@ -667,6 +690,7 @@ def _ann_apply_gens(
         "compact_ivf_index" if idx_id_col == "neighbor_id"
         else "compact_pq_index",
     )
+    _ann_require_id_type(raw, new_rows, idx_id_col, path, op_name)
     stored = raw.select(idx_id_col, "gen")
     ids = new_rows.select(idx_id_col).distinct()
     tomb = _read_ann_tombstones(spark, path, idx_id_col)
@@ -712,6 +736,7 @@ def _ann_delete(spark, path: str, ids: DataFrame, idx_id_col: str) -> int:
         "compact_ivf_index" if idx_id_col == "neighbor_id"
         else "compact_pq_index",
     )
+    _ann_require_id_type(raw, ids, idx_id_col, path, "delete")
     stored = raw.select(idx_id_col, "gen")
     tomb = _read_ann_tombstones(spark, path, idx_id_col)
     live = (
@@ -825,6 +850,53 @@ def append_ivf_index(
     return n_new
 
 
+def _ann_apply_batch_locked(
+    spark,
+    path: str,
+    new_rows: DataFrame | None,
+    n_new: int,
+    dels: DataFrame | None,
+    idx_id_col: str,
+    op_name: str,
+    partition_by: str | None = None,
+) -> dict:
+    """Journaled core of the atomic IVF/PQ change batch (callers hold
+    the index write lock, have PINNED the inputs with eager
+    localCheckpoints, and have settled the journal): journal -> delete
+    tombstones -> collision tombstones + next-generation append ->
+    clear journal.  A crash at any point rolls the WHOLE batch back,
+    so readers never see deletes applied without the batch's updates.
+    ``dels`` is None or a pinned distinct-id frame in ``idx_id_col``.
+    Returns {"upserted": n, "tombstoned": m} with m counting deletes
+    AND update collisions — the BM25 convention
+    (_bm25_apply_locked)."""
+    import os
+
+    if not n_new and dels is None:
+        return {"upserted": 0, "tombstoned": 0}
+    _ann_write_journal(path)
+    try:
+        n_tomb = (
+            _ann_delete(spark, path, dels, idx_id_col)
+            if dels is not None
+            else 0
+        )
+        n_coll = 0
+        if n_new:
+            with_gen, n_coll = _ann_apply_gens(
+                spark, path, new_rows, idx_id_col, False, op_name
+            )
+            w = with_gen.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(partition_by)
+            w.parquet(path)
+    except BaseException:
+        _recover_ann_append_locked(path)
+        raise
+    os.unlink(_ann_journal_path(path))
+    return {"upserted": int(n_new), "tombstoned": int(n_tomb) + int(n_coll)}
+
+
 def _ivf_apply_locked(
     spark,
     path: str,
@@ -870,29 +942,10 @@ def _ivf_apply_locked(
         )
         if not dels.count():
             dels = None
-    if not n_new and dels is None:
-        return {"upserted": 0, "tombstoned": 0}
-    _ann_write_journal(path)
-    try:
-        n_tomb = (
-            _ann_delete(spark, path, dels, "neighbor_id")
-            if dels is not None
-            else 0
-        )
-        n_coll = 0
-        if n_new:
-            assigned_g, n_coll = _ann_apply_gens(
-                spark, path, assigned, "neighbor_id", False,
-                "upsert_ivf_index",
-            )
-            assigned_g.write.mode("append").partitionBy("cell").parquet(path)
-    except BaseException:
-        _recover_ann_append_locked(path)
-        raise
-    os.unlink(_ann_journal_path(path))
-    # tombstoned counts deletes AND update collisions — the BM25
-    # convention (_bm25_apply_locked)
-    return {"upserted": int(n_new), "tombstoned": int(n_tomb) + int(n_coll)}
+    return _ann_apply_batch_locked(
+        spark, path, assigned, n_new, dels, "neighbor_id",
+        "upsert_ivf_index", partition_by="cell",
+    )
 
 
 def upsert_ivf_index(
@@ -914,6 +967,10 @@ def upsert_ivf_index(
         IndexWriteLock,
     )
 
+    if new_vecs is None and delete_ids is None:
+        raise ValueError(
+            "upsert_ivf_index: pass new_vecs, delete_ids, or both"
+        )
     spark = (new_vecs if new_vecs is not None else delete_ids).sparkSession
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
         _ann_check_no_journal(path)
@@ -1355,6 +1412,10 @@ def upsert_pq_index(
         IndexWriteLock,
     )
 
+    if new_vecs is None and delete_ids is None:
+        raise ValueError(
+            "upsert_pq_index: pass new_vecs, delete_ids, or both"
+        )
     spark = (new_vecs if new_vecs is not None else delete_ids).sparkSession
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
         _ann_check_no_journal(path)
@@ -1376,29 +1437,9 @@ def upsert_pq_index(
             )
             if not dels.count():
                 dels = None
-        if not n_new and dels is None:
-            return {"upserted": 0, "tombstoned": 0}
-        _ann_write_journal(path)
-        try:
-            n_tomb = (
-                _ann_delete(spark, path, dels, id_col)
-                if dels is not None
-                else 0
-            )
-            n_coll = 0
-            if n_new:
-                encoded_g, n_coll = _ann_apply_gens(
-                    spark, path, encoded, id_col, False, "upsert_pq_index"
-                )
-                encoded_g.write.mode("append").parquet(path)
-        except BaseException:
-            _recover_ann_append_locked(path)
-            raise
-        os.unlink(_ann_journal_path(path))
-        return {
-            "upserted": int(n_new),
-            "tombstoned": int(n_tomb) + int(n_coll),
-        }
+        return _ann_apply_batch_locked(
+            spark, path, encoded, n_new, dels, id_col, "upsert_pq_index"
+        )
 
 
 def delete_from_ivf_index(

@@ -71,13 +71,6 @@ def ann_ingest_batch(
     """Fold one batch of change events into the stored IVF index.
     Returns ``{"upserted": n, "tombstoned": m}``."""
     _require_local_path(index_path, "index_path")
-    if not os.path.exists(os.path.join(index_path, "_centroids.json")):
-        raise RuntimeError(
-            f"no IVF index at {index_path!r} — bootstrap it from a corpus "
-            "snapshot with write_ivf_index() before starting the relay "
-            "(training the quantizer on a first micro-batch would freeze "
-            "centroids from a non-representative sample)"
-        )
     # the same LWW reduction as the BM25 relay, over the embedding
     # column (max_by orders on the event's cluster time, not the value)
     effects = _last_effect_per_key(batch, vec_col, key_col).localCheckpoint(
@@ -91,6 +84,18 @@ def ann_ingest_batch(
     )
     spark = batch.sparkSession
     with IndexWriteLock(index_path.rstrip("/") + ".writelock"):
+        # bootstrap check INSIDE the lock: during a compaction's swap
+        # window the index dir is briefly absent, and an unlocked
+        # existence check would kill the stream with a misleading
+        # "bootstrap it first" error (same rule as append_ivf_index's
+        # in-lock sidecar read)
+        if not os.path.exists(os.path.join(index_path, "_centroids.json")):
+            raise RuntimeError(
+                f"no IVF index at {index_path!r} — bootstrap it from a "
+                "corpus snapshot with write_ivf_index() before starting "
+                "the relay (training the quantizer on a first micro-batch "
+                "would freeze centroids from a non-representative sample)"
+            )
         # a crashed previous apply rolls back here, INSIDE the lock:
         # its epoch never committed, so this batch IS the replay and
         # must see the exact pre-crash index state

@@ -288,3 +288,39 @@ def test_upsert_pq_index_atomic_batch(spark, tmp_path):
         )
 
     assert top(path) == top(rebuilt)
+
+
+def test_ann_write_paths_refuse_id_type_mismatch(spark, tmp_path):
+    """A LONG-keyed index fed STRING ids (the raw documentKey trap)
+    must fail FAST: a silent append would mix parquet schemas in the
+    index dir — the batch would 'succeed' and clear its journal, and
+    only the next read would fail, permanently."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        delete_from_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(_snapshot(spark, range(10)), path, nlist=4, train_iters=1)
+    bad = spark.createDataFrame(
+        [("3", _vec(33))], "vec_id STRING, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(TypeError, match="stores bigint"):
+        upsert_ivf_index(bad, path)
+    with pytest.raises(TypeError, match="stores bigint"):
+        delete_from_ivf_index(bad.select("vec_id"), path)
+    # nothing half-applied: no journal, no tombstones, clean retry path
+    assert not os.path.exists(path + ".append_journal.json")
+    assert not os.path.isdir(path + "_tombstones")
+    upsert_ivf_index(
+        spark.createDataFrame(
+            [(3, _vec(33))], "vec_id LONG, embedding ARRAY<DOUBLE>"
+        ),
+        path,
+    )
+
+
+def test_upsert_refuses_both_none(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    write_ivf_index(_snapshot(spark, range(5)), path, nlist=2, train_iters=1)
+    with pytest.raises(ValueError, match="new_vecs, delete_ids"):
+        upsert_ivf_index(None, path)
