@@ -102,6 +102,12 @@ HEADLINE = (
     # plan; regressions in any stage's composition surface here
     "corpus_curation_e2e",
 )
+# NOT benched: ann_ivf_churned / ann_pq_churned (13s at sf0.1, ~75%
+# of it the one-time index BUILD — benching them would inflate the
+# headline total without measuring steady-state serving; the
+# generation machinery's serving cost is pinned instead by the
+# tombstone-pruning plan test in tests/test_ann_update.py and the
+# rebuild-equality suites in tests/test_ann_relay.py)
 
 
 def main() -> None:

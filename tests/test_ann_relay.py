@@ -324,3 +324,75 @@ def test_upsert_refuses_both_none(spark, tmp_path):
     write_ivf_index(_snapshot(spark, range(5)), path, nlist=2, train_iters=1)
     with pytest.raises(ValueError, match="new_vecs, delete_ids"):
         upsert_ivf_index(None, path)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_op_sequence_equals_frozen_rebuild(spark, tmp_path, seed):
+    """Robustness sweep of the generation machinery: three rounds of
+    seeded random insert/update/delete batches through
+    upsert_ivf_index must leave serving equal to a frozen-quantizer
+    rebuild of the tracked live set — and again after compaction."""
+    import random
+
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        compact_ivf_index,
+    )
+
+    rng = random.Random(seed)
+    state = {i: 0 for i in range(15)}  # id -> version
+    next_id = 15
+
+    def vec(i, ver):
+        return _vec(i * 97 + ver * 31)
+
+    path = str(tmp_path / "idx")
+    cents = write_ivf_index(
+        spark.createDataFrame(
+            [(i, vec(i, v)) for i, v in state.items()],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        ),
+        path,
+        nlist=4,
+        train_iters=1,
+    )
+    for _round in range(3):
+        live_ids = sorted(state)
+        dels = rng.sample(live_ids, k=min(3, len(live_ids)))
+        upd = rng.sample(
+            [i for i in live_ids if i not in dels],
+            k=min(4, len(live_ids) - len(dels)),
+        )
+        ins = list(range(next_id, next_id + rng.randint(1, 3)))
+        next_id = ins[-1] + 1
+        for i in dels:
+            del state[i]
+        for i in upd:
+            state[i] += 1
+        for i in ins:
+            state[i] = 0
+        upsert_ivf_index(
+            spark.createDataFrame(
+                [(i, vec(i, state[i])) for i in upd + ins],
+                "vec_id LONG, embedding ARRAY<DOUBLE>",
+            ),
+            path,
+            delete_ids=spark.createDataFrame(
+                [(i,) for i in dels], "vec_id LONG"
+            ),
+        )
+
+    rebuilt = str(tmp_path / "rebuilt")
+    write_ivf_index(
+        spark.createDataFrame(
+            [(i, vec(i, v)) for i, v in state.items()],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        ),
+        rebuilt,
+        centroids=cents,
+    )
+    queries = _snapshot(spark, [1, 2, 4])
+    assert _top(spark, path, queries) == _top(spark, rebuilt, queries)
+    # physical purge changes nothing observable
+    compact_ivf_index(spark, path)
+    assert _top(spark, path, queries) == _top(spark, rebuilt, queries)
+    assert spark.read.parquet(path).count() == len(state)
