@@ -987,6 +987,7 @@ def ivf_topk_from_index(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pin: bool = False,
 ) -> DataFrame:
     """Approximate top-k against a stored IVF index.
 
@@ -995,12 +996,31 @@ def ivf_topk_from_index(
     becomes a STATIC ``cell IN (...)`` predicate on the partitioned
     scan, which Catalyst turns into PartitionFilters — non-probed cell
     directories are never listed, read, or decoded.  The scored join
-    then broadcasts the query side exactly as the in-memory path."""
+    then broadcasts the query side exactly as the in-memory path.
+
+    ``pin=True`` runs the whole read — sidecar load, file listing, and
+    result materialization — under the index's SHARED flock and
+    returns the k-per-query result eagerly pinned: safe against a
+    concurrent compaction's dir-swap window (the two renames during
+    which the dir is briefly absent — writers take the exclusive
+    lock), the same contract the streaming dedup probe uses.  The
+    default lazy plan is right when maintenance and serving don't
+    overlap."""
     import json
     import math
     import os
 
     from pyspark.sql import Window as W
+
+    if pin:
+        from pymongo_change_stream_reader_spark.operators.maintenance import (
+            IndexWriteLock,
+        )
+
+        with IndexWriteLock(path.rstrip("/") + ".writelock", shared=True):
+            return ivf_topk_from_index(
+                spark, path, queries, k, nprobe, id_col, vec_col, pin=False
+            ).localCheckpoint(eager=True)
 
     with open(os.path.join(path, "_centroids.json")) as fh:
         cents = json.load(fh)
@@ -1564,14 +1584,27 @@ def pq_topk_from_index(
     rerank: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pin: bool = False,
 ) -> DataFrame:
     """ADC top-k against a stored PQ index: scans ONLY the code
     parquet; raw vectors (``corpus``) are touched solely for the
     exact re-rank of the k*rerank shortlist (pass rerank=0 to skip
     them entirely).  Mirrors ivf_topk_from_index's read-side
-    contract."""
+    contract, including ``pin=True`` (shared-lock + eager result for
+    serving concurrent with compaction)."""
     import json
     import os
+
+    if pin:
+        from pymongo_change_stream_reader_spark.operators.maintenance import (
+            IndexWriteLock,
+        )
+
+        with IndexWriteLock(path.rstrip("/") + ".writelock", shared=True):
+            return pq_topk_from_index(
+                spark, path, queries, corpus, k, rerank, id_col, vec_col,
+                pin=False,
+            ).localCheckpoint(eager=True)
 
     with open(os.path.join(path, "_codebooks.json")) as fh:
         books = json.load(fh)
@@ -1646,15 +1679,29 @@ def ivfpq_topk_from_index(
     rerank: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pin: bool = False,
 ) -> DataFrame:
     """Top-k against the composed index: centroids rank per query on
     the driver (the probe plan), the probed-cell union becomes a
     static partition predicate (explain shows PartitionFilters — the
     same contract as ivf_topk_from_index), and the ADC engine scores
     only rows whose cell each query probes.  Exact re-rank of the
-    shortlist as in pq_topk."""
+    shortlist as in pq_topk.  ``pin=True`` follows
+    ivf_topk_from_index's shared-lock contract (the IVF-PQ index is
+    write-once today, so the only concurrent writer is a rebuild)."""
     import json
     import os
+
+    if pin:
+        from pymongo_change_stream_reader_spark.operators.maintenance import (
+            IndexWriteLock,
+        )
+
+        with IndexWriteLock(path.rstrip("/") + ".writelock", shared=True):
+            return ivfpq_topk_from_index(
+                spark, path, queries, corpus, k, nprobe, rerank, id_col,
+                vec_col, pin=False,
+            ).localCheckpoint(eager=True)
 
     with open(os.path.join(path, "_model.json")) as fh:
         model = json.load(fh)

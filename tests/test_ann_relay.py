@@ -396,3 +396,54 @@ def test_random_op_sequence_equals_frozen_rebuild(spark, tmp_path, seed):
     compact_ivf_index(spark, path)
     assert _top(spark, path, queries) == _top(spark, rebuilt, queries)
     assert spark.read.parquet(path).count() == len(state)
+
+
+_EX_HOLDER = """
+import fcntl, os, sys, time
+fd = os.open(sys.argv[1], os.O_CREAT | os.O_WRONLY)
+fcntl.flock(fd, fcntl.LOCK_EX)
+print("HELD", flush=True)
+time.sleep(float(sys.argv[2]))
+fcntl.flock(fd, fcntl.LOCK_UN)
+"""
+
+
+def test_pinned_serving_read_blocks_on_writer_lock(spark, tmp_path):
+    """pin=True serving reads take the index flock SHARED: a
+    cross-process exclusive holder (compaction/append) delays the read
+    until release — proof the pinned path cannot race a compaction's
+    dir-swap window — and the pinned result is eager (correct even if
+    the index dir is rewritten right after return)."""
+    import subprocess
+    import sys
+    import time
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(_snapshot(spark, range(10)), path, nlist=4, train_iters=1)
+    q = _snapshot(spark, [0, 1])
+    want = _top(spark, path, q)
+
+    holder = subprocess.Popen(
+        [sys.executable, "-c", _EX_HOLDER, path + ".writelock", "3"],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    assert holder.stdout.readline().strip() == "HELD"
+    t0 = time.monotonic()
+    pinned = ivf_topk_from_index(spark, path, q, k=4, nprobe=3, pin=True)
+    elapsed = time.monotonic() - t0
+    holder.wait()
+    assert elapsed >= 2.0, f"pinned read did not wait: {elapsed:.2f}s"
+    got = sorted(
+        map(
+            tuple,
+            pinned.select("query_id", "neighbor_id", "score", "rank")
+            .collect(),
+        )
+    )
+    assert got == want
+    # eager pin: rows survive the index dir being replaced
+    import shutil
+
+    shutil.rmtree(path)
+    assert pinned.count() == len(want)
