@@ -418,3 +418,33 @@ def compact_pq_index(
         if had_tomb:
             shutil.rmtree(_ann_tombstone_path(path), ignore_errors=True)
         return n
+
+
+def compact_ivfpq_index(
+    spark: SparkSession, path: str, num_files: int = 1,
+    id_col: str = "vec_id",
+) -> int:
+    """Compact the composed IVF-PQ index: cell partitioning preserved,
+    the ``_model.json`` sidecar (coarse centroids + codebooks) rides
+    into the compacted dir before the swap, tombstoned generations are
+    purged, the sidecar clears, and pre-generation indexes migrate in
+    place — the compact_ivf_index contract on the composed layout."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        _ann_tombstone_path,
+        _recover_ann_append_locked,
+    )
+
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        _recover_ann_append_locked(path)
+        transform, had_tomb = _ann_purge_transform(spark, path, id_col)
+        n = compact_parquet_table(
+            spark,
+            path,
+            num_files,
+            partition_by="cell",
+            preserve_files=("_model.json",),
+            transform=transform,
+        )
+        if had_tomb:
+            shutil.rmtree(_ann_tombstone_path(path), ignore_errors=True)
+        return n

@@ -687,8 +687,8 @@ def _ann_apply_gens(
     _ann_require_gen_format(
         raw,
         path,
-        "compact_ivf_index" if idx_id_col == "neighbor_id"
-        else "compact_pq_index",
+        "the index's compactor (compact_ivf_index / compact_pq_index "
+        "/ compact_ivfpq_index)",
     )
     _ann_require_id_type(raw, new_rows, idx_id_col, path, op_name)
     stored = raw.select(idx_id_col, "gen")
@@ -733,8 +733,8 @@ def _ann_delete(spark, path: str, ids: DataFrame, idx_id_col: str) -> int:
     _ann_require_gen_format(
         raw,
         path,
-        "compact_ivf_index" if idx_id_col == "neighbor_id"
-        else "compact_pq_index",
+        "the index's compactor (compact_ivf_index / compact_pq_index "
+        "/ compact_ivfpq_index)",
     )
     _ann_require_id_type(raw, ids, idx_id_col, path, "delete")
     stored = raw.select(idx_id_col, "gen")
@@ -1614,32 +1614,16 @@ def pq_topk_from_index(
     )
 
 
-def write_ivfpq_index(
+def _ivfpq_encode(
     corpus: DataFrame,
-    path: str,
-    nlist: int = 16,
-    m_sub: int = 8,
-    k_codes: int = 16,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> dict:
-    """IVF + PQ composed index: the corpus is written cell-partitioned
-    (coarse quantizer -> PartitionFilters prune non-probed cells) AND
-    code-compressed (PQ -> each scanned row is m_sub codes, not the
-    float vector).  The two models ride together in ``_model.json``.
-    This is the standard compressed-inverted-file layout: at 100 TB
-    the scan cost drops by BOTH the nprobe/nlist cell fraction and
-    the 16-32x code compression."""
-    import json
-    import os
-
-    cents = train_ivf_centroids(
-        corpus, nlist, iters=iters, id_col=id_col, vec_col=vec_col
-    )
-    books = train_pq_codebooks(
-        corpus, m_sub, k_codes, iters, id_col, vec_col
-    )
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, codes..., cell) rows of the composed index — shared by
+    write_ivfpq_index and upsert_ivfpq_index so an append is
+    bit-identical to a rebuild with the same frozen model."""
     scored = [
         F.struct(
             F.round(
@@ -1656,17 +1640,105 @@ def write_ivfpq_index(
         id_col,
         F.reverse(F.array_sort(F.array(*scored)))[0]["cid"].alias("cell"),
     )
+    return pq_encode(corpus, books, id_col, vec_col).join(cells, id_col)
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model: dict | None = None,
+) -> dict:
+    """IVF + PQ composed index: the corpus is written cell-partitioned
+    (coarse quantizer -> PartitionFilters prune non-probed cells) AND
+    code-compressed (PQ -> each scanned row is m_sub codes, not the
+    float vector).  The two models ride together in ``_model.json``.
+    This is the standard compressed-inverted-file layout: at 100 TB
+    the scan cost drops by BOTH the nprobe/nlist cell fraction and
+    the 16-32x code compression.  Pass ``model`` to reuse a FROZEN
+    {"centroids", "codebooks"} pair instead of training (rebuilds that
+    must match a churned index's serving results)."""
+    import json
+    import os
+
+    if model is None:
+        cents = train_ivf_centroids(
+            corpus, nlist, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        books = train_pq_codebooks(
+            corpus, m_sub, k_codes, iters, id_col, vec_col
+        )
+        model = {"centroids": cents, "codebooks": books}
     (
-        pq_encode(corpus, books, id_col, vec_col)
-        .join(cells, id_col)
+        _ivfpq_encode(
+            corpus, model["centroids"], model["codebooks"], id_col, vec_col
+        )
+        .withColumn("gen", F.lit(0))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
     )
-    model = {"centroids": cents, "codebooks": books}
     with open(os.path.join(path, "_model.json"), "w") as fh:
         json.dump(model, fh)
     return model
+
+
+def upsert_ivfpq_index(
+    new_vecs: DataFrame | None,
+    path: str,
+    delete_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """upsert_ivf_index's sibling on the COMPOSED index: one atomic
+    journaled batch of insert/update/delete against the
+    cell-partitioned code table — cells from the frozen coarse
+    quantizer, codes from the frozen codebooks, generations and
+    tombstones exactly as IVF/PQ.  With this, every stored serving
+    index (BM25, LSH, IVF, PQ, IVF-PQ) supports the reference's full
+    event loop (reference change_handler.py:11,43-48)."""
+    import json
+    import os
+
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    if new_vecs is None and delete_ids is None:
+        raise ValueError(
+            "upsert_ivfpq_index: pass new_vecs, delete_ids, or both"
+        )
+    spark = (new_vecs if new_vecs is not None else delete_ids).sparkSession
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        _ann_check_no_journal(path)
+        with open(os.path.join(path, "_model.json")) as fh:
+            model = json.load(fh)
+        encoded = None
+        n_new = 0
+        if new_vecs is not None:
+            encoded = _ivfpq_encode(
+                new_vecs, model["centroids"], model["codebooks"], id_col,
+                vec_col,
+            ).localCheckpoint(eager=True)
+            n_new = encoded.count()
+        dels = None
+        if delete_ids is not None:
+            dels = (
+                delete_ids.select(id_col)
+                .distinct()
+                .localCheckpoint(eager=True)  # pinned before writes
+            )
+            if not dels.count():
+                dels = None
+        return _ann_apply_batch_locked(
+            spark, path, encoded, n_new, dels, id_col,
+            "upsert_ivfpq_index", partition_by="cell",
+        )
 
 
 def ivfpq_topk_from_index(
@@ -1687,8 +1759,7 @@ def ivfpq_topk_from_index(
     same contract as ivf_topk_from_index), and the ADC engine scores
     only rows whose cell each query probes.  Exact re-rank of the
     shortlist as in pq_topk.  ``pin=True`` follows
-    ivf_topk_from_index's shared-lock contract (the IVF-PQ index is
-    write-once today, so the only concurrent writer is a rebuild)."""
+    ivf_topk_from_index's shared-lock contract."""
     import json
     import os
 
@@ -1724,7 +1795,9 @@ def ivfpq_topk_from_index(
         probe[int(r["query_id"])] = [i for _, i in ranked[:nprobe]]
     probed_union = sorted({c for cells in probe.values() for c in cells})
 
-    encoded = spark.read.parquet(path).filter(
+    # live rows only (gen shim + tombstone anti-join + journal check);
+    # the cell predicate pushes below the join, keeping PartitionFilters
+    encoded = _ann_live_read(spark, path, id_col).filter(
         F.col("cell").isin(probed_union)
     )
     return _pq_adc_search(

@@ -447,3 +447,83 @@ def test_pinned_serving_read_blocks_on_writer_lock(spark, tmp_path):
 
     shutil.rmtree(path)
     assert pinned.count() == len(want)
+
+
+def test_ivfpq_upsert_delete_equal_frozen_rebuild(spark, tmp_path):
+    """The composed index joins the event loop: one atomic
+    upsert_ivfpq_index batch (delete + update + insert) must serve
+    exactly like a frozen-model rebuild over the live vectors, before
+    and after compaction; a legacy (pre-generation) index refuses
+    writes until the compactor migrates it."""
+    import shutil
+
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        compact_ivfpq_index,
+    )
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        ivfpq_topk_from_index,
+        upsert_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    path = str(tmp_path / "idx")
+    model = write_ivfpq_index(
+        _snapshot(spark, range(20)), path, nlist=4, m_sub=2, k_codes=8,
+        iters=1,
+    )
+    upd = spark.createDataFrame(
+        [(3, _vec(33)), (100, _vec(100))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    out = upsert_ivfpq_index(
+        upd, path, delete_ids=spark.createDataFrame([(5,)], "vec_id LONG")
+    )
+    assert out == {"upserted": 2, "tombstoned": 2}
+    assert not os.path.exists(path + ".append_journal.json")
+
+    live = spark.createDataFrame(
+        [(i, _vec(33 if i == 3 else i)) for i in range(20) if i != 5]
+        + [(100, _vec(100))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    write_ivfpq_index(live, rebuilt, model=model)
+    q = _snapshot(spark, [0, 3])
+
+    def top(p):
+        return sorted(
+            map(
+                tuple,
+                ivfpq_topk_from_index(
+                    spark, p, q, live, k=4, nprobe=3, rerank=4
+                )
+                .select("query_id", "neighbor_id", "score")
+                .collect(),
+            )
+        )
+
+    assert top(path) == top(rebuilt)
+    # compaction purges dead generations; serving unchanged
+    compact_ivfpq_index(spark, path)
+    assert not os.path.isdir(path + "_tombstones")
+    assert spark.read.parquet(path).count() == live.count()
+    assert top(path) == top(rebuilt)
+
+    # legacy path: strip gen -> writers refuse -> compactor migrates
+    legacy = path + ".legacy"
+    spark.read.parquet(path).drop("gen").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(legacy)
+    shutil.copyfile(
+        os.path.join(path, "_model.json"),
+        os.path.join(legacy, "_model.json"),
+    )
+    shutil.rmtree(path)
+    os.rename(legacy, path)
+    with pytest.raises(RuntimeError, match="predates generation"):
+        upsert_ivfpq_index(
+            upd, path,
+        )
+    compact_ivfpq_index(spark, path)
+    assert "gen" in spark.read.parquet(path).columns
+    assert top(path) == top(rebuilt)
