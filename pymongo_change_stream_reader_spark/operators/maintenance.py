@@ -360,6 +360,42 @@ def _ann_purge_transform(spark: SparkSession, path: str, idx_id_col: str):
     return _t, tomb is not None
 
 
+def _compact_ann_index(
+    spark: SparkSession,
+    path: str,
+    num_files: int,
+    idx_id_col: str,
+    partition_by: str | None,
+    preserve_files: tuple[str, ...],
+) -> int:
+    """Shared body of the ANN-index compactors (IVF / PQ / IVF-PQ):
+    under the exclusive write lock, roll back a crashed append BEFORE
+    compacting — the journal is a SIBLING file, so it would survive
+    the dir swap with stale listings, and recovering after would
+    delete every compacted file — then rewrite with the gen-shim +
+    tombstone-purge transform, carry the model sidecar(s) through the
+    swap, and clear the tombstone sidecar."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        _ann_tombstone_path,
+        _recover_ann_append_locked,
+    )
+
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        _recover_ann_append_locked(path)
+        transform, had_tomb = _ann_purge_transform(spark, path, idx_id_col)
+        n = compact_parquet_table(
+            spark,
+            path,
+            num_files,
+            partition_by=partition_by,
+            preserve_files=preserve_files,
+            transform=transform,
+        )
+        if had_tomb:
+            shutil.rmtree(_ann_tombstone_path(path), ignore_errors=True)
+        return n
+
+
 def compact_ivf_index(
     spark: SparkSession, path: str, num_files: int = 1
 ) -> int:
@@ -369,28 +405,9 @@ def compact_ivf_index(
     without its model).  Tombstoned generations (updates/deletes) are
     physically purged and the tombstone sidecar clears; a
     pre-generation index is migrated in place (every row gen 0)."""
-    from pymongo_change_stream_reader_spark.operators.similarity import (
-        _ann_tombstone_path,
-        _recover_ann_append_locked,
+    return _compact_ann_index(
+        spark, path, num_files, "neighbor_id", "cell", ("_centroids.json",)
     )
-
-    with IndexWriteLock(path.rstrip("/") + ".writelock"):
-        # roll back a crashed append BEFORE compacting: the journal is
-        # a sibling file, so it would survive the dir swap with stale
-        # listings — recovering AFTER would delete every compacted file
-        _recover_ann_append_locked(path)
-        transform, had_tomb = _ann_purge_transform(spark, path, "neighbor_id")
-        n = compact_parquet_table(
-            spark,
-            path,
-            num_files,
-            partition_by="cell",
-            preserve_files=("_centroids.json",),
-            transform=transform,
-        )
-        if had_tomb:
-            shutil.rmtree(_ann_tombstone_path(path), ignore_errors=True)
-        return n
 
 
 def compact_pq_index(
@@ -401,23 +418,9 @@ def compact_pq_index(
     destroy it — the codebooks are not reproducible from the codes).
     Tombstoned generations are purged and the sidecar clears, same as
     compact_ivf_index; ``id_col`` names the stored id column."""
-    from pymongo_change_stream_reader_spark.operators.similarity import (
-        _ann_tombstone_path,
-        _recover_ann_append_locked,
+    return _compact_ann_index(
+        spark, path, num_files, id_col, None, ("_codebooks.json",)
     )
-
-    with IndexWriteLock(path.rstrip("/") + ".writelock"):
-        # crashed-append rollback before the rewrite — see
-        # compact_ivf_index
-        _recover_ann_append_locked(path)
-        transform, had_tomb = _ann_purge_transform(spark, path, id_col)
-        n = compact_parquet_table(
-            spark, path, num_files, preserve_files=("_codebooks.json",),
-            transform=transform,
-        )
-        if had_tomb:
-            shutil.rmtree(_ann_tombstone_path(path), ignore_errors=True)
-        return n
 
 
 def compact_ivfpq_index(
@@ -429,22 +432,6 @@ def compact_ivfpq_index(
     into the compacted dir before the swap, tombstoned generations are
     purged, the sidecar clears, and pre-generation indexes migrate in
     place — the compact_ivf_index contract on the composed layout."""
-    from pymongo_change_stream_reader_spark.operators.similarity import (
-        _ann_tombstone_path,
-        _recover_ann_append_locked,
+    return _compact_ann_index(
+        spark, path, num_files, id_col, "cell", ("_model.json",)
     )
-
-    with IndexWriteLock(path.rstrip("/") + ".writelock"):
-        _recover_ann_append_locked(path)
-        transform, had_tomb = _ann_purge_transform(spark, path, id_col)
-        n = compact_parquet_table(
-            spark,
-            path,
-            num_files,
-            partition_by="cell",
-            preserve_files=("_model.json",),
-            transform=transform,
-        )
-        if had_tomb:
-            shutil.rmtree(_ann_tombstone_path(path), ignore_errors=True)
-        return n

@@ -635,10 +635,25 @@ def _ann_require_gen_format(df: DataFrame, path: str, compactor: str) -> None:
     One compaction migrates in place (its transform writes gen=0)."""
     if "gen" not in df.columns:
         raise RuntimeError(
-            f"ANN index at {path!r} predates generation tagging — run "
-            f"{compactor}(spark, path) once to migrate it before "
-            "appending/updating/deleting"
+            f"ANN index at {path!r} predates generation tagging — run its "
+            f"compactor ({compactor}) once on (spark, path) to migrate it "
+            "in place before appending/updating/deleting"
         )
+
+
+def _pinned_read(path: str, thunk):
+    """pin=True body of the *_topk_from_index serving reads: run the
+    WHOLE read (model sidecar load, parquet file listing, result
+    materialization) under the index's SHARED flock — writers take it
+    exclusive, so a compaction's dir-swap window cannot race the
+    listing — and return the small k-per-query result eagerly
+    materialized, valid after the lock releases."""
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    with IndexWriteLock(path.rstrip("/") + ".writelock", shared=True):
+        return thunk().localCheckpoint(eager=True)
 
 
 def _ann_require_id_type(
@@ -687,8 +702,9 @@ def _ann_apply_gens(
     _ann_require_gen_format(
         raw,
         path,
-        "the index's compactor (compact_ivf_index / compact_pq_index "
-        "/ compact_ivfpq_index)",
+        "compact_ivf_index" if idx_id_col == "neighbor_id"
+        else "compact_pq_index, or compact_ivfpq_index for the composed "
+        "layout",
     )
     _ann_require_id_type(raw, new_rows, idx_id_col, path, op_name)
     stored = raw.select(idx_id_col, "gen")
@@ -733,8 +749,9 @@ def _ann_delete(spark, path: str, ids: DataFrame, idx_id_col: str) -> int:
     _ann_require_gen_format(
         raw,
         path,
-        "the index's compactor (compact_ivf_index / compact_pq_index "
-        "/ compact_ivfpq_index)",
+        "compact_ivf_index" if idx_id_col == "neighbor_id"
+        else "compact_pq_index, or compact_ivfpq_index for the composed "
+        "layout",
     )
     _ann_require_id_type(raw, ids, idx_id_col, path, "delete")
     stored = raw.select(idx_id_col, "gen")
@@ -1013,14 +1030,12 @@ def ivf_topk_from_index(
     from pyspark.sql import Window as W
 
     if pin:
-        from pymongo_change_stream_reader_spark.operators.maintenance import (
-            IndexWriteLock,
-        )
-
-        with IndexWriteLock(path.rstrip("/") + ".writelock", shared=True):
-            return ivf_topk_from_index(
+        return _pinned_read(
+            path,
+            lambda: ivf_topk_from_index(
                 spark, path, queries, k, nprobe, id_col, vec_col, pin=False
-            ).localCheckpoint(eager=True)
+            ),
+        )
 
     with open(os.path.join(path, "_centroids.json")) as fh:
         cents = json.load(fh)
@@ -1425,6 +1440,34 @@ def upsert_pq_index(
     span.  One row per id (reduce upstream).  Returns
     ``{"upserted": n, "tombstoned": m}`` with m counting deletes plus
     update collisions."""
+    return _ann_upsert_entry(
+        new_vecs,
+        path,
+        delete_ids,
+        id_col,
+        "upsert_pq_index",
+        "_codebooks.json",
+        lambda nv, books: pq_encode(nv, books, id_col, vec_col),
+    )
+
+
+def _ann_upsert_entry(
+    new_vecs: DataFrame | None,
+    path: str,
+    delete_ids: DataFrame | None,
+    id_col: str,
+    op_name: str,
+    model_file: str,
+    encode,
+    partition_by: str | None = None,
+) -> dict:
+    """Shared public-upsert shape of the PQ / IVF-PQ code-table paths:
+    argument validation, write lock, journal refusal, frozen-model
+    load (only when there is something to encode — delete-only
+    batches skip the parse so the exclusive-lock window stays short),
+    encode + pin, delete-id pin, journaled batch apply.  ``encode``
+    maps (new_vecs, parsed model sidecar) -> encoded rows keyed by
+    ``id_col``."""
     import json
     import os
 
@@ -1433,20 +1476,16 @@ def upsert_pq_index(
     )
 
     if new_vecs is None and delete_ids is None:
-        raise ValueError(
-            "upsert_pq_index: pass new_vecs, delete_ids, or both"
-        )
+        raise ValueError(f"{op_name}: pass new_vecs, delete_ids, or both")
     spark = (new_vecs if new_vecs is not None else delete_ids).sparkSession
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
         _ann_check_no_journal(path)
-        with open(os.path.join(path, "_codebooks.json")) as fh:
-            books = json.load(fh)
         encoded = None
         n_new = 0
         if new_vecs is not None:
-            encoded = pq_encode(
-                new_vecs, books, id_col, vec_col
-            ).localCheckpoint(eager=True)
+            with open(os.path.join(path, model_file)) as fh:
+                model = json.load(fh)
+            encoded = encode(new_vecs, model).localCheckpoint(eager=True)
             n_new = encoded.count()
         dels = None
         if delete_ids is not None:
@@ -1458,7 +1497,8 @@ def upsert_pq_index(
             if not dels.count():
                 dels = None
         return _ann_apply_batch_locked(
-            spark, path, encoded, n_new, dels, id_col, "upsert_pq_index"
+            spark, path, encoded, n_new, dels, id_col, op_name,
+            partition_by=partition_by,
         )
 
 
@@ -1596,15 +1636,13 @@ def pq_topk_from_index(
     import os
 
     if pin:
-        from pymongo_change_stream_reader_spark.operators.maintenance import (
-            IndexWriteLock,
-        )
-
-        with IndexWriteLock(path.rstrip("/") + ".writelock", shared=True):
-            return pq_topk_from_index(
+        return _pinned_read(
+            path,
+            lambda: pq_topk_from_index(
                 spark, path, queries, corpus, k, rerank, id_col, vec_col,
                 pin=False,
-            ).localCheckpoint(eager=True)
+            ),
+        )
 
     with open(os.path.join(path, "_codebooks.json")) as fh:
         books = json.load(fh)
@@ -1621,24 +1659,14 @@ def _ivfpq_encode(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """(id, codes..., cell) rows of the composed index — shared by
-    write_ivfpq_index and upsert_ivfpq_index so an append is
-    bit-identical to a rebuild with the same frozen model."""
-    scored = [
-        F.struct(
-            F.round(
-                dot(F.col("cv"), F.array(*[F.lit(x) for x in c])), 6
-            ).alias("score"),
-            F.lit(i).alias("cid"),
-        )
-        for i, c in enumerate(cents)
-    ]
-    cells = corpus.select(
-        F.col(id_col),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).select(
-        id_col,
-        F.reverse(F.array_sort(F.array(*scored)))[0]["cid"].alias("cell"),
+    """(id, codes..., cell) rows of the composed index — cells come
+    from _cell_assignment, the SAME projection the IVF write/append
+    paths use, so cell assignment can never drift between index
+    kinds; codes from pq_encode.  Shared by write_ivfpq_index and
+    upsert_ivfpq_index so an append is bit-identical to a rebuild
+    with the same frozen model."""
+    cells = _cell_assignment(corpus, cents, id_col, vec_col).select(
+        F.col("neighbor_id").alias(id_col), "cell"
     )
     return pq_encode(corpus, books, id_col, vec_col).join(cells, id_col)
 
@@ -1702,43 +1730,18 @@ def upsert_ivfpq_index(
     tombstones exactly as IVF/PQ.  With this, every stored serving
     index (BM25, LSH, IVF, PQ, IVF-PQ) supports the reference's full
     event loop (reference change_handler.py:11,43-48)."""
-    import json
-    import os
-
-    from pymongo_change_stream_reader_spark.operators.maintenance import (
-        IndexWriteLock,
+    return _ann_upsert_entry(
+        new_vecs,
+        path,
+        delete_ids,
+        id_col,
+        "upsert_ivfpq_index",
+        "_model.json",
+        lambda nv, model: _ivfpq_encode(
+            nv, model["centroids"], model["codebooks"], id_col, vec_col
+        ),
+        partition_by="cell",
     )
-
-    if new_vecs is None and delete_ids is None:
-        raise ValueError(
-            "upsert_ivfpq_index: pass new_vecs, delete_ids, or both"
-        )
-    spark = (new_vecs if new_vecs is not None else delete_ids).sparkSession
-    with IndexWriteLock(path.rstrip("/") + ".writelock"):
-        _ann_check_no_journal(path)
-        with open(os.path.join(path, "_model.json")) as fh:
-            model = json.load(fh)
-        encoded = None
-        n_new = 0
-        if new_vecs is not None:
-            encoded = _ivfpq_encode(
-                new_vecs, model["centroids"], model["codebooks"], id_col,
-                vec_col,
-            ).localCheckpoint(eager=True)
-            n_new = encoded.count()
-        dels = None
-        if delete_ids is not None:
-            dels = (
-                delete_ids.select(id_col)
-                .distinct()
-                .localCheckpoint(eager=True)  # pinned before writes
-            )
-            if not dels.count():
-                dels = None
-        return _ann_apply_batch_locked(
-            spark, path, encoded, n_new, dels, id_col,
-            "upsert_ivfpq_index", partition_by="cell",
-        )
 
 
 def ivfpq_topk_from_index(
@@ -1764,15 +1767,13 @@ def ivfpq_topk_from_index(
     import os
 
     if pin:
-        from pymongo_change_stream_reader_spark.operators.maintenance import (
-            IndexWriteLock,
-        )
-
-        with IndexWriteLock(path.rstrip("/") + ".writelock", shared=True):
-            return ivfpq_topk_from_index(
+        return _pinned_read(
+            path,
+            lambda: ivfpq_topk_from_index(
                 spark, path, queries, corpus, k, nprobe, rerank, id_col,
                 vec_col, pin=False,
-            ).localCheckpoint(eager=True)
+            ),
+        )
 
     with open(os.path.join(path, "_model.json")) as fh:
         model = json.load(fh)
