@@ -1462,15 +1462,8 @@ def _ann_upsert_entry(
     partition_by: str | None = None,
 ) -> dict:
     """Shared public-upsert shape of the PQ / IVF-PQ code-table paths:
-    argument validation, write lock, journal refusal, frozen-model
-    load (only when there is something to encode — delete-only
-    batches skip the parse so the exclusive-lock window stays short),
-    encode + pin, delete-id pin, journaled batch apply.  ``encode``
-    maps (new_vecs, parsed model sidecar) -> encoded rows keyed by
-    ``id_col``."""
-    import json
-    import os
-
+    argument validation, write lock, journal refusal, then the locked
+    apply body (_ann_code_apply_locked)."""
     from pymongo_change_stream_reader_spark.operators.maintenance import (
         IndexWriteLock,
     )
@@ -1480,26 +1473,53 @@ def _ann_upsert_entry(
     spark = (new_vecs if new_vecs is not None else delete_ids).sparkSession
     with IndexWriteLock(path.rstrip("/") + ".writelock"):
         _ann_check_no_journal(path)
-        encoded = None
-        n_new = 0
-        if new_vecs is not None:
-            with open(os.path.join(path, model_file)) as fh:
-                model = json.load(fh)
-            encoded = encode(new_vecs, model).localCheckpoint(eager=True)
-            n_new = encoded.count()
-        dels = None
-        if delete_ids is not None:
-            dels = (
-                delete_ids.select(id_col)
-                .distinct()
-                .localCheckpoint(eager=True)  # pinned before writes
-            )
-            if not dels.count():
-                dels = None
-        return _ann_apply_batch_locked(
-            spark, path, encoded, n_new, dels, id_col, op_name,
-            partition_by=partition_by,
+        return _ann_code_apply_locked(
+            spark, path, new_vecs, delete_ids, id_col, op_name,
+            model_file, encode, partition_by,
         )
+
+
+def _ann_code_apply_locked(
+    spark,
+    path: str,
+    new_vecs: DataFrame | None,
+    delete_ids: DataFrame | None,
+    id_col: str,
+    op_name: str,
+    model_file: str,
+    encode,
+    partition_by: str | None = None,
+) -> dict:
+    """Locked apply body of the code-table upserts (callers hold the
+    write lock and have settled the journal): frozen-model load (only
+    when there is something to encode — delete-only batches skip the
+    parse so the exclusive-lock window stays short), encode + pin,
+    delete-id pin, journaled batch apply.  ``encode`` maps (new_vecs,
+    parsed model sidecar) -> encoded rows keyed by ``id_col``.  Also
+    the streaming ANN relay's per-batch apply for PQ-family kinds."""
+    import json
+    import os
+
+    encoded = None
+    n_new = 0
+    if new_vecs is not None:
+        with open(os.path.join(path, model_file)) as fh:
+            model = json.load(fh)
+        encoded = encode(new_vecs, model).localCheckpoint(eager=True)
+        n_new = encoded.count()
+    dels = None
+    if delete_ids is not None:
+        dels = (
+            delete_ids.select(id_col)
+            .distinct()
+            .localCheckpoint(eager=True)  # pinned before writes
+        )
+        if not dels.count():
+            dels = None
+    return _ann_apply_batch_locked(
+        spark, path, encoded, n_new, dels, id_col, op_name,
+        partition_by=partition_by,
+    )
 
 
 def delete_from_ivf_index(

@@ -1,9 +1,11 @@
 """Online ANN serving-index maintenance from the change stream — the
 vector-retrieval sibling of the BM25 relay (streaming/index_relay.py):
-each micro-batch's document changes fold into the stored IVF index, so
-similarity serving stays current for a corpus that never stops
-CHANGING — inserts, updates, replaces, and deletes, the reference's
-full per-event loop (reference change_handler.py:11,43-48).
+each micro-batch's document changes fold into the stored ANN index
+(``kind="ivf"`` float cells, or ``kind="ivfpq"`` — the compressed
+composed layout that is the 100 TB serving shape), so similarity
+serving stays current for a corpus that never stops CHANGING —
+inserts, updates, replaces, and deletes, the reference's full
+per-event loop (reference change_handler.py:11,43-48).
 
 Per micro-batch:
 
@@ -46,9 +48,17 @@ from pymongo_change_stream_reader_spark.operators.maintenance import (
     IndexWriteLock,
 )
 from pymongo_change_stream_reader_spark.operators.similarity import (
+    _ann_code_apply_locked,
     _ivf_apply_locked,
+    _ivfpq_encode,
     _recover_ann_append_locked,
 )
+
+# per-kind: (model sidecar the bootstrap check looks for, locked apply)
+_KINDS = {
+    "ivf": "_centroids.json",
+    "ivfpq": "_model.json",
+}
 from pymongo_change_stream_reader_spark.streaming.index_relay import (
     _last_effect_per_key,
 )
@@ -67,10 +77,19 @@ def ann_ingest_batch(
     index_path: str,
     vec_col: str = "embedding",
     key_col: str = "documentKey",
+    kind: str = "ivf",
 ) -> dict:
-    """Fold one batch of change events into the stored IVF index.
+    """Fold one batch of change events into the stored ANN index —
+    ``kind="ivf"`` (float vectors, cell-partitioned) or
+    ``kind="ivfpq"`` (the compressed composed layout, the 100 TB
+    serving shape: frozen coarse quantizer + frozen codebooks).
     Returns ``{"upserted": n, "tombstoned": m}``."""
     _require_local_path(index_path, "index_path")
+    if kind not in _KINDS:
+        raise ValueError(
+            f"ann_ingest_batch: unknown kind {kind!r} (one of "
+            f"{sorted(_KINDS)})"
+        )
     # the same LWW reduction as the BM25 relay, over the embedding
     # column (max_by orders on the event's cluster time, not the value)
     effects = _last_effect_per_key(batch, vec_col, key_col).localCheckpoint(
@@ -89,24 +108,42 @@ def ann_ingest_batch(
         # existence check would kill the stream with a misleading
         # "bootstrap it first" error (same rule as append_ivf_index's
         # in-lock sidecar read)
-        if not os.path.exists(os.path.join(index_path, "_centroids.json")):
+        sidecar = _KINDS[kind]
+        if not os.path.exists(os.path.join(index_path, sidecar)):
             raise RuntimeError(
-                f"no IVF index at {index_path!r} — bootstrap it from a "
-                "corpus snapshot with write_ivf_index() before starting "
-                "the relay (training the quantizer on a first micro-batch "
-                "would freeze centroids from a non-representative sample)"
+                f"no {kind} index at {index_path!r} — bootstrap it from a "
+                "corpus snapshot (write_ivf_index / write_ivfpq_index) "
+                "before starting the relay (training the quantizer on a "
+                "first micro-batch would freeze a model from a "
+                "non-representative sample)"
             )
         # a crashed previous apply rolls back here, INSIDE the lock:
         # its epoch never committed, so this batch IS the replay and
         # must see the exact pre-crash index state
         if _recover_ann_append_locked(index_path):
             logger.warning(
-                "IVF index at %s: rolled back a crashed apply before "
+                "%s index at %s: rolled back a crashed apply before "
                 "re-applying the replayed batch",
+                kind,
                 index_path,
             )
-        return _ivf_apply_locked(
-            spark, index_path, upserts, deletes, "vec_id", "embedding"
+        if kind == "ivf":
+            return _ivf_apply_locked(
+                spark, index_path, upserts, deletes, "vec_id", "embedding"
+            )
+        return _ann_code_apply_locked(
+            spark,
+            index_path,
+            upserts if not upserts.isEmpty() else None,
+            deletes,
+            "vec_id",
+            "ann_relay_ivfpq",
+            "_model.json",
+            lambda nv, model: _ivfpq_encode(
+                nv, model["centroids"], model["codebooks"], "vec_id",
+                "embedding",
+            ),
+            partition_by="cell",
         )
 
 
@@ -117,6 +154,7 @@ def start_streaming_ann_index(
     vec_col: str = "embedding",
     key_col: str = "documentKey",
     trigger_interval: str | None = None,
+    kind: str = "ivf",
 ):
     """Streaming entry point: foreachBatch fold-into-index with
     epoch-marker replay protection (same contract as
@@ -132,7 +170,7 @@ def start_streaming_ann_index(
             return
         if batch_df.isEmpty():
             return
-        ann_ingest_batch(batch_df, index_path, vec_col, key_col)
+        ann_ingest_batch(batch_df, index_path, vec_col, key_col, kind)
         _commit_epoch(marker_dir, epoch_id, qid)
 
     writer = (

@@ -88,6 +88,7 @@ def composed_apply_batch(
     ann_index_path: str | None = None,
     ann_vec_col: str = "embedding",
     ann_key_col: str | None = None,
+    ann_kind: str = "ivf",
 ) -> dict:
     """Apply one micro-batch to every enabled store (see module
     docstring).  Returns per-store outcomes: ``applied`` /
@@ -145,7 +146,8 @@ def composed_apply_batch(
             outcome["ann"] = "replayed-skip"
         else:
             ann_ingest_batch(
-                pinned, ann_index_path, ann_vec_col, ann_key_col or key_col
+                pinned, ann_index_path, ann_vec_col,
+                ann_key_col or key_col, ann_kind,
             )
             _commit_epoch(marker, epoch_id, qid)
             outcome["ann"] = "applied"
@@ -172,6 +174,7 @@ def start_composed_relay(
     ann_index_path: str | None = None,
     ann_vec_col: str = "embedding",
     ann_key_col: str | None = None,
+    ann_kind: str = "ivf",
 ):
     """Streaming entry point: one stream, one source read per trigger,
     every enabled store maintained.  Enable a store by passing its
@@ -224,6 +227,7 @@ def start_composed_relay(
             ann_index_path=ann_index_path,
             ann_vec_col=ann_vec_col,
             ann_key_col=ann_key_col,
+            ann_kind=ann_kind,
         )
 
     writer = (

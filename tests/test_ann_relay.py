@@ -527,3 +527,67 @@ def test_ivfpq_upsert_delete_equal_frozen_rebuild(spark, tmp_path):
     compact_ivfpq_index(spark, path)
     assert "gen" in spark.read.parquet(path).columns
     assert top(path) == top(rebuilt)
+
+
+def test_ann_ingest_batch_ivfpq_kind(spark, tmp_path):
+    """kind="ivfpq": the relay maintains the compressed composed index
+    — batch insert/update/delete equals a frozen-model rebuild."""
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        ivfpq_topk_from_index,
+        write_ivfpq_index,
+    )
+    from pymongo_change_stream_reader_spark.streaming.ann_relay import (
+        ann_ingest_batch,
+    )
+
+    path = str(tmp_path / "idx")
+    model = write_ivfpq_index(
+        _snapshot(spark, range(20)), path, nlist=4, m_sub=2, k_codes=8,
+        iters=1,
+    )
+    batch = spark.createDataFrame(
+        [
+            ("insert", 100, _vec(100), 1, 1, "a1"),
+            ("update", 3, _vec(33), 1, 2, "a2"),
+            ("delete", 5, None, 1, 3, "a3"),
+        ],
+        "operationType STRING, vec_id LONG, embedding ARRAY<DOUBLE>, "
+        "t INT, i INT, d STRING",
+    ).selectExpr(
+        "operationType",
+        "vec_id",
+        "embedding",
+        "named_struct('t', t, 'i', i) AS clusterTime",
+        "named_struct('_data', d) AS _id",
+    )
+    out = ann_ingest_batch(
+        batch, path, vec_col="embedding", key_col="vec_id", kind="ivfpq"
+    )
+    assert out == {"upserted": 2, "tombstoned": 2}
+    assert not os.path.exists(path + ".append_journal.json")
+
+    live = spark.createDataFrame(
+        [(i, _vec(33 if i == 3 else i)) for i in range(20) if i != 5]
+        + [(100, _vec(100))],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    write_ivfpq_index(live, rebuilt, model=model)
+    q = _snapshot(spark, [0, 3])
+
+    def top(p):
+        return sorted(
+            map(
+                tuple,
+                ivfpq_topk_from_index(
+                    spark, p, q, live, k=4, nprobe=3, rerank=4
+                )
+                .select("query_id", "neighbor_id", "score")
+                .collect(),
+            )
+        )
+
+    assert top(path) == top(rebuilt)
+
+    with pytest.raises(ValueError, match="unknown kind"):
+        ann_ingest_batch(batch, path, key_col="vec_id", kind="hnsw")
