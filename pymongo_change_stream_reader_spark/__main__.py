@@ -41,7 +41,33 @@ def main() -> None:
         # DataSource / Kafka / file) must set RelaySettings.pipeline so
         # build_relay applies the translated pipeline (watch.py:79).
     )
-    if cfg.replica_path:
+    index_stores = (
+        cfg.dedup_index_path, cfg.bm25_index_path, cfg.ann_index_path
+    )
+    if any(p is not None for p in index_stores):
+        # engine extension: any serving-index path switches the entry
+        # point to the single-pass composed relay — replica + dedup
+        # flags + BM25 + ANN maintained from ONE source read per
+        # micro-batch with per-store epoch markers
+        from pymongo_change_stream_reader_spark.streaming.composed_relay import (
+            start_composed_relay,
+        )
+
+        query = start_composed_relay(
+            events,
+            cfg.checkpoint_location,
+            replica_path=cfg.replica_path,
+            dedup_index_path=cfg.dedup_index_path,
+            dedup_flags_path=cfg.dedup_flags_path,
+            bm25_index_path=cfg.bm25_index_path,
+            n_buckets=cfg.replica_buckets,
+            trigger_interval=f"{cfg.commit_interval} seconds",
+            ann_index_path=cfg.ann_index_path,
+            ann_vec_col=cfg.ann_vec_col,
+            ann_key_col=cfg.ann_key_col,
+            ann_kind=cfg.ann_kind,
+        )
+    elif cfg.replica_path:
         # engine extension: REPLICA_PATH switches the sink to replica
         # maintenance (a queryable parquet mirror of the collection)
         from pymongo_change_stream_reader_spark.streaming.job import (

@@ -48,6 +48,17 @@ class EngineSettings:
     # Kafka relay — streaming/materialize.py
     replica_path: str | None = None
     replica_buckets: int = 16
+    # serving-index stores (engine extension): any of these switches
+    # the entry point to the single-pass composed relay
+    # (streaming/composed_relay.py) maintaining every enabled store
+    # from ONE source read per micro-batch
+    dedup_index_path: str | None = None
+    dedup_flags_path: str | None = None
+    bm25_index_path: str | None = None
+    ann_index_path: str | None = None
+    ann_kind: str = "ivf"
+    ann_vec_col: str = "embedding"
+    ann_key_col: str | None = None
     # lifecycle
     program_start_timeout: int = 60
     program_graceful_stop_timeout: int = 20
@@ -58,6 +69,14 @@ class EngineSettings:
             raise ValueError("collection requires database")
         if self.pipeline is not None:
             parse_pipeline(self.pipeline)  # fail fast, like settings.py:69-76
+        if (self.dedup_index_path is None) != (self.dedup_flags_path is None):
+            # same contract the composed relay enforces — fail at
+            # settings build, like the reference's Settings validation
+            raise ValueError(
+                "dedup needs BOTH DEDUP_INDEX_PATH and DEDUP_FLAGS_PATH"
+            )
+        if self.ann_kind not in ("ivf", "ivfpq"):
+            raise ValueError("ANN_KIND must be 'ivf' or 'ivfpq'")
 
     @property
     def checkpoint_location(self) -> str:
@@ -96,6 +115,13 @@ def settings_from_env() -> EngineSettings:
         checkpoint_dir=env.get("CHECKPOINT_DIR", "/tmp/cdc-checkpoints"),
         replica_path=env.get("REPLICA_PATH"),
         replica_buckets=int(env.get("REPLICA_BUCKETS", "16")),
+        dedup_index_path=env.get("DEDUP_INDEX_PATH"),
+        dedup_flags_path=env.get("DEDUP_FLAGS_PATH"),
+        bm25_index_path=env.get("BM25_INDEX_PATH"),
+        ann_index_path=env.get("ANN_INDEX_PATH"),
+        ann_kind=env.get("ANN_KIND", "ivf"),
+        ann_vec_col=env.get("ANN_VEC_COL", "embedding"),
+        ann_key_col=env.get("ANN_KEY_COL"),
         program_start_timeout=int(env.get("PROGRAM_START_TIMEOUT", "60")),
         program_graceful_stop_timeout=int(
             env.get("PROGRAM_GRACEFUL_STOP_TIMEOUT", "20")

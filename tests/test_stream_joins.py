@@ -171,6 +171,35 @@ def test_settings_from_env(monkeypatch):
     assert cfg.commit_interval == 15
     assert cfg.new_topic_config == {"cleanup.policy": "compact"}
     assert cfg.checkpoint_location.endswith("/r1")
+    # index-store extensions default off
+    assert cfg.dedup_index_path is None and cfg.ann_index_path is None
+    assert cfg.ann_kind == "ivf"
+
+
+def test_settings_from_env_composed_stores(monkeypatch):
+    from pymongo_change_stream_reader_spark.config import settings_from_env
+
+    for k, v in {
+        "STREAM_READER_NAME": "r1",
+        "MONGO_URI": "mongodb://h:27017",
+        "KAFKA_BOOTSTRAP_SERVERS": "k:9092",
+        "REPLICA_PATH": "/data/replica",
+        "DEDUP_INDEX_PATH": "/data/lsh",
+        "DEDUP_FLAGS_PATH": "/data/flags",
+        "BM25_INDEX_PATH": "/data/bm25",
+        "ANN_INDEX_PATH": "/data/ivfpq",
+        "ANN_KIND": "ivfpq",
+        "ANN_VEC_COL": "emb",
+        "ANN_KEY_COL": "vec_key",
+    }.items():
+        monkeypatch.setenv(k, v)
+    cfg = settings_from_env()
+    assert cfg.dedup_index_path == "/data/lsh"
+    assert cfg.bm25_index_path == "/data/bm25"
+    assert cfg.ann_index_path == "/data/ivfpq"
+    assert (cfg.ann_kind, cfg.ann_vec_col, cfg.ann_key_col) == (
+        "ivfpq", "emb", "vec_key",
+    )
 
 
 def test_settings_validation(monkeypatch):
@@ -185,6 +214,16 @@ def test_settings_validation(monkeypatch):
         EngineSettings(
             stream_reader_name="x", mongo_uri="m", kafka_bootstrap_servers="k",
             pipeline="{not-a-list}",
+        )
+    with pytest.raises(ValueError, match="BOTH DEDUP_INDEX_PATH"):
+        EngineSettings(
+            stream_reader_name="x", mongo_uri="m", kafka_bootstrap_servers="k",
+            dedup_index_path="/data/lsh",
+        )
+    with pytest.raises(ValueError, match="ANN_KIND"):
+        EngineSettings(
+            stream_reader_name="x", mongo_uri="m", kafka_bootstrap_servers="k",
+            ann_kind="hnsw",
         )
 
 
