@@ -49,10 +49,44 @@ def main() -> None:
         # point to the single-pass composed relay — replica + dedup
         # flags + BM25 + ANN maintained from ONE source read per
         # micro-batch with per-store epoch markers
+        import logging
+
+        from pyspark.sql import functions as F
+
         from pymongo_change_stream_reader_spark.streaming.composed_relay import (
             start_composed_relay,
         )
 
+        if cfg.full_document != "updateLookup":
+            # the indexing relays fold each event's POST-image; without
+            # updateLookup (or collection-level post-images), updates
+            # arrive with fullDocument=null and are silently dropped
+            # from the indexes — index_relay._last_effect_per_key
+            logging.getLogger(__name__).warning(
+                "index stores enabled with FULL_DOCUMENT=%r — updates "
+                "without a post-image cannot be indexed; set "
+                "FULL_DOCUMENT=updateLookup (or enable collection "
+                "pre/post images) or the serving indexes go stale on "
+                "every update",
+                cfg.full_document,
+            )
+        ann_vec = cfg.ann_vec_col
+        if cfg.ann_index_path is not None:
+            # the embedding rides INSIDE the Extended-JSON document
+            # string; decode the ANN_VEC_COL field into a typed column
+            # for the relay (the key stays the documentKey string
+            # unless ANN_KEY_COL points at a derived column — the id
+            # type must match the bootstrapped index's)
+            ann_vec = "_ann_vec"
+            events = events.withColumn(
+                ann_vec,
+                F.from_json(
+                    F.get_json_object(
+                        F.col("fullDocument"), f"$.{cfg.ann_vec_col}"
+                    ),
+                    "array<double>",
+                ),
+            )
         query = start_composed_relay(
             events,
             cfg.checkpoint_location,
@@ -63,7 +97,7 @@ def main() -> None:
             n_buckets=cfg.replica_buckets,
             trigger_interval=f"{cfg.commit_interval} seconds",
             ann_index_path=cfg.ann_index_path,
-            ann_vec_col=cfg.ann_vec_col,
+            ann_vec_col=ann_vec,
             ann_key_col=cfg.ann_key_col,
             ann_kind=cfg.ann_kind,
         )

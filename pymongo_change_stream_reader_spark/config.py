@@ -57,6 +57,11 @@ class EngineSettings:
     bm25_index_path: str | None = None
     ann_index_path: str | None = None
     ann_kind: str = "ivf"
+    # ANN_VEC_COL names the FIELD inside the Extended-JSON document
+    # that holds the embedding array — the CLI decodes it into a typed
+    # column before starting the relay (__main__.py); ANN_KEY_COL
+    # optionally points the index id at a column other than
+    # documentKey (its type must match the bootstrapped index's ids)
     ann_vec_col: str = "embedding"
     ann_key_col: str | None = None
     # lifecycle

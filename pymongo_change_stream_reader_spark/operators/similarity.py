@@ -939,11 +939,13 @@ def _ivf_apply_locked(
     import json
     import os
 
-    with open(os.path.join(path, "_centroids.json")) as fh:
-        cents = json.load(fh)
     assigned = None
     n_new = 0
     if upserts is not None:
+        # centroid parse only when there is something to assign —
+        # delete-only batches keep the exclusive-lock window short
+        with open(os.path.join(path, "_centroids.json")) as fh:
+            cents = json.load(fh)
         # frozen-quantizer assignment BEFORE any write: bit-identical
         # to a rebuild with the same centroids (shared _cell_assignment)
         assigned = _cell_assignment(

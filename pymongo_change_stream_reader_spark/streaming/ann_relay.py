@@ -54,11 +54,6 @@ from pymongo_change_stream_reader_spark.operators.similarity import (
     _recover_ann_append_locked,
 )
 
-# per-kind: (model sidecar the bootstrap check looks for, locked apply)
-_KINDS = {
-    "ivf": "_centroids.json",
-    "ivfpq": "_model.json",
-}
 from pymongo_change_stream_reader_spark.streaming.index_relay import (
     _last_effect_per_key,
 )
@@ -70,6 +65,20 @@ from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
 )
 
 logger = logging.getLogger(__name__)
+
+# per-kind model sidecar: what the bootstrap check looks for, and (for
+# the PQ-family kinds) what _ann_code_apply_locked parses
+_KINDS = {
+    "ivf": "_centroids.json",
+    "ivfpq": "_model.json",
+}
+
+
+def _require_kind(kind: str, op: str) -> None:
+    if kind not in _KINDS:
+        raise ValueError(
+            f"{op}: unknown kind {kind!r} (one of {sorted(_KINDS)})"
+        )
 
 
 def ann_ingest_batch(
@@ -85,11 +94,7 @@ def ann_ingest_batch(
     serving shape: frozen coarse quantizer + frozen codebooks).
     Returns ``{"upserted": n, "tombstoned": m}``."""
     _require_local_path(index_path, "index_path")
-    if kind not in _KINDS:
-        raise ValueError(
-            f"ann_ingest_batch: unknown kind {kind!r} (one of "
-            f"{sorted(_KINDS)})"
-        )
+    _require_kind(kind, "ann_ingest_batch")
     # the same LWW reduction as the BM25 relay, over the embedding
     # column (max_by orders on the event's cluster time, not the value)
     effects = _last_effect_per_key(batch, vec_col, key_col).localCheckpoint(
@@ -127,18 +132,22 @@ def ann_ingest_batch(
                 kind,
                 index_path,
             )
+        # delete-only batches pass upserts=None: both apply bodies then
+        # skip the model parse / assignment job, keeping the exclusive
+        # lock window short
+        ups = None if upserts.isEmpty() else upserts
         if kind == "ivf":
             return _ivf_apply_locked(
-                spark, index_path, upserts, deletes, "vec_id", "embedding"
+                spark, index_path, ups, deletes, "vec_id", "embedding"
             )
         return _ann_code_apply_locked(
             spark,
             index_path,
-            upserts if not upserts.isEmpty() else None,
+            ups,
             deletes,
             "vec_id",
             "ann_relay_ivfpq",
-            "_model.json",
+            sidecar,
             lambda nv, model: _ivfpq_encode(
                 nv, model["centroids"], model["codebooks"], "vec_id",
                 "embedding",
@@ -159,6 +168,9 @@ def start_streaming_ann_index(
     """Streaming entry point: foreachBatch fold-into-index with
     epoch-marker replay protection (same contract as
     start_streaming_bm25_index)."""
+    # fail fast at stream START, beside the path checks — a typo'd
+    # kind must not wait for the first non-empty batch to surface
+    _require_kind(kind, "start_streaming_ann_index")
     _require_local_path(checkpoint_dir, "checkpoint_dir")
     _require_local_path(index_path, "index_path")
     marker_dir = os.path.join(checkpoint_dir, "epoch_log")

@@ -195,6 +195,12 @@ def start_composed_relay(
             "composed relay: dedup needs BOTH dedup_index_path and "
             "dedup_flags_path"
         )
+    if ann_index_path is not None:
+        from pymongo_change_stream_reader_spark.streaming.ann_relay import (
+            _require_kind,
+        )
+
+        _require_kind(ann_kind, "start_composed_relay")
     _require_local_path(checkpoint_dir, "checkpoint_dir")
     for p, name in (
         (replica_path, "replica_path"),

@@ -255,3 +255,50 @@ def test_range_join_bucketed_matches_theta(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     naive_plan = naive._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" in naive_plan or "Cartesian" in naive_plan
+
+
+def test_main_composed_wiring(spark, monkeypatch, tmp_path):
+    """The CLI entry decodes the embedding field out of the
+    Extended-JSON document into a typed column and points the composed
+    relay at it — without this the ANN store could never run from env
+    (the change-event schema has no array column)."""
+    import pymongo_change_stream_reader_spark.__main__ as entry
+    import pymongo_change_stream_reader_spark.streaming.composed_relay as cr
+
+    captured = {}
+
+    def fake_stream(spark_, uri, **kw):
+        return spark_.createDataFrame(
+            [],
+            "operationType STRING, documentKey STRING, "
+            "fullDocument STRING, "
+            "clusterTime STRUCT<t:INT,i:INT>, _id STRUCT<_data:STRING>",
+        )
+
+    class _Q:
+        def awaitTermination(self):
+            return None
+
+    def fake_start(events, ckpt, **kw):
+        captured["events"] = events
+        captured["kw"] = kw
+        return _Q()
+
+    monkeypatch.setattr(entry, "mongo_change_stream", fake_stream)
+    monkeypatch.setattr(entry, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(cr, "start_composed_relay", fake_start)
+    for k, v in {
+        "STREAM_READER_NAME": "r1",
+        "MONGO_URI": "mongodb://h:27017",
+        "KAFKA_BOOTSTRAP_SERVERS": "k:9092",
+        "FULL_DOCUMENT": "updateLookup",
+        "BM25_INDEX_PATH": str(tmp_path / "bm25"),
+        "ANN_INDEX_PATH": str(tmp_path / "ivf"),
+        "ANN_VEC_COL": "emb",
+    }.items():
+        monkeypatch.setenv(k, v)
+    entry.main()
+    kw = captured["kw"]
+    assert kw["ann_vec_col"] == "_ann_vec"
+    assert kw["bm25_index_path"] == str(tmp_path / "bm25")
+    assert dict(captured["events"].dtypes)["_ann_vec"] == "array<double>"
