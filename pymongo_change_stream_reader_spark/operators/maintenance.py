@@ -162,12 +162,13 @@ def compact_parquet_table(
     spark: SparkSession,
     table_dir: str,
     num_files: int = 1,
-    partition_by: str | None = None,
+    partition_by: str | list[str] | None = None,
     transform=None,
     preserve_files: tuple[str, ...] = (),
 ) -> int:
     """Rewrite ``table_dir`` into ``num_files`` parquet files (per
-    partition dir when ``partition_by`` is given), optionally applying
+    partition dir when ``partition_by`` is given — a single column or
+    a list for nested layouts), optionally applying
     ``transform(df) -> df`` first (must preserve semantics — used for
     the BM25 df segment merge).  ``preserve_files`` (model sidecars
     like ``_centroids.json``) are copied into the compacted dir
@@ -179,11 +180,14 @@ def compact_parquet_table(
         df = transform(df)
     tmp = table_dir + ".compact-tmp"
     if partition_by:
-        # (partition col, salt) repartition: each partition dir's rows
+        part_cols = (
+            [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        )
+        # (partition cols, salt) repartition: each partition dir's rows
         # spread over at most num_files distinct tasks (a task writes
         # one file per dir), so files-per-dir <= num_files while task
         # parallelism stays at defaultParallelism — hashing on the
-        # partition column ALONE would serialize each cell/band into
+        # partition columns ALONE would serialize each cell/band into
         # one task and ignore num_files
         salt = F.pmod(
             F.xxhash64(*[F.col(c) for c in df.columns]),
@@ -192,11 +196,11 @@ def compact_parquet_table(
         writer = (
             df.repartition(
                 max(num_files, spark.sparkContext.defaultParallelism),
-                F.col(partition_by),
+                *[F.col(c) for c in part_cols],
                 salt,
             )
             .write.mode("overwrite")
-            .partitionBy(partition_by)
+            .partitionBy(*part_cols)
         )
     else:
         writer = df.repartition(max(1, num_files)).write.mode("overwrite")
@@ -293,7 +297,8 @@ def compact_bm25_index(
 
 
 def compact_lsh_index(
-    spark: SparkSession, path: str, num_files: int = 1
+    spark: SparkSession, path: str, num_files: int = 1,
+    flags_path: str | None = None,
 ) -> int:
     """Compact the band-partitioned LSH index (operators/dedup.py):
     band partitioning is preserved so probes keep pruning.  Sibling
@@ -304,7 +309,13 @@ def compact_lsh_index(
     every tombstoned (doc, gen) are dropped, replay-residue duplicate
     rows collapse (distinct — duplicates only ever widened candidate
     sets), and the tombstone sidecar clears, so index size tracks the
-    live corpus under churn instead of growing without bound."""
+    live corpus under churn instead of growing without bound.
+
+    ``flags_path``: the relay's near-dup flags store paired with this
+    index — when given, its aged per-epoch partitions FOLD into the
+    base partition inside the same lock span (the other unbounded
+    small-files term of the streaming relay; see
+    streaming/dedup_relay.py compact_dedup_flags)."""
     from pymongo_change_stream_reader_spark.operators.dedup import (
         _lsh_lock_path,
         _lsh_registry_path,
@@ -314,6 +325,12 @@ def compact_lsh_index(
     )
 
     with IndexWriteLock(_lsh_lock_path(path)):
+        if flags_path is not None:
+            from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
+                _compact_dedup_flags_locked,
+            )
+
+            _compact_dedup_flags_locked(spark, flags_path, num_files)
         tomb = _read_lsh_tombstones(spark, path)
         reg_path = _lsh_registry_path(path)
 

@@ -139,23 +139,41 @@ def dedup_flag_batch(
                 cand.filter(F.col("new_id") != F.col("corpus_id"))
                 .localCheckpoint(eager=True)
             )
-        n_flags = flagged.count()
-        if n_flags:
-            # overwrite THIS epoch's partition — idempotent under
-            # replay (an append would double-count flag rows if the
-            # previous attempt crashed between the flags write and the
-            # marker).  Zero-flag batches write NOTHING: the probe is
-            # deterministic for a replayed batch (the tombstone step is
-            # idempotent and the index append happens after), so a
-            # replay can never need to CLEAR a previous attempt's
-            # rows — and skipping keeps read_dedup_flags' None contract
-            # plus avoids one empty partition dir per quiet trigger.
-            part = os.path.join(flags_path, f"epoch={int(epoch_id)}")
-            if scope:
-                part = os.path.join(
-                    flags_path, f"q={scope}", f"epoch={int(epoch_id)}"
-                )
-            flagged.write.mode("overwrite").parquet(part)
+            n_flags = flagged.count()
+            if n_flags:
+                # overwrite THIS epoch's partition — idempotent under
+                # replay (an append would double-count flag rows if the
+                # previous attempt crashed between the flags write and
+                # the marker).  Zero-flag batches write NOTHING: the
+                # probe is deterministic for a replayed batch (the
+                # tombstone step is idempotent and the index append
+                # happens after), so a replay can never need to CLEAR a
+                # previous attempt's rows — and skipping keeps
+                # read_dedup_flags' None contract plus avoids one empty
+                # partition dir per quiet trigger.  The write stays
+                # INSIDE the shared index lock: compact_dedup_flags
+                # (exclusive) rewrites the flags store and must never
+                # interleave with a half-written epoch partition.
+                part = os.path.join(flags_path, f"epoch={int(epoch_id)}")
+                if scope:
+                    part = os.path.join(
+                        flags_path, f"q={scope}", f"epoch={int(epoch_id)}"
+                    )
+                elif int(epoch_id) == 0 and _dir_has_parquet(part):
+                    # loud guard for pre-r6 batch callers: the API used
+                    # to APPEND — a repeat unscoped call with the
+                    # default epoch now REPLACES the previous flags
+                    # instead of accumulating them (r6 advice)
+                    logger.warning(
+                        "dedup_flag_batch: overwriting an existing "
+                        "unscoped epoch=0 flag partition at %s — if you "
+                        "are applying multiple batches directly, pass a "
+                        "distinct epoch_id per batch (the overwrite-"
+                        "per-epoch contract replaced the old append "
+                        "semantics)",
+                        part,
+                    )
+                flagged.write.mode("overwrite").parquet(part)
     append_lsh_index(
         docs, index_path, "text", "doc", num_hashes, bands, n,
         track_generations=True,
@@ -211,6 +229,97 @@ def start_streaming_dedup(
     if trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def _compact_dedup_flags_locked(
+    spark, flags_path: str, num_files: int = 1
+) -> int:
+    """Fold-aged-epochs body of compact_dedup_flags — callers hold the
+    paired LSH index's EXCLUSIVE write lock (flock is not reentrant
+    across fds within one process, so this must never re-acquire it).
+    Returns the live flag-row count, or -1 when nothing needed
+    rewriting."""
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        compact_parquet_table,
+    )
+
+    if not _dir_has_parquet(flags_path):
+        return -1
+    df = spark.read.parquet(flags_path)
+    scoped = "q" in df.columns
+    scope_cols = ["q"] if scoped else []
+    # one partition dir per (scope, epoch): fold every epoch EXCEPT the
+    # newest per scope — markers are written after the flags, so only
+    # the newest epoch of a scope can be uncommitted and thus ever
+    # REPLAY (a replayed committed epoch short-circuits at the marker);
+    # folding an uncommitted epoch would let its replay re-write the
+    # epoch=N dir alongside the folded copy and double-count
+    keys = df.select(*scope_cols, "epoch").distinct().collect()
+    max_by_scope: dict = {}
+    for r in keys:
+        s = r["q"] if scoped else ""
+        max_by_scope[s] = max(max_by_scope.get(s, -1), r["epoch"])
+    n_foldable = sum(
+        1
+        for r in keys
+        if r["epoch"] != -1 and r["epoch"] != max_by_scope[r["q"] if scoped else ""]
+    )
+    if not n_foldable:
+        return -1
+
+    def _fold(d):
+        maxes = spark.createDataFrame(
+            [(s, int(m)) for s, m in max_by_scope.items()],
+            "__s STRING, __max INT",
+        )
+        key = F.col("q") if scoped else F.lit("")
+        out = (
+            d.join(F.broadcast(maxes), key == F.col("__s"))
+            .withColumn(
+                "epoch",
+                F.when(F.col("epoch") == F.col("__max"), F.col("epoch"))
+                .otherwise(F.lit(-1))
+                .cast("int"),
+            )
+            .drop("__s", "__max")
+        )
+        return out
+
+    return compact_parquet_table(
+        spark,
+        flags_path,
+        num_files,
+        partition_by=(scope_cols + ["epoch"]),
+        transform=_fold,
+    )
+
+
+def compact_dedup_flags(
+    spark, index_path: str, flags_path: str, num_files: int = 1
+) -> int:
+    """Cap the flags store's partition growth: the relay overwrites one
+    ``flags/epoch=N`` dir per non-empty trigger — at a 30 s trigger
+    that is ~2,880 tiny partition dirs/day, and ``read_dedup_flags``'s
+    partition discovery degrades long before the data does.  This
+    folds every aged epoch into the scope's ``epoch=-1`` BASE partition
+    (flag ROWS are unchanged; only the ``epoch`` partition value
+    coarsens to -1 for folded rows), keeping the newest epoch per
+    scope unfolded because it is the only one that can still replay
+    (see _compact_dedup_flags_locked).  Runs under the paired LSH
+    index's EXCLUSIVE write lock — the relay writes flags inside the
+    SHARED probe lock, so a fold can never interleave with a
+    half-written epoch partition.  The rewrite is the same
+    crash-recoverable tmp+swap as every index compaction
+    (``recover_table(flags_path)`` restores after a mid-swap crash).
+    Returns the flag-row count, or -1 when nothing needed folding."""
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    _require_local_path(index_path, "index_path")
+    _require_local_path(flags_path, "flags_path")
+    with IndexWriteLock(_lsh_lock_path(index_path)):
+        return _compact_dedup_flags_locked(spark, flags_path, num_files)
 
 
 def read_dedup_flags(spark, flags_path: str) -> DataFrame | None:

@@ -456,3 +456,210 @@ def test_zero_flag_batch_writes_nothing(spark, tmp_path):
     )
     assert read_dedup_flags(spark, flags) is None
     assert not os.path.isdir(os.path.join(flags, "epoch=1"))
+
+# ---------------------------------------------------------------------------
+# Flags-store epoch compaction (VERDICT r6 ask #1): the relay writes
+# one flags/epoch=N partition per non-empty trigger, forever — folding
+# aged epochs into the base partition bounds partition discovery.
+# ---------------------------------------------------------------------------
+def _flag_pairs(spark, flags):
+    df = read_dedup_flags(spark, flags)
+    return (
+        set()
+        if df is None
+        else {(r["new_id"], r["corpus_id"]) for r in df.collect()}
+    )
+
+
+def _epoch_dirs(flags):
+    out = []
+    for root, dirs, _files in os.walk(flags):
+        out.extend(
+            os.path.join(root, d) for d in dirs if d.startswith("epoch=")
+        )
+    return sorted(out)
+
+
+def test_compact_dedup_flags_folds_aged_epochs(spark, tmp_path):
+    """N flagged epochs -> compact -> identical flag PAIRS, bounded
+    partition count (base + the newest epoch), and a second compaction
+    is a no-op (-1)."""
+    from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
+        compact_dedup_flags,
+    )
+
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k0", LONG_A)]), index, flags, epoch_id=0
+    )
+    for e in range(1, 5):  # four flagged epochs: k1..k4 each near-dup k0
+        assert (
+            dedup_flag_batch(
+                _batch(spark, [("insert", f"k{e}", LONG_A)]),
+                index, flags, epoch_id=e,
+            )
+            >= 1
+        )
+    before = _flag_pairs(spark, flags)
+    assert len(_epoch_dirs(flags)) == 4  # epochs 1..4 (epoch 0 flagged nothing)
+    n = compact_dedup_flags(spark, index, flags)
+    assert n == len(before)
+    assert _flag_pairs(spark, flags) == before
+    dirs = _epoch_dirs(flags)
+    assert len(dirs) == 2  # base (-1) + newest epoch (4)
+    assert any(d.endswith("epoch=-1") for d in dirs)
+    assert any(d.endswith("epoch=4") for d in dirs)
+    # idempotent: nothing left to fold
+    assert compact_dedup_flags(spark, index, flags) == -1
+    assert _flag_pairs(spark, flags) == before
+
+
+def test_compact_dedup_flags_streaming_replay_noop(spark, tmp_path):
+    """Streaming path: fold the scoped store mid-life, then restart the
+    query over the SAME checkpoint — replayed (folded, committed)
+    epochs are no-ops via the epoch markers, and new epochs land
+    alongside the base partition."""
+    from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
+        compact_dedup_flags,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "b0.json").write_text(_event("a0", "k0", LONG_A))
+    (src / "b1.json").write_text(_event("a1", "k1", LONG_A, t=2))
+    (src / "b2.json").write_text(_event("a2", "k2", LONG_A, t=3))
+    q = start_streaming_dedup(
+        stream_change_events_json(spark, str(src)), index, flags, ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    before = _flag_pairs(spark, flags)
+    # all three texts collide; pair DIRECTION depends on file-trigger
+    # order, which the source does not guarantee — 3 pairs either way
+    assert len(before) == 3
+    compact_dedup_flags(spark, index, flags)
+    assert _flag_pairs(spark, flags) == before
+    n_dirs_after_fold = len(_epoch_dirs(flags))
+
+    # restart over the same checkpoint (folded epochs replay as no-ops
+    # through the offset log / markers) and feed one new batch
+    (src / "b3.json").write_text(_event("a3", "k3", LONG_A, t=4))
+    q = start_streaming_dedup(
+        stream_change_events_json(spark, str(src)), index, flags, ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = _flag_pairs(spark, flags)
+    assert before < got and all(new == "k3" for new, _ in got - before)
+    # exactly one new epoch dir; the folded base is untouched
+    assert len(_epoch_dirs(flags)) == n_dirs_after_fold + 1
+
+
+def test_compact_dedup_flags_blocks_on_shared_probe_lock(spark, tmp_path):
+    """Compact-while-probing interleave: a cross-process SHARED holder
+    (the relay's probe+flags span) delays the fold until release."""
+    import subprocess
+    import sys
+
+    from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
+        compact_dedup_flags,
+    )
+
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k0", LONG_A)]), index, flags, epoch_id=0
+    )
+    for e in (1, 2):
+        dedup_flag_batch(
+            _batch(spark, [("insert", f"k{e}", LONG_A)]),
+            index, flags, epoch_id=e,
+        )
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import fcntl, os, sys, time\n"
+            "fd = os.open(sys.argv[1], os.O_CREAT | os.O_WRONLY)\n"
+            "fcntl.flock(fd, fcntl.LOCK_SH)\n"
+            "print('HELD', flush=True)\n"
+            "time.sleep(1.5)\n",
+            index + ".writelock",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    assert holder.stdout.readline().strip() == "HELD"
+    t0 = time.monotonic()
+    before = _flag_pairs(spark, flags)
+    n = compact_dedup_flags(spark, index, flags)
+    elapsed = time.monotonic() - t0
+    holder.wait()
+    assert n == len(before) and _flag_pairs(spark, flags) == before
+    assert elapsed >= 1.2, (
+        f"fold returned in {elapsed:.2f}s under a shared probe lock — "
+        "compact_dedup_flags is not taking the exclusive index lock"
+    )
+
+
+def test_compact_lsh_index_folds_flags_in_same_lock_span(spark, tmp_path):
+    """compact_lsh_index(flags_path=...) performs BOTH maintenance
+    passes under one lock acquisition."""
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        compact_lsh_index,
+    )
+
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k0", LONG_A)]), index, flags, epoch_id=0
+    )
+    for e in (1, 2, 3):
+        dedup_flag_batch(
+            _batch(spark, [("insert", f"k{e}", LONG_A)]),
+            index, flags, epoch_id=e,
+        )
+    before = _flag_pairs(spark, flags)
+    compact_lsh_index(spark, index, flags_path=flags)
+    assert _flag_pairs(spark, flags) == before
+    assert len(_epoch_dirs(flags)) == 2  # base + newest
+
+
+def test_unscoped_epoch0_overwrite_warns(spark, tmp_path, caplog):
+    """ADVICE r6 low: a legacy batch caller repeating the default
+    (scope='', epoch_id=0) call now OVERWRITES instead of appending —
+    the guard warns loudly."""
+    import logging
+
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k0", LONG_A)]), index, flags
+    )
+    dedup_flag_batch(  # writes flags at epoch 0 (near-dup of k0)
+        _batch(spark, [("insert", "k1", LONG_A)]), index, flags, epoch_id=1
+    )
+    with caplog.at_level(logging.WARNING):
+        dedup_flag_batch(  # unscoped epoch 0 again, partition exists? no
+            _batch(spark, [("insert", "k2", LONG_B)]), index, flags
+        )
+    assert not [r for r in caplog.records if "overwriting" in r.message]
+    # now force the overwrite case: epoch 0 flagged rows exist already
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k3", LONG_A)]), index, flags, epoch_id=0
+    )
+    with caplog.at_level(logging.WARNING):
+        dedup_flag_batch(
+            _batch(spark, [("insert", "k4", LONG_A)]), index, flags, epoch_id=0
+        )
+    assert [r for r in caplog.records if "overwriting" in r.message]
