@@ -666,10 +666,49 @@ def write_lsh_index(
     (band, bucket), so partition pruning reads only the probed band
     directories and parquet min/max stats skip bucket ranges within
     them.  ``gen`` starts at 0; the streaming relay's update/delete
-    hygiene advances it (see tombstone_lsh_docs)."""
+    hygiene advances it (see tombstone_lsh_docs).  The registry
+    sidecar (``<path>_docs``) is SEEDED here too — without it,
+    tombstone_lsh_docs silently no-ops on the bootstrapped docs and a
+    relay update re-ingests at gen 0 alongside the superseded gen-0
+    sketch (r6 advice)."""
     lsh_band_table(df, text_col, id_col, num_hashes, bands, n).withColumn(
         "gen", F.lit(0)
     ).write.mode("overwrite").partitionBy("band").parquet(path)
+    df.select(F.col(id_col).alias("doc")).distinct().withColumn(
+        "gen", F.lit(0)
+    ).write.mode("overwrite").parquet(_lsh_registry_path(path))
+
+
+def seed_lsh_registry(spark: SparkSession, path: str) -> int:
+    """Migrate a registry-less LSH index (written before
+    write_lsh_index seeded registries, or built via plain untracked
+    appends) for relay use: derive the registry from the band table's
+    distinct (doc, gen) pairs, merged with any existing registry rows.
+    Runs under the index write lock.  Returns the registry row count.
+
+    Without a complete registry, update/delete hygiene silently
+    no-ops for the missing docs — deleted documents keep matching
+    probes forever, and an update re-ingests at a generation that
+    collides with its own superseded sketch (r6 advice)."""
+    import os
+
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+    )
+
+    reg_path = _lsh_registry_path(path)
+    with IndexWriteLock(_lsh_lock_path(path)):
+        reg = _lsh_with_gen(spark.read.parquet(path)).select("doc", "gen")
+        if os.path.isdir(reg_path):
+            reg = reg.unionByName(
+                spark.read.parquet(reg_path).select("doc", "gen")
+            )
+        # pinned BEFORE the overwrite: the plan reads the registry dir
+        # it is about to replace
+        reg = reg.distinct().localCheckpoint(eager=True)
+        n = reg.count()
+        reg.write.mode("overwrite").parquet(reg_path)
+        return int(n)
 
 
 def append_lsh_index(
@@ -690,12 +729,18 @@ def append_lsh_index(
     swap.
 
     ``track_generations`` (the streaming relay's mode): each doc's
-    sketch rows get gen = 1 + its highest generation ever registered
-    (0 if never seen), and the (doc, gen) pair lands in the registry
-    sidecar (``<path>_docs``) — the metadata tombstone_lsh_docs reads
-    to retire superseded/deleted versions.  A re-ingested id therefore
-    never collides with its own tombstone.  Without it (pure batch
-    appends), rows are gen 0 and no registry is kept."""
+    sketch rows get gen = 1 + its highest generation ever recorded —
+    registered OR tombstoned (0 if never seen) — and the (doc, gen)
+    pair lands in the registry sidecar (``<path>_docs``) — the
+    metadata tombstone_lsh_docs reads to retire superseded/deleted
+    versions.  A re-ingested id therefore never collides with its own
+    tombstone, even after a compaction crash that purged the registry
+    but left the tombstone sidecar behind (r6 advice: the tombstone
+    union removes the clear-ordering sensitivity).  Tracked appends
+    REFUSE an index whose band table predates the registry (run
+    seed_lsh_registry once); untracked appends onto a registry-keeping
+    index still register their docs at gen 0, so hygiene stays
+    complete when the two modes mix."""
     from pymongo_change_stream_reader_spark.operators.maintenance import (
         IndexWriteLock,
     )
@@ -704,11 +749,13 @@ def append_lsh_index(
 
     spark = df_new.sparkSession
     with IndexWriteLock(_lsh_lock_path(path)):
-        if _os.path.isdir(path) and any(
+        reg_path = _lsh_registry_path(path)
+        has_rows = _os.path.isdir(path) and any(
             f.endswith(".parquet")
             for _r, _d, files in _os.walk(path)
             for f in files
-        ):
+        )
+        if has_rows:
             if "gen" not in spark.read.parquet(path).columns:
                 # legacy index: appending gen-tagged files would mix
                 # schemas in one parquet dir (nondeterministic reads —
@@ -719,23 +766,44 @@ def append_lsh_index(
                     "tagging — run compact_lsh_index(spark, path) once "
                     "to migrate it before appending"
                 )
+            if track_generations and not _os.path.isdir(reg_path):
+                # r6 advice (medium): without a registry covering the
+                # stored docs, hygiene silently no-ops — deleted docs
+                # keep matching forever and updates collide with their
+                # own gen-0 sketches.  Refuse; one seeding migrates.
+                raise RuntimeError(
+                    f"LSH index at {path!r} has no doc registry — run "
+                    "seed_lsh_registry(spark, path) once to derive it "
+                    "from the stored sketches before relay/tracked use"
+                )
         bt = lsh_band_table(df_new, text_col, id_col, num_hashes, bands, n)
+        ids = df_new.select(F.col(id_col).alias("doc")).distinct()
         if not track_generations:
             bt.withColumn("gen", F.lit(0)).write.mode("append").partitionBy(
                 "band"
             ).parquet(path)
+            if _os.path.isdir(reg_path):
+                # keep the registry COMPLETE when untracked appends mix
+                # into a tracked index: gen-0 registration matches the
+                # gen-0 sketch rows (duplicate registry rows collapse
+                # at read time / compaction)
+                ids.withColumn("gen", F.lit(0)).write.mode(
+                    "append"
+                ).parquet(reg_path)
             return
         import os
 
-        ids = df_new.select(F.col(id_col).alias("doc")).distinct()
-        reg_path = _lsh_registry_path(path)
         genmap = None
         if os.path.isdir(reg_path):
-            # highest gen EVER (live or dead): a deleted-then-
-            # reinserted doc must clear its own tombstone
+            # highest gen EVER (live, dead, or tombstone-only after a
+            # crashed compaction clear): a re-inserted doc must never
+            # land on a generation a stale tombstone still names
+            known = spark.read.parquet(reg_path).select("doc", "gen")
+            tomb = _read_lsh_tombstones(spark, path)
+            if tomb is not None:
+                known = known.unionByName(tomb)
             genmap = (
-                spark.read.parquet(reg_path)
-                .join(F.broadcast(ids), "doc", "left_semi")
+                known.join(F.broadcast(ids), "doc", "left_semi")
                 .groupBy("doc")
                 .agg((F.max("gen") + 1).alias("gen"))
                 .localCheckpoint(eager=True)  # pinned before we append
@@ -778,6 +846,19 @@ def tombstone_lsh_docs(ids: DataFrame, path: str, id_col: str = "doc") -> int:
     reg_path = _lsh_registry_path(path)
     with IndexWriteLock(_lsh_lock_path(path)):
         if not os.path.isdir(reg_path):
+            if os.path.isdir(path) and any(
+                f.endswith(".parquet")
+                for _r, _d, files in os.walk(path)
+                for f in files
+            ):
+                # stored sketches with no registry: silently returning
+                # 0 would leave deleted docs matching probes forever
+                # (r6 advice) — refuse until the registry is seeded
+                raise RuntimeError(
+                    f"LSH index at {path!r} has no doc registry — run "
+                    "seed_lsh_registry(spark, path) once before "
+                    "update/delete hygiene can retire its sketches"
+                )
             return 0
         want = ids.select(F.col(id_col).alias("doc")).distinct()
         reg = spark.read.parquet(reg_path).select("doc", "gen").distinct()

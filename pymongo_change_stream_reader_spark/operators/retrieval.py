@@ -423,12 +423,21 @@ def _bm25_apply_locked(
                 "(re-ingesting double-counts terms); use "
                 "upsert_bm25_index for updates"
             )
-    # new generation per upserted id = max STORED gen (live or dead:
-    # a deleted-then-reinserted id must clear its own tombstone) + 1
+    # new generation per upserted id = max gen over STORED ∪ TOMBSTONE
+    # rows + 1: stored covers live-or-dead rows (a deleted-then-
+    # reinserted id must clear its own tombstone); the tombstone union
+    # covers the compaction crash window where dead generations were
+    # purged from the tables but the tombstone set was not yet cleared
+    # — without it a re-inserted fully-deleted id lands on gen 0, which
+    # a stale (doc_id, 0) tombstone still names, and the new rows are
+    # born dead (r6 advice)
     genmap = None
     if up_ids is not None:
+        known = stored.select("doc_id", "gen")
+        if tomb is not None:
+            known = known.unionByName(tomb.select("doc_id", "gen"))
         genmap = (
-            stored.join(F.broadcast(up_ids), "doc_id", "left_semi")
+            known.join(F.broadcast(up_ids), "doc_id", "left_semi")
             .groupBy("doc_id")
             .agg((F.max("gen") + 1).alias("gen"))
             .localCheckpoint(eager=True)

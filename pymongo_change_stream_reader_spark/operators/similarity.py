@@ -692,10 +692,10 @@ def _ann_apply_gens(
     ``check_new_ids``, otherwise TOMBSTONES the colliding live
     generations (upsert — the reference's update loop,
     change_handler.py:43-48); returns (``new_rows`` with each id's next
-    generation attached — max stored gen + 1, or 0 for never-seen ids,
-    a re-inserted id clearing its own tombstone —, the collision count
-    tombstoned).  Only the (id, gen) columns of the stored index are
-    scanned."""
+    generation attached — max gen over stored ∪ tombstone rows + 1, or
+    0 for never-seen ids, a re-inserted id clearing its own
+    tombstone —, the collision count tombstoned).  Only the (id, gen)
+    columns of the stored index are scanned."""
     import os
 
     raw = spark.read.parquet(path)
@@ -725,8 +725,14 @@ def _ann_apply_gens(
             "append-only mode refuses re-ingestion; pass "
             "check_new_ids=False to update in place"
         )
+    # max over STORED ∪ TOMBSTONE gens + 1: the tombstone union covers
+    # the compaction crash window (dead gens purged from the table,
+    # sidecar not yet cleared) — a re-inserted fully-deleted id must
+    # not land on a generation a stale tombstone still names (r6
+    # advice)
+    known = stored if tomb is None else stored.unionByName(tomb)
     genmap = (
-        stored.join(F.broadcast(ids), idx_id_col, "left_semi")
+        known.join(F.broadcast(ids), idx_id_col, "left_semi")
         .groupBy(idx_id_col)
         .agg((F.max("gen") + 1).alias("gen"))
         .localCheckpoint(eager=True)  # pinned before the index append

@@ -5,11 +5,21 @@ semantics (reference emits the events to Kafka and stops;
 a downstream consumer doing exactly this is the canonical use).
 
 Contract:
-- Events must carry POST-IMAGES for updates (``fullDocument`` via
-  ``updateLookup`` / required pre-post images) — the configuration the
-  reference runs with (watch.py full_document default).  An update
-  without a post-image raises rather than silently diverging the
-  replica.
+- Updates apply through their POST-IMAGE when one rides on the event
+  (``fullDocument`` via ``updateLookup`` / required pre-post images —
+  the configuration the reference runs with, watch.py full_document
+  default).  An update WITHOUT a post-image applies its
+  ``updateDescription`` DELTA (updatedFields / removedFields /
+  truncatedArrays, dotted paths included) to the stored document —
+  the reference relays exactly these deltas as its normal output when
+  no post-image is configured (reference
+  producing/change_event_handler.py:100-113), so a replica fed the
+  reference's default ``full_document=None`` stream stays current
+  instead of raising.  A delta for a key with no stored document (and
+  no in-batch base) cannot be applied and leaves a tombstone — the
+  reference-side fix is resume-from-a-token-at-or-before-bootstrap.
+  An insert/replace without a document, or an update with neither
+  post-image nor updateDescription, still raises.
 - Within a batch, the LAST event per key wins; across batches (and
   across micro-batch replays after a restart) conflict resolution is
   last-writer-wins on the BSON-order triple

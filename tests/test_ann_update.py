@@ -335,3 +335,32 @@ def test_pq_delete_crash_rolls_back(spark, tmp_path, emb, monkeypatch):
     assert not os.path.isdir(path + "_tombstones")
     assert sim._ann_list_files(path) == before_files
     assert _pq_top(spark, path, emb, emb) == before
+
+
+def test_ivf_reinsert_after_compaction_crash_window(spark, tmp_path, emb):
+    """ADVICE r6 low: stale tombstones surviving a compaction crash
+    (swap done, sidecar clear not) must not kill a re-inserted
+    fully-deleted id — the next-generation computation unions
+    tombstone gens."""
+    import shutil
+
+    path = str(tmp_path / "idx")
+    write_ivf_index(emb, path, nlist=4, train_iters=1)
+    victim = emb.filter(F.col("vec_id") == 0)
+    delete_from_ivf_index(victim.select("vec_id"), path)
+    saved = str(tmp_path / "saved_tombstones")
+    shutil.copytree(path + "_tombstones", saved)
+    compact_ivf_index(spark, path)
+    assert not os.path.isdir(path + "_tombstones")
+    shutil.copytree(saved, path + "_tombstones")
+    append_ivf_index(victim, path, check_new_ids=True)  # re-insert
+    # vec 0 is live again: it must be its own... neighbors' result sets
+    # include it (probe its nearest neighbor and expect vec 0 served)
+    got = _ivf_top(spark, path, emb, probes=(1, 2, 3))
+    clean = str(tmp_path / "clean")
+    import json as _json
+
+    with open(os.path.join(path, "_centroids.json")) as fh:
+        cents = _json.load(fh)
+    write_ivf_index(emb, clean, centroids=cents)
+    assert got == _ivf_top(spark, clean, emb, probes=(1, 2, 3))

@@ -258,3 +258,31 @@ def test_legacy_index_without_gen_refuses_then_migrates(
     full = str(tmp_path / "full")
     write_bm25_index(_final_corpus(spark, docs), full)
     assert _scores(spark, full) == _scores(spark, path)
+
+
+def test_reinsert_after_compaction_crash_window(spark, tmp_path, docs):
+    """ADVICE r6 low: a crash after compaction swapped the purged
+    tables but BEFORE the tombstone set cleared leaves tombstones
+    naming purged generations.  A re-inserted fully-deleted id must
+    NOT be born dead — the generation computation unions tombstone
+    gens, so the new rows land above the stale tombstone."""
+    import shutil
+
+    path = str(tmp_path / "idx")
+    write_bm25_index(docs, path)
+    victim = docs.filter(F.col("doc_id") == 0)
+    delete_from_bm25_index(victim.select("doc_id"), path)
+    # simulate the crash window: compaction purges + clears, then the
+    # pre-clear tombstone set REAPPEARS
+    saved = str(tmp_path / "saved_tombstones")
+    shutil.copytree(os.path.join(path, "tombstones"), saved)
+    compact_bm25_index(spark, path)
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    shutil.copytree(saved, os.path.join(path, "tombstones"))
+    append_bm25_index(victim, path)  # re-insert the fully-deleted id
+    # the id scores — against a rebuild over the same live corpus
+    full = str(tmp_path / "full")
+    write_bm25_index(docs, full)
+    want, got = _scores(spark, full), _scores(spark, path)
+    assert len(got) and {d for _q, d in got} == {d for _q, d in want}
+    assert 0 in {d for _q, d in got}  # the re-inserted id serves

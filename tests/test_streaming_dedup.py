@@ -663,3 +663,163 @@ def test_unscoped_epoch0_overwrite_warns(spark, tmp_path, caplog):
             _batch(spark, [("insert", "k4", LONG_A)]), index, flags, epoch_id=0
         )
     assert [r for r in caplog.records if "overwriting" in r.message]
+
+
+# ---------------------------------------------------------------------------
+# Registry hygiene for bootstrapped / untracked indexes (ADVICE r6
+# medium) + the compaction-crash stale-tombstone window (ADVICE r6 low).
+# ---------------------------------------------------------------------------
+def test_write_lsh_index_seeds_registry_for_relay_hygiene(spark, tmp_path):
+    """An index bootstrapped via write_lsh_index must be fully
+    update/delete-capable: tombstoning a bootstrapped doc retires its
+    sketch, and a relay update supersedes rather than double-serves."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        read_lsh_index,
+        tombstone_lsh_docs,
+        write_lsh_index,
+    )
+
+    index = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [("k1", LONG_A), ("k2", LONG_B)], "doc STRING, text STRING"
+    )
+    write_lsh_index(corpus, index, "text", "doc")
+    assert os.path.isdir(index + "_docs")  # the seeded registry
+    ids = spark.createDataFrame([("k1",)], "doc STRING")
+    assert tombstone_lsh_docs(ids, index) == 1  # not a silent no-op
+    live = {r["doc"] for r in read_lsh_index(spark, index).collect()}
+    assert live == {"k2"}
+
+
+def test_relay_update_of_bootstrapped_doc_single_version(spark, tmp_path):
+    """The advice's exact failure: a relay UPDATE of a doc that came in
+    via write_lsh_index must retire the bootstrap sketch — a later
+    probe sees ONE live version, not both."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    write_lsh_index(
+        spark.createDataFrame([("k1", LONG_A)], "doc STRING, text STRING"),
+        index, "text", "doc",
+    )
+    # relay batch: k1 updated to LONG_B — must supersede, and must NOT
+    # flag against its own superseded gen-0 sketch
+    assert (
+        dedup_flag_batch(
+            _batch(spark, [("update", "k1", LONG_B)]),
+            index, flags, epoch_id=0,
+        )
+        == 0
+    )
+    live = read_lsh_index(spark, index).select("doc", "gen").distinct()
+    assert [(r["doc"], r["gen"]) for r in live.collect()] == [("k1", 1)]
+
+
+def test_registry_less_index_refuses_then_seeds(spark, tmp_path):
+    """A pre-registry index (gen-tagged band rows, no registry) refuses
+    relay/tracked use with a migrate-first error; seed_lsh_registry
+    derives the registry and hygiene works from then on."""
+    import pytest as _pytest
+
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        append_lsh_index,
+        lsh_band_table,
+        read_lsh_index,
+        seed_lsh_registry,
+        tombstone_lsh_docs,
+    )
+    from pyspark.sql import functions as F
+
+    index = str(tmp_path / "idx")
+    corpus = spark.createDataFrame(
+        [("k1", LONG_A), ("k2", LONG_B)], "doc STRING, text STRING"
+    )
+    lsh_band_table(corpus, "text", "doc").withColumn(
+        "gen", F.lit(0)
+    ).write.mode("overwrite").partitionBy("band").parquet(index)
+    ids = spark.createDataFrame([("k1",)], "doc STRING")
+    with _pytest.raises(RuntimeError, match="no doc registry"):
+        tombstone_lsh_docs(ids, index)
+    with _pytest.raises(RuntimeError, match="no doc registry"):
+        append_lsh_index(
+            spark.createDataFrame([("k3", LONG_B)], "doc STRING, text STRING"),
+            index, "text", "doc", track_generations=True,
+        )
+    assert seed_lsh_registry(spark, index) == 2
+    assert tombstone_lsh_docs(ids, index) == 1
+    live = {r["doc"] for r in read_lsh_index(spark, index).collect()}
+    assert live == {"k2"}
+
+
+def test_untracked_append_registers_into_tracked_index(spark, tmp_path):
+    """Mixing an untracked (gen-0) append into a registry-keeping index
+    must keep the registry COMPLETE: the appended doc is tombstonable."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        append_lsh_index,
+        read_lsh_index,
+        tombstone_lsh_docs,
+        write_lsh_index,
+    )
+
+    index = str(tmp_path / "idx")
+    write_lsh_index(
+        spark.createDataFrame([("k1", LONG_A)], "doc STRING, text STRING"),
+        index, "text", "doc",
+    )
+    append_lsh_index(
+        spark.createDataFrame([("k2", LONG_B)], "doc STRING, text STRING"),
+        index, "text", "doc",  # untracked
+    )
+    ids = spark.createDataFrame([("k2",)], "doc STRING")
+    assert tombstone_lsh_docs(ids, index) == 1
+    live = {r["doc"] for r in read_lsh_index(spark, index).collect()}
+    assert live == {"k1"}
+
+
+def test_lsh_reinsert_after_compaction_crash_window(spark, tmp_path):
+    """ADVICE r6 low: stale tombstones surviving a compaction crash
+    (swap done, sidecar clear not) must not kill a re-inserted
+    fully-deleted doc — the generation computation unions tombstone
+    gens."""
+    import shutil
+
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        append_lsh_index,
+        read_lsh_index,
+        tombstone_lsh_docs,
+        write_lsh_index,
+    )
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        compact_lsh_index,
+    )
+
+    index = str(tmp_path / "idx")
+    write_lsh_index(
+        spark.createDataFrame(
+            [("k1", LONG_A), ("k2", LONG_B)], "doc STRING, text STRING"
+        ),
+        index, "text", "doc",
+    )
+    ids = spark.createDataFrame([("k1",)], "doc STRING")
+    assert tombstone_lsh_docs(ids, index) == 1
+    saved = str(tmp_path / "saved_tombstones")
+    shutil.copytree(index + "_tombstones", saved)
+    compact_lsh_index(spark, index)
+    assert not os.path.isdir(index + "_tombstones")
+    shutil.copytree(saved, index + "_tombstones")  # the crash window
+    append_lsh_index(  # re-insert the fully-deleted doc
+        spark.createDataFrame([("k1", LONG_A)], "doc STRING, text STRING"),
+        index, "text", "doc", track_generations=True,
+    )
+    live = {
+        (r["doc"], r["gen"])
+        for r in read_lsh_index(spark, index).select("doc", "gen")
+        .distinct().collect()
+    }
+    # k1 is LIVE at gen 1 (above the stale (k1, 0) tombstone), not
+    # born dead at gen 0
+    assert live == {("k1", 1), ("k2", 0)}
