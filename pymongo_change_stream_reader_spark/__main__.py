@@ -61,10 +61,13 @@ def main() -> None:
             # the indexing relays fold each event's POST-image; without
             # updateLookup (or collection-level post-images), updates
             # arrive with fullDocument=null and are silently dropped
-            # from the indexes — index_relay._last_effect_per_key
+            # from the indexes — index_relay._last_effect_per_key.
+            # The REPLICA is exempt: it applies updateDescription
+            # deltas to the stored document (streaming/materialize.py)
             logging.getLogger(__name__).warning(
                 "index stores enabled with FULL_DOCUMENT=%r — updates "
-                "without a post-image cannot be indexed; set "
+                "without a post-image cannot be INDEXED (the replica "
+                "still applies their updateDescription deltas); set "
                 "FULL_DOCUMENT=updateLookup (or enable collection "
                 "pre/post images) or the serving indexes go stale on "
                 "every update",

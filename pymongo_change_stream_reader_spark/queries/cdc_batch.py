@@ -473,6 +473,116 @@ def cdc_replica_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc_replica_update_delta",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    ev AS (
+        SELECT '{{"_id": ' || CAST(event_id % 101 AS VARCHAR) || '}}' AS key,
+               operation, cents, event_id AS t
+        FROM sim
+        WHERE operation IN ('insert', 'update', 'replace', 'delete')
+    ),
+    anchor AS (
+        SELECT key, max_by(operation, t) AS aop, MAX(t) AS at
+        FROM ev WHERE operation <> 'update' GROUP BY key
+    ),
+    -- final state per key: the last anchor's doc patched by every
+    -- LATER delta (each delta fully sets v here); keys whose last
+    -- anchor is a delete tombstone regardless of later deltas, and
+    -- delta-only keys (no anchor) have no base to patch
+    final AS (
+        SELECT e.key, max_by(e.cents, e.t) AS cents
+        FROM ev e JOIN anchor a ON e.key = a.key
+        WHERE e.t = a.at OR (e.operation = 'update' AND e.t > a.at)
+        GROUP BY e.key
+    )
+    SELECT f.key, CAST(f.cents AS BIGINT) AS v
+    FROM final f JOIN anchor a ON f.key = a.key
+    WHERE a.aop <> 'delete'
+    ORDER BY f.key
+    """,
+    doc="updateDescription DELTA application (streaming/materialize.py "
+    "— the reference's full_document=None configuration, reference "
+    "change_event_handler.py:100-113): the simulated history's "
+    "updates carry NO post-image, only updatedFields deltas; the "
+    "replica applies each delta to the stored document.  The oracle "
+    "replays the fold: last full-state anchor per key, later deltas "
+    "patched on top, delete-anchored and anchor-less keys absent.",
+    tags=("cdc", "streaming"),
+)
+def cdc_replica_update_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same bucket-pruned LWW apply as cdc_replica_table; the
+    delta patch is an Arrow-batched pandas UDF that runs ONLY for
+    delta rows (post-image batches stay pure-JVM)."""
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.streaming.materialize import (
+        materialize_change_batch,
+    )
+
+    operation = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "update")
+        .when(F.col("event_type") == "click", "replace")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("drop")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter(
+        operation.isin("insert", "update", "replace", "delete")
+    ).select(
+        F.struct(
+            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
+                "_data"
+            )
+        ).alias("_id"),
+        operation.alias("operationType"),
+        F.struct(
+            F.col("event_id").alias("t"), F.lit(1).alias("i")
+        ).alias("clusterTime"),
+        F.concat(
+            F.lit('{"_id": '),
+            (F.col("event_id") % 101).cast("string"),
+            F.lit("}"),
+        ).alias("documentKey"),
+        # updates carry NO post-image — the delta is the payload
+        F.when(
+            operation.isin("insert", "replace"),
+            F.concat(F.lit('{"v": '), cents.cast("string"), F.lit("}")),
+        ).alias("fullDocument"),
+        F.when(
+            operation == "update",
+            F.struct(
+                F.concat(
+                    F.lit('{"v": '), cents.cast("string"), F.lit("}")
+                ).alias("updatedFields"),
+                F.lit(None).cast("array<string>").alias("removedFields"),
+                F.lit(None)
+                .cast("array<struct<field:string,newSize:int>>")
+                .alias("truncatedArrays"),
+            ),
+        ).alias("updateDescription"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_cdc_delta_")
+    try:
+        replica = materialize_change_batch(ev, path, n_buckets=16).filter(
+            F.col("doc").isNotNull()
+        )
+        return (
+            replica.select(
+                "key",
+                F.get_json_object("doc", "$.v").cast("bigint").alias("v"),
+            )
+            .orderBy("key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
     "cdc_replica_change_feed",
     oracle=f"""
     WITH sim AS ({_SIM}),

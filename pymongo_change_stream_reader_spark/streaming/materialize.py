@@ -46,6 +46,7 @@ reduction is one hash aggregation on the key.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -84,13 +85,208 @@ def _last_event_per_key(batch: DataFrame) -> DataFrame:
     )
 
 
+def _last_event_per_key_with_deltas(batch: DataFrame) -> DataFrame:
+    """Delta-aware batch reduction: per key, the last FULL-STATE anchor
+    (insert / replace / delete / update-with-post-image) plus the
+    ordered update DELTAS that follow it — an update without a
+    post-image cannot be collapsed away by max_by, because its effect
+    composes with whatever precedes it.
+
+    Returns (key, op, doc, deltas, __t, __i, __d): ``doc`` is the
+    anchor's document (null for delete or no-anchor), ``deltas`` the
+    ordered post-anchor update descriptions (each with its own write
+    triple, so the merge can skip deltas the stored row already
+    reflects), and the triple is the LAST event's — the LWW frontier.
+    Deltas after an in-batch delete are dropped (nothing to patch).
+
+    Scale: one hash aggregation like _last_event_per_key, but delta
+    batches buffer the per-key event list (collect_list) — bounded by
+    events-per-key-per-trigger, not by replica size."""
+    ev = batch.select(
+        F.col(_KEY).alias("key"),
+        F.col("operationType").alias("op"),
+        F.col("fullDocument").alias("doc"),
+        F.col("updateDescription.updatedFields").alias("upd"),
+        F.col("updateDescription.removedFields").alias("rmv"),
+        F.col("updateDescription.truncatedArrays").alias("trunc"),
+        F.col("clusterTime.t").alias("__t"),
+        F.col("clusterTime.i").alias("__i"),
+        F.col("_id._data").alias("__d"),
+    )
+    # triple-first struct: array_sort orders events by the LWW triple
+    # (unique — _id._data is per-event), so the fold below reads a
+    # time-ordered history
+    evs = ev.groupBy("key").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("__t", "__i", "__d", "op", "doc", "upd", "rmv", "trunc")
+            )
+        ).alias("__evs")
+    )
+    not_delta = "e -> NOT (e.op = 'update' AND e.doc IS NULL)"
+    r = (
+        evs.withColumn(
+            "__a", F.expr(f"try_element_at(filter(__evs, {not_delta}), -1)")
+        )
+        .withColumn("__last", F.expr("try_element_at(__evs, -1)"))
+        .withColumn(
+            "deltas",
+            F.expr(
+                "CASE WHEN __a IS NOT NULL AND __a.op = 'delete' "
+                # deltas after a delete have nothing to patch
+                "THEN filter(__evs, e -> false) "
+                "ELSE filter(__evs, e -> e.op = 'update' AND e.doc IS NULL "
+                "AND (__a IS NULL OR struct(e.__t, e.__i, e.__d) > "
+                "struct(__a.__t, __a.__i, __a.__d))) END"
+            ),
+        )
+    )
+    return r.select(
+        "key",
+        F.expr(
+            "CASE WHEN __a IS NOT NULL AND __a.op = 'delete' "
+            "THEN 'delete' ELSE 'update' END"
+        ).alias("op"),
+        F.expr(
+            "CASE WHEN __a IS NOT NULL AND __a.op <> 'delete' "
+            "THEN __a.doc END"
+        ).alias("doc"),
+        "deltas",
+        F.col("__last.__t").alias("__t"),
+        F.col("__last.__i").alias("__i"),
+        F.col("__last.__d").alias("__d"),
+    )
+
+
+def _walk_path(obj, parts):
+    """Resolve a dotted-path prefix inside a parsed document; None when
+    any segment is missing / type-mismatched (Mongo path semantics:
+    numeric segments index arrays)."""
+    cur = obj
+    for p in parts:
+        if isinstance(cur, list):
+            if not p.isdigit() or int(p) >= len(cur):
+                return None
+            cur = cur[int(p)]
+        elif isinstance(cur, dict):
+            if p not in cur:
+                return None
+            cur = cur[p]
+        else:
+            return None
+    return cur
+
+
+def _set_path(obj, path: str, value) -> None:
+    """$set semantics: intermediate documents are created, array
+    indexes pad with nulls, a scalar in the way is replaced."""
+    parts = path.split(".")
+    cur = obj
+    for p in parts[:-1]:
+        if isinstance(cur, list) and p.isdigit():
+            k = int(p)
+            while len(cur) <= k:
+                cur.append(None)
+            if not isinstance(cur[k], (dict, list)):
+                cur[k] = {}
+            cur = cur[k]
+        elif isinstance(cur, dict):
+            nxt = cur.get(p)
+            if not isinstance(nxt, (dict, list)):
+                nxt = {}
+                cur[p] = nxt
+            cur = nxt
+        else:  # scalar mid-path on a list index mismatch: nothing to set
+            return
+    last = parts[-1]
+    if isinstance(cur, list) and last.isdigit():
+        k = int(last)
+        while len(cur) <= k:
+            cur.append(None)
+        cur[k] = value
+    elif isinstance(cur, dict):
+        cur[last] = value
+
+
+def _unset_path(obj, path: str) -> None:
+    """$unset semantics: missing paths no-op; unsetting an array
+    ELEMENT nulls it (Mongo keeps array positions)."""
+    parts = path.split(".")
+    parent = _walk_path(obj, parts[:-1]) if len(parts) > 1 else obj
+    last = parts[-1]
+    if isinstance(parent, dict):
+        parent.pop(last, None)
+    elif isinstance(parent, list) and last.isdigit() and int(last) < len(parent):
+        parent[int(last)] = None
+
+
+def _apply_update_deltas(doc_json, deltas, min_triple):
+    """Apply ordered updateDescription deltas to a stored document
+    (Extended-JSON string -> string).  ``min_triple``: skip deltas the
+    stored row already reflects (its LWW triple) — None applies all
+    (the in-batch-anchor case, where every delta follows the anchor by
+    construction).  A missing base (None) cannot be patched -> None
+    (the caller records a tombstone).  Per delta: truncatedArrays,
+    then removedFields, then updatedFields — the three are disjoint
+    within one Mongo update."""
+    import json
+
+    if doc_json is None:
+        return None
+    doc = json.loads(doc_json)
+    for e in deltas:
+        if min_triple is not None:
+            if (e["__t"], e["__i"], e["__d"]) <= min_triple:
+                continue
+        trunc = e.get("trunc")
+        for tr in trunc if trunc is not None else ():  # numpy-safe
+            arr = _walk_path(doc, str(tr["field"]).split("."))
+            if isinstance(arr, list) and tr["newSize"] is not None:
+                del arr[int(tr["newSize"]):]
+        rmv = e.get("rmv")
+        for path in rmv if rmv is not None else ():
+            _unset_path(doc, path)
+        upd = e.get("upd")
+        if upd:
+            for path, value in json.loads(upd).items():
+                _set_path(doc, path, value)
+    return json.dumps(doc)
+
+
+def _patch_doc_udf():
+    """Arrow-batched (base, deltas, stored triple) -> patched document
+    string.  Python only runs for DELTA rows — materialize_change_batch
+    keeps post-image-only batches on the pure-JVM merge."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def patch(
+        base: pd.Series,
+        deltas: pd.Series,
+        ot: pd.Series,
+        oi: pd.Series,
+        od: pd.Series,
+    ) -> pd.Series:
+        out = []
+        for b, ds, t, i, d in zip(base, deltas, ot, oi, od):
+            trip = None if pd.isna(t) else (int(t), int(i), str(d))
+            out.append(
+                _apply_update_deltas(b, list(ds) if ds is not None else [], trip)
+            )
+        return pd.Series(out, dtype="object")
+
+    return patch
+
+
 def materialize_change_batch(
     batch: DataFrame, path: str, n_buckets: int = 16, retain: int = 2
 ) -> DataFrame:
     """Apply one batch of change events to the replica at ``path``.
 
     Returns the post-apply replica (key, doc, __t, __i, __d).  Only
-    data ops participate; an update lacking a post-image raises.
+    data ops participate; updates without a post-image apply their
+    updateDescription delta (module docstring); an insert/replace
+    without a document, or an update carrying neither, raises.
     ``retain`` widens the replica's time-travel window (the newest N
     commits stay readable via ``read_bucketed_sink(path, -n)``; see
     _commit_bucketed) — at high trigger rates prefer the default 2 and
@@ -100,17 +296,39 @@ def materialize_change_batch(
     data = batch.filter(
         F.col("operationType").isin("insert", "update", "replace", "delete")
     )
+    has_ud = "updateDescription" in batch.columns
     # batch reduction + validation probes run BEFORE the write lock —
     # the Spark jobs that compute the batch's effect must not hold
     # other writers (compaction, vacuum) up
-    last = _last_event_per_key(data).localCheckpoint(eager=True)
-    bad = last.filter((F.col("op") != "delete") & F.col("doc").isNull())
+    delta_ok = (
+        (F.col("operationType") == "update")
+        & F.col("updateDescription").isNotNull()
+        if has_ud
+        else F.lit(False)
+    )
+    bad = data.filter(
+        (F.col("operationType") != "delete")
+        & F.col("fullDocument").isNull()
+        & ~delta_ok
+    )
     if not bad.isEmpty():
         raise PipelineError(
-            "replica maintenance requires post-images: got an "
-            "insert/update/replace event with no fullDocument "
-            "(run the stream with fullDocument=updateLookup)"
+            "replica maintenance needs a post-image or an "
+            "updateDescription per non-delete event: got an "
+            "insert/update/replace with neither (run the stream with "
+            "fullDocument=updateLookup, or keep updateDescription on "
+            "update events)"
         )
+    if has_ud:
+        last = _last_event_per_key_with_deltas(data).localCheckpoint(
+            eager=True
+        )
+        if last.filter(F.size("deltas") > 0).isEmpty():
+            # post-image-only batch (the updateLookup deployment):
+            # drop to the pure-JVM merge — no Python in the hot path
+            last = last.drop("deltas")
+    else:
+        last = _last_event_per_key(data).localCheckpoint(eager=True)
     bcol = _bucket_of(["key"], n_buckets)
     changed = sorted(
         r["b"] for r in last.select(bcol.alias("b")).distinct().collect()
@@ -145,6 +363,9 @@ def _materialize_locked(
             f = spark.read.parquet(os.path.join(path, rel))
             old = f if old is None else old.unionByName(f)
     new = last
+    with_deltas = "deltas" in last.columns
+    if with_deltas:
+        patch = _patch_doc_udf()
     if old is not None:
         stale = F.struct(
             *[F.col(f"__n.{c}") for c in _ORDER]
@@ -152,14 +373,45 @@ def _materialize_locked(
         joined = old.alias("__o").join(
             new.alias("__n"), F.col("__o.key") == F.col("__n.key"), "full"
         )
+        if with_deltas:
+            # anchor (if any) then its deltas; a delta-only key patches
+            # the STORED doc, skipping deltas its triple already
+            # reflects — a missing base stays/void-becomes a tombstone
+            new_doc = (
+                F.when(F.col("__n.op") == "delete", F.lit(None).cast("string"))
+                .when(F.size("__n.deltas") == 0, F.col("__n.doc"))
+                .when(
+                    F.col("__n.doc").isNotNull(),
+                    patch(
+                        F.col("__n.doc"),
+                        F.col("__n.deltas"),
+                        F.lit(None).cast("long"),
+                        F.lit(None).cast("int"),
+                        F.lit(None).cast("string"),
+                    ),
+                )
+                .otherwise(
+                    patch(
+                        F.col("__o.doc"),
+                        F.col("__n.deltas"),
+                        F.col("__o.__t"),
+                        F.col("__o.__i"),
+                        F.col("__o.__d"),
+                    )
+                )
+            )
+        else:
+            new_doc = F.when(
+                F.col("__n.op") != "delete", F.col("__n.doc")
+            )
         merged = joined.select(
             F.coalesce(F.col("__n.key"), F.col("__o.key")).alias("key"),
             # no new event, or the new event is a stale replay -> old
-            # row stands; otherwise the new event's doc (null = delete)
+            # row stands; otherwise the new effect (null = delete)
             F.when(
                 F.col("__n.key").isNull() | stale, F.col("__o.doc")
             )
-            .when(F.col("__n.op") != "delete", F.col("__n.doc"))
+            .otherwise(new_doc)
             .alias("doc"),
             *[
                 F.when(
@@ -171,11 +423,25 @@ def _materialize_locked(
             ],
         )
     else:
-        merged = new.select(
-            "key",
-            F.when(F.col("op") != "delete", F.col("doc")).alias("doc"),
-            *_ORDER,
-        )
+        if with_deltas:
+            first_doc = (
+                F.when(F.col("op") == "delete", F.lit(None).cast("string"))
+                .when(F.size("deltas") == 0, F.col("doc"))
+                .otherwise(
+                    # delta-only key on an empty replica: doc null ->
+                    # unappliable -> tombstone; in-batch anchor patches
+                    patch(
+                        F.col("doc"),
+                        F.col("deltas"),
+                        F.lit(None).cast("long"),
+                        F.lit(None).cast("int"),
+                        F.lit(None).cast("string"),
+                    )
+                )
+            )
+        else:
+            first_doc = F.when(F.col("op") != "delete", F.col("doc"))
+        merged = new.select("key", first_doc.alias("doc"), *_ORDER)
     return _commit_bucketed(
         merged, path, ["key"], n_buckets, entries, changed, retain=retain
     )

@@ -548,3 +548,179 @@ def test_bootstrap_replica_then_stream_converges(spark, tmp_path):
     assert {
         r["key"]: r["doc"] for r in read_replica(spark, path).collect()
     } == {"k1": '{"v": 11}', "k3": '{"v": 30}'}
+
+
+# ---------------------------------------------------------------------------
+# updateDescription DELTA application (VERDICT r6 ask #2): updates
+# without a post-image — the reference's full_document=None stream
+# (reference change_event_handler.py:100-113) — patch the stored doc.
+# ---------------------------------------------------------------------------
+def _dev(data, t, i, key, upd=None, rmv=None, trunc=None):
+    """A post-image-LESS update event carrying only the delta."""
+    return (
+        (data,),
+        "update",
+        (t, i),
+        None,
+        ("db", "c"),
+        key,
+        None,
+        None,
+        (upd, rmv, trunc),
+    )
+
+
+def _docs(spark, path):
+    rep = read_replica(spark, path)
+    return {} if rep is None else {
+        r["key"]: json.loads(r["doc"]) for r in rep.collect()
+    }
+
+
+def test_delta_update_patches_stored_doc(spark, tmp_path):
+    """Cross-batch: the delta applies against the STORED document —
+    set, nested dotted set, removal, and array truncation."""
+    path = str(tmp_path / "replica")
+    materialize_change_batch(
+        _frame(
+            spark,
+            [_ev("a1", "insert", 1, 1, "k1",
+                 '{"v": 1, "b": {"c": 2}, "arr": [1, 2, 3]}')],
+        ),
+        path, n_buckets=4,
+    )
+    materialize_change_batch(
+        _frame(
+            spark,
+            [_dev("a2", 2, 1, "k1", upd='{"v": 9, "b.c": 7, "b.new": 1}')],
+        ),
+        path, n_buckets=4,
+    )
+    assert _docs(spark, path)["k1"] == {
+        "v": 9, "b": {"c": 7, "new": 1}, "arr": [1, 2, 3]
+    }
+    materialize_change_batch(
+        _frame(
+            spark,
+            [_dev("a3", 3, 1, "k1", rmv=["b.c", "missing"],
+                  trunc=[("arr", 1)])],
+        ),
+        path, n_buckets=4,
+    )
+    assert _docs(spark, path)["k1"] == {"v": 9, "b": {"new": 1}, "arr": [1]}
+
+
+def test_delta_replica_equals_post_image_replica(spark, tmp_path):
+    """The VERDICT's oracle shape at pytest scale: over a VALID history
+    (no update precedes its insert, no update follows a delete), the
+    delta-fed replica equals the post-image-fed replica exactly."""
+    delta_path = str(tmp_path / "delta")
+    post_path = str(tmp_path / "post")
+    post_events = [
+        _ev("a1", "insert", 1, 1, "k1", '{"v": 1, "tag": "x"}'),
+        _ev("a2", "insert", 1, 2, "k2", '{"v": 2}'),
+        _ev("a3", "update", 2, 1, "k1", '{"v": 10, "tag": "x"}'),
+        _ev("a4", "update", 3, 1, "k1", '{"v": 11}'),  # tag removed
+        _ev("a5", "delete", 4, 1, "k2", None),
+        _ev("a6", "replace", 5, 1, "k2", '{"v": 22}'),
+    ]
+    delta_events = [
+        post_events[0],
+        post_events[1],
+        _dev("a3", 2, 1, "k1", upd='{"v": 10}'),
+        _dev("a4", 3, 1, "k1", upd='{"v": 11}', rmv=["tag"]),
+        post_events[4],
+        post_events[5],
+    ]
+    # two batches each, split mid-history: the second batch's deltas
+    # patch the STORED state
+    for p, evs in ((post_path, post_events), (delta_path, delta_events)):
+        materialize_change_batch(_frame(spark, evs[:3]), p, n_buckets=4)
+        materialize_change_batch(_frame(spark, evs[3:]), p, n_buckets=4)
+    assert _docs(spark, delta_path) == _docs(spark, post_path)
+    assert _docs(spark, post_path)["k1"] == {"v": 11}
+
+
+def test_delta_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-applying a delta batch is a no-op: every delta's triple is
+    <= the stored row's after the first apply."""
+    path = str(tmp_path / "replica")
+    materialize_change_batch(
+        _frame(spark, [_ev("a1", "insert", 1, 1, "k1", '{"v": 1}')]),
+        path, n_buckets=4,
+    )
+    b = _frame(spark, [_dev("a2", 2, 1, "k1", upd='{"v": 5, "n": 1}')])
+    materialize_change_batch(b, path, n_buckets=4)
+    want = _docs(spark, path)
+    materialize_change_batch(b, path, n_buckets=4)  # the replay
+    assert _docs(spark, path) == want == {"k1": {"v": 5, "n": 1}}
+
+
+def test_delta_in_batch_anchor_then_deltas(spark, tmp_path):
+    """Within ONE batch: insert anchor + later deltas fold to the
+    patched doc; deltas ordered before the anchor are superseded."""
+    path = str(tmp_path / "replica")
+    materialize_change_batch(
+        _frame(
+            spark,
+            [
+                _dev("a0", 1, 1, "k1", upd='{"ghost": 1}'),  # pre-anchor
+                _ev("a1", "insert", 2, 1, "k1", '{"v": 1}'),
+                _dev("a2", 3, 1, "k1", upd='{"v": 7}'),
+                _dev("a3", 4, 1, "k1", upd='{"w": 8}'),
+            ],
+        ),
+        path, n_buckets=4,
+    )
+    assert _docs(spark, path) == {"k1": {"v": 7, "w": 8}}
+
+
+def test_delta_without_base_leaves_tombstone(spark, tmp_path):
+    """A delta for a key the replica has never seen cannot apply —
+    the key records a tombstone (and a LATER insert revives it)."""
+    path = str(tmp_path / "replica")
+    materialize_change_batch(
+        _frame(spark, [_dev("a1", 1, 1, "k1", upd='{"v": 1}')]),
+        path, n_buckets=4,
+    )
+    assert _docs(spark, path) == {}
+    materialize_change_batch(
+        _frame(spark, [_ev("a2", "insert", 2, 1, "k1", '{"v": 2}')]),
+        path, n_buckets=4,
+    )
+    assert _docs(spark, path) == {"k1": {"v": 2}}
+
+
+def test_delta_after_in_batch_delete_is_dropped(spark, tmp_path):
+    """Deltas following a delete in the same batch have nothing to
+    patch — the key stays tombstoned."""
+    path = str(tmp_path / "replica")
+    materialize_change_batch(
+        _frame(spark, [_ev("a1", "insert", 1, 1, "k1", '{"v": 1}')]),
+        path, n_buckets=4,
+    )
+    materialize_change_batch(
+        _frame(
+            spark,
+            [
+                _ev("a2", "delete", 2, 1, "k1", None),
+                _dev("a3", 3, 1, "k1", upd='{"v": 9}'),
+            ],
+        ),
+        path, n_buckets=4,
+    )
+    assert _docs(spark, path) == {}
+
+
+def test_update_with_neither_image_nor_delta_still_raises(spark, tmp_path):
+    path = str(tmp_path / "replica")
+    with pytest.raises(PipelineError, match="post-image"):
+        materialize_change_batch(
+            _frame(spark, [_ev("a", "update", 1, 1, "k1", None)]),
+            path, n_buckets=4,
+        )
+    with pytest.raises(PipelineError, match="post-image"):
+        materialize_change_batch(
+            _frame(spark, [_ev("a", "insert", 1, 1, "k1", None)]),
+            path, n_buckets=4,
+        )
