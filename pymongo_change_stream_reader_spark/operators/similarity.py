@@ -461,6 +461,22 @@ def cosine_pairs_blas(
 # the cell predicate in PartitionFilters — pytest-asserted), so each
 # batch reads ~nprobe/nlist of the corpus bytes.
 # ---------------------------------------------------------------------------
+def _cell_expr(cents: list[list[float]], vec: Column) -> Column:
+    """Nearest-centroid cell id of ``vec`` — the ONE argmax expression
+    every assignment path (index write, append, retrain) shares, so
+    cell labels can never drift between them."""
+    scored = [
+        F.struct(
+            F.round(dot(vec, F.array(*[F.lit(x) for x in c])), 6).alias(
+                "score"
+            ),
+            F.lit(i).alias("cid"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    return F.reverse(F.array_sort(F.array(*scored)))[0]["cid"]
+
+
 def _cell_assignment(
     corpus: DataFrame,
     cents: list[list[float]],
@@ -470,21 +486,12 @@ def _cell_assignment(
     """(neighbor_id, cv, cn, cell): each vector labeled with its
     nearest-centroid cell — the shared projection of the index write
     and the append path, so assignment can never drift between them."""
-    scored = [
-        F.struct(
-            F.round(dot(F.col("cv"), F.array(*[F.lit(x) for x in c])), 6).alias(
-                "score"
-            ),
-            F.lit(i).alias("cid"),
-        )
-        for i, c in enumerate(cents)
-    ]
     return (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             _as_double(F.col(vec_col)).alias("cv"),
         )
-        .withColumn("cell", F.reverse(F.array_sort(F.array(*scored)))[0]["cid"])
+        .withColumn("cell", _cell_expr(cents, F.col("cv")))
         .withColumn("cn", l2_norm(F.col("cv")))
     )
 
@@ -1840,6 +1847,152 @@ def ivfpq_topk_from_index(
         vec_col,
         probe=probe,
     )
+
+
+def retrain_ann_index(
+    spark: SparkSession,
+    path: str,
+    kind: str = "ivf",
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | None = None,
+    m_sub: int | None = None,
+    k_codes: int | None = None,
+    iters: int = 2,
+    num_files: int = 1,
+):
+    """Periodic retrain + rebuild of a stored ANN serving index — the
+    other half of the frozen-quantizer ingest contract
+    (streaming/ann_relay.py): after enough churn the frozen model no
+    longer fits the live distribution and recall decays with no
+    recourse; this retrains the model ON THE LIVE ROWS and rewrites
+    the index in place with an atomic dir swap, so a running relay
+    simply blocks on the write lock during the rebuild and continues
+    against the new model afterwards — no stream restart, no path
+    change.
+
+    ``kind="ivf"`` is self-contained (the index stores raw vectors);
+    ``kind="pq"`` / ``kind="ivfpq"`` store only codes, so the LIVE raw
+    vectors must be supplied via ``corpus`` (keyed by ``id_col`` /
+    ``vec_col`` — typically the CDC replica or the embedding store);
+    only rows whose id is live in the index participate.  Model sizes
+    default to the stored model's.  Each live row keeps its
+    GENERATION through the rebuild: a stale tombstone surviving a
+    crash can then never name a live row, and the sidecar is cleared
+    after the swap.  The swap itself is the compactor's
+    crash-recoverable tmp+rename protocol (``recover_table`` restores
+    after a mid-swap crash; retrain refuses over leftovers).
+
+    Returns the new model (centroids / codebooks / the composed dict).
+
+    Scale: training collects only the model (nlist x dim +
+    m_sub x k_codes x sub_dim); the rewrite is one corpus-sized pass
+    under the exclusive lock — the same cost envelope as the index
+    compactor, paid at retrain cadence, not per batch."""
+    import json
+    import os
+    import shutil
+
+    from pymongo_change_stream_reader_spark.operators.maintenance import (
+        IndexWriteLock,
+        _check_no_leftovers,
+    )
+
+    if kind not in ("ivf", "pq", "ivfpq"):
+        raise ValueError(f"retrain_ann_index: unknown kind {kind!r}")
+    if kind != "ivf" and corpus is None:
+        raise ValueError(
+            f"retrain_ann_index: kind={kind!r} stores only codes — pass "
+            "the live raw vectors via corpus= (the codes cannot retrain "
+            "their own codebooks)"
+        )
+    idxid = "neighbor_id" if kind == "ivf" else id_col
+    with IndexWriteLock(path.rstrip("/") + ".writelock"):
+        _recover_ann_append_locked(path)
+        _check_no_leftovers(path)
+        live = _ann_live_read(spark, path, idxid)
+        if kind == "ivf":
+            with open(os.path.join(path, "_centroids.json")) as fh:
+                old_model = json.load(fh)
+            n_cells = nlist if nlist is not None else len(old_model)
+            vecs = live.select(idxid, F.col("cv"))
+            cents = train_ivf_centroids(
+                vecs, n_cells, iters=iters, id_col=idxid, vec_col="cv"
+            )
+            # reassign with the NEW model, gens preserved in place
+            rows = live.withColumn("cell", _cell_expr(cents, F.col("cv")))
+            model, model_file = cents, "_centroids.json"
+            partition_by = "cell"
+        else:
+            model_file = "_codebooks.json" if kind == "pq" else "_model.json"
+            with open(os.path.join(path, model_file)) as fh:
+                old_model = json.load(fh)
+            old_books = (
+                old_model if kind == "pq" else old_model["codebooks"]
+            )
+            msub = m_sub if m_sub is not None else len(old_books)
+            kc = k_codes if k_codes is not None else len(old_books[0])
+            gens = live.select(idxid, "gen")
+            # live raw vectors only: ids the index no longer serves
+            # must not influence the new model
+            corp = corpus.select(
+                F.col(id_col).alias(idxid), F.col(vec_col)
+            ).join(gens.select(idxid), idxid, "left_semi")
+            books = train_pq_codebooks(
+                corp, msub, kc, iters, id_col=idxid, vec_col=vec_col
+            )
+            if kind == "pq":
+                rows = pq_encode(corp, books, idxid, vec_col).join(
+                    gens, idxid
+                )
+                model = books
+                partition_by = None
+            else:
+                n_cells = (
+                    nlist
+                    if nlist is not None
+                    else len(old_model["centroids"])
+                )
+                cents = train_ivf_centroids(
+                    corp, n_cells, iters=iters, id_col=idxid,
+                    vec_col=vec_col,
+                )
+                rows = _ivfpq_encode(
+                    corp, cents, books, idxid, vec_col
+                ).join(gens, idxid)
+                model = {"centroids": cents, "codebooks": books}
+                partition_by = "cell"
+        tmp = path + ".compact-tmp"
+        # bounded file count, parallel write — the compactor's
+        # (partition col, salt) repartition discipline
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in rows.columns]),
+            F.lit(max(1, num_files)),
+        )
+        if partition_by:
+            rows = rows.repartition(
+                max(num_files, spark.sparkContext.defaultParallelism),
+                F.col(partition_by),
+                salt,
+            )
+        else:
+            rows = rows.repartition(max(1, num_files))
+        w = rows.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(tmp)
+        with open(os.path.join(tmp, model_file), "w") as fh:
+            json.dump(model, fh)
+        old = path + ".old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        # stale tombstones are harmless either way (live gens survive
+        # the rebuild, and next-gen computation unions tombstone gens),
+        # but a retrain is the natural point to clear the sidecar
+        shutil.rmtree(_ann_tombstone_path(path), ignore_errors=True)
+        return model
 
 
 def lsh_multiprobe_topk(
