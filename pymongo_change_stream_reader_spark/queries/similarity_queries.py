@@ -556,11 +556,16 @@ def ann_pq_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on the same 5 query vectors: (method, k, hits, truth_pairs, "
     "recall) — the four in-memory families PLUS the stored-index "
     "serving paths (IVF / PQ / composed IVF-PQ from persisted "
-    "indexes), so a regression in either the algorithms or the "
-    "index read/write roundtrip surfaces in CORRECTNESS/bench, not "
+    "indexes) PLUS a retrain_ann_index round-trip row (r6 ask #3: "
+    "copy the IVF index, retrain on its live rows, serve — the "
+    "deterministic trainer makes it equal ivf_from_index, so any "
+    "swap/model/gen regression in the retrain path surfaces here), "
+    "so a regression in either the algorithms or the index "
+    "read/write roundtrip surfaces in CORRECTNESS/bench, not "
     "only in tests (r3 verdict ask #6, completed per r5 #5); the "
     "per-method floors stay pytest-asserted in "
-    "tests/test_dedup_similarity.py::test_similarity_recall_report_floors.",
+    "tests/test_dedup_similarity.py::test_similarity_recall_report_floors; "
+    "drift-restoration floors in tests/test_ann_retrain.py.",
     tags=("similarity", "approx"),
 )
 def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,6 +612,23 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivfpq_index(
             emb, ivfpq_path, nlist=16, m_sub=8, k_codes=16, iters=1
         )
+    # the retrain round-trip row: a COPY of the IVF index retrained on
+    # its own live rows — the deterministic trainer reproduces the
+    # model, so this row equals ivf_from_index unless the retrain's
+    # swap/gen/model plumbing regresses
+    ivf_rt_path = f"{tmp}/spark_ivf_retrain_{safe}"
+    if not os.path.exists(os.path.join(ivf_rt_path, "_centroids.json")):
+        import shutil
+
+        from pymongo_change_stream_reader_spark.operators.similarity import (
+            retrain_ann_index,
+        )
+
+        for leftover in (ivf_rt_path, ivf_rt_path + ".old",
+                         ivf_rt_path + ".compact-tmp"):
+            shutil.rmtree(leftover, ignore_errors=True)
+        shutil.copytree(ivf_path, ivf_rt_path)
+        retrain_ann_index(spark, ivf_rt_path, kind="ivf")
     methods = {
         "lsh_bucketed": lsh_bucketed_topk(emb, queries, k=k, num_planes=4),
         "lsh_multiprobe": lsh_multiprobe_topk(
@@ -618,6 +640,9 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "ivf_from_index": ivf_topk_from_index(
             spark, ivf_path, queries, k=k, nprobe=4
+        ),
+        "ivf_from_index_retrained": ivf_topk_from_index(
+            spark, ivf_rt_path, queries, k=k, nprobe=4
         ),
         "pq_from_index": pq_topk_from_index(
             spark, pq_path, queries, emb, k=k, rerank=8

@@ -843,6 +843,7 @@ def test_similarity_recall_report_floors(spark):
         "ivf_nlist16_nprobe4",
         "pq_m8_k16_rerank8",
         "ivf_from_index",
+        "ivf_from_index_retrained",
         "pq_from_index",
         "ivfpq_from_index",
     }
@@ -869,3 +870,10 @@ def test_similarity_recall_report_floors(spark):
         rep["pq_from_index"]["recall"] == rep["pq_m8_k16_rerank8"]["recall"]
     )
     assert rep["ivfpq_from_index"]["recall"] >= 0.5
+    # the retrain round-trip: same live rows + deterministic trainer
+    # -> the retrained copy must serve EXACTLY like the original (a
+    # swap/model/gen regression in retrain_ann_index breaks this)
+    assert (
+        rep["ivf_from_index_retrained"]["recall"]
+        == rep["ivf_from_index"]["recall"]
+    )
