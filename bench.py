@@ -110,6 +110,115 @@ HEADLINE = (
 # rebuild-equality suites in tests/test_ann_relay.py)
 
 
+def composed_relay_bench(
+    spark, sf_dir: str, target_events: int = 6000, n_batches: int = 3
+) -> dict:
+    """Throughput + sequential-apply latency of the FOUR-store composed
+    relay (replica + LSH dedup + BM25 + IVF ANN — the topology the CLI
+    starts by default), driven through composed_apply_batch over
+    deterministic micro-batches of the golden change-stream events.
+
+    The simulated events gain a deterministic embedding column and a
+    LONG vec_key for the ANN store (bootstrapped from a 2k-vector
+    snapshot with the same formula, non-colliding ids).  Events are
+    downsampled deterministically to ~``target_events`` so the bench
+    stays bounded at any sf; a small warm-up batch pays codegen before
+    timing.  Returns events/s for the composed apply plus the
+    per-store seconds breakdown (store_timings) — the answer to "what
+    does the sequential per-store apply actually cost per batch"."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pymongo_change_stream_reader_spark.operators.cdc import (
+        filter_data_ops,
+    )
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        write_ivf_index,
+    )
+    from pymongo_change_stream_reader_spark.sources.simulate import (
+        simulate_change_stream,
+    )
+    from pymongo_change_stream_reader_spark.streaming.composed_relay import (
+        composed_apply_batch,
+    )
+
+    DIM = 16
+
+    def _emb(key_col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda i: F.pmod(F.xxhash64(F.col(key_col), i), F.lit(1000))
+            / 500.0
+            - 1.0,
+        )
+
+    ev = filter_data_ops(simulate_change_stream(spark, sf_dir))
+    ev = ev.withColumn(
+        "vec_key", F.expr("CAST(substring(_id._data, 4, 30) AS LONG)")
+    )
+    n_data = ev.count()
+    pct = max(1, min(100, round(100 * target_events / max(1, n_data))))
+    if pct < 100:
+        ev = ev.filter(F.pmod(F.xxhash64("vec_key"), F.lit(100)) < pct)
+    ev = ev.withColumn(
+        "embedding",
+        F.when(F.col("operationType") != "delete", _emb("vec_key")),
+    ).select(
+        "_id", "operationType", "clusterTime", "documentKey",
+        "fullDocument", "vec_key", "embedding",
+    )
+    batches = [
+        ev.filter(
+            F.pmod(F.col("vec_key"), F.lit(n_batches)) == i
+        ).localCheckpoint(eager=True)
+        for i in range(n_batches)
+    ]
+    n_events = sum(b.count() for b in batches)
+
+    base = tempfile.mkdtemp(prefix="composed_bench_")
+    snap = spark.range(2000).select(
+        (F.col("id") + 10**12).alias("vec_key")
+    ).select(F.col("vec_key").alias("vec_id"), _emb("vec_key").alias("embedding"))
+
+    def _stores(tag):
+        root = os.path.join(base, tag)
+        os.makedirs(os.path.join(root, "ckpt"), exist_ok=True)
+        ann = os.path.join(root, "ivf")
+        write_ivf_index(snap, ann, nlist=16, train_iters=1)
+        return dict(
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            replica_path=os.path.join(root, "replica"),
+            dedup_index_path=os.path.join(root, "lsh"),
+            dedup_flags_path=os.path.join(root, "flags"),
+            bm25_index_path=os.path.join(root, "bm25"),
+            ann_index_path=ann,
+            ann_key_col="vec_key",
+        )
+
+    try:
+        # warm-up: all four store paths, uncounted (codegen + listing)
+        composed_apply_batch(batches[0].limit(200), 0, **_stores("warm"))
+
+        kw = _stores("timed")
+        timings: dict[str, float] = {}
+        t0 = time.time()
+        for i, b in enumerate(batches):
+            composed_apply_batch(b, i, store_timings=timings, **kw)
+        total = time.time() - t0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return {
+        "events": n_events,
+        "batches": n_batches,
+        "events_per_s": round(n_events / total),
+        "total_sec": round(total, 3),
+        "per_batch_sec": round(total / n_batches, 3),
+        "per_store_sec": {k: round(v, 3) for k, v in sorted(timings.items())},
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pymongo_change_stream_reader_spark.queries import (
@@ -163,6 +272,10 @@ def main() -> None:
             best = max(best, n_events / dt)
     events_per_s = round(best)
 
+    # four-store composed-relay topology (r6/r7 verdict ask): one
+    # timed pass, per-store sequential-apply breakdown included
+    composed = composed_relay_bench(spark, sf_dir)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -174,6 +287,7 @@ def main() -> None:
                 "reps_per_query": 2,
                 "sf": float(sf) if sf else sf_dir,
                 "streaming_events_per_s": events_per_s,
+                "composed_relay": composed,
             }
         )
     )

@@ -89,6 +89,7 @@ def composed_apply_batch(
     ann_vec_col: str = "embedding",
     ann_key_col: str | None = None,
     ann_kind: str = "ivf",
+    store_timings: dict | None = None,
 ) -> dict:
     """Apply one micro-batch to every enabled store (see module
     docstring).  Returns per-store outcomes: ``applied`` /
@@ -96,15 +97,33 @@ def composed_apply_batch(
     streaming query.  The ANN store reads the embedding from
     ``ann_vec_col`` (decode upstream if it rides as JSON text) and its
     id from ``ann_key_col`` (defaults to ``key_col``) — the id type
-    must match the bootstrapped index."""
+    must match the bootstrapped index.  Pass a dict as
+    ``store_timings`` to accumulate wall seconds per section
+    (``pin``/``replica``/``dedup``/``bm25``/``ann``) across calls —
+    the sequential-apply latency breakdown bench.py reports."""
+    import time as _time
+
+    def _timed(name, fn):
+        t0 = _time.monotonic()
+        try:
+            return fn()
+        finally:
+            if store_timings is not None:
+                store_timings[name] = store_timings.get(name, 0.0) + (
+                    _time.monotonic() - t0
+                )
+
     qid = _query_id(checkpoint_dir)
     outcome: dict[str, str] = {}
     # ONE materialization of the source batch, shared by every store
-    pinned = batch.localCheckpoint(eager=True)
+    pinned = _timed("pin", lambda: batch.localCheckpoint(eager=True))
     if replica_path is not None:
         # idempotent by LWW — replays converge without a marker
-        materialize_change_batch(
-            pinned, replica_path, n_buckets, retain=retain
+        _timed(
+            "replica",
+            lambda: materialize_change_batch(
+                pinned, replica_path, n_buckets, retain=retain
+            ),
         )
         outcome["replica"] = "applied"
     else:
@@ -114,19 +133,23 @@ def composed_apply_batch(
         if _epoch_committed(marker, epoch_id, qid):
             outcome["dedup"] = "replayed-skip"
         else:
-            dedup_flag_batch(
-                pinned,
-                dedup_index_path,
-                dedup_flags_path,
-                text_col,
-                key_col,
-                num_hashes,
-                bands,
-                n,
-                epoch_id=epoch_id,
-                scope=qid,
-            )
-            _commit_epoch(marker, epoch_id, qid)
+
+            def _dedup():
+                dedup_flag_batch(
+                    pinned,
+                    dedup_index_path,
+                    dedup_flags_path,
+                    text_col,
+                    key_col,
+                    num_hashes,
+                    bands,
+                    n,
+                    epoch_id=epoch_id,
+                    scope=qid,
+                )
+                _commit_epoch(marker, epoch_id, qid)
+
+            _timed("dedup", _dedup)
             outcome["dedup"] = "applied"
     else:
         outcome["dedup"] = "disabled"
@@ -135,8 +158,12 @@ def composed_apply_batch(
         if _epoch_committed(marker, epoch_id, qid):
             outcome["bm25"] = "replayed-skip"
         else:
-            bm25_ingest_batch(pinned, bm25_index_path, text_col, key_col)
-            _commit_epoch(marker, epoch_id, qid)
+
+            def _bm25():
+                bm25_ingest_batch(pinned, bm25_index_path, text_col, key_col)
+                _commit_epoch(marker, epoch_id, qid)
+
+            _timed("bm25", _bm25)
             outcome["bm25"] = "applied"
     else:
         outcome["bm25"] = "disabled"
@@ -145,11 +172,15 @@ def composed_apply_batch(
         if _epoch_committed(marker, epoch_id, qid):
             outcome["ann"] = "replayed-skip"
         else:
-            ann_ingest_batch(
-                pinned, ann_index_path, ann_vec_col,
-                ann_key_col or key_col, ann_kind,
-            )
-            _commit_epoch(marker, epoch_id, qid)
+
+            def _ann():
+                ann_ingest_batch(
+                    pinned, ann_index_path, ann_vec_col,
+                    ann_key_col or key_col, ann_kind,
+                )
+                _commit_epoch(marker, epoch_id, qid)
+
+            _timed("ann", _ann)
             outcome["ann"] = "applied"
     else:
         outcome["ann"] = "disabled"

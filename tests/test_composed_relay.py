@@ -28,6 +28,7 @@ from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
 from pymongo_change_stream_reader_spark.streaming.materialize import (
     read_replica,
 )
+from tests.conftest import SF_SMOKE
 
 LONG_A = (
     "the quick brown fox jumps over the lazy dog while the cat "
@@ -179,6 +180,57 @@ def test_partial_crash_replays_only_missing_stores(spark, tmp_path):
     assert {
         r["key"] for r in read_replica(spark, p["replica_path"]).collect()
     } == {"k1", "k9"}
+
+
+def test_store_timings_accumulate_across_batches(spark, tmp_path):
+    """The optional store_timings out-param (bench.py's sequential-
+    apply latency breakdown) records every enabled section and
+    accumulates across calls; replayed-skip sections still count
+    (their marker probe is real work), disabled stores never appear."""
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "operationType STRING, documentKey STRING, "
+            "fullDocument STRING, t INT, i INT, d STRING",
+        ).selectExpr(
+            "operationType", "documentKey", "fullDocument",
+            "named_struct('t', t, 'i', i) AS clusterTime",
+            "named_struct('_data', d) AS _id",
+        )
+
+    p = _paths(tmp_path)
+    os.makedirs(p["checkpoint_dir"], exist_ok=True)
+    timings: dict = {}
+    composed_apply_batch(
+        _mk([("insert", "k1", LONG_A, 1, 1, "a1")]), 0,
+        store_timings=timings, **p,
+    )
+    assert set(timings) == {"pin", "replica", "dedup", "bm25"}
+    assert all(v > 0 for v in timings.values())
+    first = dict(timings)
+    composed_apply_batch(
+        _mk([("insert", "k2", LONG_B, 2, 1, "a2")]), 1,
+        store_timings=timings, **p,
+    )
+    assert all(timings[k] > first[k] for k in first)
+
+
+def test_composed_relay_bench_shape(spark):
+    """bench.py's composed_relay_bench: the driver-recorded JSON block
+    must carry the headline events/s plus the full per-store
+    breakdown, and actually drive all four stores (smoke scale)."""
+    import bench
+
+    out = bench.composed_relay_bench(
+        spark, SF_SMOKE, target_events=300, n_batches=2
+    )
+    assert out["events"] > 100 and out["batches"] == 2
+    assert out["events_per_s"] > 0
+    assert set(out["per_store_sec"]) == {
+        "pin", "replica", "dedup", "bm25", "ann",
+    }
+    assert round(out["total_sec"] / 2, 3) == out["per_batch_sec"]
 
 
 def test_composed_relay_validates_configuration(spark, tmp_path):
