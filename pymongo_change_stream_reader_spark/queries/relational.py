@@ -633,24 +633,58 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx",
-    oracle=None,  # sketch outputs are implementation-defined; rows-only check
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey)  AS exact_parts,
+           TRUE AS orders_within_15pct,
+           TRUE AS parts_within_15pct,
+           TRUE AS median_within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     doc="approx_count_distinct (HLL++) + approx_percentile sketches — "
-    "the 100 TB-scale substitutes for exact distinct/percentile.",
+    "the 100 TB-scale substitutes for exact distinct/percentile — "
+    "under a BOUNDED-ERROR oracle (r6 verdict ask #5): the sketch "
+    "estimates are raw implementation-defined numbers DuckDB cannot "
+    "reproduce, so the query emits (a) the EXACT distinct counts, "
+    "hash-verified against DuckDB, and (b) within-tolerance booleans "
+    "computed Spark-side against those same exact values (HLL++ at "
+    "default rsd=0.05, bounded at 3 sigma: |approx-exact|/exact <= "
+    "0.15 — measured max across sf0.001-0.1 is 8.6%; "
+    "approx_percentile at default accuracy: within 1% of the exact "
+    "median).  Because the exact reference is itself hash-verified "
+    "in the same row, a TRUE flag proves the sketch is within the "
+    "documented error of the TRUE value end-to-end; sketch error is "
+    "hash-deterministic, so the flags are stable across runs.",
     tags=("agg", "approx"),
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    est = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.round(
-                F.expr("approx_percentile(l_extendedprice, 0.5)"), 0
-            ).alias("approx_median_price"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_orderkey").alias("ao"),
+            F.approx_count_distinct("l_partkey").alias("ap"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("am"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("em"),
         )
-        .orderBy("l_returnflag")
     )
+    return est.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (F.abs(F.col("ao") - F.col("exact_orders")) / F.col("exact_orders")
+         <= 0.15).alias("orders_within_15pct"),
+        (F.abs(F.col("ap") - F.col("exact_parts")) / F.col("exact_parts")
+         <= 0.15).alias("parts_within_15pct"),
+        (F.abs(F.col("am") - F.col("em")) / F.col("em") <= 0.01).alias(
+            "median_within_1pct"
+        ),
+    ).orderBy("l_returnflag")
 
 
 @query(
@@ -1125,15 +1159,38 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_hll_mergeable",
-    oracle=None,  # sketch bytes are implementation-defined; invariants in pytest
+    oracle="""
+    SELECT o_orderstatus, n_orders, exact_customers,
+           TRUE AS approx_within_5pct,
+           TRUE AS merge_within_5pct_of_direct
+    FROM (
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS exact_customers
+        FROM orders GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'ALL', COUNT(*), COUNT(DISTINCT o_custkey) FROM orders
+    )
+    ORDER BY o_orderstatus
+    """,
     doc="Mergeable HLL sketches (Apache DataSketches via "
     "hll_sketch_agg / hll_union_agg): per-source customer-cardinality "
     "sketches unioned into a global estimate WITHOUT re-scanning — "
     "the pre-aggregated-rollup pattern that makes 100 TB distinct "
     "counts incremental: shards sketch independently (map-side "
     "partial agg), the union is bytes-sized, and adding a shard "
-    "never touches the others.  Merge-vs-direct equality and "
-    "estimate-accuracy invariants in tests/test_sampling.py.",
+    "never touches the others.  BOUNDED-ERROR oracle (r6 verdict ask "
+    "#5): sketch bytes/estimates are implementation-defined, so the "
+    "query emits the EXACT distinct counts (hash-verified vs DuckDB) "
+    "plus Spark-side booleans — every estimate within 5% of its "
+    "hash-verified exact value (default lgConfigK=12: rsd 1.6%, 5% "
+    "= 3 sigma; hash-deterministic, so stable), and the unioned "
+    "sketch's estimate within 5% of a direct one-pass sketch of the "
+    "whole column (the mergeability contract; exact equality holds "
+    "only while sketches stay in sparse mode — in estimation mode "
+    "the union's HLL_8 gadget re-estimates, measured 1.1% apart at "
+    "sf0.01; vacuously true on per-status rows).  Sparse-mode "
+    "merge-vs-direct EQUALITY pinned in tests/test_sampling.py.",
     tags=("agg", "approx"),
 )
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1141,25 +1198,55 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = orders.groupBy("o_orderstatus").agg(
         F.hll_sketch_agg(F.col("o_custkey").cast("string")).alias("sk"),
         F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
     )
     per_est = per.select(
         "o_orderstatus",
         "n_orders",
-        F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "exact_customers",
+        F.hll_sketch_estimate("sk").alias("est"),
+        F.lit(None).cast("double").alias("direct_est"),
         "sk",
     )
-    total = per_est.agg(
-        F.lit("ALL").alias("o_orderstatus"),
-        F.sum("n_orders").alias("n_orders"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-            "approx_customers"
-        ),
+    # direct one-pass sketch of the whole column: the union of the
+    # per-status sketches must estimate IDENTICALLY (mergeability)
+    direct = orders.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("o_custkey").cast("string"))
+        ).alias("direct_est"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
-    return (
-        per_est.drop("sk")
-        .unionByName(total.select("o_orderstatus", "n_orders", "approx_customers"))
-        .orderBy("o_orderstatus")
+    total = (
+        per_est.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        .crossJoin(F.broadcast(direct))
+        .select(
+            F.lit("ALL").alias("o_orderstatus"),
+            "n_orders",
+            "exact_customers",
+            "est",
+            "direct_est",
+        )
     )
+    both = per_est.drop("sk").unionByName(total)
+    return both.select(
+        "o_orderstatus",
+        "n_orders",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= 0.05
+        ).alias("approx_within_5pct"),
+        F.coalesce(
+            F.abs(F.col("est") - F.col("direct_est"))
+            / F.col("direct_est")
+            <= 0.05,
+            F.lit(True),
+        ).alias("merge_within_5pct_of_direct"),
+    ).orderBy("o_orderstatus")
 
 
 @query(
