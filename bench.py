@@ -215,6 +215,11 @@ def composed_relay_bench(
         "events_per_s": round(n_events / total),
         "total_sec": round(total, 3),
         "per_batch_sec": round(total / n_batches, 3),
+        # r9: store applies overlap from a driver thread pool (the r8
+        # sequential floor was ~14 s/batch of mostly-independent small
+        # jobs) — per-store seconds are each section's own wall span
+        # and now OVERLAP, so their sum exceeds total_sec
+        "parallel_stores": 4,
         "per_store_sec": {k: round(v, 3) for k, v in sorted(timings.items())},
     }
 

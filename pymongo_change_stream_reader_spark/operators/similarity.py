@@ -665,21 +665,25 @@ def _pinned_read(path: str, thunk):
 
 def _ann_require_query_id_type(
     index_df: DataFrame, idx_id_col: str, queries: DataFrame, id_col: str,
-    path: str, op_name: str,
+    path: str, op_name: str, role: str = "query",
 ) -> None:
     """Serving-side twin of _ann_require_id_type: refuse a query batch
     whose id type differs from the stored index's BEFORE building the
     probe plan.  Without this, Spark's implicit cast in the
     self-exclusion filter (query_id != neighbor_id) silently compares
     across types — a STRING-keyed index probed with LONG ids would
-    never exclude self-matches, and vice versa."""
+    never exclude self-matches, and vice versa.  ``role`` names the
+    offending frame: the PQ/IVF-PQ rerank paths run the same check on
+    the raw-vector ``corpus`` argument, whose mistyped ids would
+    implicit-cast in the shortlist join and silently rerank against an
+    empty/miscast match set (r8 ADVICE low)."""
     want = index_df.schema[idx_id_col].dataType
     got = queries.schema[id_col].dataType
     if want != got:
         raise TypeError(
-            f"{op_name}: query id column {id_col!r} arrives as "
+            f"{op_name}: {role} id column {id_col!r} arrives as "
             f"{got.simpleString()} but the index at {path!r} stores "
-            f"{want.simpleString()} — cast the query ids to the stored "
+            f"{want.simpleString()} — cast the {role} ids to the stored "
             "type"
         )
 
@@ -1744,6 +1748,11 @@ def pq_topk_from_index(
     _ann_require_query_id_type(
         encoded, id_col, queries, id_col, path, "pq_topk_from_index"
     )
+    if rerank > 0:
+        _ann_require_query_id_type(
+            encoded, id_col, corpus, id_col, path, "pq_topk_from_index",
+            role="rerank corpus",
+        )
     return _pq_adc_search(
         encoded, books, queries, corpus, k, rerank, id_col, vec_col
     )
@@ -1882,6 +1891,11 @@ def ivfpq_topk_from_index(
     _ann_require_query_id_type(
         live, id_col, queries, id_col, path, "ivfpq_topk_from_index"
     )
+    if rerank > 0:
+        _ann_require_query_id_type(
+            live, id_col, corpus, id_col, path, "ivfpq_topk_from_index",
+            role="rerank corpus",
+        )
     qrows = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("qv"),

@@ -33,12 +33,20 @@ micro-batches.
 
 Scale: one source read per trigger; each store's apply stays
 batch-sized (the contracts of materialize_change_batch,
-dedup_flag_batch, bm25_ingest_batch, ann_ingest_batch).  The applies
-run sequentially in
-the driver's foreachBatch thread — they mutate independent stores, so
-they COULD overlap, but the shared Spark scheduler already overlaps
-their jobs' tasks and sequential applies keep the per-store crash
-story trivially ordered.
+dedup_flag_batch, bm25_ingest_batch, ann_ingest_batch).  The stores
+mutate INDEPENDENT directories under independent locks and markers,
+so their applies OVERLAP from a small driver-side thread pool
+(``max_parallel_stores``, default 4 — Spark's scheduler is
+thread-safe and each apply spends most of its wall time blocked on
+small driver-latency-bound jobs: marker probe, lock, journal, merge).
+The r8 measurement put the sequential four-store floor at ~14 s/batch
+with only dedup carrying real per-event cost — overlapping collapses
+the floor toward the slowest single store.  Replay correctness is
+UNCHANGED: the per-store markers never depended on apply order (a
+crash leaves an arbitrary subset committed either way, and the replay
+re-applies exactly the missing stores); set ``max_parallel_stores=1``
+for strictly-ordered sequential applies (deterministic kill-point
+testing).
 """
 
 from __future__ import annotations
@@ -90,6 +98,7 @@ def composed_apply_batch(
     ann_key_col: str | None = None,
     ann_kind: str = "ivf",
     store_timings: dict | None = None,
+    max_parallel_stores: int = 4,
 ) -> dict:
     """Apply one micro-batch to every enabled store (see module
     docstring).  Returns per-store outcomes: ``applied`` /
@@ -100,8 +109,23 @@ def composed_apply_batch(
     must match the bootstrapped index.  Pass a dict as
     ``store_timings`` to accumulate wall seconds per section
     (``pin``/``replica``/``dedup``/``bm25``/``ann``) across calls —
-    the sequential-apply latency breakdown bench.py reports."""
+    the per-store latency breakdown bench.py reports.  The
+    epoch-marker probe is timed inside its store's section, so a
+    replayed-skip store still records its (real) probe cost.
+
+    ``max_parallel_stores`` > 1 (default 4) overlaps the independent
+    store applies from a driver-side thread pool; per-store timings
+    then measure each section's own wall span, which OVERLAP (their
+    sum exceeds batch elapsed).  If any store's apply raises, the
+    remaining submitted applies still run to completion (each is
+    individually replay-protected), then the first error re-raises so
+    the streaming engine retries the batch — the replay skips every
+    store that committed its marker.  ``max_parallel_stores=1`` keeps
+    the strict replica->dedup->bm25->ann sequential order."""
     import time as _time
+    from threading import Lock
+
+    tlock = Lock()
 
     def _timed(name, fn):
         t0 = _time.monotonic()
@@ -109,81 +133,116 @@ def composed_apply_batch(
             return fn()
         finally:
             if store_timings is not None:
-                store_timings[name] = store_timings.get(name, 0.0) + (
-                    _time.monotonic() - t0
-                )
+                with tlock:
+                    store_timings[name] = store_timings.get(name, 0.0) + (
+                        _time.monotonic() - t0
+                    )
 
     qid = _query_id(checkpoint_dir)
     outcome: dict[str, str] = {}
     # ONE materialization of the source batch, shared by every store
     pinned = _timed("pin", lambda: batch.localCheckpoint(eager=True))
+
+    # each section runs its own marker probe + apply + commit and
+    # returns its outcome string — safe to run concurrently with the
+    # others (independent dirs, locks, and markers)
+    sections: list[tuple[str, object]] = []
     if replica_path is not None:
-        # idempotent by LWW — replays converge without a marker
-        _timed(
-            "replica",
-            lambda: materialize_change_batch(
+
+        def _replica() -> str:
+            # idempotent by LWW — replays converge without a marker
+            materialize_change_batch(
                 pinned, replica_path, n_buckets, retain=retain
-            ),
-        )
-        outcome["replica"] = "applied"
+            )
+            return "applied"
+
+        sections.append(("replica", _replica))
     else:
         outcome["replica"] = "disabled"
     if dedup_index_path is not None:
-        marker = os.path.join(checkpoint_dir, "dedup_epoch_log")
-        if _epoch_committed(marker, epoch_id, qid):
-            outcome["dedup"] = "replayed-skip"
-        else:
 
-            def _dedup():
-                dedup_flag_batch(
-                    pinned,
-                    dedup_index_path,
-                    dedup_flags_path,
-                    text_col,
-                    key_col,
-                    num_hashes,
-                    bands,
-                    n,
-                    epoch_id=epoch_id,
-                    scope=qid,
-                )
-                _commit_epoch(marker, epoch_id, qid)
+        def _dedup() -> str:
+            marker = os.path.join(checkpoint_dir, "dedup_epoch_log")
+            if _epoch_committed(marker, epoch_id, qid):
+                return "replayed-skip"
+            dedup_flag_batch(
+                pinned,
+                dedup_index_path,
+                dedup_flags_path,
+                text_col,
+                key_col,
+                num_hashes,
+                bands,
+                n,
+                epoch_id=epoch_id,
+                scope=qid,
+            )
+            _commit_epoch(marker, epoch_id, qid)
+            return "applied"
 
-            _timed("dedup", _dedup)
-            outcome["dedup"] = "applied"
+        sections.append(("dedup", _dedup))
     else:
         outcome["dedup"] = "disabled"
     if bm25_index_path is not None:
-        marker = os.path.join(checkpoint_dir, "bm25_epoch_log")
-        if _epoch_committed(marker, epoch_id, qid):
-            outcome["bm25"] = "replayed-skip"
-        else:
 
-            def _bm25():
-                bm25_ingest_batch(pinned, bm25_index_path, text_col, key_col)
-                _commit_epoch(marker, epoch_id, qid)
+        def _bm25() -> str:
+            marker = os.path.join(checkpoint_dir, "bm25_epoch_log")
+            if _epoch_committed(marker, epoch_id, qid):
+                return "replayed-skip"
+            bm25_ingest_batch(pinned, bm25_index_path, text_col, key_col)
+            _commit_epoch(marker, epoch_id, qid)
+            return "applied"
 
-            _timed("bm25", _bm25)
-            outcome["bm25"] = "applied"
+        sections.append(("bm25", _bm25))
     else:
         outcome["bm25"] = "disabled"
     if ann_index_path is not None:
-        marker = os.path.join(checkpoint_dir, "ann_epoch_log")
-        if _epoch_committed(marker, epoch_id, qid):
-            outcome["ann"] = "replayed-skip"
-        else:
 
-            def _ann():
-                ann_ingest_batch(
-                    pinned, ann_index_path, ann_vec_col,
-                    ann_key_col or key_col, ann_kind,
-                )
-                _commit_epoch(marker, epoch_id, qid)
+        def _ann() -> str:
+            marker = os.path.join(checkpoint_dir, "ann_epoch_log")
+            if _epoch_committed(marker, epoch_id, qid):
+                return "replayed-skip"
+            ann_ingest_batch(
+                pinned, ann_index_path, ann_vec_col,
+                ann_key_col or key_col, ann_kind,
+            )
+            _commit_epoch(marker, epoch_id, qid)
+            return "applied"
 
-            _timed("ann", _ann)
-            outcome["ann"] = "applied"
+        sections.append(("ann", _ann))
     else:
         outcome["ann"] = "disabled"
+
+    if max_parallel_stores > 1 and len(sections) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(max_parallel_stores, len(sections)),
+            thread_name_prefix="composed-store",
+        ) as pool:
+            futures = [
+                (name, pool.submit(_timed, name, fn))
+                for name, fn in sections
+            ]
+            first_err: BaseException | None = None
+            for name, fut in futures:
+                try:
+                    outcome[name] = fut.result()
+                except BaseException as exc:
+                    outcome[name] = "failed"
+                    if first_err is None:
+                        first_err = exc
+                    else:
+                        logger.error(
+                            "composed relay: store %r also failed for "
+                            "epoch %s: %s",
+                            name, epoch_id, exc,
+                        )
+            if first_err is not None:
+                raise first_err
+    else:
+        for name, fn in sections:
+            outcome[name] = _timed(name, fn)
     return outcome
 
 
@@ -206,10 +265,13 @@ def start_composed_relay(
     ann_vec_col: str = "embedding",
     ann_key_col: str | None = None,
     ann_kind: str = "ivf",
+    max_parallel_stores: int = 4,
 ):
     """Streaming entry point: one stream, one source read per trigger,
     every enabled store maintained.  Enable a store by passing its
-    path(s); at least one must be enabled."""
+    path(s); at least one must be enabled.  ``max_parallel_stores``
+    overlaps the independent store applies (see composed_apply_batch;
+    1 = strictly sequential)."""
     if (
         replica_path is None
         and dedup_index_path is None
@@ -265,6 +327,7 @@ def start_composed_relay(
             ann_vec_col=ann_vec_col,
             ann_key_col=ann_key_col,
             ann_kind=ann_kind,
+            max_parallel_stores=max_parallel_stores,
         )
 
     writer = (

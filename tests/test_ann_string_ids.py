@@ -137,3 +137,30 @@ def test_id_type_mismatch_refused_on_all_three_paths(
         pq_topk_from_index(spark, pq_l, qs, semb, k=3)
     with pytest.raises(TypeError, match="stores string"):
         ivfpq_topk_from_index(spark, ivfpq_s, ql, emb, k=3)
+
+
+def test_rerank_corpus_id_type_mismatch_refused(
+    spark, tmp_path, emb, semb
+):
+    """r8 ADVICE low: correctly-typed QUERIES but a mistyped rerank
+    CORPUS — the shortlist join would implicit-cast and rerank against
+    an empty/miscast match set.  Both rerank-enabled paths refuse
+    loudly; rerank=0 never touches the corpus and still serves."""
+    pq_s = str(tmp_path / "pq_s")
+    write_pq_index(semb, pq_s, m_sub=8, k_codes=16, iters=1)
+    ivfpq_s = str(tmp_path / "ivfpq_s")
+    write_ivfpq_index(semb, ivfpq_s, nlist=4, m_sub=8, k_codes=16)
+
+    qs = semb.filter(F.col("vec_id") < _sid(2))
+    with pytest.raises(TypeError, match="rerank corpus.*stores string"):
+        pq_topk_from_index(spark, pq_s, qs, emb, k=3)
+    with pytest.raises(TypeError, match="rerank corpus.*stores string"):
+        ivfpq_topk_from_index(spark, ivfpq_s, qs, emb, k=3)
+    # the mistyped corpus is irrelevant when rerank is off
+    assert pq_topk_from_index(spark, pq_s, qs, emb, k=3, rerank=0).count() == 6
+    assert (
+        ivfpq_topk_from_index(
+            spark, ivfpq_s, qs, emb, k=3, nprobe=4, rerank=0
+        ).count()
+        == 6
+    )

@@ -214,6 +214,27 @@ def test_store_timings_accumulate_across_batches(spark, tmp_path):
         store_timings=timings, **p,
     )
     assert all(timings[k] > first[k] for k in first)
+    # replayed-skip sections still attribute their marker probe: with
+    # every store's epoch-2 marker pre-committed, the replay skips all
+    # of them yet the dedup/bm25 timings still advance (the probe runs
+    # inside _timed — r8 ADVICE low)
+    from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
+        _commit_epoch,
+        _query_id,
+    )
+
+    qid = _query_id(p["checkpoint_dir"])
+    for store in ("dedup", "bm25"):
+        _commit_epoch(
+            os.path.join(p["checkpoint_dir"], f"{store}_epoch_log"), 2, qid
+        )
+    second = dict(timings)
+    out = composed_apply_batch(
+        _mk([("insert", "k3", LONG_A, 3, 1, "a3")]), 2,
+        store_timings=timings, **p,
+    )
+    assert out["dedup"] == "replayed-skip" and out["bm25"] == "replayed-skip"
+    assert all(timings[k] > second[k] for k in ("dedup", "bm25"))
 
 
 def test_composed_relay_bench_shape(spark):
@@ -230,7 +251,10 @@ def test_composed_relay_bench_shape(spark):
     assert set(out["per_store_sec"]) == {
         "pin", "replica", "dedup", "bm25", "ann",
     }
-    assert round(out["total_sec"] / 2, 3) == out["per_batch_sec"]
+    # both fields are independently rounded from the same unrounded
+    # total, so comparing re-rounded values flakes at 0.0005 boundaries
+    # (r8 verdict "what's wrong #1") — compare within one rounding ulp
+    assert abs(out["total_sec"] / 2 - out["per_batch_sec"]) <= 0.001
 
 
 def test_composed_relay_validates_configuration(spark, tmp_path):

@@ -665,6 +665,156 @@ def test_unscoped_epoch0_overwrite_warns(spark, tmp_path, caplog):
     assert [r for r in caplog.records if "overwriting" in r.message]
 
 
+def test_flags_fold_crash_mid_swap_no_data_loss(spark, tmp_path, monkeypatch):
+    """r8 verdict "what's wrong #2" kill-point: a fold crash between
+    compact_parquet_table's two renames leaves the flags dir missing
+    with ``.old`` holding the entire history.  The relay must REFUSE to
+    write (a fresh flags dir would make recover_table classify ``.old``
+    as garbage and delete all pre-crash flags), and the next
+    compaction must restore then fold with zero flag rows lost."""
+    from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
+        compact_dedup_flags,
+    )
+
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k0", LONG_A)]), index, flags, epoch_id=0
+    )
+    for e in (1, 2, 3):
+        assert (
+            dedup_flag_batch(
+                _batch(spark, [("insert", f"k{e}", LONG_A)]),
+                index, flags, epoch_id=e,
+            )
+            >= 1
+        )
+    before = _flag_pairs(spark, flags)
+    assert len(before) >= 3
+
+    real_rename = os.rename
+
+    def crash_on_swap_in(src, dst):
+        if src.endswith(".compact-tmp") and dst == flags:
+            raise RuntimeError("injected crash between the two renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_on_swap_in)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_dedup_flags(spark, index, flags)
+    monkeypatch.undo()
+    # the crash window's exact shape: live dir gone, .old = history
+    assert not os.path.exists(flags)
+    assert os.path.exists(flags + ".old")
+
+    # the relay refuses to recreate a fresh flags dir over the window
+    with pytest.raises(RuntimeError, match="recover_table"):
+        dedup_flag_batch(
+            _batch(spark, [("insert", "k9", LONG_A)]),
+            index, flags, epoch_id=9,
+        )
+    assert not os.path.exists(flags)  # nothing recreated
+
+    # compaction recovers first, then folds — zero rows lost
+    n = compact_dedup_flags(spark, index, flags)
+    assert n == len(before)
+    assert _flag_pairs(spark, flags) == before
+    assert not os.path.exists(flags + ".old")
+    assert not os.path.exists(flags + ".compact-tmp")
+
+    # and the relay accepts writes again, accumulating on top
+    assert (
+        dedup_flag_batch(
+            _batch(spark, [("insert", "k9", LONG_A)]),
+            index, flags, epoch_id=9,
+        )
+        >= 1
+    )
+    assert _flag_pairs(spark, flags) > before
+
+
+def test_compact_dedup_flags_many_epochs_scoped(spark, tmp_path):
+    """Two scopes with different epoch counts through the Spark-side
+    per-scope max/count aggregate (r8 verdict "what's wrong #3"): fold
+    keeps exactly the newest epoch per scope, pairs are unchanged, and
+    a second fold is a no-op."""
+    from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
+        compact_dedup_flags,
+    )
+
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "a0", LONG_A)]),
+        index, flags, epoch_id=0, scope="qA",
+    )
+    for e in range(1, 6):
+        dedup_flag_batch(
+            _batch(spark, [("insert", f"a{e}", LONG_A)]),
+            index, flags, epoch_id=e, scope="qA",
+        )
+    dedup_flag_batch(
+        _batch(spark, [("insert", "b0", LONG_B)]),
+        index, flags, epoch_id=0, scope="qB",
+    )
+    for e in (1, 2, 3):
+        dedup_flag_batch(
+            _batch(spark, [("insert", f"b{e}", LONG_B)]),
+            index, flags, epoch_id=e, scope="qB",
+        )
+    before = _flag_pairs(spark, flags)
+    assert len(before) >= 8
+    n = compact_dedup_flags(spark, index, flags)
+    assert n == len(before)
+    assert _flag_pairs(spark, flags) == before
+    dirs = _epoch_dirs(flags)
+    # per scope: base + newest (qA keeps 5, qB keeps 3)
+    assert len(dirs) == 4
+    assert any(d.endswith("q=qA/epoch=-1") for d in dirs)
+    assert any(d.endswith("q=qA/epoch=5") for d in dirs)
+    assert any(d.endswith("q=qB/epoch=-1") for d in dirs)
+    assert any(d.endswith("q=qB/epoch=3") for d in dirs)
+    assert compact_dedup_flags(spark, index, flags) == -1
+    assert _flag_pairs(spark, flags) == before
+
+
+def test_unscoped_write_below_folded_frontier_warns(spark, tmp_path, caplog):
+    """r8 verdict "what's wrong #4": after a fold, an unscoped caller
+    reusing a folded epoch id writes into an ABSENT dir and silently
+    double-counts alongside the folded rows — the guard must warn; a
+    fresh epoch id must not."""
+    import logging
+
+    from pymongo_change_stream_reader_spark.streaming.dedup_relay import (
+        compact_dedup_flags,
+    )
+
+    index = str(tmp_path / "idx")
+    flags = str(tmp_path / "flags")
+    dedup_flag_batch(
+        _batch(spark, [("insert", "k0", LONG_A)]), index, flags, epoch_id=0
+    )
+    for e in (1, 2, 3):
+        dedup_flag_batch(
+            _batch(spark, [("insert", f"k{e}", LONG_A)]),
+            index, flags, epoch_id=e,
+        )
+    compact_dedup_flags(spark, index, flags)  # base + epoch=3 remain
+    with caplog.at_level(logging.WARNING):
+        dedup_flag_batch(  # epoch 2 was folded — reuse double-counts
+            _batch(spark, [("insert", "k8", LONG_A)]),
+            index, flags, epoch_id=2,
+        )
+    assert [r for r in caplog.records if "folded frontier" in r.message]
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        dedup_flag_batch(  # a FRESH epoch id is the contract — no warn
+            _batch(spark, [("insert", "k7", LONG_A)]),
+            index, flags, epoch_id=9,
+        )
+    assert not [r for r in caplog.records if "folded frontier" in r.message]
+
+
 # ---------------------------------------------------------------------------
 # Registry hygiene for bootstrapped / untracked indexes (ADVICE r6
 # medium) + the compaction-crash stale-tombstone window (ADVICE r6 low).
