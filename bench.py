@@ -101,6 +101,11 @@ HEADLINE = (
     # survivor -> decontaminate -> budget) — the flagship multi-stage
     # plan; regressions in any stage's composition surface here
     "corpus_curation_e2e",
+    # r9: Z-order layout rewrite + box scan-back (quantile pass, range
+    # exchange, 32-file clustered write, pushed 2-D box read) — the
+    # OPTIMIZE/ZORDER path; a planning-cost regression in the Morton
+    # key expression (operators/layout.py) surfaces here first
+    "layout_zorder_box_scan",
 )
 # NOT benched: ann_ivf_churned / ann_pq_churned (13s at sf0.1, ~75%
 # of it the one-time index BUILD — benching them would inflate the

@@ -1,0 +1,220 @@
+"""Multi-dimensional data layout — Z-order (Morton) clustering for
+file/row-group skipping, the ``OPTIMIZE ... ZORDER BY`` analog.
+
+Why this exists at 100 TB: a table range-sorted on ONE column prunes
+scans that filter on that column and nothing else; a 2-D box predicate
+(``WHERE x BETWEEN .. AND y BETWEEN ..``) on a layout sorted by ``x``
+still touches every file for the ``y`` bound.  Interleaving the bits
+of per-column QUANTILE buckets into one Morton key and range-writing
+on that key gives every file a tight min/max envelope in EVERY
+clustered dimension, so parquet footer stats (and any manifest-level
+min/max index) skip the files whose envelope misses the box — the
+touched-file count scales like the box's area fraction instead of its
+side, turning a 100 TB scan into the handful of files that can match.
+
+Spark-first mechanics, all JVM-side:
+
+- per-column bucket ids come from ``approxQuantile`` cutpoints
+  (Greenwald-Khanna, one pass, driver state = ``2^bits_per_dim``
+  doubles per column — bounded at any scale) so skewed value
+  distributions still spread uniformly across buckets (plain
+  ``width_bucket`` over min/max would put 99% of a zipfian column in
+  one bucket and skip nothing);
+- the bucket lookup is a balanced binary-search tree of ``F.when``
+  comparisons over the literal cutpoints — ~8 comparisons per row,
+  whole-stage-codegen'd, no UDF and no interpreted HOF;
+- bit interleave is a sum of ``shiftleft(bitwiseAND(...))`` terms —
+  pure column arithmetic (``bits_per_dim * n_dims`` terms, all folded
+  into one codegen'd projection);
+- the write is ``repartitionByRange(z)`` + ``sortWithinPartitions(z)``
+  — one sampled range exchange, no global sort.
+
+The same key also feeds clustering WITHOUT a rewrite: ``zorder_key``
+is an ordinary column, usable as a bucketing/clustering expression.
+
+Reference parity: the reference engine (a CDC relay,
+change_stream_reading/watch.py) has no layout optimizer; this is part
+of the training-data-pipeline surface (SURVEY.md §2 extensions), with
+semantics matching the published Delta Lake / Iceberg Z-order designs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_key", "zorder_write", "file_minmax_manifest"]
+
+
+def _bucket_from_cuts(col: Column, cuts: list[float]) -> Column:
+    """0-based bucket id of ``col`` among sorted quantile ``cuts``
+    (= count of cuts <= col), as a balanced binary-search tree of
+    ``F.when`` comparisons: ~2 * len(cuts) expression nodes but only
+    ``ceil(log2(len(cuts)))`` comparisons EVALUATED per row, all
+    inside whole-stage codegen.  (The obvious
+    ``size(filter(cut_array, c -> c <= x))`` form is an interpreted
+    higher-order function — 255 lambda calls per row cost ~15 s/rep
+    on 600k rows at sf0.1; this tree benches ~10x faster.)  A null
+    value fails every ``>=`` test and descends to bucket 0 — the same
+    slot NULLS FIRST ordering gives."""
+    x = col.cast("double")
+
+    def rec(lo: int, hi: int) -> Column:
+        # bucket id known to lie in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return F.when(x >= float(cuts[mid - 1]), rec(mid, hi)).otherwise(
+            rec(lo, mid - 1)
+        )
+
+    if not cuts:
+        return F.lit(0)
+    return rec(0, len(cuts))
+
+
+def _check_bits(bits_per_dim: int, n_dims: int) -> None:
+    if bits_per_dim * n_dims > 63:
+        raise ValueError(
+            f"z-key needs {bits_per_dim * n_dims} bits; reduce "
+            f"bits_per_dim ({bits_per_dim}) or dimensions ({n_dims})"
+        )
+
+
+def _interleave(buckets: list[Column], bits_per_dim: int) -> Column:
+    """Morton-interleave ``bits_per_dim`` low bits of each bucket id:
+    bit j of dim d lands at position ``j * n_dims + d``.  Max
+    ``bits_per_dim * n_dims`` <= 63 (one signed long).
+
+    Bit-twiddling spec / small explicit buckets only: it references
+    each bucket expression ``bits_per_dim`` times, so feeding it the
+    quantile-bucket expressions would blow the Catalyst tree up
+    quadratically (255-literal cut array x 8 bit planes x dims —
+    observed as minutes of driver-side planning).  ``zorder_key``
+    instead spreads each bucket through a precomputed lookup table
+    (``_spread_table``), referencing every bucket expression once."""
+    n_dims = len(buckets)
+    _check_bits(bits_per_dim, n_dims)
+    z = F.lit(0).cast("long")
+    for d, b in enumerate(buckets):
+        b = b.cast("long")
+        for j in range(bits_per_dim):
+            z = z + F.shiftleft(
+                F.shiftright(b, j).bitwiseAND(F.lit(1)), j * n_dims + d
+            )
+    return z
+
+
+def _spread_table(bits_per_dim: int, n_dims: int) -> list[int]:
+    """``table[v]`` = v's bits spread ``n_dims`` apart (bit j -> bit
+    j * n_dims): the per-dim factor of the Morton key, so
+    ``z = sum_d table[bucket_d] << d`` — one lookup per dim instead of
+    one masked shift per (dim, bit)."""
+    out = []
+    for v in range(1 << bits_per_dim):
+        s = 0
+        for j in range(bits_per_dim):
+            s |= ((v >> j) & 1) << (j * n_dims)
+        out.append(s)
+    return out
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits_per_dim: int = 8,
+    relative_error: float = 0.01,
+) -> Column:
+    """Morton key column for ``df`` over numeric/temporal ``cols``.
+
+    One ``approxQuantile`` pass per call computes the
+    ``2^bits_per_dim - 1`` cutpoints of every column (driver state:
+    255 doubles x n_dims at the default).  The returned Column is pure
+    arithmetic — attach it with ``withColumn`` and range-write on it.
+    """
+    n_dims = len(cols)
+    _check_bits(bits_per_dim, n_dims)
+    n_buckets = 1 << bits_per_dim
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    casted = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    all_cuts = casted.stat.approxQuantile(cols, probs, relative_error)
+    spread = F.array(
+        *[F.lit(s) for s in _spread_table(bits_per_dim, n_dims)]
+    )
+    z = F.lit(0).cast("long")
+    for d, (c, cuts) in enumerate(zip(cols, all_cuts)):
+        # duplicate cutpoints (low-cardinality columns) collapse; the
+        # surviving ids are then LEFT-ALIGNED onto the full bucket
+        # range so the dimension's information lands in the HIGH bit
+        # planes of the Morton key — otherwise a 10-distinct-value
+        # column would only wiggle the low interleave bits and file
+        # envelopes would not segregate on it at all
+        uniq = sorted(set(cuts))
+        b = _bucket_from_cuts(F.col(c), uniq)
+        n_ids = len(uniq) + 1
+        if n_ids < n_buckets:
+            b = F.floor(b * F.lit(n_buckets) / F.lit(n_ids)).cast("long")
+        # one table lookup spreads the whole bucket id: the bucket
+        # expression appears ONCE in the plan (see _interleave's note)
+        z = z + F.shiftleft(
+            F.element_at(spread, b.cast("int") + F.lit(1)), d
+        )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits_per_dim: int | None = None,
+) -> None:
+    """Rewrite ``df`` at ``path`` clustered on the Z-order of ``cols``:
+    sampled range exchange on the Morton key into ``n_files``
+    partitions, key-sorted within each so parquet row-group stats are
+    tight too, key dropped from the output schema.
+
+    ``bits_per_dim`` defaults to the resolution the LAYOUT can
+    actually use: ``n_files`` envelopes only resolve ~log2(n_files)
+    Morton bits plus headroom for in-file row-group stats —
+    ``(log2(n_files) + 4) / n_dims`` per dim, floored at 4.  Keeping
+    the cut count small also keeps the binary-search key inside
+    expression codegen (measured at sf0.1: <= 31 cuts/dim evaluates
+    ~4x faster than the interpreted fallback beyond it)."""
+    import math
+
+    if bits_per_dim is None:
+        bits_per_dim = max(
+            4, math.ceil((math.log2(max(n_files, 2)) + 4) / len(cols))
+        )
+    z = zorder_key(df, cols, bits_per_dim=bits_per_dim)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_minmax_manifest(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-FILE min/max manifest of ``cols`` for the parquet table at
+    ``path`` — the skip index a scan planner (or a human auditing a
+    layout) consults: a file whose [min, max] envelope misses the
+    predicate box can be skipped without opening it.  Built with one
+    aggregation over the table grouped by ``input_file_name()``; at
+    100 TB this produces |files| rows, and a real lakehouse would keep
+    it incrementally (it is exactly what Delta/Iceberg store in their
+    transaction log / manifest files)."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}_min"))
+        aggs.append(F.max(c).alias(f"{c}_max"))
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )

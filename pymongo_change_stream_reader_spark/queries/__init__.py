@@ -48,6 +48,7 @@ _MODULES = (
     "retrieval_queries",
     "corpus_queries",
     "multimodal_queries",
+    "layout_queries",
 )
 
 

@@ -1444,10 +1444,15 @@ def _largest_remainder_alloc(
 ) -> DataFrame:
     """Spark side of _alloc_sql: integer-exact proportional allocation
     with largest-remainder rounding.  `div`/`%` on bigint — no float
-    round-trip, so budget*amount stays exact past 2^53; the windows
-    run over |keys| rows (sources/languages), never document-sized
-    data."""
-    from pyspark.sql import Window as W
+    round-trip, so budget*amount stays exact past 2^53.  The global
+    remainder rank comes from the distributed TeraSort-style rank
+    (operators/ranking.py) — no unpartitioned window anywhere in the
+    plan — and the leftover is one scalar aggregate broadcast back;
+    both run over |keys| rows (sources/languages), never
+    document-sized data, but the plan would survive a million keys."""
+    from pymongo_change_stream_reader_spark.operators.ranking import (
+        with_global_rank,
+    )
 
     tot = per.agg(F.sum(amount_col).alias("total"))
     base = per.crossJoin(F.broadcast(tot)).select(
@@ -1461,13 +1466,14 @@ def _largest_remainder_alloc(
             "frac"
         ),
     )
-    w_rank = W.orderBy(F.desc("frac"), F.col(key_col))
-    w_all = W.partitionBy()
+    ranked, _ = with_global_rank(
+        base, [F.desc("frac"), F.col(key_col)], rank_col="rnk"
+    )
+    left = ranked.agg(
+        (F.lit(_BUDGET) - F.sum("base_alloc")).alias("leftover")
+    )
     return (
-        base.withColumn("rnk", F.row_number().over(w_rank))
-        .withColumn(
-            "leftover", F.lit(_BUDGET) - F.sum("base_alloc").over(w_all)
-        )
+        ranked.crossJoin(F.broadcast(left))
         .select(
             key_col,
             *keep_cols,
@@ -1569,7 +1575,20 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: one tokenize behind the persist barrier feeds the gates
     AND the decontamination grams; exact-dup shuffle is on the 32-byte
     hash; bench grams broadcast (held-out split is small by
-    construction); the budget window runs over |sources| rows."""
+    construction); the budget rank runs over |sources| rows."""
+    per = _curation_kept_per(spark, sf_dir)
+    return _largest_remainder_alloc(
+        per, "source", "kept_tokens", keep_cols=("kept_docs",)
+    )
+
+
+def _curation_kept_per(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heavy stage of corpus_curation_e2e — everything up to the
+    per-source (kept_docs, kept_tokens) frame, BEFORE the allocator
+    (whose distributed global rank localCheckpoints and so truncates
+    the visible lineage).  Split out so the plan-shape test can pin
+    the broadcast-join/persist-barrier properties of the corpus-sized
+    computation (tests/test_partition_pruning.py)."""
     from pyspark.sql import Window as W
 
     from pymongo_change_stream_reader_spark.operators.dedup import (
@@ -1634,10 +1653,7 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     clean = surv.join(cont, "doc_id", "left_anti")
-    per = clean.groupBy("source").agg(
+    return clean.groupBy("source").agg(
         F.count("*").cast("bigint").alias("kept_docs"),
         F.sum(F.size("toks")).cast("bigint").alias("kept_tokens"),
-    )
-    return _largest_remainder_alloc(
-        per, "source", "kept_tokens", keep_cols=("kept_docs",)
     )

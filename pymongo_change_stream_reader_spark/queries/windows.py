@@ -271,22 +271,43 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_percentile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale note: an unpartitioned ORDER BY window serializes into a
-    single task — acceptable only on a dim-sized input like supplier
-    (the deliberate demonstration here); every fact-table window in
-    this catalog partitions first."""
-    w = W.orderBy("s_acctbal", "s_suppkey")
-    w_nth = W.orderBy(F.desc("s_acctbal"), F.col("s_suppkey")).rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
+    """Scale note: the whole-table ranking family is computed WITHOUT
+    an unpartitioned window (which would serialize a billion-row sort
+    into one task): a TeraSort-style distributed global rank
+    (operators/ranking.py) supplies the 1-based position in the total
+    order (s_acctbal, s_suppkey) — unique tiebreaker, so RANK ==
+    ROW_NUMBER and
+
+        PERCENT_RANK = (rank - 1) / (n - 1)
+        CUME_DIST    = rank / n
+
+    are exact pure arithmetic.  NTH_VALUE(s_acctbal, 3) over the full
+    descending frame is one scalar — the 3rd-highest balance — fetched
+    with a sort+limit(3) (3 driver rows, any scale) and attached as a
+    literal, NULL when the table has fewer than 3 rows, as in SQL."""
+    from pymongo_change_stream_reader_spark.operators.ranking import (
+        with_global_rank,
     )
+
+    sup = load_table(spark, sf_dir, "supplier")
+    ranked, n = with_global_rank(
+        sup, [F.col("s_acctbal"), F.col("s_suppkey")]
+    )
+    top3 = (
+        sup.select("s_acctbal")
+        .orderBy(F.desc("s_acctbal"), "s_suppkey")
+        .limit(3)
+        .collect()
+    )
+    third = top3[2][0] if len(top3) >= 3 else None
+    rank = F.col("__rank")
     return (
-        load_table(spark, sf_dir, "supplier")
-        .select(
+        ranked.select(
             "s_suppkey",
             F.round("s_acctbal", 2).alias("acctbal"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-            F.round(F.nth_value("s_acctbal", 3).over(w_nth), 2).alias("third_best"),
+            F.round((rank - 1) / F.lit(max(n - 1, 1)), 6).alias("pct_rank"),
+            F.round(rank / F.lit(n), 6).alias("cume"),
+            F.round(F.lit(third).cast("double"), 2).alias("third_best"),
         )
         .orderBy("s_suppkey")
     )

@@ -1,0 +1,139 @@
+"""Z-order layout: Morton key arithmetic, rewrite round-trip, and the
+file-skipping property the layout exists for."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.layout import (
+    file_minmax_manifest,
+    zorder_key,
+    zorder_write,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _morton(px: int, py: int, bits: int) -> int:
+    z = 0
+    for j in range(bits):
+        z |= ((px >> j) & 1) << (j * 2)
+        z |= ((py >> j) & 1) << (j * 2 + 1)
+    return z
+
+
+def test_interleave_matches_python_morton(spark):
+    # explicit 0..15 bucket ids on both dims: the column expression
+    # must equal the textbook Morton interleave bit for bit
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        _interleave,
+    )
+
+    n, bits = 16, 4
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "bx LONG, by LONG")
+    out = {
+        (r["bx"], r["by"]): r["z"]
+        for r in df.withColumn(
+            "z", _interleave([F.col("bx"), F.col("by")], bits)
+        ).collect()
+    }
+    expect = {(x, y): _morton(x, y, bits) for x, y in rows}
+    assert out == expect
+
+
+def test_spread_table_composes_to_morton():
+    # the table-lookup path zorder_key uses must agree with the
+    # bit-twiddling spec for every 2-D bucket pair
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        _spread_table,
+    )
+
+    bits = 4
+    t = _spread_table(bits, 2)
+    for x in range(1 << bits):
+        for y in range(1 << bits):
+            assert (t[x] << 0) + (t[y] << 1) == _morton(x, y, bits)
+
+
+def test_zorder_key_orders_quantiles_not_values(spark):
+    # zipfian-ish x: 99 small values and one huge outlier.  A min/max
+    # width_bucket would put everything in bucket 0; quantile buckets
+    # must spread the small values across the full range so the key
+    # still segregates them.
+    rows = [(float(i), 0.0) for i in range(99)] + [(1e12, 0.0)]
+    df = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE")
+    z = (
+        df.withColumn("z", zorder_key(df, ["x", "y"], bits_per_dim=8))
+        .select("x", "z")
+        .collect()
+    )
+    by_x = sorted(z, key=lambda r: r["x"])
+    zs = [r["z"] for r in by_x]
+    assert zs == sorted(zs), "key must be monotone in x when y is constant"
+    assert len(set(zs)) > 50, "quantile buckets must spread skewed values"
+
+
+def test_zorder_write_roundtrip_exact(spark, tmp_path):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "z")
+    zorder_write(li, path, ["l_partkey", "l_suppkey"], n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    assert set(back.columns) == set(li.columns)
+    key = ["l_orderkey", "l_linenumber"]
+    assert (
+        back.select(*key).exceptAll(li.select(*key)).count() == 0
+        and li.select(*key).exceptAll(back.select(*key)).count() == 0
+    )
+
+
+def test_zorder_nulls_survive_and_sort_first(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(None, 1.0), (5.0, None), (3.0, 4.0), (None, None)],
+        "x DOUBLE, y DOUBLE",
+    )
+    with_z = df.withColumn("z", zorder_key(df, ["x", "y"], bits_per_dim=4))
+    rows = with_z.collect()
+    assert len(rows) == 4
+    z_null_both = [r["z"] for r in rows if r["x"] is None and r["y"] is None]
+    assert z_null_both == [0], "all-null row lands in the origin cell"
+
+
+def test_zorder_skips_second_dimension_slab(spark, tmp_path):
+    """The reason the operator exists: a slab predicate on the SECOND
+    clustered column prunes most Z files while pruning nothing on a
+    first-column-sorted layout."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    z_path, lin_path = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder_write(li, z_path, ["l_partkey", "l_suppkey"], n_files=32)
+    (
+        li.repartitionByRange(32, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(lin_path)
+    )
+    b = li.agg(
+        F.min("l_suppkey").alias("lo"), F.max("l_suppkey").alias("hi")
+    ).collect()[0]
+    s_cut = b["lo"] + 0.10 * (b["hi"] - b["lo"])
+
+    def slab_frac(path: str) -> float:
+        man = file_minmax_manifest(
+            spark, path, ["l_partkey", "l_suppkey"]
+        ).collect()
+        hit = sum(1 for r in man if r["l_suppkey_min"] <= s_cut)
+        return hit / len(man)
+
+    z_frac, lin_frac = slab_frac(z_path), slab_frac(lin_path)
+    assert lin_frac >= 0.9, f"1-D layout should not prune: {lin_frac}"
+    assert z_frac <= 0.5, f"Z layout should prune the slab: {z_frac}"
+    assert z_frac < lin_frac
+
+
+def test_zorder_key_rejects_too_many_bits(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "x DOUBLE, y DOUBLE")
+    with pytest.raises(ValueError, match="bits"):
+        df.withColumn(
+            "z", zorder_key(df, ["x", "y"], bits_per_dim=32)
+        ).collect()

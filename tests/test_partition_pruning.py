@@ -81,13 +81,21 @@ def test_curation_e2e_plan_shape(spark):
     cartesian shape, and the corpus source materializes ONCE behind
     the persist barrier (consumers read InMemoryTableScan)."""
     from pymongo_change_stream_reader_spark.queries.corpus_queries import (
+        _curation_kept_per,
         corpus_curation_e2e,
     )
 
-    df = corpus_curation_e2e(spark, SF_SMOKE)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus-sized stage (pre-allocator: the allocator's global
+    # rank localCheckpoints, truncating the visible lineage)
+    per = _curation_kept_per(spark, SF_SMOKE)
+    plan = per._jdf.queryExecution().executedPlan().toString()
     assert plan.count("SortMergeJoin") == 0
     assert plan.count("CartesianProduct") == 0
     assert plan.count("BroadcastHashJoin") >= 2
     assert plan.count("InMemoryTableScan") >= 2  # persist barrier in use
+
+    df = corpus_curation_e2e(spark, SF_SMOKE)
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("SortMergeJoin") == 0
+    assert final.count("CartesianProduct") == 0
     assert df.count() > 0
