@@ -753,3 +753,123 @@ def cdc_replica_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# The agg-view event envelope: the replica family's 101-key history
+# with the post-image carrying a GROUP field that changes across
+# updates (g = cents % 5), so incremental maintenance must move
+# contributions BETWEEN groups, not just update them in place.
+_EVG_SQL = """
+        SELECT '{"_id": ' || CAST(event_id % 101 AS VARCHAR) || '}' AS key,
+               operation,
+               CASE WHEN operation <> 'delete'
+                    THEN '{"v": ' || CAST(cents AS VARCHAR)
+                         || ', "g": "s' || CAST(cents % 5 AS VARCHAR)
+                         || '"}'
+               END AS doc,
+               event_id AS t
+        FROM sim
+        WHERE operation IN ('insert', 'update', 'replace', 'delete')
+"""
+
+
+def _agg_view_events(e: DataFrame) -> DataFrame:
+    """Spark side of _EVG_SQL (the _replica_events envelope plus the
+    group field in the post-image)."""
+    operation = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "update")
+        .when(F.col("event_type") == "click", "replace")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("drop")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return e.filter(
+        operation.isin("insert", "update", "replace", "delete")
+    ).select(
+        F.struct(
+            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
+                "_data"
+            )
+        ).alias("_id"),
+        operation.alias("operationType"),
+        F.struct(
+            F.col("event_id").alias("t"), F.lit(1).alias("i")
+        ).alias("clusterTime"),
+        F.concat(
+            F.lit('{"_id": '),
+            (F.col("event_id") % 101).cast("string"),
+            F.lit("}"),
+        ).alias("documentKey"),
+        F.when(
+            operation.isin("insert", "update", "replace"),
+            F.concat(
+                F.lit('{"v": '),
+                cents.cast("string"),
+                F.lit(', "g": "s'),
+                (cents % 5).cast("string"),
+                F.lit('"}'),
+            ),
+        ).alias("fullDocument"),
+    )
+
+
+@query(
+    "cdc_agg_view_incremental",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    ev AS ({_EVG_SQL}),
+    last AS (
+        SELECT key,
+               max_by(operation || '|' || COALESCE(doc, ''), t) AS payload
+        FROM ev GROUP BY key
+    ),
+    final AS (
+        SELECT substr(payload, position('|' IN payload) + 1) AS doc
+        FROM last WHERE split_part(payload, '|', 1) <> 'delete'
+    )
+    SELECT json_extract_string(doc, '$.g') AS grp,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(json_extract_string(doc, '$.v') AS BIGINT))
+                AS BIGINT) AS sum_val
+    FROM final
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    doc="Incremental materialized aggregate view "
+    "(streaming/agg_view.py): the 101-key change history is applied in "
+    "THREE interleaved micro-batches (event_id % 3 — each batch mixes "
+    "newer and older events per key, stressing the LWW stale-event "
+    "cancellation) maintaining per-group COUNT/SUM by contribution "
+    "deltas only; the committed view is read back and hash-compared to "
+    "the oracle's full recompute over the final document states.  "
+    "Per-batch work is O(batch keys + touched buckets + touched "
+    "groups) — never a corpus re-aggregation.",
+    tags=("cdc", "streaming"),
+)
+def cdc_agg_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.streaming.agg_view import (
+        agg_view_batch,
+        read_agg_view,
+    )
+
+    ev = _agg_view_events(load_table(spark, sf_dir, "events"))
+    path = tempfile.mkdtemp(prefix="spark_cdc_aggview_")
+    try:
+        for i in range(3):
+            agg_view_batch(
+                ev.filter(F.col("clusterTime.t") % 3 == i),
+                path,
+                epoch=i,
+                value_type="long",
+            )
+        return (
+            read_agg_view(spark, path).orderBy("grp").localCheckpoint(
+                eager=True
+            )
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

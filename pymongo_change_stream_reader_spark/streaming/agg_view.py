@@ -1,0 +1,335 @@
+"""Incremental materialized aggregate view over a CDC stream.
+
+The replica (streaming/materialize.py) answers "what does document k
+look like now?"; this store answers "what do the documents SUM to per
+group, now?" without ever re-scanning the corpus: each micro-batch
+applies only its own keys' contribution CHANGES, so per-batch work is
+O(batch + touched buckets + touched groups) — at 100 TB the view
+stays a handful of small jobs per trigger while a recompute would be
+a full-table aggregation every 30 seconds.
+
+Reference parity: the reference relay (producing/change_event_handler
+.py) forwards events; aggregate maintenance is engine extension
+surface, with semantics matching classic incremental view maintenance
+(counting algorithm for SUM/COUNT groups: deletable aggregates only —
+MIN/MAX need a per-group rescan on delete and are deliberately out).
+
+## Layout under ``path``
+
+- ``keys/`` — bucketed versioned sink (plans/pipeline bucketed-sink
+  protocol): one row per document key,
+  ``(key, live, grp, val, __t, __i, __d)`` — the key's CURRENT
+  contribution under last-writer-wins; deletes persist as
+  ``live=false`` tombstones so late out-of-order events cannot
+  resurrect or double-subtract.
+- ``deltas/epoch=N/`` — the batch's net per-group deltas
+  ``(grp, d_n, d_sum)``, persisted BEFORE the keys commit (the replay
+  contract below).
+- ``groups/g-N/`` + ``groups/_current`` — the aggregate table
+  ``(grp, n_docs, sum_val)``, whole versions swapped by one atomic
+  pointer-file replace that also records the applied epoch.
+
+## Exactly-once replay contract
+
+A foreachBatch epoch can replay after any crash.  Apply order is
+(1) compute per-group deltas against the PRE-batch keys store and
+persist them (atomic dir rename), (2) commit the keys merge,
+(3) commit the groups table + epoch pointer.  On replay:
+
+- groups epoch >= N  -> everything landed (groups commit last): skip;
+- ``deltas/epoch=N`` exists -> NEVER recompute deltas (the keys store
+  may already include this batch, which would make a recomputation
+  vanish to zero); re-merge keys (LWW is idempotent) and apply the
+  PERSISTED deltas;
+- neither -> nothing landed: full first-time apply.
+
+Every window is covered: deltas are valid from the moment they are
+persisted because the state they were computed against (pre-batch
+keys) cannot change before the keys commit that immediately follows,
+and the groups table consumes each epoch's deltas exactly once (the
+pointer swap is the commit point).  The whole apply runs under the
+view's write lock.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.plans.pipeline import (
+    PipelineError,
+    _bucket_of,
+    _commit_bucketed,
+    _read_bucket_manifest,
+    _write_atomic,
+    bucketed_sink_lock,
+    read_bucketed_sink,
+)
+from pymongo_change_stream_reader_spark.streaming.materialize import (
+    _KEY,
+    _ORDER,
+    _last_event_per_key,
+)
+
+__all__ = [
+    "agg_view_batch",
+    "read_agg_view",
+    "read_agg_view_keys",
+    "start_agg_view_maintenance",
+]
+
+
+def _groups_current(path: str) -> tuple[str, int] | None:
+    """(version dirname, applied epoch) from groups/_current, or None
+    before the first commit."""
+    ptr = os.path.join(path, "groups", "_current")
+    if not os.path.exists(ptr):
+        return None
+    body = open(ptr).read().strip()
+    dirname, epoch = body.rsplit(":", 1)
+    return dirname, int(epoch)
+
+
+def _deltas_schema(value_type: str) -> str:
+    return f"grp STRING, d_n BIGINT, d_sum {value_type}"
+
+
+def _groups_schema(value_type: str) -> str:
+    return f"grp STRING, n_docs BIGINT, sum_val {value_type}"
+
+
+def read_agg_view(spark: SparkSession, path: str) -> DataFrame | None:
+    """The current aggregate table ``(grp, n_docs, sum_val)``; None
+    before the first applied batch."""
+    cur = _groups_current(path)
+    if cur is None:
+        return None
+    return spark.read.parquet(os.path.join(path, "groups", cur[0]))
+
+
+def read_agg_view_keys(spark: SparkSession, path: str) -> DataFrame | None:
+    """Per-key contribution rows (LWW state incl. tombstones)."""
+    return read_bucketed_sink(spark, os.path.join(path, "keys"))
+
+
+def agg_view_batch(
+    batch: DataFrame,
+    path: str,
+    epoch: int,
+    group_path: str = "$.g",
+    value_path: str = "$.v",
+    value_type: str = "double",
+    n_buckets: int = 16,
+    retain: int = 2,
+) -> None:
+    """Apply one micro-batch of change events to the view at ``path``.
+
+    ``group_path`` / ``value_path`` are JSON paths into the post-image;
+    a live document with a missing value contributes 0 to ``sum_val``
+    and 1 to ``n_docs`` (COALESCE semantics — mirror it in any SQL
+    oracle).  Non-delete events must carry a post-image (run the
+    stream with fullDocument=updateLookup), exactly the serving-index
+    relays' contract — unlike the replica, a contribution cannot be
+    patched from an updateDescription without knowing the old value.
+    """
+    spark = batch.sparkSession
+    os.makedirs(os.path.join(path, "deltas"), exist_ok=True)
+    os.makedirs(os.path.join(path, "groups"), exist_ok=True)
+    keys_path = os.path.join(path, "keys")
+
+    data = batch.filter(
+        F.col("operationType").isin("insert", "update", "replace", "delete")
+    )
+    with bucketed_sink_lock(path):
+        cur = _groups_current(path)
+        if cur is not None and cur[1] >= epoch:
+            return  # replayed epoch: fully applied (groups commit last)
+        if not data.filter(
+            (F.col("operationType") != "delete")
+            & F.col("fullDocument").isNull()
+        ).isEmpty():
+            raise PipelineError(
+                "agg view maintenance needs a post-image per non-delete "
+                "event (fullDocument=updateLookup): an update's old "
+                "contribution cannot be subtracted from a field delta"
+            )
+        last = _last_event_per_key(data).localCheckpoint(eager=True)
+        live = F.col("op") != "delete"
+        new = last.select(
+            "key",
+            live.alias("live"),
+            F.when(live, F.get_json_object("doc", group_path)).alias("grp"),
+            F.when(live, F.get_json_object("doc", value_path))
+            .cast(value_type)
+            .alias("val"),
+            *[F.col(c) for c in _ORDER],
+        )
+        changed = sorted(
+            r["b"]
+            for r in new.select(_bucket_of(["key"], n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        mf = _read_bucket_manifest(keys_path)
+        if mf is not None and mf[0] != n_buckets:
+            raise PipelineError(
+                f"agg view at {path!r} has {mf[0]} buckets, not {n_buckets}"
+            )
+        entries = dict(mf[1]) if mf is not None else {}
+        old = None
+        for k in changed:
+            rel = entries.get(k)
+            if rel and os.path.isdir(os.path.join(keys_path, rel)):
+                f = spark.read.parquet(os.path.join(keys_path, rel))
+                old = f if old is None else old.unionByName(f)
+
+        o = lambda c: F.col(f"__o.{c}")
+        n = lambda c: F.col(f"__n.{c}")
+        if old is not None:
+            j = old.alias("__o").join(
+                new.alias("__n"), o("key") == n("key"), "full"
+            )
+        else:
+            empty = spark.createDataFrame([], new.schema)
+            j = empty.alias("__o").join(
+                new.alias("__n"), F.lit(False), "full"
+            )
+        trip = lambda side: F.struct(*[side(c) for c in _ORDER])
+        new_wins = n("key").isNotNull() & (
+            o("key").isNull() | (trip(n) >= trip(o))
+        )
+        winner = F.when(
+            new_wins, F.struct(*[n(c) for c in new.columns])
+        ).otherwise(F.struct(*[o(c) for c in new.columns]))
+        # pinned: the deltas AND the keys merge must see one layout
+        merged_full = j.select(
+            o("live").alias("__o_live"),
+            o("grp").alias("__o_grp"),
+            o("val").alias("__o_val"),
+            n("key").isNotNull().alias("__in_batch"),
+            winner.alias("w"),
+        ).localCheckpoint(eager=True)
+
+        deltas_dir = os.path.join(path, "deltas", f"epoch={epoch}")
+        if not os.path.isdir(deltas_dir):
+            # net per-group deltas vs the PRE-batch store: -old and
+            # +winner for every key the batch touched (a stale event
+            # keeps winner == old and cancels to zero in the sum)
+            zero = F.lit(0).cast(value_type)
+            minus = merged_full.filter(
+                F.col("__in_batch") & F.coalesce("__o_live", F.lit(False))
+            ).select(
+                F.col("__o_grp").alias("grp"),
+                F.lit(-1).cast("long").alias("d_n"),
+                (-F.coalesce(F.col("__o_val"), zero)).alias("d_sum"),
+            )
+            plus = merged_full.filter(
+                F.col("__in_batch") & F.col("w.live")
+            ).select(
+                F.col("w.grp").alias("grp"),
+                F.lit(1).cast("long").alias("d_n"),
+                F.coalesce(F.col("w.val"), zero).alias("d_sum"),
+            )
+            d = (
+                minus.unionByName(plus)
+                .groupBy("grp")
+                .agg(
+                    F.sum("d_n").alias("d_n"),
+                    F.sum("d_sum").cast(value_type).alias("d_sum"),
+                )
+                .filter((F.col("d_n") != 0) | (F.col("d_sum") != 0))
+            )
+            tmp = os.path.join(path, "deltas", f".tmp-{epoch}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            d.coalesce(1).write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, deltas_dir)  # atomic: the delta commit point
+
+        # keys commit (idempotent under replay: same triples re-merge
+        # to the same winners)
+        merged_keys = merged_full.select("w.*")
+        _commit_bucketed(
+            merged_keys, keys_path, ["key"], n_buckets, entries,
+            changed=changed, retain=retain,
+        )
+
+        # groups commit: current table + persisted deltas, swapped in
+        # by one atomic pointer replace recording the epoch
+        d = spark.read.schema(_deltas_schema(value_type)).parquet(deltas_dir)
+        base = (
+            read_agg_view(spark, path)
+            if cur is not None
+            else spark.createDataFrame([], _groups_schema(value_type))
+        )
+        g = lambda c: F.col(f"__g.{c}")
+        dd = lambda c: F.col(f"__d.{c}")
+        nxt = (
+            base.alias("__g")
+            .join(d.alias("__d"), g("grp").eqNullSafe(dd("grp")), "full")
+            .select(
+                F.coalesce(g("grp"), dd("grp")).alias("grp"),
+                (
+                    F.coalesce(g("n_docs"), F.lit(0))
+                    + F.coalesce(dd("d_n"), F.lit(0))
+                ).alias("n_docs"),
+                (
+                    F.coalesce(g("sum_val"), F.lit(0).cast(value_type))
+                    + F.coalesce(dd("d_sum"), F.lit(0).cast(value_type))
+                )
+                .cast(value_type)
+                .alias("sum_val"),
+            )
+            .filter(F.col("n_docs") > 0)
+        )
+        gdir = f"g-{epoch:06d}"
+        gpath = os.path.join(path, "groups", gdir)
+        shutil.rmtree(gpath, ignore_errors=True)
+        nxt.coalesce(1).write.mode("overwrite").parquet(gpath)
+        _write_atomic(
+            os.path.join(path, "groups", "_current"), f"{gdir}:{epoch}"
+        )
+
+        # GC: superseded group versions and consumed delta files older
+        # than the retention window (the current epoch's stay for
+        # audit/debug one window long)
+        groot = os.path.join(path, "groups")
+        keep = {gdir, "_current"}
+        vers = sorted(
+            dn for dn in os.listdir(groot)
+            if dn.startswith("g-") and dn not in keep
+        )
+        for stale in vers[: max(0, len(vers) - (retain - 1))]:
+            shutil.rmtree(os.path.join(groot, stale), ignore_errors=True)
+        droot = os.path.join(path, "deltas")
+        depochs = sorted(
+            int(dn.split("=", 1)[1])
+            for dn in os.listdir(droot)
+            if dn.startswith("epoch=")
+        )
+        for e in depochs[: max(0, len(depochs) - retain)]:
+            shutil.rmtree(
+                os.path.join(droot, f"epoch={e}"), ignore_errors=True
+            )
+
+
+def start_agg_view_maintenance(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_interval: str = "10 seconds",
+    **view_kw,
+):
+    """foreachBatch consumer maintaining the view from a change-event
+    stream — the agg-view sibling of start_replica_maintenance."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        agg_view_batch(batch_df, path, int(epoch_id), **view_kw)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )

@@ -1,0 +1,204 @@
+"""Incremental materialized aggregate view (streaming/agg_view.py):
+contribution-delta maintenance, LWW stale-event cancellation, and the
+crash-replay contract (persisted deltas, epoch pointer)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pymongo_change_stream_reader_spark.plans.pipeline import PipelineError
+from pymongo_change_stream_reader_spark.schema import CHANGE_EVENT_SCHEMA
+from pymongo_change_stream_reader_spark.streaming import agg_view as av
+from pymongo_change_stream_reader_spark.streaming.agg_view import (
+    agg_view_batch,
+    read_agg_view,
+    read_agg_view_keys,
+)
+
+
+def _ev(data, op, t, i, key, doc=None):
+    return (
+        (data,),
+        op,
+        (t, i),
+        None,
+        ("db", "c"),
+        key,
+        doc,
+        None,
+        None,
+    )
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, CHANGE_EVENT_SCHEMA)
+
+
+def _groups(spark, path):
+    view = read_agg_view(spark, path)
+    if view is None:
+        return {}
+    return {
+        r["grp"]: (r["n_docs"], r["sum_val"]) for r in view.collect()
+    }
+
+
+def _doc(v, g):
+    return f'{{"v": {v}, "g": "{g}"}}'
+
+
+def test_insert_update_move_delete(spark, tmp_path):
+    path = str(tmp_path / "view")
+    b0 = _frame(
+        spark,
+        [
+            _ev("a1", "insert", 10, 1, "k1", _doc(5, "a")),
+            _ev("a2", "insert", 10, 2, "k2", _doc(7, "a")),
+            _ev("a3", "insert", 10, 3, "k3", _doc(1, "b")),
+        ],
+    )
+    agg_view_batch(b0, path, epoch=0, value_type="long", n_buckets=4)
+    assert _groups(spark, path) == {"a": (2, 12), "b": (1, 1)}
+    b1 = _frame(
+        spark,
+        [
+            # in-place value update, a group MOVE, and a delete
+            _ev("b1", "update", 11, 1, "k1", _doc(6, "a")),
+            _ev("b2", "replace", 11, 2, "k2", _doc(7, "b")),
+            _ev("b3", "delete", 11, 3, "k3", None),
+        ],
+    )
+    agg_view_batch(b1, path, epoch=1, value_type="long", n_buckets=4)
+    assert _groups(spark, path) == {"a": (1, 6), "b": (1, 7)}
+    # the delete persisted as a tombstone contribution row
+    keys = {
+        r["key"]: (r["live"], r["grp"])
+        for r in read_agg_view_keys(spark, path).collect()
+    }
+    assert keys["k3"] == (False, None)
+
+
+def test_stale_events_cancel_to_zero(spark, tmp_path):
+    path = str(tmp_path / "view")
+    agg_view_batch(
+        _frame(spark, [_ev("a1", "insert", 20, 1, "k1", _doc(9, "a"))]),
+        path, epoch=0, value_type="long", n_buckets=4,
+    )
+    # an OLDER update and an older delete arrive later (out-of-order
+    # replay): LWW keeps the stored row, the view must not move
+    late = _frame(
+        spark,
+        [
+            _ev("z1", "update", 5, 1, "k1", _doc(100, "z")),
+            _ev("z2", "delete", 4, 1, "k1", None),
+        ],
+    )
+    agg_view_batch(late, path, epoch=1, value_type="long", n_buckets=4)
+    assert _groups(spark, path) == {"a": (1, 9)}
+    # and a stale insert cannot resurrect a tombstoned key
+    agg_view_batch(
+        _frame(spark, [_ev("d1", "delete", 30, 1, "k1", None)]),
+        path, epoch=2, value_type="long", n_buckets=4,
+    )
+    agg_view_batch(
+        _frame(spark, [_ev("r1", "insert", 25, 1, "k1", _doc(50, "a"))]),
+        path, epoch=3, value_type="long", n_buckets=4,
+    )
+    assert _groups(spark, path) == {}
+
+
+def test_replayed_epoch_is_skipped(spark, tmp_path):
+    path = str(tmp_path / "view")
+    b = _frame(spark, [_ev("a1", "insert", 10, 1, "k1", _doc(5, "a"))])
+    agg_view_batch(b, path, epoch=0, value_type="long", n_buckets=4)
+    agg_view_batch(b, path, epoch=0, value_type="long", n_buckets=4)
+    assert _groups(spark, path) == {"a": (1, 5)}
+
+
+def test_requires_post_image(spark, tmp_path):
+    path = str(tmp_path / "view")
+    bad = _frame(spark, [_ev("a1", "update", 10, 1, "k1", None)])
+    with pytest.raises(PipelineError, match="post-image"):
+        agg_view_batch(bad, path, epoch=0, value_type="long", n_buckets=4)
+
+
+def _crash_then_replay(spark, tmp_path, monkeypatch, crash_attr):
+    """Apply epoch 0, crash epoch 1 at ``crash_attr``, replay epoch 1,
+    then assert the view converged to the post-batch truth."""
+    path = str(tmp_path / "view")
+    agg_view_batch(
+        _frame(
+            spark,
+            [
+                _ev("a1", "insert", 10, 1, "k1", _doc(5, "a")),
+                _ev("a2", "insert", 10, 2, "k2", _doc(3, "b")),
+            ],
+        ),
+        path, epoch=0, value_type="long", n_buckets=4,
+    )
+    b1 = _frame(
+        spark,
+        [
+            _ev("b1", "update", 11, 1, "k1", _doc(6, "b")),
+            _ev("b2", "delete", 11, 2, "k2", None),
+        ],
+    )
+    real = getattr(av, crash_attr)
+
+    def boom(*a, **kw):
+        raise RuntimeError(f"crash at {crash_attr}")
+
+    monkeypatch.setattr(av, crash_attr, boom)
+    with pytest.raises(RuntimeError, match="crash"):
+        agg_view_batch(b1, path, epoch=1, value_type="long", n_buckets=4)
+    monkeypatch.setattr(av, crash_attr, real)
+    # every simulated window lies past the delta-persist point, so the
+    # batch's deltas are durable and the replay must reuse them
+    assert os.path.isdir(os.path.join(path, "deltas", "epoch=1"))
+    agg_view_batch(b1, path, epoch=1, value_type="long", n_buckets=4)
+    assert _groups(spark, path) == {"b": (1, 6)}
+    # replaying once more is a no-op
+    agg_view_batch(b1, path, epoch=1, value_type="long", n_buckets=4)
+    assert _groups(spark, path) == {"b": (1, 6)}
+
+
+def test_crash_between_deltas_and_keys_commit(spark, tmp_path, monkeypatch):
+    # _commit_bucketed raises BEFORE committing keys: deltas persisted,
+    # keys pre-batch, groups pre-batch
+    _crash_then_replay(spark, tmp_path, monkeypatch, "_commit_bucketed")
+
+
+def test_crash_between_keys_and_groups_commit(spark, tmp_path, monkeypatch):
+    # _write_atomic (the groups pointer swap) raises AFTER keys landed:
+    # without the persisted-deltas rule the replay would recompute
+    # zero deltas against the already-updated keys store and the
+    # groups table would silently lose the batch
+    _crash_then_replay(spark, tmp_path, monkeypatch, "_write_atomic")
+
+
+def test_interleaved_batches_match_single_apply(spark, tmp_path):
+    rows = [
+        _ev("e1", "insert", 1, 1, "k1", _doc(1, "a")),
+        _ev("e2", "insert", 2, 1, "k2", _doc(2, "a")),
+        _ev("e3", "update", 3, 1, "k1", _doc(4, "b")),
+        _ev("e4", "delete", 4, 1, "k2", None),
+        _ev("e5", "insert", 5, 1, "k3", _doc(8, "b")),
+        _ev("e6", "replace", 6, 1, "k3", _doc(9, "a")),
+    ]
+    single = str(tmp_path / "single")
+    agg_view_batch(
+        _frame(spark, rows), single, epoch=0, value_type="long", n_buckets=4
+    )
+    inter = str(tmp_path / "inter")
+    # shards mix newer and older events per key
+    for e, shard in enumerate((rows[::3], rows[1::3], rows[2::3])):
+        agg_view_batch(
+            _frame(spark, list(shard)), inter, epoch=e,
+            value_type="long", n_buckets=4,
+        )
+    assert _groups(spark, single) == _groups(spark, inter) == {
+        "a": (1, 9),
+        "b": (1, 4),
+    }
