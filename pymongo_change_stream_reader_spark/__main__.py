@@ -42,7 +42,8 @@ def main() -> None:
         # build_relay applies the translated pipeline (watch.py:79).
     )
     index_stores = (
-        cfg.dedup_index_path, cfg.bm25_index_path, cfg.ann_index_path
+        cfg.dedup_index_path, cfg.bm25_index_path, cfg.ann_index_path,
+        cfg.agg_view_path,
     )
     if any(p is not None for p in index_stores):
         # engine extension: any serving-index path switches the entry
@@ -103,6 +104,10 @@ def main() -> None:
             ann_vec_col=ann_vec,
             ann_key_col=cfg.ann_key_col,
             ann_kind=cfg.ann_kind,
+            agg_view_path=cfg.agg_view_path,
+            agg_group_path=cfg.agg_group_path,
+            agg_value_path=cfg.agg_value_path,
+            agg_value_type=cfg.agg_value_type,
         )
     elif cfg.replica_path:
         # engine extension: REPLICA_PATH switches the sink to replica

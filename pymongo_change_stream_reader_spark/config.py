@@ -64,6 +64,13 @@ class EngineSettings:
     # documentKey (its type must match the bootstrapped index's ids)
     ann_vec_col: str = "embedding"
     ann_key_col: str | None = None
+    # incremental aggregate view (engine extension, the fifth composed
+    # store): per-group COUNT/SUM over JSON paths into the post-image
+    # — streaming/agg_view.py
+    agg_view_path: str | None = None
+    agg_group_path: str = "$.g"
+    agg_value_path: str = "$.v"
+    agg_value_type: str = "double"
     # lifecycle
     program_start_timeout: int = 60
     program_graceful_stop_timeout: int = 20
@@ -127,6 +134,10 @@ def settings_from_env() -> EngineSettings:
         ann_kind=env.get("ANN_KIND", "ivf"),
         ann_vec_col=env.get("ANN_VEC_COL", "embedding"),
         ann_key_col=env.get("ANN_KEY_COL"),
+        agg_view_path=env.get("AGG_VIEW_PATH"),
+        agg_group_path=env.get("AGG_GROUP_PATH", "$.g"),
+        agg_value_path=env.get("AGG_VALUE_PATH", "$.v"),
+        agg_value_type=env.get("AGG_VALUE_TYPE", "double"),
         program_start_timeout=int(env.get("PROGRAM_START_TIMEOUT", "60")),
         program_graceful_stop_timeout=int(
             env.get("PROGRAM_GRACEFUL_STOP_TIMEOUT", "20")

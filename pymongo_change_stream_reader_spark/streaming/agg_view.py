@@ -124,8 +124,10 @@ def agg_view_batch(
     value_type: str = "double",
     n_buckets: int = 16,
     retain: int = 2,
-) -> None:
+) -> bool:
     """Apply one micro-batch of change events to the view at ``path``.
+    Returns True when the batch applied, False when the epoch had
+    already been committed (replay short-circuit).
 
     ``group_path`` / ``value_path`` are JSON paths into the post-image;
     a live document with a missing value contributes 0 to ``sum_val``
@@ -146,7 +148,8 @@ def agg_view_batch(
     with bucketed_sink_lock(path):
         cur = _groups_current(path)
         if cur is not None and cur[1] >= epoch:
-            return  # replayed epoch: fully applied (groups commit last)
+            # replayed epoch: fully applied (groups commit last)
+            return False
         if not data.filter(
             (F.col("operationType") != "delete")
             & F.col("fullDocument").isNull()
@@ -312,6 +315,7 @@ def agg_view_batch(
             shutil.rmtree(
                 os.path.join(droot, f"epoch={e}"), ignore_errors=True
             )
+        return True
 
 
 def start_agg_view_maintenance(

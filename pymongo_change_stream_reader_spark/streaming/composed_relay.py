@@ -1,6 +1,6 @@
 """Single-pass composed relay: replica materialization + near-dup
-flagging + BM25 index maintenance + ANN index maintenance in ONE
-foreachBatch consumer.
+flagging + BM25 index maintenance + ANN index maintenance + the
+incremental aggregate view in ONE foreachBatch consumer.
 
 Running the consumers as separate streaming queries (the individual
 ``start_replica_maintenance`` / ``start_streaming_dedup`` /
@@ -19,7 +19,10 @@ Exactly-once per store, replay-correct as a whole:
   (query-id-scoped, streaming/kafka_sink.py): a crash after dedup
   committed but before BM25 ran replays the batch with dedup
   short-circuited and BM25 applied — no store double-applies, no
-  store is skipped.  Within each store the same crash-recovery
+  store is skipped;
+- the AGG VIEW carries its own epoch pointer + persisted deltas
+  (streaming/agg_view.py replay contract) and short-circuits replayed
+  epochs internally.  Within each store the same crash-recovery
   machinery as the standalone relays applies (per-epoch flag
   partition overwrite; the BM25/ANN append journal rollback inside
   the index write lock).
@@ -99,6 +102,10 @@ def composed_apply_batch(
     ann_kind: str = "ivf",
     store_timings: dict | None = None,
     max_parallel_stores: int = 4,
+    agg_view_path: str | None = None,
+    agg_group_path: str = "$.g",
+    agg_value_path: str = "$.v",
+    agg_value_type: str = "double",
 ) -> dict:
     """Apply one micro-batch to every enabled store (see module
     docstring).  Returns per-store outcomes: ``applied`` /
@@ -212,6 +219,31 @@ def composed_apply_batch(
         sections.append(("ann", _ann))
     else:
         outcome["ann"] = "disabled"
+    if agg_view_path is not None:
+
+        def _aggview() -> str:
+            # replay-safe by its OWN epoch pointer + persisted deltas
+            # (streaming/agg_view.py replay contract) — no checkpoint
+            # marker needed; a replayed epoch short-circuits inside
+            from pymongo_change_stream_reader_spark.streaming.agg_view import (
+                agg_view_batch,
+            )
+
+            applied = agg_view_batch(
+                pinned,
+                agg_view_path,
+                int(epoch_id),
+                group_path=agg_group_path,
+                value_path=agg_value_path,
+                value_type=agg_value_type,
+                n_buckets=n_buckets,
+                retain=retain,
+            )
+            return "applied" if applied else "replayed-skip"
+
+        sections.append(("aggview", _aggview))
+    else:
+        outcome["aggview"] = "disabled"
 
     if max_parallel_stores > 1 and len(sections) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -266,22 +298,29 @@ def start_composed_relay(
     ann_key_col: str | None = None,
     ann_kind: str = "ivf",
     max_parallel_stores: int = 4,
+    agg_view_path: str | None = None,
+    agg_group_path: str = "$.g",
+    agg_value_path: str = "$.v",
+    agg_value_type: str = "double",
 ):
     """Streaming entry point: one stream, one source read per trigger,
     every enabled store maintained.  Enable a store by passing its
     path(s); at least one must be enabled.  ``max_parallel_stores``
     overlaps the independent store applies (see composed_apply_batch;
-    1 = strictly sequential)."""
+    1 = strictly sequential).  ``agg_view_path`` adds the incremental
+    aggregate view (streaming/agg_view.py) as a fifth store; like the
+    serving indexes it needs post-images (fullDocument=updateLookup)."""
     if (
         replica_path is None
         and dedup_index_path is None
         and bm25_index_path is None
         and ann_index_path is None
+        and agg_view_path is None
     ):
         raise ValueError(
             "composed relay: enable at least one store (replica_path, "
-            "dedup_index_path(+dedup_flags_path), bm25_index_path, or "
-            "ann_index_path)"
+            "dedup_index_path(+dedup_flags_path), bm25_index_path, "
+            "ann_index_path, or agg_view_path)"
         )
     if (dedup_index_path is None) != (dedup_flags_path is None):
         raise ValueError(
@@ -301,6 +340,7 @@ def start_composed_relay(
         (dedup_flags_path, "dedup_flags_path"),
         (bm25_index_path, "bm25_index_path"),
         (ann_index_path, "ann_index_path"),
+        (agg_view_path, "agg_view_path"),
     ):
         if p is not None:
             _require_local_path(p, name)
@@ -328,6 +368,10 @@ def start_composed_relay(
             ann_key_col=ann_key_col,
             ann_kind=ann_kind,
             max_parallel_stores=max_parallel_stores,
+            agg_view_path=agg_view_path,
+            agg_group_path=agg_group_path,
+            agg_value_path=agg_value_path,
+            agg_value_type=agg_value_type,
         )
 
     writer = (

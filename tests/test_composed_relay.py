@@ -156,7 +156,8 @@ def test_partial_crash_replays_only_missing_stores(spark, tmp_path):
         k: v for k, v in p.items()
     })
     assert out == {"replica": "applied", "dedup": "applied",
-                   "bm25": "applied", "ann": "disabled"}
+                   "bm25": "applied", "ann": "disabled",
+                   "aggview": "disabled"}
     # simulate the partial crash on epoch 1: pre-commit ONLY dedup's
     # marker, then run the "replay"
     from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
@@ -171,7 +172,8 @@ def test_partial_crash_replays_only_missing_stores(spark, tmp_path):
     batch1 = _mk(spark, [("insert", "k9", LONG_A, 2, 1, "a2")])
     out = composed_apply_batch(batch1, 1, **{k: v for k, v in p.items()})
     assert out == {"replica": "applied", "dedup": "replayed-skip",
-                   "bm25": "applied", "ann": "disabled"}
+                   "bm25": "applied", "ann": "disabled",
+                   "aggview": "disabled"}
     # dedup never ran for epoch 1 -> no flags; bm25 holds both docs
     assert read_dedup_flags(spark, p["dedup_flags_path"]) is None
     consts = json.load(open(f"{p['bm25_index_path']}/_consts.json"))
@@ -318,7 +320,8 @@ def test_composed_relay_with_ann_store(spark, tmp_path):
         batch0, 0, ann_key_col="vec_key", **p
     )
     assert out == {"replica": "applied", "dedup": "applied",
-                   "bm25": "applied", "ann": "applied"}
+                   "bm25": "applied", "ann": "applied",
+                   "aggview": "disabled"}
 
     live = spark.createDataFrame(
         [(i, _vec(33 if i == 3 else i)) for i in range(10) if i != 5]
@@ -345,9 +348,90 @@ def test_composed_relay_with_ann_store(spark, tmp_path):
     batch1 = _mk([("insert", "21", LONG_B, _vec(21), 2, 1, "a4")])
     out = composed_apply_batch(batch1, 1, ann_key_col="vec_key", **p)
     assert out == {"replica": "applied", "dedup": "applied",
-                   "bm25": "applied", "ann": "replayed-skip"}
+                   "bm25": "applied", "ann": "replayed-skip",
+                   "aggview": "disabled"}
     assert sim._ann_list_files(p["ann_index_path"]) == files_before
     # the other stores DID apply batch 1
     assert "21" in {
         r["key"] for r in read_replica(spark, p["replica_path"]).collect()
     }
+
+
+def test_composed_relay_with_agg_view_store(spark, tmp_path):
+    """The fifth store: the incremental aggregate view maintained in
+    the same single-pass batch, replay-protected by its OWN epoch
+    pointer (no checkpoint marker) — a replayed epoch reports
+    replayed-skip and moves nothing."""
+    from pymongo_change_stream_reader_spark.streaming.agg_view import (
+        read_agg_view,
+    )
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "operationType STRING, documentKey STRING, "
+            "fullDocument STRING, t INT, i INT, d STRING",
+        ).selectExpr(
+            "operationType",
+            "documentKey",
+            "fullDocument",
+            "named_struct('t', t, 'i', i) AS clusterTime",
+            "named_struct('_data', d) AS _id",
+        )
+
+    def _doc(v, g):
+        return json.dumps({"v": v, "g": g})
+
+    p = dict(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        replica_path=str(tmp_path / "replica"),
+        agg_view_path=str(tmp_path / "view"),
+        agg_value_type="long",
+    )
+    os.makedirs(p["checkpoint_dir"], exist_ok=True)
+    out = composed_apply_batch(
+        _mk(
+            [
+                ("insert", "k1", _doc(5, "a"), 1, 1, "a1"),
+                ("insert", "k2", _doc(7, "b"), 1, 2, "a2"),
+            ]
+        ),
+        0,
+        **p,
+    )
+    assert out["aggview"] == "applied" and out["replica"] == "applied"
+    out = composed_apply_batch(
+        _mk(
+            [
+                ("update", "k1", _doc(6, "b"), 2, 1, "b1"),
+                ("delete", "k2", None, 2, 2, "b2"),
+            ]
+        ),
+        1,
+        **p,
+    )
+    assert out["aggview"] == "applied"
+    groups = {
+        r["grp"]: (r["n_docs"], r["sum_val"])
+        for r in read_agg_view(spark, p["agg_view_path"]).collect()
+    }
+    assert groups == {"b": (1, 6)}
+    # replica saw the same batches
+    assert {
+        r["key"]
+        for r in read_replica(spark, p["replica_path"]).collect()
+        if r["doc"] is not None
+    } == {"k1"}
+    # replay of epoch 1: the view self-skips, the replica converges
+    out = composed_apply_batch(
+        _mk([("update", "k1", _doc(6, "b"), 2, 1, "b1"),
+             ("delete", "k2", None, 2, 2, "b2")]),
+        1,
+        **p,
+    )
+    assert out["aggview"] == "replayed-skip"
+    groups = {
+        r["grp"]: (r["n_docs"], r["sum_val"])
+        for r in read_agg_view(spark, p["agg_view_path"]).collect()
+    }
+    assert groups == {"b": (1, 6)}

@@ -217,7 +217,10 @@ def test_sigkill_at_store_boundary_converges(
         _mk(spark, [("insert", "20", "A", 20)]), 0, ann_key_col="vec_key",
         **p,
     )
-    assert set(out.values()) == {"applied"}
+    # every ENABLED store applied (the agg view is not part of this
+    # matrix and reports disabled)
+    assert {v for v in out.values() if v != "disabled"} == {"applied"}
+    assert out["aggview"] == "disabled"
 
     # epoch 1 in the child, SIGKILLed at the boundary
     proc = _run_child(kill_after, root)

@@ -191,6 +191,9 @@ def test_settings_from_env_composed_stores(monkeypatch):
         "ANN_KIND": "ivfpq",
         "ANN_VEC_COL": "emb",
         "ANN_KEY_COL": "vec_key",
+        "AGG_VIEW_PATH": "/data/view",
+        "AGG_GROUP_PATH": "$.category",
+        "AGG_VALUE_TYPE": "long",
     }.items():
         monkeypatch.setenv(k, v)
     cfg = settings_from_env()
@@ -200,6 +203,9 @@ def test_settings_from_env_composed_stores(monkeypatch):
     assert (cfg.ann_kind, cfg.ann_vec_col, cfg.ann_key_col) == (
         "ivfpq", "emb", "vec_key",
     )
+    assert (cfg.agg_view_path, cfg.agg_group_path, cfg.agg_value_path,
+            cfg.agg_value_type) == ("/data/view", "$.category", "$.v",
+                                    "long")
 
 
 def test_settings_validation(monkeypatch):
