@@ -118,9 +118,9 @@ HEADLINE = (
 def composed_relay_bench(
     spark, sf_dir: str, target_events: int = 6000, n_batches: int = 3
 ) -> dict:
-    """Throughput + sequential-apply latency of the FOUR-store composed
-    relay (replica + LSH dedup + BM25 + IVF ANN — the topology the CLI
-    starts by default), driven through composed_apply_batch over
+    """Throughput + apply latency of the FIVE-store composed relay
+    (replica + LSH dedup + BM25 + IVF ANN + the incremental aggregate
+    view), driven through composed_apply_batch over
     deterministic micro-batches of the golden change-stream events.
 
     The simulated events gain a deterministic embedding column and a
@@ -200,10 +200,16 @@ def composed_relay_bench(
             bm25_index_path=os.path.join(root, "bm25"),
             ann_index_path=ann,
             ann_key_col="vec_key",
+            # the simulated post-image is {"_id":.., "value_cents":..,
+            # "k":..} — group by k, sum the cents exactly
+            agg_view_path=os.path.join(root, "view"),
+            agg_group_path="$.k",
+            agg_value_path="$.value_cents",
+            agg_value_type="long",
         )
 
     try:
-        # warm-up: all four store paths, uncounted (codegen + listing)
+        # warm-up: all five store paths, uncounted (codegen + listing)
         composed_apply_batch(batches[0].limit(200), 0, **_stores("warm"))
 
         kw = _stores("timed")
@@ -224,7 +230,7 @@ def composed_relay_bench(
         # sequential floor was ~14 s/batch of mostly-independent small
         # jobs) — per-store seconds are each section's own wall span
         # and now OVERLAP, so their sum exceeds total_sec
-        "parallel_stores": 4,
+        "parallel_stores": 5,
         "per_store_sec": {k: round(v, 3) for k, v in sorted(timings.items())},
     }
 

@@ -251,7 +251,7 @@ def test_composed_relay_bench_shape(spark):
     assert out["events"] > 100 and out["batches"] == 2
     assert out["events_per_s"] > 0
     assert set(out["per_store_sec"]) == {
-        "pin", "replica", "dedup", "bm25", "ann",
+        "pin", "replica", "dedup", "bm25", "ann", "aggview",
     }
     # both fields are independently rounded from the same unrounded
     # total, so comparing re-rounded values flakes at 0.0005 boundaries
