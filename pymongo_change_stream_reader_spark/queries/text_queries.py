@@ -780,3 +780,67 @@ def text_tokenizer_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM t),
+    freqs AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok)
+    SELECT tok,
+           freq,
+           TRUE AS sketch_found,
+           TRUE AS bound_holds
+    FROM freqs, tot
+    WHERE freq >= GREATEST(1, n // 50)
+    ORDER BY tok
+    """,
+    doc="Heavy hitters (mergeable Misra-Gries, operators/"
+    "heavyhitters.py) under the property-boolean oracle pattern "
+    "(agg_approx precedent): the EXACT frequencies of every token "
+    "above the 2%-of-mass threshold are hash-verified against DuckDB, "
+    "and the booleans — computed Spark-side against those same exact "
+    "values — certify that the k=512 sketch surfaced every true heavy "
+    "hitter (the MG no-false-negative guarantee: the merged decrement "
+    "total D <= n/513 sits far below the n/50 threshold) and that "
+    "each estimate obeys est <= true <= est + D.  The exact "
+    "vocabulary-sized pass exists only for this verification; the "
+    "sketch itself holds k counters per partition and merges "
+    "(k+1)*partitions rows — the 100 TB path.",
+    tags=("text", "approx"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.heavyhitters import (
+        heavy_hitter_candidates,
+    )
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tx.tokens(F.col("text"))).alias("tok")
+    )
+    n = toks.count()
+    thr = max(1, n // 50)
+    cand = heavy_hitter_candidates(toks, "tok", thr, k=512)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= thr)
+    )
+    c = lambda name: F.col(f"__c.{name}")
+    return (
+        exact.alias("__e")
+        .join(cand.alias("__c"), F.col("__e.tok") == c("key"), "left")
+        .select(
+            F.col("__e.tok").alias("tok"),
+            F.col("__e.freq").alias("freq"),
+            c("key").isNotNull().alias("sketch_found"),
+            (
+                c("key").isNotNull()
+                & (c("est") <= F.col("__e.freq"))
+                & (F.col("__e.freq") <= c("est") + c("bound"))
+            ).alias("bound_holds"),
+        )
+        .orderBy("tok")
+    )

@@ -1,0 +1,81 @@
+"""Misra-Gries heavy hitters (operators/heavyhitters.py): the MG
+algebra's guarantees under forced decrements, skew, and multi-partition
+merge."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.heavyhitters import (
+    heavy_hitter_candidates,
+    misra_gries_summary,
+)
+
+
+def _exact(df):
+    return {
+        r["key"]: r["c"]
+        for r in df.groupBy(F.col("key")).agg(F.count("*").alias("c"))
+        .collect()
+    }
+
+
+def _zipfish(n_heavy=5, heavy_each=400, n_tail=2000):
+    rng = random.Random(11)
+    rows = [(f"heavy{i}",) for i in range(n_heavy) for _ in range(heavy_each)]
+    rows += [(f"tail{rng.randrange(n_tail)}",) for _ in range(4000)]
+    rng.shuffle(rows)
+    return rows
+
+
+def test_bounds_hold_under_tiny_k(spark):
+    # k=8 over thousands of distinct keys: decrements fire constantly;
+    # every surviving estimate must still bracket the truth
+    df = spark.createDataFrame(_zipfish(), "key STRING").repartition(8)
+    df = df.localCheckpoint(eager=True)
+    truth = _exact(df)
+    n = sum(truth.values())
+    s = misra_gries_summary(df, "key", k=8).collect()
+    assert s, "summary must not be empty"
+    bound = s[0]["bound"]
+    assert all(r["bound"] == bound for r in s)
+    assert 0 < bound <= n  # decrements definitely fired at k=8
+    for r in s:
+        t = truth[r["key"]]
+        assert r["est"] <= t <= r["est"] + bound, (r, t)
+
+
+def test_no_false_negatives_above_threshold(spark):
+    df = spark.createDataFrame(_zipfish(), "key STRING").repartition(8)
+    df = df.localCheckpoint(eager=True)
+    truth = _exact(df)
+    thr = 400  # the planted heavies sit exactly at the threshold
+    cand = {
+        r["key"]
+        for r in heavy_hitter_candidates(df, "key", thr, k=128).collect()
+    }
+    missing = {k for k, c in truth.items() if c >= thr} - cand
+    assert not missing, f"guarantee violated: {missing}"
+
+
+def test_exact_when_k_exceeds_cardinality(spark):
+    # with k > |keys| no decrement ever fires: est == true, bound == 0
+    rows = [(k,) for k in ["a"] * 7 + ["b"] * 3 + ["c"] * 5]
+    df = spark.createDataFrame(rows, "key STRING").repartition(2)
+    s = {r["key"]: (r["est"], r["bound"]) for r in
+         misra_gries_summary(df, "key", k=16).collect()}
+    assert s == {"a": (7, 0), "b": (3, 0), "c": (5, 0)}
+
+
+def test_merge_bound_is_sum_of_partition_decrements(spark):
+    # the documented bound: D <= n / (k+1) after the merge
+    df = spark.createDataFrame(_zipfish(), "key STRING").repartition(4)
+    df = df.localCheckpoint(eager=True)
+    n = df.count()
+    k = 64
+    s = misra_gries_summary(df, "key", k=k).collect()
+    assert s[0]["bound"] <= n / (k + 1) * 4  # one n_p/(k+1) term per partition
+    # tighter: each partition's decrement <= n_p/(k+1), so D <= n/(k+1)
+    assert s[0]["bound"] <= n / (k + 1)
