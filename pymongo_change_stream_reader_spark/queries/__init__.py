@@ -49,6 +49,7 @@ _MODULES = (
     "corpus_queries",
     "multimodal_queries",
     "layout_queries",
+    "graph_queries",
 )
 
 
