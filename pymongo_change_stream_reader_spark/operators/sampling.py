@@ -79,3 +79,37 @@ def unimax_select(
         .drop("__cum")
         .withColumnRenamed("__quota", "quota")
     )
+
+
+def weighted_priority(doc_id: Column, weight: Column) -> Column:
+    """Efraimidis-Spirakis (A-ES) weighted-sampling priority with the
+    deterministic hash standing in for rand(): classic A-ES draws
+    u ~ U(0,1) per item and keeps the top-k by ``u**(1/w)``; ordering
+    by ``ln(u) / w`` is order-EQUIVALENT (ln is monotone, both sides
+    negative, w > 0) and numerically safer than the pow form.  Using
+    ``hash_order_key`` for u makes the draw reproducible across runs,
+    partitionings, and engines — the same no-rand() contract as the
+    stratified/temperature samplers.  Top-k by this key DESC is a
+    weighted sample WITHOUT replacement: P(item first) = w_i / sum(w),
+    then renormalized over the rest, as in the paper."""
+    u = (hash_order_key(doc_id) + F.lit(0.5)) / F.lit(float(_RANGE))
+    return F.log(u) / weight.cast("double")
+
+
+def weighted_sample(
+    df: DataFrame, doc_id: str, weight: str, k: int
+) -> DataFrame:
+    """Top-k rows by A-ES priority (weight-proportional inclusion,
+    without replacement, deterministic).  The plan is a narrow
+    stateless projection + TakeOrderedAndProject — per-partition
+    top-k then a k-sized driver merge, never a global sort."""
+    pri = weighted_priority(F.col(doc_id), F.col(weight))
+    return (
+        df.withColumn("__pri", pri)
+        # doc_id tiebreak: priorities are doubles computed from
+        # transcendentals — a unique tail keeps the k-boundary stable
+        # even if two priorities land equal
+        .orderBy(F.desc("__pri"), F.col(doc_id))
+        .limit(k)
+        .drop("__pri")
+    )

@@ -1657,3 +1657,40 @@ def _curation_kept_per(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("kept_docs"),
         F.sum(F.size("toks")).cast("bigint").alias("kept_tokens"),
     )
+
+
+@query(
+    "sample_weighted_priority",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    ORDER BY ln((((doc_id % 2147483648) * 2654435761) % 4294967296
+                 + 0.5) / 4294967296.0) / n_chars DESC,
+             doc_id
+    LIMIT 100
+    """,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-ES, weight = n_chars, k = 100): priority ln(u)/w with the "
+    "deterministic multiplicative hash standing in for rand() — "
+    "order-equivalent to the paper's u**(1/w), reproducible across "
+    "engines/runs/partitionings like the other no-rand() samplers.  "
+    "Longer documents are proportionally likelier to be drawn; the "
+    "draw is without replacement by construction (top-k of distinct "
+    "priorities).",
+    tags=("corpus", "sampling"),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: narrow stateless priority projection +
+    TakeOrderedAndProject (per-partition top-k, k-sized driver merge)
+    — no global sort, no shuffle of the corpus."""
+    from pymongo_change_stream_reader_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    # the priority only decides WHICH k rows survive (inside
+    # weighted_sample); emitted order is immaterial to the
+    # order-insensitive value hash, so order by the key for readability
+    return weighted_sample(d, "doc_id", "n_chars", k=100).orderBy("doc_id")

@@ -120,3 +120,44 @@ def test_unimax_select_matches_python_replay(spark):
             for r in unimax_select(df, quotas).collect()
         }
         assert got == expect, trial
+
+
+def test_weighted_sample_oversamples_heavy_items(spark):
+    from pymongo_change_stream_reader_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    # weights 1 vs 100: the heavy tenth must dominate a 50-draw
+    rows = [(i, 100 if i % 10 == 0 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    picked = weighted_sample(df, "doc_id", "w", k=50).collect()
+    heavy = sum(1 for r in picked if r["w"] == 100)
+    # heavy mass fraction = 100*100/(100*100+900) ~ 0.917; allow slack
+    assert heavy >= 35, heavy
+    # without replacement: all distinct
+    assert len({r["doc_id"] for r in picked}) == 50
+
+
+def test_weighted_sample_is_deterministic_and_sortless(spark):
+    from pymongo_change_stream_reader_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, i % 7 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w LONG")
+    a = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 40).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(8), "doc_id", "w", 40
+        ).collect()
+    }
+    assert a == b, "draw must be partitioning-invariant"
+    plan = (
+        weighted_sample(df, "doc_id", "w", 40)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
