@@ -674,3 +674,98 @@ def rrf_fuse(
         ).alias("rrf"),
     )
     return fused
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    q_col: str = "q_id",
+    id_col: str = "cand_id",
+    rel_col: str = "rel",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    per query, greedily pick k candidates maximizing
+
+        lam * rel(c)  -  (1 - lam) * max_{s in selected} sim(c, s)
+
+    — the diversity-aware final stage after a similarity/hybrid
+    retrieval, so near-duplicate passages don't crowd a RAG context.
+
+    Scale shape: the candidate set is top-k'-sized per query (the
+    caller's retrieval already bounded it), so the pairwise
+    similarities are k'^2 rows per query — computed JVM-side with the
+    sequential-fold cosine (operators/similarity.py), then ONE
+    applyInPandas greedy pass per query group over those precomputed
+    doubles (the Python loop does comparisons and one
+    multiply-subtract per step, never vector math — keeping the float
+    semantics engine-portable).  Ties break on the smaller candidate
+    id.  Returns (q_col, id_col, pos) with pos 1-based."""
+    import pandas as pd
+
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        cosine,
+    )
+
+    one_minus = 1.0 - lam  # match SQL's (1 - lam) bit for bit
+    a = cands.select(
+        F.col(q_col).alias("q"),
+        F.col(id_col).alias("a_id"),
+        F.col(rel_col).cast("double").alias("a_rel"),
+        F.col(emb_col).cast("array<double>").alias("a_emb"),
+    )
+    b = cands.select(
+        F.col(q_col).alias("q"),
+        F.col(id_col).alias("b_id"),
+        F.col(emb_col).cast("array<double>").alias("b_emb"),
+    )
+    pairs = (
+        a.join(b, "q")
+        .select(
+            "q", "a_id", "a_rel", "b_id",
+            cosine(F.col("a_emb"), F.col("b_emb")).alias("sim"),
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel = {}
+        sim = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.a_id] = r.a_rel
+            sim[(r.a_id, r.b_id)] = r.sim
+        selected: list = []
+        out = []
+        while len(selected) < min(k, len(rel)):
+            best_id, best_score = None, None
+            for c, rc in rel.items():
+                if c in selected:
+                    continue
+                if selected:
+                    penalty = max(sim[(c, s)] for s in selected)
+                    score = lam * rc - one_minus * penalty
+                else:
+                    score = rc
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and c < best_id)
+                ):
+                    best_id, best_score = c, score
+            selected.append(best_id)
+            out.append((pdf["q"].iloc[0], best_id, len(selected)))
+        return pd.DataFrame(out, columns=["q", "id", "pos"])
+
+    id_type = dict(cands.dtypes)[id_col]
+    q_type = dict(cands.dtypes)[q_col]
+    return (
+        pairs.groupBy("q")
+        .applyInPandas(
+            greedy, f"q {q_type}, id {id_type}, pos INT"
+        )
+        .select(
+            F.col("q").alias(q_col),
+            F.col("id").alias(id_col),
+            "pos",
+        )
+    )

@@ -459,3 +459,110 @@ def text_bm25_upserted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "retrieval_mmr_rerank",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 3
+    ),
+    c AS (
+        SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id >= 3
+    ),
+    rels AS (
+        SELECT q_id, cand_id, cv,
+               list_cosine_similarity(qv, cv) AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q_id
+                   ORDER BY list_cosine_similarity(qv, cv) DESC, cand_id
+               ) AS rn
+        FROM q, c
+    ),
+    cand AS (SELECT q_id, cand_id, cv, rel FROM rels WHERE rn <= 5),
+    s1 AS (
+        SELECT q_id, cand_id, cv FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY rel DESC, cand_id) AS rn
+            FROM cand) WHERE rn = 1
+    ),
+    m2 AS (
+        SELECT c.q_id, c.cand_id, c.cv,
+               0.7 * c.rel
+               - (1 - 0.7) * list_cosine_similarity(c.cv, s1.cv) AS s
+        FROM cand c JOIN s1
+          ON s1.q_id = c.q_id AND s1.cand_id <> c.cand_id
+    ),
+    s2 AS (
+        SELECT q_id, cand_id, cv FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY s DESC, cand_id) AS rn
+            FROM m2) WHERE rn = 1
+    ),
+    m3 AS (
+        SELECT c.q_id, c.cand_id,
+               0.7 * c.rel
+               - (1 - 0.7) * GREATEST(
+                     list_cosine_similarity(c.cv, s1.cv),
+                     list_cosine_similarity(c.cv, s2.cv)) AS s
+        FROM cand c
+        JOIN s1 ON s1.q_id = c.q_id
+        JOIN s2 ON s2.q_id = c.q_id
+        WHERE c.cand_id <> s1.cand_id AND c.cand_id <> s2.cand_id
+    ),
+    s3 AS (
+        SELECT q_id, cand_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY s DESC, cand_id) AS rn
+            FROM m3) WHERE rn = 1
+    )
+    SELECT q_id, cand_id, pos FROM (
+        SELECT q_id, cand_id, 1 AS pos FROM s1
+        UNION ALL SELECT q_id, cand_id, 2 FROM s2
+        UNION ALL SELECT q_id, cand_id, 3 FROM s3
+    ) ORDER BY q_id, pos
+    """,
+    doc="MMR diversity rerank (Carbonell-Goldstein, lambda 0.7): three "
+    "query vectors retrieve their top-5 cosine candidates, then the "
+    "greedy marginal-relevance loop picks 3 diverse passages each — "
+    "the standard anti-redundancy final stage of a RAG retrieval.  "
+    "The oracle UNROLLS the greedy loop one CTE per step with the "
+    "same (1 - 0.7) IEEE multiplier and smaller-id tie-break; only "
+    "the integer selection (q_id, cand_id, pos) is emitted, so the "
+    "hash is float-free.",
+    tags=("retrieval", "topk"),
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: candidate sets are top-k'-sized per query, the pairwise
+    sims k'^2 JVM rows per query, the greedy an applyInPandas over
+    those precomputed doubles (operators/retrieval.py:mmr_rerank)."""
+    from pymongo_change_stream_reader_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        cosine,
+    )
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    rels = q.crossJoin(c).select(
+        "q_id", "cand_id", "cv",
+        cosine(F.col("qv"), F.col("cv")).alias("rel"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("rel"), F.col("cand_id"))
+    cand = (
+        rels.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "cand_id", F.col("cv").alias("embedding"), "rel")
+    )
+    return mmr_rerank(cand, k=3, lam=0.7).orderBy("q_id", "pos")

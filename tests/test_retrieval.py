@@ -150,3 +150,58 @@ def test_bm25_stored_index_roundtrip_equals_in_memory(spark, tmp_path):
         )
     )
     assert got == expect
+
+
+def test_mmr_demotes_redundant_candidates(spark):
+    from pymongo_change_stream_reader_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    # c1 best rel; c2 slightly lower rel but nearly identical to c1;
+    # c3 lower rel but orthogonal — MMR must pick c1, c3 before c2
+    rows = [
+        (0, 1, 0.95, [1.0, 0.0, 0.0]),
+        (0, 2, 0.94, [0.999, 0.04, 0.0]),
+        (0, 3, 0.80, [0.0, 1.0, 0.0]),
+    ]
+    cand = spark.createDataFrame(
+        rows, "q_id INT, cand_id INT, rel DOUBLE, embedding ARRAY<DOUBLE>"
+    )
+    out = [
+        (r["cand_id"], r["pos"])
+        for r in mmr_rerank(cand, k=3, lam=0.7)
+        .orderBy("pos")
+        .collect()
+    ]
+    assert out == [(1, 1), (3, 2), (2, 3)]
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    from pymongo_change_stream_reader_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    rows = [
+        (0, i, 1.0 - i / 10.0, [float(i), 1.0, 0.0]) for i in range(1, 5)
+    ]
+    cand = spark.createDataFrame(
+        rows, "q_id INT, cand_id INT, rel DOUBLE, embedding ARRAY<DOUBLE>"
+    )
+    out = [
+        r["cand_id"]
+        for r in mmr_rerank(cand, k=4, lam=1.0).orderBy("pos").collect()
+    ]
+    assert out == [1, 2, 3, 4]
+
+
+def test_mmr_k_exceeding_candidates_returns_all(spark):
+    from pymongo_change_stream_reader_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    rows = [(7, 1, 0.9, [1.0, 0.0]), (7, 2, 0.8, [0.0, 1.0])]
+    cand = spark.createDataFrame(
+        rows, "q_id INT, cand_id INT, rel DOUBLE, embedding ARRAY<DOUBLE>"
+    )
+    out = mmr_rerank(cand, k=10, lam=0.7).collect()
+    assert len(out) == 2
