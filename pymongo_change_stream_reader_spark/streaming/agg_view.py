@@ -284,8 +284,20 @@ def agg_view_batch(
                 .cast(value_type)
                 .alias("sum_val"),
             )
-            .filter(F.col("n_docs") > 0)
-        )
+        ).localCheckpoint(eager=True)
+        # a NEGATIVE count can only mean a double-subtract (deltas
+        # applied twice / contribution removed that was never added) —
+        # fail the batch loudly instead of silently dropping the group
+        # with the n_docs > 0 filter below
+        neg = nxt.filter(F.col("n_docs") < 0)
+        if not neg.isEmpty():
+            bad = neg.limit(3).collect()
+            raise PipelineError(
+                f"agg view invariant violated at {path!r} epoch "
+                f"{epoch}: negative group counts {bad} — deltas "
+                "double-applied?"
+            )
+        nxt = nxt.filter(F.col("n_docs") > 0)
         gdir = f"g-{epoch:06d}"
         gpath = os.path.join(path, "groups", gdir)
         shutil.rmtree(gpath, ignore_errors=True)

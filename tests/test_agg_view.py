@@ -202,3 +202,24 @@ def test_interleaved_batches_match_single_apply(spark, tmp_path):
         "a": (1, 9),
         "b": (1, 4),
     }
+
+
+def test_negative_count_invariant_raises(spark, tmp_path):
+    """A corrupted/double-applied deltas file that would drive a group
+    count negative must fail the batch loudly, not silently drop the
+    group."""
+    import os
+
+    path = str(tmp_path / "view")
+    agg_view_batch(
+        _frame(spark, [_ev("a1", "insert", 10, 1, "k1", _doc(5, "a"))]),
+        path, epoch=0, value_type="long", n_buckets=4,
+    )
+    # forge epoch-1 deltas subtracting two docs from a 1-doc group
+    forged = os.path.join(path, "deltas", "epoch=1")
+    spark.createDataFrame(
+        [("a", -2, -10)], "grp STRING, d_n BIGINT, d_sum LONG"
+    ).coalesce(1).write.mode("overwrite").parquet(forged)
+    b1 = _frame(spark, [_ev("b1", "insert", 11, 1, "k9", _doc(1, "b"))])
+    with pytest.raises(PipelineError, match="negative group counts"):
+        agg_view_batch(b1, path, epoch=1, value_type="long", n_buckets=4)
