@@ -349,3 +349,49 @@ def start_agg_view_maintenance(
         .trigger(processingTime=trigger_interval)
         .start()
     )
+
+
+def compact_agg_view_keys(
+    spark: SparkSession,
+    path: str,
+    files_per_bucket: int = 1,
+    purge_tombstones: bool = False,
+    retain: int = 2,
+) -> DataFrame | None:
+    """Compact the view's keys store (the compact_replica sibling):
+    rewrite every bucket into ``files_per_bucket`` files, capping the
+    small-file growth of per-batch commits.  Runs under the SAME view
+    lock the batch apply takes, so a concurrent batch can never be
+    erased by the compaction's manifest swap.
+
+    ``purge_tombstones`` defaults to FALSE here, unlike the replica:
+    a purged tombstone lets a late out-of-order event older than the
+    delete re-add its contribution — and in this store that silently
+    CORRUPTS the aggregate (the group re-gains a count the delete
+    already subtracted), rather than just resurrecting a readable
+    document.  Purge only when the source's reordering horizon has
+    provably passed (e.g. the change stream is the only writer and its
+    resume token is beyond the tombstones' triples)."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        _commit_bucketed as _cb,
+    )
+
+    keys_path = os.path.join(path, "keys")
+    with bucketed_sink_lock(path):
+        mf = _read_bucket_manifest(keys_path)
+        if mf is None:
+            return None
+        n_buckets, entries = mf
+        cur = read_bucketed_sink(spark, keys_path)
+        if cur is None:
+            return None
+        if purge_tombstones:
+            cur = cur.filter(F.col("live"))
+        compacted = cur.repartition(
+            max(1, files_per_bucket * n_buckets),
+            _bucket_of(["key"], n_buckets),
+        )
+        return _cb(
+            compacted, keys_path, ["key"], n_buckets, entries,
+            sorted(entries), retain=retain,
+        )

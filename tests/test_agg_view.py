@@ -223,3 +223,51 @@ def test_negative_count_invariant_raises(spark, tmp_path):
     b1 = _frame(spark, [_ev("b1", "insert", 11, 1, "k9", _doc(1, "b"))])
     with pytest.raises(PipelineError, match="negative group counts"):
         agg_view_batch(b1, path, epoch=1, value_type="long", n_buckets=4)
+
+
+def test_compact_keys_store(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.streaming.agg_view import (
+        compact_agg_view_keys,
+    )
+
+    path = str(tmp_path / "view")
+    for e in range(4):
+        agg_view_batch(
+            _frame(
+                spark,
+                [
+                    _ev(f"a{e}", "insert", 10 + e, 1, f"k{e}", _doc(e, "a")),
+                    _ev(f"d{e}", "delete", 10 + e, 2, f"k{e - 1}", None),
+                ],
+            ),
+            path, epoch=e, value_type="long", n_buckets=4,
+        )
+    before = _groups(spark, path)
+    keys_before = {
+        (r["key"], r["live"])
+        for r in read_agg_view_keys(spark, path).collect()
+    }
+    out = compact_agg_view_keys(spark, path)
+    assert out is not None
+    # state unchanged, tombstones retained by default
+    assert _groups(spark, path) == before
+    assert {
+        (r["key"], r["live"])
+        for r in read_agg_view_keys(spark, path).collect()
+    } == keys_before
+    # one file per non-empty bucket dir after the compact
+    import glob
+    import os as _os
+
+    keys_root = _os.path.join(path, "keys")
+    mf = open(_os.path.join(keys_root, "_manifest")).read().splitlines()
+    for line in mf[1:]:
+        rel = line.split(":", 1)[1]
+        files = glob.glob(_os.path.join(keys_root, rel, "*.parquet"))
+        assert len(files) == 1, (rel, files)
+    # purge drops tombstones (and the caller owns the reorder hazard)
+    compact_agg_view_keys(spark, path, purge_tombstones=True)
+    assert all(
+        r["live"] for r in read_agg_view_keys(spark, path).collect()
+    )
+    assert _groups(spark, path) == before
