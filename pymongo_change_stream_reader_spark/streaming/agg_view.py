@@ -146,6 +146,28 @@ def agg_view_batch(
         F.col("operationType").isin("insert", "update", "replace", "delete")
     )
     with bucketed_sink_lock(path):
+        # pin the view's definition at first apply: a batch applied
+        # with a different group/value path or type would compute
+        # deltas against contributions that mean something else —
+        # silent corruption, the same class the serving indexes guard
+        # with their format sidecars
+        import json as _json
+
+        cfg = dict(
+            group_path=group_path, value_path=value_path,
+            value_type=value_type, n_buckets=n_buckets,
+        )
+        cfg_path = os.path.join(path, "_config.json")
+        if os.path.exists(cfg_path):
+            stored = _json.load(open(cfg_path))
+            if stored != cfg:
+                raise PipelineError(
+                    f"agg view at {path!r} was created with {stored}; "
+                    f"refusing to apply a batch configured as {cfg} — "
+                    "deltas across definitions do not compose"
+                )
+        else:
+            _write_atomic(cfg_path, _json.dumps(cfg))
         cur = _groups_current(path)
         if cur is not None and cur[1] >= epoch:
             # replayed epoch: fully applied (groups commit last)

@@ -271,3 +271,21 @@ def test_compact_keys_store(spark, tmp_path):
         r["live"] for r in read_agg_view_keys(spark, path).collect()
     )
     assert _groups(spark, path) == before
+
+
+def test_config_pin_refuses_redefinition(spark, tmp_path):
+    path = str(tmp_path / "view")
+    b = _frame(spark, [_ev("a1", "insert", 10, 1, "k1", _doc(5, "a"))])
+    agg_view_batch(b, path, epoch=0, value_type="long", n_buckets=4)
+    with pytest.raises(PipelineError, match="do not compose"):
+        agg_view_batch(
+            _frame(spark, [_ev("a2", "insert", 11, 1, "k2", _doc(6, "b"))]),
+            path, epoch=1, value_type="long", n_buckets=4,
+            group_path="$.other",
+        )
+    # same definition continues fine
+    agg_view_batch(
+        _frame(spark, [_ev("a2", "insert", 11, 1, "k2", _doc(6, "b"))]),
+        path, epoch=1, value_type="long", n_buckets=4,
+    )
+    assert _groups(spark, path) == {"a": (1, 5), "b": (1, 6)}
