@@ -137,3 +137,35 @@ def test_zorder_key_rejects_too_many_bits(spark):
         df.withColumn(
             "z", zorder_key(df, ["x", "y"], bits_per_dim=32)
         ).collect()
+
+
+def test_box_scan_pushes_both_predicates(spark, tmp_path):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "z")
+    zorder_write(li, path, ["l_partkey", "l_suppkey"], n_files=8)
+    scan = (
+        spark.read.parquet(path)
+        .filter(
+            F.col("l_partkey").between(100, 199)
+            & F.col("l_suppkey").between(1, 5)
+        )
+        .select("l_orderkey")
+    )
+    # the default 100-char metadata truncation cuts the filter list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    for frag in (
+        "GreaterThanOrEqual(l_partkey,100)",
+        "LessThanOrEqual(l_partkey,199)",
+        "GreaterThanOrEqual(l_suppkey,1)",
+        "LessThanOrEqual(l_suppkey,5)",
+    ):
+        assert frag in pushed, (frag, pushed)
+    # projection pruning: only the selected + filter columns are read
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" in read_schema
+    assert "l_extendedprice" not in read_schema
