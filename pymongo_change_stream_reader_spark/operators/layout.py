@@ -43,7 +43,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "zorder_write", "file_minmax_manifest"]
+__all__ = [
+    "zorder_key",
+    "zorder_write",
+    "file_minmax_manifest",
+    "pruned_box_scan",
+]
 
 
 def _bucket_from_cuts(col: Column, cuts: list[float]) -> Column:
@@ -218,3 +223,44 @@ def file_minmax_manifest(spark, path: str, cols: list[str]) -> DataFrame:
         .groupBy(F.input_file_name().alias("file"))
         .agg(*aggs)
     )
+
+
+def pruned_box_scan(
+    spark,
+    path: str,
+    box: dict[str, tuple],
+    manifest: DataFrame | None = None,
+):
+    """Manifest-driven scan planning: read ONLY the files whose
+    min/max envelope intersects the predicate ``box``
+    ({col: (lo, hi)}), then apply the exact predicate to the survivors
+    — the lakehouse scan-planning step made explicit (Delta/Iceberg do
+    the same against their transaction-log stats; vanilla
+    ``spark.read.parquet(dir)`` only gets row-group-level skipping
+    inside files it already opened).  Returns ``(df, files_read,
+    files_total)`` so callers can assert the skip rate.
+
+    Correctness does not depend on the layout: a file whose envelope
+    misses the box can hold no matching row, so the subset scan equals
+    the full scan for ANY clustering — the LAYOUT (zorder_write) only
+    decides how many files survive.  At 100 TB the manifest is |files|
+    rows and would be maintained incrementally rather than rebuilt
+    (file_minmax_manifest)."""
+    cols = list(box)
+    if manifest is None:
+        manifest = file_minmax_manifest(spark, path, cols)
+    keep = manifest
+    for c, (lo, hi) in box.items():
+        keep = keep.filter(
+            (F.col(f"{c}_min") <= hi) & (F.col(f"{c}_max") >= lo)
+        )
+    files = [r["file"] for r in keep.select("file").collect()]
+    total = manifest.count()
+    pred = None
+    for c, (lo, hi) in box.items():
+        p = F.col(c).between(lo, hi)
+        pred = p if pred is None else (pred & p)
+    if not files:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, total
+    return spark.read.parquet(*files).filter(pred), len(files), total

@@ -8,7 +8,7 @@ query latency, and Z-ordering is what makes those envelopes tight in
 more than one dimension (operators/layout.py docstring for the
 mechanics).
 
-Two registered queries:
+Three registered queries:
 
 - ``layout_zorder_box_scan`` — end-to-end value correctness under the
   hash oracle: the rows a 2-D box predicate selects from the
@@ -19,6 +19,9 @@ Two registered queries:
   min/max envelopes from ``file_minmax_manifest`` show the Z layout
   pruning a second-dimension slab scan that a 1-D-sorted layout
   cannot prune at all.
+- ``layout_zorder_pruned_scan`` — the planning step USED end-to-end:
+  the reader consults the manifest and opens only intersecting files,
+  hash-equal to the full-table oracle.
 """
 
 from __future__ import annotations
@@ -189,3 +192,60 @@ def layout_zorder_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(z_path, ignore_errors=True)
         shutil.rmtree(lin_path, ignore_errors=True)
+
+
+@query(
+    "layout_zorder_pruned_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 199
+      AND l_suppkey BETWEEN 1 AND 10
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Manifest-driven scan planning END-TO-END: the same 2-D box as "
+    "layout_zorder_box_scan, but the reader consults the per-file "
+    "min/max manifest first and OPENS only the files whose envelope "
+    "intersects the box (operators/layout.py:pruned_box_scan — the "
+    "step Delta/Iceberg run against their logs).  Hash-equal to the "
+    "full-table oracle because envelope pruning is correct for any "
+    "layout; the Z layout is what makes the surviving-file count "
+    "small (the skip fraction itself is pinned Spark-side in "
+    "tests/test_layout.py and layout_zorder_skip_stats).",
+    tags=("layout",),
+)
+def layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the manifest filter is |files| rows; the data read is
+    the surviving subset only — the scan never lists or opens pruned
+    files."""
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        pruned_box_scan,
+        zorder_write,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="spark_layout_pruned_")
+    try:
+        zorder_write(li, path, ["l_partkey", "l_suppkey"], n_files=32)
+        df, n_read, n_total = pruned_box_scan(
+            spark, path,
+            {"l_partkey": (100, 199), "l_suppkey": (1, 10)},
+        )
+        assert n_read <= n_total
+        return (
+            df.select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_partkey",
+                "l_suppkey",
+                F.round("l_extendedprice", 2).alias("price"),
+            )
+            .orderBy("l_orderkey", "l_linenumber")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

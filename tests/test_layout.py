@@ -169,3 +169,28 @@ def test_box_scan_pushes_both_predicates(spark, tmp_path):
     read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "l_orderkey" in read_schema
     assert "l_extendedprice" not in read_schema
+
+
+def test_pruned_scan_equals_full_scan_and_skips(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        pruned_box_scan,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "z")
+    zorder_write(li, path, ["l_partkey", "l_suppkey"], n_files=32)
+    box = {"l_partkey": (100, 149), "l_suppkey": (1, 3)}
+    df, n_read, n_total = pruned_box_scan(spark, path, box)
+    full = spark.read.parquet(path).filter(
+        F.col("l_partkey").between(100, 149)
+        & F.col("l_suppkey").between(1, 3)
+    )
+    key = ["l_orderkey", "l_linenumber"]
+    assert df.select(*key).exceptAll(full.select(*key)).count() == 0
+    assert full.select(*key).exceptAll(df.select(*key)).count() == 0
+    assert n_read < n_total, (n_read, n_total)
+    # a box outside every envelope opens nothing and returns nothing
+    empty, n0, _ = pruned_box_scan(
+        spark, path, {"l_partkey": (10**9, 10**9 + 1)}
+    )
+    assert n0 == 0 and empty.count() == 0
