@@ -79,3 +79,49 @@ def test_merge_bound_is_sum_of_partition_decrements(spark):
     assert s[0]["bound"] <= n / (k + 1) * 4  # one n_p/(k+1) term per partition
     # tighter: each partition's decrement <= n_p/(k+1), so D <= n/(k+1)
     assert s[0]["bound"] <= n / (k + 1)
+
+
+def test_mg_partition_bounds_hypothesis():
+    """Single-partition MG kernel (pure pandas, no Spark): for ANY
+    input multiset and slot count, est <= true <= est + decr and
+    decr <= n/(k+1)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pymongo_change_stream_reader_spark.operators.heavyhitters import (
+        _mg_partition,
+    )
+
+    @given(
+        keys=st.lists(st.integers(0, 12), min_size=1, max_size=120),
+        k=st.integers(1, 6),
+        split=st.integers(1, 5),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(keys, k, split):
+        # feed as `split` Arrow-style batches to exercise the
+        # batch-arrival decrement path
+        step = max(1, len(keys) // split)
+        batches = [
+            pd.DataFrame({"key": [str(x) for x in keys[i : i + step]]})
+            for i in range(0, len(keys), step)
+        ]
+        out = next(_mg_partition(k)(iter(batches)))
+        decr = int(out[out["is_decr"]]["cnt"].iloc[0])
+        est = {
+            r.key: int(r.cnt)
+            for r in out[~out["is_decr"]].itertuples(index=False)
+        }
+        truth = pd.Series([str(x) for x in keys]).value_counts().to_dict()
+        n = len(keys)
+        assert decr <= n / (k + 1)
+        assert len(est) <= k
+        for key, e in est.items():
+            assert e <= truth[key] <= e + decr, (keys, k, key)
+        # no false negatives above the error bound
+        for key, t in truth.items():
+            if t > decr:
+                assert key in est, (keys, k, key, t, decr)
+
+    check()
