@@ -671,7 +671,9 @@ def write_lsh_index(
     tombstone_lsh_docs silently no-ops on the bootstrapped docs and a
     relay update re-ingests at gen 0 alongside the superseded gen-0
     sketch (r6 advice)."""
-    lsh_band_table(df, text_col, id_col, num_hashes, bands, n).withColumn(
+    lsh_band_table_batch(
+        df, text_col, id_col, num_hashes, bands, n
+    ).withColumn(
         "gen", F.lit(0)
     ).write.mode("overwrite").partitionBy("band").parquet(path)
     df.select(F.col(id_col).alias("doc")).distinct().withColumn(
@@ -776,7 +778,12 @@ def append_lsh_index(
                     "seed_lsh_registry(spark, path) once to derive it "
                     "from the stored sketches before relay/tracked use"
                 )
-        bt = lsh_band_table(df_new, text_col, id_col, num_hashes, bands, n)
+        # batch variant: the append runs inside foreachBatch; the
+        # streaming-legal band table re-evaluates the interpreted
+        # minhash per band via CollapseProject (~7x slower measured)
+        bt = lsh_band_table_batch(
+            df_new, text_col, id_col, num_hashes, bands, n
+        )
         ids = df_new.select(F.col(id_col).alias("doc")).distinct()
         if not track_generations:
             bt.withColumn("gen", F.lit(0)).write.mode("append").partitionBy(
@@ -903,7 +910,9 @@ def query_lsh_index(
     projection and equi-joins index buckets on (band, bucket) — the
     batch side is tiny, so Spark broadcasts it and the index scan
     prunes to the collided partitions."""
-    probe = lsh_band_table(batch, text_col, id_col, num_hashes, bands, n)
+    probe = lsh_band_table_batch(
+        batch, text_col, id_col, num_hashes, bands, n
+    )
     return (
         probe.withColumnRenamed("doc", "new_id")
         .join(index.withColumnRenamed("doc", "corpus_id"), ["band", "bucket"])
@@ -1187,3 +1196,69 @@ def semdedup_from_model(
         vec_col=vec_col,
         centroids=cents,
     )
+
+
+def lsh_band_table_batch(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """(doc, band, bucket) — value-identical to :func:`lsh_band_table`
+    but restructured for BATCH frames (the foreachBatch relay path):
+    ``lsh_band_table`` builds the signature in one projection and
+    slices it per band, and CollapseProject inlines the signature —
+    and the shingle expression inside it — into every slice, so the
+    interpreted 32-hash minhash (and the shingling) is re-evaluated
+    PER BAND per row, and again when the plan re-runs for the write
+    (measured: a 15k-doc relay append spent ~14 s here).  This variant
+    explodes the shingles once, computes the 32 seeded hashes as plain
+    codegen'd columns on the exploded rows, min-aggregates them
+    (map-side partials), and derives the band buckets from the
+    materialized min columns — every hash computed exactly once, no
+    interpreted HOF in the hot path.  Uses a hash AGGREGATION, so not
+    legal on unbounded streaming frames — inside foreachBatch (a batch
+    frame) it is.
+
+    Value parity with lsh_band_table (pytest-pinned): same seeded
+    hashes, min over shingles, ``hash(slice)`` == ``hash(array(h_i))``
+    per band; a shingle-less doc yields all-null mins and the same
+    all-null band hash."""
+    rows = num_hashes // bands
+    grams = word_ngrams(F.col(text_col), n)
+    ex = df.select(F.col(id_col).alias("doc"), grams.alias("g")).select(
+        "doc", F.explode_outer("g").alias("g")
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("g").isNotNull(),
+                F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("g"))),
+            )
+        ).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    sig_cols = ex.groupBy("doc").agg(*aggs)
+    return sig_cols.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            F.array(
+                                *[
+                                    F.col(f"__h{i}")
+                                    for i in range(b * rows, (b + 1) * rows)
+                                ]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")

@@ -83,3 +83,32 @@ def test_semdedup_model_roundtrip(spark, tmp_path):
     direct = semdedup(emb, nlist=8, iters=1, threshold=0.9).orderBy("vec_id")
     stored = semdedup_from_model(emb, path, threshold=0.9).orderBy("vec_id")
     assert direct.collect() == stored.collect()
+
+
+def test_band_table_batch_matches_streaming_form(spark):
+    """The codegen'd batch band table must be value-identical to the
+    streaming-legal projection form — same seeded hashes, same band
+    buckets, including shingle-less docs (all-null signature)."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        lsh_band_table,
+        lsh_band_table_batch,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely different text about query engines at scale"),
+        (4, "too short"),  # < n tokens: empty shingle set
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    old = {
+        (r["doc"], r["band"]): r["bucket"]
+        for r in lsh_band_table(df, "text", "doc_id").collect()
+    }
+    new = {
+        (r["doc"], r["band"]): r["bucket"]
+        for r in lsh_band_table_batch(df, "text", "doc_id").collect()
+    }
+    assert old == new
+    assert len(new) == 5 * 8  # every doc gets all 8 bands
