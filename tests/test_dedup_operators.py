@@ -112,3 +112,26 @@ def test_band_table_batch_matches_streaming_form(spark):
     }
     assert old == new
     assert len(new) == 5 * 8  # every doc gets all 8 bands
+
+
+def test_band_table_batch_plan_has_no_interpreted_minhash(spark):
+    """Regression guard for the relay hot path: the batch band table
+    must keep its hash-aggregate shape (shingles exploded once, seeded
+    hashes as codegen'd columns) and never regress to the expression
+    form whose 32 `transform(...)` HOFs re-evaluate the shingling per
+    seed (PERF.md round 9: 6.8x on the append write)."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        lsh_band_table_batch,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id INT, text STRING")
+    plan = (
+        lsh_band_table_batch(df, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" in plan
+    # the seeded minhash HOFs of the expression form (case-sensitive:
+    # 'transform(' is the interpreted HOF; 'Transform' appears nowhere)
+    assert "transform(" not in plan
