@@ -155,3 +155,52 @@ def test_sigkill_windows_converge(spark, tmp_path, kill_mode):
         _mk(spark, BATCH1), path, 1, value_type="long", n_buckets=4
     )
     assert _groups(spark, path) == {"b": (1, 6)}
+
+
+def test_sigkill_mid_keys_compaction_recovers(spark, tmp_path):
+    """SIGKILL inside compact_agg_view_keys' bucketed commit: the
+    manifest swap is the commit point, so the view either serves the
+    pre-compact or the post-compact state — never a torn one — and
+    batches keep applying after restart."""
+    path = str(tmp_path / "view")
+    agg_view_batch(
+        _mk(spark, BATCH0), path, 0, value_type="long", n_buckets=4
+    )
+    before = _groups(spark, path)
+
+    child = """
+import os, signal, sys
+path = sys.argv[1]
+from pymongo_change_stream_reader_spark.session import get_spark
+import pymongo_change_stream_reader_spark.streaming.agg_view as av
+import pymongo_change_stream_reader_spark.plans.pipeline as pp
+
+spark = get_spark(app_name="aggview-compact-chaos", cpus=4,
+                  shuffle_partitions=4)
+
+real_wa = pp._write_atomic
+def wa_hook(dest, body):
+    if dest.endswith("_manifest"):  # the swap = the commit point
+        print("KILLED_AT manifest-swap", flush=True)
+        os.kill(os.getpid(), signal.SIGKILL)
+    real_wa(dest, body)
+pp._write_atomic = wa_hook
+
+av.compact_agg_view_keys(spark, path)
+print("SURVIVED", flush=True)
+"""
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g", SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-c", child, path],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == -signal.SIGKILL, proc.stderr[-2000:]
+    assert "KILLED_AT manifest-swap" in proc.stdout
+
+    # pre-compact state still served; the next batch applies cleanly
+    assert _groups(spark, path) == before
+    agg_view_batch(
+        _mk(spark, BATCH1), path, 1, value_type="long", n_buckets=4
+    )
+    assert _groups(spark, path) == {"b": (1, 6)}
