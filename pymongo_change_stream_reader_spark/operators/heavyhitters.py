@@ -47,7 +47,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["misra_gries_summary", "heavy_hitter_candidates"]
+__all__ = [
+    "misra_gries_summary",
+    "heavy_hitter_candidates",
+    "count_min_sketch",
+    "count_min_estimate",
+]
 
 _SUMMARY_SCHEMA = "key STRING, cnt BIGINT, is_decr BOOLEAN"
 
@@ -136,3 +141,89 @@ def heavy_hitter_candidates(
     threshold.  Returns (key, est, bound)."""
     s = misra_gries_summary(df, col, k)
     return s.filter(F.col("est") + F.col("bound") >= threshold)
+
+
+def count_min_sketch(
+    df: DataFrame, col: str | Column, width: int = 2048, depth: int = 4
+) -> DataFrame:
+    """Count-Min sketch of ``col`` as a (row, bucket, cnt) table —
+    ``depth * width`` counters regardless of input size, mergeable by
+    plain addition (union + re-aggregate), the point-query complement
+    to the Misra-Gries summary (MG answers "which keys are heavy";
+    CM answers "roughly how often is THIS key" for any key).
+
+    One narrow pass: every value explodes into its ``depth``
+    (row, bucket) cells (seeded xxhash64 mod width — fixed seeds, so
+    sketches are stable across runs/engines/partitions and remain
+    mergeable), then ONE hash aggregation with map-side partials.
+    Guarantees: ``estimate >= true`` always (counters only
+    over-count); overcount per row is the key's collision mass, so
+    ``min`` over rows is within ``e * n / width`` with probability
+    ``1 - e^-depth`` (standard CM bound)."""
+    key = (F.col(col) if isinstance(col, str) else col).cast("string")
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.concat(F.lit(f"cm{i}:"), key)),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.groupBy(F.col("c.row").alias("row"),
+                      F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str | Column,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch for every probe key: est = min over the
+    ``depth`` rows of the key's cell counter (0 when a cell is empty).
+    Returns (key, est).  ``width``/``depth`` must match the sketch's.
+    The probe plan is |probes| x depth rows joined against the
+    depth x width sketch — broadcast-sized on both sides at any corpus
+    scale."""
+    key = (F.col(col) if isinstance(col, str) else col).cast("string")
+    cells = probes.select(key.alias("key")).distinct().select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(
+                                F.concat(F.lit(f"cm{i}:"), F.col("key"))
+                            ),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    )
+    return (
+        cells.join(
+            F.broadcast(sketch),
+            (F.col("c.row") == F.col("row"))
+            & (F.col("c.bucket") == F.col("bucket")),
+            "left",
+        )
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

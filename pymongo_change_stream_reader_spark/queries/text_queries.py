@@ -844,3 +844,68 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok")
     )
+
+
+@query(
+    "text_countmin_probe",
+    oracle=f"""
+    WITH t AS (
+        SELECT unnest({_TOKS}) AS tok FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM t),
+    freqs AS (SELECT tok, COUNT(*) AS freq FROM t GROUP BY tok)
+    SELECT tok,
+           freq,
+           TRUE AS cm_never_undercounts,
+           TRUE AS cm_within_bound
+    FROM freqs, tot
+    WHERE freq >= GREATEST(1, n // 100)
+    ORDER BY tok
+    """,
+    doc="Count-Min point queries (operators/heavyhitters.py — the "
+    "point-query complement to the Misra-Gries summary) under the "
+    "property-boolean oracle: exact frequencies of the tokens above "
+    "1% of mass are hash-verified vs DuckDB; the booleans certify "
+    "that every CM estimate (width 2048, depth 4, fixed seeds) is "
+    ">= the true count (the sketch's one-sided guarantee — counters "
+    "only over-count) and within 8*n/width of it (the e*n/width CM "
+    "bound with generous slack; deterministic for fixed data and "
+    "seeds).  The sketch is depth*width counters at any corpus size "
+    "and merges by addition — the 100 TB path for per-key frequency "
+    "estimates without a vocabulary-sized aggregation.",
+    tags=("text", "approx"),
+)
+def text_countmin_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.heavyhitters import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tx.tokens(F.col("text"))).alias("tok")
+    )
+    n = toks.count()
+    thr = max(1, n // 100)
+    width, depth = 2048, 4
+    sketch = count_min_sketch(toks, "tok", width, depth).localCheckpoint(
+        eager=True
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= thr)
+    )
+    est = count_min_estimate(sketch, exact.select("tok"), "tok", width, depth)
+    bound = 8.0 * n / width
+    e = lambda c: F.col(f"__e.{c}")
+    return (
+        exact.alias("__e")
+        .join(est.alias("__c"), e("tok") == F.col("__c.key"))
+        .select(
+            e("tok").alias("tok"),
+            e("freq").alias("freq"),
+            (F.col("__c.est") >= e("freq")).alias("cm_never_undercounts"),
+            (F.col("__c.est") - e("freq") <= bound).alias("cm_within_bound"),
+        )
+        .orderBy("tok")
+    )

@@ -125,3 +125,78 @@ def test_mg_partition_bounds_hypothesis():
                 assert key in est, (keys, k, key, t, decr)
 
     check()
+
+
+def test_count_min_guarantees_and_mergeability(spark):
+    from pymongo_change_stream_reader_spark.operators.heavyhitters import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    rows = _zipfish(n_heavy=3, heavy_each=200, n_tail=500)
+    df = spark.createDataFrame(rows, "key STRING").localCheckpoint(eager=True)
+    truth = _exact(df)
+    n = sum(truth.values())
+    width, depth = 256, 4  # narrow width: collisions guaranteed
+    sketch = count_min_sketch(df, "key", width, depth).localCheckpoint(
+        eager=True
+    )
+    probes = df.select("key").distinct()
+    est = {
+        r["key"]: r["est"]
+        for r in count_min_estimate(sketch, probes, "key", width, depth)
+        .collect()
+    }
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)  # one-sided, always
+    # the sketch holds exactly the total mass per row
+    per_row = {
+        r["row"]: r["s"]
+        for r in sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert all(v == n for v in per_row.values())
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B)
+    half = len(rows) // 2
+    a = spark.createDataFrame(rows[:half], "key STRING")
+    b = spark.createDataFrame(rows[half:], "key STRING")
+    merged = (
+        count_min_sketch(a, "key", width, depth)
+        .unionByName(count_min_sketch(b, "key", width, depth))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = count_min_sketch(df, "key", width, depth)
+    diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert diff == 0
+
+
+def test_count_min_never_undercounts_hypothesis(spark):
+    """Pure guarantee check across arbitrary multisets at a tiny width
+    (maximal collisions): est >= true for every key, always."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pymongo_change_stream_reader_spark.operators.heavyhitters import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    @given(keys=st.lists(st.integers(0, 20), min_size=1, max_size=60))
+    @settings(max_examples=6, deadline=None)
+    def check(keys):
+        df = spark.createDataFrame(
+            [(str(k),) for k in keys], "key STRING"
+        ).localCheckpoint(eager=True)
+        truth = _exact(df)
+        sketch = count_min_sketch(df, "key", width=4, depth=2)
+        est = {
+            r["key"]: r["est"]
+            for r in count_min_estimate(
+                sketch, df.select("key").distinct(), "key", 4, 2
+            ).collect()
+        }
+        assert all(est[k] >= t for k, t in truth.items()), (keys, est, truth)
+
+    check()
