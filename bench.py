@@ -210,13 +210,18 @@ def composed_relay_bench(
 
     try:
         # warm-up: all five store paths, uncounted (codegen + listing)
-        composed_apply_batch(batches[0].limit(200), 0, **_stores("warm"))
+        composed_apply_batch(
+            batches[0].limit(200), 0, max_parallel_stores=5,
+            **_stores("warm"),
+        )
 
         kw = _stores("timed")
         timings: dict[str, float] = {}
         t0 = time.time()
         for i, b in enumerate(batches):
-            composed_apply_batch(b, i, store_timings=timings, **kw)
+            composed_apply_batch(
+                b, i, store_timings=timings, max_parallel_stores=5, **kw
+            )
         total = time.time() - t0
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -1238,12 +1238,19 @@ def lsh_band_table_batch(
     Value parity with lsh_band_table (pytest-pinned): same seeded
     hashes, min over shingles, ``hash(slice)`` == ``hash(array(h_i))``
     per band; a shingle-less doc yields all-null mins and the same
-    all-null band hash."""
+    all-null band hash.  Parity holds PER ROW even when ids repeat:
+    the signature aggregation groups on a row-unique surrogate
+    alongside the id (``monotonically_increasing_id`` stamped before
+    the explode), so two rows sharing an id emit two band sets — the
+    same rows lsh_band_table's per-row expressions emit — instead of
+    one signature over the union of their shingles."""
     rows = num_hashes // bands
     grams = word_ngrams(F.col(text_col), n)
-    ex = df.select(F.col(id_col).alias("doc"), grams.alias("g")).select(
-        "doc", F.explode_outer("g").alias("g")
-    )
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.monotonically_increasing_id().alias("__rid"),
+        grams.alias("g"),
+    ).select("doc", "__rid", F.explode_outer("g").alias("g"))
     aggs = [
         F.min(
             F.when(
@@ -1253,7 +1260,7 @@ def lsh_band_table_batch(
         ).alias(f"__h{i}")
         for i in range(num_hashes)
     ]
-    sig_cols = ex.groupBy("doc").agg(*aggs)
+    sig_cols = ex.groupBy("doc", "__rid").agg(*aggs)
     return sig_cols.select(
         "doc",
         F.explode(

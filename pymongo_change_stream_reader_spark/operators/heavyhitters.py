@@ -103,15 +103,11 @@ def _mg_partition(k: int):
     return run
 
 
-def misra_gries_summary(
-    df: DataFrame, col: str | Column, k: int = 256
-) -> DataFrame:
-    """Merged Misra-Gries summary of ``col``: one row per surviving
-    key — (key, est, bound) with ``est <= true <= est + bound`` —
-    where ``bound`` is the merged decrement total D (one global
-    scalar, repeated per row for self-containment).  Partials are
-    per-partition (bounded memory); the merge aggregates
-    <= (k+1) * n_partitions rows."""
+def _mg_summary_parts(
+    df: DataFrame, col: str | Column, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """(per-key estimate frame, 1-row decrement-bound frame) — the
+    shared core of the summary/candidate entry points."""
     keyed = df.select(F.col(col).cast("string").alias("key") if isinstance(
         col, str
     ) else col.cast("string").alias("key"))
@@ -127,6 +123,19 @@ def misra_gries_summary(
     d = parts.filter(F.col("is_decr")).agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("bound")
     )
+    return sums, d
+
+
+def misra_gries_summary(
+    df: DataFrame, col: str | Column, k: int = 256
+) -> DataFrame:
+    """Merged Misra-Gries summary of ``col``: one row per surviving
+    key — (key, est, bound) with ``est <= true <= est + bound`` —
+    where ``bound`` is the merged decrement total D (one global
+    scalar, repeated per row for self-containment).  Partials are
+    per-partition (bounded memory); the merge aggregates
+    <= (k+1) * n_partitions rows."""
+    sums, d = _mg_summary_parts(df, col, k)
     return sums.crossJoin(F.broadcast(d))
 
 
@@ -135,12 +144,26 @@ def heavy_hitter_candidates(
 ) -> DataFrame:
     """Keys whose true frequency MAY reach ``threshold`` — provably a
     superset of the keys with ``true >= threshold`` (no false
-    negatives: est + D >= true for every key, including keys absent
-    from the summary only when true <= D < threshold).  Choose
-    ``k >= 2 * n / threshold`` to keep D comfortably under the
-    threshold.  Returns (key, est, bound)."""
-    s = misra_gries_summary(df, col, k)
-    return s.filter(F.col("est") + F.col("bound") >= threshold)
+    negatives: est + D >= true for every SURVIVING key, and a key
+    absent from every partition summary has true <= D).  That second
+    leg only holds when ``D < threshold`` — otherwise an absent key
+    could have true frequency in [threshold, D] and be silently
+    missing — so this RAISES when the merged bound reaches the
+    threshold instead of returning a set whose guarantee is void:
+    retry with a larger ``k`` (``k >= 2 * n / threshold`` keeps D
+    comfortably under).  Reading the bound costs one driver scalar off
+    the already-materialized summary.  Returns (key, est, bound)."""
+    sums, d = _mg_summary_parts(df, col, k)
+    bound = d.first()["bound"]
+    if bound >= threshold:
+        raise ValueError(
+            f"heavy_hitter_candidates: merged decrement bound D={bound} "
+            f">= threshold={threshold} — the no-false-negative guarantee "
+            f"does not hold at k={k}; choose k >= 2 * n / threshold"
+        )
+    return sums.crossJoin(F.broadcast(d)).filter(
+        F.col("est") + F.col("bound") >= threshold
+    )
 
 
 def count_min_sketch(

@@ -114,6 +114,36 @@ def test_band_table_batch_matches_streaming_form(spark):
     assert len(new) == 5 * 8  # every doc gets all 8 bands
 
 
+def test_band_table_batch_duplicate_ids_stay_per_row(spark):
+    """Two rows SHARING an id must each emit their own band set (the
+    per-row semantics of lsh_band_table), not one signature over the
+    union of their shingles — callers may hand query_lsh_index frames
+    with repeated ids (r9 advice)."""
+    from collections import Counter
+
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        lsh_band_table,
+        lsh_band_table_batch,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "completely different text about query engines at scale"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    old = Counter(
+        (r["doc"], r["band"], r["bucket"])
+        for r in lsh_band_table(df, "text", "doc_id").collect()
+    )
+    new = Counter(
+        (r["doc"], r["band"], r["bucket"])
+        for r in lsh_band_table_batch(df, "text", "doc_id").collect()
+    )
+    assert old == new
+    assert sum(new.values()) == 3 * 8  # one band set PER ROW
+
+
 def test_band_table_batch_plan_has_no_interpreted_minhash(spark):
     """Regression guard for the relay hot path: the batch band table
     must keep its hash-aggregate shape (shingles exploded once, seeded

@@ -1,5 +1,6 @@
 """PageRank (operators/graphs.py): invariants the oracle cannot see —
-mass conservation, sink rejection, damping-free uniformity."""
+mass conservation (including dangling redistribution), retention of
+in-degree-0 vertices, early stopping, damping-free uniformity."""
 
 from __future__ import annotations
 
@@ -10,6 +11,27 @@ from pymongo_change_stream_reader_spark.operators.graphs import pagerank
 
 def _edges(spark, pairs):
     return spark.createDataFrame(pairs, "src STRING, dst STRING")
+
+
+def _pr_ref(pairs, iters, d=0.85):
+    """Pure-Python unrolled power iteration with uniform dangling
+    redistribution — the same arithmetic the operator claims."""
+    edges = sorted(set(pairs))
+    verts = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(verts)
+    out: dict[str, list[str]] = {}
+    for u, v in edges:
+        out.setdefault(u, []).append(v)
+    r = {v: 1.0 / n for v in verts}
+    base = (1.0 - d) / n
+    for _ in range(iters):
+        dshare = sum(r[v] for v in verts if v not in out) / n
+        inc = {v: 0.0 for v in verts}
+        for u, vs in out.items():
+            for v in vs:
+                inc[v] += r[u] / len(vs)
+        r = {v: base + d * (inc[v] + dshare) for v in verts}
+    return r
 
 
 def test_rank_mass_conserved(spark):
@@ -32,9 +54,65 @@ def test_hub_outranks_pendant(spark):
     assert r["c"] > r["b"] > r["d"]
 
 
-def test_sink_rejected(spark):
-    with pytest.raises(ValueError, match="outgoing"):
-        pagerank(_edges(spark, [("a", "b")]), iters=1)
+def test_indegree_zero_vertex_retained(spark):
+    # x points into the a<->b pair but nothing points at x: it must
+    # keep its row and its teleport share every round (an inner
+    # rebuild of the rank table would drop it after round 1 AND lose
+    # the mass it donates in later rounds)
+    pairs = [("a", "b"), ("b", "a"), ("x", "a")]
+    for iters in (1, 4):
+        got = {r["v"]: r["rank"] for r in
+               pagerank(_edges(spark, pairs), iters=iters).collect()}
+        want = _pr_ref(pairs, iters)
+        assert set(got) == {"a", "b", "x"}
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12), v
+        # no incoming edges: exactly the teleport term
+        assert got["x"] == pytest.approx((1 - 0.85) / 3, abs=1e-12)
+
+
+def test_dangling_mass_redistributed(spark):
+    # b is a pure sink: its rank is donated uniformly each round, so
+    # total mass stays 1 and the ranks match the unrolled reference
+    pairs = [("a", "b")]
+    for iters in (1, 3):
+        got = {r["v"]: r["rank"] for r in
+               pagerank(_edges(spark, pairs), iters=iters).collect()}
+        want = _pr_ref(pairs, iters)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12), v
+    # sanity: the sink accumulates more than the source
+    assert got["b"] > got["a"]
+
+
+def test_dangling_chain_matches_reference(spark):
+    pairs = [("a", "b"), ("b", "c"), ("a", "c")]  # c dangles
+    got = {r["v"]: r["rank"] for r in
+           pagerank(_edges(spark, pairs), iters=4).collect()}
+    want = _pr_ref(pairs, 4)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_convergence_early_stop(spark):
+    # two vertices exchanging all mass: uniform is the fixed point, so
+    # round 1 already moves nothing and tol stops the loop there
+    stats: dict = {}
+    r = {x["v"]: x["rank"] for x in
+         pagerank(_edges(spark, [("a", "b"), ("b", "a")]), iters=50,
+                  tol=1e-9, stats=stats).collect()}
+    assert stats["rounds"] == 1
+    assert r["a"] == pytest.approx(0.5, abs=1e-12)
+    # a slow fixture keeps iterating until the delta crosses tol
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+             ("a", "c"), ("c", "a"), ("c", "d"), ("d", "c")]
+    stats2: dict = {}
+    pagerank(_edges(spark, pairs), iters=50, tol=1e-6,
+             stats=stats2).collect()
+    assert 1 < stats2["rounds"] < 50
 
 
 def test_symmetric_pair_is_uniform(spark):

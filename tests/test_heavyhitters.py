@@ -60,6 +60,18 @@ def test_no_false_negatives_above_threshold(spark):
     assert not missing, f"guarantee violated: {missing}"
 
 
+def test_candidates_raise_when_bound_swamps_threshold(spark):
+    # k far too small for the threshold: D >= threshold voids the
+    # no-false-negative guarantee for keys absent from every summary,
+    # so the candidate call must refuse instead of silently dropping
+    import pytest
+
+    df = spark.createDataFrame(_zipfish(), "key STRING").repartition(8)
+    df = df.localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="decrement bound"):
+        heavy_hitter_candidates(df, "key", threshold=5, k=2)
+
+
 def test_exact_when_k_exceeds_cardinality(spark):
     # with k > |keys| no decrement ever fires: est == true, bound == 0
     rows = [(k,) for k in ["a"] * 7 + ["b"] * 3 + ["c"] * 5]
