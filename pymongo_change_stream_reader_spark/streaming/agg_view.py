@@ -25,9 +25,21 @@ MIN/MAX need a per-group rescan on delete and are deliberately out).
 - ``deltas/epoch=N/`` — the batch's net per-group deltas
   ``(grp, d_n, d_sum)``, persisted BEFORE the keys commit (the replay
   contract below).
-- ``groups/g-N/`` + ``groups/_current`` — the aggregate table
-  ``(grp, n_docs, sum_val)``, whole versions swapped by one atomic
-  pointer-file replace that also records the applied epoch.
+- ``groups/`` + ``groups/_current`` — the aggregate table
+  ``(grp, n_docs, sum_val)`` in the SAME bucketed versioned sink
+  layout as ``keys/`` (bucketed by ``grp``): a batch rewrites ONLY the
+  buckets whose groups appear in its deltas, so the per-trigger groups
+  commit is O(touched buckets), not O(|groups|) — with a
+  high-cardinality group key the r9 whole-table ``coalesce(1)`` swap
+  re-wrote millions of rows per 10-second trigger.  The epoch commit
+  point stays a single atomic pointer replace: ``_current`` names the
+  committed manifest SNAPSHOT (``v-NNNNNN`` -> ``_manifest.h-v-NNNNNN``)
+  plus the applied epoch, so a crash between the bucketed write and
+  the pointer swap leaves a phantom commit the replay simply rewrites
+  (reads always resolve through ``_current``, never ``_manifest``).
+  Stores written by r9 (``groups/g-N`` whole-table versions) migrate
+  in place: the first bucketed apply folds the legacy table into all
+  buckets and drops the ``g-`` dirs after its pointer swap.
 
 ## Exactly-once replay contract
 
@@ -61,6 +73,7 @@ from pyspark.sql import functions as F
 
 from pymongo_change_stream_reader_spark.plans.pipeline import (
     PipelineError,
+    _bucket_history_files,
     _bucket_of,
     _commit_bucketed,
     _read_bucket_manifest,
@@ -83,8 +96,9 @@ __all__ = [
 
 
 def _groups_current(path: str) -> tuple[str, int] | None:
-    """(version dirname, applied epoch) from groups/_current, or None
-    before the first commit."""
+    """(manifest-snapshot version name — or a legacy ``g-N`` whole
+    version dirname — and the applied epoch) from groups/_current,
+    None before the first commit."""
     ptr = os.path.join(path, "groups", "_current")
     if not os.path.exists(ptr):
         return None
@@ -101,13 +115,65 @@ def _groups_schema(value_type: str) -> str:
     return f"grp STRING, n_docs BIGINT, sum_val {value_type}"
 
 
+def _resolve_groups_entries(path: str) -> tuple[dict, int] | None:
+    """The COMMITTED groups state via the ``_current`` pointer:
+    ({bucket: rel_dir} — or {"__legacy__": dirname} for a pre-bucketed
+    store — and the applied epoch), None before the first commit.
+    Readers resolve ``_current``'s named manifest SNAPSHOT, never the
+    live ``_manifest`` (which may already hold a phantom commit whose
+    pointer swap never happened).  A reader racing two back-to-back
+    commits can catch the pointer between its snapshot being pruned
+    and the swap — re-read the pointer briefly (the writer swaps
+    milliseconds after the prune; snapshots are retained >= 3 deep so
+    one in-flight commit can never orphan the pointer)."""
+    import time as _time
+
+    groot = os.path.join(path, "groups")
+    for attempt in range(10):
+        cur = _groups_current(path)
+        if cur is None:
+            return None
+        vname, ep = cur
+        if vname.startswith("g-"):
+            return {"__legacy__": vname}, ep
+        mf = _read_bucket_manifest(groot, f"_manifest.h-{vname}")
+        if mf is not None:
+            return mf[1], ep
+        _time.sleep(0.05 * (attempt + 1))
+    raise PipelineError(
+        f"agg view at {path!r}: groups pointer names snapshot "
+        f"{vname!r} but no such manifest snapshot exists — the store "
+        "was vacuumed below the pointer's retention"
+    )
+
+
 def read_agg_view(spark: SparkSession, path: str) -> DataFrame | None:
     """The current aggregate table ``(grp, n_docs, sum_val)``; None
     before the first applied batch."""
-    cur = _groups_current(path)
-    if cur is None:
+    res = _resolve_groups_entries(path)
+    if res is None:
         return None
-    return spark.read.parquet(os.path.join(path, "groups", cur[0]))
+    entries, _ep = res
+    groot = os.path.join(path, "groups")
+    if "__legacy__" in entries:
+        return spark.read.parquet(
+            os.path.join(groot, entries["__legacy__"])
+        )
+    frames = [
+        spark.read.parquet(os.path.join(groot, rel))
+        for rel in entries.values()
+        if os.path.isdir(os.path.join(groot, rel))
+    ]
+    if not frames:
+        # a committed-but-empty view (every group deleted) is valid
+        import json as _json
+
+        cfg = _json.load(open(os.path.join(path, "_config.json")))
+        return spark.createDataFrame([], _groups_schema(cfg["value_type"]))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def read_agg_view_keys(spark: SparkSession, path: str) -> DataFrame | None:
@@ -280,14 +346,50 @@ def agg_view_batch(
             changed=changed, retain=retain,
         )
 
-        # groups commit: current table + persisted deltas, swapped in
-        # by one atomic pointer replace recording the epoch
+        # groups commit: the persisted deltas merge into ONLY the
+        # buckets whose groups they touch (read through the _current
+        # pointer — the committed state — then one bucketed write);
+        # the epoch commit point stays a single atomic pointer replace
+        # naming the new manifest snapshot + epoch.  A replay after a
+        # crash between the bucketed write and the swap re-derives the
+        # SAME bucket contents from the same committed base + deltas,
+        # so the phantom commit is simply superseded.
+        groot = os.path.join(path, "groups")
         d = spark.read.schema(_deltas_schema(value_type)).parquet(deltas_dir)
-        base = (
-            read_agg_view(spark, path)
-            if cur is not None
-            else spark.createDataFrame([], _groups_schema(value_type))
-        )
+        gmf = _read_bucket_manifest(groot)
+        if gmf is not None and gmf[0] != n_buckets:
+            raise PipelineError(
+                f"agg view groups at {path!r} has {gmf[0]} buckets, "
+                f"not {n_buckets}"
+            )
+        gentries = dict(gmf[1]) if gmf is not None else {}
+        legacy = cur is not None and cur[0].startswith("g-")
+        if legacy:
+            # one-time in-place migration of an r9 whole-table store:
+            # fold the legacy version into every bucket this commit
+            base = spark.read.parquet(os.path.join(groot, cur[0]))
+            gchanged = list(range(n_buckets))
+        else:
+            # deltas are batch-sized: the distinct-bucket collect is
+            # <= n_buckets rows
+            gchanged = sorted(
+                r["b"]
+                for r in d.select(
+                    _bucket_of(["grp"], n_buckets).alias("b")
+                ).distinct().collect()
+            )
+            centries = (
+                _resolve_groups_entries(path)[0] if cur is not None else {}
+            )
+            gframes = [
+                spark.read.parquet(os.path.join(groot, centries[k]))
+                for k in gchanged
+                if k in centries
+                and os.path.isdir(os.path.join(groot, centries[k]))
+            ]
+            base = spark.createDataFrame([], _groups_schema(value_type))
+            for f in gframes:
+                base = base.unionByName(f, allowMissingColumns=True)
         g = lambda c: F.col(f"__g.{c}")
         dd = lambda c: F.col(f"__d.{c}")
         nxt = (
@@ -320,25 +422,32 @@ def agg_view_batch(
                 "double-applied?"
             )
         nxt = nxt.filter(F.col("n_docs") > 0)
-        gdir = f"g-{epoch:06d}"
-        gpath = os.path.join(path, "groups", gdir)
-        shutil.rmtree(gpath, ignore_errors=True)
-        nxt.coalesce(1).write.mode("overwrite").parquet(gpath)
+        # snapshots retained >= 3 deep: the pointer always lags the
+        # newest commit by at most one (plus at most one phantom), so
+        # the snapshot _current names can never be pruned before the
+        # swap that follows
+        _commit_bucketed(
+            nxt, groot, ["grp"], n_buckets, gentries,
+            changed=gchanged, retain=max(3, retain),
+        )
+        vname = _bucket_history_files(groot)[-1][len("_manifest.h-"):]
         _write_atomic(
-            os.path.join(path, "groups", "_current"), f"{gdir}:{epoch}"
+            os.path.join(groot, "_current"), f"{vname}:{epoch}"
         )
+        if legacy:
+            # the pointer no longer references any g- version: drop
+            # the migrated whole-table dirs (numeric order is
+            # irrelevant — all of them are superseded)
+            for dn in os.listdir(groot):
+                if dn.startswith("g-"):
+                    shutil.rmtree(
+                        os.path.join(groot, dn), ignore_errors=True
+                    )
 
-        # GC: superseded group versions and consumed delta files older
-        # than the retention window (the current epoch's stay for
-        # audit/debug one window long)
-        groot = os.path.join(path, "groups")
-        keep = {gdir, "_current"}
-        vers = sorted(
-            dn for dn in os.listdir(groot)
-            if dn.startswith("g-") and dn not in keep
-        )
-        for stale in vers[: max(0, len(vers) - (retain - 1))]:
-            shutil.rmtree(os.path.join(groot, stale), ignore_errors=True)
+        # GC: consumed delta files older than the retention window
+        # (the current epoch's stay for audit/debug one window long);
+        # superseded groups versions are GC'd by the bucketed sink's
+        # own retention inside _commit_bucketed
         droot = os.path.join(path, "deltas")
         depochs = sorted(
             int(dn.split("=", 1)[1])

@@ -289,3 +289,105 @@ def test_config_pin_refuses_redefinition(spark, tmp_path):
         path, epoch=1, value_type="long", n_buckets=4,
     )
     assert _groups(spark, path) == {"a": (1, 5), "b": (1, 6)}
+
+
+def test_touched_group_rewrites_only_its_bucket(spark, tmp_path):
+    """The r10 scale contract: the groups store is bucketed by grp,
+    and a batch touching ONE group commits a version dir containing
+    exactly that group's bucket — not a whole-table rewrite."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        _read_bucket_manifest,
+    )
+
+    path = str(tmp_path / "view")
+    # epoch 0 populates many groups spread over several buckets
+    b0 = _frame(
+        spark,
+        [
+            _ev(f"a{i}", "insert", 10, i, f"k{i}", _doc(i, f"g{i}"))
+            for i in range(1, 9)
+        ],
+    )
+    agg_view_batch(b0, path, epoch=0, value_type="long", n_buckets=8)
+    groot = os.path.join(path, "groups")
+    before = dict(_read_bucket_manifest(groot)[1])
+    assert len(before) > 2  # the 8 groups spread over >2 buckets
+    # epoch 1 touches exactly one group
+    agg_view_batch(
+        _frame(spark, [_ev("b1", "update", 11, 1, "k1", _doc(99, "g1"))]),
+        path, epoch=1, value_type="long", n_buckets=8,
+    )
+    after = dict(_read_bucket_manifest(groot)[1])
+    changed = {k for k in after if after[k] != before.get(k)}
+    assert len(changed) == 1, (before, after)
+    # untouched buckets keep serving their PRIOR files (no rewrite)
+    assert all(after[k] == before[k] for k in after if k not in changed)
+    assert _groups(spark, path)["g1"] == (1, 99)
+
+
+def test_groups_pointer_is_the_commit_point(spark, tmp_path, monkeypatch):
+    """A phantom bucketed groups commit (crash between the bucketed
+    write and the pointer swap) must stay invisible to readers and be
+    superseded cleanly by the replay."""
+    path = str(tmp_path / "view")
+    agg_view_batch(
+        _frame(spark, [_ev("a1", "insert", 10, 1, "k1", _doc(5, "a"))]),
+        path, epoch=0, value_type="long", n_buckets=4,
+    )
+    b1 = _frame(spark, [_ev("b1", "insert", 11, 1, "k2", _doc(3, "a"))])
+    real = av._write_atomic
+
+    def boom(dest, body):
+        if dest.endswith("_current"):
+            raise RuntimeError("crash at pointer swap")
+        return real(dest, body)
+
+    monkeypatch.setattr(av, "_write_atomic", boom)
+    with pytest.raises(RuntimeError, match="pointer swap"):
+        agg_view_batch(b1, path, epoch=1, value_type="long", n_buckets=4)
+    monkeypatch.setattr(av, "_write_atomic", real)
+    # the phantom commit is invisible: readers resolve via _current
+    assert _groups(spark, path) == {"a": (1, 5)}
+    agg_view_batch(b1, path, epoch=1, value_type="long", n_buckets=4)
+    assert _groups(spark, path) == {"a": (2, 8)}
+
+
+def test_legacy_whole_table_store_migrates_in_place(spark, tmp_path):
+    """A store written in the r9 layout (groups/g-N whole versions)
+    must keep serving reads and fold into the bucketed layout on the
+    first new apply."""
+    path = str(tmp_path / "view")
+    agg_view_batch(
+        _frame(
+            spark,
+            [
+                _ev("a1", "insert", 10, 1, "k1", _doc(5, "a")),
+                _ev("a2", "insert", 10, 2, "k2", _doc(2, "b")),
+            ],
+        ),
+        path, epoch=0, value_type="long", n_buckets=4,
+    )
+    # rewrite the committed state into the LEGACY layout by hand
+    groot = os.path.join(path, "groups")
+    legacy_dir = os.path.join(groot, "g-000000")
+    read_agg_view(spark, path).coalesce(1).write.mode("overwrite").parquet(
+        legacy_dir
+    )
+    for dn in os.listdir(groot):
+        if dn.startswith(("v-", "_manifest")):
+            p = os.path.join(groot, dn)
+            if os.path.isdir(p):
+                import shutil
+
+                shutil.rmtree(p)
+            else:
+                os.unlink(p)
+    av._write_atomic(os.path.join(groot, "_current"), "g-000000:0")
+    assert _groups(spark, path) == {"a": (1, 5), "b": (1, 2)}
+    # the next apply migrates and the g- dir disappears
+    agg_view_batch(
+        _frame(spark, [_ev("b1", "insert", 11, 1, "k3", _doc(1, "a"))]),
+        path, epoch=1, value_type="long", n_buckets=4,
+    )
+    assert _groups(spark, path) == {"a": (2, 6), "b": (1, 2)}
+    assert not any(dn.startswith("g-") for dn in os.listdir(groot))
