@@ -47,8 +47,12 @@ __all__ = [
     "zorder_key",
     "zorder_write",
     "file_minmax_manifest",
+    "footer_minmax_manifest",
+    "read_layout_manifest",
     "pruned_box_scan",
 ]
+
+_MANIFEST_DIR = "_zorder_manifest"
 
 
 def _bucket_from_cuts(col: Column, cuts: list[float]) -> Column:
@@ -175,11 +179,20 @@ def zorder_write(
     cols: list[str],
     n_files: int = 32,
     bits_per_dim: int | None = None,
+    write_manifest: bool = True,
 ) -> None:
     """Rewrite ``df`` at ``path`` clustered on the Z-order of ``cols``:
     sampled range exchange on the Morton key into ``n_files``
     partitions, key-sorted within each so parquet row-group stats are
     tight too, key dropped from the output schema.
+
+    ``write_manifest`` (default) also persists the per-file min/max
+    manifest of ``cols`` to ``<path>/_zorder_manifest`` AS PART OF THE
+    WRITE — derived from the freshly written files' parquet FOOTERS
+    (footer_minmax_manifest: |files| footer reads distributed over
+    executors, no second pass over the data).  The underscore prefix
+    keeps Spark's parquet reader from treating it as table data;
+    pruned_box_scan picks it up automatically.
 
     ``bits_per_dim`` defaults to the resolution the LAYOUT can
     actually use: ``n_files`` envelopes only resolve ~log2(n_files)
@@ -203,6 +216,14 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+    if write_manifest:
+        import os
+
+        spark = df.sparkSession
+        man = footer_minmax_manifest(spark, path, cols)
+        man.write.mode("overwrite").parquet(
+            os.path.join(path, _MANIFEST_DIR)
+        )
 
 
 def file_minmax_manifest(spark, path: str, cols: list[str]) -> DataFrame:
@@ -225,11 +246,121 @@ def file_minmax_manifest(spark, path: str, cols: list[str]) -> DataFrame:
     )
 
 
+def footer_minmax_manifest(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-FILE min/max manifest of ``cols`` built from the parquet
+    FOOTERS alone — |files| footer reads, distributed over executors
+    (mapInPandas over the file list, pyarrow metadata decode per
+    file), never touching the data pages: the cheap way to produce
+    the manifest AS PART OF a write instead of re-scanning the table
+    (file_minmax_manifest's one-aggregation fallback).
+
+    Emits the same (file, {c}_min, {c}_max) columns plus
+    ``__keep_always``: True for a file where some required column's
+    row groups lack min/max statistics WITHOUT being all-null — its
+    envelope is unknown, so a planner must read it (pruning on a null
+    envelope would silently drop matching rows).  An all-null column
+    legitimately keeps a null envelope — no BETWEEN predicate can
+    match a null, so skipping the file stays correct, matching the
+    data-scan manifest's semantics."""
+    import glob as _glob
+    import os
+    from typing import Iterator
+
+    import pandas as pd
+
+    table_schema = spark.read.parquet(path).select(*cols).schema
+    types = {f.name: f.dataType.simpleString() for f in table_schema.fields}
+    out_schema = "file STRING, " + ", ".join(
+        f"`{c}_min` {types[c]}, `{c}_max` {types[c]}" for c in cols
+    ) + ", __keep_always BOOLEAN"
+    files = sorted(
+        f
+        for f in _glob.glob(os.path.join(path, "*.parquet"))
+        if not os.path.basename(f).startswith(("_", "."))
+    )
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                mins: dict = {c: None for c in cols}
+                maxs: dict = {c: None for c in cols}
+                unknown = False
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        c = col.path_in_schema
+                        if c not in mins:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            # stats absent: fine ONLY if the chunk is
+                            # all-null (num_values counts non-nulls) —
+                            # anything else means the envelope is
+                            # unknowable and the file must be read
+                            all_null = (
+                                st is not None
+                                and st.num_values == 0
+                            )
+                            if not all_null:
+                                unknown = True
+                            continue
+                        mins[c] = (
+                            st.min
+                            if mins[c] is None
+                            else min(mins[c], st.min)
+                        )
+                        maxs[c] = (
+                            st.max
+                            if maxs[c] is None
+                            else max(maxs[c], st.max)
+                        )
+                row = [f]
+                for c in cols:
+                    row += [mins[c], maxs[c]]
+                row.append(bool(unknown))
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=["file"]
+                + [f"{c}_{m}" for c in cols for m in ("min", "max")]
+                + ["__keep_always"],
+            )
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file STRING")
+    return fdf.repartition(max(1, min(len(files), 32))).mapInPandas(
+        read_footers, out_schema
+    )
+
+
+def read_layout_manifest(
+    spark, path: str, cols: list[str]
+) -> DataFrame | None:
+    """The manifest sidecar zorder_write persisted under
+    ``<path>/_zorder_manifest``, if present AND covering ``cols``;
+    None otherwise (callers fall back to building one)."""
+    import os
+
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    man = spark.read.parquet(mdir)
+    need = {f"{c}_{m}" for c in cols for m in ("min", "max")}
+    if not need.issubset(set(man.columns)):
+        return None
+    return man
+
+
 def pruned_box_scan(
     spark,
     path: str,
     box: dict[str, tuple],
     manifest: DataFrame | None = None,
+    collect_files: bool = True,
 ):
     """Manifest-driven scan planning: read ONLY the files whose
     min/max envelope intersects the predicate ``box``
@@ -240,26 +371,60 @@ def pruned_box_scan(
     inside files it already opened).  Returns ``(df, files_read,
     files_total)`` so callers can assert the skip rate.
 
+    ``manifest`` defaults to the sidecar zorder_write persisted with
+    the data (read_layout_manifest — no rebuild), falling back to one
+    data-scan rebuild (file_minmax_manifest).
+
+    Two survivor plans:
+
+    - ``collect_files=True`` (default): the surviving file list is
+      collected and handed to the reader — zero I/O on pruned files;
+      right for a SELECTIVE box, where the list is small.
+    - ``collect_files=False``: the survivor set stays DISTRIBUTED —
+      the scan semi-joins ``input_file_name()`` against the manifest's
+      survivors, so the driver never holds a path list (at ~1M files a
+      non-selective box's collected list is ~100 MB of driver
+      strings).  The exact predicate is still pushed into the parquet
+      reader, so footer stats skip row groups; the manifest join
+      prunes rows of non-surviving files rather than skipping their
+      listing.
+
     Correctness does not depend on the layout: a file whose envelope
     misses the box can hold no matching row, so the subset scan equals
     the full scan for ANY clustering — the LAYOUT (zorder_write) only
-    decides how many files survive.  At 100 TB the manifest is |files|
-    rows and would be maintained incrementally rather than rebuilt
-    (file_minmax_manifest)."""
+    decides how many files survive."""
     cols = list(box)
     if manifest is None:
+        manifest = read_layout_manifest(spark, path, cols)
+    if manifest is None:
         manifest = file_minmax_manifest(spark, path, cols)
-    keep = manifest
+    hit = None
     for c, (lo, hi) in box.items():
-        keep = keep.filter(
-            (F.col(f"{c}_min") <= hi) & (F.col(f"{c}_max") >= lo)
-        )
-    files = [r["file"] for r in keep.select("file").collect()]
+        h = (F.col(f"{c}_min") <= hi) & (F.col(f"{c}_max") >= lo)
+        hit = h if hit is None else (hit & h)
+    if "__keep_always" in manifest.columns:
+        # unknown envelope (stats-less file): must be read, never pruned
+        hit = F.coalesce(F.col("__keep_always"), F.lit(False)) | hit
+    keep = manifest.filter(hit)
     total = manifest.count()
     pred = None
     for c, (lo, hi) in box.items():
         p = F.col(c).between(lo, hi)
         pred = p if pred is None else (pred & p)
+    if not collect_files:
+        n_read = keep.count()
+        norm = lambda col: F.regexp_replace(col, "^file:/+", "/")
+        scanned = spark.read.parquet(path).withColumn(
+            "__file", norm(F.input_file_name())
+        )
+        survivors = keep.select(norm(F.col("file")).alias("__file"))
+        df = (
+            scanned.join(survivors, "__file", "semi")
+            .drop("__file")
+            .filter(pred)
+        )
+        return df, n_read, total
+    files = [r["file"] for r in keep.select("file").collect()]
     if not files:
         empty = spark.read.parquet(path).filter(F.lit(False))
         return empty, 0, total

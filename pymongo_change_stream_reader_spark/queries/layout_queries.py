@@ -216,9 +216,10 @@ def layout_zorder_skip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("layout",),
 )
 def layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the manifest filter is |files| rows; the data read is
-    the surviving subset only — the scan never lists or opens pruned
-    files."""
+    """Scale: the manifest filter is |files| rows (served from the
+    sidecar zorder_write persisted with the data — no rebuild scan);
+    the data read is the surviving subset only — the scan never lists
+    or opens pruned files."""
     import shutil
     import tempfile
 
@@ -234,6 +235,65 @@ def layout_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, n_read, n_total = pruned_box_scan(
             spark, path,
             {"l_partkey": (100, 199), "l_suppkey": (1, 10)},
+        )
+        assert n_read <= n_total
+        return (
+            df.select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_partkey",
+                "l_suppkey",
+                F.round("l_extendedprice", 2).alias("price"),
+            )
+            .orderBy("l_orderkey", "l_linenumber")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "layout_zorder_pruned_scan_distributed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 199
+      AND l_suppkey BETWEEN 1 AND 10
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="The NON-SELECTIVE-box variant of manifest pruning: the "
+    "survivor set stays DISTRIBUTED (pruned_box_scan with "
+    "collect_files=False semi-joins input_file_name() against the "
+    "manifest's surviving files) so the driver never materializes a "
+    "path list — at ~1M files a non-selective box's collected list is "
+    "~100 MB of driver strings.  Hash-equal to the same full-table "
+    "oracle as layout_zorder_pruned_scan: both plans must select "
+    "exactly the box's rows.",
+    tags=("layout",),
+)
+def layout_zorder_pruned_scan_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Scale: file listing stays Spark-side; the exact box predicate
+    is still pushed to the parquet reader (row-group skipping), and
+    the manifest join drops rows of non-surviving files."""
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        pruned_box_scan,
+        zorder_write,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = tempfile.mkdtemp(prefix="spark_layout_pruned_d_")
+    try:
+        zorder_write(li, path, ["l_partkey", "l_suppkey"], n_files=32)
+        df, n_read, n_total = pruned_box_scan(
+            spark, path,
+            {"l_partkey": (100, 199), "l_suppkey": (1, 10)},
+            collect_files=False,
         )
         assert n_read <= n_total
         return (

@@ -194,3 +194,65 @@ def test_pruned_scan_equals_full_scan_and_skips(spark, tmp_path):
         spark, path, {"l_partkey": (10**9, 10**9 + 1)}
     )
     assert n0 == 0 and empty.count() == 0
+
+
+def test_manifest_sidecar_written_with_data(spark, tmp_path):
+    """zorder_write persists the per-file min/max manifest as part of
+    the write (footer decode only — no second scan of the data), the
+    sidecar stays invisible to plain data reads, and its envelopes
+    match the data-scan manifest exactly."""
+    import os
+
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        read_layout_manifest,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "z")
+    cols = ["l_partkey", "l_suppkey"]
+    zorder_write(li, path, cols, n_files=8)
+    assert os.path.isdir(os.path.join(path, "_zorder_manifest"))
+    man = read_layout_manifest(spark, path, cols)
+    assert man is not None
+    # underscore prefix: the sidecar is not table data
+    assert spark.read.parquet(path).count() == li.count()
+
+    def norm(p):
+        return p.split("://")[-1].lstrip("/").replace("file:", "")
+
+    footer = {
+        norm(r["file"]): (r["l_partkey_min"], r["l_partkey_max"],
+                          r["l_suppkey_min"], r["l_suppkey_max"])
+        for r in man.collect()
+    }
+    scan = {
+        norm(r["file"]): (r["l_partkey_min"], r["l_partkey_max"],
+                          r["l_suppkey_min"], r["l_suppkey_max"])
+        for r in file_minmax_manifest(spark, path, cols).collect()
+    }
+    assert footer == scan
+    # no stats-less files in a fresh Spark write
+    assert not any(r["__keep_always"] for r in man.collect())
+
+
+def test_pruned_scan_uses_sidecar_and_distributed_path(spark, tmp_path):
+    """pruned_box_scan defaults to the persisted sidecar (no rebuild)
+    and its collect_files=False plan — survivor set kept distributed,
+    semi-join on input_file_name() — returns the identical rows."""
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        pruned_box_scan,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    path = str(tmp_path / "z")
+    zorder_write(li, path, ["l_partkey", "l_suppkey"], n_files=16)
+    box = {"l_partkey": (100, 149), "l_suppkey": (1, 3)}
+    df_c, n_c, total_c = pruned_box_scan(spark, path, box)
+    df_d, n_d, total_d = pruned_box_scan(
+        spark, path, box, collect_files=False
+    )
+    assert (n_c, total_c) == (n_d, total_d)
+    key = ["l_orderkey", "l_linenumber"]
+    assert df_d.select(*key).exceptAll(df_c.select(*key)).count() == 0
+    assert df_c.select(*key).exceptAll(df_d.select(*key)).count() == 0
+    assert 0 < n_c < total_c
