@@ -873,3 +873,70 @@ def cdc_agg_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "cdc_agg_view_minmax",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    ev AS ({_EVG_SQL}),
+    last AS (
+        SELECT key,
+               max_by(operation || '|' || COALESCE(doc, ''), t) AS payload
+        FROM ev GROUP BY key
+    ),
+    final AS (
+        SELECT substr(payload, position('|' IN payload) + 1) AS doc
+        FROM last WHERE split_part(payload, '|', 1) <> 'delete'
+    )
+    SELECT json_extract_string(doc, '$.g') AS grp,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(json_extract_string(doc, '$.v') AS BIGINT))
+                AS BIGINT) AS sum_val,
+           CAST(MIN(CAST(json_extract_string(doc, '$.v') AS BIGINT))
+                AS BIGINT) AS min_val,
+           CAST(MAX(CAST(json_extract_string(doc, '$.v') AS BIGINT))
+                AS BIGINT) AS max_val
+    FROM final
+    GROUP BY grp
+    ORDER BY grp
+    """,
+    doc="MIN/MAX aggregate view maintenance (track_minmax): the same "
+    "3-interleaved-batch change history as cdc_agg_view_incremental, "
+    "but the view also maintains per-group MIN/MAX — arrivals fold "
+    "with least/greatest; a batch removing a contribution at a "
+    "group's stored extremum flags that group in its PERSISTED deltas "
+    "and re-aggregates only the flagged groups from the keys store "
+    "after the keys commit (the textbook non-fully-incremental "
+    "aggregate treatment; candidate set bounded by the batch's "
+    "touched groups).  Hash-compared to the oracle's full recompute "
+    "of COUNT/SUM/MIN/MAX over the final document states.",
+    tags=("cdc", "streaming"),
+)
+def cdc_agg_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.streaming.agg_view import (
+        agg_view_batch,
+        read_agg_view,
+    )
+
+    ev = _agg_view_events(load_table(spark, sf_dir, "events"))
+    path = tempfile.mkdtemp(prefix="spark_cdc_aggview_mm_")
+    try:
+        for i in range(3):
+            agg_view_batch(
+                ev.filter(F.col("clusterTime.t") % 3 == i),
+                path,
+                epoch=i,
+                value_type="long",
+                track_minmax=True,
+            )
+        return (
+            read_agg_view(spark, path).orderBy("grp").localCheckpoint(
+                eager=True
+            )
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -10,9 +10,18 @@ a full-table aggregation every 30 seconds.
 
 Reference parity: the reference relay (producing/change_event_handler
 .py) forwards events; aggregate maintenance is engine extension
-surface, with semantics matching classic incremental view maintenance
-(counting algorithm for SUM/COUNT groups: deletable aggregates only —
-MIN/MAX need a per-group rescan on delete and are deliberately out).
+surface, with semantics matching classic incremental view maintenance:
+the counting algorithm for SUM/COUNT (purely incremental), and —
+opt-in via ``track_minmax`` — MIN/MAX maintained the textbook way for
+non-fully-incremental aggregates: arrivals fold in with
+``least``/``greatest``; a batch that REMOVES a contribution at (or
+beyond) a group's stored extremum flags that group for a rescan, and
+only the flagged groups are re-aggregated from the keys store after
+the keys commit (candidate set = touched groups, bounded per batch;
+untouched batches pay nothing).  The rescan job scans the keys store
+with a pushed ``grp`` filter — the keys are bucketed by KEY, so this
+is the one per-batch job that can touch every key bucket, and only
+when an extremum actually left.
 
 ## Layout under ``path``
 
@@ -107,12 +116,20 @@ def _groups_current(path: str) -> tuple[str, int] | None:
     return dirname, int(epoch)
 
 
-def _deltas_schema(value_type: str) -> str:
-    return f"grp STRING, d_n BIGINT, d_sum {value_type}"
+def _deltas_schema(value_type: str, minmax: bool = False) -> str:
+    base = f"grp STRING, d_n BIGINT, d_sum {value_type}"
+    if minmax:
+        base += (
+            f", a_min {value_type}, a_max {value_type}, rescan BOOLEAN"
+        )
+    return base
 
 
-def _groups_schema(value_type: str) -> str:
-    return f"grp STRING, n_docs BIGINT, sum_val {value_type}"
+def _groups_schema(value_type: str, minmax: bool = False) -> str:
+    base = f"grp STRING, n_docs BIGINT, sum_val {value_type}"
+    if minmax:
+        base += f", min_val {value_type}, max_val {value_type}"
+    return base
 
 
 def _resolve_groups_entries(path: str) -> tuple[dict, int] | None:
@@ -147,9 +164,39 @@ def _resolve_groups_entries(path: str) -> tuple[dict, int] | None:
     )
 
 
+def _read_groups_subset(
+    spark: SparkSession,
+    path: str,
+    buckets: list[int],
+    value_type: str,
+    minmax: bool = False,
+) -> DataFrame:
+    """Committed groups rows of the given bucket ids (resolved via
+    ``_current``), null-filling any columns the stored files predate.
+    Empty frame before the first commit.  Bucketed stores only — the
+    legacy whole-table migration path reads its version dir directly.
+    """
+    empty = spark.createDataFrame([], _groups_schema(value_type, minmax))
+    res = _resolve_groups_entries(path)
+    if res is None:
+        return empty
+    entries, _ep = res
+    groot = os.path.join(path, "groups")
+    out = empty
+    for k in buckets:
+        rel = entries.get(k)
+        if rel and os.path.isdir(os.path.join(groot, rel)):
+            out = out.unionByName(
+                spark.read.parquet(os.path.join(groot, rel)),
+                allowMissingColumns=True,
+            )
+    return out
+
+
 def read_agg_view(spark: SparkSession, path: str) -> DataFrame | None:
-    """The current aggregate table ``(grp, n_docs, sum_val)``; None
-    before the first applied batch."""
+    """The current aggregate table ``(grp, n_docs, sum_val)`` — plus
+    ``min_val``/``max_val`` for a ``track_minmax`` store; None before
+    the first applied batch."""
     res = _resolve_groups_entries(path)
     if res is None:
         return None
@@ -169,7 +216,12 @@ def read_agg_view(spark: SparkSession, path: str) -> DataFrame | None:
         import json as _json
 
         cfg = _json.load(open(os.path.join(path, "_config.json")))
-        return spark.createDataFrame([], _groups_schema(cfg["value_type"]))
+        return spark.createDataFrame(
+            [],
+            _groups_schema(
+                cfg["value_type"], cfg.get("track_minmax", False)
+            ),
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
@@ -190,6 +242,7 @@ def agg_view_batch(
     value_type: str = "double",
     n_buckets: int = 16,
     retain: int = 2,
+    track_minmax: bool = False,
 ) -> bool:
     """Apply one micro-batch of change events to the view at ``path``.
     Returns True when the batch applied, False when the epoch had
@@ -202,6 +255,14 @@ def agg_view_batch(
     stream with fullDocument=updateLookup), exactly the serving-index
     relays' contract — unlike the replica, a contribution cannot be
     patched from an updateDescription without knowing the old value.
+
+    ``track_minmax`` (config-pinned like the paths) adds
+    ``min_val``/``max_val`` to the view (nulls ignored, null when the
+    group's live values are all null): arrivals fold incrementally;
+    removals at a group's stored extremum flag the group for one
+    post-keys-commit rescan (module docstring).  The flags travel IN
+    the persisted deltas, so a replay re-derives the same extrema from
+    the same persisted decision + the (idempotently re-merged) keys.
     """
     spark = batch.sparkSession
     os.makedirs(os.path.join(path, "deltas"), exist_ok=True)
@@ -223,9 +284,14 @@ def agg_view_batch(
             group_path=group_path, value_path=value_path,
             value_type=value_type, n_buckets=n_buckets,
         )
+        if track_minmax:
+            cfg["track_minmax"] = True
         cfg_path = os.path.join(path, "_config.json")
         if os.path.exists(cfg_path):
             stored = _json.load(open(cfg_path))
+            # r9 stores predate the key: absent == False
+            stored.setdefault("track_minmax", False)
+            cfg.setdefault("track_minmax", False)
             if stored != cfg:
                 raise PipelineError(
                     f"agg view at {path!r} was created with {stored}; "
@@ -331,8 +397,102 @@ def agg_view_batch(
                     F.sum("d_n").alias("d_n"),
                     F.sum("d_sum").cast(value_type).alias("d_sum"),
                 )
-                .filter((F.col("d_n") != 0) | (F.col("d_sum") != 0))
             )
+            if track_minmax:
+                # arrivals: the POST-state contributions of the
+                # batch's keys — folding their min/max with
+                # least/greatest is always sound (they are in the
+                # group after this batch)
+                arr = (
+                    merged_full.filter(
+                        F.col("__in_batch") & F.col("w.live")
+                    )
+                    .groupBy(F.col("w.grp").alias("grp"))
+                    .agg(
+                        F.min("w.val").alias("a_min"),
+                        F.max("w.val").alias("a_max"),
+                    )
+                )
+                # removals: an old live contribution the batch ended
+                # (delete / group move / value change) — a stale event
+                # (winner == old) removes nothing
+                ended = ~(
+                    F.col("w.live")
+                    & F.col("w.grp").eqNullSafe(F.col("__o_grp"))
+                    & F.col("w.val").eqNullSafe(F.col("__o_val"))
+                )
+                removals = merged_full.filter(
+                    F.col("__in_batch")
+                    & F.coalesce("__o_live", F.lit(False))
+                    & ended
+                    & F.col("__o_val").isNotNull()
+                ).select(
+                    F.col("__o_grp").alias("grp"),
+                    F.col("__o_val").alias("val"),
+                )
+                # a removal AT the stored extremum may expose a new
+                # one -> rescan that group after the keys commit.
+                # Extrema come from the COMMITTED groups state, read
+                # for the removal groups' buckets only.
+                rb = sorted(
+                    r["b"]
+                    for r in removals.select(
+                        _bucket_of(["grp"], n_buckets).alias("b")
+                    ).distinct().collect()
+                )
+                gstate = _read_groups_subset(
+                    spark, path, rb, value_type, track_minmax
+                )
+                resc = (
+                    removals.alias("__r")
+                    .join(
+                        gstate.alias("__s"),
+                        F.col("__r.grp").eqNullSafe(F.col("__s.grp")),
+                    )
+                    .filter(
+                        (F.col("__r.val") <= F.col("__s.min_val"))
+                        | (F.col("__r.val") >= F.col("__s.max_val"))
+                    )
+                    .select(F.col("__r.grp").alias("grp"))
+                    .distinct()
+                    .withColumn("rescan", F.lit(True))
+                )
+                a = lambda c: F.col(f"__a.{c}")
+                d = (
+                    d.alias("__d")
+                    .join(
+                        arr.alias("__a"),
+                        F.col("__d.grp").eqNullSafe(a("grp")),
+                        "left",
+                    )
+                    .join(
+                        resc.alias("__rs"),
+                        F.col("__d.grp").eqNullSafe(F.col("__rs.grp")),
+                        "left",
+                    )
+                    .select(
+                        F.col("__d.grp").alias("grp"),
+                        "d_n",
+                        "d_sum",
+                        a("a_min").alias("a_min"),
+                        a("a_max").alias("a_max"),
+                        F.coalesce(
+                            F.col("__rs.rescan"), F.lit(False)
+                        ).alias("rescan"),
+                    )
+                    # keep rows that move min/max even when the
+                    # count/sum deltas net to zero (e.g. removals
+                    # {1,5} + arrivals {2,4}): rescan flags and new
+                    # candidate extrema must reach the groups commit
+                    .filter(
+                        (F.col("d_n") != 0)
+                        | (F.col("d_sum") != 0)
+                        | F.col("rescan")
+                        | F.col("a_min").isNotNull()
+                    )
+                )
+            else:
+                d = d.filter((F.col("d_n") != 0) | (F.col("d_sum") != 0))
             tmp = os.path.join(path, "deltas", f".tmp-{epoch}")
             shutil.rmtree(tmp, ignore_errors=True)
             d.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -355,7 +515,9 @@ def agg_view_batch(
         # SAME bucket contents from the same committed base + deltas,
         # so the phantom commit is simply superseded.
         groot = os.path.join(path, "groups")
-        d = spark.read.schema(_deltas_schema(value_type)).parquet(deltas_dir)
+        d = spark.read.schema(
+            _deltas_schema(value_type, track_minmax)
+        ).parquet(deltas_dir)
         gmf = _read_bucket_manifest(groot)
         if gmf is not None and gmf[0] != n_buckets:
             raise PipelineError(
@@ -367,6 +529,7 @@ def agg_view_batch(
         if legacy:
             # one-time in-place migration of an r9 whole-table store:
             # fold the legacy version into every bucket this commit
+            # (legacy stores predate track_minmax, so no minmax here)
             base = spark.read.parquet(os.path.join(groot, cur[0]))
             gchanged = list(range(n_buckets))
         else:
@@ -378,37 +541,68 @@ def agg_view_batch(
                     _bucket_of(["grp"], n_buckets).alias("b")
                 ).distinct().collect()
             )
-            centries = (
-                _resolve_groups_entries(path)[0] if cur is not None else {}
+            base = _read_groups_subset(
+                spark, path, gchanged, value_type, track_minmax
             )
-            gframes = [
-                spark.read.parquet(os.path.join(groot, centries[k]))
-                for k in gchanged
-                if k in centries
-                and os.path.isdir(os.path.join(groot, centries[k]))
-            ]
-            base = spark.createDataFrame([], _groups_schema(value_type))
-            for f in gframes:
-                base = base.unionByName(f, allowMissingColumns=True)
+        if track_minmax:
+            # exact extrema for the flagged groups, from the
+            # just-committed keys (idempotent under replay: the keys
+            # re-merge to the same state).  The flag set is
+            # batch-bounded -> broadcast; the keys scan runs only
+            # when some extremum actually left its group.
+            resc_g = d.filter(F.col("rescan")).select("grp")
+            keys_now = read_bucketed_sink(spark, keys_path)
+            rescanned = (
+                keys_now.filter(F.col("live"))
+                .alias("__k")
+                .join(
+                    F.broadcast(resc_g.alias("__g2")),
+                    F.col("__k.grp").eqNullSafe(F.col("__g2.grp")),
+                )
+                .groupBy(F.col("__k.grp").alias("grp"))
+                .agg(
+                    F.min(F.col("__k.val")).alias("r_min"),
+                    F.max(F.col("__k.val")).alias("r_max"),
+                )
+            )
         g = lambda c: F.col(f"__g.{c}")
         dd = lambda c: F.col(f"__d.{c}")
-        nxt = (
-            base.alias("__g")
-            .join(d.alias("__d"), g("grp").eqNullSafe(dd("grp")), "full")
-            .select(
-                F.coalesce(g("grp"), dd("grp")).alias("grp"),
-                (
-                    F.coalesce(g("n_docs"), F.lit(0))
-                    + F.coalesce(dd("d_n"), F.lit(0))
-                ).alias("n_docs"),
-                (
-                    F.coalesce(g("sum_val"), F.lit(0).cast(value_type))
-                    + F.coalesce(dd("d_sum"), F.lit(0).cast(value_type))
-                )
-                .cast(value_type)
-                .alias("sum_val"),
+        joined = base.alias("__g").join(
+            d.alias("__d"), g("grp").eqNullSafe(dd("grp")), "full"
+        )
+        sel = [
+            F.coalesce(g("grp"), dd("grp")).alias("grp"),
+            (
+                F.coalesce(g("n_docs"), F.lit(0))
+                + F.coalesce(dd("d_n"), F.lit(0))
+            ).alias("n_docs"),
+            (
+                F.coalesce(g("sum_val"), F.lit(0).cast(value_type))
+                + F.coalesce(dd("d_sum"), F.lit(0).cast(value_type))
             )
-        ).localCheckpoint(eager=True)
+            .cast(value_type)
+            .alias("sum_val"),
+        ]
+        if track_minmax:
+            joined = joined.join(
+                rescanned.alias("__r"),
+                F.coalesce(g("grp"), dd("grp")).eqNullSafe(
+                    F.col("__r.grp")
+                ),
+                "left",
+            )
+            flagged = F.coalesce(dd("rescan"), F.lit(False))
+            sel += [
+                F.when(flagged, F.col("__r.r_min"))
+                .otherwise(F.least(g("min_val"), dd("a_min")))
+                .cast(value_type)
+                .alias("min_val"),
+                F.when(flagged, F.col("__r.r_max"))
+                .otherwise(F.greatest(g("max_val"), dd("a_max")))
+                .cast(value_type)
+                .alias("max_val"),
+            ]
+        nxt = joined.select(*sel).localCheckpoint(eager=True)
         # a NEGATIVE count can only mean a double-subtract (deltas
         # applied twice / contribution removed that was never added) —
         # fail the batch loudly instead of silently dropping the group

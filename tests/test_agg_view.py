@@ -391,3 +391,150 @@ def test_legacy_whole_table_store_migrates_in_place(spark, tmp_path):
     )
     assert _groups(spark, path) == {"a": (2, 6), "b": (1, 2)}
     assert not any(dn.startswith("g-") for dn in os.listdir(groot))
+
+
+def _groups_mm(spark, path):
+    view = read_agg_view(spark, path)
+    if view is None:
+        return {}
+    return {
+        r["grp"]: (r["n_docs"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in view.collect()
+    }
+
+
+def test_minmax_insert_update_move_delete(spark, tmp_path):
+    path = str(tmp_path / "view")
+    kw = dict(value_type="long", n_buckets=4, track_minmax=True)
+    agg_view_batch(
+        _frame(
+            spark,
+            [
+                _ev("a1", "insert", 10, 1, "k1", _doc(5, "a")),
+                _ev("a2", "insert", 10, 2, "k2", _doc(7, "a")),
+                _ev("a3", "insert", 10, 3, "k3", _doc(1, "b")),
+            ],
+        ),
+        path, epoch=0, **kw,
+    )
+    assert _groups_mm(spark, path) == {
+        "a": (2, 12, 5, 7), "b": (1, 1, 1, 1),
+    }
+    # min-removal (5->6 in place), max-removal via group move, delete
+    agg_view_batch(
+        _frame(
+            spark,
+            [
+                _ev("b1", "update", 11, 1, "k1", _doc(6, "a")),
+                _ev("b2", "replace", 11, 2, "k2", _doc(7, "b")),
+                _ev("b3", "delete", 11, 3, "k3", None),
+            ],
+        ),
+        path, epoch=1, **kw,
+    )
+    assert _groups_mm(spark, path) == {
+        "a": (1, 6, 6, 6), "b": (1, 7, 7, 7),
+    }
+
+
+def test_minmax_net_zero_sum_delta_still_updates_extrema(spark, tmp_path):
+    """Value swaps whose count/sum deltas cancel to zero must still
+    move min/max: removals {1,5} + arrivals {2,4} keep SUM and COUNT
+    but tighten both extrema."""
+    path = str(tmp_path / "view")
+    kw = dict(value_type="long", n_buckets=4, track_minmax=True)
+    agg_view_batch(
+        _frame(
+            spark,
+            [
+                _ev("a1", "insert", 10, 1, "k1", _doc(1, "a")),
+                _ev("a2", "insert", 10, 2, "k2", _doc(5, "a")),
+            ],
+        ),
+        path, epoch=0, **kw,
+    )
+    agg_view_batch(
+        _frame(
+            spark,
+            [
+                _ev("b1", "update", 11, 1, "k1", _doc(2, "a")),
+                _ev("b2", "update", 11, 2, "k2", _doc(4, "a")),
+            ],
+        ),
+        path, epoch=1, **kw,
+    )
+    assert _groups_mm(spark, path) == {"a": (2, 6, 2, 4)}
+
+
+def test_minmax_null_values_ignored(spark, tmp_path):
+    path = str(tmp_path / "view")
+    kw = dict(value_type="long", n_buckets=4, track_minmax=True)
+    agg_view_batch(
+        _frame(
+            spark,
+            [
+                _ev("a1", "insert", 10, 1, "k1", '{"g": "a"}'),
+                _ev("a2", "insert", 10, 2, "k2", _doc(4, "a")),
+            ],
+        ),
+        path, epoch=0, **kw,
+    )
+    assert _groups_mm(spark, path) == {"a": (2, 4, 4, 4)}
+    # deleting the only non-null value rescans down to an all-null
+    # group: extrema become null, count/sum stay
+    agg_view_batch(
+        _frame(spark, [_ev("b1", "delete", 11, 2, "k2", None)]),
+        path, epoch=1, **kw,
+    )
+    assert _groups_mm(spark, path) == {"a": (1, 0, None, None)}
+
+
+def test_minmax_extremum_delete_replays(spark, tmp_path, monkeypatch):
+    """The chaos case the r9 verdict prescribed: the delete that
+    removes a group's extremum crashes at the groups pointer swap and
+    REPLAYS — the persisted rescan flag plus the idempotent keys
+    re-merge must converge to the exact new extremum."""
+    path = str(tmp_path / "view")
+    kw = dict(value_type="long", n_buckets=4, track_minmax=True)
+    agg_view_batch(
+        _frame(
+            spark,
+            [
+                _ev("a1", "insert", 10, 1, "k1", _doc(9, "a")),
+                _ev("a2", "insert", 10, 2, "k2", _doc(3, "a")),
+            ],
+        ),
+        path, epoch=0, **kw,
+    )
+    b1 = _frame(spark, [_ev("b1", "delete", 11, 2, "k2", None)])
+    real = av._write_atomic
+
+    def boom(dest, body):
+        if dest.endswith("_current"):
+            raise RuntimeError("crash at pointer swap")
+        return real(dest, body)
+
+    monkeypatch.setattr(av, "_write_atomic", boom)
+    with pytest.raises(RuntimeError, match="pointer swap"):
+        agg_view_batch(b1, path, epoch=1, **kw)
+    monkeypatch.setattr(av, "_write_atomic", real)
+    # the persisted deltas carry the rescan flag
+    assert os.path.isdir(os.path.join(path, "deltas", "epoch=1"))
+    assert _groups_mm(spark, path) == {"a": (2, 12, 3, 9)}  # pre-crash
+    agg_view_batch(b1, path, epoch=1, **kw)
+    assert _groups_mm(spark, path) == {"a": (1, 9, 9, 9)}
+    agg_view_batch(b1, path, epoch=1, **kw)  # replay again: no-op
+    assert _groups_mm(spark, path) == {"a": (1, 9, 9, 9)}
+
+
+def test_minmax_config_pinned(spark, tmp_path):
+    path = str(tmp_path / "view")
+    agg_view_batch(
+        _frame(spark, [_ev("a1", "insert", 10, 1, "k1", _doc(5, "a"))]),
+        path, epoch=0, value_type="long", n_buckets=4, track_minmax=True,
+    )
+    with pytest.raises(PipelineError, match="do not compose"):
+        agg_view_batch(
+            _frame(spark, [_ev("a2", "insert", 11, 1, "k2", _doc(6, "a"))]),
+            path, epoch=1, value_type="long", n_buckets=4,
+        )
