@@ -54,6 +54,71 @@ def salted_agg(
     )
 
 
+def sketched_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_cols: list[str],
+    threshold: int,
+    salt_buckets: int = 16,
+    k: int = 512,
+    stats: dict | None = None,
+) -> DataFrame:
+    """The classic two-phase skew join with SKETCHED hot-key
+    detection: one Misra-Gries pass over the big side
+    (operators/heavyhitters.py — k counters per partition, merge of
+    <= (k+1)*partitions rows, never a vocabulary-sized shuffle) finds
+    every key whose frequency MAY reach ``threshold`` (a provable
+    superset — no hot key can be missed), and ONLY those keys fan out:
+
+    - hot rows salt ``salt_buckets`` ways, the small side's hot rows
+      replicate per bucket (the salted_join treatment, paid only by
+      the skewed keys);
+    - cold rows join plain — no replication, no salt column.
+
+    Replacing a fixed hot-key list with the sketch makes the split
+    self-tuning: at 100 TB nobody knows today's hot keys ahead of the
+    batch.  Output rows are identical to ``big.join(small, key_cols)``
+    (oracle-checked by ``join_salted_sketched``).  ``stats``, when
+    given, receives ``{"hot_keys": [...]}`` — the detected candidate
+    set (bounded by the summary size, a driver-safe collect).
+
+    Raises (via heavy_hitter_candidates) when the sketch's error
+    bound reaches ``threshold`` — a silent incomplete hot set would
+    leave a hot key on the cold path's single reducer."""
+    from pymongo_change_stream_reader_spark.operators.heavyhitters import (
+        heavy_hitter_candidates,
+    )
+
+    # one composite string key for the sketch; the same expression
+    # filters both sides, so hot/cold membership is consistent
+    def skey(cols: list[str]) -> Column:
+        parts = [F.col(c).cast("string") for c in cols]
+        return F.concat_ws("\x1f", *parts)
+
+    cand = heavy_hitter_candidates(
+        big.select(skey(key_cols).alias("key")), "key", threshold, k
+    )
+    hot = [r["key"] for r in cand.select("key").collect()]
+    if stats is not None:
+        stats["hot_keys"] = hot
+    if not hot:
+        return big.join(small, key_cols)
+    big_is_hot = skey(key_cols).isin(hot)
+    small_is_hot = skey(key_cols).isin(hot)
+    cold = big.filter(~big_is_hot).join(small.filter(~small_is_hot),
+                                        key_cols)
+    hot_big = big.filter(big_is_hot).withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    hot_small = small.filter(small_is_hot).withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    hot_joined = hot_big.join(hot_small, [*key_cols, "__salt"]).drop(
+        "__salt"
+    )
+    return cold.unionByName(hot_joined)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

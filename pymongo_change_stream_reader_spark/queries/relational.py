@@ -1158,6 +1158,59 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_sketched",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, s.s_name,
+           ROUND(l.l_extendedprice, 2) AS price
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_orderkey < 6000
+    ORDER BY l.l_orderkey, l.l_linenumber
+    """,
+    doc="SKETCH-detected skew join (operators/skew.py:"
+    "sketched_salted_join + operators/heavyhitters.py): a Misra-Gries "
+    "pass over the big side's join keys (k counters per partition, "
+    "no vocabulary-sized shuffle) detects the candidate hot keys — a "
+    "provable superset of every key at/above the threshold — and "
+    "ONLY those salt/replicate; cold keys join plain.  Hash-equal to "
+    "the unsalted equi-join (the oracle), replacing r9's fixed-key "
+    "salting with self-tuning detection: at 100 TB the hot keys of a "
+    "batch are not known ahead of it.  The only-hot-keys-fan-out "
+    "property is pinned in tests/test_skew.py.",
+    tags=("join", "skew", "approx"),
+)
+def join_salted_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.skew import (
+        sketched_salted_join,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 6000)
+        .select("l_orderkey", "l_linenumber", "l_suppkey",
+                "l_extendedprice")
+        .localCheckpoint(eager=True)  # pin: the MG pass and the join
+        # must see one row set
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    n = li.count()
+    out = sketched_salted_join(
+        li, supplier, ["l_suppkey"],
+        threshold=max(2, n // 100), salt_buckets=8,
+    )
+    return (
+        out.select(
+            "l_orderkey",
+            "l_linenumber",
+            "s_name",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
     "agg_hll_mergeable",
     oracle="""
     SELECT o_orderstatus, n_orders, exact_customers,
