@@ -891,7 +891,8 @@ def tombstone_lsh_docs(ids: DataFrame, path: str, id_col: str = "doc") -> int:
         )
         dead = (
             live.join(F.broadcast(want), "doc", "left_semi")
-            .localCheckpoint(eager=True)  # counted AND written
+            .localCheckpoint(eager=False)  # counted AND written; the
+            # count below materializes it — one job, not two
         )
         n = dead.count()
         if n:

@@ -413,7 +413,9 @@ def _bm25_apply_locked(
     # BEFORE this apply appends to the very table it reads
     existing = live.join(
         F.broadcast(ids_in), "doc_id", "inner"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # materialized by the dead-length
+    # aggregate below — still strictly BEFORE any append mutates the
+    # tables this plan reads
     if forbid_existing and up_ids is not None:
         n_dup = existing.join(F.broadcast(up_ids), "doc_id", "left_semi").count()
         if n_dup:
@@ -440,7 +442,8 @@ def _bm25_apply_locked(
             known.join(F.broadcast(up_ids), "doc_id", "left_semi")
             .groupBy("doc_id")
             .agg((F.max("gen") + 1).alias("gen"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized inside the
+            # doclen aggregate below, before any write
         )
     post = _postings(
         upserts
@@ -458,7 +461,8 @@ def _bm25_apply_locked(
         doclen_new = (
             post_g.groupBy("doc_id", "gen")
             .agg(F.sum("tf").alias("dl"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # the count/sum collect
+            # below materializes it
         )
         n_new, new_len = doclen_new.agg(
             F.count("*").cast("double"), F.sum("dl").cast("long")
@@ -694,19 +698,19 @@ def mmr_rerank(
     retrieval, so near-duplicate passages don't crowd a RAG context.
 
     Scale shape: the candidate set is top-k'-sized per query (the
-    caller's retrieval already bounded it), so the pairwise
-    similarities are k'^2 rows per query — computed JVM-side with the
-    sequential-fold cosine (operators/similarity.py), then ONE
-    applyInPandas greedy pass per query group over those precomputed
-    doubles (the Python loop does comparisons and one
-    multiply-subtract per step, never vector math — keeping the float
-    semantics engine-portable).  Ties break on the smaller candidate
-    id.  Returns (q_col, id_col, pos) with pos 1-based."""
-    import pandas as pd
+    caller's retrieval already bounded it), and the greedy loop only
+    ever reads sims against SELECTED items — so the kernel receives
+    the k' candidate EMBEDDINGS per query (k' rows, not a k'^2 pair
+    table; r9's shape materialized every pair) and computes at most
+    k'*k cosines lazily as selections happen.  The Python cosine is
+    the SAME left-to-right fold as the JVM ``dot`` (F.aggregate with a
+    0.0 seed) over IEEE doubles, so scores stay bit-identical to the
+    pair-table form and to the SQL oracle's unrolled arithmetic.
+    Ties break on the smaller candidate id.  Returns
+    (q_col, id_col, pos) with pos 1-based."""
+    import math
 
-    from pymongo_change_stream_reader_spark.operators.similarity import (
-        cosine,
-    )
+    import pandas as pd
 
     one_minus = 1.0 - lam  # match SQL's (1 - lam) bit for bit
     a = cands.select(
@@ -715,25 +719,31 @@ def mmr_rerank(
         F.col(rel_col).cast("double").alias("a_rel"),
         F.col(emb_col).cast("array<double>").alias("a_emb"),
     )
-    b = cands.select(
-        F.col(q_col).alias("q"),
-        F.col(id_col).alias("b_id"),
-        F.col(emb_col).cast("array<double>").alias("b_emb"),
-    )
-    pairs = (
-        a.join(b, "q")
-        .select(
-            "q", "a_id", "a_rel", "b_id",
-            cosine(F.col("a_emb"), F.col("b_emb")).alias("sim"),
-        )
-    )
+
+    def _dot(x, y) -> float:
+        # bit-for-bit the JVM fold: acc starts 0.0, adds left to right
+        acc = 0.0
+        for xi, yi in zip(x, y):
+            acc += xi * yi
+        return acc
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         rel = {}
-        sim = {}
+        emb = {}
+        norm = {}
         for r in pdf.itertuples(index=False):
             rel[r.a_id] = r.a_rel
-            sim[(r.a_id, r.b_id)] = r.sim
+            v = [float(x) for x in r.a_emb]
+            emb[r.a_id] = v
+            norm[r.a_id] = math.sqrt(_dot(v, v))
+        sim: dict = {}  # (c, s) pairs actually read: <= k' * k
+
+        def _sim(c, s) -> float:
+            key = (c, s)
+            if key not in sim:
+                sim[key] = _dot(emb[c], emb[s]) / (norm[c] * norm[s])
+            return sim[key]
+
         selected: list = []
         out = []
         while len(selected) < min(k, len(rel)):
@@ -742,7 +752,7 @@ def mmr_rerank(
                 if c in selected:
                     continue
                 if selected:
-                    penalty = max(sim[(c, s)] for s in selected)
+                    penalty = max(_sim(c, s) for s in selected)
                     score = lam * rc - one_minus * penalty
                 else:
                     score = rc
@@ -759,7 +769,7 @@ def mmr_rerank(
     id_type = dict(cands.dtypes)[id_col]
     q_type = dict(cands.dtypes)[q_col]
     return (
-        pairs.groupBy("q")
+        a.groupBy("q")
         .applyInPandas(
             greedy, f"q {q_type}, id {id_type}, pos INT"
         )

@@ -988,14 +988,15 @@ def _ivf_apply_locked(
         # to a rebuild with the same centroids (shared _cell_assignment)
         assigned = _cell_assignment(
             upserts, cents, id_col, vec_col
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # the count below materializes
         n_new = assigned.count()
     dels = None
     if delete_ids is not None:
         dels = (
             delete_ids.select(F.col(id_col).alias("neighbor_id"))
             .distinct()
-            .localCheckpoint(eager=True)  # pinned before writes mutate
+            .localCheckpoint(eager=False)  # pinned before writes
+            # mutate; the count below materializes it
         )
         if not dels.count():
             dels = None

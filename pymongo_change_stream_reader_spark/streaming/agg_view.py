@@ -176,21 +176,24 @@ def _read_groups_subset(
     Empty frame before the first commit.  Bucketed stores only — the
     legacy whole-table migration path reads its version dir directly.
     """
-    empty = spark.createDataFrame([], _groups_schema(value_type, minmax))
+    schema = _groups_schema(value_type, minmax)
+    empty = spark.createDataFrame([], schema)
     res = _resolve_groups_entries(path)
     if res is None:
         return empty
     entries, _ep = res
     groot = os.path.join(path, "groups")
-    out = empty
-    for k in buckets:
-        rel = entries.get(k)
-        if rel and os.path.isdir(os.path.join(groot, rel)):
-            out = out.unionByName(
-                spark.read.parquet(os.path.join(groot, rel)),
-                allowMissingColumns=True,
-            )
-    return out
+    dirs = [
+        os.path.join(groot, entries[k])
+        for k in buckets
+        if k in entries
+        and os.path.isdir(os.path.join(groot, entries[k]))
+    ]
+    if not dirs:
+        return empty
+    # one read, explicit schema: no per-dir footer inference, and
+    # pre-minmax files null-fill the extrema columns
+    return spark.read.schema(schema).parquet(*dirs)
 
 
 def read_agg_view(spark: SparkSession, path: str) -> DataFrame | None:
@@ -304,16 +307,25 @@ def agg_view_batch(
         if cur is not None and cur[1] >= epoch:
             # replayed epoch: fully applied (groups commit last)
             return False
-        if not data.filter(
-            (F.col("operationType") != "delete")
-            & F.col("fullDocument").isNull()
-        ).isEmpty():
+        # the post-image check rides the last-per-key shuffle (one
+        # batch scan, not two) and is read off the checkpointed
+        # key-sized frame
+        last = _last_event_per_key(
+            data,
+            extra_aggs={
+                "__bad": F.max(
+                    (F.col("op") != "delete") & F.col("doc").isNull()
+                )
+            },
+        ).localCheckpoint(eager=False)  # the __bad probe below
+        # materializes it — one batch scan total
+        if not last.filter(F.col("__bad")).isEmpty():
             raise PipelineError(
                 "agg view maintenance needs a post-image per non-delete "
                 "event (fullDocument=updateLookup): an update's old "
                 "contribution cannot be subtracted from a field delta"
             )
-        last = _last_event_per_key(data).localCheckpoint(eager=True)
+        last = last.drop("__bad")
         live = F.col("op") != "delete"
         new = last.select(
             "key",
@@ -336,12 +348,14 @@ def agg_view_batch(
                 f"agg view at {path!r} has {mf[0]} buckets, not {n_buckets}"
             )
         entries = dict(mf[1]) if mf is not None else {}
-        old = None
-        for k in changed:
-            rel = entries.get(k)
-            if rel and os.path.isdir(os.path.join(keys_path, rel)):
-                f = spark.read.parquet(os.path.join(keys_path, rel))
-                old = f if old is None else old.unionByName(f)
+        from pymongo_change_stream_reader_spark.plans.pipeline import (
+            _read_entry_dirs,
+        )
+
+        old = _read_entry_dirs(
+            spark, keys_path,
+            [entries[k] for k in changed if k in entries],
+        )
 
         o = lambda c: F.col(f"__o.{c}")
         n = lambda c: F.col(f"__n.{c}")
@@ -368,7 +382,8 @@ def agg_view_batch(
             o("val").alias("__o_val"),
             n("key").isNotNull().alias("__in_batch"),
             winner.alias("w"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # first consumer (deltas write
+        # or, on replay, the keys commit) materializes it once
 
         deltas_dir = os.path.join(path, "deltas", f"epoch={epoch}")
         if not os.path.isdir(deltas_dir):
@@ -503,7 +518,7 @@ def agg_view_batch(
         merged_keys = merged_full.select("w.*")
         _commit_bucketed(
             merged_keys, keys_path, ["key"], n_buckets, entries,
-            changed=changed, retain=retain,
+            changed=changed, retain=retain, return_df=False,
         )
 
         # groups commit: the persisted deltas merge into ONLY the
@@ -602,7 +617,8 @@ def agg_view_batch(
                 .cast(value_type)
                 .alias("max_val"),
             ]
-        nxt = joined.select(*sel).localCheckpoint(eager=True)
+        nxt = joined.select(*sel).localCheckpoint(eager=False)
+        # the invariant probe below materializes it
         # a NEGATIVE count can only mean a double-subtract (deltas
         # applied twice / contribution removed that was never added) —
         # fail the batch loudly instead of silently dropping the group
@@ -622,7 +638,7 @@ def agg_view_batch(
         # swap that follows
         _commit_bucketed(
             nxt, groot, ["grp"], n_buckets, gentries,
-            changed=gchanged, retain=max(3, retain),
+            changed=gchanged, retain=max(3, retain), return_df=False,
         )
         vname = _bucket_history_files(groot)[-1][len("_manifest.h-"):]
         _write_atomic(

@@ -98,7 +98,7 @@ def ann_ingest_batch(
     # the same LWW reduction as the BM25 relay, over the embedding
     # column (max_by orders on the event's cluster time, not the value)
     effects = _last_effect_per_key(batch, vec_col, key_col).localCheckpoint(
-        eager=True  # split two ways below
+        eager=False  # split two ways below; first consumer materializes
     )
     upserts = effects.filter(F.col("op") != "delete").select(
         F.col("doc").alias("vec_id"), F.col("text").alias("embedding")

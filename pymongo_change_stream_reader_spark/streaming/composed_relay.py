@@ -147,8 +147,25 @@ def composed_apply_batch(
 
     qid = _query_id(checkpoint_dir)
     outcome: dict[str, str] = {}
-    # ONE materialization of the source batch, shared by every store
-    pinned = _timed("pin", lambda: batch.localCheckpoint(eager=True))
+
+    def _pin() -> DataFrame:
+        # ONE materialization of the source batch, shared by every
+        # store — then shrink the partition count to the batch's SIZE:
+        # a 2k-event trigger arriving in 32 source partitions would
+        # otherwise cost every store's first stage 32 near-empty tasks
+        # (x5 stores x several stages = a real slice of the
+        # small-batch floor, measured).  ~250 rows/task keeps the
+        # CPU-bound maps (shingling, tokenizing) parallel while
+        # dropping the empty-task overhead; large batches keep their
+        # layout — the coalesce only ever narrows.
+        import math
+
+        p = batch.localCheckpoint(eager=True)
+        parts = p.rdd.getNumPartitions()
+        tgt = max(1, min(parts, math.ceil(p.count() / 250)))
+        return p.coalesce(tgt) if tgt < parts else p
+
+    pinned = _timed("pin", _pin)
 
     # each section runs its own marker probe + apply + commit and
     # returns its outcome string — safe to run concurrently with the
@@ -157,9 +174,11 @@ def composed_apply_batch(
     if replica_path is not None:
 
         def _replica() -> str:
-            # idempotent by LWW — replays converge without a marker
+            # idempotent by LWW — replays converge without a marker;
+            # the post-apply frame is unused, skip building it
             materialize_change_batch(
-                pinned, replica_path, n_buckets, retain=retain
+                pinned, replica_path, n_buckets, retain=retain,
+                return_df=False,
             )
             return "applied"
 

@@ -142,7 +142,9 @@ def dedup_flag_batch(
             "recovers first) before writing new flags"
         )
     effects = _last_effect_per_key(batch, text_col, key_col).localCheckpoint(
-        eager=True  # split, probed AND appended below
+        eager=False  # split, probed AND appended below; materializes
+        # at the first consumer (the tombstone pass) — one job, not a
+        # barrier plus a job
     )
     docs = effects.filter(F.col("op") != "delete").select("doc", "text")
     n_flags = 0
@@ -168,7 +170,9 @@ def dedup_flag_batch(
             # must finish before any compaction may swap the dirs
             flagged = (
                 cand.filter(F.col("new_id") != F.col("corpus_id"))
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)  # the count below IS the
+                # materialization — still exactly one run of the
+                # index-scan join, still inside the shared lock
             )
             n_flags = flagged.count()
             if n_flags:

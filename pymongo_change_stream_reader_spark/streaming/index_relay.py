@@ -102,7 +102,8 @@ def bm25_ingest_batch(
     Returns ``{"upserted": n, "tombstoned": m}``."""
     _require_local_path(index_path, "index_path")
     effects = _last_effect_per_key(batch, text_col, key_col).localCheckpoint(
-        eager=True  # split two ways + aggregated below
+        eager=False  # split two ways + aggregated below; first
+        # consumer materializes
     )
     upserts = effects.filter(F.col("op") != "delete").select(
         F.col("doc").alias("doc_id"), F.col("text")

@@ -63,10 +63,16 @@ _KEY = "documentKey"
 _ORDER = ("__t", "__i", "__d")
 
 
-def _last_event_per_key(batch: DataFrame) -> DataFrame:
+def _last_event_per_key(
+    batch: DataFrame, extra_aggs: dict | None = None
+) -> DataFrame:
     """Reduce a micro-batch to its final effect per document key:
     max_by the LWW triple.  One hash aggregation (map-side partials);
-    no window, no sort."""
+    no window, no sort.  ``extra_aggs`` ({name: aggregate Column over
+    the (key, op, doc, __t, __i, __d) projection}) piggybacks
+    validation aggregates onto the SAME shuffle — one batch scan
+    instead of two for callers that must also inspect every raw event
+    (the agg view's post-image check)."""
     ev = batch.select(
         F.col(_KEY).alias("key"),
         F.col("operationType").alias("op"),
@@ -79,9 +85,14 @@ def _last_event_per_key(batch: DataFrame) -> DataFrame:
     payload = F.struct(
         F.col("op"), F.col("doc"), *[F.col(c) for c in _ORDER]
     )
-    last = ev.groupBy("key").agg(F.max_by(payload, trip).alias("p"))
+    extras = extra_aggs or {}
+    last = ev.groupBy("key").agg(
+        F.max_by(payload, trip).alias("p"),
+        *[v.alias(k) for k, v in extras.items()],
+    )
     return last.select(
-        "key", "p.op", "p.doc", *[F.col(f"p.{c}") for c in _ORDER]
+        "key", "p.op", "p.doc", *[F.col(f"p.{c}") for c in _ORDER],
+        *extras,
     )
 
 
@@ -279,8 +290,12 @@ def _patch_doc_udf():
 
 
 def materialize_change_batch(
-    batch: DataFrame, path: str, n_buckets: int = 16, retain: int = 2
-) -> DataFrame:
+    batch: DataFrame,
+    path: str,
+    n_buckets: int = 16,
+    retain: int = 2,
+    return_df: bool = True,
+) -> DataFrame | None:
     """Apply one batch of change events to the replica at ``path``.
 
     Returns the post-apply replica (key, doc, __t, __i, __d).  Only
@@ -339,13 +354,15 @@ def materialize_change_batch(
     # effect is silently lost (last-writer-wins)
     with bucketed_sink_lock(path):
         return _materialize_locked(
-            spark, last, path, n_buckets, changed, retain
+            spark, last, path, n_buckets, changed, retain,
+            return_df=return_df,
         )
 
 
 def _materialize_locked(
-    spark, last, path: str, n_buckets: int, changed, retain: int
-) -> DataFrame:
+    spark, last, path: str, n_buckets: int, changed, retain: int,
+    return_df: bool = True,
+) -> DataFrame | None:
     """The manifest-read → LWW-merge → commit span of
     materialize_change_batch; callers hold bucketed_sink_lock."""
     import os
@@ -356,12 +373,13 @@ def _materialize_locked(
             f"replica at {path!r} has {mf[0]} buckets, not {n_buckets}"
         )
     entries = dict(mf[1]) if mf is not None else {}
-    old = None
-    for k in changed:
-        rel = entries.get(k)
-        if rel and os.path.isdir(os.path.join(path, rel)):
-            f = spark.read.parquet(os.path.join(path, rel))
-            old = f if old is None else old.unionByName(f)
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        _read_entry_dirs,
+    )
+
+    old = _read_entry_dirs(
+        spark, path, [entries[k] for k in changed if k in entries]
+    )
     new = last
     with_deltas = "deltas" in last.columns
     if with_deltas:
@@ -443,7 +461,8 @@ def _materialize_locked(
             first_doc = F.when(F.col("op") != "delete", F.col("doc"))
         merged = new.select("key", first_doc.alias("doc"), *_ORDER)
     return _commit_bucketed(
-        merged, path, ["key"], n_buckets, entries, changed, retain=retain
+        merged, path, ["key"], n_buckets, entries, changed, retain=retain,
+        return_df=return_df,
     )
 
 

@@ -205,3 +205,24 @@ def test_mmr_k_exceeding_candidates_returns_all(spark):
     )
     out = mmr_rerank(cand, k=10, lam=0.7).collect()
     assert len(out) == 2
+
+
+def test_mmr_plan_has_no_pair_join(spark):
+    """r10 shape contract: the kernel receives k' candidate rows per
+    query, never a k'^2 pair table — the plan must contain no join
+    (r9 built a self-join of candidates on q)."""
+    from pymongo_change_stream_reader_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+    from pyspark.sql import functions as F
+
+    cand = spark.createDataFrame(
+        [(1, i, 1.0 / (i + 1), [float(i), 1.0]) for i in range(20)],
+        "q_id INT, cand_id INT, rel DOUBLE, embedding ARRAY<DOUBLE>",
+    )
+    out = mmr_rerank(cand, k=5, lam=0.7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan, j
+    assert out.count() == 5
