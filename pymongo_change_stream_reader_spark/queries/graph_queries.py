@@ -77,3 +77,136 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "v", F.round("rank", 8).alias("rank")
     ).orderBy("v")
+
+
+_PRD_STEP = """
+    SELECT vt.v,
+           (1 - 0.85) / MAX(nv.n)
+           + 0.85 * (COALESCE(MAX(c.s), 0)
+                     + MAX({dm}.m) / MAX(nv.n)) AS rank
+    FROM verts vt
+    LEFT JOIN (
+        SELECT e.dst AS v, SUM(p.rank / d.outdeg) AS s
+        FROM edges e
+        JOIN {prev} p ON p.v = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) c ON c.v = vt.v, nv, {dm}
+    GROUP BY vt.v
+"""
+
+_PRD_DM = """
+    SELECT COALESCE(SUM(rank), 0) AS m FROM {prev}
+    WHERE v NOT IN (SELECT src FROM edges)
+"""
+
+
+@query(
+    "graph_pagerank_directed",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem
+    ),
+    verts AS (
+        SELECT src AS v FROM edges UNION SELECT dst FROM edges
+    ),
+    nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    pr0 AS (SELECT v, 1.0 / n AS rank FROM verts, nv),
+    dm0 AS ({_PRD_DM.format(prev="pr0")}),
+    pr1 AS ({_PRD_STEP.format(prev="pr0", dm="dm0")}),
+    dm1 AS ({_PRD_DM.format(prev="pr1")}),
+    pr2 AS ({_PRD_STEP.format(prev="pr1", dm="dm1")}),
+    dm2 AS ({_PRD_DM.format(prev="pr2")}),
+    pr3 AS ({_PRD_STEP.format(prev="pr2", dm="dm2")})
+    SELECT v, ROUND(rank, 8) AS rank FROM pr3 ORDER BY v
+    """,
+    doc="PageRank over the DIRECTED part->supplier graph — every "
+    "part vertex has in-degree 0 (it must keep its teleport share "
+    "and keep donating: the r9 inner-rebuild bug dropped such "
+    "vertices after round 1), and every supplier vertex is DANGLING "
+    "(its rank mass redistributes uniformly each round — one scalar "
+    "aggregate; total mass stays exactly 1).  The oracle unrolls the "
+    "same three rounds with an explicit dangling-mass CTE per round.",
+    tags=("graph",),
+)
+def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.graphs import pagerank
+
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return ranks.select(
+        "v", F.round("rank", 8).alias("rank")
+    ).orderBy("v")
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        FROM lineitem WHERE l_orderkey < 30000
+    ),
+    edges AS (
+        SELECT DISTINCT a.s AS a, b.s AS b
+        FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    doc="Triangle counting over the supplier co-occurrence graph "
+    "(suppliers sharing an order) by the standard ordered-edge "
+    "3-way join: edges kept as a < b, so each triangle (a<b<c) is "
+    "counted exactly once with no orientation dedup pass.  At 100 TB "
+    "the same plan holds with a degree-based orientation (point each "
+    "edge at the higher-degree endpoint) to cap the join fan-out of "
+    "hub vertices; the co-occurrence build shuffles on the order key "
+    "and the joins on the edge endpoints — hash joins end to end, no "
+    "windows, no driver state.",
+    tags=("graph",),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 30000)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = pairs.alias("__a")
+    b = pairs.alias("__b")
+    edges = (
+        a.join(
+            b,
+            (F.col("__a.o") == F.col("__b.o"))
+            & (F.col("__a.s") < F.col("__b.s")),
+        )
+        .select(F.col("__a.s").alias("a"), F.col("__b.s").alias("b"))
+        .distinct()
+    )
+    e1 = edges.alias("__e1")
+    e2 = edges.alias("__e2")
+    e3 = edges.alias("__e3")
+    return (
+        e1.join(e2, F.col("__e2.a") == F.col("__e1.b"))
+        .join(
+            e3,
+            (F.col("__e3.a") == F.col("__e1.a"))
+            & (F.col("__e3.b") == F.col("__e2.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )

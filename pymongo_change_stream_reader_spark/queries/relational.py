@@ -1211,6 +1211,57 @@ def join_salted_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_quantiles_mergeable",
+    oracle="""
+    SELECT p, TRUE AS within_bound
+    FROM (VALUES (0.1), (0.5), (0.9), (0.99)) AS t(p)
+    ORDER BY p
+    """,
+    doc="Mergeable quantile sketch (operators/quantiles.py — the "
+    "deterministic KLL/MRL multi-level compactor) under the "
+    "property-boolean oracle pattern (agg_approx precedent: the "
+    "sketch's internal values are partition-layout-dependent numbers "
+    "DuckDB cannot reproduce, so the query emits booleans computed "
+    "Spark-side against EXACT ranks): per-partition compactors over "
+    "l_extendedprice (<= k doubles per level per task) merge by "
+    "union, the probe runs over the summary-sized (value, weight) "
+    "table, and every estimated quantile's exact rank — one "
+    "aggregation over the data computes all four — sits within 5% of "
+    "its target.  Tighter adversarial bounds are pinned in "
+    "tests/test_quantiles.py.",
+    tags=("agg", "approx"),
+)
+def sketch_quantiles_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.quantiles import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    probs = [0.1, 0.5, 0.9, 0.99]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    n = li.count()
+    sk = quantile_sketch(li, "x", k=256).localCheckpoint(eager=True)
+    est = sorted(
+        quantile_estimate(sk, probs).collect(), key=lambda r: r["p"]
+    )
+    ranks = li.agg(
+        *[
+            F.sum((F.col("x") <= e["value"]).cast("long")).alias(f"r{i}")
+            for i, e in enumerate(est)
+        ]
+    ).first()
+    rows = [
+        (e["p"], bool(abs(ranks[i] / n - e["p"]) <= 0.05))
+        for i, e in enumerate(est)
+    ]
+    return spark.createDataFrame(
+        rows, "p DOUBLE, within_bound BOOLEAN"
+    ).orderBy("p")
+
+
+@query(
     "agg_hll_mergeable",
     oracle="""
     SELECT o_orderstatus, n_orders, exact_customers,
