@@ -108,6 +108,7 @@ def main() -> None:
             agg_group_path=cfg.agg_group_path,
             agg_value_path=cfg.agg_value_path,
             agg_value_type=cfg.agg_value_type,
+            agg_track_minmax=cfg.agg_track_minmax,
         )
     elif cfg.replica_path:
         # engine extension: REPLICA_PATH switches the sink to replica

@@ -71,6 +71,9 @@ class EngineSettings:
     agg_group_path: str = "$.g"
     agg_value_path: str = "$.v"
     agg_value_type: str = "double"
+    # opt-in MIN/MAX maintenance (bounded extremum rescans) —
+    # config-pinned at the store like the paths
+    agg_track_minmax: bool = False
     # lifecycle
     program_start_timeout: int = 60
     program_graceful_stop_timeout: int = 20
@@ -138,6 +141,8 @@ def settings_from_env() -> EngineSettings:
         agg_group_path=env.get("AGG_GROUP_PATH", "$.g"),
         agg_value_path=env.get("AGG_VALUE_PATH", "$.v"),
         agg_value_type=env.get("AGG_VALUE_TYPE", "double"),
+        agg_track_minmax=env.get("AGG_TRACK_MINMAX", "").lower()
+        in ("1", "true", "yes"),
         program_start_timeout=int(env.get("PROGRAM_START_TIMEOUT", "60")),
         program_graceful_stop_timeout=int(
             env.get("PROGRAM_GRACEFUL_STOP_TIMEOUT", "20")

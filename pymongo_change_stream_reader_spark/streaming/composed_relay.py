@@ -106,6 +106,7 @@ def composed_apply_batch(
     agg_group_path: str = "$.g",
     agg_value_path: str = "$.v",
     agg_value_type: str = "double",
+    agg_track_minmax: bool = False,
 ) -> dict:
     """Apply one micro-batch to every enabled store (see module
     docstring).  Returns per-store outcomes: ``applied`` /
@@ -257,6 +258,7 @@ def composed_apply_batch(
                 value_type=agg_value_type,
                 n_buckets=n_buckets,
                 retain=retain,
+                track_minmax=agg_track_minmax,
             )
             return "applied" if applied else "replayed-skip"
 
@@ -321,6 +323,7 @@ def start_composed_relay(
     agg_group_path: str = "$.g",
     agg_value_path: str = "$.v",
     agg_value_type: str = "double",
+    agg_track_minmax: bool = False,
 ):
     """Streaming entry point: one stream, one source read per trigger,
     every enabled store maintained.  Enable a store by passing its
@@ -391,6 +394,7 @@ def start_composed_relay(
             agg_group_path=agg_group_path,
             agg_value_path=agg_value_path,
             agg_value_type=agg_value_type,
+            agg_track_minmax=agg_track_minmax,
         )
 
     writer = (

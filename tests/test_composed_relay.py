@@ -387,6 +387,8 @@ def test_composed_relay_with_agg_view_store(spark, tmp_path):
         replica_path=str(tmp_path / "replica"),
         agg_view_path=str(tmp_path / "view"),
         agg_value_type="long",
+        agg_track_minmax=True,  # r10: the flag threads through the
+        # composed apply (and the env surface, test_stream_joins)
     )
     os.makedirs(p["checkpoint_dir"], exist_ok=True)
     out = composed_apply_batch(
@@ -412,10 +414,10 @@ def test_composed_relay_with_agg_view_store(spark, tmp_path):
     )
     assert out["aggview"] == "applied"
     groups = {
-        r["grp"]: (r["n_docs"], r["sum_val"])
+        r["grp"]: (r["n_docs"], r["sum_val"], r["min_val"], r["max_val"])
         for r in read_agg_view(spark, p["agg_view_path"]).collect()
     }
-    assert groups == {"b": (1, 6)}
+    assert groups == {"b": (1, 6, 6, 6)}
     # replica saw the same batches
     assert {
         r["key"]

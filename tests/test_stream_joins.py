@@ -194,6 +194,7 @@ def test_settings_from_env_composed_stores(monkeypatch):
         "AGG_VIEW_PATH": "/data/view",
         "AGG_GROUP_PATH": "$.category",
         "AGG_VALUE_TYPE": "long",
+        "AGG_TRACK_MINMAX": "true",
     }.items():
         monkeypatch.setenv(k, v)
     cfg = settings_from_env()
@@ -206,6 +207,7 @@ def test_settings_from_env_composed_stores(monkeypatch):
     assert (cfg.agg_view_path, cfg.agg_group_path, cfg.agg_value_path,
             cfg.agg_value_type) == ("/data/view", "$.category", "$.v",
                                     "long")
+    assert cfg.agg_track_minmax is True
 
 
 def test_settings_validation(monkeypatch):
