@@ -21,7 +21,73 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count of the UNDIRECTED graph under ``edges``
+    (directions/duplicates/self-loops are normalized away) by the
+    degree-oriented join — the shape that survives hub vertices at
+    100 TB:
+
+    1. canonicalize each edge to (a, b) with a < b, distinct;
+    2. orient every edge from its LOWER endpoint to its HIGHER under
+       the (degree, id) total order — an acyclic orientation, so each
+       triangle has exactly one vertex with two out-edges and is
+       counted exactly once;
+    3. join out-edges on the middle vertex, then semi-check the
+       closing edge: count(o1(u,v) ⋈ o2(v,w) ⋈ o3(u,w)).
+
+    Why (degree, id) and not plain id order: under id order a hub
+    vertex with d neighbors of higher id contributes d^2 join
+    candidates; degree orientation caps every vertex's out-degree at
+    O(sqrt(|E|)) (a classic bound), so the candidate fan-out is
+    O(|E|^1.5) worst case with no single straggler task — plus AQE's
+    skew-join splitting on the remaining heavy keys.  Three hash
+    joins + one hash aggregation; no windows, no driver state.
+    Returns one row (n_triangles)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    o1 = oriented.alias("__o1")
+    o2 = oriented.alias("__o2")
+    o3 = oriented.alias("__o3")
+    return (
+        o1.join(o2, F.col("__o2.u") == F.col("__o1.v"))
+        .join(
+            o3,
+            (F.col("__o3.u") == F.col("__o1.u"))
+            & (F.col("__o3.v") == F.col("__o2.v")),
+            "semi",
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
 
 
 def pagerank(

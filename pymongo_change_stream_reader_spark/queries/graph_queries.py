@@ -170,17 +170,21 @@ def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
     """,
     doc="Triangle counting over the supplier co-occurrence graph "
-    "(suppliers sharing an order) by the standard ordered-edge "
-    "3-way join: edges kept as a < b, so each triangle (a<b<c) is "
-    "counted exactly once with no orientation dedup pass.  At 100 TB "
-    "the same plan holds with a degree-based orientation (point each "
-    "edge at the higher-degree endpoint) to cap the join fan-out of "
-    "hub vertices; the co-occurrence build shuffles on the order key "
-    "and the joins on the edge endpoints — hash joins end to end, no "
-    "windows, no driver state.",
+    "(suppliers sharing an order) via operators/graphs.py:"
+    "triangle_count — the DEGREE-ORIENTED wedge join (each edge "
+    "points at its higher-(degree, id) endpoint; the orientation is "
+    "acyclic, so each triangle is counted exactly once, and every "
+    "vertex's out-degree is capped at O(sqrt(|E|)), the classic "
+    "hub-fan-out bound).  The oracle counts the same triangles with "
+    "the simple id-ordered 3-way join — any acyclic orientation "
+    "yields the same count, so the two plans must agree exactly.",
     tags=("graph",),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.graphs import (
+        triangle_count,
+    )
+
     pairs = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") < 30000)
@@ -189,24 +193,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = pairs.alias("__a")
     b = pairs.alias("__b")
-    edges = (
-        a.join(
-            b,
-            (F.col("__a.o") == F.col("__b.o"))
-            & (F.col("__a.s") < F.col("__b.s")),
-        )
-        .select(F.col("__a.s").alias("a"), F.col("__b.s").alias("b"))
-        .distinct()
-    )
-    e1 = edges.alias("__e1")
-    e2 = edges.alias("__e2")
-    e3 = edges.alias("__e3")
-    return (
-        e1.join(e2, F.col("__e2.a") == F.col("__e1.b"))
-        .join(
-            e3,
-            (F.col("__e3.a") == F.col("__e1.a"))
-            & (F.col("__e3.b") == F.col("__e2.b")),
-        )
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    edges = a.join(
+        b,
+        (F.col("__a.o") == F.col("__b.o"))
+        & (F.col("__a.s") < F.col("__b.s")),
+    ).select(F.col("__a.s").alias("src"), F.col("__b.s").alias("dst"))
+    return triangle_count(edges)

@@ -122,3 +122,51 @@ def test_symmetric_pair_is_uniform(spark):
          .collect()}
     assert r["a"] == pytest.approx(0.5, abs=1e-12)
     assert r["b"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_triangle_count_known_graphs(spark):
+    from itertools import combinations
+
+    from pymongo_change_stream_reader_spark.operators.graphs import (
+        triangle_count,
+    )
+
+    def count(pairs):
+        return triangle_count(_edges(spark, pairs)).first()["n_triangles"]
+
+    # K4: C(4,3) = 4 triangles; direction/duplicate/self-loop noise
+    # must normalize away
+    k4 = [(a, b) for a, b in combinations("abcd", 2)]
+    noisy = k4 + [(b, a) for a, b in k4] + [("a", "a"), ("b", "b")]
+    assert count(noisy) == 4
+    # 5-cycle: no triangles
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "a")]
+    assert count(cyc) == 0
+    # hub star + one rim edge: exactly the hub triangle
+    star = [("h", x) for x in "pqrstuv"] + [("p", "q")]
+    assert count(star) == 1
+    # two disjoint triangles sharing nothing
+    two = [("a", "b"), ("b", "c"), ("c", "a"),
+           ("x", "y"), ("y", "z"), ("z", "x")]
+    assert count(two) == 2
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    import random
+    from itertools import combinations
+
+    from pymongo_change_stream_reader_spark.operators.graphs import (
+        triangle_count,
+    )
+
+    rng = random.Random(13)
+    verts = [f"v{i}" for i in range(18)]
+    pairs = [e for e in combinations(verts, 2) if rng.random() < 0.3]
+    adj = set(pairs) | {(b, a) for a, b in pairs}
+    brute = sum(
+        1
+        for t in combinations(verts, 3)
+        if (t[0], t[1]) in adj and (t[1], t[2]) in adj and (t[0], t[2]) in adj
+    )
+    got = triangle_count(_edges(spark, pairs)).first()["n_triangles"]
+    assert got == brute
