@@ -50,6 +50,8 @@ _MODULES = (
     "multimodal_queries",
     "layout_queries",
     "graph_queries",
+    "dq_queries",
+    "ts_queries",
 )
 
 

@@ -1,0 +1,115 @@
+"""Data-quality audit operators (operators/dataquality.py): profile
+metrics, the single-pass constraint algebra (scoped rules, empty
+scopes), referential orphan detection, freshness lag."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.dataquality import (
+    Check,
+    constraint_audit,
+    freshness_lag,
+    profile_columns,
+    referential_orphans,
+)
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b"), (3, None)],
+        "k INT, s STRING",
+    )
+    prof = {r["column"]: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert prof["k"]["n_rows"] == 5
+    assert prof["k"]["n_nulls"] == 1
+    assert prof["k"]["n_distinct"] == 3
+    assert prof["k"]["completeness"] == 0.8
+    assert prof["s"]["n_nulls"] == 2
+    assert prof["s"]["n_distinct"] == 2
+    assert prof["s"]["completeness"] == 0.6
+
+
+def test_profile_approx_mode_runs_without_expand(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("m")
+    )
+    prof = profile_columns(df, ["id", "m"], exact=False)
+    assert "Expand" not in prof._jdf.queryExecution().executedPlan().toString()
+    got = {r["column"]: r["n_distinct"] for r in prof.collect()}
+    # HLL at default rsd is exact at these cardinalities
+    assert got["m"] == 7
+    assert abs(got["id"] - 1000) <= 30
+
+
+def test_constraint_audit_scoped_and_empty_scope(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (-2, "x"), (3, "y"), (-4, "y")], "v INT, g STRING"
+    )
+    out = {
+        r["rule"]: r
+        for r in constraint_audit(
+            df,
+            [
+                Check("positive", F.col("v") > 0),
+                Check(
+                    "x_positive",
+                    F.col("v") > 0,
+                    where=F.col("g") == "x",
+                ),
+                Check(
+                    "empty_scope",
+                    F.col("v") > 0,
+                    where=F.col("g") == "zzz",
+                ),
+            ],
+        ).collect()
+    }
+    assert (out["positive"]["checked"], out["positive"]["violations"]) == (4, 2)
+    assert out["positive"]["pass_ratio"] == 0.5
+    assert (out["x_positive"]["checked"], out["x_positive"]["violations"]) == (
+        2,
+        1,
+    )
+    # empty scope violates nothing: ratio pins to 1.0, not NULL/0-div
+    assert (out["empty_scope"]["checked"], out["empty_scope"]["pass_ratio"]) == (
+        0,
+        1.0,
+    )
+
+
+def test_constraint_audit_is_one_aggregation(spark):
+    df = spark.range(100).select(F.col("id").alias("v"))
+    plan = (
+        constraint_audit(
+            df,
+            [Check(f"r{i}", F.col("v") >= i) for i in range(8)],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # 8 rules, still exactly one scan of the input
+    assert plan.count("Range (0, 100") == 1
+
+
+def test_referential_orphans_counts_and_null_fks(spark):
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "fk INT"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk INT")
+    out = referential_orphans([("edge", child, "fk", parent, "pk")]).collect()
+    assert [(r["relation"], r["orphans"]) for r in out] == [("edge", 1)]
+
+
+def test_freshness_lag_hours(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:00:00"),
+            ("a", "2024-01-01 06:00:00"),
+            ("b", "2024-01-01 12:00:00"),
+        ],
+        "g STRING, ts STRING",
+    ).select("g", F.col("ts").cast("timestamp").alias("ts"))
+    out = {r["grp"]: r["lag_hours"] for r in freshness_lag(df, "ts", "g").collect()}
+    assert out == {"a": 6.0, "b": 0.0}
