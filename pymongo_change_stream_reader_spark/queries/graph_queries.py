@@ -154,6 +154,67 @@ def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        FROM lineitem WHERE l_orderkey % 401 = 0
+    ),
+    edges AS (
+        SELECT DISTINCT a.s AS src, b.s AS dst
+        FROM pairs a JOIN pairs b ON a.o = b.o AND a.s <> b.s
+    ),
+    verts AS (SELECT DISTINCT s_suppkey AS v FROM supplier),
+    cc(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.v
+    )
+    SELECT v AS s_suppkey, MIN(lbl) AS component
+    FROM cc GROUP BY v ORDER BY v
+    """,
+    doc="Connected components of a sparse supplier co-occurrence "
+    "graph (suppliers sharing an order, 1-in-401 order sample: 25 "
+    "components over 100 suppliers at sf0.01) — the generic exposure "
+    "of operators/dedup.py:connected_components (iterative min-label "
+    "propagation, one edge join + min-aggregate per round, fixpoint "
+    "detected by a monotone scalar; driver_threshold=0 pins the "
+    "DISTRIBUTED loop rather than the model-sized union-find "
+    "shortcut).  Suppliers in no sampled order are singleton "
+    "components.  The oracle reaches the same fixpoint by recursive "
+    "min-label closure.",
+    tags=("graph",),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 401 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = pairs.alias("__a")
+    b = pairs.alias("__b")
+    edge_pairs = a.join(
+        b,
+        (F.col("__a.o") == F.col("__b.o"))
+        & (F.col("__a.s") < F.col("__b.s")),
+    ).select(
+        F.col("__a.s").alias("id_a"), F.col("__b.s").alias("id_b")
+    ).distinct()
+    suppliers = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey")
+    )
+    comps = connected_components(
+        edge_pairs, suppliers, id_col="s_suppkey", driver_threshold=0
+    )
+    return comps.select("s_suppkey", "component").orderBy("s_suppkey")
+
+
+@query(
     "graph_triangle_count",
     oracle="""
     WITH pairs AS (
