@@ -50,9 +50,14 @@ __all__ = [
     "footer_minmax_manifest",
     "read_layout_manifest",
     "pruned_box_scan",
+    "bloom_file_manifest",
+    "write_bloom_manifest",
+    "read_bloom_manifest",
+    "pruned_point_scan",
 ]
 
 _MANIFEST_DIR = "_zorder_manifest"
+_BLOOM_DIR_FMT = "_bloom_manifest_{col}"
 
 
 def _bucket_from_cuts(col: Column, cuts: list[float]) -> Column:
@@ -429,3 +434,230 @@ def pruned_box_scan(
         empty = spark.read.parquet(path).filter(F.lit(False))
         return empty, 0, total
     return spark.read.parquet(*files).filter(pred), len(files), total
+
+
+# ---------------------------------------------------------------------------
+# Per-file BLOOM manifests — the point-lookup complement to min/max.
+#
+# Min/max envelopes prune RANGE predicates; a point lookup on a
+# high-cardinality key (doc id, order id) intersects almost every
+# envelope of any layout not sorted on that key, so range stats skip
+# nothing.  A tiny per-file bloom filter over the key column answers
+# "can file F contain key k?" with no false negatives — exactly what
+# Parquet's optional column bloom filters / Delta's file-level blooms
+# store.  The manifest is |files| rows x (n_bits/8) bytes; probing it
+# is a codegen'd bitmask expression over the manifest frame, and only
+# the (typically 0-2) surviving files are opened.
+# ---------------------------------------------------------------------------
+_SM_GAMMA = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+_U64 = (1 << 64) - 1
+
+
+def _splitmix64_int(x: int) -> int:
+    """Scalar splitmix64 finalizer (public-domain mix constants) —
+    the same arithmetic the numpy kernel runs, for driver-side
+    probes."""
+    x = (x + _SM_GAMMA) & _U64
+    x = ((x ^ (x >> 30)) * _SM_M1) & _U64
+    x = ((x ^ (x >> 27)) * _SM_M2) & _U64
+    return x ^ (x >> 31)
+
+
+def _hash_pair_int(v: int) -> tuple[int, int]:
+    h1 = _splitmix64_int(v & _U64)
+    h2 = _splitmix64_int((v ^ _SM_M1) & _U64)
+    return h1, h2
+
+
+def _hash_pair_str(v: str) -> tuple[int, int]:
+    import hashlib
+
+    d = hashlib.blake2b(v.encode("utf-8"), digest_size=16).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little"),
+    )
+
+
+def _bloom_positions(value, n_bits: int, n_hashes: int) -> list[int]:
+    """The ``n_hashes`` bit positions of ``value`` under standard
+    double hashing ``(h1 + i*h2) mod n_bits`` — the probe side runs
+    this once per lookup on the driver; the build side runs the same
+    arithmetic vectorized."""
+    if isinstance(value, str):
+        h1, h2 = _hash_pair_str(value)
+    else:
+        h1, h2 = _hash_pair_int(int(value))
+    return [(h1 + i * h2) % n_bits for i in range(n_hashes)]
+
+
+def bloom_file_manifest(
+    spark,
+    path: str,
+    col: str,
+    n_bits: int = 8192,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Per-file bloom filters over ``col`` for the parquet table at
+    ``path``: (file, bits array<long>, n_bits, n_hashes), one row per
+    data file.  Distributed like footer_minmax_manifest: each task
+    reads ONLY the key column of its files (pyarrow column pruning),
+    hashes it (numpy-vectorized splitmix64 for integer keys, blake2b
+    over the DISTINCT values otherwise — duplicates hash once), and
+    sets bits in a ``n_bits/64``-long bitmap.  No shuffle, no second
+    pass over other columns; |files| rows total.
+
+    Sizing: false-positive rate ~ (1 - e^(-kn/m))^k with k=n_hashes,
+    m=n_bits, n=distinct keys per file — the 8192/5 default holds
+    ~1% FPR up to ~850 keys/file; size m ~ 9.6 bits per distinct key
+    per file for 1%."""
+    import glob as _glob
+    import os
+    from typing import Iterator
+
+    import pandas as pd
+
+    if n_bits % 64:
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    files = sorted(
+        f
+        for f in _glob.glob(os.path.join(path, "*.parquet"))
+        if not os.path.basename(f).startswith(("_", "."))
+    )
+    words = n_bits // 64
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        def mix(x):
+            x = (x + np.uint64(_SM_GAMMA))
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(_SM_M1)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(_SM_M2)
+            return x ^ (x >> np.uint64(31))
+
+        old = np.seterr(over="ignore")  # uint64 wrap IS the hash
+        try:
+            for pdf in batches:
+                rows = []
+                for f in pdf["file"]:
+                    arr = pq.read_table(f, columns=[col]).column(0)
+                    vals = arr.drop_null()
+                    if pd.api.types.is_integer_dtype(vals.type.to_pandas_dtype()):
+                        u = np.unique(vals.to_numpy(zero_copy_only=False)).astype(
+                            np.uint64
+                        )
+                        h1 = mix(u)
+                        h2 = mix(u ^ np.uint64(_SM_M1))
+                    else:
+                        pairs = [
+                            _hash_pair_str(str(v))
+                            for v in set(vals.to_pylist())
+                        ]
+                        h1 = np.array(
+                            [p[0] for p in pairs], dtype=np.uint64
+                        )
+                        h2 = np.array(
+                            [p[1] for p in pairs], dtype=np.uint64
+                        )
+                    bits = np.zeros(words, dtype=np.uint64)
+                    for i in range(n_hashes):
+                        pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+                        np.bitwise_or.at(
+                            bits,
+                            (pos >> np.uint64(6)).astype(np.int64),
+                            np.uint64(1) << (pos & np.uint64(63)),
+                        )
+                    rows.append((f, bits.view(np.int64).tolist()))
+                yield pd.DataFrame(rows, columns=["file", "bits"])
+        finally:
+            np.seterr(**old)
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file STRING")
+    man = fdf.repartition(max(1, min(len(files), 32))).mapInPandas(
+        build, "file STRING, bits ARRAY<LONG>"
+    )
+    return man.select(
+        "file",
+        "bits",
+        F.lit(n_bits).alias("n_bits"),
+        F.lit(n_hashes).alias("n_hashes"),
+    )
+
+
+def write_bloom_manifest(
+    spark, path: str, col: str, n_bits: int = 8192, n_hashes: int = 5
+) -> None:
+    """Persist ``bloom_file_manifest`` as a sidecar under
+    ``<path>/_bloom_manifest_<col>`` (underscore prefix: invisible to
+    the table's parquet reader), the bloom sibling of zorder_write's
+    min/max sidecar."""
+    import os
+
+    man = bloom_file_manifest(spark, path, col, n_bits, n_hashes)
+    man.write.mode("overwrite").parquet(
+        os.path.join(path, _BLOOM_DIR_FMT.format(col=col))
+    )
+
+
+def read_bloom_manifest(spark, path: str, col: str) -> DataFrame | None:
+    """The persisted bloom sidecar for ``col``, or None."""
+    import os
+
+    mdir = os.path.join(path, _BLOOM_DIR_FMT.format(col=col))
+    if not os.path.isdir(mdir):
+        return None
+    return spark.read.parquet(mdir)
+
+
+def pruned_point_scan(
+    spark,
+    path: str,
+    col: str,
+    value,
+    manifest: DataFrame | None = None,
+):
+    """Point-lookup scan planning via the per-file blooms: compute the
+    lookup key's ``n_hashes`` bit positions once on the driver (the
+    key is a scalar), keep only manifest rows with ALL those bits set
+    — a codegen'd bitmask conjunction over the |files|-row manifest,
+    no UDF — then read just the surviving files with the exact
+    ``col = value`` predicate pushed down.  Returns ``(df, files_read,
+    files_total)``.
+
+    No false negatives by bloom construction: a file containing the
+    key has all its bits set, so the subset scan equals the full scan
+    for ANY layout; the LAYOUT (e.g. zorder_write on the key) decides
+    how many false-positive files survive."""
+    manifest = (
+        manifest
+        if manifest is not None
+        else read_bloom_manifest(spark, path, col)
+    )
+    if manifest is None:
+        manifest = bloom_file_manifest(spark, path, col)
+    first = manifest.select("n_bits", "n_hashes").first()
+    n_bits, n_hashes = first["n_bits"], first["n_hashes"]
+    cond = None
+    for pos in _bloom_positions(value, n_bits, n_hashes):
+        word, mask = pos >> 6, 1 << (pos & 63)
+        # int64 view: the sign bit is just bit 63
+        mask_lit = F.lit(mask - (1 << 64) if mask >= (1 << 63) else mask)
+        c = (
+            F.element_at(F.col("bits"), word + 1).bitwiseAND(mask_lit)
+            != 0
+        )
+        cond = c if cond is None else (cond & c)
+    keep = manifest.filter(cond)
+    total = manifest.count()
+    files = [r["file"] for r in keep.select("file").collect()]
+    if not files:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, 0, total
+    return (
+        spark.read.parquet(*files).filter(F.col(col) == value),
+        len(files),
+        total,
+    )

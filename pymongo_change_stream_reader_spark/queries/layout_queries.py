@@ -309,3 +309,71 @@ def layout_zorder_pruned_scan_distributed(
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "layout_bloom_point_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem
+                        WHERE l_orderkey >= 1000)
+    ORDER BY l_linenumber
+    """,
+    doc="Per-file BLOOM manifest point lookup: lineitem is "
+    "range-rewritten on l_orderkey (32 files), a bloom sidecar over "
+    "the key is built from ONE distributed pass over just that "
+    "column (operators/layout.py:bloom_file_manifest — numpy "
+    "splitmix64 double hashing, |files| x 8 KiB bitmaps), and the "
+    "lookup probes the manifest with a codegen'd bitmask conjunction "
+    "so only the file(s) that can contain the key are opened — the "
+    "skip min/max envelopes cannot give a high-cardinality point "
+    "predicate.  Hash-equal to the full-table oracle because blooms "
+    "have no false negatives.",
+    tags=("layout",),
+)
+def layout_bloom_point_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the manifest is |files| rows x n_bits/8 bytes built
+    reading ONLY the key column per file; the probe filters that tiny
+    frame driver-side-free (bit positions are 5 ints computed once
+    from the scalar key) and opens ~1 file of 32.  The pruned-file
+    count is pinned in tests/test_layout.py (bloom suite)."""
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        pruned_point_scan,
+        write_bloom_manifest,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    key = li.filter(F.col("l_orderkey") >= 1000).agg(
+        F.min("l_orderkey")
+    ).first()[0]
+    path = tempfile.mkdtemp(prefix="spark_layout_bloom_")
+    try:
+        (
+            li.repartitionByRange(32, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        write_bloom_manifest(spark, path, "l_orderkey", n_bits=65536)
+        df, n_read, n_total = pruned_point_scan(
+            spark, path, "l_orderkey", key
+        )
+        assert n_read <= n_total
+        return (
+            df.select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_partkey",
+                "l_suppkey",
+                F.round("l_extendedprice", 2).alias("price"),
+            )
+            .orderBy("l_linenumber")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -256,3 +256,120 @@ def test_pruned_scan_uses_sidecar_and_distributed_path(spark, tmp_path):
     assert df_d.select(*key).exceptAll(df_c.select(*key)).count() == 0
     assert df_c.select(*key).exceptAll(df_d.select(*key)).count() == 0
     assert 0 < n_c < total_c
+
+
+# ---------------------------------------------------------------------------
+# Per-file bloom manifests (point-lookup pruning)
+# ---------------------------------------------------------------------------
+def _bloom_table(spark, tmp_path, n_files=8):
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "bloom_tbl")
+    (
+        spark.range(0, 4000)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("s"), (F.col("id") % 97).cast("string")).alias(
+                "s"
+            ),
+        )
+        .repartitionByRange(n_files, "k")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def test_bloom_point_scan_no_false_negatives_and_prunes(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        pruned_point_scan,
+        write_bloom_manifest,
+    )
+
+    path = _bloom_table(spark, tmp_path)
+    write_bloom_manifest(spark, path, "k", n_bits=8192)
+    # every probed key is found (no false negatives), and the
+    # range layout means the true file count is 1 — blooms should
+    # open only it plus rare false positives
+    reads = []
+    for key in (0, 1234, 2500, 3999):
+        df, n_read, n_total = pruned_point_scan(spark, path, "k", key)
+        rows = df.collect()
+        assert [r["k"] for r in rows] == [key]
+        assert n_total == 8
+        reads.append(n_read)
+    assert max(reads) <= 2  # 1 true file + at most 1 false positive
+
+
+def test_bloom_point_scan_absent_key_reads_nearly_nothing(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        pruned_point_scan,
+        write_bloom_manifest,
+    )
+
+    path = _bloom_table(spark, tmp_path)
+    write_bloom_manifest(spark, path, "k", n_bits=8192)
+    df, n_read, n_total = pruned_point_scan(spark, path, "k", 10_000_000)
+    assert df.count() == 0
+    assert n_read <= 1  # absent key: only false-positive files survive
+
+
+def test_bloom_string_keys(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        pruned_point_scan,
+        write_bloom_manifest,
+    )
+
+    path = _bloom_table(spark, tmp_path)
+    write_bloom_manifest(spark, path, "s", n_bits=8192)
+    df, n_read, n_total = pruned_point_scan(spark, path, "s", "s42")
+    rows = df.collect()
+    # s42 appears for ids 42, 139, ... spread across ALL files: the
+    # bloom keeps every file (no false negatives) — correctness, not
+    # pruning, is the property for a scattered key
+    assert len(rows) == len([i for i in range(4000) if i % 97 == 42])
+    assert all(r["s"] == "s42" for r in rows)
+
+
+def test_bloom_probe_plan_is_expression_only(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        bloom_file_manifest,
+    )
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        _bloom_positions,
+    )
+    import pyspark.sql.functions as F
+
+    path = _bloom_table(spark, tmp_path)
+    man = bloom_file_manifest(spark, path, "k", n_bits=8192).localCheckpoint()
+    cond = None
+    for pos in _bloom_positions(1234, 8192, 5):
+        word, mask = pos >> 6, 1 << (pos & 63)
+        mask = mask - (1 << 64) if mask >= (1 << 63) else mask
+        c = F.element_at(F.col("bits"), word + 1).bitwiseAND(F.lit(mask)) != 0
+        cond = c if cond is None else cond & c
+    plan = man.filter(cond)._jdf.queryExecution().executedPlan().toString()
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_zorder_write_plus_bloom_sidecars_coexist(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from pymongo_change_stream_reader_spark.operators.layout import (
+        pruned_point_scan,
+        read_bloom_manifest,
+        write_bloom_manifest,
+        zorder_write,
+    )
+
+    path = str(tmp_path / "z_bloom")
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 3000).alias("y")
+    )
+    zorder_write(df, path, ["x", "y"], n_files=8)
+    write_bloom_manifest(spark, path, "x", n_bits=8192)
+    # both sidecars invisible to the table reader
+    assert spark.read.parquet(path).count() == 3000
+    assert read_bloom_manifest(spark, path, "x") is not None
+    out, n_read, n_total = pruned_point_scan(spark, path, "x", 1500)
+    assert [r["x"] for r in out.collect()] == [1500]
