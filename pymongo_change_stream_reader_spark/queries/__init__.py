@@ -52,6 +52,7 @@ _MODULES = (
     "graph_queries",
     "dq_queries",
     "ts_queries",
+    "funnel_queries",
 )
 
 
