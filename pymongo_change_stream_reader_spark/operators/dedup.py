@@ -1283,3 +1283,103 @@ def lsh_band_table_batch(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n: int = 3,
+    stats: dict | None = None,
+) -> DataFrame:
+    """All pairs with n-gram Jaccard >= ``threshold``, same output as
+    :func:`exact_jaccard_pairs`, via the AllPairs/PPJoin PREFIX
+    FILTER (Bayardo et al. WWW'07 / Xiao et al. ICDE'08) — the exact
+    set-similarity join that scales where the full inverted index
+    does not:
+
+    1. order every document's shingles by GLOBAL ascending frequency
+       (rarest first; ties by value) — one freq aggregation + one
+       per-doc window, both key-partitioned;
+    2. index only each doc's PREFIX: the first
+       ``sz - ceil(t * sz) + 1`` shingles.  If J(A,B) >= t then
+       |A∩B| >= ceil(t * max(sz_a, sz_b)), so the FIRST common
+       shingle in the global order provably lies inside BOTH
+       prefixes — joining prefix-to-prefix loses nothing;
+    3. candidate pairs additionally pass the LENGTH filter
+       (``t * sz_a <= sz_b`` for sz_a <= sz_b: a set can't reach t
+       against one ``t×`` shorter);
+    4. verify survivors exactly with one array intersection per pair.
+
+    The win over :func:`exact_jaccard_pairs`: the quadratic pair
+    blow-up happens on POSTING LISTS, and the prefix keeps only each
+    doc's rarest ~``(1-t)·sz`` shingles — the head-token lists that
+    explode at corpus scale (every doc shares the common shingles)
+    never enter the join.  The ceil() is computed with a -1e-9 slack
+    so a float product landing just above an integer can only WIDEN
+    the prefix (extra candidates are verified away; a narrowed prefix
+    would silently drop true pairs).
+
+    ``stats``, when given, receives ``{"inv_rows", "prefix_rows",
+    "candidates"}`` for the pruning-factor assertions in tests.
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6; the
+    threshold test runs on the UNROUNDED ratio (both engines divide
+    the same two ints, so the IEEE result is identical)."""
+    from pyspark.sql import Window
+
+    grams = _grams_table(df, text_col, id_col, n)
+    sizes = grams.select("doc", F.size("grams").alias("sz"))
+    inv = grams.select("doc", F.explode("grams").alias("gram"))
+    freq = inv.groupBy("gram").agg(F.count("*").alias("freq"))
+    w = Window.partitionBy("doc").orderBy("freq", "gram")
+    ranked = (
+        inv.join(freq, "gram")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc")
+    )
+    overlap_min = F.ceil(F.col("sz") * F.lit(threshold) - F.lit(1e-9))
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - overlap_min + 1
+    ).select("doc", "gram", "sz")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # length filter, both directions in one conjunction
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.greatest(F.col("a.sz"), F.col("b.sz"))
+                * F.lit(threshold)
+                - F.lit(1e-9)
+            ),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .distinct()
+    )
+    if stats is not None:
+        stats["inv_rows"] = inv.count()
+        stats["prefix_rows"] = prefix.count()
+        cand = cand.persist()
+        stats["candidates"] = cand.count()
+    ga = grams.select(
+        F.col("doc").alias("id_a"), F.col("grams").alias("__ga")
+    )
+    gb = grams.select(
+        F.col("doc").alias("id_b"), F.col("grams").alias("__gb")
+    )
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard(F.col("__ga"), F.col("__gb")).alias("__j"),
+        )
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+    )

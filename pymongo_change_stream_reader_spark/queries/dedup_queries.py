@@ -878,3 +878,45 @@ def dedup_lsh_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+@query(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+    inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+                 / greatest(len(ga.grams) + len(gb.grams)
+                            - len(list_intersect(ga.grams, gb.grams)), 1),
+                 6) AS jaccard
+    FROM cand
+    JOIN g ga ON ga.doc_id = id_a
+    JOIN g gb ON gb.doc_id = id_b
+    WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
+          / greatest(len(ga.grams) + len(gb.grams)
+                     - len(list_intersect(ga.grams, gb.grams)), 1) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+    doc="Exact word-3-gram Jaccard pairs (>= 0.6) via the AllPairs/"
+    "PPJoin PREFIX FILTER (operators/dedup.py:"
+    "prefix_filtered_jaccard_pairs): only each document's rarest "
+    "~(1-t)*sz shingles enter the candidate join (global-frequency "
+    "order + length filter), survivors verified exactly — "
+    "hash-equal to the full-inverted-index oracle because the prefix "
+    "theorem guarantees no false negatives.  The head posting lists "
+    "that blow the naive index up at corpus scale never join.",
+    tags=("dedup",),
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    return prefix_filtered_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id", 0.6
+    ).orderBy("id_a", "id_b")

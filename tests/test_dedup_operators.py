@@ -165,3 +165,80 @@ def test_band_table_batch_plan_has_no_interpreted_minhash(spark):
     # the seeded minhash HOFs of the expression form (case-sensitive:
     # 'transform(' is the interpreted HOF; 'Transform' appears nowhere)
     assert "transform(" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join (AllPairs/PPJoin)
+# ---------------------------------------------------------------------------
+def _pf_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, base),
+        (2, base + " again"),                      # near-dup of 1
+        (3, base.replace("quick", "rapid")),       # near-dup of 1
+        (4, "completely different words entirely here nothing shared"),
+        (5, "completely different words entirely here nothing shared ok"),
+    ]
+    # plus unique chaff so shingle frequencies vary
+    rows += [
+        (10 + i, f"chaff doc number {i} filler text {i} unique body {i} end")
+        for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_prefix_filter_matches_bruteforce(spark):
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = _pf_corpus(spark)
+    for t in (0.5, 0.7):
+        fast = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in prefix_filtered_jaccard_pairs(
+                docs, "text", "doc_id", t
+            ).collect()
+        }
+        brute = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in exact_jaccard_pairs(docs, "text", "doc_id", t).collect()
+        }
+        assert fast == brute
+        assert fast  # the fixture plants real near-dup pairs
+
+
+def test_prefix_filter_prunes_the_index(spark):
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = _pf_corpus(spark)
+    stats: dict = {}
+    out = prefix_filtered_jaccard_pairs(
+        docs, "text", "doc_id", 0.8, stats=stats
+    )
+    out.collect()
+    # at t=0.8 the prefix keeps ~20% of each doc's shingles
+    assert stats["prefix_rows"] < 0.5 * stats["inv_rows"]
+    # candidates stay near the true pair count, not all-pairs
+    assert stats["candidates"] <= 10
+
+
+def test_prefix_filter_integer_threshold_boundary(spark):
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        prefix_filtered_jaccard_pairs,
+    )
+
+    # sz=10 docs at t=0.5: ceil(t*sz) hits an exact integer — the
+    # -1e-9 slack must not narrow the prefix and drop this pair
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"  # 10 shingles
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 x9 x10 x11 x12"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id LONG, text STRING"
+    )
+    fast = prefix_filtered_jaccard_pairs(docs, "text", "doc_id", 0.5).collect()
+    brute = exact_jaccard_pairs(docs, "text", "doc_id", 0.5).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in brute]
