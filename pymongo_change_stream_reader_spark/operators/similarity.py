@@ -2227,3 +2227,111 @@ def pq_code_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — 4x embedding compression with exact,
+# oracle-comparable semantics.
+#
+# Per-dimension affine quantization to uint8 (the FAISS
+# ScalarQuantizer QT_8bit scheme): train = per-dim [lo, hi] over the
+# corpus (one aggregation, 2*d doubles of driver state), encode =
+# clamp(floor((x-lo)/(hi-lo)*256), 0, 255), decode = midpoint
+# reconstruction lo + (code+0.5)*(hi-lo)/256.  Search is ASYMMETRIC:
+# the raw float query scores against decoded corpus vectors — decode
+# happens once per corpus vector (not per query pair), JVM-side.
+# Unlike PQ there is no codebook training; unlike the LSH/IVF paths
+# the result is a DETERMINISTIC function of the corpus, so the whole
+# pipeline (train -> encode -> decode -> rank) has an exact DuckDB
+# oracle rather than a recall bound.
+# ---------------------------------------------------------------------------
+def sq8_minmax(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> tuple[list[float], list[float]]:
+    """Per-dimension [lo, hi] of the corpus: ONE scan with 2*dim
+    min/max aggregate expressions (no shuffle, no explode — a
+    posexplode would shuffle n*d rows to aggregate d of them).
+    Driver state: 2*d doubles."""
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
+    v = _as_double(F.col(vec_col))
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.element_at(v, i + 1)).alias(f"lo{i}"))
+        aggs.append(F.max(F.element_at(v, i + 1)).alias(f"hi{i}"))
+    row = df.agg(*aggs).first()
+    return (
+        [row[f"lo{i}"] for i in range(dim)],
+        [row[f"hi{i}"] for i in range(dim)],
+    )
+
+
+def _sq8_bounds_cols(los: list[float], his: list[float]):
+    lo_arr = F.array(*[F.lit(float(v)) for v in los])
+    hi_arr = F.array(*[F.lit(float(v)) for v in his])
+    return lo_arr, hi_arr
+
+
+def sq8_encode(
+    vec: Column, los: list[float], his: list[float]
+) -> Column:
+    """uint8 codes (as array<int>) of ``vec`` under the trained
+    bounds — pure codegen'd array transform; a constant dimension
+    (hi == lo) encodes 0."""
+    lo_arr, hi_arr = _sq8_bounds_cols(los, his)
+    v = _as_double(vec)
+
+    def enc(x, i):
+        lo = F.element_at(lo_arr, i + 1)
+        hi = F.element_at(hi_arr, i + 1)
+        raw = F.floor((x - lo) / (hi - lo) * 256)
+        return F.when(hi == lo, F.lit(0)).otherwise(
+            F.least(F.lit(255), F.greatest(F.lit(0), raw))
+        ).cast("int")
+
+    return F.transform(v, enc)
+
+
+def sq8_decode(
+    codes: Column, los: list[float], his: list[float]
+) -> Column:
+    """Midpoint reconstruction of SQ8 ``codes`` back to
+    array<double>: ``lo + (code + 0.5) * (hi - lo) / 256``."""
+    lo_arr, hi_arr = _sq8_bounds_cols(los, his)
+
+    def dec(c, i):
+        lo = F.element_at(lo_arr, i + 1)
+        hi = F.element_at(hi_arr, i + 1)
+        return lo + (c.cast("double") + 0.5) * (hi - lo) / 256
+
+    return F.transform(codes, dec)
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bounds: tuple[list[float], list[float]] | None = None,
+) -> DataFrame:
+    """Asymmetric SQ8 top-k: encode the corpus to uint8, decode once,
+    rank raw queries against the reconstructions through the same
+    scoring/tie-break plan as :func:`brute_force_topk` (score DESC,
+    neighbor_id).  ``bounds`` takes pretrained [lo, hi] lists (the
+    serving path: train once, reuse); default trains on ``corpus``.
+
+    Scale: the stored index is d bytes/vector (4x smaller than
+    float32, 8x than float64); decode is one codegen'd transform per
+    corpus row, queries broadcast exactly as in the brute-force
+    plan."""
+    los, his = bounds if bounds is not None else sq8_minmax(corpus, vec_col)
+    decoded = corpus.select(
+        F.col(id_col),
+        sq8_decode(
+            sq8_encode(F.col(vec_col), los, his), los, his
+        ).alias(vec_col),
+    )
+    return brute_force_topk(
+        decoded, queries, k=k, id_col=id_col, vec_col=vec_col
+    )

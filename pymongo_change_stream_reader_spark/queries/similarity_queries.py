@@ -663,3 +663,65 @@ def similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(rows),
         "method STRING, k INT, hits LONG, truth_pairs LONG, recall DOUBLE",
     )
+
+
+@query(
+    "ann_sq8_topk",
+    oracle="""
+    WITH dims AS (
+        SELECT i,
+               MIN(embedding[i]::DOUBLE) AS lo,
+               MAX(embedding[i]::DOUBLE) AS hi
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY i
+    ),
+    bounds AS (
+        SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+        FROM dims
+    ),
+    decoded AS (
+        SELECT vec_id,
+               list_transform(range(1, 65), i ->
+                   lo[i] + (CASE WHEN hi[i] = lo[i] THEN 0
+                                 ELSE LEAST(255, GREATEST(0,
+                                     FLOOR((embedding[i]::DOUBLE - lo[i])
+                                           / (hi[i] - lo[i]) * 256)))
+                            END + 0.5) * (hi[i] - lo[i]) / 256
+               ) AS dv
+        FROM embeddings, bounds
+    ),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id,
+               c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.qv, c.dv), 6) AS score
+        FROM q JOIN decoded c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    doc="SQ8 scalar-quantized ANN (FAISS QT_8bit scheme): per-dim "
+    "min/max training, uint8 encode, midpoint decode, asymmetric "
+    "cosine of raw queries vs reconstructions — a 4x-compressed "
+    "index whose whole pipeline is DETERMINISTIC, so unlike the "
+    "LSH/IVF/PQ paths it carries an exact value oracle (the DuckDB "
+    "side quantizes with the identical IEEE expression) instead of "
+    "a recall bound.  operators/similarity.py:sq8_topk.",
+    tags=("similarity",),
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.similarity import (
+        sq8_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sq8_topk(emb, queries, k=10)
