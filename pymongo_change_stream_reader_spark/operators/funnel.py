@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "funnel_conversion"]
+__all__ = ["funnel_steps", "funnel_conversion", "cohort_retention"]
 
 
 def funnel_steps(
@@ -129,4 +129,66 @@ def funnel_conversion(
             ).alias("conversion"),
         )
         .orderBy("step")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort-retention matrix (long form): users cohort by
+    the ISO week of their FIRST event; for every (cohort_week,
+    week_offset) count the cohort's users active that week and the
+    retention ratio vs the cohort's size (its week-0 count — every
+    user is active in their own first week by construction).
+
+    Shape: one min-aggregation for first events, one distinct over
+    (user, week) — both hash aggregations on user-keyed shuffles —
+    then a user-keyed join and a count per (cohort, offset); the
+    offset-0 row count IS the cohort size, joined back broadcast
+    (|cohorts| rows).  Output: (cohort_week, week_offset,
+    active_users, retention)."""
+    ev = events.select(
+        F.col(user_col).alias("user"), F.col(ts_col).alias("ts")
+    )
+    cohorts = (
+        ev.groupBy("user")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user",
+            F.date_trunc("week", "first_ts").cast("date").alias(
+                "cohort_week"
+            ),
+        )
+    )
+    active = ev.select(
+        "user", F.date_trunc("week", "ts").cast("date").alias("act_week")
+    ).distinct()
+    counts = (
+        active.join(cohorts, "user")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    base = counts.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("active_users").alias("__size")
+    )
+    return (
+        counts.join(F.broadcast(base), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            F.round(F.col("active_users") / F.col("__size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
     )

@@ -109,3 +109,47 @@ def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(
         ev, "user_id", "ts", "event_type", _STEPS, within_hours=_WITHIN_H
     )
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id AS "user",
+               CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id AS "user",
+               CAST(DATE_TRUNC('week', ts) AS DATE) AS act_week
+        FROM events
+    ),
+    counts AS (
+        SELECT c.cohort_week,
+               CAST(DATE_DIFF('day', c.cohort_week, a.act_week) / 7
+                    AS INT) AS week_offset,
+               COUNT(*) AS active_users
+        FROM active a JOIN cohorts c ON c."user" = a."user"
+        GROUP BY 1, 2
+    )
+    SELECT k.cohort_week, k.week_offset, k.active_users,
+           ROUND(CAST(k.active_users AS DOUBLE) / b.active_users, 6)
+               AS retention
+    FROM counts k
+    JOIN counts b ON b.cohort_week = k.cohort_week AND b.week_offset = 0
+    ORDER BY k.cohort_week, k.week_offset
+    """,
+    doc="Weekly cohort-retention matrix over the events stream: "
+    "cohort = ISO week of each user's first event, retention = "
+    "active users at each week offset over the cohort's week-0 size "
+    "(operators/funnel.py:cohort_retention — two user-keyed hash "
+    "aggregations, one join, a broadcast of the |cohorts|-row base).",
+    tags=("funnel",),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")

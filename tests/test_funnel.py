@@ -111,3 +111,36 @@ def test_funnel_plan_pushes_step_filters_no_cartesian(spark, tmp_path):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     for step in ("a", "b", "c"):
         assert f"EqualTo(etype,{step})" in plan  # pushed to the scan
+
+
+def test_cohort_retention_matrix(spark):
+    from pymongo_change_stream_reader_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    # 2024-01-01 is a Monday: weeks are [01-01, 01-08, 01-15)
+    rows = [
+        (1, "2024-01-02 10:00:00"),  # cohort w0
+        (1, "2024-01-09 10:00:00"),  # active w1
+        (1, "2024-01-16 10:00:00"),  # active w2
+        (2, "2024-01-03 10:00:00"),  # cohort w0
+        (2, "2024-01-03 11:00:00"),  # same week: one active row
+        (3, "2024-01-10 10:00:00"),  # cohort w1
+        (3, "2024-01-16 10:00:00"),  # active at its offset 1
+    ]
+    df = spark.createDataFrame(rows, "u LONG, ts STRING").select(
+        "u", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {
+        (r["cohort_week"].isoformat(), r["week_offset"]): (
+            r["active_users"],
+            r["retention"],
+        )
+        for r in cohort_retention(df, "u", "ts").collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 0.5)
+    assert out[("2024-01-01", 2)] == (1, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1.0)
+    assert out[("2024-01-08", 1)] == (1, 1.0)
+    assert len(out) == 5
