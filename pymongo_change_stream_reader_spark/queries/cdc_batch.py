@@ -940,3 +940,152 @@ def cdc_agg_view_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+_JVG_SQL = """
+        SELECT CASE WHEN event_id % 119 < 99
+                    THEN '{"_id": "f' || CAST(event_id % 119 AS VARCHAR)
+                         || '"}'
+                    ELSE '{"_id": "d' || CAST(event_id % 119 - 99
+                                              AS VARCHAR) || '"}'
+               END AS key,
+               operation,
+               CASE WHEN operation <> 'delete' THEN
+                   CASE WHEN event_id % 119 < 99
+                        THEN '{"side": "f", "fk": "d'
+                             || CAST(cents % 20 AS VARCHAR)
+                             || '", "p": ' || CAST(cents AS VARCHAR) || '}'
+                        ELSE '{"side": "d", "p": '
+                             || CAST(cents AS VARCHAR) || '}'
+                   END
+               END AS doc,
+               event_id AS t
+        FROM sim
+        WHERE operation IN ('insert', 'update', 'replace', 'delete')
+"""
+
+
+def _join_view_events(e: DataFrame) -> DataFrame:
+    """Spark side of _JVG_SQL: the replica envelope over a
+    POLYMORPHIC key space — keys 0..98 are facts referencing dim
+    ``d(cents % 20)``, keys 99..118 are dims (modulus 119 is coprime
+    with the 3-way batch split, so every key's history interleaves
+    across the micro-batches)."""
+    operation = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "update")
+        .when(F.col("event_type") == "click", "replace")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("drop")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    k = F.col("event_id") % 119
+    is_fact = k < 99
+    key = F.when(
+        is_fact,
+        F.concat(F.lit('{"_id": "f'), k.cast("string"), F.lit('"}')),
+    ).otherwise(
+        F.concat(F.lit('{"_id": "d'), (k - 99).cast("string"), F.lit('"}'))
+    )
+    doc = F.when(
+        is_fact,
+        F.concat(
+            F.lit('{"side": "f", "fk": "d'),
+            (cents % 20).cast("string"),
+            F.lit('", "p": '),
+            cents.cast("string"),
+            F.lit("}"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"side": "d", "p": '), cents.cast("string"), F.lit("}")
+        )
+    )
+    return e.filter(
+        operation.isin("insert", "update", "replace", "delete")
+    ).select(
+        F.struct(
+            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
+                "_data"
+            )
+        ).alias("_id"),
+        operation.alias("operationType"),
+        F.struct(
+            F.col("event_id").alias("t"), F.lit(1).alias("i")
+        ).alias("clusterTime"),
+        key.alias("documentKey"),
+        F.when(
+            operation.isin("insert", "update", "replace"), doc
+        ).alias("fullDocument"),
+    )
+
+
+@query(
+    "cdc_join_view_incremental",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    evj AS ({_JVG_SQL}),
+    last AS (
+        SELECT key,
+               max_by(operation || '|' || COALESCE(doc, ''), t) AS payload
+        FROM evj GROUP BY key
+    ),
+    finals AS (
+        SELECT key, substr(payload, position('|' IN payload) + 1) AS doc
+        FROM last WHERE split_part(payload, '|', 1) <> 'delete'
+    ),
+    facts AS (
+        SELECT key, doc FROM finals
+        WHERE json_extract_string(doc, '$.side') = 'f'
+    ),
+    dims AS (
+        SELECT key, doc FROM finals
+        WHERE json_extract_string(doc, '$.side') = 'd'
+    )
+    SELECT f.key AS key,
+           json_extract_string(f.doc, '$.fk') AS fk,
+           f.doc AS fact_doc,
+           d.doc AS dim_doc
+    FROM facts f
+    JOIN dims d
+      ON json_extract_string(d.key, '$._id')
+         = json_extract_string(f.doc, '$.fk')
+    ORDER BY key
+    """,
+    doc="Incremental materialized JOIN view (streaming/join_view.py): "
+    "a polymorphic 119-key change history (99 facts referencing 20 "
+    "dims through $.fk) applied in THREE interleaved micro-batches "
+    "(event_id % 3 — each batch mixes newer and older events per "
+    "key, plus doc-less deletes that must route by store membership); "
+    "the maintained fact-join-dim table is read back and hash-compared "
+    "to the oracle's full recompute over the final document states.  "
+    "Per-batch work is ΔF ⋈ D' ∪ (F' − ΔF) ⋈ ΔD over touched buckets "
+    "and the fk secondary index — never a full two-table re-join.",
+    tags=("cdc", "streaming"),
+)
+def cdc_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.streaming.join_view import (
+        join_view_batch,
+        read_join_view,
+    )
+
+    ev = _join_view_events(load_table(spark, sf_dir, "events"))
+    path = tempfile.mkdtemp(prefix="spark_cdc_joinview_")
+    try:
+        for i in range(3):
+            join_view_batch(
+                ev.filter(F.col("clusterTime.t") % 3 == i),
+                path,
+                epoch=i,
+                dim_id_path="$._id",
+            )
+        return (
+            read_join_view(spark, path)
+            .orderBy("key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

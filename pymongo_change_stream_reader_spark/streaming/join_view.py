@@ -1,0 +1,640 @@
+"""Incremental materialized JOIN view over a CDC stream.
+
+The replica answers "what does document k look like now?", the
+aggregate view "what do documents sum to per group?"; this store
+answers "what does FACT ⋈ DIM look like now?" without re-running the
+join: each micro-batch applies only the join-row CHANGES its own keys
+induce, so per-batch work is O(batch + touched buckets + dim-change
+fan-out) — classic incremental view maintenance for joins
+(ΔV = ΔF ⋈ D' ∪ (F' − ΔF) ⋈ ΔD), while a recompute would re-shuffle
+both full tables every trigger.
+
+The two sides live in ONE watched collection (the polymorphic-
+collection pattern Mongo deployments actually use), discriminated by
+a JSON field of the post-image (``side_path``; default ``$.side`` with
+values ``"f"`` fact / ``"d"`` dim).  Facts reference dims through
+``fk_path`` (default ``$.fk``), whose value must equal the dim
+document's ``documentKey``.  The maintained view is the INNER join:
+one row per live fact whose fk resolves to a live dim.
+
+## Layout under ``path``
+
+- ``facts/``      — bucketed sink BY FACT KEY: (key, live, fk, doc,
+  __t, __i, __d), LWW per key, deletes persist as tombstones.
+- ``dims/``       — bucketed sink BY DIM KEY: (key, live, doc, triple).
+- ``fact_by_fk/`` — the SECONDARY INDEX: the same fact state bucketed
+  BY FK, LWW per (fk, key).  A fact whose fk CHANGES writes its live
+  row into the new fk's bucket and a tombstone (same write triple)
+  into the old fk's — both buckets are batch-touched, so a dim change
+  finds its affected facts by reading only its own fk buckets instead
+  of scanning the fact table.
+- ``view_deltas/epoch=N/`` — the batch's view-row changes
+  (key, live, fk, fact_doc, dim_doc), persisted BEFORE any commit
+  (replay contract below).
+- ``view/`` + ``view/_current`` — the joined table (key, fk,
+  fact_doc, dim_doc), bucketed BY FACT KEY; ``_current`` names the
+  committed manifest snapshot plus the applied epoch — the single
+  atomic commit point, exactly the aggregate view's groups protocol.
+
+## Delta computation (all against PRE-commit state)
+
+Fact-driven: each batch fact key's post-LWW row joins the POST-batch
+dim state of its fk (committed dims for the fk's buckets, overlaid
+with the batch's dim winners) — live fact + live dim => upsert, else
+delete.  Dim-driven: each batch dim key's change fans out to the
+COMMITTED live index rows under that fk (batch fact keys excluded —
+the fact branch already decided them): dim live => upsert with the
+new dim doc, dim delete => delete.  The branches are disjoint by
+construction, so their union is the exact ΔV.
+
+## Exactly-once replay contract
+
+Apply order: (1) persist view deltas (atomic rename), (2) commit
+facts, dims, fact_by_fk (LWW re-merges are idempotent), (3) commit
+view + epoch pointer.  On replay: view epoch >= N => skip;
+``view_deltas/epoch=N`` exists => NEVER recompute deltas (the stores
+may already include the batch — recomputed deltas would cancel to
+nothing), re-merge the stores, apply the PERSISTED deltas;
+neither => full first-time apply.  The whole apply runs under the
+view's write lock.
+
+Reference parity: the reference relay (producing/change_event_handler
+.py) forwards events; join maintenance is engine extension surface
+(SURVEY.md §2.D), semantics per the standard counting/delta-join IVM
+literature.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.plans.pipeline import (
+    PipelineError,
+    _bucket_of,
+    _commit_bucketed,
+    _read_bucket_manifest,
+    _read_entry_dirs,
+    _write_atomic,
+    bucketed_sink_lock,
+)
+from pymongo_change_stream_reader_spark.streaming.materialize import (
+    _ORDER,
+    _last_event_per_key,
+)
+
+__all__ = [
+    "join_view_batch",
+    "read_join_view",
+    "start_join_view_maintenance",
+]
+
+_VIEW_COLS = ("key", "fk", "fact_doc", "dim_doc")
+
+
+def _view_current(path: str) -> tuple[str, int] | None:
+    ptr = os.path.join(path, "view", "_current")
+    if not os.path.exists(ptr):
+        return None
+    vname, epoch = open(ptr).read().strip().rsplit(":", 1)
+    return vname, int(epoch)
+
+
+def _resolve_view_entries(path: str) -> tuple[dict, int] | None:
+    """Committed view state via the ``_current`` pointer (bucket ->
+    rel dir, applied epoch); None before the first commit.  Pointer
+    race handling identical to the aggregate view's groups resolver."""
+    import time as _time
+
+    vroot = os.path.join(path, "view")
+    for attempt in range(10):
+        cur = _view_current(path)
+        if cur is None:
+            return None
+        vname, ep = cur
+        mf = _read_bucket_manifest(vroot, f"_manifest.h-{vname}")
+        if mf is not None:
+            return mf[1], ep
+        _time.sleep(0.05 * (attempt + 1))
+    raise PipelineError(
+        f"join view at {path!r}: pointer names snapshot {vname!r} but "
+        "no such manifest snapshot exists — vacuumed below retention"
+    )
+
+
+def read_join_view(spark: SparkSession, path: str) -> DataFrame | None:
+    """The current joined table (key, fk, fact_doc, dim_doc); None
+    before the first applied batch."""
+    res = _resolve_view_entries(path)
+    if res is None:
+        return None
+    entries, _ep = res
+    vroot = os.path.join(path, "view")
+    dirs = [
+        os.path.join(vroot, rel)
+        for rel in entries.values()
+        if os.path.isdir(os.path.join(vroot, rel))
+    ]
+    if not dirs:
+        return spark.createDataFrame(
+            [], "key STRING, fk STRING, fact_doc STRING, dim_doc STRING"
+        )
+    return spark.read.parquet(*dirs).select(*_VIEW_COLS)
+
+
+def _merge_lww(
+    spark: SparkSession,
+    winners: DataFrame,
+    store: str,
+    merge_on: list[str],
+    bucket_on: list[str],
+    n_buckets: int,
+) -> tuple[DataFrame, DataFrame, dict, list[int]]:
+    """Full-outer LWW merge of ``winners`` against the committed rows
+    of their touched buckets in ``store`` (bucketed by ``bucket_on``,
+    row identity ``merge_on`` — the secondary index buckets by fk but
+    merges per (fk, key)): returns (merged rows to commit, the old
+    rows frame, manifest entries, changed buckets).  Winner wins on
+    triple >= (replay-safe)."""
+    changed = sorted(
+        r["b"]
+        for r in winners.select(
+            _bucket_of(bucket_on, n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    mf = _read_bucket_manifest(store)
+    if mf is not None and mf[0] != n_buckets:
+        raise PipelineError(
+            f"store {store!r} has {mf[0]} buckets, not {n_buckets}"
+        )
+    entries = dict(mf[1]) if mf is not None else {}
+    old = _read_entry_dirs(
+        spark, store, [entries[k] for k in changed if k in entries]
+    )
+    o = lambda c: F.col(f"__o.{c}")
+    n = lambda c: F.col(f"__n.{c}")
+    if old is None:
+        old = spark.createDataFrame([], winners.schema)
+    same_key = None
+    for c in merge_on:
+        eq = o(c).eqNullSafe(n(c))
+        same_key = eq if same_key is None else (same_key & eq)
+    j = old.alias("__o").join(winners.alias("__n"), same_key, "full")
+    trip = lambda side: F.struct(*[side(c) for c in _ORDER])
+    new_wins = n("key").isNotNull() & (
+        o("key").isNull() | (trip(n) >= trip(o))
+    )
+    winner = F.when(
+        new_wins, F.struct(*[n(c) for c in winners.columns])
+    ).otherwise(F.struct(*[o(c) for c in winners.columns]))
+    merged = j.select(winner.alias("w")).select("w.*")
+    return merged, old, entries, changed
+
+
+def join_view_batch(
+    batch: DataFrame,
+    path: str,
+    epoch: int,
+    side_path: str = "$.side",
+    fact_side: str = "f",
+    dim_side: str = "d",
+    fk_path: str = "$.fk",
+    dim_id_path: str | None = None,
+    n_buckets: int = 16,
+    retain: int = 2,
+) -> bool:
+    """Apply one micro-batch of change events to the join view at
+    ``path``.  Returns True when the batch applied, False on a
+    fully-committed replayed epoch.
+
+    Contract: non-delete events carry a post-image
+    (fullDocument=updateLookup — the serving-store contract) with the
+    ``side_path`` discriminator; fact post-images carry ``fk_path``.
+    ``dim_id_path`` maps a dim's documentKey into the fk value domain
+    (``"$._id"`` for the Mongo-shaped ``{"_id": ...}`` documentKey
+    whose _id VALUE the facts reference; None when facts reference the
+    raw documentKey string) — the dims store and the secondary index
+    bucket by this JOIN KEY, so fk lookups hit the right buckets
+    directly.  Fact and dim keys are disjoint (one collection, one
+    _id space); a delete without a post-image routes by store
+    membership and is recorded as a tombstone on BOTH sides when the
+    key was never seen (a no-op for the view, bounded by the batch's
+    delete count)."""
+    spark = batch.sparkSession
+    os.makedirs(os.path.join(path, "view_deltas"), exist_ok=True)
+    os.makedirs(os.path.join(path, "view"), exist_ok=True)
+    facts_path = os.path.join(path, "facts")
+    dims_path = os.path.join(path, "dims")
+    idx_path = os.path.join(path, "fact_by_fk")
+
+    data = batch.filter(
+        F.col("operationType").isin("insert", "update", "replace", "delete")
+    )
+    with bucketed_sink_lock(path):
+        cfg = dict(
+            side_path=side_path, fact_side=fact_side, dim_side=dim_side,
+            fk_path=fk_path, dim_id_path=dim_id_path,
+            n_buckets=n_buckets,
+        )
+        cfg_path = os.path.join(path, "_config.json")
+        if os.path.exists(cfg_path):
+            if json.load(open(cfg_path)) != cfg:
+                raise PipelineError(
+                    f"join view at {path!r} was created with a "
+                    "different definition; deltas across definitions "
+                    "do not compose"
+                )
+        else:
+            _write_atomic(cfg_path, json.dumps(cfg))
+        cur = _view_current(path)
+        if cur is not None and cur[1] >= epoch:
+            return False
+
+        last = _last_event_per_key(
+            data,
+            extra_aggs={
+                "__bad": F.max(
+                    (F.col("op") != "delete") & F.col("doc").isNull()
+                )
+            },
+        ).localCheckpoint(eager=False)
+        if not last.filter(F.col("__bad")).isEmpty():
+            raise PipelineError(
+                "join view maintenance needs a post-image per "
+                "non-delete event (fullDocument=updateLookup)"
+            )
+        last = last.drop("__bad")
+        side = F.get_json_object("doc", side_path)
+        bad_side = last.filter(
+            (F.col("op") != "delete")
+            & ~F.coalesce(side.isin(fact_side, dim_side), F.lit(False))
+        )
+        if not bad_side.isEmpty():
+            raise PipelineError(
+                f"join view: post-image {side_path} must be "
+                f"{fact_side!r} or {dim_side!r}"
+            )
+
+        live = F.col("op") != "delete"
+        jk_of = (
+            (lambda col: F.get_json_object(col, dim_id_path))
+            if dim_id_path
+            else (lambda col: col)
+        )
+        fact_winners = last.filter(live & (side == fact_side)).select(
+            "key",
+            F.lit(True).alias("live"),
+            F.get_json_object("doc", fk_path).alias("fk"),
+            "doc",
+            *[F.col(c) for c in _ORDER],
+        )
+        dim_winners = last.filter(live & (side == dim_side)).select(
+            "key",
+            jk_of(F.col("key")).alias("jk"),
+            F.lit(True).alias("live"),
+            "doc",
+            *[F.col(c) for c in _ORDER],
+        )
+        deletes = last.filter(~live).select(
+            "key", *[F.col(c) for c in _ORDER]
+        ).localCheckpoint(eager=False)
+
+        # route doc-less deletes by membership: a delete lands on the
+        # side(s) that know the key; an unknown key tombstones both
+        # (no view effect).  Membership lookups read only the keys'
+        # buckets of each store.
+        def _members(
+            store: str, keys: DataFrame, bucket_col
+        ) -> DataFrame:
+            mf = _read_bucket_manifest(store)
+            if mf is None:
+                return keys.filter(F.lit(False)).select("key")
+            entries = mf[1]
+            buckets = sorted(
+                r["b"]
+                for r in keys.select(bucket_col.alias("__bk"))
+                .select(_bucket_of(["__bk"], n_buckets).alias("b"))
+                .distinct()
+                .collect()
+            )
+            rows = _read_entry_dirs(
+                spark, store,
+                [entries[k] for k in buckets if k in entries],
+            )
+            if rows is None:
+                return keys.filter(F.lit(False)).select("key")
+            return keys.select("key").join(
+                rows.select("key").distinct(), "key", "semi"
+            )
+
+        in_facts = _members(facts_path, deletes, F.col("key"))
+        in_dims = _members(dims_path, deletes, jk_of(F.col("key")))
+        unknown = (
+            deletes.join(in_facts, "key", "anti")
+            .join(in_dims, "key", "anti")
+        )
+        fact_dels = deletes.join(
+            in_facts.unionByName(unknown.select("key")).distinct(),
+            "key",
+            "semi",
+        )
+        dim_dels = deletes.join(
+            in_dims.unionByName(unknown.select("key")).distinct(),
+            "key",
+            "semi",
+        )
+        fact_winners = fact_winners.unionByName(
+            fact_dels.select(
+                "key",
+                F.lit(False).alias("live"),
+                F.lit(None).cast("string").alias("fk"),
+                F.lit(None).cast("string").alias("doc"),
+                *[F.col(c) for c in _ORDER],
+            )
+        ).localCheckpoint(eager=False)
+        dim_winners = dim_winners.unionByName(
+            dim_dels.select(
+                "key",
+                jk_of(F.col("key")).alias("jk"),
+                F.lit(False).alias("live"),
+                F.lit(None).cast("string").alias("doc"),
+                *[F.col(c) for c in _ORDER],
+            )
+        ).localCheckpoint(eager=False)
+
+        fact_merged, fact_old, f_entries, f_changed = _merge_lww(
+            spark, fact_winners, facts_path, ["key"], ["key"], n_buckets
+        )
+        fact_merged = fact_merged.localCheckpoint(eager=False)
+        dim_merged, _dim_old, d_entries, d_changed = _merge_lww(
+            spark, dim_winners, dims_path, ["key"], ["jk"], n_buckets
+        )
+        dim_merged = dim_merged.localCheckpoint(eager=False)
+
+        # post-LWW fact rows OF THE BATCH'S KEYS (merged still holds
+        # untouched same-bucket rows): replays where the store already
+        # has the batch keep winner == stored row
+        batch_fact_post = fact_merged.join(
+            fact_winners.select("key").distinct(), "key", "semi"
+        ).localCheckpoint(eager=False)
+        batch_dim_post = dim_merged.join(
+            dim_winners.select("key").distinct(), "key", "semi"
+        ).localCheckpoint(eager=False)
+
+        # secondary-index deltas: live row at the winner's fk plus a
+        # tombstone at the old fk when the old live row's fk no longer
+        # holds (fk move or fact delete); same triple as the winner so
+        # the index LWW resolves replays identically
+        fo = fact_old.select(
+            F.col("key"),
+            F.col("live").alias("__ol"),
+            F.col("fk").alias("__ofk"),
+        )
+        w_with_old = batch_fact_post.alias("__w").join(
+            fo.alias("__fo"), "key", "left"
+        )
+        idx_live = w_with_old.filter(F.col("live")).select(
+            "fk", "key", "live", "doc", *[F.col(c) for c in _ORDER]
+        )
+        idx_tomb = w_with_old.filter(
+            F.coalesce(F.col("__ol"), F.lit(False))
+            & F.col("__ofk").isNotNull()
+            & (
+                ~F.col("live")
+                | ~F.col("fk").eqNullSafe(F.col("__ofk"))
+            )
+        ).select(
+            F.col("__ofk").alias("fk"),
+            "key",
+            F.lit(False).alias("live"),
+            F.lit(None).cast("string").alias("doc"),
+            *[F.col(c) for c in _ORDER],
+        )
+        # a live fact without an fk has no index row (it can join no
+        # dim, and no dim change can affect it)
+        idx_winners = (
+            idx_live.filter(F.col("fk").isNotNull())
+            .unionByName(idx_tomb)
+            .localCheckpoint(eager=False)
+        )
+
+        deltas_dir = os.path.join(path, "view_deltas", f"epoch={epoch}")
+        if not os.path.isdir(deltas_dir):
+            # ---- fact-driven ΔV: batch fact keys join POST-batch dims
+            fks = (
+                batch_fact_post.filter(
+                    F.col("live") & F.col("fk").isNotNull()
+                )
+                .select(F.col("fk").alias("key"))
+                .distinct()
+            )
+            dmf = _read_bucket_manifest(dims_path)
+            if dmf is None:
+                dim_base = dim_merged.filter(F.lit(False))
+            else:
+                # dims bucket by JOIN KEY, so the facts' fk values
+                # address the buckets directly
+                fkb = sorted(
+                    r["b"]
+                    for r in fks.select(
+                        _bucket_of(["key"], n_buckets).alias("b")
+                    ).distinct().collect()
+                )
+                rows = _read_entry_dirs(
+                    spark, dims_path,
+                    [dmf[1][k] for k in fkb if k in dmf[1]],
+                )
+                dim_base = (
+                    rows
+                    if rows is not None
+                    else dim_merged.filter(F.lit(False))
+                )
+            dim_post = dim_base.join(
+                dim_winners.select("key").distinct(), "key", "anti"
+            ).unionByName(batch_dim_post).filter(F.col("live"))
+            dpost = dim_post.select(
+                F.col("jk").alias("fk"),
+                F.col("doc").alias("dim_doc"),
+            )
+            fact_delta = (
+                batch_fact_post.alias("__f")
+                .join(dpost.alias("__d"), "fk", "left")
+                .select(
+                    F.col("key"),
+                    (
+                        F.col("live") & F.col("dim_doc").isNotNull()
+                    ).alias("live"),
+                    F.col("fk"),
+                    F.col("doc").alias("fact_doc"),
+                    F.col("dim_doc"),
+                )
+            )
+            # ---- dim-driven ΔV: committed live index rows under the
+            # batch's dim keys, batch fact keys excluded
+            imf = _read_bucket_manifest(idx_path)
+            if imf is None:
+                affected = idx_winners.filter(F.lit(False))
+            else:
+                dkb = sorted(
+                    r["b"]
+                    for r in dim_winners.select(
+                        _bucket_of(["jk"], n_buckets).alias("b")
+                    ).distinct().collect()
+                )
+                rows = _read_entry_dirs(
+                    spark, idx_path,
+                    [imf[1][k] for k in dkb if k in imf[1]],
+                )
+                affected = (
+                    rows
+                    if rows is not None
+                    else idx_winners.filter(F.lit(False))
+                )
+            affected = (
+                affected.filter(F.col("live"))
+                .join(
+                    dim_winners.select(F.col("jk").alias("fk")).distinct(),
+                    "fk",
+                    "semi",
+                )
+                .join(
+                    batch_fact_post.select("key").distinct(),
+                    "key",
+                    "anti",
+                )
+            )
+            dim_delta = (
+                affected.alias("__x")
+                .join(
+                    batch_dim_post.select(
+                        F.col("jk").alias("fk"),
+                        F.col("live").alias("__dl"),
+                        F.col("doc").alias("dim_doc"),
+                    ).alias("__d"),
+                    "fk",
+                )
+                .select(
+                    F.col("key"),
+                    F.col("__dl").alias("live"),
+                    F.col("fk"),
+                    F.col("doc").alias("fact_doc"),
+                    F.when(F.col("__dl"), F.col("dim_doc")).alias(
+                        "dim_doc"
+                    ),
+                )
+            )
+            d = fact_delta.unionByName(dim_delta)
+            tmp = os.path.join(path, "view_deltas", f".tmp-{epoch}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            d.coalesce(1).write.mode("overwrite").parquet(tmp)
+            os.rename(tmp, deltas_dir)  # atomic: the delta commit point
+
+        # store commits (idempotent LWW re-merges)
+        _commit_bucketed(
+            fact_merged, facts_path, ["key"], n_buckets, f_entries,
+            changed=f_changed, retain=retain, return_df=False,
+        )
+        _commit_bucketed(
+            dim_merged, dims_path, ["jk"], n_buckets, d_entries,
+            changed=d_changed, retain=retain, return_df=False,
+        )
+        idx_merged, _io, i_entries, i_changed = _merge_lww(
+            spark, idx_winners, idx_path, ["fk", "key"], ["fk"], n_buckets
+        )
+        _commit_bucketed(
+            idx_merged, idx_path, ["fk"], n_buckets, i_entries,
+            changed=i_changed, retain=retain, return_df=False,
+        )
+
+        # view commit: persisted deltas rewrite only their key buckets
+        d = spark.read.schema(
+            "key STRING, live BOOLEAN, fk STRING, "
+            "fact_doc STRING, dim_doc STRING"
+        ).parquet(deltas_dir)
+        vroot = os.path.join(path, "view")
+        vmf = _read_bucket_manifest(vroot)
+        if vmf is not None and vmf[0] != n_buckets:
+            raise PipelineError(
+                f"join view at {path!r} has {vmf[0]} buckets, "
+                f"not {n_buckets}"
+            )
+        ventries = dict(vmf[1]) if vmf is not None else {}
+        vchanged = sorted(
+            r["b"]
+            for r in d.select(_bucket_of(["key"], n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        )
+        res = _resolve_view_entries(path)
+        committed = dict(res[0]) if res is not None else {}
+        base_rows = _read_entry_dirs(
+            spark, vroot,
+            [committed[k] for k in vchanged if k in committed],
+        )
+        if base_rows is None:
+            base_rows = spark.createDataFrame(
+                [],
+                "key STRING, fk STRING, fact_doc STRING, dim_doc STRING",
+            )
+        nxt = (
+            base_rows.select(*_VIEW_COLS)
+            .join(d.select("key").distinct(), "key", "anti")
+            .unionByName(d.filter(F.col("live")).select(*_VIEW_COLS))
+        )
+        _commit_bucketed(
+            nxt, vroot, ["key"], n_buckets, ventries,
+            changed=vchanged, retain=max(3, retain), return_df=False,
+        )
+        vname = _bucket_history_name(vroot)
+        _write_atomic(
+            os.path.join(vroot, "_current"), f"{vname}:{epoch}"
+        )
+
+        # GC consumed delta dirs beyond the retention window
+        droot = os.path.join(path, "view_deltas")
+        depochs = sorted(
+            int(dn.split("=", 1)[1])
+            for dn in os.listdir(droot)
+            if dn.startswith("epoch=")
+        )
+        for e in depochs[: max(0, len(depochs) - retain)]:
+            shutil.rmtree(
+                os.path.join(droot, f"epoch={e}"), ignore_errors=True
+            )
+        return True
+
+
+def _bucket_history_name(root: str) -> str:
+    """The newest manifest-history snapshot name under ``root`` —
+    the value the epoch pointer records."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        _bucket_history_files,
+    )
+
+    return _bucket_history_files(root)[-1][len("_manifest.h-"):]
+
+
+def start_join_view_maintenance(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_interval: str = "10 seconds",
+    **view_kw,
+):
+    """Wire :func:`join_view_batch` as a foreachBatch sink — the
+    join-view sibling of start_agg_view_maintenance."""
+    return (
+        events.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=trigger_interval)
+        .foreachBatch(
+            lambda b, e: join_view_batch(b, path, e, **view_kw)
+        )
+        .start()
+    )
