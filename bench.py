@@ -170,14 +170,49 @@ def composed_relay_bench(
     ev = ev.withColumn(
         "embedding",
         F.when(F.col("operationType") != "delete", _emb("vec_key")),
+    ).withColumn(
+        # join-view fact fields ride in the same post-image: every
+        # simulated doc is a fact referencing one of 20 dims
+        "fullDocument",
+        F.when(
+            F.col("fullDocument").isNotNull(),
+            F.concat(
+                F.lit('{"side": "f", "fk": "d'),
+                F.pmod(F.col("vec_key"), F.lit(20)).cast("string"),
+                F.lit('", '),
+                F.substring(F.col("fullDocument"), 2, 1 << 30),
+            ),
+        ),
     ).select(
         "_id", "operationType", "clusterTime", "documentKey",
         "fullDocument", "vec_key", "embedding",
     )
+    spark_ = ev.sparkSession
+    dims = spark_.range(20).select(
+        F.struct(
+            F.concat(F.lit("dim"), F.col("id").cast("string")).alias(
+                "_data"
+            )
+        ).alias("_id"),
+        F.lit("insert").alias("operationType"),
+        F.struct(
+            F.lit(0).cast("long").alias("t"), F.lit(0).alias("i")
+        ).alias("clusterTime"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias(
+            "documentKey"
+        ),
+        F.concat(
+            F.lit('{"side": "d", "dim_name": "dim'),
+            F.col("id").cast("string"),
+            F.lit('"}'),
+        ).alias("fullDocument"),
+        (F.col("id") + 10**15).alias("vec_key"),
+        _emb("id").alias("embedding"),
+    )
     batches = [
-        ev.filter(
-            F.pmod(F.col("vec_key"), F.lit(n_batches)) == i
-        ).localCheckpoint(eager=True)
+        ev.filter(F.pmod(F.col("vec_key"), F.lit(n_batches)) == i)
+        .unionByName(dims if i == 0 else dims.limit(0))
+        .localCheckpoint(eager=True)
         for i in range(n_batches)
     ]
     n_events = sum(b.count() for b in batches)
@@ -206,12 +241,14 @@ def composed_relay_bench(
             agg_group_path="$.k",
             agg_value_path="$.value_cents",
             agg_value_type="long",
+            join_view_path=os.path.join(root, "jview"),
+            join_dim_id_path=None,  # dims keyed by the raw "dN" string
         )
 
     try:
-        # warm-up: all five store paths, uncounted (codegen + listing)
+        # warm-up: all six store paths, uncounted (codegen + listing)
         composed_apply_batch(
-            batches[0].limit(200), 0, max_parallel_stores=5,
+            batches[0].limit(200), 0, max_parallel_stores=6,
             **_stores("warm"),
         )
 
@@ -220,7 +257,7 @@ def composed_relay_bench(
         t0 = time.time()
         for i, b in enumerate(batches):
             composed_apply_batch(
-                b, i, store_timings=timings, max_parallel_stores=5, **kw
+                b, i, store_timings=timings, max_parallel_stores=6, **kw
             )
         total = time.time() - t0
     finally:
@@ -235,7 +272,7 @@ def composed_relay_bench(
         # sequential floor was ~14 s/batch of mostly-independent small
         # jobs) — per-store seconds are each section's own wall span
         # and now OVERLAP, so their sum exceeds total_sec
-        "parallel_stores": 5,
+        "parallel_stores": 6,
         "per_store_sec": {k: round(v, 3) for k, v in sorted(timings.items())},
     }
 

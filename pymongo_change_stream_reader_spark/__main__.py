@@ -43,7 +43,7 @@ def main() -> None:
     )
     index_stores = (
         cfg.dedup_index_path, cfg.bm25_index_path, cfg.ann_index_path,
-        cfg.agg_view_path,
+        cfg.agg_view_path, cfg.join_view_path,
     )
     if any(p is not None for p in index_stores):
         # engine extension: any serving-index path switches the entry
@@ -109,6 +109,10 @@ def main() -> None:
             agg_value_path=cfg.agg_value_path,
             agg_value_type=cfg.agg_value_type,
             agg_track_minmax=cfg.agg_track_minmax,
+            join_view_path=cfg.join_view_path,
+            join_side_path=cfg.join_side_path,
+            join_fk_path=cfg.join_fk_path,
+            join_dim_id_path=cfg.join_dim_id_path,
         )
     elif cfg.replica_path:
         # engine extension: REPLICA_PATH switches the sink to replica

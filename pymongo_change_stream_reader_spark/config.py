@@ -74,6 +74,13 @@ class EngineSettings:
     # opt-in MIN/MAX maintenance (bounded extremum rescans) —
     # config-pinned at the store like the paths
     agg_track_minmax: bool = False
+    # incremental join view (engine extension, the sixth composed
+    # store): fact-join-dim over a polymorphic collection —
+    # streaming/join_view.py
+    join_view_path: str | None = None
+    join_side_path: str = "$.side"
+    join_fk_path: str = "$.fk"
+    join_dim_id_path: str | None = "$._id"
     # lifecycle
     program_start_timeout: int = 60
     program_graceful_stop_timeout: int = 20
@@ -143,6 +150,10 @@ def settings_from_env() -> EngineSettings:
         agg_value_type=env.get("AGG_VALUE_TYPE", "double"),
         agg_track_minmax=env.get("AGG_TRACK_MINMAX", "").lower()
         in ("1", "true", "yes"),
+        join_view_path=env.get("JOIN_VIEW_PATH"),
+        join_side_path=env.get("JOIN_SIDE_PATH", "$.side"),
+        join_fk_path=env.get("JOIN_FK_PATH", "$.fk"),
+        join_dim_id_path=env.get("JOIN_DIM_ID_PATH", "$._id"),
         program_start_timeout=int(env.get("PROGRAM_START_TIMEOUT", "60")),
         program_graceful_stop_timeout=int(
             env.get("PROGRAM_GRACEFUL_STOP_TIMEOUT", "20")

@@ -1,6 +1,7 @@
 """Single-pass composed relay: replica materialization + near-dup
 flagging + BM25 index maintenance + ANN index maintenance + the
-incremental aggregate view in ONE foreachBatch consumer.
+incremental aggregate view + the incremental join view in ONE
+foreachBatch consumer.
 
 Running the consumers as separate streaming queries (the individual
 ``start_replica_maintenance`` / ``start_streaming_dedup`` /
@@ -20,9 +21,9 @@ Exactly-once per store, replay-correct as a whole:
   committed but before BM25 ran replays the batch with dedup
   short-circuited and BM25 applied — no store double-applies, no
   store is skipped;
-- the AGG VIEW carries its own epoch pointer + persisted deltas
-  (streaming/agg_view.py replay contract) and short-circuits replayed
-  epochs internally.  Within each store the same crash-recovery
+- the AGG VIEW and the JOIN VIEW each carry their own epoch pointer
+  + persisted deltas (streaming/agg_view.py and streaming/join_view.py
+  replay contracts) and short-circuit replayed epochs internally.  Within each store the same crash-recovery
   machinery as the standalone relays applies (per-epoch flag
   partition overwrite; the BM25/ANN append journal rollback inside
   the index write lock).
@@ -107,6 +108,12 @@ def composed_apply_batch(
     agg_value_path: str = "$.v",
     agg_value_type: str = "double",
     agg_track_minmax: bool = False,
+    join_view_path: str | None = None,
+    join_side_path: str = "$.side",
+    join_fact_side: str = "f",
+    join_dim_side: str = "d",
+    join_fk_path: str = "$.fk",
+    join_dim_id_path: str | None = "$._id",
 ) -> dict:
     """Apply one micro-batch to every enabled store (see module
     docstring).  Returns per-store outcomes: ``applied`` /
@@ -265,6 +272,32 @@ def composed_apply_batch(
         sections.append(("aggview", _aggview))
     else:
         outcome["aggview"] = "disabled"
+    if join_view_path is not None:
+
+        def _joinview() -> str:
+            # replay-safe by its OWN epoch pointer + persisted deltas
+            # (streaming/join_view.py replay contract)
+            from pymongo_change_stream_reader_spark.streaming.join_view import (
+                join_view_batch,
+            )
+
+            applied = join_view_batch(
+                pinned,
+                join_view_path,
+                int(epoch_id),
+                side_path=join_side_path,
+                fact_side=join_fact_side,
+                dim_side=join_dim_side,
+                fk_path=join_fk_path,
+                dim_id_path=join_dim_id_path,
+                n_buckets=n_buckets,
+                retain=retain,
+            )
+            return "applied" if applied else "replayed-skip"
+
+        sections.append(("joinview", _joinview))
+    else:
+        outcome["joinview"] = "disabled"
 
     if max_parallel_stores > 1 and len(sections) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -324,25 +357,34 @@ def start_composed_relay(
     agg_value_path: str = "$.v",
     agg_value_type: str = "double",
     agg_track_minmax: bool = False,
+    join_view_path: str | None = None,
+    join_side_path: str = "$.side",
+    join_fact_side: str = "f",
+    join_dim_side: str = "d",
+    join_fk_path: str = "$.fk",
+    join_dim_id_path: str | None = "$._id",
 ):
     """Streaming entry point: one stream, one source read per trigger,
     every enabled store maintained.  Enable a store by passing its
     path(s); at least one must be enabled.  ``max_parallel_stores``
     overlaps the independent store applies (see composed_apply_batch;
     1 = strictly sequential).  ``agg_view_path`` adds the incremental
-    aggregate view (streaming/agg_view.py) as a fifth store; like the
-    serving indexes it needs post-images (fullDocument=updateLookup)."""
+    aggregate view (streaming/agg_view.py) as a fifth store;
+    ``join_view_path`` adds the incremental fact-join-dim view
+    (streaming/join_view.py) as a sixth; like the serving indexes both
+    need post-images (fullDocument=updateLookup)."""
     if (
         replica_path is None
         and dedup_index_path is None
         and bm25_index_path is None
         and ann_index_path is None
         and agg_view_path is None
+        and join_view_path is None
     ):
         raise ValueError(
             "composed relay: enable at least one store (replica_path, "
             "dedup_index_path(+dedup_flags_path), bm25_index_path, "
-            "ann_index_path, or agg_view_path)"
+            "ann_index_path, agg_view_path, or join_view_path)"
         )
     if (dedup_index_path is None) != (dedup_flags_path is None):
         raise ValueError(
@@ -363,6 +405,7 @@ def start_composed_relay(
         (bm25_index_path, "bm25_index_path"),
         (ann_index_path, "ann_index_path"),
         (agg_view_path, "agg_view_path"),
+        (join_view_path, "join_view_path"),
     ):
         if p is not None:
             _require_local_path(p, name)
@@ -395,6 +438,12 @@ def start_composed_relay(
             agg_value_path=agg_value_path,
             agg_value_type=agg_value_type,
             agg_track_minmax=agg_track_minmax,
+            join_view_path=join_view_path,
+            join_side_path=join_side_path,
+            join_fact_side=join_fact_side,
+            join_dim_side=join_dim_side,
+            join_fk_path=join_fk_path,
+            join_dim_id_path=join_dim_id_path,
         )
 
     writer = (

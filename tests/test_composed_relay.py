@@ -157,7 +157,8 @@ def test_partial_crash_replays_only_missing_stores(spark, tmp_path):
     })
     assert out == {"replica": "applied", "dedup": "applied",
                    "bm25": "applied", "ann": "disabled",
-                   "aggview": "disabled"}
+                   "aggview": "disabled",
+                   "joinview": "disabled"}
     # simulate the partial crash on epoch 1: pre-commit ONLY dedup's
     # marker, then run the "replay"
     from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
@@ -173,7 +174,8 @@ def test_partial_crash_replays_only_missing_stores(spark, tmp_path):
     out = composed_apply_batch(batch1, 1, **{k: v for k, v in p.items()})
     assert out == {"replica": "applied", "dedup": "replayed-skip",
                    "bm25": "applied", "ann": "disabled",
-                   "aggview": "disabled"}
+                   "aggview": "disabled",
+                   "joinview": "disabled"}
     # dedup never ran for epoch 1 -> no flags; bm25 holds both docs
     assert read_dedup_flags(spark, p["dedup_flags_path"]) is None
     consts = json.load(open(f"{p['bm25_index_path']}/_consts.json"))
@@ -251,7 +253,7 @@ def test_composed_relay_bench_shape(spark):
     assert out["events"] > 100 and out["batches"] == 2
     assert out["events_per_s"] > 0
     assert set(out["per_store_sec"]) == {
-        "pin", "replica", "dedup", "bm25", "ann", "aggview",
+        "pin", "replica", "dedup", "bm25", "ann", "aggview", "joinview",
     }
     # both fields are independently rounded from the same unrounded
     # total, so comparing re-rounded values flakes at 0.0005 boundaries
@@ -321,7 +323,8 @@ def test_composed_relay_with_ann_store(spark, tmp_path):
     )
     assert out == {"replica": "applied", "dedup": "applied",
                    "bm25": "applied", "ann": "applied",
-                   "aggview": "disabled"}
+                   "aggview": "disabled",
+                   "joinview": "disabled"}
 
     live = spark.createDataFrame(
         [(i, _vec(33 if i == 3 else i)) for i in range(10) if i != 5]
@@ -349,7 +352,8 @@ def test_composed_relay_with_ann_store(spark, tmp_path):
     out = composed_apply_batch(batch1, 1, ann_key_col="vec_key", **p)
     assert out == {"replica": "applied", "dedup": "applied",
                    "bm25": "applied", "ann": "replayed-skip",
-                   "aggview": "disabled"}
+                   "aggview": "disabled",
+                   "joinview": "disabled"}
     assert sim._ann_list_files(p["ann_index_path"]) == files_before
     # the other stores DID apply batch 1
     assert "21" in {
@@ -437,3 +441,58 @@ def test_composed_relay_with_agg_view_store(spark, tmp_path):
         for r in read_agg_view(spark, p["agg_view_path"]).collect()
     }
     assert groups == {"b": (1, 6)}
+
+
+def test_composed_relay_with_join_view_store(spark, tmp_path):
+    """The sixth store: the incremental join view maintained in the
+    same single-pass batch, replay-protected by its OWN epoch pointer
+    — fact and dim events of one polymorphic batch land in the same
+    trigger and the joined table is current after each apply."""
+    from pymongo_change_stream_reader_spark.streaming.join_view import (
+        read_join_view,
+    )
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "operationType STRING, documentKey STRING, "
+            "fullDocument STRING, t INT, i INT, d STRING",
+        ).selectExpr(
+            "operationType",
+            "documentKey",
+            "fullDocument",
+            "named_struct('t', t, 'i', i) AS clusterTime",
+            "named_struct('_data', d) AS _id",
+        )
+
+    p = dict(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        replica_path=str(tmp_path / "replica"),
+        join_view_path=str(tmp_path / "jview"),
+    )
+    os.makedirs(p["checkpoint_dir"], exist_ok=True)
+    out = composed_apply_batch(
+        _mk(
+            [
+                ("insert", '{"_id": "d1"}', '{"side": "d", "p": "x"}', 1, 1, "a1"),
+                ("insert", '{"_id": "f1"}', '{"side": "f", "fk": "d1"}', 1, 2, "a2"),
+            ]
+        ),
+        0,
+        **p,
+    )
+    assert out["joinview"] == "applied" and out["replica"] == "applied"
+    v = {
+        r["key"]: r["dim_doc"]
+        for r in read_join_view(spark, p["join_view_path"]).collect()
+    }
+    assert v == {'{"_id": "f1"}': '{"side": "d", "p": "x"}'}
+    # dim update fans out; the replayed epoch self-skips
+    b1 = _mk([("update", '{"_id": "d1"}', '{"side": "d", "p": "y"}', 2, 1, "b1")])
+    assert composed_apply_batch(b1, 1, **p)["joinview"] == "applied"
+    assert composed_apply_batch(b1, 1, **p)["joinview"] == "replayed-skip"
+    v = {
+        r["key"]: r["dim_doc"]
+        for r in read_join_view(spark, p["join_view_path"]).collect()
+    }
+    assert v == {'{"_id": "f1"}': '{"side": "d", "p": "y"}'}

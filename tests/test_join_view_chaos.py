@@ -1,0 +1,153 @@
+"""True-SIGKILL chaos for the incremental join view
+(streaming/join_view.py): a subprocess applying epoch 1 is SIGKILLed
+at each durable boundary of the replay contract —
+
+- ``before-stores``: the view deltas are persisted, no store commit
+  ran — the window where a replay that RECOMPUTED deltas against
+  already-merged stores would compute nothing and lose the batch;
+- ``before-pointer``: facts/dims/index committed and the new view
+  version is written, but the epoch pointer swap never ran;
+- ``after-pointer``: everything landed; the replay must skip.
+
+The parent replays the epoch and asserts the view equals an
+uninterrupted run."""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+
+import pytest
+
+from pymongo_change_stream_reader_spark.streaming.join_view import (
+    join_view_batch,
+    read_join_view,
+)
+
+_SCHEMA = (
+    "operationType STRING, documentKey STRING, fullDocument STRING, "
+    "t INT, i INT, d STRING"
+)
+
+BATCH0 = [
+    ("insert", "d1", '{"side": "d", "p": "alpha"}', 10, 1, "a1"),
+    ("insert", "d2", '{"side": "d", "p": "beta"}', 10, 2, "a2"),
+    ("insert", "f1", '{"side": "f", "fk": "d1"}', 10, 3, "a3"),
+]
+BATCH1 = [
+    ("replace", "f1", '{"side": "f", "fk": "d2"}', 11, 1, "b1"),
+    ("update", "d1", '{"side": "d", "p": "ALPHA"}', 11, 2, "b2"),
+    ("insert", "f2", '{"side": "f", "fk": "d1"}', 11, 3, "b3"),
+]
+
+_CHILD = """
+import json, os, signal, sys
+
+kill_mode, path = sys.argv[1], sys.argv[2]
+ROWS = [tuple(r) for r in json.loads(sys.argv[3])]
+SCHEMA = sys.argv[4]
+
+from pymongo_change_stream_reader_spark.session import get_spark
+import pymongo_change_stream_reader_spark.streaming.join_view as jv
+
+spark = get_spark(app_name="joinview-chaos", cpus=4, shuffle_partitions=4)
+
+def die(tag):
+    print("KILLED_AT " + tag, flush=True)
+    os.kill(os.getpid(), signal.SIGKILL)
+
+if kill_mode == "before-stores":
+    def cb_hook(*a, **kw):
+        # first _commit_bucketed call = the facts commit; the view
+        # deltas dir rename already happened
+        die("before-stores")
+    jv._commit_bucketed = cb_hook
+else:
+    real_wa = jv._write_atomic
+    def wa_hook(dest, body):
+        if dest.endswith("_current"):
+            if kill_mode == "before-pointer":
+                die("before-pointer")
+            real_wa(dest, body)
+            die("after-pointer")
+        real_wa(dest, body)
+    jv._write_atomic = wa_hook
+
+batch = spark.createDataFrame(ROWS, SCHEMA).selectExpr(
+    "operationType", "documentKey", "fullDocument",
+    "named_struct('t', t, 'i', i) AS clusterTime",
+    "named_struct('_data', d) AS _id",
+)
+jv.join_view_batch(batch, path, 1, n_buckets=4)
+print("SURVIVED", flush=True)
+"""
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA).selectExpr(
+        "operationType",
+        "documentKey",
+        "fullDocument",
+        "named_struct('t', t, 'i', i) AS clusterTime",
+        "named_struct('_data', d) AS _id",
+    )
+
+
+def _view(spark, path):
+    v = read_join_view(spark, path)
+    return (
+        {}
+        if v is None
+        else {r["key"]: (r["fk"], r["dim_doc"]) for r in v.collect()}
+    )
+
+
+EXPECTED = {
+    "f1": ("d2", '{"side": "d", "p": "beta"}'),
+    "f2": ("d1", '{"side": "d", "p": "ALPHA"}'),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "kill_mode", ["before-stores", "before-pointer", "after-pointer"]
+)
+def test_sigkill_windows_converge(spark, tmp_path, kill_mode):
+    path = str(tmp_path / "jview")
+    join_view_batch(_mk(spark, BATCH0), path, 0, n_buckets=4)
+    assert _view(spark, path) == {
+        "f1": ("d1", '{"side": "d", "p": "alpha"}')
+    }
+
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g", SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable, "-c", _CHILD, kill_mode, path,
+            json.dumps(BATCH1), _SCHEMA,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == -signal.SIGKILL, proc.stderr[-2000:]
+    assert "SURVIVED" not in proc.stdout
+    assert f"KILLED_AT {kill_mode}" in proc.stdout
+
+    if kill_mode != "after-pointer":
+        # every window past the delta-persist point leaves the batch's
+        # deltas durable for the replay to reuse
+        assert os.path.isdir(
+            os.path.join(path, "view_deltas", "epoch=1")
+        )
+
+    applied = join_view_batch(_mk(spark, BATCH1), path, 1, n_buckets=4)
+    assert applied == (kill_mode != "after-pointer")
+    assert _view(spark, path) == EXPECTED
+    # once more: stable
+    assert not join_view_batch(_mk(spark, BATCH1), path, 1, n_buckets=4)
+    assert _view(spark, path) == EXPECTED

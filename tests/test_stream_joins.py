@@ -195,6 +195,8 @@ def test_settings_from_env_composed_stores(monkeypatch):
         "AGG_GROUP_PATH": "$.category",
         "AGG_VALUE_TYPE": "long",
         "AGG_TRACK_MINMAX": "true",
+        "JOIN_VIEW_PATH": "/data/jview",
+        "JOIN_FK_PATH": "$.customer_id",
     }.items():
         monkeypatch.setenv(k, v)
     cfg = settings_from_env()
@@ -208,6 +210,9 @@ def test_settings_from_env_composed_stores(monkeypatch):
             cfg.agg_value_type) == ("/data/view", "$.category", "$.v",
                                     "long")
     assert cfg.agg_track_minmax is True
+    assert (cfg.join_view_path, cfg.join_side_path, cfg.join_fk_path,
+            cfg.join_dim_id_path) == ("/data/jview", "$.side",
+                                      "$.customer_id", "$._id")
 
 
 def test_settings_validation(monkeypatch):
