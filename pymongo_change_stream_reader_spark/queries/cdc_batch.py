@@ -1056,7 +1056,7 @@ def _join_view_events(e: DataFrame) -> DataFrame:
     "a polymorphic 119-key change history (99 facts referencing 20 "
     "dims through $.fk) applied in THREE interleaved micro-batches "
     "(event_id % 3 — each batch mixes newer and older events per "
-    "key, plus doc-less deletes that must route by store membership); "
+    "key, plus doc-less deletes that tombstone both stores); "
     "the maintained fact-join-dim table is read back and hash-compared "
     "to the oracle's full recompute over the final document states.  "
     "Per-batch work is ΔF ⋈ D' ∪ (F' − ΔF) ⋈ ΔD over touched buckets "

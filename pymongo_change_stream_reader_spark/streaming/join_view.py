@@ -222,10 +222,10 @@ def join_view_batch(
     raw documentKey string) — the dims store and the secondary index
     bucket by this JOIN KEY, so fk lookups hit the right buckets
     directly.  Fact and dim keys are disjoint (one collection, one
-    _id space); a delete without a post-image routes by store
-    membership and is recorded as a tombstone on BOTH sides when the
-    key was never seen (a no-op for the view, bounded by the batch's
-    delete count)."""
+    _id space); a delete without a post-image tombstones BOTH stores
+    (the wrong side's tombstone is inert under LWW and purged by
+    compaction — cheaper than per-batch membership lookups, and
+    batch-order independent)."""
     spark = batch.sparkSession
     os.makedirs(os.path.join(path, "view_deltas"), exist_ok=True)
     os.makedirs(os.path.join(path, "view"), exist_ok=True)
@@ -264,22 +264,30 @@ def join_view_batch(
                 )
             },
         ).localCheckpoint(eager=False)
-        if not last.filter(F.col("__bad")).isEmpty():
+        side = F.get_json_object("doc", side_path)
+        # ONE validation job materializes the checkpointed frame AND
+        # reads both invariants off it (two isEmpty probes would cost
+        # two driver-latency jobs on the batch hot path)
+        checks = last.agg(
+            F.max("__bad").alias("no_img"),
+            F.max(
+                (F.col("op") != "delete")
+                & ~F.coalesce(
+                    side.isin(fact_side, dim_side), F.lit(False)
+                )
+            ).alias("bad_side"),
+        ).first()
+        if checks["no_img"]:
             raise PipelineError(
                 "join view maintenance needs a post-image per "
                 "non-delete event (fullDocument=updateLookup)"
             )
-        last = last.drop("__bad")
-        side = F.get_json_object("doc", side_path)
-        bad_side = last.filter(
-            (F.col("op") != "delete")
-            & ~F.coalesce(side.isin(fact_side, dim_side), F.lit(False))
-        )
-        if not bad_side.isEmpty():
+        if checks["bad_side"]:
             raise PipelineError(
                 f"join view: post-image {side_path} must be "
                 f"{fact_side!r} or {dim_side!r}"
             )
+        last = last.drop("__bad")
 
         live = F.col("op") != "delete"
         jk_of = (
@@ -303,54 +311,19 @@ def join_view_batch(
         )
         deletes = last.filter(~live).select(
             "key", *[F.col(c) for c in _ORDER]
-        ).localCheckpoint(eager=False)
+        )
 
-        # route doc-less deletes by membership: a delete lands on the
-        # side(s) that know the key; an unknown key tombstones both
-        # (no view effect).  Membership lookups read only the keys'
-        # buckets of each store.
-        def _members(
-            store: str, keys: DataFrame, bucket_col
-        ) -> DataFrame:
-            mf = _read_bucket_manifest(store)
-            if mf is None:
-                return keys.filter(F.lit(False)).select("key")
-            entries = mf[1]
-            buckets = sorted(
-                r["b"]
-                for r in keys.select(bucket_col.alias("__bk"))
-                .select(_bucket_of(["__bk"], n_buckets).alias("b"))
-                .distinct()
-                .collect()
-            )
-            rows = _read_entry_dirs(
-                spark, store,
-                [entries[k] for k in buckets if k in entries],
-            )
-            if rows is None:
-                return keys.filter(F.lit(False)).select("key")
-            return keys.select("key").join(
-                rows.select("key").distinct(), "key", "semi"
-            )
-
-        in_facts = _members(facts_path, deletes, F.col("key"))
-        in_dims = _members(dims_path, deletes, jk_of(F.col("key")))
-        unknown = (
-            deletes.join(in_facts, "key", "anti")
-            .join(in_dims, "key", "anti")
-        )
-        fact_dels = deletes.join(
-            in_facts.unionByName(unknown.select("key")).distinct(),
-            "key",
-            "semi",
-        )
-        dim_dels = deletes.join(
-            in_dims.unionByName(unknown.select("key")).distinct(),
-            "key",
-            "semi",
-        )
+        # doc-less deletes tombstone BOTH stores unconditionally: the
+        # key belongs to exactly one side (disjoint key spaces), so
+        # the other side's tombstone is inert — the LWW merge keeps it
+        # as a dead row no live row ever contests, the view delta it
+        # induces anti-joins into nothing, and compaction purges it.
+        # The alternative (membership routing) costs two manifest
+        # reads + two bucket-lookup jobs on EVERY batch with a delete
+        # — measured as a real slice of the per-batch floor — to save
+        # tombstone rows bounded by the delete count.
         fact_winners = fact_winners.unionByName(
-            fact_dels.select(
+            deletes.select(
                 "key",
                 F.lit(False).alias("live"),
                 F.lit(None).cast("string").alias("fk"),
@@ -359,7 +332,7 @@ def join_view_batch(
             )
         ).localCheckpoint(eager=False)
         dim_winners = dim_winners.unionByName(
-            dim_dels.select(
+            deletes.select(
                 "key",
                 jk_of(F.col("key")).alias("jk"),
                 F.lit(False).alias("live"),
@@ -535,22 +508,35 @@ def join_view_batch(
             d.coalesce(1).write.mode("overwrite").parquet(tmp)
             os.rename(tmp, deltas_dir)  # atomic: the delta commit point
 
-        # store commits (idempotent LWW re-merges)
-        _commit_bucketed(
-            fact_merged, facts_path, ["key"], n_buckets, f_entries,
-            changed=f_changed, retain=retain, return_df=False,
-        )
-        _commit_bucketed(
-            dim_merged, dims_path, ["jk"], n_buckets, d_entries,
-            changed=d_changed, retain=retain, return_df=False,
-        )
+        # store commits (idempotent LWW re-merges) — facts, dims and
+        # the index mutate INDEPENDENT directories, so their commits
+        # overlap from a small driver-side pool (each spends most of
+        # its wall time blocked on write/manifest latency; the inputs
+        # are all checkpointed, so cross-thread plan reuse is safe)
         idx_merged, _io, i_entries, i_changed = _merge_lww(
             spark, idx_winners, idx_path, ["fk", "key"], ["fk"], n_buckets
         )
-        _commit_bucketed(
-            idx_merged, idx_path, ["fk"], n_buckets, i_entries,
-            changed=i_changed, retain=retain, return_df=False,
+        from concurrent.futures import ThreadPoolExecutor
+
+        commits = (
+            lambda: _commit_bucketed(
+                fact_merged, facts_path, ["key"], n_buckets, f_entries,
+                changed=f_changed, retain=retain, return_df=False,
+            ),
+            lambda: _commit_bucketed(
+                dim_merged, dims_path, ["jk"], n_buckets, d_entries,
+                changed=d_changed, retain=retain, return_df=False,
+            ),
+            lambda: _commit_bucketed(
+                idx_merged, idx_path, ["fk"], n_buckets, i_entries,
+                changed=i_changed, retain=retain, return_df=False,
+            ),
         )
+        with ThreadPoolExecutor(
+            max_workers=3, thread_name_prefix="joinview-commit"
+        ) as pool:
+            for fut in [pool.submit(fn) for fn in commits]:
+                fut.result()
 
         # view commit: persisted deltas rewrite only their key buckets
         d = spark.read.schema(

@@ -59,15 +59,47 @@ def main() -> None:
     ev = ev.withColumn(
         "embedding",
         F.when(F.col("operationType") != "delete", _emb("vec_key")),
+    ).withColumn(
+        "fullDocument",
+        F.when(
+            F.col("fullDocument").isNotNull(),
+            F.concat(
+                F.lit('{"side": "f", "fk": "d'),
+                F.pmod(F.col("vec_key"), F.lit(20)).cast("string"),
+                F.lit('", '),
+                F.substring(F.col("fullDocument"), 2, 1 << 30),
+            ),
+        ),
     ).select(
         "_id", "operationType", "clusterTime", "documentKey",
         "fullDocument", "vec_key", "embedding",
     )
+    dims = spark.range(20).select(
+        F.struct(
+            F.concat(F.lit("dim"), F.col("id").cast("string")).alias(
+                "_data"
+            )
+        ).alias("_id"),
+        F.lit("insert").alias("operationType"),
+        F.struct(
+            F.lit(0).cast("long").alias("t"), F.lit(0).alias("i")
+        ).alias("clusterTime"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias(
+            "documentKey"
+        ),
+        F.concat(
+            F.lit('{"side": "d", "dim_name": "dim'),
+            F.col("id").cast("string"),
+            F.lit('"}'),
+        ).alias("fullDocument"),
+        (F.col("id") + 10**15).alias("vec_key"),
+        _emb("id").alias("embedding"),
+    )
     n_batches = 3
     batches = [
-        ev.filter(
-            F.pmod(F.col("vec_key"), F.lit(n_batches)) == i
-        ).localCheckpoint(eager=True)
+        ev.filter(F.pmod(F.col("vec_key"), F.lit(n_batches)) == i)
+        .unionByName(dims if i == 0 else dims.limit(0))
+        .localCheckpoint(eager=True)
         for i in range(n_batches)
     ]
     n_events = sum(b.count() for b in batches)
@@ -95,6 +127,8 @@ def main() -> None:
             agg_group_path="$.k",
             agg_value_path="$.value_cents",
             agg_value_type="long",
+            join_view_path=os.path.join(root, "jview"),
+            join_dim_id_path=None,
         )
 
     tracker = spark.sparkContext.statusTracker()
