@@ -359,6 +359,18 @@ def join_view_batch(
         batch_dim_post = dim_merged.join(
             dim_winners.select("key").distinct(), "key", "semi"
         ).localCheckpoint(eager=False)
+        # materialize the two independent LWW merges CONCURRENTLY so
+        # the delta job (which consumes both) pays max(), not sum(),
+        # of their merge latencies — everything downstream reads the
+        # cached checkpoints
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        with _TPE(max_workers=2, thread_name_prefix="joinview-pin") as _p:
+            for _f in [
+                _p.submit(lambda: batch_fact_post.count()),
+                _p.submit(lambda: batch_dim_post.count()),
+            ]:
+                _f.result()
 
         # secondary-index deltas: live row at the winner's fk plus a
         # tombstone at the old fk when the old live row's fk no longer
