@@ -90,6 +90,7 @@ from pymongo_change_stream_reader_spark.streaming.materialize import (
 __all__ = [
     "join_view_batch",
     "read_join_view",
+    "compact_join_view",
     "start_join_view_maintenance",
 ]
 
@@ -636,3 +637,89 @@ def start_join_view_maintenance(
         )
         .start()
     )
+
+
+def compact_join_view(
+    spark: SparkSession,
+    path: str,
+    files_per_bucket: int = 1,
+    purge_tombstones: bool = False,
+    retain: int = 2,
+) -> dict:
+    """Compact the view's three LWW stores (the compact_replica
+    sibling): rewrite every bucket of ``facts/``, ``dims/`` and
+    ``fact_by_fk/`` into ``files_per_bucket`` files, capping the
+    small-file growth of per-batch commits.  Runs under the SAME view
+    lock the batch apply takes.  Returns per-store compacted row
+    counts.
+
+    ``purge_tombstones`` defaults to FALSE: a purged tombstone lets a
+    late out-of-order event older than the delete re-add its row —
+    and here that silently changes the VIEW (a dead fact's join row
+    resurrects).  It is also the switch that reclaims the INERT
+    wrong-side tombstones the unconditional delete routing writes
+    (they are shape-identical to real ones).  Purge only when the
+    source's reordering horizon has provably passed.  The ``view/``
+    table itself holds no tombstones (deletes remove its rows) and
+    compacts with its epoch pointer re-pinned to the fresh snapshot."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+    )
+
+    counts: dict[str, int] = {}
+    with bucketed_sink_lock(path):
+        for store, bucket_col in (
+            ("facts", "key"),
+            ("dims", "jk"),
+            ("fact_by_fk", "fk"),
+        ):
+            sp = os.path.join(path, store)
+            mf = _read_bucket_manifest(sp)
+            if mf is None:
+                continue
+            n_buckets, entries = mf
+            cur = read_bucketed_sink(spark, sp)
+            if cur is None:
+                continue
+            if purge_tombstones:
+                cur = cur.filter(F.col("live"))
+            compacted = cur.repartition(
+                max(1, files_per_bucket * n_buckets),
+                _bucket_of([bucket_col], n_buckets),
+            ).localCheckpoint(eager=True)
+            counts[store] = compacted.count()
+            _commit_bucketed(
+                compacted, sp, [bucket_col], n_buckets, entries,
+                sorted(entries), retain=retain, return_df=False,
+            )
+        # view table: rewrite the committed buckets and re-pin the
+        # pointer to the fresh snapshot at the SAME epoch
+        cur_ptr = _view_current(path)
+        if cur_ptr is not None:
+            res = _resolve_view_entries(path)
+            vroot = os.path.join(path, "view")
+            entries, epoch = res
+            dirs = [
+                os.path.join(vroot, rel)
+                for rel in entries.values()
+                if os.path.isdir(os.path.join(vroot, rel))
+            ]
+            if dirs:
+                vmf = _read_bucket_manifest(vroot)
+                n_buckets = vmf[0]
+                rows = spark.read.parquet(*dirs).select(*_VIEW_COLS)
+                compacted = rows.repartition(
+                    max(1, files_per_bucket * n_buckets),
+                    _bucket_of(["key"], n_buckets),
+                ).localCheckpoint(eager=True)
+                counts["view"] = compacted.count()
+                _commit_bucketed(
+                    compacted, vroot, ["key"], n_buckets,
+                    dict(vmf[1]), sorted(dict(vmf[1])),
+                    retain=max(3, retain), return_df=False,
+                )
+                vname = _bucket_history_name(vroot)
+                _write_atomic(
+                    os.path.join(vroot, "_current"), f"{vname}:{epoch}"
+                )
+    return counts

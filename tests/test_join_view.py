@@ -253,3 +253,53 @@ def test_join_view_validation(spark, tmp_path):
             epoch=1,
             fk_path="$.other",
         )
+
+
+def test_compact_join_view_purges_and_preserves(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+    )
+    from pymongo_change_stream_reader_spark.streaming.join_view import (
+        compact_join_view,
+    )
+
+    path = str(tmp_path / "jv")
+    join_view_batch(
+        _frame(
+            spark,
+            [
+                _ev("a1", "insert", 10, 1, "d1", _dim("alpha")),
+                _ev("a2", "insert", 10, 2, "f1", _fact("d1", "x")),
+                _ev("a3", "insert", 10, 3, "f2", _fact("d1", "y")),
+            ],
+        ),
+        path,
+        epoch=0,
+    )
+    join_view_batch(
+        _frame(spark, [_ev("b1", "delete", 11, 1, "f2")]),
+        path,
+        epoch=1,
+    )
+    before = _view(spark, path)
+    assert set(before) == {"f1"}
+    # the delete tombstoned BOTH stores (unconditional routing): the
+    # facts store holds f2's real tombstone AND dims holds the inert one
+    facts = read_bucketed_sink(spark, os.path.join(path, "facts"))
+    dims = read_bucketed_sink(spark, os.path.join(path, "dims"))
+    assert facts.filter("NOT live").count() == 1
+    assert dims.filter("NOT live").count() == 1
+
+    counts = compact_join_view(spark, path, purge_tombstones=True)
+    assert counts["facts"] == 1 and counts["dims"] == 1
+    assert counts["fact_by_fk"] == 1 and counts["view"] == 1
+    facts = read_bucketed_sink(spark, os.path.join(path, "facts"))
+    assert facts.filter("NOT live").count() == 0
+    # state unchanged through the swap, and batches keep applying
+    assert _view(spark, path) == before
+    join_view_batch(
+        _frame(spark, [_ev("c1", "insert", 12, 1, "f3", _fact("d1", "z"))]),
+        path,
+        epoch=2,
+    )
+    assert set(_view(spark, path)) == {"f1", "f3"}
