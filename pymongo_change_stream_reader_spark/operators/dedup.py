@@ -599,6 +599,12 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("component").alias("nbr"))
         )
+        # localCheckpoint, not persist: a persisted frame still CARRIES
+        # its logical plan, so round N's analysis re-walks N rounds of
+        # joins — measured as minutes of pure driver planning by round
+        # ~10 (the pagerank loop hit the same wall; operators/graphs.py
+        # cuts it identically).  The checkpoint truncates the plan to a
+        # leaf each round; the sum-collect below materializes it.
         new_labels = (
             labels.join(nbr_min, F.col("v") == F.col("dst"), "left")
             .select(
@@ -607,7 +613,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels.unpersist()
