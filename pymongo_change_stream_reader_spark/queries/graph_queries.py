@@ -260,3 +260,75 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("__a.s") < F.col("__b.s")),
     ).select(F.col("__a.s").alias("src"), F.col("__b.s").alias("dst"))
     return triangle_count(edges)
+
+
+_KCORE_STEP = """
+    SELECT e.a, e.b FROM {cur} e
+    JOIN (SELECT v FROM (SELECT a AS v FROM {cur}
+                         UNION ALL SELECT b FROM {cur})
+          GROUP BY v HAVING COUNT(*) >= 4) ka ON ka.v = e.a
+    JOIN (SELECT v FROM (SELECT a AS v FROM {cur}
+                         UNION ALL SELECT b FROM {cur})
+          GROUP BY v HAVING COUNT(*) >= 4) kb ON kb.v = e.b
+"""
+
+
+@query(
+    "graph_kcore",
+    oracle=f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        FROM lineitem WHERE l_orderkey % 197 = 0
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.s AS a, b.s AS b
+        FROM pairs a JOIN pairs b ON a.o = b.o AND a.s < b.s
+    ),
+    e1 AS MATERIALIZED ({_KCORE_STEP.format(cur="e0")}),
+    e2 AS MATERIALIZED ({_KCORE_STEP.format(cur="e1")}),
+    e3 AS MATERIALIZED ({_KCORE_STEP.format(cur="e2")}),
+    e4 AS MATERIALIZED ({_KCORE_STEP.format(cur="e3")}),
+    e5 AS MATERIALIZED ({_KCORE_STEP.format(cur="e4")}),
+    e6 AS MATERIALIZED ({_KCORE_STEP.format(cur="e5")})
+    SELECT v, COUNT(*) AS deg
+    FROM (SELECT a AS v FROM e6 UNION ALL SELECT b FROM e6)
+    GROUP BY v ORDER BY v
+    """,
+    doc="4-core of the supplier co-occurrence graph (1-in-197 order "
+    "sample) via operators/graphs.py:k_core — iterative peeling to "
+    "the unique fixpoint (per round: one degree aggregation + two "
+    "semi joins over a shrinking localCheckpointed edge set, fixpoint "
+    "by the strictly-decreasing edge count).  The oracle unrolls SIX "
+    "peel rounds; the fixture converges in <= 4 at every SF "
+    "(pytest-pinned via the stats hook) and post-fixpoint rounds are "
+    "no-ops, so the unroll bound is slack, not load-bearing.  The "
+    "CTEs are MATERIALIZED: each round references its predecessor 5x, "
+    "so DuckDB's default inlining would expand 5^6 scans.  Output "
+    "= (vertex, in-core degree).",
+    tags=("graph",),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.graphs import k_core
+
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 197 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = pairs.alias("__a")
+    b = pairs.alias("__b")
+    edges = a.join(
+        b,
+        (F.col("__a.o") == F.col("__b.o"))
+        & (F.col("__a.s") < F.col("__b.s")),
+    ).select(F.col("__a.s").alias("src"), F.col("__b.s").alias("dst"))
+    stats: dict = {}
+    out = k_core(edges, k=4, stats=stats)
+    if stats["rounds"] > 6:
+        raise RuntimeError(
+            f"graph_kcore: peeling took {stats['rounds']} rounds; the "
+            "oracle unrolls 6 — raise the unroll instead of "
+            "hash-mismatching"
+        )
+    return out.select("v", "deg").orderBy("v")

@@ -170,3 +170,40 @@ def test_triangle_count_matches_bruteforce_random(spark):
     )
     got = triangle_count(_edges(spark, pairs)).first()["n_triangles"]
     assert got == brute
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+def test_kcore_peels_to_the_unique_fixpoint(spark):
+    from pymongo_change_stream_reader_spark.operators.graphs import k_core
+
+    # a 4-clique {1,2,3,4} with a pendant chain 4-5-6: the 2-core is
+    # the clique alone (5 and 6 peel in two successive rounds)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    stats: dict = {}
+    out = {r["v"]: r["deg"] for r in k_core(df, k=2, stats=stats).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert stats["rounds"] == 2  # 6 peels, then 5, then stable
+
+
+def test_kcore_empty_when_k_exceeds_connectivity(spark):
+    from pymongo_change_stream_reader_spark.operators.graphs import k_core
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src LONG, dst LONG"
+    )
+    assert k_core(df, k=3).count() == 0  # a triangle has no 3-core
+
+
+def test_kcore_normalizes_directions_and_duplicates(spark):
+    from pymongo_change_stream_reader_spark.operators.graphs import k_core
+
+    # the same triangle given as duplicated, both-direction edges
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (1, 2)],
+        "src LONG, dst LONG",
+    )
+    out = {r["v"]: r["deg"] for r in k_core(df, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
