@@ -47,6 +47,18 @@ __all__ = [
 ]
 
 
+def _sql_str(s: str) -> str:
+    """``s`` as a single-quoted SQL string literal (quotes doubled) —
+    rule/step/column names are user data interpolated into stack()
+    strings, not SQL."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_ident(s: str) -> str:
+    """``s`` as a backtick-quoted SQL identifier (backticks doubled)."""
+    return "`" + s.replace("`", "``") + "`"
+
+
 def profile_columns(
     df: DataFrame, cols: list[str], exact: bool = True
 ) -> DataFrame:
@@ -67,7 +79,9 @@ def profile_columns(
         aggs.append(dcount(F.col(c)).alias(f"__nd_{c}"))
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __nn_{c}, __nd_{c}" for c in cols
+        f"{_sql_str(c)}, {_sql_ident(f'__nn_{c}')}, "
+        f"{_sql_ident(f'__nd_{c}')}"
+        for c in cols
     )
     return (
         wide.select(
@@ -121,7 +135,7 @@ def constraint_audit(df: DataFrame, checks: list[Check]) -> DataFrame:
         )
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{ck.name}', __chk_{i}, __bad_{i}"
+        f"{_sql_str(ck.name)}, __chk_{i}, __bad_{i}"
         for i, ck in enumerate(checks)
     )
     return (

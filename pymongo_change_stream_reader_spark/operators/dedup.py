@@ -1370,7 +1370,11 @@ def prefix_filtered_jaccard_pairs(
     if stats is not None:
         stats["inv_rows"] = inv.count()
         stats["prefix_rows"] = prefix.count()
-        cand = cand.persist()
+        # localCheckpoint, not persist: the stats count materializes
+        # the candidate set once and the verification join reads the
+        # checkpoint blocks — no persisted frame left for the caller
+        # to have to unpersist (blocks release with the RDD)
+        cand = cand.localCheckpoint(eager=True)
         stats["candidates"] = cand.count()
     ga = grams.select(
         F.col("doc").alias("id_a"), F.col("grams").alias("__ga")

@@ -106,8 +106,13 @@ def funnel_conversion(
             for k in range(1, len(steps) + 1)
         ]
     )
+    from pymongo_change_stream_reader_spark.operators.dataquality import (
+        _sql_str,
+    )
+
     stack_args = ", ".join(
-        f"{k}, '{step}', __c{k}" for k, step in enumerate(steps, start=1)
+        f"{k}, {_sql_str(step)}, __c{k}"
+        for k, step in enumerate(steps, start=1)
     )
     return (
         counts.select(

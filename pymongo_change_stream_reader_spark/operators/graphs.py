@@ -213,9 +213,14 @@ def k_core(
     key-partitioned shuffles over a shrinking edge table and one
     scalar to the driver.
 
-    ``stats`` receives ``{"rounds": r}``.  Returns (v, deg) — the
-    core's vertices with their IN-CORE degrees (empty when the k-core
-    is empty)."""
+    ``stats`` receives ``{"rounds": r, "converged": bool}``.  Exhausting
+    ``max_iters`` before the fixpoint raises (a partial peel is NOT a
+    k-core — some surviving vertex still has degree < k; chain-like
+    graphs need O(|V|) rounds, so callers on such shapes must size
+    ``max_iters``); passing ``stats`` suppresses the raise and records
+    ``converged=False`` for callers that handle partial peels
+    themselves.  Returns (v, deg) — the core's vertices with their
+    IN-CORE degrees (empty when the k-core is empty)."""
     cur = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -227,6 +232,7 @@ def k_core(
     )
     n_edges = cur.count()
     rounds = 0
+    converged = False
     for _ in range(max_iters):
         deg = (
             cur.select(F.col("a").alias("v"))
@@ -244,11 +250,24 @@ def k_core(
         n_next = nxt.count()
         cur = nxt
         if n_next == n_edges:  # peeling is monotone -> fixpoint
+            converged = True
             break
         n_edges = n_next
         rounds += 1
+    # the empty graph is trivially its own fixpoint even when the
+    # loop's last round did the emptying
+    converged = converged or n_edges == 0
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
+    elif not converged:
+        raise RuntimeError(
+            f"k_core: max_iters={max_iters} exhausted before the "
+            "peeling fixpoint — the result is NOT a k-core (some "
+            "vertex still has degree < k); raise max_iters (chain-"
+            "like graphs need O(|V|) rounds) or pass stats= to "
+            "accept a partial peel with stats['converged']=False"
+        )
     return (
         cur.select(F.col("a").alias("v"))
         .unionByName(cur.select(F.col("b").alias("v")))

@@ -124,15 +124,36 @@ def ewma_last(
     the same cost shape as any grouped aggregation.  (The closed-form
     ``sum a(1-a)^{t-i} x_i`` rewrite runs in pure window arithmetic
     but ``(1-a)^{-i}`` overflows IEEE doubles past ~6.5k points per
-    key; the kernel has no such bound.)"""
+    key; the kernel has no such bound.)
+
+    The kernel is deliberately NOT pandas' C ``ewm(adjust=False)``
+    path: pandas' accumulation differs from the textbook recurrence
+    in rounding (measured: alpha=1/3 over [1.0, 2.0] yields
+    1.3333333333333333 from ewm vs 1.3333333333333335 from
+    ``a*x + (1-a)*y`` — its normalized update divides by
+    ``(1-a)+a``), and the DuckDB oracle (list_reduce) computes the
+    textbook form, so the loop stays for bit-identity.  It iterates
+    PYTHON floats (``.tolist()``) with the decay factor hoisted —
+    same IEEE doubles, ~4x less per-observation overhead than
+    iterating boxed numpy scalars.
+
+    The output ``key`` column carries ``df``'s own key dtype (string
+    device ids work, not just longs)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     def kern(pdf):
         import pandas as pd
 
         pdf = pdf.sort_values(["__ts", "__v"], kind="mergesort")
+        beta = 1.0 - alpha
         y = None
-        for x in pdf["__v"].to_numpy():
-            y = x if y is None else alpha * x + (1.0 - alpha) * y
+        for x in pdf["__v"].tolist():
+            y = x if y is None else alpha * x + beta * y
         return pd.DataFrame(
             {"key": [pdf["key"].iloc[0]], "n_obs": [len(pdf)], "ewma": [y]}
         )
@@ -142,9 +163,14 @@ def ewma_last(
         F.col(ts_col).alias("__ts"),
         F.col(value_col).cast("double").alias("__v"),
     )
-    return prepared.groupBy("key").applyInPandas(
-        kern, "key long, n_obs long, ewma double"
+    out_schema = StructType(
+        [
+            StructField("key", df.schema[key_col].dataType),
+            StructField("n_obs", LongType()),
+            StructField("ewma", DoubleType()),
+        ]
     )
+    return prepared.groupBy("key").applyInPandas(kern, out_schema)
 
 
 def rolling_zscore(

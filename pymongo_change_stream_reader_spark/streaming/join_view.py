@@ -28,9 +28,12 @@ one row per live fact whose fk resolves to a live dim.
   into the old fk's — both buckets are batch-touched, so a dim change
   finds its affected facts by reading only its own fk buckets instead
   of scanning the fact table.
-- ``view_deltas/epoch=N/`` — the batch's view-row changes
-  (key, live, fk, fact_doc, dim_doc), persisted BEFORE any commit
-  (replay contract below).
+- ``view_deltas/epoch=N/view/`` — the batch's view-row changes
+  (key, live, fk, fact_doc, dim_doc) and ``.../idx/`` — the batch's
+  secondary-index deltas (live rows + old-fk tombstones), BOTH
+  persisted under ONE atomic rename BEFORE any commit (replay
+  contract below; the idx rows are derived from the pre-commit fact
+  state and cannot be re-derived once the facts store has committed).
 - ``view/`` + ``view/_current`` — the joined table (key, fk,
   fact_doc, dim_doc), bucketed BY FACT KEY; ``_current`` names the
   committed manifest snapshot plus the applied epoch — the single
@@ -49,12 +52,14 @@ construction, so their union is the exact ΔV.
 
 ## Exactly-once replay contract
 
-Apply order: (1) persist view deltas (atomic rename), (2) commit
-facts, dims, fact_by_fk (LWW re-merges are idempotent), (3) commit
-view + epoch pointer.  On replay: view epoch >= N => skip;
-``view_deltas/epoch=N`` exists => NEVER recompute deltas (the stores
-may already include the batch — recomputed deltas would cancel to
-nothing), re-merge the stores, apply the PERSISTED deltas;
+Apply order: (1) persist view deltas AND index deltas (one atomic
+rename), (2) commit facts, dims, fact_by_fk (LWW re-merges are
+idempotent), (3) commit view + epoch pointer.  On replay: view epoch
+>= N => skip; ``view_deltas/epoch=N`` exists => NEVER recompute
+deltas (the stores may already include the batch — recomputed view
+deltas would cancel to nothing, and re-derived index tombstones
+compare old.fk against an already-committed winner and vanish),
+re-merge the stores, apply the PERSISTED deltas;
 neither => full first-time apply.  The whole apply runs under the
 view's write lock.
 
@@ -518,8 +523,33 @@ def join_view_batch(
             d = fact_delta.unionByName(dim_delta)
             tmp = os.path.join(path, "view_deltas", f".tmp-{epoch}")
             shutil.rmtree(tmp, ignore_errors=True)
-            d.coalesce(1).write.mode("overwrite").parquet(tmp)
+            d.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tmp, "view")
+            )
+            # the index deltas (tombstones included) ride the SAME
+            # atomic rename: they are derived from fact_old, which is
+            # only meaningful PRE-commit — the three store commits run
+            # concurrently, so a crash after the facts commit but
+            # before the index commit would make a re-derivation see
+            # old.fk == winner.fk and drop the tombstone, leaving a
+            # stale live index row at the old fk forever (a later dim
+            # change would fan out to it and overwrite the fact's view
+            # row with stale data)
+            idx_winners.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(tmp, "idx")
+            )
             os.rename(tmp, deltas_dir)  # atomic: the delta commit point
+
+        # replay-stable index deltas: ALWAYS consume the persisted
+        # rows (captured against the genuinely pre-commit fact_old),
+        # never a re-derivation against possibly-already-committed
+        # stores.  Legacy epochs persisted before the idx subdir
+        # existed fall back to the derived frame.
+        idx_delta_dir = os.path.join(deltas_dir, "idx")
+        if os.path.isdir(idx_delta_dir):
+            idx_winners = spark.read.parquet(idx_delta_dir).select(
+                "fk", "key", "live", "doc", *_ORDER
+            )
 
         # store commits (idempotent LWW re-merges) — facts, dims and
         # the index mutate INDEPENDENT directories, so their commits
@@ -552,10 +582,13 @@ def join_view_batch(
                 fut.result()
 
         # view commit: persisted deltas rewrite only their key buckets
+        view_delta_dir = os.path.join(deltas_dir, "view")
+        if not os.path.isdir(view_delta_dir):
+            view_delta_dir = deltas_dir  # legacy flat layout
         d = spark.read.schema(
             "key STRING, live BOOLEAN, fk STRING, "
             "fact_doc STRING, dim_doc STRING"
-        ).parquet(deltas_dir)
+        ).parquet(view_delta_dir)
         vroot = os.path.join(path, "view")
         vmf = _read_bucket_manifest(vroot)
         if vmf is not None and vmf[0] != n_buckets:

@@ -113,3 +113,25 @@ def test_freshness_lag_hours(spark):
     ).select("g", F.col("ts").cast("timestamp").alias("ts"))
     out = {r["grp"]: r["lag_hours"] for r in freshness_lag(df, "ts", "g").collect()}
     assert out == {"a": 6.0, "b": 0.0}
+
+
+def test_names_with_quotes_are_escaped(spark):
+    # rule and column names are user data interpolated into stack()
+    # SQL: quotes (and odd identifier chars) must survive
+    from pymongo_change_stream_reader_spark.operators.dataquality import (
+        Check,
+        constraint_audit,
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x")], ["id", "it's"]
+    )
+    prof = {r["column"]: r["n_nulls"] for r in profile_columns(df, ["it's"]).collect()}
+    assert prof == {"it's": 1}
+    audit = constraint_audit(
+        df, [Check("o'brien's rule", F.col("id") > 1)]
+    ).collect()
+    assert [(r["rule"], r["checked"], r["violations"]) for r in audit] == [
+        ("o'brien's rule", 3, 1)
+    ]

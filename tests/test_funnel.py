@@ -144,3 +144,21 @@ def test_cohort_retention_matrix(spark):
     assert out[("2024-01-08", 0)] == (1, 1.0)
     assert out[("2024-01-08", 1)] == (1, 1.0)
     assert len(out) == 5
+
+
+def test_funnel_step_names_with_quotes(spark):
+    # step names are user data: a quote must not break (or inject
+    # into) the stack() SQL the conversion summary builds
+    df = _ev(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", "sign'up"),
+            (1, "2024-01-01 01:00:00", "buy"),
+            (2, "2024-01-01 00:00:00", "sign'up"),
+        ],
+    )
+    out = funnel_conversion(df, "user", "ts", "etype", ["sign'up", "buy"]).collect()
+    assert [(r["step"], r["event_type"], r["users"]) for r in out] == [
+        (1, "sign'up", 2),
+        (2, "buy", 1),
+    ]

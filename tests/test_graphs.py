@@ -207,3 +207,24 @@ def test_kcore_normalizes_directions_and_duplicates(spark):
     )
     out = {r["v"]: r["deg"] for r in k_core(df, k=2).collect()}
     assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_raises_on_max_iters_exhaustion(spark):
+    # a 10-path with k=2 peels two endpoints per round -> needs more
+    # than 2 rounds; without stats= the operator must refuse to hand
+    # back a partial (non-)core
+    import pytest
+    from pymongo_change_stream_reader_spark.operators.graphs import k_core
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src LONG, dst LONG"
+    )
+    with pytest.raises(RuntimeError, match="max_iters"):
+        k_core(df, k=2, max_iters=2)
+    stats: dict = {}
+    partial = k_core(df, k=2, max_iters=2, stats=stats)
+    assert stats["converged"] is False
+    assert partial.count() > 0  # the partial peel is handed back
+    stats2: dict = {}
+    assert k_core(df, k=2, stats=stats2).count() == 0  # no 2-core
+    assert stats2["converged"] is True

@@ -5,12 +5,19 @@ at each durable boundary of the replay contract —
 - ``before-stores``: the view deltas are persisted, no store commit
   ran — the window where a replay that RECOMPUTED deltas against
   already-merged stores would compute nothing and lose the batch;
+- ``after-facts``: the facts store committed but the fact_by_fk
+  index did not (the store commits run concurrently) — the window
+  where index tombstones RE-DERIVED from fact_old on replay would
+  vanish (old.fk == winner.fk once the facts store holds the batch),
+  leaving a stale live index row at the moved-away-from fk;
 - ``before-pointer``: facts/dims/index committed and the new view
   version is written, but the epoch pointer swap never ran;
 - ``after-pointer``: everything landed; the replay must skip.
 
-The parent replays the epoch and asserts the view equals an
-uninterrupted run."""
+The parent replays the epoch, asserts the view equals an
+uninterrupted run, then applies a FOLLOW-UP dim update (BATCH2) and
+asserts the moved fact's view row is NOT clobbered through a stale
+index row — the probe that catches the lost-tombstone corruption."""
 
 from __future__ import annotations
 
@@ -42,6 +49,12 @@ BATCH1 = [
     ("update", "d1", '{"side": "d", "p": "ALPHA"}', 11, 2, "b2"),
     ("insert", "f2", '{"side": "f", "fk": "d1"}', 11, 3, "b3"),
 ]
+# the stale-index probe: d1 changes AFTER f1 moved away from it — a
+# surviving (d1, f1) index row would fan this out to f1 and overwrite
+# its (d2, beta) view row with stale d1 data
+BATCH2 = [
+    ("update", "d1", '{"side": "d", "p": "ALPHA2"}', 12, 1, "c1"),
+]
 
 _CHILD = """
 import json, os, signal, sys
@@ -64,6 +77,22 @@ if kill_mode == "before-stores":
         # first _commit_bucketed call = the facts commit; the view
         # deltas dir rename already happened
         die("before-stores")
+    jv._commit_bucketed = cb_hook
+elif kill_mode == "after-facts":
+    # deterministic interleave of the concurrent store commits: the
+    # facts commit runs for real, the index commit thread WAITS for
+    # it and then kills the process — facts durable, index not
+    import threading
+    real_cb = jv._commit_bucketed
+    facts_done = threading.Event()
+    def cb_hook(df, store, *a, **kw):
+        if store.endswith("fact_by_fk"):
+            facts_done.wait(120)
+            die("after-facts")
+        res = real_cb(df, store, *a, **kw)
+        if store.endswith("facts"):
+            facts_done.set()
+        return res
     jv._commit_bucketed = cb_hook
 else:
     real_wa = jv._write_atomic
@@ -109,11 +138,16 @@ EXPECTED = {
     "f1": ("d2", '{"side": "d", "p": "beta"}'),
     "f2": ("d1", '{"side": "d", "p": "ALPHA"}'),
 }
+EXPECTED2 = {
+    "f1": ("d2", '{"side": "d", "p": "beta"}'),
+    "f2": ("d1", '{"side": "d", "p": "ALPHA2"}'),
+}
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "kill_mode", ["before-stores", "before-pointer", "after-pointer"]
+    "kill_mode",
+    ["before-stores", "after-facts", "before-pointer", "after-pointer"],
 )
 def test_sigkill_windows_converge(spark, tmp_path, kill_mode):
     path = str(tmp_path / "jview")
@@ -151,3 +185,8 @@ def test_sigkill_windows_converge(spark, tmp_path, kill_mode):
     # once more: stable
     assert not join_view_batch(_mk(spark, BATCH1), path, 1, n_buckets=4)
     assert _view(spark, path) == EXPECTED
+    # the stale-index probe: if the replay lost the (d1, f1) index
+    # tombstone, this dim update fans out to f1 and overwrites its
+    # view row with stale old-fk data
+    assert join_view_batch(_mk(spark, BATCH2), path, 2, n_buckets=4)
+    assert _view(spark, path) == EXPECTED2

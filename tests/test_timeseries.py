@@ -103,3 +103,21 @@ def test_rolling_zscore_excludes_self_and_partials(spark):
     z = out2.orderBy("ts").collect()[-1]["zscore"]
     # lookback [10, 10, 22]: mu=14, sd=sqrt(48); z=(16-14)/sd
     assert math.isclose(z, 2.0 / math.sqrt(48.0), rel_tol=1e-12)
+
+
+def test_ewma_string_key_dtype(spark):
+    # the output schema derives the key dtype from the input (string
+    # device ids, not just longs)
+    rows = [
+        ("dev-a", "2024-01-01 00:00:00", 1.0),
+        ("dev-a", "2024-01-01 00:01:00", 2.0),
+        ("dev-b", "2024-01-01 00:00:00", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "key STRING, ts STRING, v DOUBLE"
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {
+        r["key"]: (r["n_obs"], r["ewma"])
+        for r in ewma_last(df, "key", "ts", "v", alpha=0.5).collect()
+    }
+    assert out == {"dev-a": (2, 0.5 * 2.0 + 0.5 * 1.0), "dev-b": (1, 5.0)}
