@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "k_core"]
+__all__ = ["pagerank", "triangle_count", "k_core", "label_propagation"]
 
 
 def triangle_count(
@@ -274,3 +274,68 @@ def k_core(
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007) over the undirected graph under ``edges``, run for a
+    FIXED ``rounds`` count with a deterministic tie-break: each round
+    every vertex adopts the most frequent label among its neighbors'
+    PREVIOUS-round labels, ties to the smallest label; labels start as
+    each vertex's own id.  The fixed round count + total tie order
+    make the result reproducible (and SQL-unrollable — asynchronous /
+    randomized LPA is not), at the cost of the known synchronous
+    oscillation on bipartite-ish structures: pick ``rounds`` odd/even
+    deliberately when that matters.
+
+    Per round: one edge-to-labels join + two hash aggregations
+    ((v, lbl) counts, then per-v argmax via a (count, -label) struct
+    max — all integer arithmetic, no window), localCheckpointed like
+    every loop in this module.  At 100 TB each round shuffles the edge
+    table against a vertex-sized label table on the same key.
+
+    Labels must be numeric (the -label tie-break trick).  Returns
+    (v, label) for every vertex incident to an edge; isolated
+    vertices are the caller's to union (their label is their id)."""
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    e = (
+        und.unionByName(
+            und.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e.select(F.col("s").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        nbr = e.join(labels, e["s"] == labels["v"]).select(
+            F.col("d").alias("v"), "lbl"
+        )
+        counts = nbr.groupBy("v", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            counts.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c"), (-F.col("lbl")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select("v", (-F.col("m.nl")).alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        labels.count()  # materialize; truncate lineage each round
+    return labels.select("v", F.col("lbl").alias("label"))

@@ -1,0 +1,243 @@
+"""Record linkage / entity resolution: cross-source duplicate
+entities that exact or near-dup TEXT matching cannot catch (two
+records describing the same thing with differently-phrased fields).
+
+The classic Fellegi–Sunter-shaped pipeline, each stage the Spark
+plan that survives 100 TB:
+
+1. **Blocking** — every record emits a set of blocking keys (caller-
+   chosen: shingles, sorted-neighborhood prefixes, phonetic codes);
+   candidates are pairs sharing >= 1 key, via an inverted key index —
+   ONE explode + ONE key-equality self-join, never an all-pairs
+   product.  ``max_block_size`` drops keys whose posting list exceeds
+   the bound (stop-key removal — the head keys that would explode
+   quadratically at corpus scale carry no discriminating signal
+   anyway), so per-key fan-out is <= B² by construction.
+2. **Field scoring** — per-field similarity (exact / token-set
+   Jaccard / numeric closeness / edit distance), all JVM expressions
+   inside whole-stage codegen, combined by a caller-weighted sum
+   folded IN FIELD ORDER (IEEE-reproducible for the oracle).
+3. **Match threshold** → matched pairs.
+4. **Transitive closure** — the dedup kit's
+   :func:`~pymongo_change_stream_reader_spark.operators.dedup.
+   connected_components` loop (driver union-find for model-sized
+   match graphs, the distributed min-label loop beyond); entity id =
+   min record id of the cluster.
+5. **Canonical survivor** — one representative per entity by a
+   caller-given preference order (entity-partitioned window, bounded
+   state).
+
+Reference parity: the reference relay (producing/change_event_handler
+.py:34-77) forwards documents without cross-record analysis; entity
+resolution is engine extension surface (SURVEY.md §2.D), semantics
+per the standard record-linkage literature (Fellegi & Sunter 1969;
+Papadakis et al. blocking surveys).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MatchField",
+    "sim_exact",
+    "sim_token_jaccard",
+    "sim_numeric_closeness",
+    "sim_edit_distance",
+    "blocking_candidates",
+    "blocked_entity_matches",
+    "entity_resolution",
+]
+
+
+@dataclass(frozen=True)
+class MatchField:
+    """One scored field: ``name`` is the column on the input frame,
+    ``scorer`` maps the pair's two column values to a similarity in
+    [0, 1], ``weight`` scales it into the match score."""
+
+    name: str
+    weight: float
+    scorer: Callable[[Column, Column], Column]
+
+
+def sim_exact(a: Column, b: Column) -> Column:
+    """1.0 on equality, else 0.0 (NULL never matches)."""
+    return F.when(a == b, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def sim_token_jaccard(a: Column, b: Column) -> Column:
+    """Jaccard over two distinct-element ARRAY columns."""
+    from pymongo_change_stream_reader_spark.operators.dedup import jaccard
+
+    return jaccard(a, b)
+
+
+def sim_numeric_closeness(a: Column, b: Column) -> Column:
+    """1 - |a-b| / max(a, b, 1) — relative closeness of two
+    non-negative numerics (equal => 1, disjoint magnitudes => ~0)."""
+    return F.lit(1.0) - F.abs(a - b).cast("double") / F.greatest(
+        a, b, F.lit(1)
+    ).cast("double")
+
+
+def sim_edit_distance(a: Column, b: Column) -> Column:
+    """1 - levenshtein(a, b) / max(len(a), len(b), 1) — normalized
+    edit similarity of two strings."""
+    return F.lit(1.0) - F.levenshtein(a, b).cast("double") / F.greatest(
+        F.length(a), F.length(b), F.lit(1)
+    ).cast("double")
+
+
+def blocking_candidates(
+    df: DataFrame,
+    id_col: str,
+    keys: Column,
+    max_block_size: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one blocking
+    key.  ``keys`` is an ARRAY<STRING> column expression over ``df``
+    (shingles, phonetic codes, prefix keys ...).
+
+    Plan: explode to the inverted (key, id) index, drop keys whose
+    posting list exceeds ``max_block_size`` (stop-key removal — one
+    count aggregation + one anti join), self-join on the key,
+    distinct.  ``stats`` receives ``{"index_rows", "dropped_keys",
+    "candidates"}`` for pruning assertions."""
+    inv = (
+        df.select(F.col(id_col).alias("rid"), F.explode(keys).alias("bk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if max_block_size is not None:
+        hot = (
+            inv.groupBy("bk")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_block_size)
+            .select("bk")
+            .localCheckpoint(eager=False)
+        )
+        if stats is not None:
+            stats["dropped_keys"] = hot.count()
+        inv = inv.join(hot, "bk", "anti")
+    cand = (
+        inv.alias("__a")
+        .join(
+            inv.alias("__b"),
+            (F.col("__a.bk") == F.col("__b.bk"))
+            & (F.col("__a.rid") < F.col("__b.rid")),
+        )
+        .select(
+            F.col("__a.rid").alias("id_a"), F.col("__b.rid").alias("id_b")
+        )
+        .distinct()
+    )
+    if stats is not None:
+        stats["index_rows"] = inv.count()
+        cand = cand.localCheckpoint(eager=True)
+        stats["candidates"] = cand.count()
+    return cand
+
+
+def _score(fields: list[MatchField]) -> Column:
+    """Weighted field-similarity sum over ``__a``/``__b``-aliased
+    record sides, folded left in field order (the oracle mirrors the
+    same association, so the IEEE result is identical)."""
+    score: Column | None = None
+    for f in fields:
+        term = F.lit(f.weight) * f.scorer(
+            F.col(f"__a.{f.name}"), F.col(f"__b.{f.name}")
+        )
+        score = term if score is None else score + term
+    if score is None:
+        raise ValueError("entity resolution needs at least one MatchField")
+    return score
+
+
+def blocked_entity_matches(
+    df: DataFrame,
+    id_col: str,
+    keys: Column,
+    fields: list[MatchField],
+    threshold: float,
+    max_block_size: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Matched pairs (id_a, id_b, score) with weighted field score >=
+    ``threshold``, candidates restricted to blocking-key collisions.
+    The threshold tests the UNROUNDED score; ``score`` is rounded to
+    6 for stable comparison output."""
+    recs = df.select(
+        F.col(id_col).alias("rid"), *[F.col(f.name) for f in fields]
+    )
+    cand = blocking_candidates(
+        df, id_col, keys, max_block_size=max_block_size, stats=stats
+    )
+    scored = (
+        cand.join(
+            recs.alias("__a"), cand["id_a"] == F.col("__a.rid")
+        )
+        .join(recs.alias("__b"), cand["id_b"] == F.col("__b.rid"))
+        .select("id_a", "id_b", _score(fields).alias("__score"))
+    )
+    return scored.filter(F.col("__score") >= threshold).select(
+        "id_a", "id_b", F.round("__score", 6).alias("score")
+    )
+
+
+def entity_resolution(
+    df: DataFrame,
+    id_col: str,
+    keys: Column,
+    fields: list[MatchField],
+    threshold: float,
+    canonical_order: list[Column] | None = None,
+    max_block_size: int | None = None,
+    max_iters: int = 25,
+    driver_threshold: int = 1_000_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Full resolution: (id_col, entity, is_canonical) for EVERY input
+    record — ``entity`` is the min record id of the transitive match
+    cluster (singletons are their own entity), ``is_canonical`` marks
+    the per-entity survivor under ``canonical_order`` (descending
+    preference columns; ties and None fall back to ascending id).
+
+    Record ids must be integral (the closure loop's contract —
+    :func:`~pymongo_change_stream_reader_spark.operators.dedup.
+    connected_components`)."""
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        connected_components,
+    )
+
+    matches = blocked_entity_matches(
+        df,
+        id_col,
+        keys,
+        fields,
+        threshold,
+        max_block_size=max_block_size,
+        stats=stats,
+    )
+    comps = connected_components(
+        matches.select("id_a", "id_b"),
+        df.select(id_col),
+        id_col=id_col,
+        max_iters=max_iters,
+        driver_threshold=driver_threshold,
+    ).withColumnRenamed("component", "entity")
+    order = [c.desc() for c in (canonical_order or [])]
+    w = Window.partitionBy("entity").orderBy(*order, F.col(id_col).asc())
+    return (
+        df.join(comps, id_col)
+        .select(
+            id_col,
+            "entity",
+            (F.row_number().over(w) == 1).alias("is_canonical"),
+        )
+    )

@@ -920,3 +920,112 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filtered_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "text", "doc_id", 0.6
     ).orderBy("id_a", "id_b")
+
+
+_TOKS5 = _TOKS
+_G5 = f"""
+    CASE WHEN len({_TOKS5}) >= 5 THEN
+        list_distinct(list_transform(range(1, len({_TOKS5}) - 3),
+            i -> {_TOKS5}[i] || ' ' || {_TOKS5}[i+1] || ' ' || {_TOKS5}[i+2]
+                 || ' ' || {_TOKS5}[i+3] || ' ' || {_TOKS5}[i+4]))
+    ELSE [] END
+"""
+
+
+@query(
+    "dedup_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE recs AS (
+        SELECT doc_id, list_distinct({_TOKS5}) AS toks, lang, n_chars,
+               {_G5} AS bks
+        FROM documents
+    ),
+    inv AS (SELECT DISTINCT doc_id, unnest(bks) AS bk FROM recs),
+    keep AS (SELECT bk FROM inv GROUP BY bk HAVING COUNT(*) <= 20),
+    i2 AS (SELECT doc_id, bk FROM inv WHERE bk IN (SELECT bk FROM keep)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM i2 a JOIN i2 b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+            0.5 * (CAST(len(list_intersect(ra.toks, rb.toks)) AS DOUBLE)
+                   / CAST(greatest(len(ra.toks) + len(rb.toks)
+                          - len(list_intersect(ra.toks, rb.toks)), 1)
+                          AS DOUBLE))
+            + 0.25 * (CASE WHEN ra.lang = rb.lang THEN 1.0 ELSE 0.0 END)
+            + 0.25 * (1.0 - CAST(abs(ra.n_chars - rb.n_chars) AS DOUBLE)
+                      / CAST(greatest(ra.n_chars, rb.n_chars, 1) AS DOUBLE))
+            AS score
+        FROM cand
+        JOIN recs ra ON ra.doc_id = id_a
+        JOIN recs rb ON rb.doc_id = id_b
+    ),
+    matches AS (SELECT id_a, id_b FROM scored WHERE score >= 0.7),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM matches
+        UNION ALL SELECT id_b, id_a FROM matches
+    ),
+    verts AS (SELECT doc_id AS v FROM documents),
+    cc(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(lbl) AS entity FROM cc GROUP BY v),
+    ranked AS (
+        SELECT c.doc_id, c.entity,
+               ROW_NUMBER() OVER (PARTITION BY c.entity
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, entity, rn = 1 AS is_canonical
+    FROM ranked ORDER BY doc_id
+    """,
+    doc="Record linkage / entity resolution over documents treated as "
+    "multi-field records (operators/linkage.py): word-5-gram BLOCKING "
+    "with stop-key removal (posting lists > 20 dropped), weighted "
+    "field scoring (0.5 token-set Jaccard + 0.25 lang exact + 0.25 "
+    "n_chars closeness, folded left for IEEE identity), match "
+    "threshold 0.7, transitive closure through the shared "
+    "connected-components loop, canonical survivor = longest doc "
+    "(ties to min id).  The oracle mirrors every stage and closes "
+    "matches with a recursive min-label CTE.  Every input doc gets a "
+    "row (singletons are their own entity).",
+    tags=("dedup",),
+)
+def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        ngrams_from_tokens,
+    )
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        MatchField,
+        entity_resolution,
+        sim_exact,
+        sim_numeric_closeness,
+        sim_token_jaccard,
+    )
+    from pymongo_change_stream_reader_spark.operators.text import tokens
+
+    recs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(tokens(F.col("text"))).alias("toks"),
+        "lang",
+        "n_chars",
+        ngrams_from_tokens(tokens(F.col("text")), 5).alias("bks"),
+    )
+    fields = [
+        MatchField("toks", 0.5, sim_token_jaccard),
+        MatchField("lang", 0.25, sim_exact),
+        MatchField("n_chars", 0.25, sim_numeric_closeness),
+    ]
+    out = entity_resolution(
+        recs,
+        "doc_id",
+        F.col("bks"),
+        fields,
+        threshold=0.7,
+        canonical_order=[F.col("n_chars")],
+        max_block_size=20,
+    )
+    return out.orderBy("doc_id")

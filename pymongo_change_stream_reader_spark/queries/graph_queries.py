@@ -332,3 +332,66 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hash-mismatching"
         )
     return out.select("v", "deg").orderBy("v")
+
+
+_LP_STEP = """
+    SELECT v, lbl FROM (
+        SELECT e.d AS v, p.lbl, COUNT(*) AS c
+        FROM und e JOIN {prev} p ON p.v = e.s
+        GROUP BY e.d, p.lbl
+    ) QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl) = 1
+"""
+
+
+@query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        FROM lineitem WHERE l_orderkey % 401 = 0
+    ),
+    und AS (
+        SELECT DISTINCT a.s AS s, b.s AS d
+        FROM pairs a JOIN pairs b ON a.o = b.o AND a.s <> b.s
+    ),
+    lp0 AS (SELECT DISTINCT s AS v, s AS lbl FROM und),
+    lp1 AS ({_LP_STEP.format(prev="lp0")}),
+    lp2 AS ({_LP_STEP.format(prev="lp1")}),
+    lp3 AS ({_LP_STEP.format(prev="lp2")})
+    SELECT v AS s_suppkey, lbl AS label FROM lp3 ORDER BY v
+    """,
+    doc="Community detection by SYNCHRONOUS label propagation "
+    "(operators/graphs.py:label_propagation) over the supplier "
+    "co-occurrence graph (same 1-in-401 order sample as "
+    "graph_connected_components): 3 fixed rounds, each vertex adopts "
+    "its neighbors' most frequent previous-round label with ties to "
+    "the SMALLEST label — a deterministic, integer-only iteration "
+    "(per round: one edge join + (v,label) count + per-v argmax via "
+    "a (count,-label) struct max, localCheckpointed).  The oracle "
+    "unrolls the identical three rounds as CTEs with a "
+    "ROW_NUMBER-QUALIFY argmax.  Only edge-incident vertices are "
+    "labeled (both engines derive vertices from the edge set).",
+    tags=("graph",),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.graphs import (
+        label_propagation,
+    )
+
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 401 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = pairs.alias("__a")
+    b = pairs.alias("__b")
+    edges = a.join(
+        b,
+        (F.col("__a.o") == F.col("__b.o"))
+        & (F.col("__a.s") < F.col("__b.s")),
+    ).select(F.col("__a.s").alias("src"), F.col("__b.s").alias("dst"))
+    out = label_propagation(edges, rounds=3)
+    return out.select(
+        F.col("v").alias("s_suppkey"), "label"
+    ).orderBy("s_suppkey")

@@ -228,3 +228,41 @@ def test_kcore_raises_on_max_iters_exhaustion(spark):
     stats2: dict = {}
     assert k_core(df, k=2, stats=stats2).count() == 0  # no 2-core
     assert stats2["converged"] is True
+
+
+def _lpa(spark, edges, rounds):
+    from pymongo_change_stream_reader_spark.operators.graphs import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    return {
+        r["v"]: r["label"]
+        for r in label_propagation(df, rounds=rounds).collect()
+    }
+
+
+def test_lpa_two_planted_communities(spark):
+    clique = lambda vs: [(a, b) for a in vs for b in vs if a < b]
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    out = _lpa(spark, edges, rounds=3)
+    assert {out[v] for v in (1, 2, 3, 4)} == {1}
+    assert {out[v] for v in (10, 11, 12, 13)} == {10}
+
+
+def test_lpa_synchronous_min_tie_break(spark):
+    # triangle, ONE round: every vertex sees its two neighbors' INITIAL
+    # labels (synchronous), all counts tie, min label wins
+    out = _lpa(spark, [(1, 2), (2, 3), (1, 3)], rounds=1)
+    assert out == {1: 2, 2: 1, 3: 1}
+    # round 2 converges the triangle onto label 1
+    assert _lpa(spark, [(1, 2), (2, 3), (1, 3)], rounds=2) == {1: 1, 2: 1, 3: 1}
+
+
+def test_lpa_normalizes_directions_and_self_loops(spark):
+    # duplicate reversed edges collapse to the single 1-2 edge (one
+    # round swaps labels — the documented synchronous oscillation on
+    # bipartite shapes) and a self-loop-only vertex is not edge-
+    # incident after normalization, so it gets no row
+    out = _lpa(spark, [(2, 1), (1, 2), (3, 3)], rounds=1)
+    assert out == {1: 2, 2: 1}
