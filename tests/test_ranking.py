@@ -194,3 +194,53 @@ def test_global_rank_randomized_with_nulls_and_ties(spark):
         assert n == 800
         got = {(r["k"], r["doc"]): r["__rank"] for r in ranked.collect()}
         assert got == want, f"mismatch at num_partitions={nparts}"
+
+
+def test_approx_ntile_exact_when_sketch_uncompacted(spark):
+    from pymongo_change_stream_reader_spark.operators.ranking import (
+        approx_ntile,
+    )
+
+    # 100 distinct values with k=256: no compaction fires, the sketch
+    # is exact, so the deciles are exact quantile buckets
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x DOUBLE")
+    stats: dict = {}
+    out = approx_ntile(df, "x", 4, stats=stats)
+    sizes = {
+        r["tile"]: r["count"]
+        for r in out.groupBy("tile").count().collect()
+    }
+    assert sizes == {1: 25, 2: 25, 3: 25, 4: 25}
+    assert len(stats["cuts"]) == 3
+    # monotone: a larger value never gets a smaller tile
+    rows = out.orderBy("x").collect()
+    assert all(
+        rows[i]["tile"] <= rows[i + 1]["tile"] for i in range(len(rows) - 1)
+    )
+
+
+def test_approx_ntile_plan_has_no_sort_exchange_or_window(spark):
+    from pymongo_change_stream_reader_spark.operators.ranking import (
+        approx_ntile,
+    )
+
+    df = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    out = approx_ntile(df, "x", 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "Sort" not in plan
+
+
+def test_approx_ntile_ties_and_nulls(spark):
+    from pymongo_change_stream_reader_spark.operators.ranking import (
+        approx_ntile,
+    )
+
+    df = spark.createDataFrame(
+        [(7.0,)] * 20 + [(None,)], "x DOUBLE"
+    )
+    out = approx_ntile(df, "x", 4).collect()
+    tiles = {r["tile"] for r in out if r["x"] is not None}
+    assert tiles == {1}  # every duplicate of the cut value stays low
+    assert [r["tile"] for r in out if r["x"] is None] == [None]
