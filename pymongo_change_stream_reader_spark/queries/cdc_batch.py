@@ -1089,3 +1089,77 @@ def cdc_join_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "cdc_join_view_left",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    evj AS ({_JVG_SQL}),
+    last AS (
+        SELECT key,
+               max_by(operation || '|' || COALESCE(doc, ''), t) AS payload
+        FROM evj GROUP BY key
+    ),
+    finals AS (
+        SELECT key, substr(payload, position('|' IN payload) + 1) AS doc
+        FROM last WHERE split_part(payload, '|', 1) <> 'delete'
+    ),
+    facts AS (
+        SELECT key, doc FROM finals
+        WHERE json_extract_string(doc, '$.side') = 'f'
+    ),
+    dims AS (
+        SELECT key, doc FROM finals
+        WHERE json_extract_string(doc, '$.side') = 'd'
+    )
+    SELECT f.key AS key,
+           json_extract_string(f.doc, '$.fk') AS fk,
+           f.doc AS fact_doc,
+           d.doc AS dim_doc
+    FROM facts f
+    LEFT JOIN dims d
+      ON json_extract_string(d.key, '$._id')
+         = json_extract_string(f.doc, '$.fk')
+    ORDER BY key
+    """,
+    doc="LEFT-join variant of the incremental materialized join view "
+    "(streaming/join_view.py, join_type='left'): every LIVE fact "
+    "keeps a view row — dim_doc is NULL until its dim exists and "
+    "reverts to NULL when the dim is deleted (the replica-serving "
+    "semantics: facts are visible before their dim arrives).  Same "
+    "119-key interleaved 3-batch history as cdc_join_view_incremental "
+    "(so some facts end NULL-padded where their dim's final state is "
+    "a delete); hash-compared to the oracle's LEFT-join recompute "
+    "over final document states.  The delta algebra differs from "
+    "INNER only in row liveness, so stores, index, and replay "
+    "contract are shared.",
+    tags=("cdc", "streaming"),
+)
+def cdc_join_view_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.streaming.join_view import (
+        join_view_batch,
+        read_join_view,
+    )
+
+    ev = _join_view_events(load_table(spark, sf_dir, "events"))
+    path = tempfile.mkdtemp(prefix="spark_cdc_joinview_left_")
+    try:
+        for i in range(3):
+            join_view_batch(
+                ev.filter(F.col("clusterTime.t") % 3 == i),
+                path,
+                epoch=i,
+                dim_id_path="$._id",
+                join_type="left",
+            )
+        return (
+            read_join_view(spark, path)
+            .orderBy("key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -14,8 +14,11 @@ collection pattern Mongo deployments actually use), discriminated by
 a JSON field of the post-image (``side_path``; default ``$.side`` with
 values ``"f"`` fact / ``"d"`` dim).  Facts reference dims through
 ``fk_path`` (default ``$.fk``), whose value must equal the dim
-document's ``documentKey``.  The maintained view is the INNER join:
-one row per live fact whose fk resolves to a live dim.
+document's ``documentKey``.  The maintained view is the INNER join
+(one row per live fact whose fk resolves to a live dim) or, with
+``join_type="left"``, the LEFT join: one row per live fact, with
+``dim_doc`` NULL until its dim exists and NULL again after the dim
+is deleted — the semantics a replica-serving join usually wants.
 
 ## Layout under ``path``
 
@@ -159,21 +162,25 @@ def _merge_lww(
     merge_on: list[str],
     bucket_on: list[str],
     n_buckets: int,
+    changed: list[int] | None = None,
 ) -> tuple[DataFrame, DataFrame, dict, list[int]]:
     """Full-outer LWW merge of ``winners`` against the committed rows
     of their touched buckets in ``store`` (bucketed by ``bucket_on``,
     row identity ``merge_on`` — the secondary index buckets by fk but
     merges per (fk, key)): returns (merged rows to commit, the old
     rows frame, manifest entries, changed buckets).  Winner wins on
-    triple >= (replay-safe)."""
-    changed = sorted(
-        r["b"]
-        for r in winners.select(
-            _bucket_of(bucket_on, n_buckets).alias("b")
+    triple >= (replay-safe).  ``changed`` passes a precomputed
+    touched-bucket list (the batch computes every store's buckets in
+    ONE combined job — see join_view_batch); None collects it here."""
+    if changed is None:
+        changed = sorted(
+            r["b"]
+            for r in winners.select(
+                _bucket_of(bucket_on, n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
         )
-        .distinct()
-        .collect()
-    )
     mf = _read_bucket_manifest(store)
     if mf is not None and mf[0] != n_buckets:
         raise PipelineError(
@@ -214,6 +221,7 @@ def join_view_batch(
     dim_id_path: str | None = None,
     n_buckets: int = 16,
     retain: int = 2,
+    join_type: str = "inner",
 ) -> bool:
     """Apply one micro-batch of change events to the join view at
     ``path``.  Returns True when the batch applied, False on a
@@ -231,8 +239,23 @@ def join_view_batch(
     _id space); a delete without a post-image tombstones BOTH stores
     (the wrong side's tombstone is inert under LWW and purged by
     compaction — cheaper than per-batch membership lookups, and
-    batch-order independent)."""
+    batch-order independent).
+
+    ``join_type``: ``"inner"`` keeps one view row per live fact whose
+    fk resolves to a live dim; ``"left"`` keeps EVERY live fact (the
+    semantics a replica-serving join usually wants — facts are
+    visible before their dim arrives), NULL-padding ``dim_doc`` until
+    the dim shows up and reverting to NULL when it is deleted.  The
+    delta algebra is identical except for row liveness (a fact's view
+    row lives with the FACT, not the join), so the storage layout,
+    index, and replay contract do not change."""
     spark = batch.sparkSession
+    if join_type not in ("inner", "left"):
+        raise PipelineError(
+            f"join view: join_type must be 'inner' or 'left', "
+            f"got {join_type!r}"
+        )
+    left = join_type == "left"
     os.makedirs(os.path.join(path, "view_deltas"), exist_ok=True)
     os.makedirs(os.path.join(path, "view"), exist_ok=True)
     facts_path = os.path.join(path, "facts")
@@ -246,11 +269,14 @@ def join_view_batch(
         cfg = dict(
             side_path=side_path, fact_side=fact_side, dim_side=dim_side,
             fk_path=fk_path, dim_id_path=dim_id_path,
-            n_buckets=n_buckets,
+            n_buckets=n_buckets, join_type=join_type,
         )
         cfg_path = os.path.join(path, "_config.json")
         if os.path.exists(cfg_path):
-            if json.load(open(cfg_path)) != cfg:
+            stored = json.load(open(cfg_path))
+            # pre-join_type stores were all inner joins
+            stored.setdefault("join_type", "inner")
+            if stored != cfg:
                 raise PipelineError(
                     f"join view at {path!r} was created with a "
                     "different definition; deltas across definitions "
@@ -271,28 +297,20 @@ def join_view_batch(
             },
         ).localCheckpoint(eager=False)
         side = F.get_json_object("doc", side_path)
-        # ONE validation job materializes the checkpointed frame AND
-        # reads both invariants off it (two isEmpty probes would cost
-        # two driver-latency jobs on the batch hot path)
-        checks = last.agg(
-            F.max("__bad").alias("no_img"),
-            F.max(
-                (F.col("op") != "delete")
-                & ~F.coalesce(
-                    side.isin(fact_side, dim_side), F.lit(False)
-                )
-            ).alias("bad_side"),
-        ).first()
-        if checks["no_img"]:
-            raise PipelineError(
-                "join view maintenance needs a post-image per "
-                "non-delete event (fullDocument=updateLookup)"
+        # validation rides the combined bucket-discovery job below
+        # (r10 spent a dedicated aggregation job on it): violating
+        # keys surface as tagged rows of the same collect, and the
+        # raise happens before anything is written
+        bad_side = (F.col("op") != "delete") & ~F.coalesce(
+            side.isin(fact_side, dim_side), F.lit(False)
+        )
+        violations = last.filter(F.col("__bad")).select(
+            F.lit(3).alias("t"), F.lit(-1).alias("b")
+        ).unionByName(
+            last.filter(bad_side).select(
+                F.lit(4).alias("t"), F.lit(-1).alias("b")
             )
-        if checks["bad_side"]:
-            raise PipelineError(
-                f"join view: post-image {side_path} must be "
-                f"{fact_side!r} or {dim_side!r}"
-            )
+        )
         last = last.drop("__bad")
 
         live = F.col("op") != "delete"
@@ -347,12 +365,47 @@ def join_view_batch(
             )
         ).localCheckpoint(eager=False)
 
-        fact_merged, fact_old, f_entries, f_changed = _merge_lww(
-            spark, fact_winners, facts_path, ["key"], ["key"], n_buckets
+        # ONE job discovers BOTH stores' touched buckets (r10 paid a
+        # distinct-collect per store), runs the batch validations
+        # (tagged rows 3/4), and materializes the two winner
+        # checkpoints as a side effect — part of the round-11 cut of
+        # the per-batch driver-job floor
+        wb = (
+            fact_winners.select(
+                F.lit(0).alias("t"),
+                _bucket_of(["key"], n_buckets).alias("b"),
+            )
+            .unionByName(
+                dim_winners.select(
+                    F.lit(1).alias("t"),
+                    _bucket_of(["jk"], n_buckets).alias("b"),
+                )
+            )
+            .unionByName(violations)
+            .distinct()
+            .collect()
+        )
+        if any(r["t"] == 3 for r in wb):
+            raise PipelineError(
+                "join view maintenance needs a post-image per "
+                "non-delete event (fullDocument=updateLookup)"
+            )
+        if any(r["t"] == 4 for r in wb):
+            raise PipelineError(
+                f"join view: post-image {side_path} must be "
+                f"{fact_side!r} or {dim_side!r}"
+            )
+        f_changed = sorted(r["b"] for r in wb if r["t"] == 0)
+        d_changed = sorted(r["b"] for r in wb if r["t"] == 1)
+
+        fact_merged, fact_old, f_entries, _ = _merge_lww(
+            spark, fact_winners, facts_path, ["key"], ["key"], n_buckets,
+            changed=f_changed,
         )
         fact_merged = fact_merged.localCheckpoint(eager=False)
-        dim_merged, _dim_old, d_entries, d_changed = _merge_lww(
-            spark, dim_winners, dims_path, ["key"], ["jk"], n_buckets
+        dim_merged, _dim_old, d_entries, _ = _merge_lww(
+            spark, dim_winners, dims_path, ["key"], ["jk"], n_buckets,
+            changed=d_changed,
         )
         dim_merged = dim_merged.localCheckpoint(eager=False)
 
@@ -365,18 +418,6 @@ def join_view_batch(
         batch_dim_post = dim_merged.join(
             dim_winners.select("key").distinct(), "key", "semi"
         ).localCheckpoint(eager=False)
-        # materialize the two independent LWW merges CONCURRENTLY so
-        # the delta job (which consumes both) pays max(), not sum(),
-        # of their merge latencies — everything downstream reads the
-        # cached checkpoints
-        from concurrent.futures import ThreadPoolExecutor as _TPE
-
-        with _TPE(max_workers=2, thread_name_prefix="joinview-pin") as _p:
-            for _f in [
-                _p.submit(lambda: batch_fact_post.count()),
-                _p.submit(lambda: batch_dim_post.count()),
-            ]:
-                _f.result()
 
         # secondary-index deltas: live row at the winner's fk plus a
         # tombstone at the old fk when the old live row's fk no longer
@@ -415,28 +456,48 @@ def join_view_batch(
             .localCheckpoint(eager=False)
         )
 
+        # ONE probe job replaces the r10 pin counts plus TWO later
+        # bucket collects: it materializes batch_fact_post,
+        # batch_dim_post and the idx-delta checkpoint (everything
+        # downstream reads the cached checkpoints), and returns the
+        # fact branch's dims-lookup buckets (t=0) together with the
+        # index store's touched buckets (t=1).  Bucket ids are pure
+        # value hashes, so fk values hash identically to the jk/fk
+        # bucketing of the stores they address.
+        probe = (
+            batch_fact_post.filter(
+                F.col("live") & F.col("fk").isNotNull()
+            )
+            .select(
+                F.lit(0).alias("t"),
+                _bucket_of(["fk"], n_buckets).alias("b"),
+            )
+            .unionByName(
+                idx_winners.select(
+                    F.lit(1).alias("t"),
+                    _bucket_of(["fk"], n_buckets).alias("b"),
+                )
+            )
+            .unionByName(
+                batch_dim_post.select(
+                    F.lit(2).alias("t"), F.lit(-1).alias("b")
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        fkb = sorted(r["b"] for r in probe if r["t"] == 0)
+        i_changed_probe = sorted(r["b"] for r in probe if r["t"] == 1)
+
         deltas_dir = os.path.join(path, "view_deltas", f"epoch={epoch}")
         if not os.path.isdir(deltas_dir):
             # ---- fact-driven ΔV: batch fact keys join POST-batch dims
-            fks = (
-                batch_fact_post.filter(
-                    F.col("live") & F.col("fk").isNotNull()
-                )
-                .select(F.col("fk").alias("key"))
-                .distinct()
-            )
             dmf = _read_bucket_manifest(dims_path)
             if dmf is None:
                 dim_base = dim_merged.filter(F.lit(False))
             else:
                 # dims bucket by JOIN KEY, so the facts' fk values
-                # address the buckets directly
-                fkb = sorted(
-                    r["b"]
-                    for r in fks.select(
-                        _bucket_of(["key"], n_buckets).alias("b")
-                    ).distinct().collect()
-                )
+                # address the buckets directly (fkb: probe job above)
                 rows = _read_entry_dirs(
                     spark, dims_path,
                     [dmf[1][k] for k in fkb if k in dmf[1]],
@@ -459,7 +520,11 @@ def join_view_batch(
                 .select(
                     F.col("key"),
                     (
-                        F.col("live") & F.col("dim_doc").isNotNull()
+                        # LEFT: the view row lives with the FACT —
+                        # dim_doc rides along NULL-padded
+                        F.col("live")
+                        if left
+                        else F.col("live") & F.col("dim_doc").isNotNull()
                     ).alias("live"),
                     F.col("fk"),
                     F.col("doc").alias("fact_doc"),
@@ -467,20 +532,16 @@ def join_view_batch(
                 )
             )
             # ---- dim-driven ΔV: committed live index rows under the
-            # batch's dim keys, batch fact keys excluded
+            # batch's dim keys, batch fact keys excluded.  The dim
+            # keys' buckets are d_changed (the dims store buckets by
+            # the SAME jk values — no second collect).
             imf = _read_bucket_manifest(idx_path)
             if imf is None:
                 affected = idx_winners.filter(F.lit(False))
             else:
-                dkb = sorted(
-                    r["b"]
-                    for r in dim_winners.select(
-                        _bucket_of(["jk"], n_buckets).alias("b")
-                    ).distinct().collect()
-                )
                 rows = _read_entry_dirs(
                     spark, idx_path,
-                    [imf[1][k] for k in dkb if k in imf[1]],
+                    [imf[1][k] for k in d_changed if k in imf[1]],
                 )
                 affected = (
                     rows
@@ -512,7 +573,13 @@ def join_view_batch(
                 )
                 .select(
                     F.col("key"),
-                    F.col("__dl").alias("live"),
+                    (
+                        # LEFT: a dim delete reverts its facts' rows
+                        # to NULL-padded instead of deleting them
+                        F.lit(True)
+                        if left
+                        else F.col("__dl")
+                    ).alias("live"),
                     F.col("fk"),
                     F.col("doc").alias("fact_doc"),
                     F.when(F.col("__dl"), F.col("dim_doc")).alias(
@@ -523,65 +590,78 @@ def join_view_batch(
             d = fact_delta.unionByName(dim_delta)
             tmp = os.path.join(path, "view_deltas", f".tmp-{epoch}")
             shutil.rmtree(tmp, ignore_errors=True)
-            d.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(tmp, "view")
-            )
             # the index deltas (tombstones included) ride the SAME
-            # atomic rename: they are derived from fact_old, which is
-            # only meaningful PRE-commit — the three store commits run
-            # concurrently, so a crash after the facts commit but
-            # before the index commit would make a re-derivation see
-            # old.fk == winner.fk and drop the tombstone, leaving a
-            # stale live index row at the old fk forever (a later dim
-            # change would fan out to it and overwrite the fact's view
-            # row with stale data)
-            idx_winners.coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(tmp, "idx")
+            # atomic rename as the view deltas: they are derived from
+            # fact_old, which is only meaningful PRE-commit — the
+            # three store commits run concurrently, so a crash after
+            # the facts commit but before the index commit would make
+            # a re-derivation see old.fk == winner.fk and drop the
+            # tombstone, leaving a stale live index row at the old fk
+            # forever (a later dim change would fan out to it and
+            # overwrite the fact's view row with stale data).  The two
+            # writes consume only checkpointed inputs, so they overlap
+            # from two threads (wall = max, not sum).
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            with _TPE(
+                max_workers=2, thread_name_prefix="joinview-delta"
+            ) as _p:
+                futs = [
+                    _p.submit(
+                        lambda: d.coalesce(1)
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(tmp, "view"))
+                    ),
+                    _p.submit(
+                        lambda: idx_winners.coalesce(1)
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(tmp, "idx"))
+                    ),
+                ]
+                for _f in futs:
+                    _f.result()
+            # the index store's touched buckets, persisted with the
+            # deltas so the replay path needs no extra discovery job
+            _write_atomic(
+                os.path.join(tmp, "_meta.json"),
+                json.dumps({"i_changed": i_changed_probe}),
             )
             os.rename(tmp, deltas_dir)  # atomic: the delta commit point
 
         # replay-stable index deltas: ALWAYS consume the persisted
         # rows (captured against the genuinely pre-commit fact_old),
         # never a re-derivation against possibly-already-committed
-        # stores.  Legacy epochs persisted before the idx subdir
-        # existed fall back to the derived frame.
+        # stores.  The touched-bucket list rides the persisted
+        # _meta.json (no discovery job on replay).  Legacy epochs
+        # persisted before the idx subdir existed fall back to the
+        # derived frame and an in-merge collect.
         idx_delta_dir = os.path.join(deltas_dir, "idx")
+        i_changed: list[int] | None = None
         if os.path.isdir(idx_delta_dir):
             idx_winners = spark.read.parquet(idx_delta_dir).select(
                 "fk", "key", "live", "doc", *_ORDER
             )
+            meta_path = os.path.join(deltas_dir, "_meta.json")
+            if os.path.exists(meta_path):
+                i_changed = json.load(open(meta_path))["i_changed"]
 
-        # store commits (idempotent LWW re-merges) — facts, dims and
-        # the index mutate INDEPENDENT directories, so their commits
-        # overlap from a small driver-side pool (each spends most of
-        # its wall time blocked on write/manifest latency; the inputs
-        # are all checkpointed, so cross-thread plan reuse is safe)
+        # store + view commits (idempotent LWW re-merges) — facts,
+        # dims, the index AND the view mutate INDEPENDENT directories,
+        # so all four commit chains overlap from one driver-side pool
+        # (each spends most of its wall time blocked on write/manifest
+        # latency; the inputs are all checkpointed or persisted files,
+        # so cross-thread plan reuse is safe).  The view chain (bucket
+        # collect over the tiny persisted delta file -> committed-base
+        # anti-join merge -> version write) reads only the view's OWN
+        # committed state + the delta file, neither touched by the
+        # store commits; crash safety is unchanged because the epoch
+        # POINTER swap — the single visibility point — still happens
+        # strictly after every commit returns (a crash leaves at worst
+        # an orphaned unreferenced view version, GC'd by retention).
         idx_merged, _io, i_entries, i_changed = _merge_lww(
-            spark, idx_winners, idx_path, ["fk", "key"], ["fk"], n_buckets
+            spark, idx_winners, idx_path, ["fk", "key"], ["fk"], n_buckets,
+            changed=i_changed,
         )
-        from concurrent.futures import ThreadPoolExecutor
-
-        commits = (
-            lambda: _commit_bucketed(
-                fact_merged, facts_path, ["key"], n_buckets, f_entries,
-                changed=f_changed, retain=retain, return_df=False,
-            ),
-            lambda: _commit_bucketed(
-                dim_merged, dims_path, ["jk"], n_buckets, d_entries,
-                changed=d_changed, retain=retain, return_df=False,
-            ),
-            lambda: _commit_bucketed(
-                idx_merged, idx_path, ["fk"], n_buckets, i_entries,
-                changed=i_changed, retain=retain, return_df=False,
-            ),
-        )
-        with ThreadPoolExecutor(
-            max_workers=3, thread_name_prefix="joinview-commit"
-        ) as pool:
-            for fut in [pool.submit(fn) for fn in commits]:
-                fut.result()
-
-        # view commit: persisted deltas rewrite only their key buckets
         view_delta_dir = os.path.join(deltas_dir, "view")
         if not os.path.isdir(view_delta_dir):
             view_delta_dir = deltas_dir  # legacy flat layout
@@ -597,32 +677,63 @@ def join_view_batch(
                 f"not {n_buckets}"
             )
         ventries = dict(vmf[1]) if vmf is not None else {}
-        vchanged = sorted(
-            r["b"]
-            for r in d.select(_bucket_of(["key"], n_buckets).alias("b"))
-            .distinct()
-            .collect()
-        )
-        res = _resolve_view_entries(path)
-        committed = dict(res[0]) if res is not None else {}
-        base_rows = _read_entry_dirs(
-            spark, vroot,
-            [committed[k] for k in vchanged if k in committed],
-        )
-        if base_rows is None:
-            base_rows = spark.createDataFrame(
-                [],
-                "key STRING, fk STRING, fact_doc STRING, dim_doc STRING",
+
+        def _view_commit():
+            vchanged = sorted(
+                r["b"]
+                for r in d.select(
+                    _bucket_of(["key"], n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
             )
-        nxt = (
-            base_rows.select(*_VIEW_COLS)
-            .join(d.select("key").distinct(), "key", "anti")
-            .unionByName(d.filter(F.col("live")).select(*_VIEW_COLS))
+            res = _resolve_view_entries(path)
+            committed = dict(res[0]) if res is not None else {}
+            base_rows = _read_entry_dirs(
+                spark, vroot,
+                [committed[k] for k in vchanged if k in committed],
+            )
+            if base_rows is None:
+                base_rows = spark.createDataFrame(
+                    [],
+                    "key STRING, fk STRING, "
+                    "fact_doc STRING, dim_doc STRING",
+                )
+            nxt = (
+                base_rows.select(*_VIEW_COLS)
+                .join(d.select("key").distinct(), "key", "anti")
+                .unionByName(d.filter(F.col("live")).select(*_VIEW_COLS))
+            )
+            _commit_bucketed(
+                nxt, vroot, ["key"], n_buckets, ventries,
+                changed=vchanged, retain=max(3, retain), return_df=False,
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        commits = (
+            lambda: _commit_bucketed(
+                fact_merged, facts_path, ["key"], n_buckets, f_entries,
+                changed=f_changed, retain=retain, return_df=False,
+            ),
+            lambda: _commit_bucketed(
+                dim_merged, dims_path, ["jk"], n_buckets, d_entries,
+                changed=d_changed, retain=retain, return_df=False,
+            ),
+            lambda: _commit_bucketed(
+                idx_merged, idx_path, ["fk"], n_buckets, i_entries,
+                changed=i_changed, retain=retain, return_df=False,
+            ),
+            _view_commit,
         )
-        _commit_bucketed(
-            nxt, vroot, ["key"], n_buckets, ventries,
-            changed=vchanged, retain=max(3, retain), return_df=False,
-        )
+        with ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="joinview-commit"
+        ) as pool:
+            for fut in [pool.submit(fn) for fn in commits]:
+                fut.result()
+
+        # the POINTER swap is the batch's single visibility point and
+        # runs only after every store and the view version are durable
         vname = _bucket_history_name(vroot)
         _write_atomic(
             os.path.join(vroot, "_current"), f"{vname}:{epoch}"

@@ -303,3 +303,69 @@ def test_compact_join_view_purges_and_preserves(spark, tmp_path):
         epoch=2,
     )
     assert set(_view(spark, path)) == {"f1", "f3"}
+
+
+def test_join_view_left_null_padding_transitions(spark, tmp_path):
+    path = str(tmp_path / "jvl")
+    kw = dict(join_type="left")
+    # facts arrive BEFORE their dims: visible, NULL-padded
+    join_view_batch(
+        _frame(
+            spark,
+            [
+                _ev("a1", "insert", 10, 1, "f1", _fact("d1", "x")),
+                _ev("a2", "insert", 10, 2, "f2", _fact("d9", "y")),
+                _ev("a3", "insert", 10, 3, "d2", _dim("beta")),
+            ],
+        ),
+        path,
+        epoch=0,
+        **kw,
+    )
+    v = _view(spark, path)
+    assert v["f1"] == ("d1", _fact("d1", "x"), None)
+    assert v["f2"] == ("d9", _fact("d9", "y"), None)
+    # the dim arrives: NULL flips to joined (dim-driven fan-out)
+    join_view_batch(
+        _frame(spark, [_ev("b1", "insert", 11, 1, "d1", _dim("alpha"))]),
+        path,
+        epoch=1,
+        **kw,
+    )
+    v = _view(spark, path)
+    assert v["f1"] == ("d1", _fact("d1", "x"), _dim("alpha"))
+    assert v["f2"][2] is None
+    # dim delete reverts to NULL-padded; the fact stays visible
+    join_view_batch(
+        _frame(spark, [_ev("c1", "delete", 12, 1, "d1")]),
+        path,
+        epoch=2,
+        **kw,
+    )
+    v = _view(spark, path)
+    assert v["f1"] == ("d1", _fact("d1", "x"), None)
+    # fk move from the missing dim onto live d2 fills immediately
+    join_view_batch(
+        _frame(spark, [_ev("e1", "replace", 13, 1, "f2", _fact("d2", "y"))]),
+        path,
+        epoch=3,
+        **kw,
+    )
+    v = _view(spark, path)
+    assert v["f2"] == ("d2", _fact("d2", "y"), _dim("beta"))
+    # fact delete removes the row even under LEFT
+    join_view_batch(
+        _frame(spark, [_ev("g1", "delete", 14, 1, "f1")]),
+        path,
+        epoch=4,
+        **kw,
+    )
+    v = _view(spark, path)
+    assert set(v) == {"f2"}
+    # a later batch with the default (inner) definition must refuse
+    with pytest.raises(PipelineError):
+        join_view_batch(
+            _frame(spark, [_ev("h1", "insert", 15, 1, "d3", _dim("g"))]),
+            path,
+            epoch=5,
+        )

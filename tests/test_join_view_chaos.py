@@ -62,6 +62,7 @@ import json, os, signal, sys
 kill_mode, path = sys.argv[1], sys.argv[2]
 ROWS = [tuple(r) for r in json.loads(sys.argv[3])]
 SCHEMA = sys.argv[4]
+JOIN_TYPE = sys.argv[5] if len(sys.argv) > 5 else "inner"
 
 from pymongo_change_stream_reader_spark.session import get_spark
 import pymongo_change_stream_reader_spark.streaming.join_view as jv
@@ -110,7 +111,7 @@ batch = spark.createDataFrame(ROWS, SCHEMA).selectExpr(
     "named_struct('t', t, 'i', i) AS clusterTime",
     "named_struct('_data', d) AS _id",
 )
-jv.join_view_batch(batch, path, 1, n_buckets=4)
+jv.join_view_batch(batch, path, 1, n_buckets=4, join_type=JOIN_TYPE)
 print("SURVIVED", flush=True)
 """
 
@@ -144,6 +145,30 @@ EXPECTED2 = {
 }
 
 
+def _crash_batch1(path, kill_mode, batch1, join_type):
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g", SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable, "-c", _CHILD, kill_mode, path,
+            json.dumps(batch1), _SCHEMA, join_type,
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == -signal.SIGKILL, proc.stderr[-2000:]
+    assert "SURVIVED" not in proc.stdout
+    assert f"KILLED_AT {kill_mode}" in proc.stdout
+    if kill_mode != "after-pointer":
+        # every window past the delta-persist point leaves the batch's
+        # deltas durable for the replay to reuse
+        assert os.path.isdir(
+            os.path.join(path, "view_deltas", "epoch=1")
+        )
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "kill_mode",
@@ -156,28 +181,7 @@ def test_sigkill_windows_converge(spark, tmp_path, kill_mode):
         "f1": ("d1", '{"side": "d", "p": "alpha"}')
     }
 
-    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g", SPARK_GRAFT_CPUS="4")
-    proc = subprocess.run(
-        [
-            sys.executable, "-c", _CHILD, kill_mode, path,
-            json.dumps(BATCH1), _SCHEMA,
-        ],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=300,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    )
-    assert proc.returncode == -signal.SIGKILL, proc.stderr[-2000:]
-    assert "SURVIVED" not in proc.stdout
-    assert f"KILLED_AT {kill_mode}" in proc.stdout
-
-    if kill_mode != "after-pointer":
-        # every window past the delta-persist point leaves the batch's
-        # deltas durable for the replay to reuse
-        assert os.path.isdir(
-            os.path.join(path, "view_deltas", "epoch=1")
-        )
+    _crash_batch1(path, kill_mode, BATCH1, "inner")
 
     applied = join_view_batch(_mk(spark, BATCH1), path, 1, n_buckets=4)
     assert applied == (kill_mode != "after-pointer")
@@ -190,3 +194,60 @@ def test_sigkill_windows_converge(spark, tmp_path, kill_mode):
     # view row with stale old-fk data
     assert join_view_batch(_mk(spark, BATCH2), path, 2, n_buckets=4)
     assert _view(spark, path) == EXPECTED2
+
+
+# ---- LEFT-join chaos: same durable windows, plus the NULL-padding
+# transitions (fact visible before its dim; fk move onto a dim that
+# does not exist yet; late dim arrival filling NULL rows)
+BATCH0_L = [
+    ("insert", "d1", '{"side": "d", "p": "alpha"}', 10, 1, "a1"),
+    ("insert", "f1", '{"side": "f", "fk": "d1"}', 10, 2, "a2"),
+    ("insert", "f4", '{"side": "f", "fk": "dX"}', 10, 3, "a3"),
+]
+BATCH1_L = [
+    # f1 moves onto d2, which does NOT exist yet -> NULL-padded
+    ("replace", "f1", '{"side": "f", "fk": "d2"}', 11, 1, "b1"),
+    ("update", "d1", '{"side": "d", "p": "ALPHA"}', 11, 2, "b2"),
+    ("insert", "f2", '{"side": "f", "fk": "d1"}', 11, 3, "b3"),
+]
+BATCH2_L = [
+    # stale-index probe (d1 must no longer reach f1) + the late dim
+    # arrival that fills f1's NULL row
+    ("update", "d1", '{"side": "d", "p": "ALPHA2"}', 12, 1, "c1"),
+    ("insert", "d2", '{"side": "d", "p": "beta"}', 12, 2, "c2"),
+]
+EXPECTED_L = {
+    "f1": ("d2", None),
+    "f2": ("d1", '{"side": "d", "p": "ALPHA"}'),
+    "f4": ("dX", None),
+}
+EXPECTED2_L = {
+    "f1": ("d2", '{"side": "d", "p": "beta"}'),
+    "f2": ("d1", '{"side": "d", "p": "ALPHA2"}'),
+    "f4": ("dX", None),
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "kill_mode",
+    ["before-stores", "after-facts", "before-pointer", "after-pointer"],
+)
+def test_sigkill_windows_converge_left(spark, tmp_path, kill_mode):
+    path = str(tmp_path / "jview_left")
+    kw = dict(n_buckets=4, join_type="left")
+    join_view_batch(_mk(spark, BATCH0_L), path, 0, **kw)
+    assert _view(spark, path) == {
+        "f1": ("d1", '{"side": "d", "p": "alpha"}'),
+        "f4": ("dX", None),
+    }
+
+    _crash_batch1(path, kill_mode, BATCH1_L, "left")
+
+    applied = join_view_batch(_mk(spark, BATCH1_L), path, 1, **kw)
+    assert applied == (kill_mode != "after-pointer")
+    assert _view(spark, path) == EXPECTED_L
+    assert not join_view_batch(_mk(spark, BATCH1_L), path, 1, **kw)
+    assert _view(spark, path) == EXPECTED_L
+    assert join_view_batch(_mk(spark, BATCH2_L), path, 2, **kw)
+    assert _view(spark, path) == EXPECTED2_L
