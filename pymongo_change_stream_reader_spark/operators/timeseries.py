@@ -37,7 +37,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket", "gap_fill_locf", "ewma_last", "rolling_zscore"]
+__all__ = [
+    "time_bucket",
+    "gap_fill_locf",
+    "ewma_last",
+    "rolling_zscore",
+    "sessionize",
+    "session_stats",
+]
 
 
 def time_bucket(ts: Column, minutes: int) -> Column:
@@ -211,4 +218,63 @@ def rolling_zscore(
                 (F.col("value") - mu) / sd,
             ).alias("zscore"),
         )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    tiebreak_cols: list[str] | None = None,
+    session_col: str = "session",
+) -> DataFrame:
+    """Gap-based sessionization: assign every row a per-key session
+    ordinal (1-based) where a new session starts when the time since
+    the key's PREVIOUS event exceeds ``gap_seconds`` — the batch
+    analogue of the streaming session window, and the standard
+    clickstream/log primitive.
+
+    Two partitioned ROWS windows (a lag for the gap test, a running
+    sum for the ordinal) over (ts, tiebreak) — bounded per-key state,
+    codegen'd, nothing global; at 100 TB this is one hash exchange on
+    the key.  Pass ``tiebreak_cols`` (e.g. an event id) when
+    timestamps can tie — the session SPLIT is tie-insensitive (equal
+    timestamps have gap 0) but downstream per-row ordering should be
+    total.  Comparison is on exact microseconds (``unix_micros``)."""
+    tb = [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), *tb)
+    # TIMESTAMP_NTZ needs the explicit timestamp cast before
+    # unix_micros (parquet NANOS tables land as NTZ)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((us - prev) > F.lit(int(round(gap_seconds * 1_000_000)))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        session_col, F.sum(new_session).over(running).cast("long")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-session summary on top of :func:`sessionize`: (key,
+    session, n_events, start_ts, end_ts, duration_us) — one hash
+    aggregation after the sessionize windows; duration is an exact
+    microsecond integer (no float normalization concerns)."""
+    s = sessionize(df, key_col, ts_col, gap_seconds, tiebreak_cols)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return s.groupBy(F.col(key_col), F.col("session")).agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
     )

@@ -142,3 +142,48 @@ def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "key", "ts", "value", F.round("zscore", 6).alias("zscore")
     ).orderBy("key", "ts", "value")
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT user_id, ts,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session
+        FROM s
+    )
+    SELECT user_id, CAST(session AS BIGINT) AS session,
+           COUNT(*) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM g GROUP BY user_id, session
+    ORDER BY user_id, session
+    """,
+    doc="Gap-based sessionization (operators/timeseries.py:"
+    "sessionize/session_stats): per-user sessions split on a 30-min "
+    "silence gap — two partitioned ROWS windows (lag gap test + "
+    "running sum ordinal) and one hash aggregation, all exact "
+    "microsecond integer arithmetic (unix_micros/epoch_us — no float "
+    "timestamps), nothing global.  The batch analogue of the "
+    "streaming session window and the standard clickstream primitive.",
+    tags=("ts",),
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.timeseries import (
+        session_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak_cols=["event_id"]
+    ).orderBy("user_id", "session")

@@ -121,3 +121,63 @@ def test_ewma_string_key_dtype(spark):
         for r in ewma_last(df, "key", "ts", "v", alpha=0.5).collect()
     }
     assert out == {"dev-a": (2, 0.5 * 2.0 + 0.5 * 1.0), "dev-b": (1, 5.0)}
+
+
+def test_sessionize_gap_splits_and_ordinals(spark):
+    from pymongo_change_stream_reader_spark.operators.timeseries import (
+        session_stats,
+        sessionize,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (1, "2024-01-01 00:10:00", 2),   # 10 min: same session
+        (1, "2024-01-01 01:00:00", 3),   # 50 min gap: new session
+        (1, "2024-01-01 01:30:00", 4),   # exactly the 30-min gap: SAME
+        (2, "2024-01-01 00:00:00", 5),   # other key: own session space
+    ]
+    df = spark.createDataFrame(
+        rows, "key LONG, ts STRING, eid LONG"
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"), "eid")
+    out = {
+        (r["key"], r["eid"]): r["session"]
+        for r in sessionize(
+            df, "key", "ts", 1800, tiebreak_cols=["eid"]
+        ).collect()
+    }
+    assert out == {
+        (1, 1): 1, (1, 2): 1, (1, 3): 2, (1, 4): 2, (2, 5): 1
+    }
+    st = {
+        (r["key"], r["session"]): (r["n_events"], r["duration_us"])
+        for r in session_stats(
+            df, "key", "ts", 1800, tiebreak_cols=["eid"]
+        ).collect()
+    }
+    assert st == {
+        (1, 1): (2, 600 * 1_000_000),
+        (1, 2): (2, 1800 * 1_000_000),
+        (2, 1): (1, 0),
+    }
+
+
+def test_sessionize_window_is_partitioned(spark):
+    from pymongo_change_stream_reader_spark.operators.timeseries import (
+        sessionize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "key LONG, ts STRING"
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"))
+    plan = (
+        sessionize(df, "key", "ts", 60)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # every window spec carries the key partition — no global window
+    assert "Window" in plan
+    assert re.search(r"windowspecdefinition\(key#", plan)
+    assert not re.search(r"windowspecdefinition\((?!key#)", plan)
