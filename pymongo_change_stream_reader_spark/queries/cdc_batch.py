@@ -1163,3 +1163,199 @@ def cdc_join_view_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+_SVG_SQL = """
+        SELECT CASE WHEN event_id % 119 < 99
+                    THEN '{"_id": "f' || CAST(event_id % 119 AS VARCHAR)
+                         || '"}'
+                    WHEN event_id % 119 < 109
+                    THEN '{"_id": "A' || CAST(event_id % 119 - 99
+                                              AS VARCHAR) || '"}'
+                    ELSE '{"_id": "B' || CAST(event_id % 119 - 109
+                                              AS VARCHAR) || '"}'
+               END AS key,
+               operation,
+               CASE WHEN operation <> 'delete' THEN
+                   CASE WHEN event_id % 119 < 99
+                        THEN '{"side": "f", "fka": "A'
+                             || CAST(cents % 10 AS VARCHAR)
+                             || '", "fkb": "B' || CAST(cents % 7 AS VARCHAR)
+                             || '", "p": ' || CAST(cents AS VARCHAR) || '}'
+                        WHEN event_id % 119 < 109
+                        THEN '{"side": "a", "p": '
+                             || CAST(cents AS VARCHAR) || '}'
+                        ELSE '{"side": "b", "p": '
+                             || CAST(cents AS VARCHAR) || '}'
+                   END
+               END AS doc,
+               event_id AS t
+        FROM sim
+        WHERE operation IN ('insert', 'update', 'replace', 'delete')
+"""
+
+
+def _star_view_events(e: DataFrame) -> DataFrame:
+    """Spark side of _SVG_SQL: a star-schema key space — keys 0..98
+    are facts referencing dim ``A(cents % 10)`` on side a and
+    ``B(cents % 7)`` on side b; keys 99..108 are a-dims, 109..118
+    b-dims (so B7..B9 exist but are never referenced, and a fact's
+    two fks move independently as its value changes)."""
+    operation = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "update")
+        .when(F.col("event_type") == "click", "replace")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("drop")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    k = F.col("event_id") % 119
+    key = (
+        F.when(
+            k < 99,
+            F.concat(F.lit('{"_id": "f'), k.cast("string"), F.lit('"}')),
+        )
+        .when(
+            k < 109,
+            F.concat(
+                F.lit('{"_id": "A'), (k - 99).cast("string"), F.lit('"}')
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"_id": "B'), (k - 109).cast("string"), F.lit('"}')
+            )
+        )
+    )
+    doc = (
+        F.when(
+            k < 99,
+            F.concat(
+                F.lit('{"side": "f", "fka": "A'),
+                (cents % 10).cast("string"),
+                F.lit('", "fkb": "B'),
+                (cents % 7).cast("string"),
+                F.lit('", "p": '),
+                cents.cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .when(
+            k < 109,
+            F.concat(
+                F.lit('{"side": "a", "p": '),
+                cents.cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"side": "b", "p": '),
+                cents.cast("string"),
+                F.lit("}"),
+            )
+        )
+    )
+    return e.filter(
+        operation.isin("insert", "update", "replace", "delete")
+    ).select(
+        F.struct(
+            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
+                "_data"
+            )
+        ).alias("_id"),
+        operation.alias("operationType"),
+        F.struct(
+            F.col("event_id").alias("t"), F.lit(1).alias("i")
+        ).alias("clusterTime"),
+        key.alias("documentKey"),
+        F.when(
+            operation.isin("insert", "update", "replace"), doc
+        ).alias("fullDocument"),
+    )
+
+
+@query(
+    "cdc_star_view_incremental",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    evj AS ({_SVG_SQL}),
+    last AS (
+        SELECT key,
+               max_by(operation || '|' || COALESCE(doc, ''), t) AS payload
+        FROM evj GROUP BY key
+    ),
+    finals AS (
+        SELECT key, substr(payload, position('|' IN payload) + 1) AS doc
+        FROM last WHERE split_part(payload, '|', 1) <> 'delete'
+    ),
+    facts AS (
+        SELECT key, doc FROM finals
+        WHERE json_extract_string(doc, '$.side') = 'f'
+    ),
+    dims_a AS (
+        SELECT key, doc FROM finals
+        WHERE json_extract_string(doc, '$.side') = 'a'
+    ),
+    dims_b AS (
+        SELECT key, doc FROM finals
+        WHERE json_extract_string(doc, '$.side') = 'b'
+    )
+    SELECT f.key AS key,
+           f.doc AS fact_doc,
+           json_extract_string(f.doc, '$.fka') AS fk_a,
+           a.doc AS dim_a,
+           json_extract_string(f.doc, '$.fkb') AS fk_b,
+           b.doc AS dim_b
+    FROM facts f
+    LEFT JOIN dims_a a
+      ON json_extract_string(a.key, '$._id')
+         = json_extract_string(f.doc, '$.fka')
+    LEFT JOIN dims_b b
+      ON json_extract_string(b.key, '$._id')
+         = json_extract_string(f.doc, '$.fkb')
+    ORDER BY key
+    """,
+    doc="Incremental materialized STAR view (streaming/star_view.py): "
+    "one fact side LEFT-joined against TWO dimension sides in one "
+    "polymorphic 119-key change history (99 facts whose two fks move "
+    "independently; 10 a-dims, 10 b-dims with B7..B9 never "
+    "referenced), applied in THREE interleaved micro-batches.  The "
+    "batch maintenance recomputes each touched fact's WHOLE row from "
+    "the per-side secondary indexes and bucketed dim stores (never a "
+    "full re-join; a fact hit by several dim sides in one batch "
+    "yields exactly one row) and is hash-compared to the oracle's "
+    "two-way LEFT-join recompute over final document states.",
+    tags=("cdc", "streaming"),
+)
+def cdc_star_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.streaming.star_view import (
+        DimSide,
+        read_star_view,
+        star_view_batch,
+    )
+
+    ev = _star_view_events(load_table(spark, sf_dir, "events"))
+    path = tempfile.mkdtemp(prefix="spark_cdc_starview_")
+    dims = [
+        DimSide("a", "$.fka", dim_id_path="$._id"),
+        DimSide("b", "$.fkb", dim_id_path="$._id"),
+    ]
+    try:
+        for i in range(3):
+            star_view_batch(
+                ev.filter(F.col("clusterTime.t") % 3 == i),
+                path,
+                epoch=i,
+                dims=dims,
+            )
+        return (
+            read_star_view(spark, path)
+            .orderBy("key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
