@@ -164,3 +164,46 @@ def reassemble_split_events(df: DataFrame) -> DataFrame:
             F.col("__n_frags") == F.col("__of"), F.lit(True)
         ).alias("complete"),
     )
+
+
+def scd2_from_events(events: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change-event
+    log: one row per document VERSION — (key, doc, valid_from,
+    valid_to, is_current) where a version is valid from its own event
+    time until the key's NEXT event (exclusive; NULL = still open),
+    and a delete closes the prior version without opening one.  The
+    standard warehouse temporal-dimension build, computed from the
+    same envelope the replica stores consume (non-delete events must
+    carry a post-image).
+
+    One partitioned lead() window over (clusterTime.t, clusterTime.i)
+    — per-key bounded state, no global sort; at 100 TB this is one
+    hash exchange on the document key.  ``valid_from``/``valid_to``
+    are the event-time ``t`` values (pair with an as-of join —
+    operators/joins.py — to resolve "what did key K look like at time
+    T" queries against the history)."""
+    ev = events.filter(
+        F.col("operationType").isin(
+            "insert", "update", "replace", "delete"
+        )
+    ).select(
+        F.col("documentKey").alias("key"),
+        F.col("operationType").alias("op"),
+        F.col("fullDocument").alias("doc"),
+        F.col("clusterTime.t").alias("__t"),
+        F.col("clusterTime.i").alias("__i"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("__t", "__i")
+    return (
+        ev.withColumn("valid_to", F.lead("__t").over(w))
+        .filter(F.col("op") != "delete")
+        .select(
+            "key",
+            "doc",
+            F.col("__t").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

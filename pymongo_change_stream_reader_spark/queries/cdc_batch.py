@@ -1359,3 +1359,36 @@ def cdc_star_view_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    ev AS ({_EV_SQL}),
+    v AS (
+        SELECT key, operation, doc, t,
+               lead(t) OVER (PARTITION BY key ORDER BY t) AS valid_to
+        FROM ev
+    )
+    SELECT key, doc, t AS valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM v WHERE operation <> 'delete'
+    ORDER BY key, valid_from
+    """,
+    doc="Type-2 SCD history from the change-event log (operators/"
+    "cdc.py:scd2_from_events): one row per document version with "
+    "[valid_from, valid_to) event-time intervals — a version closes "
+    "at the key's next event, a delete closes without opening, the "
+    "last undeleted version is current.  One partitioned lead() "
+    "window over the same 101-key replica envelope the replica-store "
+    "queries use; the oracle is the identical window in SQL.",
+    tags=("cdc",),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.cdc import (
+        scd2_from_events,
+    )
+
+    ev = _replica_events(load_table(spark, sf_dir, "events"))
+    return scd2_from_events(ev).orderBy("key", "valid_from")

@@ -167,3 +167,44 @@ def test_split_reassemble_roundtrip(spark):
             F.col("_id")["_data"] == ev
         ).collect()
         assert len(bad) == 1 and bad[0]["complete"] is False
+
+
+def test_scd2_intervals_versions_and_deletes(spark):
+    from pymongo_change_stream_reader_spark.operators.cdc import (
+        scd2_from_events,
+    )
+
+    rows = [
+        # k1: insert@10 -> update@20 -> delete@30 (two closed versions)
+        ("insert", "k1", '{"v": 1}', 10, 1, "a"),
+        ("update", "k1", '{"v": 2}', 20, 1, "b"),
+        ("delete", "k1", None, 30, 1, "c"),
+        # k2: insert@15, still open
+        ("insert", "k2", '{"v": 9}', 15, 1, "d"),
+        # k3: insert@5 -> replace@5 (same t, i breaks the tie)
+        ("insert", "k3", '{"v": 1}', 5, 1, "e"),
+        ("replace", "k3", '{"v": 2}', 5, 2, "f"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "operationType STRING, documentKey STRING, fullDocument STRING,"
+        " t INT, i INT, d STRING",
+    ).selectExpr(
+        "operationType", "documentKey", "fullDocument",
+        "named_struct('t', t, 'i', i) AS clusterTime",
+        "named_struct('_data', d) AS _id",
+    )
+    out = {
+        (r["key"], r["doc"]): (
+            r["valid_from"], r["valid_to"], r["is_current"]
+        )
+        for r in scd2_from_events(ev).collect()
+    }
+    assert out[("k1", '{"v": 1}')] == (10, 20, False)
+    assert out[("k1", '{"v": 2}')] == (20, 30, False)  # delete closes
+    assert len([k for k in out if k[0] == "k1"]) == 2  # delete opens nothing
+    assert out[("k2", '{"v": 9}')] == (15, None, True)
+    # tie on t: the i-ordered successor closes the first version at
+    # the SAME t (zero-length interval), the second stays current
+    assert out[("k3", '{"v": 1}')] == (5, 5, False)
+    assert out[("k3", '{"v": 2}')] == (5, None, True)
