@@ -126,3 +126,93 @@ def quantile_estimate(
         .applyInPandas(probe, "p DOUBLE, value DOUBLE")
         .select("p", "value")
     )
+
+
+def grouped_quantile_sketch(
+    df: DataFrame, group_cols: list[str], col: str | Column, k: int = 256
+) -> DataFrame:
+    """Per-GROUP mergeable quantile summaries: (group_cols..., value,
+    weight) — the stratified sibling of :func:`quantile_sketch`.
+
+    Phase 1 of the mergeable decomposition runs per PARTITION with a
+    dict of compactors keyed by the partition's local groups
+    (``mapInPandas`` streams Arrow batches, so memory is bounded by
+    distinct-groups-per-partition x k x levels — an ``applyInPandas``
+    per group would instead load each whole group into one pandas
+    frame).  The per-partition summaries merge downstream by plain
+    union: probe them grouped (weights add)."""
+    c = F.col(col) if isinstance(col, str) else col
+    gcols = [F.col(g) for g in group_cols]
+    keyed = df.select(*gcols, c.cast("double").alias("__v"))
+    gnames = list(group_cols)
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        state: dict = {}
+
+        def add(st, level: int, vals: list) -> None:
+            levels, offs = st
+            while len(levels) <= level:
+                levels.append([])
+                offs.append(0)
+            buf = levels[level]
+            buf.extend(vals)
+            if len(buf) >= k:
+                buf.sort()
+                off = offs[level]
+                offs[level] ^= 1
+                promoted = buf[off::2]
+                levels[level] = []
+                add(st, level + 1, promoted)
+
+        for pdf in batches:
+            for key, sub in pdf.groupby(gnames, sort=False, dropna=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                st = state.setdefault(key, ([[]], [0]))
+                vals = [float(v) for v in sub["__v"].dropna()]
+                for i in range(0, len(vals), max(1, k)):
+                    add(st, 0, vals[i : i + k])
+        rows = [
+            (*key, v, 1 << lvl)
+            for key, (levels, _offs) in state.items()
+            for lvl, buf in enumerate(levels)
+            for v in buf
+        ]
+        yield pd.DataFrame(rows, columns=[*gnames, "value", "weight"])
+
+    gschema = ", ".join(
+        f"{g} {df.schema[g].dataType.simpleString()}" for g in group_cols
+    )
+    return keyed.mapInPandas(run, f"{gschema}, value DOUBLE, weight BIGINT")
+
+
+def grouped_quantile_cuts(
+    sketch: DataFrame, group_cols: list[str], probs: list[float]
+) -> DataFrame:
+    """(group_cols..., cuts ARRAY<DOUBLE>) per group from a grouped
+    sketch — one ``applyInPandas`` over the SUMMARY rows (k * levels *
+    partitions per group, never the data), so cut computation is as
+    distributed as the groups are."""
+    ps = sorted(float(p) for p in probs)
+    gnames = list(group_cols)
+
+    def probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values("value")
+        cum = s["weight"].cumsum()
+        total = float(cum.iloc[-1]) if len(cum) else 0.0
+        cuts = []
+        for p in ps:
+            if not total:
+                continue
+            idx = (cum >= p * total).idxmax()
+            cuts.append(float(s["value"].loc[idx]))
+        head = pdf.iloc[[0]][gnames].reset_index(drop=True)
+        head["cuts"] = [cuts]
+        return head
+
+    gschema = ", ".join(
+        f"{g} {sketch.schema[g].dataType.simpleString()}" for g in gnames
+    )
+    return sketch.groupBy(*gnames).applyInPandas(
+        probe, f"{gschema}, cuts ARRAY<DOUBLE>"
+    )

@@ -158,3 +158,51 @@ def approx_ntile(
     return df.withColumn(
         tile_col, F.when(x.isNotNull(), bucket).cast("int")
     )
+
+
+def approx_ntile_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str | Column,
+    tiles: int,
+    k: int = 256,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """STRATIFIED approximate NTILE: per-group quantile buckets from
+    per-group mergeable sketches — e.g. per-language quality deciles,
+    where one global cut list would let a verbose language crowd out
+    the rest.  Fully distributed end to end: per-partition grouped
+    compactors (mapInPandas), grouped summary probes (applyInPandas
+    over summary rows), then a join of the (group, cuts) frame back
+    onto the data (AQE broadcasts it when small) and the same
+    codegen'd array-filter bucket assignment as :func:`approx_ntile`.
+    NOTHING is collected to the driver, so the group count can scale
+    with the data."""
+    from pymongo_change_stream_reader_spark.operators.quantiles import (
+        grouped_quantile_cuts,
+        grouped_quantile_sketch,
+    )
+
+    if tiles < 2:
+        raise ValueError("approx_ntile_by_group needs tiles >= 2")
+    c = F.col(col) if isinstance(col, str) else col
+    sk = grouped_quantile_sketch(df, group_cols, c, k=k)
+    cuts = grouped_quantile_cuts(
+        sk, group_cols, [i / tiles for i in range(1, tiles)]
+    )
+    x = c.cast("double")
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("__cuts"), lambda cut: cut < x)
+    )
+    return (
+        df.join(
+            cuts.withColumnRenamed("cuts", "__cuts"), group_cols, "left"
+        )
+        .withColumn(
+            tile_col,
+            F.when(
+                x.isNotNull() & F.col("__cuts").isNotNull(), bucket
+            ).cast("int"),
+        )
+        .drop("__cuts")
+    )

@@ -1469,3 +1469,61 @@ def sketch_approx_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "tile INT, within_bound BOOLEAN"
     ).orderBy("tile")
+
+
+@query(
+    "sketch_approx_ntile_grouped",
+    oracle="""
+    SELECT l_returnflag, CAST(t AS INTEGER) AS tile, n_group,
+           TRUE AS within_bound
+    FROM (
+        SELECT l_returnflag, COUNT(*) AS n_group
+        FROM lineitem GROUP BY l_returnflag
+    )
+    CROSS JOIN (VALUES (1), (2), (3), (4)) AS v(t)
+    ORDER BY l_returnflag, tile
+    """,
+    doc="STRATIFIED sketch-backed NTILE (operators/ranking.py:"
+    "approx_ntile_by_group): per-l_returnflag quartiles of "
+    "l_extendedprice from per-group mergeable sketches — per-"
+    "partition grouped compactors (one streamed Arrow pass), grouped "
+    "summary probes, cuts joined back (no driver collect, so group "
+    "count scales with the data).  Bounded-error oracle: exact "
+    "per-group row counts hash-verified plus a Spark-side boolean "
+    "that every (group, quartile) bucket lands within 5% of "
+    "n_group/4.",
+    tags=("agg", "approx"),
+)
+def sketch_approx_ntile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.ranking import (
+        approx_ntile_by_group,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    out = approx_ntile_by_group(li, ["l_returnflag"], "x", tiles=4)
+    cnts = {
+        (r["l_returnflag"], r["tile"]): r["count"]
+        for r in out.groupBy("l_returnflag", "tile").count().collect()
+    }
+    totals: dict[str, int] = {}
+    for (g, _t), n in cnts.items():
+        totals[g] = totals.get(g, 0) + n
+    rows = [
+        (
+            g,
+            t,
+            totals[g],
+            bool(
+                abs(cnts.get((g, t), 0) - totals[g] / 4.0)
+                <= 0.05 * totals[g]
+            ),
+        )
+        for g in sorted(totals)
+        for t in range(1, 5)
+    ]
+    return spark.createDataFrame(
+        rows, "l_returnflag STRING, tile INT, n_group BIGINT, "
+        "within_bound BOOLEAN"
+    ).orderBy("l_returnflag", "tile")

@@ -105,3 +105,53 @@ def test_nulls_ignored(spark):
     s = quantile_sketch(df, "x", k=16)
     est = {r["p"]: r["value"] for r in quantile_estimate(s, [0.5]).collect()}
     assert est[0.5] == 2.0
+
+
+def test_grouped_sketch_exact_when_uncompacted(spark):
+    from pymongo_change_stream_reader_spark.operators.quantiles import (
+        grouped_quantile_cuts,
+        grouped_quantile_sketch,
+    )
+
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        ("b", float(10 * i)) for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE")
+    from pyspark.sql import functions as F
+
+    sk = grouped_quantile_sketch(df, ["g"], "x", k=256)
+    # n <= k per group: every value survives at weight 1
+    w = {r["g"]: r["n"] for r in sk.groupBy("g").agg(
+        F.sum("weight").alias("n")).collect()}
+    assert w == {"a": 100, "b": 20}
+    cuts = {
+        r["g"]: r["cuts"]
+        for r in grouped_quantile_cuts(sk, ["g"], [0.25, 0.5, 0.75]).collect()
+    }
+    assert cuts["a"] == [25.0, 50.0, 75.0]
+    assert cuts["b"] == [50.0, 100.0, 150.0]
+
+
+def test_approx_ntile_by_group_is_per_group_and_collectless(spark):
+    from pymongo_change_stream_reader_spark.operators.ranking import (
+        approx_ntile_by_group,
+    )
+
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        ("b", float(1000 + i)) for i in range(1, 41)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE")
+    out = approx_ntile_by_group(df, ["g"], "x", tiles=4)
+    sizes = {
+        (r["g"], r["tile"]): r["count"]
+        for r in out.groupBy("g", "tile").count().collect()
+    }
+    # per-group quartiles: group b's values all exceed group a's max,
+    # yet each group still splits 4 ways on ITS OWN distribution
+    assert sizes == {
+        ("a", 1): 25, ("a", 2): 25, ("a", 3): 25, ("a", 4): 25,
+        ("b", 1): 10, ("b", 2): 10, ("b", 3): 10, ("b", 4): 10,
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
