@@ -80,7 +80,12 @@ from pymongo_change_stream_reader_spark.streaming.materialize import (
     _last_event_per_key,
 )
 
-__all__ = ["DimSide", "star_view_batch", "read_star_view"]
+__all__ = [
+    "DimSide",
+    "star_view_batch",
+    "read_star_view",
+    "compact_star_view",
+]
 
 
 @dataclass(frozen=True)
@@ -715,3 +720,87 @@ def star_view_batch(
                 os.path.join(droot, f"epoch={e}"), ignore_errors=True
             )
         return True
+
+
+def compact_star_view(
+    spark: SparkSession,
+    path: str,
+    files_per_bucket: int = 1,
+    purge_tombstones: bool = False,
+    retain: int = 2,
+) -> dict:
+    """Compact every LWW store of the star view (facts, each dim
+    side, each index side) plus the view table — the join view's
+    compact_join_view generalized to N sides; runs under the same
+    view lock as the batch apply.  Returns per-store compacted row
+    counts.
+
+    ``purge_tombstones`` carries the join view's caveat verbatim: a
+    purged tombstone lets a late out-of-order event older than the
+    delete resurrect a row (and with it a view row) — purge only
+    past the source's reordering horizon."""
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+    )
+
+    cfg_path = os.path.join(path, "_config.json")
+    if not os.path.exists(cfg_path):
+        return {}
+    sides = [d["side"] for d in json.load(open(cfg_path))["dims"]]
+    stores = [("facts", "key")]
+    for s in sides:
+        stores.append((f"dims_{s}", "jk"))
+        stores.append((f"idx_{s}", "fk"))
+    counts: dict[str, int] = {}
+    with bucketed_sink_lock(path):
+        for store, bucket_col in stores:
+            sp = os.path.join(path, store)
+            mf = _read_bucket_manifest(sp)
+            if mf is None:
+                continue
+            n_buckets, entries = mf
+            cur = read_bucketed_sink(spark, sp)
+            if cur is None:
+                continue
+            if purge_tombstones:
+                cur = cur.filter(F.col("live"))
+            compacted = cur.repartition(
+                max(1, files_per_bucket * n_buckets),
+                _bucket_of([bucket_col], n_buckets),
+            ).localCheckpoint(eager=True)
+            counts[store] = compacted.count()
+            _commit_bucketed(
+                compacted, sp, [bucket_col], n_buckets, entries,
+                sorted(entries), retain=retain, return_df=False,
+            )
+        cur_ptr = _current(path)
+        if cur_ptr is not None:
+            res = _resolve_view_entries(path)
+            vroot = os.path.join(path, "view")
+            entries, epoch = res
+            dirs = [
+                os.path.join(vroot, rel)
+                for rel in entries.values()
+                if os.path.isdir(os.path.join(vroot, rel))
+            ]
+            if dirs:
+                vmf = _read_bucket_manifest(vroot)
+                n_buckets = vmf[0]
+                rows = spark.read.parquet(*dirs).select(
+                    *_view_cols(sides)
+                )
+                compacted = rows.repartition(
+                    max(1, files_per_bucket * n_buckets),
+                    _bucket_of(["key"], n_buckets),
+                ).localCheckpoint(eager=True)
+                counts["view"] = compacted.count()
+                _commit_bucketed(
+                    compacted, vroot, ["key"], n_buckets,
+                    dict(vmf[1]), sorted(dict(vmf[1])),
+                    retain=max(3, retain), return_df=False,
+                )
+                vname = _bucket_history_name(vroot)
+                _write_atomic(
+                    os.path.join(vroot, "_current"), f"{vname}:{epoch}"
+                )
+    return counts

@@ -194,3 +194,44 @@ def test_rejects_bad_definitions(spark, tmp_path):
         star_view_batch(
             b, str(tmp_path / "x4"), 0, DIMS, join_type="full"
         )
+
+
+def test_compaction_preserves_view_and_caps_files(spark, tmp_path):
+    import glob
+    import os
+
+    from pymongo_change_stream_reader_spark.streaming.star_view import (
+        compact_star_view,
+    )
+
+    path = str(tmp_path / "s")
+    _seed(spark, path)
+    for e, rows in enumerate(
+        [
+            [_ev("b1", "update", 11, 1, "A1", _dim("a", "v2"))],
+            [_ev("c1", "update", 12, 1, "B1", _dim("b", "w2"))],
+            [_ev("d1", "delete", 13, 1, "f2")],
+        ],
+        start=1,
+    ):
+        star_view_batch(_frame(spark, rows), path, e, DIMS, n_buckets=4)
+    before = _view(spark, path)
+    counts = compact_star_view(spark, path, files_per_bucket=1)
+    assert set(counts) >= {"facts", "dims_a", "dims_b", "view"}
+    assert _view(spark, path) == before  # contents unchanged
+    # further batches apply cleanly on the compacted stores
+    star_view_batch(
+        _frame(spark, [_ev("e1", "update", 14, 1, "A1", _dim("a", "v3"))]),
+        path,
+        4,
+        DIMS,
+        n_buckets=4,
+    )
+    assert _view(spark, path)["f1"][1] == _dim("a", "v3")
+    # tombstone purge drops the dead fact rows from the stores
+    n_before = counts["facts"]
+    counts2 = compact_star_view(
+        spark, path, files_per_bucket=1, purge_tombstones=True
+    )
+    assert counts2["facts"] < n_before
+    assert _view(spark, path)["f1"][1] == _dim("a", "v3")
