@@ -113,6 +113,7 @@ def main() -> None:
             join_side_path=cfg.join_side_path,
             join_fk_path=cfg.join_fk_path,
             join_dim_id_path=cfg.join_dim_id_path,
+            join_join_type=cfg.join_join_type,
         )
     elif cfg.replica_path:
         # engine extension: REPLICA_PATH switches the sink to replica

@@ -81,11 +81,18 @@ class EngineSettings:
     join_side_path: str = "$.side"
     join_fk_path: str = "$.fk"
     join_dim_id_path: str | None = "$._id"
+    join_join_type: str = "inner"
     # lifecycle
     program_start_timeout: int = 60
     program_graceful_stop_timeout: int = 20
 
     def __post_init__(self) -> None:
+        if self.join_join_type not in ("inner", "left"):
+            # fail fast at config parse, like the pipeline whitelist
+            raise ValueError(
+                "JOIN_VIEW_JOIN_TYPE must be 'inner' or 'left', got "
+                f"{self.join_join_type!r}"
+            )
         if self.collection and not self.database:
             # reference watch.py:56-58
             raise ValueError("collection requires database")
@@ -154,6 +161,7 @@ def settings_from_env() -> EngineSettings:
         join_side_path=env.get("JOIN_SIDE_PATH", "$.side"),
         join_fk_path=env.get("JOIN_FK_PATH", "$.fk"),
         join_dim_id_path=env.get("JOIN_DIM_ID_PATH", "$._id"),
+        join_join_type=env.get("JOIN_VIEW_JOIN_TYPE", "inner"),
         program_start_timeout=int(env.get("PROGRAM_START_TIMEOUT", "60")),
         program_graceful_stop_timeout=int(
             env.get("PROGRAM_GRACEFUL_STOP_TIMEOUT", "20")

@@ -114,6 +114,7 @@ def composed_apply_batch(
     join_dim_side: str = "d",
     join_fk_path: str = "$.fk",
     join_dim_id_path: str | None = "$._id",
+    join_join_type: str = "inner",
 ) -> dict:
     """Apply one micro-batch to every enabled store (see module
     docstring).  Returns per-store outcomes: ``applied`` /
@@ -292,6 +293,7 @@ def composed_apply_batch(
                 dim_id_path=join_dim_id_path,
                 n_buckets=n_buckets,
                 retain=retain,
+                join_type=join_join_type,
             )
             return "applied" if applied else "replayed-skip"
 
@@ -363,6 +365,7 @@ def start_composed_relay(
     join_dim_side: str = "d",
     join_fk_path: str = "$.fk",
     join_dim_id_path: str | None = "$._id",
+    join_join_type: str = "inner",
 ):
     """Streaming entry point: one stream, one source read per trigger,
     every enabled store maintained.  Enable a store by passing its
@@ -444,6 +447,7 @@ def start_composed_relay(
             join_dim_side=join_dim_side,
             join_fk_path=join_fk_path,
             join_dim_id_path=join_dim_id_path,
+            join_join_type=join_join_type,
         )
 
     writer = (

@@ -197,6 +197,7 @@ def test_settings_from_env_composed_stores(monkeypatch):
         "AGG_TRACK_MINMAX": "true",
         "JOIN_VIEW_PATH": "/data/jview",
         "JOIN_FK_PATH": "$.customer_id",
+        "JOIN_VIEW_JOIN_TYPE": "left",
     }.items():
         monkeypatch.setenv(k, v)
     cfg = settings_from_env()
@@ -213,6 +214,21 @@ def test_settings_from_env_composed_stores(monkeypatch):
     assert (cfg.join_view_path, cfg.join_side_path, cfg.join_fk_path,
             cfg.join_dim_id_path) == ("/data/jview", "$.side",
                                       "$.customer_id", "$._id")
+    assert cfg.join_join_type == "left"
+
+
+def test_settings_join_type_validation(monkeypatch):
+    from pymongo_change_stream_reader_spark.config import settings_from_env
+
+    for k, v in {
+        "STREAM_READER_NAME": "r1",
+        "MONGO_URI": "mongodb://h:27017",
+        "KAFKA_BOOTSTRAP_SERVERS": "k:9092",
+        "JOIN_VIEW_JOIN_TYPE": "full",
+    }.items():
+        monkeypatch.setenv(k, v)
+    with pytest.raises(ValueError, match="JOIN_VIEW_JOIN_TYPE"):
+        settings_from_env()
 
 
 def test_settings_validation(monkeypatch):
