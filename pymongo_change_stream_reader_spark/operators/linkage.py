@@ -51,6 +51,7 @@ __all__ = [
     "blocking_candidates",
     "blocked_entity_matches",
     "entity_resolution",
+    "entity_resolution_incremental",
 ]
 
 
@@ -241,3 +242,190 @@ def entity_resolution(
             (F.row_number().over(w) == 1).alias("is_canonical"),
         )
     )
+
+
+def entity_resolution_incremental(
+    new_df: DataFrame,
+    prior_records: DataFrame | None,
+    prior_assign: DataFrame | None,
+    id_col: str,
+    keys: Column,
+    fields: list[MatchField],
+    threshold: float,
+    max_block_size: int | None = None,
+    driver_threshold: int = 1_000_000,
+    stats: dict | None = None,
+) -> DataFrame:
+    """INCREMENTAL entity resolution: fold a batch of NEW records into
+    an existing resolution without re-matching the prior corpus
+    against itself.  Returns the DELTA assignment frame (id_col,
+    entity): one row per new record, plus one row per PRIOR record
+    whose entity label changes because the batch merged entities
+    (matches are symmetric and the match function is deterministic,
+    so prior-vs-prior pairs cannot newly appear — the delta is exactly
+    new-edge reachability).  The caller LWW-merges deltas into its
+    assignment table and appends the batch to its record store.
+
+    Work per batch: candidates are (new x prior) and (new x new)
+    pairs sharing a blocking key — the prior side enters ONLY through
+    the inverted key index join, never as an all-pairs scan; scoring
+    joins fetch exactly the candidate rids' fields.  Component
+    merging contracts every prior entity to ONE supernode (its
+    entity id), so the driver union-find sees edges + supernodes —
+    bounded by the batch's match fan-out, not the corpus (guarded by
+    ``driver_threshold``).  Unmatched new records never leave the
+    executors (anti-join => own-id entities).
+
+    At 100 TB the caller persists the inverted key index and the
+    per-entity member index as bucketed tables (the join-view store
+    pattern) instead of recomputing ``keys`` over ``prior_records``
+    each batch; this operator takes the frames and leaves storage to
+    the pipeline.
+
+    ``max_block_size`` drops keys whose COMBINED (prior + new)
+    posting list exceeds the bound; note a key can cross the bound as
+    the corpus grows, so incremental and one-shot runs only agree
+    when blocking keys are stable (or the bound is None).
+    ``stats`` receives ``{"edges", "merged_entities"}``."""
+    spark = new_df.sparkSession
+    empty_assign = spark.createDataFrame(
+        [], f"{id_col} LONG, entity LONG"
+    )
+    if prior_records is None:
+        prior_records = new_df.filter(F.lit(False))
+    if prior_assign is None:
+        prior_assign = empty_assign
+
+    inv_new = (
+        new_df.select(F.col(id_col).alias("rid"), F.explode(keys).alias("bk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    inv_prior = prior_records.select(
+        F.col(id_col).alias("rid"), F.explode(keys).alias("bk")
+    ).distinct()
+    if max_block_size is not None:
+        hot = (
+            inv_new.unionByName(inv_prior)
+            .groupBy("bk")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_block_size)
+            .select("bk")
+            .localCheckpoint(eager=False)
+        )
+        inv_new = inv_new.join(hot, "bk", "anti")
+        inv_prior = inv_prior.join(hot, "bk", "anti")
+
+    # candidates touching >= 1 new record: (new x prior) + (new x new)
+    np_pairs = (
+        inv_new.alias("__a")
+        .join(inv_prior.alias("__b"), F.col("__a.bk") == F.col("__b.bk"))
+        .select(
+            F.col("__a.rid").alias("id_a"), F.col("__b.rid").alias("id_b")
+        )
+    )
+    nn_pairs = (
+        inv_new.alias("__a")
+        .join(
+            inv_new.alias("__b"),
+            (F.col("__a.bk") == F.col("__b.bk"))
+            & (F.col("__a.rid") < F.col("__b.rid")),
+        )
+        .select(
+            F.col("__a.rid").alias("id_a"), F.col("__b.rid").alias("id_b")
+        )
+    )
+    cand = np_pairs.unionByName(nn_pairs).distinct()
+
+    recs = new_df.unionByName(prior_records).select(
+        F.col(id_col).alias("rid"), *[F.col(f.name) for f in fields]
+    )
+    scored = (
+        cand.join(recs.alias("__a"), cand["id_a"] == F.col("__a.rid"))
+        .join(recs.alias("__b"), cand["id_b"] == F.col("__b.rid"))
+        .select("id_a", "id_b", _score(fields).alias("__score"))
+    )
+    matches = scored.filter(F.col("__score") >= threshold).select(
+        "id_a", "id_b"
+    )
+
+    # contract prior rids to their entity supernodes; new rids are
+    # their own nodes (a prior rid without an assignment row is
+    # treated as its own entity — the caller seeded mid-corpus)
+    pa = prior_assign.select(
+        F.col(id_col).alias("rid"), F.col("entity").alias("__e")
+    )
+    mapped = (
+        matches.alias("__m")
+        .join(pa.alias("__ea"), F.col("__m.id_a") == F.col("__ea.rid"), "left")
+        .join(pa.alias("__eb"), F.col("__m.id_b") == F.col("__eb.rid"), "left")
+        .select(
+            F.coalesce(F.col("__ea.__e"), F.col("__m.id_a")).alias("na"),
+            F.coalesce(F.col("__eb.__e"), F.col("__m.id_b")).alias("nb"),
+        )
+        .distinct()
+        .persist()
+    )
+    n_edges = mapped.count()
+    if n_edges > driver_threshold:
+        mapped.unpersist()
+        raise ValueError(
+            f"entity_resolution_incremental: {n_edges} contracted match "
+            f"edges exceed driver_threshold={driver_threshold}; run the "
+            "distributed closure (operators.dedup.connected_components "
+            "over the contracted edges) and relabel from its output"
+        )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in mapped.collect():
+        a, b = int(row["na"]), int(row["nb"])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    mapped.unpersist()
+    label = {v: find(v) for v in parent}
+    if stats is not None:
+        stats["edges"] = n_edges
+        stats["merged_entities"] = sum(
+            1 for v, r in label.items() if v != r
+        )
+
+    if label:
+        lmap = spark.createDataFrame(
+            list(label.items()), "node LONG, final LONG"
+        )
+    else:
+        lmap = spark.createDataFrame([], "node LONG, final LONG")
+    # deltas for new records: matched -> their final label, unmatched
+    # -> own id (computed distributed; unmatched ids never collect)
+    new_ids = new_df.select(F.col(id_col).cast("long").alias("rid"))
+    new_delta = new_ids.join(
+        F.broadcast(lmap), new_ids["rid"] == lmap["node"], "left"
+    ).select(
+        F.col("rid").alias(id_col),
+        F.coalesce(F.col("final"), F.col("rid")).alias("entity"),
+    )
+    # relabels for prior entities whose supernode label changed
+    changed = [(e, r) for e, r in label.items() if e != r]
+    if changed:
+        cmap = spark.createDataFrame(changed, "old_e LONG, new_e LONG")
+        relabel = (
+            prior_assign.join(
+                F.broadcast(cmap),
+                prior_assign["entity"] == cmap["old_e"],
+            )
+            .select(F.col(id_col), F.col("new_e").alias("entity"))
+        )
+        # a prior rid can be both relabeled and (rarely) re-emitted as
+        # a new record's duplicate id — ids are unique by contract
+        new_delta = new_delta.unionByName(relabel)
+    return new_delta

@@ -1029,3 +1029,110 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_block_size=20,
     )
     return out.orderBy("doc_id")
+
+
+@query(
+    "dedup_entity_resolution_incremental",
+    oracle=f"""
+    WITH RECURSIVE recs AS (
+        SELECT doc_id, list_distinct({_TOKS5}) AS toks, lang, n_chars,
+               {_G5} AS bks
+        FROM documents
+    ),
+    inv AS (SELECT DISTINCT doc_id, unnest(bks) AS bk FROM recs),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN inv b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+            0.5 * (CAST(len(list_intersect(ra.toks, rb.toks)) AS DOUBLE)
+                   / CAST(greatest(len(ra.toks) + len(rb.toks)
+                          - len(list_intersect(ra.toks, rb.toks)), 1)
+                          AS DOUBLE))
+            + 0.25 * (CASE WHEN ra.lang = rb.lang THEN 1.0 ELSE 0.0 END)
+            + 0.25 * (1.0 - CAST(abs(ra.n_chars - rb.n_chars) AS DOUBLE)
+                      / CAST(greatest(ra.n_chars, rb.n_chars, 1) AS DOUBLE))
+            AS score
+        FROM cand
+        JOIN recs ra ON ra.doc_id = id_a
+        JOIN recs rb ON rb.doc_id = id_b
+    ),
+    matches AS (SELECT id_a, id_b FROM scored WHERE score >= 0.7),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM matches
+        UNION ALL SELECT id_b, id_a FROM matches
+    ),
+    verts AS (SELECT doc_id AS v FROM documents),
+    cc(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.v
+    )
+    SELECT v AS doc_id, MIN(lbl) AS entity
+    FROM cc GROUP BY v ORDER BY doc_id
+    """,
+    doc="INCREMENTAL entity resolution (operators/linkage.py:"
+    "entity_resolution_incremental): the documents corpus arrives in "
+    "THREE batches (doc_id % 3); each batch matches only against the "
+    "prior corpus + itself through the inverted blocking-key index, "
+    "prior entities contract to supernodes for the merge, and the "
+    "returned DELTAS (new assignments + relabels of merged prior "
+    "entities) fold LWW into the assignment table.  Matches are "
+    "symmetric and deterministic, so the incremental fold must equal "
+    "the one-shot closure — the oracle recomputes the full recursive "
+    "min-label closure over all documents at once.  Same weighted "
+    "scoring as dedup_entity_resolution, no stop-key bound (blocking "
+    "must be growth-stable for incremental/one-shot parity).",
+    tags=("dedup",),
+)
+def dedup_entity_resolution_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        ngrams_from_tokens,
+    )
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        MatchField,
+        entity_resolution_incremental,
+        sim_exact,
+        sim_numeric_closeness,
+        sim_token_jaccard,
+    )
+    from pymongo_change_stream_reader_spark.operators.text import tokens
+
+    recs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(tokens(F.col("text"))).alias("toks"),
+        "lang",
+        "n_chars",
+        ngrams_from_tokens(tokens(F.col("text")), 5).alias("bks"),
+    )
+    fields = [
+        MatchField("toks", 0.5, sim_token_jaccard),
+        MatchField("lang", 0.25, sim_exact),
+        MatchField("n_chars", 0.25, sim_numeric_closeness),
+    ]
+    assign = None
+    prior = None
+    for i in range(3):
+        batch = recs.filter(F.col("doc_id") % 3 == i).localCheckpoint(
+            eager=True
+        )
+        delta = entity_resolution_incremental(
+            batch, prior, assign, "doc_id", F.col("bks"), fields,
+            threshold=0.7,
+        ).localCheckpoint(eager=True)
+        assign = (
+            delta
+            if assign is None
+            else assign.join(delta.select("doc_id"), "doc_id", "anti")
+            .unionByName(delta)
+            .localCheckpoint(eager=True)
+        )
+        prior = (
+            batch
+            if prior is None
+            else prior.unionByName(batch).localCheckpoint(eager=True)
+        )
+    return assign.orderBy("doc_id")

@@ -118,3 +118,48 @@ def test_exact_scorer_treats_null_as_nonmatch(spark):
     assert all(r["s"] in (0.0, 1.0) for r in pair)
     # NULL = NULL scores 0, not NULL
     assert sum(r["s"] for r in pair) == 1.0  # only (3,3) matches
+
+
+def test_incremental_matches_one_shot_with_cross_batch_merges(spark):
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        entity_resolution_incremental,
+    )
+
+    df = _df(spark)
+    batches = [
+        df.filter(F.col("id").isin(1, 4)),   # jon smith, alice jones
+        df.filter(F.col("id").isin(3, 5)),   # john smyth, alice jones/sfo
+        df.filter(F.col("id").isin(2, 6)),   # john smith (the BRIDGE), bob
+    ]
+    assign = None
+    prior = None
+    round_deltas = []
+    for b in batches:
+        stats: dict = {}
+        delta = entity_resolution_incremental(
+            b, prior, assign, "id", _keys(), FIELDS, threshold=0.75,
+            stats=stats,
+        ).localCheckpoint(eager=True)
+        round_deltas.append(
+            ({r["id"]: r["entity"] for r in delta.collect()}, stats)
+        )
+        assign = (
+            delta
+            if assign is None
+            else assign.join(delta.select("id"), "id", "anti")
+            .unionByName(delta)
+            .localCheckpoint(eager=True)
+        )
+        prior = b if prior is None else prior.unionByName(b)
+
+    # round 0: no matches — both records their own entity
+    assert round_deltas[0][0] == {1: 1, 4: 4}
+    # round 1: 5 joins alice's entity; 3 matches nothing YET (its only
+    # links are to 2, which has not arrived)
+    assert round_deltas[1][0] == {3: 3, 5: 4}
+    # round 2: 2 bridges 1 and 3 — the delta must carry 3's RELABEL
+    # (prior entity 3 merges into 1), plus the new records
+    assert round_deltas[2][0] == {2: 1, 3: 1, 6: 6}
+    assert round_deltas[2][1]["merged_entities"] >= 1
+    final = {r["id"]: r["entity"] for r in assign.collect()}
+    assert final == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
