@@ -43,7 +43,7 @@ def main() -> None:
     )
     index_stores = (
         cfg.dedup_index_path, cfg.bm25_index_path, cfg.ann_index_path,
-        cfg.agg_view_path, cfg.join_view_path,
+        cfg.agg_view_path, cfg.join_view_path, cfg.star_view_path,
     )
     if any(p is not None for p in index_stores):
         # engine extension: any serving-index path switches the entry
@@ -114,6 +114,10 @@ def main() -> None:
             join_fk_path=cfg.join_fk_path,
             join_dim_id_path=cfg.join_dim_id_path,
             join_join_type=cfg.join_join_type,
+            star_view_path=cfg.star_view_path,
+            star_view_dims=cfg.star_view_dims,
+            star_side_path=cfg.star_side_path,
+            star_join_type=cfg.star_join_type,
         )
     elif cfg.replica_path:
         # engine extension: REPLICA_PATH switches the sink to replica

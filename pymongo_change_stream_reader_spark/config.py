@@ -82,11 +82,33 @@ class EngineSettings:
     join_fk_path: str = "$.fk"
     join_dim_id_path: str | None = "$._id"
     join_join_type: str = "inner"
+    # incremental star view (seventh composed store): fact joined to
+    # N dim sides — streaming/star_view.py
+    star_view_path: str | None = None
+    star_view_dims: list | None = None
+    star_side_path: str = "$.side"
+    star_join_type: str = "left"
     # lifecycle
     program_start_timeout: int = 60
     program_graceful_stop_timeout: int = 20
 
     def __post_init__(self) -> None:
+        if self.star_join_type not in ("inner", "left"):
+            raise ValueError(
+                "STAR_VIEW_JOIN_TYPE must be 'inner' or 'left', got "
+                f"{self.star_join_type!r}"
+            )
+        if self.star_view_path is not None and not self.star_view_dims:
+            raise ValueError(
+                "STAR_VIEW_PATH needs STAR_VIEW_DIMS — a JSON list of "
+                '{"side", "fk_path"[, "dim_id_path"]} objects'
+            )
+        for d in self.star_view_dims or []:
+            if not isinstance(d, dict) or "side" not in d or "fk_path" not in d:
+                raise ValueError(
+                    "STAR_VIEW_DIMS entries need 'side' and 'fk_path', "
+                    f"got {d!r}"
+                )
         if self.join_join_type not in ("inner", "left"):
             # fail fast at config parse, like the pipeline whitelist
             raise ValueError(
@@ -162,6 +184,14 @@ def settings_from_env() -> EngineSettings:
         join_fk_path=env.get("JOIN_FK_PATH", "$.fk"),
         join_dim_id_path=env.get("JOIN_DIM_ID_PATH", "$._id"),
         join_join_type=env.get("JOIN_VIEW_JOIN_TYPE", "inner"),
+        star_view_path=env.get("STAR_VIEW_PATH"),
+        star_view_dims=(
+            json.loads(env["STAR_VIEW_DIMS"])
+            if env.get("STAR_VIEW_DIMS")
+            else None
+        ),
+        star_side_path=env.get("STAR_SIDE_PATH", "$.side"),
+        star_join_type=env.get("STAR_VIEW_JOIN_TYPE", "left"),
         program_start_timeout=int(env.get("PROGRAM_START_TIMEOUT", "60")),
         program_graceful_stop_timeout=int(
             env.get("PROGRAM_GRACEFUL_STOP_TIMEOUT", "20")

@@ -115,6 +115,11 @@ def composed_apply_batch(
     join_fk_path: str = "$.fk",
     join_dim_id_path: str | None = "$._id",
     join_join_type: str = "inner",
+    star_view_path: str | None = None,
+    star_view_dims: list | None = None,
+    star_side_path: str = "$.side",
+    star_fact_side: str = "f",
+    star_join_type: str = "left",
 ) -> dict:
     """Apply one micro-batch to every enabled store (see module
     docstring).  Returns per-store outcomes: ``applied`` /
@@ -300,6 +305,36 @@ def composed_apply_batch(
         sections.append(("joinview", _joinview))
     else:
         outcome["joinview"] = "disabled"
+    if star_view_path is not None:
+
+        def _starview() -> str:
+            # replay-safe by its OWN epoch pointer + persisted deltas
+            # (streaming/star_view.py replay contract)
+            from pymongo_change_stream_reader_spark.streaming.star_view import (
+                DimSide,
+                star_view_batch,
+            )
+
+            dims = [
+                d if isinstance(d, DimSide) else DimSide(**d)
+                for d in (star_view_dims or [])
+            ]
+            applied = star_view_batch(
+                pinned,
+                star_view_path,
+                int(epoch_id),
+                dims,
+                side_path=star_side_path,
+                fact_side=star_fact_side,
+                n_buckets=n_buckets,
+                retain=retain,
+                join_type=star_join_type,
+            )
+            return "applied" if applied else "replayed-skip"
+
+        sections.append(("starview", _starview))
+    else:
+        outcome["starview"] = "disabled"
 
     if max_parallel_stores > 1 and len(sections) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -366,6 +401,11 @@ def start_composed_relay(
     join_fk_path: str = "$.fk",
     join_dim_id_path: str | None = "$._id",
     join_join_type: str = "inner",
+    star_view_path: str | None = None,
+    star_view_dims: list | None = None,
+    star_side_path: str = "$.side",
+    star_fact_side: str = "f",
+    star_join_type: str = "left",
 ):
     """Streaming entry point: one stream, one source read per trigger,
     every enabled store maintained.  Enable a store by passing its
@@ -383,11 +423,13 @@ def start_composed_relay(
         and ann_index_path is None
         and agg_view_path is None
         and join_view_path is None
+        and star_view_path is None
     ):
         raise ValueError(
             "composed relay: enable at least one store (replica_path, "
             "dedup_index_path(+dedup_flags_path), bm25_index_path, "
-            "ann_index_path, agg_view_path, or join_view_path)"
+            "ann_index_path, agg_view_path, join_view_path, or "
+            "star_view_path)"
         )
     if (dedup_index_path is None) != (dedup_flags_path is None):
         raise ValueError(
@@ -409,6 +451,7 @@ def start_composed_relay(
         (ann_index_path, "ann_index_path"),
         (agg_view_path, "agg_view_path"),
         (join_view_path, "join_view_path"),
+        (star_view_path, "star_view_path"),
     ):
         if p is not None:
             _require_local_path(p, name)
@@ -448,6 +491,11 @@ def start_composed_relay(
             join_fk_path=join_fk_path,
             join_dim_id_path=join_dim_id_path,
             join_join_type=join_join_type,
+            star_view_path=star_view_path,
+            star_view_dims=star_view_dims,
+            star_side_path=star_side_path,
+            star_fact_side=star_fact_side,
+            star_join_type=star_join_type,
         )
 
     writer = (

@@ -158,7 +158,7 @@ def test_partial_crash_replays_only_missing_stores(spark, tmp_path):
     assert out == {"replica": "applied", "dedup": "applied",
                    "bm25": "applied", "ann": "disabled",
                    "aggview": "disabled",
-                   "joinview": "disabled"}
+                   "joinview": "disabled", "starview": "disabled"}
     # simulate the partial crash on epoch 1: pre-commit ONLY dedup's
     # marker, then run the "replay"
     from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
@@ -175,7 +175,7 @@ def test_partial_crash_replays_only_missing_stores(spark, tmp_path):
     assert out == {"replica": "applied", "dedup": "replayed-skip",
                    "bm25": "applied", "ann": "disabled",
                    "aggview": "disabled",
-                   "joinview": "disabled"}
+                   "joinview": "disabled", "starview": "disabled"}
     # dedup never ran for epoch 1 -> no flags; bm25 holds both docs
     assert read_dedup_flags(spark, p["dedup_flags_path"]) is None
     consts = json.load(open(f"{p['bm25_index_path']}/_consts.json"))
@@ -324,7 +324,7 @@ def test_composed_relay_with_ann_store(spark, tmp_path):
     assert out == {"replica": "applied", "dedup": "applied",
                    "bm25": "applied", "ann": "applied",
                    "aggview": "disabled",
-                   "joinview": "disabled"}
+                   "joinview": "disabled", "starview": "disabled"}
 
     live = spark.createDataFrame(
         [(i, _vec(33 if i == 3 else i)) for i in range(10) if i != 5]
@@ -353,7 +353,7 @@ def test_composed_relay_with_ann_store(spark, tmp_path):
     assert out == {"replica": "applied", "dedup": "applied",
                    "bm25": "applied", "ann": "replayed-skip",
                    "aggview": "disabled",
-                   "joinview": "disabled"}
+                   "joinview": "disabled", "starview": "disabled"}
     assert sim._ann_list_files(p["ann_index_path"]) == files_before
     # the other stores DID apply batch 1
     assert "21" in {
@@ -496,3 +496,63 @@ def test_composed_relay_with_join_view_store(spark, tmp_path):
         for r in read_join_view(spark, p["join_view_path"]).collect()
     }
     assert v == {'{"_id": "f1"}': '{"side": "d", "p": "y"}'}
+
+
+def test_composed_relay_with_star_view_store(spark, tmp_path):
+    """The seventh store: a two-dim star view maintained in the same
+    single-pass batch, replay-protected by its OWN epoch pointer."""
+    from pymongo_change_stream_reader_spark.streaming.star_view import (
+        read_star_view,
+    )
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "operationType STRING, documentKey STRING, "
+            "fullDocument STRING, t INT, i INT, d STRING",
+        ).selectExpr(
+            "operationType",
+            "documentKey",
+            "fullDocument",
+            "named_struct('t', t, 'i', i) AS clusterTime",
+            "named_struct('_data', d) AS _id",
+        )
+
+    p = dict(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        replica_path=str(tmp_path / "replica"),
+        star_view_path=str(tmp_path / "sview"),
+        star_view_dims=[
+            {"side": "a", "fk_path": "$.fka"},
+            {"side": "b", "fk_path": "$.fkb"},
+        ],
+    )
+    os.makedirs(p["checkpoint_dir"], exist_ok=True)
+    out = composed_apply_batch(
+        _mk(
+            [
+                ("insert", "A1", '{"side": "a", "p": "x"}', 1, 1, "a1"),
+                ("insert", "f1",
+                 '{"side": "f", "fka": "A1", "fkb": "B9"}', 1, 2, "a2"),
+            ]
+        ),
+        0,
+        **p,
+    )
+    assert out["starview"] == "applied" and out["replica"] == "applied"
+    v = {
+        r["key"]: (r["dim_a"], r["dim_b"])
+        for r in read_star_view(spark, p["star_view_path"]).collect()
+    }
+    assert v == {"f1": ('{"side": "a", "p": "x"}', None)}  # LEFT default
+    # late b-dim fills; the replayed epoch self-skips
+    b1 = _mk([("insert", "B9", '{"side": "b", "p": "y"}', 2, 1, "b1")])
+    assert composed_apply_batch(b1, 1, **p)["starview"] == "applied"
+    assert composed_apply_batch(b1, 1, **p)["starview"] == "replayed-skip"
+    v = {
+        r["key"]: (r["dim_a"], r["dim_b"])
+        for r in read_star_view(spark, p["star_view_path"]).collect()
+    }
+    assert v == {
+        "f1": ('{"side": "a", "p": "x"}', '{"side": "b", "p": "y"}')
+    }

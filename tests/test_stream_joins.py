@@ -331,3 +331,33 @@ def test_main_composed_wiring(spark, monkeypatch, tmp_path):
     assert kw["ann_vec_col"] == "_ann_vec"
     assert kw["bm25_index_path"] == str(tmp_path / "bm25")
     assert dict(captured["events"].dtypes)["_ann_vec"] == "array<double>"
+
+
+def test_settings_star_view_env(monkeypatch):
+    from pymongo_change_stream_reader_spark.config import settings_from_env
+
+    base = {
+        "STREAM_READER_NAME": "r1",
+        "MONGO_URI": "mongodb://h:27017",
+        "KAFKA_BOOTSTRAP_SERVERS": "k:9092",
+    }
+    for k, v in {
+        **base,
+        "STAR_VIEW_PATH": "/data/sview",
+        "STAR_VIEW_DIMS": '[{"side": "a", "fk_path": "$.fka"},'
+        ' {"side": "b", "fk_path": "$.fkb", "dim_id_path": "$._id"}]',
+        "STAR_VIEW_JOIN_TYPE": "inner",
+    }.items():
+        monkeypatch.setenv(k, v)
+    cfg = settings_from_env()
+    assert cfg.star_view_path == "/data/sview"
+    assert cfg.star_view_dims[1]["dim_id_path"] == "$._id"
+    assert cfg.star_join_type == "inner"
+
+    # a path without dims fails fast at config parse
+    monkeypatch.delenv("STAR_VIEW_DIMS")
+    with pytest.raises(ValueError, match="STAR_VIEW_DIMS"):
+        settings_from_env()
+    monkeypatch.setenv("STAR_VIEW_DIMS", '[{"side": "a"}]')
+    with pytest.raises(ValueError, match="fk_path"):
+        settings_from_env()
