@@ -271,10 +271,13 @@ def entity_resolution_incremental(
     the inverted key index join, never as an all-pairs scan; scoring
     joins fetch exactly the candidate rids' fields.  Component
     merging contracts every prior entity to ONE supernode (its
-    entity id), so the driver union-find sees edges + supernodes —
-    bounded by the batch's match fan-out, not the corpus (guarded by
-    ``driver_threshold``).  Unmatched new records never leave the
-    executors (anti-join => own-id entities).
+    entity id), so the closure sees edges + supernodes — bounded by
+    the batch's match fan-out, not the corpus.  Edge sets within
+    ``driver_threshold`` run one union-find pass on the driver;
+    beyond it the SAME min-label closure runs distributed
+    (operators/dedup.py's connected_components loop) over the
+    contracted node space.  Unmatched new records never leave the
+    executors (left-join => own-id entities).
 
     At 100 TB the caller persists the inverted key index and the
     per-entity member index as bucketed tables (the join-view store
@@ -367,65 +370,86 @@ def entity_resolution_incremental(
         .persist()
     )
     n_edges = mapped.count()
-    if n_edges > driver_threshold:
-        mapped.unpersist()
-        raise ValueError(
-            f"entity_resolution_incremental: {n_edges} contracted match "
-            f"edges exceed driver_threshold={driver_threshold}; run the "
-            "distributed closure (operators.dedup.connected_components "
-            "over the contracted edges) and relabel from its output"
+    small = n_edges <= driver_threshold
+    if small:
+        # model-sized edge set: one union-find pass on the driver
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in mapped.collect():
+            a, b = int(row["na"]), int(row["nb"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        label = {v: find(v) for v in parent}
+        if label:
+            lmap = spark.createDataFrame(
+                list(label.items()), "node LONG, final LONG"
+            )
+        else:
+            lmap = spark.createDataFrame([], "node LONG, final LONG")
+    else:
+        # the contracted edge set outgrew the driver: run the SAME
+        # min-label closure distributed (operators/dedup.py's loop)
+        # over edge-incident nodes only — the node space is already
+        # contracted to supernodes, so this is fan-out-sized, not
+        # corpus-sized
+        from pymongo_change_stream_reader_spark.operators.dedup import (
+            connected_components,
         )
-    parent: dict[int, int] = {}
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for row in mapped.collect():
-        a, b = int(row["na"]), int(row["nb"])
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+        nodes = (
+            mapped.select(F.col("na").alias("rid"))
+            .unionByName(mapped.select(F.col("nb").alias("rid")))
+            .distinct()
+        )
+        lmap = connected_components(
+            mapped.select(
+                F.col("na").alias("id_a"), F.col("nb").alias("id_b")
+            ),
+            nodes,
+            id_col="rid",
+            driver_threshold=0,
+        ).select(
+            F.col("rid").alias("node"), F.col("component").alias("final")
+        ).localCheckpoint(eager=True)
     mapped.unpersist()
-    label = {v: find(v) for v in parent}
+
+    # relabels for prior entities whose supernode label changed
+    changed_df = (
+        lmap.join(
+            prior_assign.select(
+                F.col("entity").alias("node")
+            ).distinct(),
+            "node",
+            "semi",
+        )
+        .filter(F.col("node") != F.col("final"))
+        .select(F.col("node").alias("old_e"), F.col("final").alias("new_e"))
+    )
     if stats is not None:
         stats["edges"] = n_edges
-        stats["merged_entities"] = sum(
-            1 for v, r in label.items() if v != r
-        )
-
-    if label:
-        lmap = spark.createDataFrame(
-            list(label.items()), "node LONG, final LONG"
-        )
-    else:
-        lmap = spark.createDataFrame([], "node LONG, final LONG")
+        stats["merged_entities"] = changed_df.count()
     # deltas for new records: matched -> their final label, unmatched
     # -> own id (computed distributed; unmatched ids never collect)
     new_ids = new_df.select(F.col(id_col).cast("long").alias("rid"))
+    lmap_side = F.broadcast(lmap) if small else lmap
     new_delta = new_ids.join(
-        F.broadcast(lmap), new_ids["rid"] == lmap["node"], "left"
+        lmap_side, new_ids["rid"] == lmap["node"], "left"
     ).select(
         F.col("rid").alias(id_col),
         F.coalesce(F.col("final"), F.col("rid")).alias("entity"),
     )
-    # relabels for prior entities whose supernode label changed
-    changed = [(e, r) for e, r in label.items() if e != r]
-    if changed:
-        cmap = spark.createDataFrame(changed, "old_e LONG, new_e LONG")
-        relabel = (
-            prior_assign.join(
-                F.broadcast(cmap),
-                prior_assign["entity"] == cmap["old_e"],
-            )
-            .select(F.col(id_col), F.col("new_e").alias("entity"))
-        )
-        # a prior rid can be both relabeled and (rarely) re-emitted as
-        # a new record's duplicate id — ids are unique by contract
-        new_delta = new_delta.unionByName(relabel)
-    return new_delta
+    relabel = prior_assign.join(
+        changed_df if not small else F.broadcast(changed_df),
+        prior_assign["entity"] == F.col("old_e"),
+    ).select(F.col(id_col), F.col("new_e").alias("entity"))
+    return new_delta.unionByName(relabel)

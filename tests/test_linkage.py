@@ -163,3 +163,30 @@ def test_incremental_matches_one_shot_with_cross_batch_merges(spark):
     assert round_deltas[2][1]["merged_entities"] >= 1
     final = {r["id"]: r["entity"] for r in assign.collect()}
     assert final == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_incremental_distributed_closure_path_matches_driver(spark):
+    # driver_threshold=0 forces the distributed min-label closure over
+    # the contracted nodes; deltas must match the union-find path
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        entity_resolution_incremental,
+    )
+
+    df = _df(spark)
+    prior = df.filter(F.col("id").isin(1, 3, 4, 5))
+    prior_assign = spark.createDataFrame(
+        [(1, 1), (3, 3), (4, 4), (5, 4)], "id LONG, entity LONG"
+    )
+    batch = df.filter(F.col("id").isin(2, 6))
+    outs = []
+    for thresh in (1_000_000, 0):
+        stats: dict = {}
+        delta = entity_resolution_incremental(
+            batch, prior, prior_assign, "id", _keys(), FIELDS,
+            threshold=0.75, driver_threshold=thresh, stats=stats,
+        )
+        outs.append(
+            ({r["id"]: r["entity"] for r in delta.collect()}, stats)
+        )
+    assert outs[0][0] == outs[1][0] == {2: 1, 3: 1, 6: 6}
+    assert outs[0][1]["merged_entities"] == outs[1][1]["merged_entities"] == 1
