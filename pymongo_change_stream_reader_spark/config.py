@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 
 from pymongo_change_stream_reader_spark.plans.pipeline import parse_pipeline
@@ -108,6 +109,20 @@ class EngineSettings:
                 raise ValueError(
                     "STAR_VIEW_DIMS entries need 'side' and 'fk_path', "
                     f"got {d!r}"
+                )
+            # reject typos (e.g. 'dim_id') at config parse, not at
+            # first-batch DimSide(**d) TypeError mid-stream
+            extra = set(d) - {"side", "fk_path", "dim_id_path"}
+            if extra:
+                raise ValueError(
+                    "STAR_VIEW_DIMS entry has unknown key(s) "
+                    f"{sorted(extra)!r} — allowed: side, fk_path, "
+                    "dim_id_path"
+                )
+            if not re.fullmatch(r"[A-Za-z0-9_]+", str(d["side"])):
+                raise ValueError(
+                    "STAR_VIEW_DIMS side must match [A-Za-z0-9_]+, got "
+                    f"{d['side']!r}"
                 )
         if self.join_join_type not in ("inner", "left"):
             # fail fast at config parse, like the pipeline whitelist

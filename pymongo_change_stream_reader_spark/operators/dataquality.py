@@ -48,10 +48,16 @@ __all__ = [
 
 
 def _sql_str(s: str) -> str:
-    """``s`` as a single-quoted SQL string literal (quotes doubled) —
-    rule/step/column names are user data interpolated into stack()
-    strings, not SQL."""
-    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    """``s`` as a single-quoted SQL string literal (quotes doubled —
+    ``''`` is accepted by the Spark parser whether or not
+    ``spark.sql.parser.escapedStringLiterals`` is set, unlike
+    backslash escapes).  The stack() call sites that used to
+    interpolate user names now ride the column API (``F.stack`` +
+    ``F.lit``) and never touch the parser; this helper remains for
+    any caller that genuinely must build SQL text.  NOTE: a string
+    containing a backslash immediately before a quote is ambiguous
+    across the two parser modes — prefer F.lit over interpolation."""
+    return "'" + s.replace("'", "''") + "'"
 
 
 def _sql_ident(s: str) -> str:
@@ -78,17 +84,16 @@ def profile_columns(
         aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
         aggs.append(dcount(F.col(c)).alias(f"__nd_{c}"))
     wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"{_sql_str(c)}, {_sql_ident(f'__nn_{c}')}, "
-        f"{_sql_ident(f'__nd_{c}')}"
-        for c in cols
-    )
+    # column-API stack (no SQL interpolation: names ride F.lit, so no
+    # quoting/escaping and no parser-mode sensitivity)
+    stack_cols: list[Column] = []
+    for c in cols:
+        stack_cols += [F.lit(c), F.col(f"__nn_{c}"), F.col(f"__nd_{c}")]
     return (
         wide.select(
             F.col("__rows"),
-            F.expr(
-                f"stack({len(cols)}, {stack_args}) "
-                "AS (column, __nn, n_distinct)"
+            F.stack(F.lit(len(cols)), *stack_cols).alias(
+                "column", "__nn", "n_distinct"
             ),
         )
         .select(
@@ -134,15 +139,15 @@ def constraint_audit(df: DataFrame, checks: list[Check]) -> DataFrame:
             ).alias(f"__bad_{i}")
         )
     wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"{_sql_str(ck.name)}, __chk_{i}, __bad_{i}"
-        for i, ck in enumerate(checks)
-    )
+    stack_cols: list[Column] = []
+    for i, ck in enumerate(checks):
+        stack_cols += [
+            F.lit(ck.name), F.col(f"__chk_{i}"), F.col(f"__bad_{i}")
+        ]
     return (
         wide.select(
-            F.expr(
-                f"stack({len(checks)}, {stack_args}) "
-                "AS (rule, checked, violations)"
+            F.stack(F.lit(len(checks)), *stack_cols).alias(
+                "rule", "checked", "violations"
             )
         )
         .select(

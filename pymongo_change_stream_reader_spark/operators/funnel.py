@@ -106,20 +106,16 @@ def funnel_conversion(
             for k in range(1, len(steps) + 1)
         ]
     )
-    from pymongo_change_stream_reader_spark.operators.dataquality import (
-        _sql_str,
-    )
-
-    stack_args = ", ".join(
-        f"{k}, {_sql_str(step)}, __c{k}"
-        for k, step in enumerate(steps, start=1)
-    )
+    # column-API stack: step names ride F.lit, so no SQL quoting and
+    # no parser-mode (escapedStringLiterals) sensitivity
+    stack_cols = []
+    for k, step in enumerate(steps, start=1):
+        stack_cols += [F.lit(k), F.lit(step), F.col(f"__c{k}")]
     return (
         counts.select(
             F.col("__c1"),
-            F.expr(
-                f"stack({len(steps)}, {stack_args}) "
-                "AS (step, event_type, users)"
+            F.stack(F.lit(len(steps)), *stack_cols).alias(
+                "step", "event_type", "users"
             ),
         )
         .select(

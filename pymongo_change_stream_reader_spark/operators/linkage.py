@@ -50,6 +50,7 @@ __all__ = [
     "sim_edit_distance",
     "blocking_candidates",
     "blocked_entity_matches",
+    "closure_over_edges",
     "entity_resolution",
     "entity_resolution_incremental",
 ]
@@ -244,6 +245,71 @@ def entity_resolution(
     )
 
 
+def closure_over_edges(
+    spark, mapped: DataFrame, driver_threshold: int
+) -> tuple[DataFrame, bool, int]:
+    """Transitive closure of a CONTRACTED edge set (columns ``na``,
+    ``nb`` — supernode ids): returns (label frame (node, final),
+    small-path flag, edge count).  Edge sets within
+    ``driver_threshold`` run one union-find pass on the driver;
+    beyond it the SAME min-label closure runs distributed
+    (operators/dedup.py's connected_components loop) over the
+    edge-incident nodes only — the node space is already contracted,
+    so this is fan-out-sized, not corpus-sized.  Shared by
+    :func:`entity_resolution_incremental` and the persisted ER
+    registry (streaming/er_registry.py)."""
+    n_edges = mapped.count()
+    small = n_edges <= driver_threshold
+    if small:
+        # model-sized edge set: one union-find pass on the driver
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in mapped.collect():
+            a, b = int(row["na"]), int(row["nb"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        label = {v: find(v) for v in parent}
+        if label:
+            lmap = spark.createDataFrame(
+                list(label.items()), "node LONG, final LONG"
+            )
+        else:
+            lmap = spark.createDataFrame([], "node LONG, final LONG")
+    else:
+        # the contracted edge set outgrew the driver: run the SAME
+        # min-label closure distributed
+        from pymongo_change_stream_reader_spark.operators.dedup import (
+            connected_components,
+        )
+
+        nodes = (
+            mapped.select(F.col("na").alias("rid"))
+            .unionByName(mapped.select(F.col("nb").alias("rid")))
+            .distinct()
+        )
+        lmap = connected_components(
+            mapped.select(
+                F.col("na").alias("id_a"), F.col("nb").alias("id_b")
+            ),
+            nodes,
+            id_col="rid",
+            driver_threshold=0,
+        ).select(
+            F.col("rid").alias("node"), F.col("component").alias("final")
+        ).localCheckpoint(eager=True)
+    return lmap, small, n_edges
+
+
 def entity_resolution_incremental(
     new_df: DataFrame,
     prior_records: DataFrame | None,
@@ -263,8 +329,14 @@ def entity_resolution_incremental(
     whose entity label changes because the batch merged entities
     (matches are symmetric and the match function is deterministic,
     so prior-vs-prior pairs cannot newly appear — the delta is exactly
-    new-edge reachability).  The caller LWW-merges deltas into its
-    assignment table and appends the batch to its record store.
+    new-edge reachability).  Prior records seeded WITHOUT a
+    ``prior_assign`` row carry the implicit label ``entity = id``;
+    when a batch match folds such a record into a cluster whose final
+    label differs from its own id, the delta includes an explicit row
+    for it (otherwise its implicit own-id label would silently diverge
+    from the cluster whenever a smaller new id wins the min).  The
+    caller LWW-merges deltas into its assignment table and appends
+    the batch to its record store.
 
     Work per batch: candidates are (new x prior) and (new x new)
     pairs sharing a blocking key — the prior side enters ONLY through
@@ -369,58 +441,9 @@ def entity_resolution_incremental(
         .distinct()
         .persist()
     )
-    n_edges = mapped.count()
-    small = n_edges <= driver_threshold
-    if small:
-        # model-sized edge set: one union-find pass on the driver
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for row in mapped.collect():
-            a, b = int(row["na"]), int(row["nb"])
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        label = {v: find(v) for v in parent}
-        if label:
-            lmap = spark.createDataFrame(
-                list(label.items()), "node LONG, final LONG"
-            )
-        else:
-            lmap = spark.createDataFrame([], "node LONG, final LONG")
-    else:
-        # the contracted edge set outgrew the driver: run the SAME
-        # min-label closure distributed (operators/dedup.py's loop)
-        # over edge-incident nodes only — the node space is already
-        # contracted to supernodes, so this is fan-out-sized, not
-        # corpus-sized
-        from pymongo_change_stream_reader_spark.operators.dedup import (
-            connected_components,
-        )
-
-        nodes = (
-            mapped.select(F.col("na").alias("rid"))
-            .unionByName(mapped.select(F.col("nb").alias("rid")))
-            .distinct()
-        )
-        lmap = connected_components(
-            mapped.select(
-                F.col("na").alias("id_a"), F.col("nb").alias("id_b")
-            ),
-            nodes,
-            id_col="rid",
-            driver_threshold=0,
-        ).select(
-            F.col("rid").alias("node"), F.col("component").alias("final")
-        ).localCheckpoint(eager=True)
+    lmap, small, n_edges = closure_over_edges(
+        spark, mapped, driver_threshold
+    )
     mapped.unpersist()
 
     # relabels for prior entities whose supernode label changed
@@ -452,4 +475,27 @@ def entity_resolution_incremental(
         changed_df if not small else F.broadcast(changed_df),
         prior_assign["entity"] == F.col("old_e"),
     ).select(F.col(id_col), F.col("new_e").alias("entity"))
-    return new_delta.unionByName(relabel)
+    # prior records seeded WITHOUT an assignment row entered the
+    # closure as their own supernode (coalesce above); if a batch
+    # match moved their cluster to a different min label, emit an
+    # explicit delta for them too — cost is bounded by the batch's
+    # matched prior rids, never the corpus (semi on match ids first)
+    match_prior = (
+        prior_records.select(F.col(id_col).cast("long").alias("rid"))
+        .join(
+            matches.select(F.col("id_a").alias("rid"))
+            .unionByName(matches.select(F.col("id_b").alias("rid")))
+            .distinct(),
+            "rid",
+            "semi",
+        )
+        .join(pa, "rid", "anti")
+    )
+    seeded_delta = (
+        match_prior.join(lmap_side, match_prior["rid"] == lmap["node"])
+        .filter(F.col("final") != F.col("rid"))
+        .select(
+            F.col("rid").alias(id_col), F.col("final").alias("entity")
+        )
+    )
+    return new_delta.unionByName(relabel).unionByName(seeded_delta)

@@ -75,6 +75,7 @@ literature.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 
@@ -94,6 +95,10 @@ from pymongo_change_stream_reader_spark.streaming.materialize import (
     _ORDER,
     _last_event_per_key,
 )
+from pymongo_change_stream_reader_spark.streaming.view_pointer import (
+    resolve_view_entries,
+    view_pointer_current,
+)
 
 __all__ = [
     "join_view_batch",
@@ -106,33 +111,15 @@ _VIEW_COLS = ("key", "fk", "fact_doc", "dim_doc")
 
 
 def _view_current(path: str) -> tuple[str, int] | None:
-    ptr = os.path.join(path, "view", "_current")
-    if not os.path.exists(ptr):
-        return None
-    vname, epoch = open(ptr).read().strip().rsplit(":", 1)
-    return vname, int(epoch)
+    return view_pointer_current(path)
 
 
 def _resolve_view_entries(path: str) -> tuple[dict, int] | None:
-    """Committed view state via the ``_current`` pointer (bucket ->
-    rel dir, applied epoch); None before the first commit.  Pointer
-    race handling identical to the aggregate view's groups resolver."""
-    import time as _time
-
-    vroot = os.path.join(path, "view")
-    for attempt in range(10):
-        cur = _view_current(path)
-        if cur is None:
-            return None
-        vname, ep = cur
-        mf = _read_bucket_manifest(vroot, f"_manifest.h-{vname}")
-        if mf is not None:
-            return mf[1], ep
-        _time.sleep(0.05 * (attempt + 1))
-    raise PipelineError(
-        f"join view at {path!r}: pointer names snapshot {vname!r} but "
-        "no such manifest snapshot exists — vacuumed below retention"
-    )
+    """Committed view state via the shared ``_current`` pointer
+    resolver (streaming/view_pointer.py — hoisted join/star common
+    logic); pointer race handling identical to the aggregate view's
+    groups resolver."""
+    return resolve_view_entries(path, "join view")
 
 
 def read_join_view(spark: SparkSession, path: str) -> DataFrame | None:
@@ -200,8 +187,12 @@ def _merge_lww(
         same_key = eq if same_key is None else (same_key & eq)
     j = old.alias("__o").join(winners.alias("__n"), same_key, "full")
     trip = lambda side: F.struct(*[side(c) for c in _ORDER])
-    new_wins = n("key").isNotNull() & (
-        o("key").isNull() | (trip(n) >= trip(o))
+    # row-presence probe: the first merge column is never NULL in a
+    # present row (store invariant), so a NULL means the full-outer
+    # join found no row on that side
+    probe = merge_on[0]
+    new_wins = n(probe).isNotNull() & (
+        o(probe).isNull() | (trip(n) >= trip(o))
     )
     winner = F.when(
         new_wins, F.struct(*[n(c) for c in winners.columns])
@@ -644,6 +635,23 @@ def join_view_batch(
             meta_path = os.path.join(deltas_dir, "_meta.json")
             if os.path.exists(meta_path):
                 i_changed = json.load(open(meta_path))["i_changed"]
+        else:
+            # legacy pre-idx-subdir delta epoch: the re-derived index
+            # frame is NOT replay-stable — a crash AFTER the facts
+            # commit re-derives tombstones against the already-
+            # committed winner and drops them, leaving a stale live
+            # index row.  One-time upgrade window only; surface it
+            # (RUNBOOK §"upgrading" says to re-verify/compact an
+            # in-flight crashed epoch from a pre-upgrade build).
+            logging.getLogger(__name__).warning(
+                "join view %s epoch %d: legacy flat-layout delta epoch "
+                "(no idx/ subdir) — replaying with RE-DERIVED index "
+                "deltas, which can miss tombstones if the crash "
+                "happened after the facts commit; re-verify or compact "
+                "this view (see RUNBOOK)",
+                path,
+                epoch,
+            )
 
         # store + view commits (idempotent LWW re-merges) — facts,
         # dims, the index AND the view mutate INDEPENDENT directories,

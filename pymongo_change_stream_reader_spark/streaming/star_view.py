@@ -79,6 +79,10 @@ from pymongo_change_stream_reader_spark.streaming.materialize import (
     _ORDER,
     _last_event_per_key,
 )
+from pymongo_change_stream_reader_spark.streaming.view_pointer import (
+    resolve_view_entries,
+    view_pointer_current,
+)
 
 __all__ = [
     "DimSide",
@@ -109,30 +113,13 @@ def _view_cols(sides: list[str]) -> list[str]:
 
 
 def _current(path: str) -> tuple[str, int] | None:
-    ptr = os.path.join(path, "view", "_current")
-    if not os.path.exists(ptr):
-        return None
-    vname, epoch = open(ptr).read().strip().rsplit(":", 1)
-    return vname, int(epoch)
+    return view_pointer_current(path)
 
 
 def _resolve_view_entries(path: str) -> tuple[dict, int] | None:
-    import time as _time
-
-    vroot = os.path.join(path, "view")
-    for attempt in range(10):
-        cur = _current(path)
-        if cur is None:
-            return None
-        vname, ep = cur
-        mf = _read_bucket_manifest(vroot, f"_manifest.h-{vname}")
-        if mf is not None:
-            return mf[1], ep
-        _time.sleep(0.05 * (attempt + 1))
-    raise PipelineError(
-        f"star view at {path!r}: pointer names snapshot {vname!r} but "
-        "no such manifest snapshot exists — vacuumed below retention"
-    )
+    """Shared ``_current`` pointer resolver
+    (streaming/view_pointer.py — hoisted join/star common logic)."""
+    return resolve_view_entries(path, "star view")
 
 
 def read_star_view(spark: SparkSession, path: str) -> DataFrame | None:
@@ -444,13 +431,17 @@ def star_view_batch(
 
         # --- job 2: index buckets + dim-post pins --------------------
         probe_frames = None
+        # tag spaces are disjoint for ANY number of dims: idx buckets
+        # ride even tags (2*i), dim-post pins odd tags (2*i + 1) — the
+        # former 20+i / 50+i scheme collided at len(dims) >= 31 and
+        # silently merged the wrong sides' buckets
         for i, s in enumerate(sides):
             pf = idx_winners[s].select(
-                F.lit(20 + i).alias("t"),
+                F.lit(2 * i).alias("t"),
                 _bucket_of(["fk"], n_buckets).alias("b"),
             ).unionByName(
                 batch_dim_post[s].select(
-                    F.lit(50 + i).alias("t"), F.lit(-1).alias("b")
+                    F.lit(2 * i + 1).alias("t"), F.lit(-1).alias("b")
                 )
             )
             probe_frames = (
@@ -458,7 +449,7 @@ def star_view_batch(
             )
         probe = probe_frames.distinct().collect()
         i_changed = {
-            s: sorted(r["b"] for r in probe if r["t"] == 20 + i)
+            s: sorted(r["b"] for r in probe if r["t"] == 2 * i)
             for i, s in enumerate(sides)
         }
 

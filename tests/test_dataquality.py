@@ -135,3 +135,29 @@ def test_names_with_quotes_are_escaped(spark):
     assert [(r["rule"], r["checked"], r["violations"]) for r in audit] == [
         ("o'brien's rule", 3, 1)
     ]
+
+
+def test_quote_escaping_survives_escapedStringLiterals(spark):
+    # round-12 ADVICE low: the stack() sites must not be sensitive to
+    # spark.sql.parser.escapedStringLiterals.  They now use the
+    # column API (F.stack + F.lit, no SQL text at all); the retained
+    # _sql_str helper doubles quotes ('') — the one escape accepted
+    # under BOTH parser modes.
+    from pymongo_change_stream_reader_spark.operators.dataquality import (
+        Check,
+        _sql_str,
+        constraint_audit,
+    )
+
+    assert _sql_str("a'b\\c") == "'a''b\\c'"
+    df = spark.createDataFrame([(1,), (2,)], ["id"])
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        audit = constraint_audit(
+            df, [Check(r"path\'d rule", F.col("id") > 0)]
+        ).collect()
+        assert [(r["rule"], r["violations"]) for r in audit] == [
+            (r"path\'d rule", 0)
+        ]
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")

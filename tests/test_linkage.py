@@ -165,6 +165,31 @@ def test_incremental_matches_one_shot_with_cross_batch_merges(spark):
     assert final == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
 
 
+def test_incremental_seeded_prior_without_assign_gets_delta_row(spark):
+    # seeded-mid-corpus path: prior_records WITHOUT prior_assign rows
+    # carry the implicit label entity=id.  When a NEW record with a
+    # SMALLER id matches such a record, the cluster's min label is the
+    # new id — the delta must carry an explicit relabel for the prior
+    # record, else its implicit own-id label silently diverges
+    # (round-12 ADVICE medium).
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        entity_resolution_incremental,
+    )
+
+    df = _df(spark)
+    prior = df.filter(F.col("id").isin(2, 3))  # john smith, john smyth
+    batch = df.filter(F.col("id") == 1)        # jon smith (smaller id)
+    for thresh in (1_000_000, 0):  # driver union-find + distributed
+        delta = entity_resolution_incremental(
+            batch, prior, None, "id", _keys(), FIELDS, threshold=0.75,
+            driver_threshold=thresh,
+        )
+        got = {r["id"]: r["entity"] for r in delta.collect()}
+        # 1 matches 2 (new x prior); 2-3 is prior-prior, not re-matched
+        # this batch, so 3 keeps its implicit own-id label (no row)
+        assert got == {1: 1, 2: 1}
+
+
 def test_incremental_distributed_closure_path_matches_driver(spark):
     # driver_threshold=0 forces the distributed min-label closure over
     # the contracted nodes; deltas must match the union-find path

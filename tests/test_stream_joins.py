@@ -361,3 +361,17 @@ def test_settings_star_view_env(monkeypatch):
     monkeypatch.setenv("STAR_VIEW_DIMS", '[{"side": "a"}]')
     with pytest.raises(ValueError, match="fk_path"):
         settings_from_env()
+    # an operator typo like 'dim_id' fails at parse, not as a
+    # DimSide(**d) TypeError at first-batch time mid-stream
+    monkeypatch.setenv(
+        "STAR_VIEW_DIMS",
+        '[{"side": "a", "fk_path": "$.fka", "dim_id": "$._id"}]',
+    )
+    with pytest.raises(ValueError, match="unknown key"):
+        settings_from_env()
+    # side must be store/column-suffix safe, same regex as the batch
+    monkeypatch.setenv(
+        "STAR_VIEW_DIMS", '[{"side": "a-b", "fk_path": "$.fka"}]'
+    )
+    with pytest.raises(ValueError, match="side must match"):
+        settings_from_env()
