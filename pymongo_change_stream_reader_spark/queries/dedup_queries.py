@@ -1086,6 +1086,121 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "must be growth-stable for incremental/one-shot parity).",
     tags=("dedup",),
 )
+@query(
+    "dedup_entity_resolution_registry",
+    oracle=f"""
+    WITH RECURSIVE recs AS (
+        SELECT doc_id, list_distinct({_TOKS5}) AS toks, lang, n_chars,
+               {_G5} AS bks
+        FROM documents
+    ),
+    inv AS (SELECT DISTINCT doc_id, unnest(bks) AS bk FROM recs),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN inv b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+            0.5 * (CAST(len(list_intersect(ra.toks, rb.toks)) AS DOUBLE)
+                   / CAST(greatest(len(ra.toks) + len(rb.toks)
+                          - len(list_intersect(ra.toks, rb.toks)), 1)
+                          AS DOUBLE))
+            + 0.25 * (CASE WHEN ra.lang = rb.lang THEN 1.0 ELSE 0.0 END)
+            + 0.25 * (1.0 - CAST(abs(ra.n_chars - rb.n_chars) AS DOUBLE)
+                      / CAST(greatest(ra.n_chars, rb.n_chars, 1) AS DOUBLE))
+            AS score
+        FROM cand
+        JOIN recs ra ON ra.doc_id = id_a
+        JOIN recs rb ON rb.doc_id = id_b
+    ),
+    matches AS (SELECT id_a, id_b FROM scored WHERE score >= 0.7),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM matches
+        UNION ALL SELECT id_b, id_a FROM matches
+    ),
+    verts AS (SELECT doc_id AS v FROM documents),
+    cc(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.v
+    )
+    SELECT v AS doc_id, MIN(lbl) AS entity
+    FROM cc GROUP BY v ORDER BY doc_id
+    """,
+    doc="PERSISTED entity-resolution registry (streaming/er_registry"
+    ".py): the documents corpus folds through er_registry_batch in "
+    "THREE epochs (doc_id % 3) against a freshly-created on-disk "
+    "registry — inverted blocking-key index, record fields, "
+    "assignment table and per-entity member index all live in "
+    "bucketed LWW stores, so each epoch probes only its own key/"
+    "record/member buckets instead of recomputing the prior corpus's "
+    "blocking keys (the in-memory operator's documented 100 TB "
+    "debt).  The final assignment table must equal the one-shot "
+    "recursive min-label closure the oracle computes over all "
+    "documents at once.  Same weighted scoring as "
+    "dedup_entity_resolution, no stop-key bound (blocking must be "
+    "growth-stable for incremental/one-shot parity).",
+    tags=("dedup",),
+)
+def dedup_entity_resolution_registry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        ngrams_from_tokens,
+    )
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        MatchField,
+        sim_exact,
+        sim_numeric_closeness,
+        sim_token_jaccard,
+    )
+    from pymongo_change_stream_reader_spark.operators.text import tokens
+    from pymongo_change_stream_reader_spark.streaming.er_registry import (
+        ERSpec,
+        er_registry_batch,
+        read_er_assign,
+    )
+
+    recs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(tokens(F.col("text"))).alias("toks"),
+        "lang",
+        "n_chars",
+        "text",
+    )
+    spec = ERSpec(
+        "doc_id",
+        [
+            MatchField("toks", 0.5, sim_token_jaccard),
+            MatchField("lang", 0.25, sim_exact),
+            MatchField("n_chars", 0.25, sim_numeric_closeness),
+        ],
+        # blocking shingles the RAW token sequence (oracle parity) —
+        # stored via extra_cols so updates can re-derive old postings
+        ngrams_from_tokens(tokens(F.col("text")), 5),
+        threshold=0.7,
+        extra_cols=("text",),
+    )
+    path = tempfile.mkdtemp(prefix="spark_er_registry_q_")
+    shutil.rmtree(path, ignore_errors=True)
+    for i in range(3):
+        batch = recs.filter(F.col("doc_id") % 3 == i).withColumn(
+            "live", F.lit(True)
+        )
+        er_registry_batch(batch, path, i + 1, spec, n_buckets=16)
+    out = (
+        read_er_assign(spark, path)
+        .select(F.col("rid").alias("doc_id"), "entity")
+        .orderBy("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def dedup_entity_resolution_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -1,0 +1,891 @@
+"""Persisted ENTITY-RESOLUTION registry: incremental record linkage
+whose prior-corpus state lives in bucketed stores instead of being
+recomputed per batch.
+
+``operators/linkage.py:entity_resolution_incremental`` folds a batch
+into a caller-held (prior_records, prior_assign) pair — correct, but
+the caller re-derives the prior corpus's blocking keys EVERY batch,
+so per-batch cost grows with corpus size (the operator's own 100 TB
+note names this debt).  This store closes it: the inverted blocking-
+key index, the record fields, the assignment table and the
+per-entity member index are all PERSISTED as bucketed LWW sinks, so
+one batch touches only
+
+- the RECORD buckets of its own rids (old-state lookup + commit),
+- the KEY buckets of its own blocking keys (candidate probe + commit),
+- the RECORD buckets of the candidate prior rids (field fetch),
+- the ASSIGN buckets of the touched rids,
+- the MEMBER buckets of the entities the batch merges (relabel
+  fan-out),
+
+never a corpus scan.  At 100 TB with n_buckets sized so a bucket is
+a few hundred MB, per-batch work is O(batch x block fan-out +
+touched buckets).
+
+## Layout under ``path``
+
+- ``records/`` — bucketed BY rid: (rid, live, <field cols>, __t,
+  __i, __d); LWW per rid, deletes persist as tombstones.  Field
+  values are stored so (a) candidate scoring fetches exactly the
+  candidate rids' fields and (b) an UPDATE can recompute the rid's
+  OLD blocking keys to tombstone its stale postings.
+- ``keys/`` — the inverted blocking index bucketed BY bk:
+  (bk, rid, live, triple); LWW per (bk, rid).  A posting list lives
+  in one bucket, so candidate probing reads only the batch's key
+  buckets.
+- ``members/`` — the per-entity member index bucketed BY entity:
+  (entity, rid, live, triple); LWW per (entity, rid).  Entity merges
+  relabel ALL members of the losing entities by reading only those
+  entities' buckets (the join view's fact_by_fk pattern applied to
+  identity).
+- ``deltas/epoch=N/`` — the batch's four delta frames (records,
+  keys, assign, members) + ``_meta.json`` (touched buckets per
+  store), persisted under ONE atomic rename BEFORE any commit.  Key
+  tombstones derive from the PRE-commit records store and member
+  relabels from the PRE-commit members/assign stores — they cannot
+  be re-derived once the stores have committed, so replays must
+  consume the persisted rows (the join view's replay contract).
+- ``view/`` + ``view/_current`` — the ASSIGNMENT table (rid,
+  entity), live rows only, bucketed BY rid; ``_current`` names the
+  committed snapshot + applied epoch — the single atomic visibility
+  point (shared resolver, streaming/view_pointer.py).
+
+## Semantics
+
+Inserts match against the committed corpus + the batch itself
+through the key index; transitive merges contract prior entities to
+supernodes and close over the batch's edges only
+(operators/linkage.py:closure_over_edges — driver union-find within
+``driver_threshold``, the distributed min-label loop beyond).
+UPDATES re-key and re-match under the new field values; matches are
+EVIDENCE and are never retracted — an update or delete of a bridge
+record does NOT split previously merged entities (the standard
+no-retraction semantics of streaming ER; a full split-correct
+re-resolution is a rebuild: run the one-shot operator over
+``read_er_records`` and reseed).  DELETES remove the record, its
+postings and its membership; entity labels are OPAQUE ids — a
+deleted record's id may keep serving as its cluster's label.
+Entity ids are min-record-ids, so record ids must be integral
+(closure contract) and event time must be monotone per rid (the LWW
+contract every store in this engine shares).
+
+Reference parity: the reference relay applies each change event to
+downstream state exactly once (producing/change_event_handler.py:
+24-41); this store applies that per-event contract to identity
+resolution.  Engine extension surface (SURVEY.md §2.D).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.linkage import (
+    _score,
+    closure_over_edges,
+    sim_edit_distance,
+    sim_exact,
+    sim_numeric_closeness,
+    sim_token_jaccard,
+)
+from pymongo_change_stream_reader_spark.plans.pipeline import (
+    PipelineError,
+    _bucket_of,
+    _commit_bucketed,
+    _read_bucket_manifest,
+    _read_entry_dirs,
+    _write_atomic,
+    bucketed_sink_lock,
+)
+from pymongo_change_stream_reader_spark.streaming.join_view import (
+    _bucket_history_name,
+    _merge_lww,
+)
+from pymongo_change_stream_reader_spark.streaming.materialize import (
+    _ORDER,
+    _last_event_per_key,
+)
+from pymongo_change_stream_reader_spark.streaming.view_pointer import (
+    resolve_view_entries,
+    view_pointer_current,
+)
+
+__all__ = [
+    "ERSpec",
+    "er_registry_batch",
+    "er_registry_cdc_batch",
+    "read_er_assign",
+    "read_er_records",
+    "compact_er_registry",
+    "scorer_by_name",
+]
+
+_SCORERS = {
+    "exact": sim_exact,
+    "edit": sim_edit_distance,
+    "numeric": sim_numeric_closeness,
+    "jaccard": sim_token_jaccard,
+}
+
+
+def scorer_by_name(name: str):
+    """The named field scorer (``exact`` / ``edit`` / ``numeric`` /
+    ``jaccard``) — the config-file surface for MatchField scorers."""
+    if name not in _SCORERS:
+        raise PipelineError(
+            f"unknown ER scorer {name!r}; one of {sorted(_SCORERS)}"
+        )
+    return _SCORERS[name]
+
+
+@dataclass(frozen=True)
+class ERSpec:
+    """The resolution definition a registry is created with.
+
+    ``fields``: scored fields — their ``name``s are the stored record
+    columns.  ``extra_cols``: additional stored-but-UNSCORED columns
+    (e.g. the raw text the blocking keys shingle while scoring uses
+    normalized fields).  ``keys``: blocking-key ARRAY<STRING>
+    expression over stored columns (re-applied to STORED rows to
+    tombstone an updated record's stale postings, so it must
+    reference field/extra columns only).
+    ``max_block_size`` drops keys whose combined posting list
+    (committed + batch) exceeds the bound for THIS batch's candidate
+    generation — incremental and one-shot runs only agree when
+    blocking is growth-stable (bound None), same caveat as the
+    in-memory operator."""
+
+    id_col: str
+    fields: list  # list[MatchField]
+    keys: object  # Column
+    threshold: float
+    max_block_size: int | None = None
+    driver_threshold: int = 1_000_000
+    extra_cols: tuple = ()
+
+    def fingerprint(self) -> dict:
+        # JSON-round-trip-stable (lists, not tuples): the batch
+        # compares it against the persisted _config.json verbatim
+        return {
+            "id_col": self.id_col,
+            "fields": [[f.name, f.weight] for f in self.fields],
+            "threshold": self.threshold,
+            "max_block_size": self.max_block_size,
+            "extra_cols": list(self.extra_cols),
+        }
+
+    @property
+    def stored_cols(self) -> list:
+        return [f.name for f in self.fields] + list(self.extra_cols)
+
+
+def _trip(epoch: int) -> list:
+    """Synthetic LWW triple for registry store rows: the epoch is
+    strictly monotone and each merge key is written at most once per
+    epoch (batch rows are pre-reduced; the delta branches are
+    disjoint by construction), so (epoch, 0, "") orders every replay
+    identically."""
+    return [
+        F.lit(epoch).cast("int").alias("__t"),
+        F.lit(0).cast("int").alias("__i"),
+        F.lit("").alias("__d"),
+    ]
+
+
+def _read_store_buckets(
+    spark: SparkSession, store: str, buckets: list[int]
+) -> DataFrame | None:
+    mf = _read_bucket_manifest(store)
+    if mf is None:
+        return None
+    return _read_entry_dirs(
+        spark, store, [mf[1][k] for k in buckets if k in mf[1]]
+    )
+
+
+def read_er_assign(spark: SparkSession, path: str) -> DataFrame | None:
+    """The current assignment table (rid, entity); None before the
+    first applied batch."""
+    res = resolve_view_entries(path, "er registry")
+    if res is None:
+        return None
+    entries, _ep = res
+    vroot = os.path.join(path, "view")
+    dirs = [
+        os.path.join(vroot, rel)
+        for rel in entries.values()
+        if os.path.isdir(os.path.join(vroot, rel))
+    ]
+    if not dirs:
+        return spark.createDataFrame([], "rid LONG, entity LONG")
+    return spark.read.parquet(*dirs).select("rid", "entity")
+
+
+def read_er_records(spark: SparkSession, path: str) -> DataFrame | None:
+    """The current LIVE record fields (rid + field columns) — the
+    rebuild/reseed surface; None before the first applied batch."""
+    store = os.path.join(path, "records")
+    mf = _read_bucket_manifest(store)
+    if mf is None:
+        return None
+    rows = _read_entry_dirs(spark, store, list(mf[1].values()))
+    if rows is None:
+        return None
+    return rows.filter(F.col("live")).drop("live", *_ORDER)
+
+
+def er_registry_batch(
+    records: DataFrame,
+    path: str,
+    epoch: int,
+    spec: ERSpec,
+    n_buckets: int = 16,
+    retain: int = 2,
+    stats: dict | None = None,
+) -> bool:
+    """Apply one batch of record upserts/deletes to the registry at
+    ``path``.  Returns True when the batch applied, False on a
+    fully-committed replayed epoch.
+
+    ``records`` carries (``spec.id_col`` integral, ``live`` BOOLEAN —
+    False deletes the record, field values ignored — and the field
+    columns) with AT MOST ONE row per rid (the CDC wrapper reduces
+    batches via the shared LWW fold; standalone callers own the
+    contract)."""
+    spark = records.sparkSession
+    with bucketed_sink_lock(path):
+        cfg = {"n_buckets": n_buckets, **spec.fingerprint()}
+        cfg_path = os.path.join(path, "_config.json")
+        if os.path.exists(cfg_path):
+            if json.load(open(cfg_path)) != cfg:
+                raise PipelineError(
+                    f"er registry at {path!r} was created with a "
+                    "different resolution definition; deltas across "
+                    "definitions do not compose"
+                )
+        else:
+            os.makedirs(path, exist_ok=True)
+            _write_atomic(cfg_path, json.dumps(cfg))
+        cur = view_pointer_current(path)
+        if cur is not None and cur[1] >= epoch:
+            return False
+        os.makedirs(os.path.join(path, "deltas"), exist_ok=True)
+        os.makedirs(os.path.join(path, "view"), exist_ok=True)
+
+        rec_path = os.path.join(path, "records")
+        keys_path = os.path.join(path, "keys")
+        mem_path = os.path.join(path, "members")
+        vroot = os.path.join(path, "view")
+
+        deltas_dir = os.path.join(path, "deltas", f"epoch={epoch}")
+        if not os.path.isdir(deltas_dir):
+            _compute_and_persist_deltas(
+                spark, records, path, epoch, spec, n_buckets,
+                deltas_dir, stats,
+            )
+
+        # replay-stable: ALWAYS consume the persisted delta frames
+        # (key tombstones / member relabels derive from PRE-commit
+        # store state and cannot be re-derived once committed)
+        meta = json.load(open(os.path.join(deltas_dir, "_meta.json")))
+        d_rec = spark.read.parquet(os.path.join(deltas_dir, "records"))
+        d_key = spark.read.parquet(os.path.join(deltas_dir, "keys"))
+        d_asn = spark.read.parquet(os.path.join(deltas_dir, "assign"))
+        d_mem = spark.read.parquet(os.path.join(deltas_dir, "members"))
+
+        rec_merged, _ro, rec_entries, rec_changed = _merge_lww(
+            spark, d_rec, rec_path, ["rid"], ["rid"], n_buckets,
+            changed=meta["rec_buckets"],
+        )
+        key_merged, _ko, key_entries, key_changed = _merge_lww(
+            spark, d_key, keys_path, ["bk", "rid"], ["bk"], n_buckets,
+            changed=meta["key_buckets"],
+        )
+        mem_merged, _mo, mem_entries, mem_changed = _merge_lww(
+            spark, d_mem, mem_path, ["entity", "rid"], ["entity"],
+            n_buckets, changed=meta["mem_buckets"],
+        )
+
+        def _view_commit() -> None:
+            vchanged = meta["asn_buckets"]
+            res = resolve_view_entries(path, "er registry")
+            ventries = dict(res[0]) if res is not None else {}
+            base = _read_entry_dirs(
+                spark, vroot,
+                [ventries[k] for k in vchanged if k in ventries],
+            )
+            if base is None:
+                base = spark.createDataFrame([], "rid LONG, entity LONG")
+            nxt = (
+                base.select("rid", "entity")
+                .join(d_asn.select("rid").distinct(), "rid", "anti")
+                .unionByName(
+                    d_asn.filter(F.col("live")).select("rid", "entity")
+                )
+            )
+            _commit_bucketed(
+                nxt, vroot, ["rid"], n_buckets, ventries,
+                changed=vchanged, retain=max(3, retain), return_df=False,
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        commits = (
+            lambda: _commit_bucketed(
+                rec_merged, rec_path, ["rid"], n_buckets, rec_entries,
+                changed=rec_changed, retain=retain, return_df=False,
+            ),
+            lambda: _commit_bucketed(
+                key_merged, keys_path, ["bk"], n_buckets, key_entries,
+                changed=key_changed, retain=retain, return_df=False,
+            ),
+            lambda: _commit_bucketed(
+                mem_merged, mem_path, ["entity"], n_buckets, mem_entries,
+                changed=mem_changed, retain=retain, return_df=False,
+            ),
+            _view_commit,
+        )
+        with ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="erreg-commit"
+        ) as pool:
+            for fut in [pool.submit(fn) for fn in commits]:
+                fut.result()
+
+        # single visibility point, strictly after every commit
+        vname = _bucket_history_name(vroot)
+        _write_atomic(os.path.join(vroot, "_current"), f"{vname}:{epoch}")
+
+        droot = os.path.join(path, "deltas")
+        depochs = sorted(
+            int(dn.split("=", 1)[1])
+            for dn in os.listdir(droot)
+            if dn.startswith("epoch=")
+        )
+        for e in depochs[: max(0, len(depochs) - retain)]:
+            shutil.rmtree(
+                os.path.join(droot, f"epoch={e}"), ignore_errors=True
+            )
+        return True
+
+
+def _compute_and_persist_deltas(
+    spark: SparkSession,
+    records: DataFrame,
+    path: str,
+    epoch: int,
+    spec: ERSpec,
+    n_buckets: int,
+    deltas_dir: str,
+    stats: dict | None,
+) -> None:
+    """First-time apply: derive the four delta frames against the
+    PRE-commit stores and persist them under one atomic rename."""
+    fieldcols = [f.name for f in spec.fields]
+    rec_path = os.path.join(path, "records")
+    keys_path = os.path.join(path, "keys")
+    mem_path = os.path.join(path, "members")
+
+    W = records.select(
+        F.col(spec.id_col).cast("long").alias("rid"),
+        F.col("live").cast("boolean").alias("live"),
+        *spec.stored_cols,
+        *_trip(epoch),
+    ).localCheckpoint(eager=True)
+
+    # job 1: the batch's rid buckets (records + assign stores)
+    rid_buckets = sorted(
+        r["b"]
+        for r in W.select(_bucket_of(["rid"], n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+
+    # old record state of the batch's rids -> stale-posting tombstones
+    R_old = _read_store_buckets(spark, rec_path, rid_buckets)
+    if R_old is None:
+        R_old = W.filter(F.lit(False))
+    R_old = R_old.join(W.select("rid"), "rid", "semi")
+    oldk = (
+        R_old.filter(F.col("live"))
+        .select("rid", F.explode(spec.keys).alias("bk"))
+        .distinct()
+    )
+    newk = (
+        W.filter(F.col("live"))
+        .select("rid", F.explode(spec.keys).alias("bk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    key_tombs = oldk.join(newk, ["rid", "bk"], "anti").select(
+        "bk", "rid", F.lit(False).alias("live"), *_trip(epoch)
+    )
+    key_posts = newk.join(oldk, ["rid", "bk"], "anti").select(
+        "bk", "rid", F.lit(True).alias("live"), *_trip(epoch)
+    )
+    d_key = key_posts.unionByName(key_tombs).localCheckpoint(eager=True)
+
+    # job 2: key buckets — commit set (all delta bks) + probe set
+    # (new-key bks only) in ONE tagged collect
+    kb = (
+        d_key.select(
+            F.lit(0).alias("t"), _bucket_of(["bk"], n_buckets).alias("b")
+        )
+        .unionByName(
+            newk.select(
+                F.lit(1).alias("t"),
+                _bucket_of(["bk"], n_buckets).alias("b"),
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    key_buckets = sorted(r["b"] for r in kb if r["t"] == 0)
+    probe_buckets = sorted(r["b"] for r in kb if r["t"] == 1)
+
+    # candidate probe: committed live postings colliding with the
+    # batch's keys, the batch's own stale postings excluded
+    P = _read_store_buckets(spark, keys_path, probe_buckets)
+    if P is None:
+        P = d_key.filter(F.lit(False))
+    P = (
+        P.filter(F.col("live"))
+        .select("bk", "rid")
+        .join(newk.select("bk").distinct(), "bk", "semi")
+        .join(W.select("rid"), "rid", "anti")
+    )
+    if spec.max_block_size is not None:
+        hot = (
+            P.unionByName(newk.select("bk", "rid"))
+            .groupBy("bk")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > spec.max_block_size)
+            .select("bk")
+            .localCheckpoint(eager=False)
+        )
+        P = P.join(hot, "bk", "anti")
+        newk_c = newk.join(hot, "bk", "anti")
+    else:
+        newk_c = newk
+    np_pairs = (
+        newk_c.alias("__a")
+        .join(P.alias("__b"), F.col("__a.bk") == F.col("__b.bk"))
+        .select(
+            F.least(F.col("__a.rid"), F.col("__b.rid")).alias("id_a"),
+            F.greatest(F.col("__a.rid"), F.col("__b.rid")).alias("id_b"),
+        )
+    )
+    nn_pairs = (
+        newk_c.alias("__a")
+        .join(
+            newk_c.alias("__b"),
+            (F.col("__a.bk") == F.col("__b.bk"))
+            & (F.col("__a.rid") < F.col("__b.rid")),
+        )
+        .select(
+            F.col("__a.rid").alias("id_a"), F.col("__b.rid").alias("id_b")
+        )
+    )
+    cand = (
+        np_pairs.unionByName(nn_pairs).distinct().localCheckpoint(True)
+    )
+
+    # job 3: candidate prior rids' buckets (field fetch + assign probe)
+    prior_rids = (
+        cand.select(F.col("id_a").alias("rid"))
+        .unionByName(cand.select(F.col("id_b").alias("rid")))
+        .distinct()
+        .join(W.select("rid"), "rid", "anti")
+        .localCheckpoint(eager=True)
+    )
+    prid_buckets = sorted(
+        r["b"]
+        for r in prior_rids.select(
+            _bucket_of(["rid"], n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    prior_recs = _read_store_buckets(spark, rec_path, prid_buckets)
+    if prior_recs is None:
+        prior_recs = W.filter(F.lit(False))
+    prior_recs = prior_recs.filter(F.col("live")).join(
+        prior_rids, "rid", "semi"
+    )
+    allrec = (
+        W.filter(F.col("live"))
+        .select("rid", *fieldcols)
+        .unionByName(prior_recs.select("rid", *fieldcols))
+    )
+    scored = (
+        cand.join(allrec.alias("__a"), cand["id_a"] == F.col("__a.rid"))
+        .join(allrec.alias("__b"), cand["id_b"] == F.col("__b.rid"))
+        .select("id_a", "id_b", _score(spec.fields).alias("__score"))
+    )
+    matches = (
+        scored.filter(F.col("__score") >= spec.threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+
+    # assignments of the touched rids: the batch's + the candidates'
+    # buckets were both collected above — one probe read covers them
+    pa_base = None
+    res = resolve_view_entries(path, "er registry")
+    if res is not None:
+        entries = res[0]
+        want = sorted(set(rid_buckets) | set(prid_buckets))
+        pa_base = _read_entry_dirs(
+            spark, os.path.join(path, "view"),
+            [entries[k] for k in want if k in entries],
+        )
+    if pa_base is None:
+        pa_base = spark.createDataFrame([], "rid LONG, entity LONG")
+    pa = pa_base.select("rid", "entity").localCheckpoint(eager=True)
+
+    mapped = (
+        matches.alias("__m")
+        .join(pa.alias("__ea"), F.col("__m.id_a") == F.col("__ea.rid"), "left")
+        .join(pa.alias("__eb"), F.col("__m.id_b") == F.col("__eb.rid"), "left")
+        .select(
+            F.coalesce(F.col("__ea.entity"), F.col("__m.id_a")).alias("na"),
+            F.coalesce(F.col("__eb.entity"), F.col("__m.id_b")).alias("nb"),
+        )
+        .distinct()
+        .persist()
+    )
+    lmap, small, n_edges = closure_over_edges(
+        spark, mapped, spec.driver_threshold
+    )
+    mapped.unpersist()
+    lmap_side = F.broadcast(lmap) if small else lmap
+
+    # --- assign deltas ------------------------------------------------
+    # live batch rids: node = prior entity (or own id), final = closed
+    # label; deleted batch rids: tombstone
+    w_live = (
+        W.filter(F.col("live"))
+        .select("rid")
+        .join(pa, "rid", "left")
+        .select("rid", F.coalesce("entity", "rid").alias("node"))
+    )
+    asn_new = (
+        w_live.join(lmap_side, w_live["node"] == lmap["node"], "left")
+        .select(
+            F.col("rid"),
+            F.coalesce(F.col("final"), w_live["node"]).alias("entity"),
+            F.lit(True).alias("live"),
+            *_trip(epoch),
+        )
+    )
+    asn_del = (
+        W.filter(~F.col("live"))
+        .select("rid")
+        .join(pa, "rid", "left")
+        .select(
+            "rid",
+            F.coalesce("entity", "rid").alias("entity"),
+            F.lit(False).alias("live"),
+            *_trip(epoch),
+        )
+    )
+    # entities whose closed label moved: every prior member relabels
+    changed = (
+        lmap.join(
+            pa.select(F.col("entity").alias("node")).distinct(),
+            "node",
+            "semi",
+        )
+        .filter(F.col("node") != F.col("final"))
+        .select(F.col("node").alias("old_e"), F.col("final").alias("new_e"))
+        .localCheckpoint(eager=True)
+    )
+    # job 4: the losing entities' member buckets
+    ch_buckets = sorted(
+        r["b"]
+        for r in changed.select(
+            _bucket_of(["old_e"], n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    mem_base = _read_store_buckets(spark, mem_path, ch_buckets)
+    if mem_base is None:
+        mem_base = spark.createDataFrame(
+            [], f"entity LONG, rid LONG, live BOOLEAN, "
+            "__t INT, __i INT, __d STRING"
+        )
+    relabel = (
+        mem_base.filter(F.col("live"))
+        .join(changed, mem_base["entity"] == changed["old_e"])
+        .join(W.select("rid"), "rid", "anti")
+        .select("rid", "old_e", "new_e")
+        .localCheckpoint(eager=True)
+    )
+    asn_relabel = relabel.select(
+        "rid",
+        F.col("new_e").alias("entity"),
+        F.lit(True).alias("live"),
+        *_trip(epoch),
+    )
+    # matched prior rids the assign table has never seen (externally
+    # seeded stores): emit their label when the closure moved it —
+    # same contract as the in-memory operator's seeded path
+    seeded = (
+        prior_rids.join(
+            matches.select(F.col("id_a").alias("rid"))
+            .unionByName(matches.select(F.col("id_b").alias("rid")))
+            .distinct(),
+            "rid",
+            "semi",
+        )
+        .join(pa, "rid", "anti")
+    )
+    asn_seeded = (
+        seeded.join(lmap_side, seeded["rid"] == lmap["node"])
+        .filter(F.col("final") != F.col("rid"))
+        .select(
+            F.col("rid"),
+            F.col("final").alias("entity"),
+            F.lit(True).alias("live"),
+            *_trip(epoch),
+        )
+    )
+    d_asn = (
+        asn_new.unionByName(asn_del)
+        .unionByName(asn_relabel)
+        .unionByName(asn_seeded)
+        .localCheckpoint(eager=True)
+    )
+
+    # --- member deltas --------------------------------------------
+    # live batch rids join their final entity; stale memberships
+    # (prior entity != final, or delete) tombstone
+    w_final = asn_new.select("rid", "entity")
+    w_old_e = (
+        W.select("rid", "live").join(pa, "rid", "inner")
+        .select("rid", F.col("entity").alias("old_e"), "live")
+    )
+    mem_new = w_final.select(
+        F.col("entity"), F.col("rid"), F.lit(True).alias("live"),
+        *_trip(epoch),
+    ).unionByName(
+        relabel.select(
+            F.col("new_e").alias("entity"), F.col("rid"),
+            F.lit(True).alias("live"), *_trip(epoch),
+        )
+    ).unionByName(
+        asn_seeded.select(
+            "entity", "rid", F.lit(True).alias("live"), *_trip(epoch)
+        )
+    )
+    mem_tombs = (
+        # a batch rid whose entity moved (or that was deleted) leaves
+        # its old entity's member list
+        w_old_e.join(
+            w_final.select("rid", F.col("entity").alias("__fe")),
+            "rid",
+            "left",
+        )
+        .filter(
+            ~F.col("live") | ~F.col("old_e").eqNullSafe(F.col("__fe"))
+        )
+        .select(
+            F.col("old_e").alias("entity"), F.col("rid"),
+            F.lit(False).alias("live"), *_trip(epoch),
+        )
+        .unionByName(
+            relabel.select(
+                F.col("old_e").alias("entity"), F.col("rid"),
+                F.lit(False).alias("live"), *_trip(epoch),
+            )
+        )
+    )
+    d_mem = mem_new.unionByName(mem_tombs).localCheckpoint(eager=True)
+
+    # --- persist the four delta frames + touched buckets ------------
+    # job 5: one tagged collect for the assign/member commit buckets
+    # (the records/keys buckets were already collected above)
+    amb = (
+        d_asn.select(
+            F.lit(0).alias("t"), _bucket_of(["rid"], n_buckets).alias("b")
+        )
+        .unionByName(
+            d_mem.select(
+                F.lit(1).alias("t"),
+                _bucket_of(["entity"], n_buckets).alias("b"),
+            )
+        )
+        .distinct()
+        .collect()
+    )
+    asn_buckets = sorted(r["b"] for r in amb if r["t"] == 0)
+    mem_buckets = sorted(r["b"] for r in amb if r["t"] == 1)
+
+    if stats is not None:
+        stats["edges"] = n_edges
+        stats["merged_entities"] = changed.count()
+        stats["candidates"] = cand.count()
+
+    tmp = os.path.join(path, "deltas", f".tmp-{epoch}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = (
+        ("records", W),
+        ("keys", d_key),
+        ("assign", d_asn),
+        ("members", d_mem),
+    )
+    with ThreadPoolExecutor(
+        max_workers=4, thread_name_prefix="erreg-delta"
+    ) as pool:
+        futs = [
+            pool.submit(
+                lambda sub=sub, df=df: df.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, sub))
+            )
+            for sub, df in writes
+        ]
+        for f in futs:
+            f.result()
+    _write_atomic(
+        os.path.join(tmp, "_meta.json"),
+        json.dumps(
+            {
+                "rec_buckets": rid_buckets,
+                "key_buckets": key_buckets,
+                "asn_buckets": asn_buckets,
+                "mem_buckets": mem_buckets,
+            }
+        ),
+    )
+    os.rename(tmp, deltas_dir)  # atomic: the delta commit point
+
+
+def er_registry_cdc_batch(
+    batch: DataFrame,
+    path: str,
+    epoch: int,
+    spec: ERSpec,
+    id_path: str = "$._id",
+    field_paths: dict | None = None,
+    n_buckets: int = 16,
+    retain: int = 2,
+    stats: dict | None = None,
+) -> bool:
+    """Fold one micro-batch of CHANGE EVENTS into the registry: the
+    reference's per-event apply loop (change_event_handler.py:24-41)
+    applied to identity resolution.  Non-delete events need a
+    post-image (fullDocument=updateLookup); ``id_path`` extracts the
+    INTEGRAL record id from it (and from the documentKey for
+    deletes), ``field_paths`` maps each spec field name to its
+    post-image JSON path + dtype, e.g. ``{"name": ("$.name",
+    "string"), "age": ("$.age", "long")}``.  A ``tokens`` dtype
+    splits the string value on whitespace into a distinct ARRAY
+    (for jaccard scorers)."""
+    fp = field_paths or {}
+    missing = [c for c in spec.stored_cols if c not in fp]
+    if missing:
+        raise PipelineError(
+            f"er registry cdc: field_paths missing {missing!r}"
+        )
+    data = batch.filter(
+        F.col("operationType").isin("insert", "update", "replace", "delete")
+    )
+    last = _last_event_per_key(
+        data,
+        extra_aggs={
+            "__bad": F.max(
+                (F.col("op") != "delete") & F.col("doc").isNull()
+            )
+        },
+    )
+    # fail fast on a missing post-image BEFORE anything is written
+    if last.filter(F.col("__bad")).limit(1).count() > 0:
+        raise PipelineError(
+            "er registry maintenance needs a post-image per "
+            "non-delete event (fullDocument=updateLookup)"
+        )
+    live = F.col("op") != "delete"
+
+    def _field(name: str):
+        jp, dtype = fp[name]
+        raw = F.get_json_object("doc", jp)
+        if dtype == "tokens":
+            return F.array_distinct(
+                F.split(F.coalesce(raw, F.lit("")), r"\s+")
+            ).alias(name)
+        return raw.cast(dtype).alias(name)
+
+    rid = F.coalesce(
+        F.get_json_object("doc", id_path),
+        F.get_json_object("key", id_path),
+        F.col("key"),
+    ).cast("long")
+    recs = last.select(
+        rid.alias(spec.id_col),
+        live.alias("live"),
+        *[_field(c) for c in spec.stored_cols],
+    )
+    return er_registry_batch(
+        recs, path, epoch, spec,
+        n_buckets=n_buckets, retain=retain, stats=stats,
+    )
+
+
+def compact_er_registry(
+    spark: SparkSession, path: str, retain: int = 2
+) -> dict:
+    """Purge tombstones from every store and vacuum superseded
+    snapshots: rewrites each store's buckets keeping live rows only
+    (the assignment view holds only live rows already — it is
+    re-pointed at a fresh snapshot so retention can GC the old
+    chain).  Returns per-store purged-row counts."""
+    out: dict = {}
+    with bucketed_sink_lock(path):
+        cfg = json.load(open(os.path.join(path, "_config.json")))
+        n_buckets = cfg["n_buckets"]
+        for store, on in (
+            ("records", ["rid"]),
+            ("keys", ["bk"]),
+            ("members", ["entity"]),
+        ):
+            sp = os.path.join(path, store)
+            mf = _read_bucket_manifest(sp)
+            if mf is None:
+                out[store] = 0
+                continue
+            rows = _read_entry_dirs(spark, sp, list(mf[1].values()))
+            if rows is None:
+                out[store] = 0
+                continue
+            rows = rows.persist()
+            dead = rows.filter(~F.col("live")).count()
+            _commit_bucketed(
+                rows.filter(F.col("live")), sp, on, n_buckets, {},
+                changed=list(range(n_buckets)), retain=retain,
+                return_df=False,
+            )
+            rows.unpersist()
+            out[store] = dead
+        res = resolve_view_entries(path, "er registry")
+        if res is not None:
+            entries, ep = res
+            vroot = os.path.join(path, "view")
+            rows = _read_entry_dirs(spark, vroot, list(entries.values()))
+            if rows is None:
+                rows = spark.createDataFrame([], "rid LONG, entity LONG")
+            _commit_bucketed(
+                rows.select("rid", "entity"), vroot, ["rid"], n_buckets,
+                {}, changed=list(range(n_buckets)),
+                retain=max(3, retain), return_df=False,
+            )
+            vname = _bucket_history_name(vroot)
+            _write_atomic(os.path.join(vroot, "_current"), f"{vname}:{ep}")
+    return out

@@ -1,0 +1,380 @@
+"""Persisted entity-resolution registry (streaming/er_registry.py):
+multi-batch fold == one-shot closure, update re-keying, deletes,
+replay idempotence, CDC wrapper, and SIGKILL chaos windows."""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from pymongo_change_stream_reader_spark.operators.linkage import (
+    MatchField,
+    entity_resolution,
+    sim_edit_distance,
+    sim_numeric_closeness,
+)
+from pymongo_change_stream_reader_spark.streaming.er_registry import (
+    ERSpec,
+    compact_er_registry,
+    er_registry_batch,
+    er_registry_cdc_batch,
+    read_er_assign,
+    read_er_records,
+)
+
+ROWS = [
+    (1, "jon smith", "nyc", 30),
+    (2, "john smith", "nyc", 31),
+    (3, "john smyth", "nyc", 30),
+    (4, "alice jones", "sf", 25),
+    (5, "alice jones", "sfo", 25),
+    (6, "bob brown", "la", 40),
+]
+FIELDS = [
+    MatchField("name", 0.6, sim_edit_distance),
+    MatchField("city", 0.2, sim_edit_distance),
+    MatchField("age", 0.2, sim_numeric_closeness),
+]
+
+
+def _keys():
+    return F.array_distinct(
+        F.transform(
+            F.split(F.col("name"), " "), lambda t: F.substring(t, 1, 3)
+        )
+    )
+
+
+def _spec(**kw):
+    return ERSpec("id", FIELDS, _keys(), 0.75, **kw)
+
+
+def _df(spark, rows=ROWS):
+    return spark.createDataFrame(
+        rows, "id LONG, name STRING, city STRING, age INT"
+    )
+
+
+def _assign(spark, path):
+    out = read_er_assign(spark, path)
+    return (
+        {} if out is None else {r["rid"]: r["entity"] for r in out.collect()}
+    )
+
+
+def test_multi_batch_fold_equals_one_shot(spark, tmp_path):
+    path = str(tmp_path / "reg")
+    df = _df(spark)
+    # the bridge record (2) arrives LAST: batch 3 must merge the
+    # 1-cluster and 3-cluster built across earlier epochs
+    for ep, ids in enumerate([(1, 4), (3, 5), (2, 6)], start=1):
+        b = df.filter(F.col("id").isin(*ids)).withColumn(
+            "live", F.lit(True)
+        )
+        stats: dict = {}
+        assert er_registry_batch(
+            b, path, ep, _spec(), n_buckets=4, stats=stats
+        )
+    got = _assign(spark, path)
+    one = {
+        r["id"]: r["entity"]
+        for r in entity_resolution(df, "id", _keys(), FIELDS, 0.75)
+        .select("id", "entity")
+        .collect()
+    }
+    assert got == one == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    # replayed epoch: fully-committed => skip, state unchanged
+    b = df.filter(F.col("id").isin(2, 6)).withColumn("live", F.lit(True))
+    assert not er_registry_batch(b, path, 3, _spec(), n_buckets=4)
+    assert _assign(spark, path) == got
+
+
+def test_update_rekeys_and_merges(spark, tmp_path):
+    path = str(tmp_path / "reg")
+    b0 = _df(spark, [ROWS[1], ROWS[5]]).withColumn("live", F.lit(True))
+    assert er_registry_batch(b0, path, 1, _spec(), n_buckets=4)
+    assert _assign(spark, path) == {2: 2, 6: 6}
+    # 6's fields change to match 2: the update must tombstone 6's old
+    # bob/bro postings, post its new keys, and merge the entities
+    upd = _df(spark, [(6, "john smyth", "nyc", 30)]).withColumn(
+        "live", F.lit(True)
+    )
+    stats: dict = {}
+    assert er_registry_batch(
+        upd, path, 2, _spec(), n_buckets=4, stats=stats
+    )
+    assert _assign(spark, path) == {2: 2, 6: 2}
+    assert stats["edges"] == 1
+    # old postings are dead: a later bob-brown insert finds no
+    # candidate through them (its only blocks are bob/bro)
+    ins = _df(spark, [(7, "bob brown", "la", 40)]).withColumn(
+        "live", F.lit(True)
+    )
+    stats = {}
+    assert er_registry_batch(
+        ins, path, 3, _spec(), n_buckets=4, stats=stats
+    )
+    assert stats["candidates"] == 0
+    assert _assign(spark, path) == {2: 2, 6: 2, 7: 7}
+
+
+def test_member_relabel_fans_out_to_untouched_records(spark, tmp_path):
+    path = str(tmp_path / "reg")
+    df = _df(spark)
+    b0 = df.filter(F.col("id").isin(2, 3)).withColumn("live", F.lit(True))
+    assert er_registry_batch(b0, path, 1, _spec(), n_buckets=4)
+    assert _assign(spark, path) == {2: 2, 3: 2}
+    # record 1 (smaller id) joins the cluster: BOTH prior members must
+    # relabel to 1 — record 3 only through the members store (it is
+    # not a candidate of this batch's keys... it is via joh/smy? 1 has
+    # jon/smi; 3 has joh/smy — no shared key, so 3's relabel is pure
+    # member fan-out)
+    b1 = df.filter(F.col("id") == 1).withColumn("live", F.lit(True))
+    stats: dict = {}
+    assert er_registry_batch(
+        b1, path, 2, _spec(), n_buckets=4, stats=stats
+    )
+    assert stats["merged_entities"] == 1
+    assert _assign(spark, path) == {1: 1, 2: 1, 3: 1}
+
+
+def test_delete_removes_record_and_membership(spark, tmp_path):
+    path = str(tmp_path / "reg")
+    df = _df(spark)
+    b0 = df.filter(F.col("id").isin(4, 5)).withColumn("live", F.lit(True))
+    assert er_registry_batch(b0, path, 1, _spec(), n_buckets=4)
+    d = spark.createDataFrame(
+        [(5, None, None, None, False)],
+        "id LONG, name STRING, city STRING, age INT, live BOOLEAN",
+    )
+    assert er_registry_batch(d, path, 2, _spec(), n_buckets=4)
+    # no-retraction semantics: 4 keeps its (now singleton) entity
+    assert _assign(spark, path) == {4: 4}
+    assert sorted(
+        r["rid"] for r in read_er_records(spark, path).collect()
+    ) == [4]
+    # compaction purges the delete's tombstones, preserving the state
+    purged = compact_er_registry(spark, path)
+    assert purged["records"] >= 1 and purged["keys"] >= 1
+    assert _assign(spark, path) == {4: 4}
+    # re-inserting an identical record after the purge still resolves
+    # through 4's live postings only ((4, 5) is the single candidate)
+    ins = _df(spark, [ROWS[4]]).withColumn("live", F.lit(True))
+    stats: dict = {}
+    assert er_registry_batch(
+        ins, path, 3, _spec(), n_buckets=4, stats=stats
+    )
+    assert stats["candidates"] == 1
+    assert _assign(spark, path) == {4: 4, 5: 4}
+
+
+def test_definition_change_is_rejected(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        PipelineError,
+    )
+
+    path = str(tmp_path / "reg")
+    b = _df(spark, [ROWS[0]]).withColumn("live", F.lit(True))
+    assert er_registry_batch(b, path, 1, _spec(), n_buckets=4)
+    with pytest.raises(PipelineError, match="different resolution"):
+        er_registry_batch(
+            b, path, 2, ERSpec("id", FIELDS, _keys(), 0.9), n_buckets=4
+        )
+
+
+def test_cdc_wrapper_folds_change_events(spark, tmp_path):
+    path = str(tmp_path / "reg")
+    rows = [
+        ("insert", '{"_id": 2}',
+         '{"_id": 2, "name": "john smith", "city": "nyc", "age": 31}',
+         10, 1, "a1"),
+        ("insert", '{"_id": 6}',
+         '{"_id": 6, "name": "bob brown", "city": "la", "age": 40}',
+         10, 2, "a2"),
+    ]
+    schema = (
+        "operationType STRING, documentKey STRING, fullDocument STRING, "
+        "t INT, i INT, d STRING"
+    )
+    mk = lambda rs: spark.createDataFrame(rs, schema).selectExpr(
+        "operationType", "documentKey", "fullDocument",
+        "named_struct('t', t, 'i', i) AS clusterTime",
+        "named_struct('_data', d) AS _id",
+    )
+    fp = {
+        "name": ("$.name", "string"),
+        "city": ("$.city", "string"),
+        "age": ("$.age", "long"),
+    }
+    assert er_registry_cdc_batch(
+        mk(rows), path, 1, _spec(), field_paths=fp, n_buckets=4
+    )
+    assert _assign(spark, path) == {2: 2, 6: 6}
+    # update 6 into the 2-cluster, then delete 2 — labels are opaque:
+    # the cluster keeps 2 as its id after 2's record is gone
+    b1 = [
+        ("replace", '{"_id": 6}',
+         '{"_id": 6, "name": "john smyth", "city": "nyc", "age": 30}',
+         11, 1, "b1"),
+    ]
+    assert er_registry_cdc_batch(
+        mk(b1), path, 2, _spec(), field_paths=fp, n_buckets=4
+    )
+    assert _assign(spark, path) == {2: 2, 6: 2}
+    b2 = [("delete", '{"_id": 2}', None, 12, 1, "c1")]
+    assert er_registry_cdc_batch(
+        mk(b2), path, 3, _spec(), field_paths=fp, n_buckets=4
+    )
+    assert _assign(spark, path) == {6: 2}
+    assert sorted(
+        r["rid"] for r in read_er_records(spark, path).collect()
+    ) == [6]
+
+
+def test_cdc_wrapper_rejects_missing_post_image(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        PipelineError,
+    )
+
+    path = str(tmp_path / "reg")
+    schema = (
+        "operationType STRING, documentKey STRING, fullDocument STRING, "
+        "t INT, i INT, d STRING"
+    )
+    b = spark.createDataFrame(
+        [("update", '{"_id": 2}', None, 10, 1, "a1")], schema
+    ).selectExpr(
+        "operationType", "documentKey", "fullDocument",
+        "named_struct('t', t, 'i', i) AS clusterTime",
+        "named_struct('_data', d) AS _id",
+    )
+    fp = {
+        "name": ("$.name", "string"),
+        "city": ("$.city", "string"),
+        "age": ("$.age", "long"),
+    }
+    with pytest.raises(PipelineError, match="post-image"):
+        er_registry_cdc_batch(
+            b, path, 1, _spec(), field_paths=fp, n_buckets=4
+        )
+    assert read_er_assign(spark, path) is None
+
+
+_CHILD = """
+import json, os, signal, sys, threading
+
+kill_mode, path = sys.argv[1], sys.argv[2]
+ROWS = [tuple(r) for r in json.loads(sys.argv[3])]
+
+from pyspark.sql import functions as F
+from pymongo_change_stream_reader_spark.session import get_spark
+import pymongo_change_stream_reader_spark.streaming.er_registry as er
+from pymongo_change_stream_reader_spark.operators.linkage import (
+    MatchField, sim_edit_distance, sim_numeric_closeness)
+
+spark = get_spark(app_name="erreg-chaos", cpus=4, shuffle_partitions=4)
+
+def die(tag):
+    print("KILLED_AT " + tag, flush=True)
+    os.kill(os.getpid(), signal.SIGKILL)
+
+real_cb = er._commit_bucketed
+if kill_mode == "after-deltas":
+    # deltas persisted, NOTHING committed
+    def cb_hook(df, store, *a, **kw):
+        die("after-deltas")
+    er._commit_bucketed = cb_hook
+elif kill_mode == "after-records":
+    # records store committed, keys store not: the persisted key
+    # tombstones must still land on replay (a recompute against the
+    # committed records would find no old-vs-new key diff)
+    records_done = threading.Event()
+    def cb_hook(df, store, *a, **kw):
+        if store.endswith("keys"):
+            records_done.wait(120)
+            die("after-records")
+        res = real_cb(df, store, *a, **kw)
+        if store.endswith("records"):
+            records_done.set()
+        return res
+    er._commit_bucketed = cb_hook
+else:
+    real_wa = er._write_atomic
+    def wa_hook(dest, body):
+        if dest.endswith("_current"):
+            die("before-pointer")
+        real_wa(dest, body)
+    er._write_atomic = wa_hook
+
+FIELDS = [MatchField("name", 0.6, sim_edit_distance),
+          MatchField("city", 0.2, sim_edit_distance),
+          MatchField("age", 0.2, sim_numeric_closeness)]
+KEYS = F.array_distinct(F.transform(
+    F.split(F.col("name"), " "), lambda t: F.substring(t, 1, 3)))
+spec = er.ERSpec("id", FIELDS, KEYS, 0.75)
+b = spark.createDataFrame(
+    ROWS, "id LONG, name STRING, city STRING, age INT"
+).withColumn("live", F.lit(True))
+er.er_registry_batch(b, path, 2, spec, n_buckets=4)
+print("SURVIVED", flush=True)
+"""
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "kill_mode", ["after-deltas", "after-records", "before-pointer"]
+)
+def test_sigkill_windows_converge(spark, tmp_path, kill_mode):
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        read_bucketed_sink,
+    )
+
+    path = str(tmp_path / "reg")
+    b0 = _df(spark, [ROWS[1], ROWS[5]]).withColumn("live", F.lit(True))
+    assert er_registry_batch(b0, path, 1, _spec(), n_buckets=4)
+
+    # epoch 2 (killed in-flight): 6's update re-keys it into 2's block
+    upd_rows = [(6, "john smyth", "nyc", 30)]
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g", SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD, kill_mode, path,
+         json.dumps(upd_rows)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == -signal.SIGKILL, proc.stderr[-2000:]
+    assert "SURVIVED" not in proc.stdout
+    assert f"KILLED_AT {kill_mode}" in proc.stdout
+    assert os.path.isdir(os.path.join(path, "deltas", "epoch=2"))
+    # crashed mid-epoch: the pointer never advanced
+    assert _assign(spark, path) == {2: 2, 6: 6}
+
+    # replay epoch 2: must consume the PERSISTED deltas and converge
+    upd = _df(spark, upd_rows).withColumn("live", F.lit(True))
+    assert er_registry_batch(upd, path, 2, _spec(), n_buckets=4)
+    assert _assign(spark, path) == {2: 2, 6: 2}
+    assert not er_registry_batch(upd, path, 2, _spec(), n_buckets=4)
+
+    # replay-stability probe: 6's OLD postings (bob/bro) must be dead
+    # even in the after-records window where a re-derivation would
+    # have found no key diff and dropped the tombstones
+    keys_rows = read_bucketed_sink(spark, os.path.join(path, "keys"))
+    stale = keys_rows.filter(
+        (F.col("rid") == 6) & F.col("bk").isin("bob", "bro")
+    ).collect()
+    assert stale and all(not r["live"] for r in stale)
+
+    # member-relabel probe: a later batch merging 1 into the cluster
+    # must relabel BOTH prior members (6 purely via the members store)
+    b3 = _df(spark, [ROWS[0]]).withColumn("live", F.lit(True))
+    assert er_registry_batch(b3, path, 3, _spec(), n_buckets=4)
+    assert _assign(spark, path) == {1: 1, 2: 1, 6: 1}
