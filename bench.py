@@ -116,11 +116,16 @@ HEADLINE = (
 
 
 def composed_relay_bench(
-    spark, sf_dir: str, target_events: int = 6000, n_batches: int = 3
+    spark,
+    sf_dir: str,
+    target_events: int = 6000,
+    n_batches: int = 3,
+    skip_stores: tuple = (),
 ) -> dict:
-    """Throughput + apply latency of the FIVE-store composed relay
-    (replica + LSH dedup + BM25 + IVF ANN + the incremental aggregate
-    view), driven through composed_apply_batch over
+    """Throughput + apply latency of the EIGHT-store composed relay
+    (replica + LSH dedup + BM25 + IVF ANN + the incremental
+    aggregate/join/star views + the entity-resolution registry),
+    driven through composed_apply_batch over
     deterministic micro-batches of the golden change-stream events.
 
     The simulated events gain a deterministic embedding column and a
@@ -171,43 +176,61 @@ def composed_relay_bench(
         "embedding",
         F.when(F.col("operationType") != "delete", _emb("vec_key")),
     ).withColumn(
-        # join-view fact fields ride in the same post-image: every
-        # simulated doc is a fact referencing one of 20 dims
+        # join/star fact fields ride in the same post-image: every
+        # simulated doc is a fact referencing one of 20 "d" dims
+        # (join view + star side d) and one of 10 "e" dims (star side
+        # e); "sside" is the star's own discriminator (the e-dims must
+        # still read as side "d" for the two-sided join view), "rid"
+        # the ER registry's integral identity
         "fullDocument",
         F.when(
             F.col("fullDocument").isNotNull(),
             F.concat(
-                F.lit('{"side": "f", "fk": "d'),
+                F.lit('{"side": "f", "sside": "f", "fk": "d'),
                 F.pmod(F.col("vec_key"), F.lit(20)).cast("string"),
-                F.lit('", '),
+                F.lit('", "fk2": "e'),
+                F.pmod(F.col("vec_key"), F.lit(10)).cast("string"),
+                F.lit('", "rid": '),
+                F.col("vec_key").cast("string"),
+                F.lit(", "),
                 F.substring(F.col("fullDocument"), 2, 1 << 30),
             ),
         ),
     ).select(
-        "_id", "operationType", "clusterTime", "documentKey",
+        "_id", "operationType", "clusterTime",
+        # the ER registry parses deletes' ids from the raw key
+        F.col("vec_key").cast("string").alias("documentKey"),
         "fullDocument", "vec_key", "embedding",
     )
     spark_ = ev.sparkSession
-    dims = spark_.range(20).select(
-        F.struct(
-            F.concat(F.lit("dim"), F.col("id").cast("string")).alias(
-                "_data"
-            )
-        ).alias("_id"),
-        F.lit("insert").alias("operationType"),
-        F.struct(
-            F.lit(0).cast("long").alias("t"), F.lit(0).alias("i")
-        ).alias("clusterTime"),
-        F.concat(F.lit("d"), F.col("id").cast("string")).alias(
-            "documentKey"
-        ),
-        F.concat(
-            F.lit('{"side": "d", "dim_name": "dim'),
-            F.col("id").cast("string"),
-            F.lit('"}'),
-        ).alias("fullDocument"),
-        (F.col("id") + 10**15).alias("vec_key"),
-        _emb("id").alias("embedding"),
+
+    def _dim_frame(prefix: str, count: int, sside: str, key_off: int):
+        return spark_.range(count).select(
+            F.struct(
+                F.concat(
+                    F.lit(f"dim{prefix}"), F.col("id").cast("string")
+                ).alias("_data")
+            ).alias("_id"),
+            F.lit("insert").alias("operationType"),
+            F.struct(
+                F.lit(0).cast("long").alias("t"), F.lit(0).alias("i")
+            ).alias("clusterTime"),
+            F.concat(F.lit(prefix), F.col("id").cast("string")).alias(
+                "documentKey"
+            ),
+            F.concat(
+                F.lit('{"side": "d", "sside": "'),
+                F.lit(sside),
+                F.lit(f'", "dim_name": "dim{prefix}'),
+                F.col("id").cast("string"),
+                F.lit('"}'),
+            ).alias("fullDocument"),
+            (F.col("id") + key_off).alias("vec_key"),
+            _emb("id").alias("embedding"),
+        )
+
+    dims = _dim_frame("d", 20, "d", 10**15).unionByName(
+        _dim_frame("e", 10, "e", 2 * 10**15)
     )
     batches = [
         ev.filter(F.pmod(F.col("vec_key"), F.lit(n_batches)) == i)
@@ -227,7 +250,7 @@ def composed_relay_bench(
         os.makedirs(os.path.join(root, "ckpt"), exist_ok=True)
         ann = os.path.join(root, "ivf")
         write_ivf_index(snap, ann, nlist=16, train_iters=1)
-        return dict(
+        kw = dict(
             checkpoint_dir=os.path.join(root, "ckpt"),
             replica_path=os.path.join(root, "replica"),
             dedup_index_path=os.path.join(root, "lsh"),
@@ -243,12 +266,56 @@ def composed_relay_bench(
             agg_value_type="long",
             join_view_path=os.path.join(root, "jview"),
             join_dim_id_path=None,  # dims keyed by the raw "dN" string
+            star_view_path=os.path.join(root, "sview"),
+            star_view_dims=[
+                {"side": "d", "fk_path": "$.fk"},
+                {"side": "e", "fk_path": "$.fk2"},
+            ],
+            star_side_path="$.sside",
+            er_registry_path=os.path.join(root, "erreg"),
+            er_spec=er_spec,
+            er_id_path="$.rid",
+            er_field_paths=er_fps,
         )
+        # drop the skipped stores' enabling paths (config-comparison
+        # runs: the r11-parity six-store set vs the full eight)
+        skip_keys = {
+            "dedup": ("dedup_index_path", "dedup_flags_path"),
+            "bm25": ("bm25_index_path",),
+            "ann": ("ann_index_path",),
+            "aggview": ("agg_view_path",),
+            "joinview": ("join_view_path",),
+            "starview": ("star_view_path",),
+            "erregistry": ("er_registry_path",),
+        }
+        for s in skip_stores:
+            for k in skip_keys[s]:
+                kw[k] = None
+        return kw
+
+    from pymongo_change_stream_reader_spark.streaming.er_registry import (
+        er_spec_from_config,
+    )
+
+    # ER over the simulated identity: k-prefix blocking bounded by
+    # max_block_size (k is low-cardinality — stop-key removal is the
+    # 100 TB behavior this measures), near-equal cents match
+    er_spec, er_fps = er_spec_from_config(
+        [
+            {"name": "k", "path": "$.k", "dtype": "string",
+             "weight": 0.5, "scorer": "edit"},
+            {"name": "value_cents", "path": "$.value_cents",
+             "dtype": "long", "weight": 0.5, "scorer": "numeric"},
+        ],
+        threshold=0.9,
+        block_field="k",
+        max_block_size=64,
+    )
 
     try:
-        # warm-up: all six store paths, uncounted (codegen + listing)
+        # warm-up: all eight store paths, uncounted (codegen + listing)
         composed_apply_batch(
-            batches[0].limit(200), 0, max_parallel_stores=6,
+            batches[0].limit(200), 0, max_parallel_stores=8,
             **_stores("warm"),
         )
 
@@ -257,7 +324,7 @@ def composed_relay_bench(
         t0 = time.time()
         for i, b in enumerate(batches):
             composed_apply_batch(
-                b, i, store_timings=timings, max_parallel_stores=6, **kw
+                b, i, store_timings=timings, max_parallel_stores=8, **kw
             )
         total = time.time() - t0
     finally:
@@ -272,7 +339,8 @@ def composed_relay_bench(
         # sequential floor was ~14 s/batch of mostly-independent small
         # jobs) — per-store seconds are each section's own wall span
         # and now OVERLAP, so their sum exceeds total_sec
-        "parallel_stores": 6,
+        "parallel_stores": 8,
+        "skipped_stores": sorted(skip_stores),
         "per_store_sec": {k: round(v, 3) for k, v in sorted(timings.items())},
     }
 
@@ -333,6 +401,12 @@ def main() -> None:
     # four-store composed-relay topology (r6/r7 verdict ask): one
     # timed pass, per-store sequential-apply breakdown included
     composed = composed_relay_bench(spark, sf_dir)
+    # the r11-parity six-store configuration (no star view / ER
+    # registry), so the cross-round events/s band stays comparable as
+    # new stores join the full set
+    composed6 = composed_relay_bench(
+        spark, sf_dir, skip_stores=("starview", "erregistry")
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -346,6 +420,7 @@ def main() -> None:
                 "sf": float(sf) if sf else sf_dir,
                 "streaming_events_per_s": events_per_s,
                 "composed_relay": composed,
+                "composed_relay_six_store": composed6,
             }
         )
     )

@@ -44,6 +44,7 @@ def main() -> None:
     index_stores = (
         cfg.dedup_index_path, cfg.bm25_index_path, cfg.ann_index_path,
         cfg.agg_view_path, cfg.join_view_path, cfg.star_view_path,
+        cfg.er_registry_path,
     )
     if any(p is not None for p in index_stores):
         # engine extension: any serving-index path switches the entry
@@ -91,6 +92,20 @@ def main() -> None:
                     "array<double>",
                 ),
             )
+        er_spec = er_field_paths = None
+        if cfg.er_registry_path is not None:
+            from pymongo_change_stream_reader_spark.streaming.er_registry import (
+                er_spec_from_config,
+            )
+
+            er_spec, er_field_paths = er_spec_from_config(
+                cfg.er_fields,
+                cfg.er_threshold,
+                cfg.er_block_field,
+                block_kind=cfg.er_block_kind,
+                block_param=cfg.er_block_param,
+                max_block_size=cfg.er_max_block,
+            )
         query = start_composed_relay(
             events,
             cfg.checkpoint_location,
@@ -118,6 +133,10 @@ def main() -> None:
             star_view_dims=cfg.star_view_dims,
             star_side_path=cfg.star_side_path,
             star_join_type=cfg.star_join_type,
+            er_registry_path=cfg.er_registry_path,
+            er_spec=er_spec,
+            er_id_path=cfg.er_id_path,
+            er_field_paths=er_field_paths,
         )
     elif cfg.replica_path:
         # engine extension: REPLICA_PATH switches the sink to replica

@@ -89,6 +89,17 @@ class EngineSettings:
     star_view_dims: list | None = None
     star_side_path: str = "$.side"
     star_join_type: str = "left"
+    # persisted entity-resolution registry (eighth composed store):
+    # blocking + weighted field scoring + transitive merges over the
+    # post-image stream — streaming/er_registry.py
+    er_registry_path: str | None = None
+    er_fields: list | None = None
+    er_id_path: str = "$._id"
+    er_threshold: float = 0.8
+    er_block_field: str | None = None
+    er_block_kind: str = "token_prefix"
+    er_block_param: int = 3
+    er_max_block: int | None = None
     # lifecycle
     program_start_timeout: int = 60
     program_graceful_stop_timeout: int = 20
@@ -123,6 +134,48 @@ class EngineSettings:
                 raise ValueError(
                     "STAR_VIEW_DIMS side must match [A-Za-z0-9_]+, got "
                     f"{d['side']!r}"
+                )
+        if self.er_registry_path is not None:
+            # fail the whole declarative ER surface at config parse,
+            # not at first-batch time mid-stream
+            if not self.er_fields or not self.er_block_field:
+                raise ValueError(
+                    "ER_REGISTRY_PATH needs ER_FIELDS (a JSON list of "
+                    '{"name", "path", "dtype", "weight", "scorer"} '
+                    "objects) and ER_BLOCK_FIELD"
+                )
+            names = set()
+            for fc in self.er_fields:
+                want = {"name", "path", "dtype", "weight", "scorer"}
+                if not isinstance(fc, dict) or set(fc) != want:
+                    raise ValueError(
+                        f"ER_FIELDS entries need exactly {sorted(want)}, "
+                        f"got {fc!r}"
+                    )
+                if fc["scorer"] not in (
+                    "exact", "edit", "numeric", "jaccard"
+                ):
+                    raise ValueError(
+                        f"ER_FIELDS scorer {fc['scorer']!r} unknown; one "
+                        "of exact, edit, numeric, jaccard"
+                    )
+                if fc["dtype"] not in (
+                    "string", "long", "int", "double", "tokens"
+                ):
+                    raise ValueError(
+                        f"ER_FIELDS dtype {fc['dtype']!r} unknown; one "
+                        "of string, long, int, double, tokens"
+                    )
+                names.add(fc["name"])
+            if self.er_block_field not in names:
+                raise ValueError(
+                    f"ER_BLOCK_FIELD {self.er_block_field!r} is not an "
+                    "ER_FIELDS name"
+                )
+            if self.er_block_kind not in ("token_prefix", "word_ngram"):
+                raise ValueError(
+                    "ER_BLOCK_KIND must be 'token_prefix' or "
+                    f"'word_ngram', got {self.er_block_kind!r}"
                 )
         if self.join_join_type not in ("inner", "left"):
             # fail fast at config parse, like the pipeline whitelist
@@ -207,6 +260,16 @@ def settings_from_env() -> EngineSettings:
         ),
         star_side_path=env.get("STAR_SIDE_PATH", "$.side"),
         star_join_type=env.get("STAR_VIEW_JOIN_TYPE", "left"),
+        er_registry_path=env.get("ER_REGISTRY_PATH"),
+        er_fields=_env_json("ER_FIELDS"),
+        er_id_path=env.get("ER_ID_PATH", "$._id"),
+        er_threshold=float(env.get("ER_THRESHOLD", "0.8")),
+        er_block_field=env.get("ER_BLOCK_FIELD"),
+        er_block_kind=env.get("ER_BLOCK_KIND", "token_prefix"),
+        er_block_param=int(env.get("ER_BLOCK_PARAM", "3")),
+        er_max_block=(
+            int(env["ER_MAX_BLOCK"]) if env.get("ER_MAX_BLOCK") else None
+        ),
         program_start_timeout=int(env.get("PROGRAM_START_TIMEOUT", "60")),
         program_graceful_stop_timeout=int(
             env.get("PROGRAM_GRACEFUL_STOP_TIMEOUT", "20")

@@ -258,9 +258,14 @@ def closure_over_edges(
     so this is fan-out-sized, not corpus-sized.  Shared by
     :func:`entity_resolution_incremental` and the persisted ER
     registry (streaming/er_registry.py)."""
-    n_edges = mapped.count()
-    small = n_edges <= driver_threshold
+    # ONE job decides the path AND fetches the edges: collect at most
+    # driver_threshold + 1 rows — fewer means the whole edge set is in
+    # hand (no separate count() job), one more means overflow and the
+    # distributed loop recomputes from the persisted frame
+    head = mapped.limit(driver_threshold + 1).collect()
+    small = len(head) <= driver_threshold
     if small:
+        n_edges = len(head)
         # model-sized edge set: one union-find pass on the driver
         parent: dict[int, int] = {}
 
@@ -270,7 +275,7 @@ def closure_over_edges(
                 x = parent[x]
             return x
 
-        for row in mapped.collect():
+        for row in head:
             a, b = int(row["na"]), int(row["nb"])
             parent.setdefault(a, a)
             parent.setdefault(b, b)
@@ -292,6 +297,7 @@ def closure_over_edges(
             connected_components,
         )
 
+        n_edges = mapped.count()
         nodes = (
             mapped.select(F.col("na").alias("rid"))
             .unionByName(mapped.select(F.col("nb").alias("rid")))

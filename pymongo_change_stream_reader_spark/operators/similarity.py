@@ -905,46 +905,119 @@ def append_ivf_index(
     return n_new
 
 
+def _ann_append_rows(
+    with_gen: DataFrame, path: str, partition_by: str | None
+) -> None:
+    """The journaled batch's index data append — a separate seam so
+    crash tests can fail between the tombstone write and the append."""
+    w = with_gen.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(path)
+
+
 def _ann_apply_batch_locked(
     spark,
     path: str,
     new_rows: DataFrame | None,
-    n_new: int,
     dels: DataFrame | None,
     idx_id_col: str,
     op_name: str,
     partition_by: str | None = None,
 ) -> dict:
     """Journaled core of the atomic IVF/PQ change batch (callers hold
-    the index write lock, have PINNED the inputs with eager
-    localCheckpoints, and have settled the journal): journal -> delete
-    tombstones -> collision tombstones + next-generation append ->
-    clear journal.  A crash at any point rolls the WHOLE batch back,
-    so readers never see deletes applied without the batch's updates.
-    ``dels`` is None or a pinned distinct-id frame in ``idx_id_col``.
-    Returns {"upserted": n, "tombstoned": m} with m counting deletes
-    AND update collisions — the BM25 convention
-    (_bm25_apply_locked)."""
+    the index write lock, have wrapped the inputs in LAZY
+    localCheckpoints, and have settled the journal).  ONE fused
+    (id, gen) probe computes the delete tombstones, the upsert's live
+    collisions AND the next-generation map together — the r11 path
+    scanned the stored (id, gen) columns three times across five
+    sequential driver jobs, measured as the composed relay's ANN
+    floor.  The probe runs BEFORE the journal (it only reads), so the
+    journal window covers exactly the two writes: one combined
+    tombstone append, one next-generation index append.  A crash at
+    any point still rolls the WHOLE batch back.  ``dels`` is None or
+    a distinct-id frame in ``idx_id_col``.  Returns {"upserted": n,
+    "tombstoned": m} with m counting deletes AND update collisions —
+    the BM25 convention (_bm25_apply_locked)."""
     import os
 
-    if not n_new and dels is None:
+    if new_rows is None and dels is None:
+        return {"upserted": 0, "tombstoned": 0}
+    raw = spark.read.parquet(path)
+    _ann_require_gen_format(
+        raw,
+        path,
+        "compact_ivf_index" if idx_id_col == "neighbor_id"
+        else "compact_pq_index, or compact_ivfpq_index for the composed "
+        "layout",
+    )
+    if dels is not None:
+        _ann_require_id_type(raw, dels, idx_id_col, path, "delete")
+    if new_rows is not None:
+        _ann_require_id_type(raw, new_rows, idx_id_col, path, op_name)
+    stored = raw.select(idx_id_col, "gen")
+    tomb = _read_ann_tombstones(spark, path, idx_id_col)
+    live = (
+        stored
+        if tomb is None
+        else stored.join(F.broadcast(tomb), [idx_id_col, "gen"], "left_anti")
+    )
+    frames = []
+    if dels is not None:
+        dids = dels.select(idx_id_col).distinct()
+        frames.append(
+            live.join(F.broadcast(dids), idx_id_col, "inner").select(
+                F.lit(0).alias("t"), idx_id_col, "gen"
+            )
+        )
+    if new_rows is not None:
+        up_ids = new_rows.select(idx_id_col).distinct()
+        coll = live.join(F.broadcast(up_ids), idx_id_col, "inner")
+        if dels is not None:
+            # an id both deleted and upserted this batch tombstones
+            # once (under t=0), exactly as the r11 sequential order did
+            coll = coll.join(F.broadcast(dids), idx_id_col, "left_anti")
+        frames.append(
+            coll.select(F.lit(1).alias("t"), idx_id_col, "gen")
+        )
+        # next gen = max over STORED ∪ TOMBSTONE gens + 1 (the
+        # tombstone union covers the compaction crash window — r6
+        # advice); never-seen ids fall to 0 via the coalesce below
+        known = stored if tomb is None else stored.unionByName(tomb)
+        frames.append(
+            known.join(F.broadcast(up_ids), idx_id_col, "left_semi")
+            .groupBy(idx_id_col)
+            .agg((F.max("gen") + 1).alias("gen"))
+            .select(F.lit(2).alias("t"), idx_id_col, "gen")
+        )
+    probe = frames[0]
+    for f in frames[1:]:
+        probe = probe.unionByName(f)
+    # ONE job materializes the probe AND (through up_ids/dids) the
+    # callers' lazy new-row/delete checkpoints
+    probe = probe.localCheckpoint(eager=True)
+    counts = {
+        r["t"]: r["n"]
+        for r in probe.groupBy("t").agg(F.count("*").alias("n")).collect()
+    }
+    n_tomb, n_coll = int(counts.get(0, 0)), int(counts.get(1, 0))
+    n_new = new_rows.count() if new_rows is not None else 0
+    if not n_new and not n_tomb:
         return {"upserted": 0, "tombstoned": 0}
     _ann_write_journal(path)
     try:
-        n_tomb = (
-            _ann_delete(spark, path, dels, idx_id_col)
-            if dels is not None
-            else 0
-        )
-        n_coll = 0
+        if n_tomb or n_coll:
+            probe.filter(F.col("t").isin(0, 1)).select(
+                idx_id_col, "gen"
+            ).write.mode("append").parquet(_ann_tombstone_path(path))
         if n_new:
-            with_gen, n_coll = _ann_apply_gens(
-                spark, path, new_rows, idx_id_col, False, op_name
+            genmap = probe.filter(F.col("t") == 2).select(
+                idx_id_col, "gen"
             )
-            w = with_gen.write.mode("append")
-            if partition_by:
-                w = w.partitionBy(partition_by)
-            w.parquet(path)
+            with_gen = new_rows.join(
+                F.broadcast(genmap), idx_id_col, "left"
+            ).withColumn("gen", F.coalesce(F.col("gen"), F.lit(0)))
+            _ann_append_rows(with_gen, path, partition_by)
     except BaseException:
         _recover_ann_append_locked(path)
         raise
@@ -978,30 +1051,27 @@ def _ivf_apply_locked(
     import os
 
     assigned = None
-    n_new = 0
     if upserts is not None:
         # centroid parse only when there is something to assign —
         # delete-only batches keep the exclusive-lock window short
         with open(os.path.join(path, "_centroids.json")) as fh:
             cents = json.load(fh)
         # frozen-quantizer assignment BEFORE any write: bit-identical
-        # to a rebuild with the same centroids (shared _cell_assignment)
+        # to a rebuild with the same centroids (shared _cell_assignment);
+        # LAZY checkpoint — the apply body's fused probe materializes
+        # it (and the delete frame) in its one discovery job
         assigned = _cell_assignment(
             upserts, cents, id_col, vec_col
-        ).localCheckpoint(eager=False)  # the count below materializes
-        n_new = assigned.count()
+        ).localCheckpoint(eager=False)
     dels = None
     if delete_ids is not None:
         dels = (
             delete_ids.select(F.col(id_col).alias("neighbor_id"))
             .distinct()
-            .localCheckpoint(eager=False)  # pinned before writes
-            # mutate; the count below materializes it
+            .localCheckpoint(eager=False)
         )
-        if not dels.count():
-            dels = None
     return _ann_apply_batch_locked(
-        spark, path, assigned, n_new, dels, "neighbor_id",
+        spark, path, assigned, dels, "neighbor_id",
         "upsert_ivf_index", partition_by="cell",
     )
 
@@ -1580,23 +1650,21 @@ def _ann_code_apply_locked(
     import os
 
     encoded = None
-    n_new = 0
     if new_vecs is not None:
         with open(os.path.join(path, model_file)) as fh:
             model = json.load(fh)
-        encoded = encode(new_vecs, model).localCheckpoint(eager=True)
-        n_new = encoded.count()
+        # LAZY checkpoint — the apply body's fused probe materializes
+        # it (and the delete frame) in its one discovery job
+        encoded = encode(new_vecs, model).localCheckpoint(eager=False)
     dels = None
     if delete_ids is not None:
         dels = (
             delete_ids.select(id_col)
             .distinct()
-            .localCheckpoint(eager=True)  # pinned before writes
+            .localCheckpoint(eager=False)
         )
-        if not dels.count():
-            dels = None
     return _ann_apply_batch_locked(
-        spark, path, encoded, n_new, dels, id_col, op_name,
+        spark, path, encoded, dels, id_col, op_name,
         partition_by=partition_by,
     )
 

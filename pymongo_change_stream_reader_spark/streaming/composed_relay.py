@@ -1,7 +1,7 @@
 """Single-pass composed relay: replica materialization + near-dup
 flagging + BM25 index maintenance + ANN index maintenance + the
-incremental aggregate view + the incremental join view in ONE
-foreachBatch consumer.
+incremental aggregate/join/star views + the persisted
+entity-resolution registry in ONE foreachBatch consumer.
 
 Running the consumers as separate streaming queries (the individual
 ``start_replica_maintenance`` / ``start_streaming_dedup`` /
@@ -120,6 +120,10 @@ def composed_apply_batch(
     star_side_path: str = "$.side",
     star_fact_side: str = "f",
     star_join_type: str = "left",
+    er_registry_path: str | None = None,
+    er_spec=None,
+    er_id_path: str = "$._id",
+    er_field_paths: dict | None = None,
 ) -> dict:
     """Apply one micro-batch to every enabled store (see module
     docstring).  Returns per-store outcomes: ``applied`` /
@@ -335,6 +339,30 @@ def composed_apply_batch(
         sections.append(("starview", _starview))
     else:
         outcome["starview"] = "disabled"
+    if er_registry_path is not None:
+
+        def _erregistry() -> str:
+            # replay-safe by its OWN epoch pointer + persisted deltas
+            # (streaming/er_registry.py replay contract)
+            from pymongo_change_stream_reader_spark.streaming.er_registry import (
+                er_registry_cdc_batch,
+            )
+
+            applied = er_registry_cdc_batch(
+                pinned,
+                er_registry_path,
+                int(epoch_id),
+                er_spec,
+                id_path=er_id_path,
+                field_paths=er_field_paths,
+                n_buckets=n_buckets,
+                retain=retain,
+            )
+            return "applied" if applied else "replayed-skip"
+
+        sections.append(("erregistry", _erregistry))
+    else:
+        outcome["erregistry"] = "disabled"
 
     if max_parallel_stores > 1 and len(sections) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -406,6 +434,10 @@ def start_composed_relay(
     star_side_path: str = "$.side",
     star_fact_side: str = "f",
     star_join_type: str = "left",
+    er_registry_path: str | None = None,
+    er_spec=None,
+    er_id_path: str = "$._id",
+    er_field_paths: dict | None = None,
 ):
     """Streaming entry point: one stream, one source read per trigger,
     every enabled store maintained.  Enable a store by passing its
@@ -414,8 +446,12 @@ def start_composed_relay(
     1 = strictly sequential).  ``agg_view_path`` adds the incremental
     aggregate view (streaming/agg_view.py) as a fifth store;
     ``join_view_path`` adds the incremental fact-join-dim view
-    (streaming/join_view.py) as a sixth; like the serving indexes both
-    need post-images (fullDocument=updateLookup)."""
+    (streaming/join_view.py) as a sixth, ``star_view_path`` the
+    N-dim star view as a seventh, and ``er_registry_path`` (+
+    ``er_spec``/``er_field_paths`` — see er_spec_from_config) the
+    persisted entity-resolution registry as an eighth; like the
+    serving indexes they need post-images
+    (fullDocument=updateLookup)."""
     if (
         replica_path is None
         and dedup_index_path is None
@@ -424,12 +460,20 @@ def start_composed_relay(
         and agg_view_path is None
         and join_view_path is None
         and star_view_path is None
+        and er_registry_path is None
     ):
         raise ValueError(
             "composed relay: enable at least one store (replica_path, "
             "dedup_index_path(+dedup_flags_path), bm25_index_path, "
-            "ann_index_path, agg_view_path, join_view_path, or "
-            "star_view_path)"
+            "ann_index_path, agg_view_path, join_view_path, "
+            "star_view_path, or er_registry_path)"
+        )
+    if er_registry_path is not None and (
+        er_spec is None or not er_field_paths
+    ):
+        raise ValueError(
+            "composed relay: er_registry_path needs er_spec and "
+            "er_field_paths (er_spec_from_config builds both)"
         )
     if (dedup_index_path is None) != (dedup_flags_path is None):
         raise ValueError(
@@ -452,6 +496,7 @@ def start_composed_relay(
         (agg_view_path, "agg_view_path"),
         (join_view_path, "join_view_path"),
         (star_view_path, "star_view_path"),
+        (er_registry_path, "er_registry_path"),
     ):
         if p is not None:
             _require_local_path(p, name)
@@ -496,6 +541,10 @@ def start_composed_relay(
             star_side_path=star_side_path,
             star_fact_side=star_fact_side,
             star_join_type=star_join_type,
+            er_registry_path=er_registry_path,
+            er_spec=er_spec,
+            er_id_path=er_id_path,
+            er_field_paths=er_field_paths,
         )
 
     writer = (

@@ -119,6 +119,7 @@ __all__ = [
     "ERSpec",
     "er_registry_batch",
     "er_registry_cdc_batch",
+    "er_spec_from_config",
     "read_er_assign",
     "read_er_records",
     "compact_er_registry",
@@ -131,6 +132,18 @@ _SCORERS = {
     "numeric": sim_numeric_closeness,
     "jaccard": sim_token_jaccard,
 }
+
+
+_VIEW_SCHEMA = "rid LONG, entity LONG"
+_KEYS_SCHEMA = (
+    "bk STRING, rid LONG, live BOOLEAN, __t INT, __i INT, __d STRING"
+)
+_MEM_SCHEMA = (
+    "entity LONG, rid LONG, live BOOLEAN, __t INT, __i INT, __d STRING"
+)
+_ASN_SCHEMA = (
+    "rid LONG, entity LONG, live BOOLEAN, __t INT, __i INT, __d STRING"
+)
 
 
 def scorer_by_name(name: str):
@@ -184,6 +197,83 @@ class ERSpec:
         return [f.name for f in self.fields] + list(self.extra_cols)
 
 
+def er_spec_from_config(
+    fields_cfg: list,
+    threshold: float,
+    block_field: str,
+    block_kind: str = "token_prefix",
+    block_param: int = 3,
+    max_block_size: int | None = None,
+    id_col: str = "_er_id",
+    driver_threshold: int = 1_000_000,
+) -> tuple:
+    """Build (ERSpec, field_paths) from the declarative env-surface
+    shape (config.py ER_*): ``fields_cfg`` is a list of ``{"name",
+    "path", "dtype", "weight", "scorer"}`` dicts (dtype ``tokens``
+    splits the JSON value on whitespace into a distinct array for
+    jaccard scorers), ``block_field`` names the STRING field the
+    blocking keys derive from, ``block_kind`` one of
+
+    - ``token_prefix``: distinct ``block_param``-char prefixes of the
+      field's whitespace tokens (sorted-neighborhood-style blocking),
+    - ``word_ngram``: distinct word ``block_param``-grams of the raw
+      token sequence (the dedup kit's shingles)."""
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        MatchField,
+    )
+
+    fields = []
+    field_paths: dict = {}
+    dtypes: dict = {}
+    for fc in fields_cfg:
+        fields.append(
+            MatchField(
+                fc["name"], float(fc["weight"]),
+                scorer_by_name(fc["scorer"]),
+            )
+        )
+        field_paths[fc["name"]] = (fc["path"], fc["dtype"])
+        dtypes[fc["name"]] = fc["dtype"]
+    if block_field not in dtypes:
+        raise PipelineError(
+            f"er registry: block_field {block_field!r} is not one of "
+            f"the configured fields {sorted(dtypes)}"
+        )
+    if dtypes[block_field] != "string":
+        raise PipelineError(
+            "er registry: block_field must be a 'string'-dtype field, "
+            f"{block_field!r} is {dtypes[block_field]!r}"
+        )
+    bf = F.col(block_field)
+    if block_kind == "token_prefix":
+        keys = F.array_distinct(
+            F.transform(
+                F.split(bf, r"\s+"),
+                lambda t: F.substring(t, 1, int(block_param)),
+            )
+        )
+    elif block_kind == "word_ngram":
+        from pymongo_change_stream_reader_spark.operators.dedup import (
+            ngrams_from_tokens,
+        )
+        from pymongo_change_stream_reader_spark.operators.text import (
+            tokens,
+        )
+
+        keys = ngrams_from_tokens(tokens(bf), int(block_param))
+    else:
+        raise PipelineError(
+            f"er registry: unknown block_kind {block_kind!r}; one of "
+            "token_prefix, word_ngram"
+        )
+    spec = ERSpec(
+        id_col, fields, keys, float(threshold),
+        max_block_size=max_block_size,
+        driver_threshold=driver_threshold,
+    )
+    return spec, field_paths
+
+
 def _trip(epoch: int) -> list:
     """Synthetic LWW triple for registry store rows: the epoch is
     strictly monotone and each merge key is written at most once per
@@ -198,14 +288,30 @@ def _trip(epoch: int) -> list:
 
 
 def _read_store_buckets(
-    spark: SparkSession, store: str, buckets: list[int]
+    spark: SparkSession,
+    store: str,
+    buckets: list[int],
+    schema=None,
 ) -> DataFrame | None:
+    """Union the given buckets' current dirs.  With ``schema`` (the
+    registry stores' schemas are config-fixed) the read skips the
+    per-version driver-side footer/schema inference — measured at
+    ~0.1 s per spark.read.parquet call, a real slice of the per-batch
+    floor across this store's five reads."""
     mf = _read_bucket_manifest(store)
     if mf is None:
         return None
-    return _read_entry_dirs(
-        spark, store, [mf[1][k] for k in buckets if k in mf[1]]
-    )
+    rels = [mf[1][k] for k in buckets if k in mf[1]]
+    if schema is None:
+        return _read_entry_dirs(spark, store, rels)
+    dirs = [
+        os.path.join(store, rel)
+        for rel in rels
+        if os.path.isdir(os.path.join(store, rel))
+    ]
+    if not dirs:
+        return None
+    return spark.read.schema(schema).parquet(*dirs)
 
 
 def read_er_assign(spark: SparkSession, path: str) -> DataFrame | None:
@@ -294,30 +400,43 @@ def er_registry_batch(
         # store state and cannot be re-derived once committed)
         meta = json.load(open(os.path.join(deltas_dir, "_meta.json")))
         d_rec = spark.read.parquet(os.path.join(deltas_dir, "records"))
-        d_key = spark.read.parquet(os.path.join(deltas_dir, "keys"))
-        d_asn = spark.read.parquet(os.path.join(deltas_dir, "assign"))
-        d_mem = spark.read.parquet(os.path.join(deltas_dir, "members"))
+        d_key = spark.read.schema(_KEYS_SCHEMA).parquet(
+            os.path.join(deltas_dir, "keys")
+        )
+        d_asn = spark.read.schema(_ASN_SCHEMA).parquet(
+            os.path.join(deltas_dir, "assign")
+        )
+        d_mem = spark.read.schema(_MEM_SCHEMA).parquet(
+            os.path.join(deltas_dir, "members")
+        )
 
         rec_merged, _ro, rec_entries, rec_changed = _merge_lww(
             spark, d_rec, rec_path, ["rid"], ["rid"], n_buckets,
-            changed=meta["rec_buckets"],
+            changed=meta["rec_buckets"], schema=d_rec.schema,
         )
         key_merged, _ko, key_entries, key_changed = _merge_lww(
             spark, d_key, keys_path, ["bk", "rid"], ["bk"], n_buckets,
-            changed=meta["key_buckets"],
+            changed=meta["key_buckets"], schema=_KEYS_SCHEMA,
         )
         mem_merged, _mo, mem_entries, mem_changed = _merge_lww(
             spark, d_mem, mem_path, ["entity", "rid"], ["entity"],
-            n_buckets, changed=meta["mem_buckets"],
+            n_buckets, changed=meta["mem_buckets"], schema=_MEM_SCHEMA,
         )
 
         def _view_commit() -> None:
             vchanged = meta["asn_buckets"]
             res = resolve_view_entries(path, "er registry")
             ventries = dict(res[0]) if res is not None else {}
-            base = _read_entry_dirs(
-                spark, vroot,
-                [ventries[k] for k in vchanged if k in ventries],
+            rels = [ventries[k] for k in vchanged if k in ventries]
+            dirs = [
+                os.path.join(vroot, rel)
+                for rel in rels
+                if os.path.isdir(os.path.join(vroot, rel))
+            ]
+            base = (
+                spark.read.schema(_VIEW_SCHEMA).parquet(*dirs)
+                if dirs
+                else None
             )
             if base is None:
                 base = spark.createDataFrame([], "rid LONG, entity LONG")
@@ -390,23 +509,62 @@ def _compute_and_persist_deltas(
     keys_path = os.path.join(path, "keys")
     mem_path = os.path.join(path, "members")
 
+    # all intermediate frames checkpoint LAZILY: each tagged
+    # probe/collect below materializes the frames it reads as a side
+    # effect, so the per-batch driver-job count stays at the probe
+    # count instead of one extra job per checkpoint (the join view's
+    # round-11 lesson, measured as the composed relay's ER floor)
+    has_bad = "__bad" in records.columns
     W = records.select(
         F.col(spec.id_col).cast("long").alias("rid"),
         F.col("live").cast("boolean").alias("live"),
         *spec.stored_cols,
         *_trip(epoch),
-    ).localCheckpoint(eager=True)
+        *([F.col("__bad")] if has_bad else []),
+    ).localCheckpoint(eager=False)
 
-    # job 1: the batch's rid buckets (records + assign stores)
-    rid_buckets = sorted(
-        r["b"]
-        for r in W.select(_bucket_of(["rid"], n_buckets).alias("b"))
+    newk = (
+        W.filter(F.col("live"))
+        .select("rid", F.explode(spec.keys).alias("bk"))
         .distinct()
-        .collect()
+        .localCheckpoint(eager=False)
     )
 
+    # job 1 — ALL batch-derivable discovery in one tagged collect:
+    # the batch's rid buckets (t=0, records/assign stores), the
+    # piggybacked validation (t=1, CDC wrapper's __bad rides W), and
+    # the key-PROBE buckets (t=2, from the batch's own new keys — the
+    # committed-posting read needs no store-dependent input), which
+    # also materializes the W and newk checkpoints
+    j1 = W.select(
+        F.lit(0).alias("t"), _bucket_of(["rid"], n_buckets).alias("b")
+    ).unionByName(
+        newk.select(
+            F.lit(2).alias("t"), _bucket_of(["bk"], n_buckets).alias("b")
+        )
+    )
+    if has_bad:
+        j1 = j1.unionByName(
+            W.filter(F.col("__bad")).select(
+                F.lit(1).alias("t"), F.lit(-1).alias("b")
+            )
+        )
+    j1_rows = j1.distinct().collect()
+    if any(r["t"] == 1 for r in j1_rows):
+        raise PipelineError(
+            "er registry maintenance needs a post-image per "
+            "non-delete event (fullDocument=updateLookup)"
+        )
+    rid_buckets = sorted(r["b"] for r in j1_rows if r["t"] == 0)
+    probe_buckets = sorted(r["b"] for r in j1_rows if r["t"] == 2)
+    if has_bad:
+        W = W.drop("__bad")
+    rec_schema = W.schema  # the records store's config-fixed schema
+
     # old record state of the batch's rids -> stale-posting tombstones
-    R_old = _read_store_buckets(spark, rec_path, rid_buckets)
+    R_old = _read_store_buckets(
+        spark, rec_path, rid_buckets, schema=rec_schema
+    )
     if R_old is None:
         R_old = W.filter(F.lit(False))
     R_old = R_old.join(W.select("rid"), "rid", "semi")
@@ -415,41 +573,19 @@ def _compute_and_persist_deltas(
         .select("rid", F.explode(spec.keys).alias("bk"))
         .distinct()
     )
-    newk = (
-        W.filter(F.col("live"))
-        .select("rid", F.explode(spec.keys).alias("bk"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     key_tombs = oldk.join(newk, ["rid", "bk"], "anti").select(
         "bk", "rid", F.lit(False).alias("live"), *_trip(epoch)
     )
     key_posts = newk.join(oldk, ["rid", "bk"], "anti").select(
         "bk", "rid", F.lit(True).alias("live"), *_trip(epoch)
     )
-    d_key = key_posts.unionByName(key_tombs).localCheckpoint(eager=True)
-
-    # job 2: key buckets — commit set (all delta bks) + probe set
-    # (new-key bks only) in ONE tagged collect
-    kb = (
-        d_key.select(
-            F.lit(0).alias("t"), _bucket_of(["bk"], n_buckets).alias("b")
-        )
-        .unionByName(
-            newk.select(
-                F.lit(1).alias("t"),
-                _bucket_of(["bk"], n_buckets).alias("b"),
-            )
-        )
-        .distinct()
-        .collect()
-    )
-    key_buckets = sorted(r["b"] for r in kb if r["t"] == 0)
-    probe_buckets = sorted(r["b"] for r in kb if r["t"] == 1)
+    d_key = key_posts.unionByName(key_tombs).localCheckpoint(eager=False)
 
     # candidate probe: committed live postings colliding with the
     # batch's keys, the batch's own stale postings excluded
-    P = _read_store_buckets(spark, keys_path, probe_buckets)
+    P = _read_store_buckets(
+        spark, keys_path, probe_buckets, schema=_KEYS_SCHEMA
+    )
     if P is None:
         P = d_key.filter(F.lit(False))
     P = (
@@ -491,26 +627,38 @@ def _compute_and_persist_deltas(
         )
     )
     cand = (
-        np_pairs.unionByName(nn_pairs).distinct().localCheckpoint(True)
+        np_pairs.unionByName(nn_pairs).distinct().localCheckpoint(eager=False)
     )
 
-    # job 3: candidate prior rids' buckets (field fetch + assign probe)
+    # job 2: candidate prior rids' buckets (field fetch + assign
+    # probe, t=0) + the key store's COMMIT buckets (t=1 — tombstones
+    # can land outside the probe set) in ONE tagged collect, which
+    # also materializes the cand and d_key checkpoints
     prior_rids = (
         cand.select(F.col("id_a").alias("rid"))
         .unionByName(cand.select(F.col("id_b").alias("rid")))
         .distinct()
         .join(W.select("rid"), "rid", "anti")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    prid_buckets = sorted(
-        r["b"]
-        for r in prior_rids.select(
-            _bucket_of(["rid"], n_buckets).alias("b")
+    j2_rows = (
+        prior_rids.select(
+            F.lit(0).alias("t"), _bucket_of(["rid"], n_buckets).alias("b")
+        )
+        .unionByName(
+            d_key.select(
+                F.lit(1).alias("t"),
+                _bucket_of(["bk"], n_buckets).alias("b"),
+            )
         )
         .distinct()
         .collect()
     )
-    prior_recs = _read_store_buckets(spark, rec_path, prid_buckets)
+    prid_buckets = sorted(r["b"] for r in j2_rows if r["t"] == 0)
+    key_buckets = sorted(r["b"] for r in j2_rows if r["t"] == 1)
+    prior_recs = _read_store_buckets(
+        spark, rec_path, prid_buckets, schema=rec_schema
+    )
     if prior_recs is None:
         prior_recs = W.filter(F.lit(False))
     prior_recs = prior_recs.filter(F.col("live")).join(
@@ -529,7 +677,7 @@ def _compute_and_persist_deltas(
     matches = (
         scored.filter(F.col("__score") >= spec.threshold)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # assignments of the touched rids: the batch's + the candidates'
@@ -539,13 +687,18 @@ def _compute_and_persist_deltas(
     if res is not None:
         entries = res[0]
         want = sorted(set(rid_buckets) | set(prid_buckets))
-        pa_base = _read_entry_dirs(
-            spark, os.path.join(path, "view"),
-            [entries[k] for k in want if k in entries],
-        )
+        vroot_ = os.path.join(path, "view")
+        dirs = [
+            os.path.join(vroot_, entries[k])
+            for k in want
+            if k in entries
+            and os.path.isdir(os.path.join(vroot_, entries[k]))
+        ]
+        if dirs:
+            pa_base = spark.read.schema(_VIEW_SCHEMA).parquet(*dirs)
     if pa_base is None:
         pa_base = spark.createDataFrame([], "rid LONG, entity LONG")
-    pa = pa_base.select("rid", "entity").localCheckpoint(eager=True)
+    pa = pa_base.select("rid", "entity").localCheckpoint(eager=False)
 
     mapped = (
         matches.alias("__m")
@@ -602,7 +755,7 @@ def _compute_and_persist_deltas(
         )
         .filter(F.col("node") != F.col("final"))
         .select(F.col("node").alias("old_e"), F.col("final").alias("new_e"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # job 4: the losing entities' member buckets
     ch_buckets = sorted(
@@ -613,7 +766,9 @@ def _compute_and_persist_deltas(
         .distinct()
         .collect()
     )
-    mem_base = _read_store_buckets(spark, mem_path, ch_buckets)
+    mem_base = _read_store_buckets(
+        spark, mem_path, ch_buckets, schema=_MEM_SCHEMA
+    )
     if mem_base is None:
         mem_base = spark.createDataFrame(
             [], f"entity LONG, rid LONG, live BOOLEAN, "
@@ -624,7 +779,7 @@ def _compute_and_persist_deltas(
         .join(changed, mem_base["entity"] == changed["old_e"])
         .join(W.select("rid"), "rid", "anti")
         .select("rid", "old_e", "new_e")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     asn_relabel = relabel.select(
         "rid",
@@ -659,7 +814,7 @@ def _compute_and_persist_deltas(
         asn_new.unionByName(asn_del)
         .unionByName(asn_relabel)
         .unionByName(asn_seeded)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # --- member deltas --------------------------------------------
@@ -705,7 +860,7 @@ def _compute_and_persist_deltas(
             )
         )
     )
-    d_mem = mem_new.unionByName(mem_tombs).localCheckpoint(eager=True)
+    d_mem = mem_new.unionByName(mem_tombs).localCheckpoint(eager=False)
 
     # --- persist the four delta frames + touched buckets ------------
     # job 5: one tagged collect for the assign/member commit buckets
@@ -788,7 +943,13 @@ def er_registry_cdc_batch(
     post-image JSON path + dtype, e.g. ``{"name": ("$.name",
     "string"), "age": ("$.age", "long")}``.  A ``tokens`` dtype
     splits the string value on whitespace into a distinct ARRAY
-    (for jaccard scorers)."""
+    (for jaccard scorers).
+
+    Events that yield NO integral record id (``id_path`` absent from
+    the post-image and the key not parseable) are SKIPPED — in a
+    polymorphic collection only the identity-bearing documents
+    resolve; the other sides flow to their own stores (the composed
+    relay's star/join dims are the canonical case)."""
     fp = field_paths or {}
     missing = [c for c in spec.stored_cols if c not in fp]
     if missing:
@@ -823,16 +984,19 @@ def er_registry_cdc_batch(
             ).alias(name)
         return raw.cast(dtype).alias(name)
 
+    # try_cast: non-identity documents (a polymorphic collection's
+    # other sides) yield NULL and are skipped below — a plain cast
+    # would THROW under ANSI mode on e.g. a star dim's "d0" key
     rid = F.coalesce(
         F.get_json_object("doc", id_path),
         F.get_json_object("key", id_path),
         F.col("key"),
-    ).cast("long")
+    ).try_cast("long")
     recs = last.select(
         rid.alias(spec.id_col),
         live.alias("live"),
         *[_field(c) for c in spec.stored_cols],
-    )
+    ).filter(F.col(spec.id_col).isNotNull())
     return er_registry_batch(
         recs, path, epoch, spec,
         n_buckets=n_buckets, retain=retain, stats=stats,

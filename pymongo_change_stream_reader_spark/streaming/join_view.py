@@ -142,6 +142,25 @@ def read_join_view(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(*dirs).select(*_VIEW_COLS)
 
 
+def _read_schemaed(
+    spark: SparkSession, store: str, rels: list, schema
+) -> DataFrame | None:
+    """Union the given bucket dirs with an EXPLICIT schema — the
+    stores' layouts are config-fixed, so this skips the per-version
+    driver-side footer/schema inference _read_entry_dirs pays (a
+    missing column null-fills, extras are ignored: the same
+    reconciliation, without the driver latency).  Shared by the
+    join/star views and the ER registry."""
+    dirs = [
+        os.path.join(store, rel)
+        for rel in rels
+        if os.path.isdir(os.path.join(store, rel))
+    ]
+    if not dirs:
+        return None
+    return spark.read.schema(schema).parquet(*dirs)
+
+
 def _merge_lww(
     spark: SparkSession,
     winners: DataFrame,
@@ -150,6 +169,7 @@ def _merge_lww(
     bucket_on: list[str],
     n_buckets: int,
     changed: list[int] | None = None,
+    schema=None,
 ) -> tuple[DataFrame, DataFrame, dict, list[int]]:
     """Full-outer LWW merge of ``winners`` against the committed rows
     of their touched buckets in ``store`` (bucketed by ``bucket_on``,
@@ -174,9 +194,13 @@ def _merge_lww(
             f"store {store!r} has {mf[0]} buckets, not {n_buckets}"
         )
     entries = dict(mf[1]) if mf is not None else {}
-    old = _read_entry_dirs(
-        spark, store, [entries[k] for k in changed if k in entries]
-    )
+    rels = [entries[k] for k in changed if k in entries]
+    if schema is not None:
+        # schema-fixed stores skip the per-version driver-side
+        # footer inference
+        old = _read_schemaed(spark, store, rels, schema)
+    else:
+        old = _read_entry_dirs(spark, store, rels)
     o = lambda c: F.col(f"__o.{c}")
     n = lambda c: F.col(f"__n.{c}")
     if old is None:
@@ -389,14 +413,17 @@ def join_view_batch(
         f_changed = sorted(r["b"] for r in wb if r["t"] == 0)
         d_changed = sorted(r["b"] for r in wb if r["t"] == 1)
 
+        # winners-derived schemas skip the per-version driver-side
+        # footer inference on every store read (config-fixed layouts;
+        # missing columns null-fill — _read_entry_dirs semantics)
         fact_merged, fact_old, f_entries, _ = _merge_lww(
             spark, fact_winners, facts_path, ["key"], ["key"], n_buckets,
-            changed=f_changed,
+            changed=f_changed, schema=fact_winners.schema,
         )
         fact_merged = fact_merged.localCheckpoint(eager=False)
         dim_merged, _dim_old, d_entries, _ = _merge_lww(
             spark, dim_winners, dims_path, ["key"], ["jk"], n_buckets,
-            changed=d_changed,
+            changed=d_changed, schema=dim_winners.schema,
         )
         dim_merged = dim_merged.localCheckpoint(eager=False)
 
@@ -489,9 +516,10 @@ def join_view_batch(
             else:
                 # dims bucket by JOIN KEY, so the facts' fk values
                 # address the buckets directly (fkb: probe job above)
-                rows = _read_entry_dirs(
+                rows = _read_schemaed(
                     spark, dims_path,
                     [dmf[1][k] for k in fkb if k in dmf[1]],
+                    dim_winners.schema,
                 )
                 dim_base = (
                     rows
@@ -530,9 +558,10 @@ def join_view_batch(
             if imf is None:
                 affected = idx_winners.filter(F.lit(False))
             else:
-                rows = _read_entry_dirs(
+                rows = _read_schemaed(
                     spark, idx_path,
                     [imf[1][k] for k in d_changed if k in imf[1]],
+                    idx_winners.schema,
                 )
                 affected = (
                     rows
@@ -668,7 +697,7 @@ def join_view_batch(
         # an orphaned unreferenced view version, GC'd by retention).
         idx_merged, _io, i_entries, i_changed = _merge_lww(
             spark, idx_winners, idx_path, ["fk", "key"], ["fk"], n_buckets,
-            changed=i_changed,
+            changed=i_changed, schema=idx_winners.schema,
         )
         view_delta_dir = os.path.join(deltas_dir, "view")
         if not os.path.isdir(view_delta_dir):
@@ -697,9 +726,10 @@ def join_view_batch(
             )
             res = _resolve_view_entries(path)
             committed = dict(res[0]) if res is not None else {}
-            base_rows = _read_entry_dirs(
+            base_rows = _read_schemaed(
                 spark, vroot,
                 [committed[k] for k in vchanged if k in committed],
+                ", ".join(f"{c} STRING" for c in _VIEW_COLS),
             )
             if base_rows is None:
                 base_rows = spark.createDataFrame(

@@ -74,6 +74,7 @@ from pymongo_change_stream_reader_spark.plans.pipeline import (
 )
 from pymongo_change_stream_reader_spark.streaming.join_view import (
     _bucket_history_name,
+    _read_schemaed,
 )
 from pymongo_change_stream_reader_spark.streaming.materialize import (
     _ORDER,
@@ -166,8 +167,15 @@ def _merge_lww(
             f"store {store!r} has {mf[0]} buckets, not {n_buckets}"
         )
     entries = dict(mf[1]) if mf is not None else {}
-    old = _read_entry_dirs(
-        spark, store, [entries[k] for k in changed if k in entries]
+    # schema-on-read from the winners frame: the store's layout is
+    # config-fixed, so this skips the per-version driver-side footer
+    # inference (~0.1 s per read x 1+2N merges per batch — measured
+    # as a real slice of the star view's per-batch floor); a column
+    # missing from older files null-fills, extra columns are ignored
+    # — the same reconciliation _read_entry_dirs gave
+    old = _read_schemaed(
+        spark, store, [entries[k] for k in changed if k in entries],
+        winners.schema,
     )
     o = lambda c: F.col(f"__o.{c}")
     n = lambda c: F.col(f"__n.{c}")
@@ -429,42 +437,23 @@ def star_view_batch(
                 eager=False
             )
 
-        # --- job 2: index buckets + dim-post pins --------------------
-        probe_frames = None
-        # tag spaces are disjoint for ANY number of dims: idx buckets
-        # ride even tags (2*i), dim-post pins odd tags (2*i + 1) — the
-        # former 20+i / 50+i scheme collided at len(dims) >= 31 and
-        # silently merged the wrong sides' buckets
-        for i, s in enumerate(sides):
-            pf = idx_winners[s].select(
-                F.lit(2 * i).alias("t"),
-                _bucket_of(["fk"], n_buckets).alias("b"),
-            ).unionByName(
-                batch_dim_post[s].select(
-                    F.lit(2 * i + 1).alias("t"), F.lit(-1).alias("b")
-                )
-            )
-            probe_frames = (
-                pf if probe_frames is None else probe_frames.unionByName(pf)
-            )
-        probe = probe_frames.distinct().collect()
-        i_changed = {
-            s: sorted(r["b"] for r in probe if r["t"] == 2 * i)
-            for i, s in enumerate(sides)
-        }
-
         deltas_dir = os.path.join(path, "view_deltas", f"epoch={epoch}")
-        if not os.path.isdir(deltas_dir):
+        first_apply = not os.path.isdir(deltas_dir)
+        R = None
+        if first_apply:
             # ---- the RECOMPUTE SET R: batch fact keys + every fact a
-            # batch dim key reaches through its side's committed index
+            # batch dim key reaches through its side's committed index.
+            # Built BEFORE the probe job so R's dim-lookup buckets ride
+            # the SAME collect (the r11 path paid a dedicated job 3).
             affected = None
             for s in sides:
                 imf = _read_bucket_manifest(idx_path[s])
                 if imf is None:
                     continue
-                rows = _read_entry_dirs(
+                rows = _read_schemaed(
                     spark, idx_path[s],
                     [imf[1][k] for k in d_changed[s] if k in imf[1]],
+                    idx_winners[s].schema,
                 )
                 if rows is None:
                     continue
@@ -516,24 +505,61 @@ def star_view_batch(
                 R = batch_fact_post.select(*r_cols)
             R = R.localCheckpoint(eager=False)
 
-            # --- job 3: R's dim-lookup buckets per side (also pins R)
-            rb_frames = None
-            for i, s in enumerate(sides):
-                pf = R.filter(
-                    F.col("live") & F.col(f"fk_{s}").isNotNull()
-                ).select(
-                    F.lit(30 + i).alias("t"),
-                    _bucket_of([f"fk_{s}"], n_buckets).alias("b"),
+        # --- job 2 (the batch's ONE combined probe): index buckets
+        # (t = 2*i), dim-post pins (t = 2*i + 1), and on a first apply
+        # R's per-side dim-lookup buckets (t = 2*N + i) — the three
+        # tag families are disjoint for ANY number of dims (the former
+        # 20+i / 50+i scheme collided at len(dims) >= 31 and silently
+        # merged the wrong sides' buckets); the collect also
+        # materializes the idx_winners, batch_dim_post and R
+        # checkpoints
+        probe_frames = None
+        for i, s in enumerate(sides):
+            pf = idx_winners[s].select(
+                F.lit(2 * i).alias("t"),
+                _bucket_of(["fk"], n_buckets).alias("b"),
+            ).unionByName(
+                batch_dim_post[s].select(
+                    F.lit(2 * i + 1).alias("t"), F.lit(-1).alias("b")
                 )
-                rb_frames = (
-                    pf if rb_frames is None else rb_frames.unionByName(pf)
+            )
+            if R is not None:
+                pf = pf.unionByName(
+                    R.filter(
+                        F.col("live") & F.col(f"fk_{s}").isNotNull()
+                    ).select(
+                        F.lit(2 * len(sides) + i).alias("t"),
+                        _bucket_of([f"fk_{s}"], n_buckets).alias("b"),
+                    )
                 )
-            rb = rb_frames.distinct().collect()
-            rbuckets = {
-                s: sorted(r["b"] for r in rb if r["t"] == 30 + i)
-                for i, s in enumerate(sides)
-            }
+            probe_frames = (
+                pf if probe_frames is None else probe_frames.unionByName(pf)
+            )
+        if R is not None:
+            # the view delta has exactly one row per R key, so the
+            # view store's touched buckets are knowable NOW and ride
+            # the persisted _meta.json — the view commit then needs no
+            # discovery collect (t = -2: disjoint from every family)
+            probe_frames = probe_frames.unionByName(
+                R.select(
+                    F.lit(-2).alias("t"),
+                    _bucket_of(["key"], n_buckets).alias("b"),
+                )
+            )
+        probe = probe_frames.distinct().collect()
+        vchanged_probe = sorted(r["b"] for r in probe if r["t"] == -2)
+        i_changed = {
+            s: sorted(r["b"] for r in probe if r["t"] == 2 * i)
+            for i, s in enumerate(sides)
+        }
+        rbuckets = {
+            s: sorted(
+                r["b"] for r in probe if r["t"] == 2 * len(sides) + i
+            )
+            for i, s in enumerate(sides)
+        }
 
+        if first_apply:
             # ---- recompute every R row's whole view row -------------
             delta = R
             for s in sides:
@@ -541,9 +567,10 @@ def star_view_batch(
                 if dmf is None:
                     dim_base = dim_merged[s].filter(F.lit(False))
                 else:
-                    rows = _read_entry_dirs(
+                    rows = _read_schemaed(
                         spark, dims_path[s],
                         [dmf[1][k] for k in rbuckets[s] if k in dmf[1]],
+                        dim_winners[s].schema,
                     )
                     dim_base = (
                         rows
@@ -598,7 +625,9 @@ def star_view_batch(
                     _f.result()
             _write_atomic(
                 os.path.join(tmp, "_meta.json"),
-                json.dumps({"i_changed": i_changed}),
+                json.dumps(
+                    {"i_changed": i_changed, "vchanged": vchanged_probe}
+                ),
             )
             os.rename(tmp, deltas_dir)  # atomic delta commit point
 
@@ -632,19 +661,24 @@ def star_view_batch(
         ventries = dict(vmf[1]) if vmf is not None else {}
 
         def _view_commit():
-            vchanged = sorted(
-                r["b"]
-                for r in d.select(
-                    _bucket_of(["key"], n_buckets).alias("b")
+            # pre-upgrade delta epochs lack the persisted bucket list;
+            # fall back to the discovery collect over the tiny file
+            vchanged = meta.get("vchanged")
+            if vchanged is None:
+                vchanged = sorted(
+                    r["b"]
+                    for r in d.select(
+                        _bucket_of(["key"], n_buckets).alias("b")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            )
             res = _resolve_view_entries(path)
             committed = dict(res[0]) if res is not None else {}
-            base_rows = _read_entry_dirs(
+            base_rows = _read_schemaed(
                 spark, vroot,
                 [committed[k] for k in vchanged if k in committed],
+                ", ".join(f"{c} STRING" for c in VIEW_COLS),
             )
             if base_rows is None:
                 base_rows = spark.createDataFrame(

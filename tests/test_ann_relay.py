@@ -97,13 +97,13 @@ def test_upsert_ivf_index_crash_is_atomic_across_deletes(
     before = _top(spark, path, q)
     before_files = sim._ann_list_files(path)
 
-    orig = sim._ann_apply_gens
-
+    # the fused apply writes the combined tombstones (deletes +
+    # collisions) first; crashing at the data-append seam leaves
+    # exactly the half-applied window the journal must roll back
     def crash(*a, **kw):
-        orig(*a, **kw)  # collision tombstones land
         raise RuntimeError("injected crash before the data append")
 
-    monkeypatch.setattr(sim, "_ann_apply_gens", crash)
+    monkeypatch.setattr(sim, "_ann_append_rows", crash)
     with pytest.raises(RuntimeError, match="injected"):
         upsert_ivf_index(
             spark.createDataFrame(

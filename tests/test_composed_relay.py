@@ -158,7 +158,8 @@ def test_partial_crash_replays_only_missing_stores(spark, tmp_path):
     assert out == {"replica": "applied", "dedup": "applied",
                    "bm25": "applied", "ann": "disabled",
                    "aggview": "disabled",
-                   "joinview": "disabled", "starview": "disabled"}
+                   "joinview": "disabled", "starview": "disabled",
+                   "erregistry": "disabled"}
     # simulate the partial crash on epoch 1: pre-commit ONLY dedup's
     # marker, then run the "replay"
     from pymongo_change_stream_reader_spark.streaming.kafka_sink import (
@@ -175,7 +176,8 @@ def test_partial_crash_replays_only_missing_stores(spark, tmp_path):
     assert out == {"replica": "applied", "dedup": "replayed-skip",
                    "bm25": "applied", "ann": "disabled",
                    "aggview": "disabled",
-                   "joinview": "disabled", "starview": "disabled"}
+                   "joinview": "disabled", "starview": "disabled",
+                   "erregistry": "disabled"}
     # dedup never ran for epoch 1 -> no flags; bm25 holds both docs
     assert read_dedup_flags(spark, p["dedup_flags_path"]) is None
     consts = json.load(open(f"{p['bm25_index_path']}/_consts.json"))
@@ -254,6 +256,7 @@ def test_composed_relay_bench_shape(spark):
     assert out["events_per_s"] > 0
     assert set(out["per_store_sec"]) == {
         "pin", "replica", "dedup", "bm25", "ann", "aggview", "joinview",
+        "starview", "erregistry",
     }
     # both fields are independently rounded from the same unrounded
     # total, so comparing re-rounded values flakes at 0.0005 boundaries
@@ -324,7 +327,8 @@ def test_composed_relay_with_ann_store(spark, tmp_path):
     assert out == {"replica": "applied", "dedup": "applied",
                    "bm25": "applied", "ann": "applied",
                    "aggview": "disabled",
-                   "joinview": "disabled", "starview": "disabled"}
+                   "joinview": "disabled", "starview": "disabled",
+                   "erregistry": "disabled"}
 
     live = spark.createDataFrame(
         [(i, _vec(33 if i == 3 else i)) for i in range(10) if i != 5]
@@ -353,7 +357,8 @@ def test_composed_relay_with_ann_store(spark, tmp_path):
     assert out == {"replica": "applied", "dedup": "applied",
                    "bm25": "applied", "ann": "replayed-skip",
                    "aggview": "disabled",
-                   "joinview": "disabled", "starview": "disabled"}
+                   "joinview": "disabled", "starview": "disabled",
+                   "erregistry": "disabled"}
     assert sim._ann_list_files(p["ann_index_path"]) == files_before
     # the other stores DID apply batch 1
     assert "21" in {
@@ -556,3 +561,86 @@ def test_composed_relay_with_star_view_store(spark, tmp_path):
     assert v == {
         "f1": ('{"side": "a", "p": "x"}', '{"side": "b", "p": "y"}')
     }
+
+
+def test_composed_relay_with_er_registry_store(spark, tmp_path):
+    """The eighth store: the persisted entity-resolution registry
+    folds the post-image stream in the same single-pass batch,
+    replay-protected by its OWN epoch pointer."""
+    from pymongo_change_stream_reader_spark.streaming.er_registry import (
+        er_spec_from_config,
+        read_er_assign,
+    )
+
+    def _mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "operationType STRING, documentKey STRING, "
+            "fullDocument STRING, t INT, i INT, d STRING",
+        ).selectExpr(
+            "operationType",
+            "documentKey",
+            "fullDocument",
+            "named_struct('t', t, 'i', i) AS clusterTime",
+            "named_struct('_data', d) AS _id",
+        )
+
+    spec, fps = er_spec_from_config(
+        [
+            {"name": "name", "path": "$.name", "dtype": "string",
+             "weight": 0.6, "scorer": "edit"},
+            {"name": "city", "path": "$.city", "dtype": "string",
+             "weight": 0.2, "scorer": "edit"},
+            {"name": "age", "path": "$.age", "dtype": "long",
+             "weight": 0.2, "scorer": "numeric"},
+        ],
+        threshold=0.75,
+        block_field="name",
+    )
+    p = dict(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        replica_path=str(tmp_path / "replica"),
+        er_registry_path=str(tmp_path / "erreg"),
+        er_spec=spec,
+        er_field_paths=fps,
+        n_buckets=4,
+    )
+    os.makedirs(p["checkpoint_dir"], exist_ok=True)
+    out = composed_apply_batch(
+        _mk(
+            [
+                ("insert", '{"_id": 2}',
+                 '{"_id": 2, "name": "john smith", '
+                 '"city": "nyc", "age": 31}', 1, 1, "a1"),
+                ("insert", '{"_id": 6}',
+                 '{"_id": 6, "name": "bob brown", '
+                 '"city": "la", "age": 40}', 1, 2, "a2"),
+            ]
+        ),
+        0,
+        **p,
+    )
+    assert out["erregistry"] == "applied" and out["replica"] == "applied"
+    asn = {
+        r["rid"]: r["entity"]
+        for r in read_er_assign(spark, p["er_registry_path"]).collect()
+    }
+    assert asn == {2: 2, 6: 6}
+    # an update re-keys 6 into 2's cluster; the replayed epoch
+    # self-skips by the registry's own pointer
+    b1 = _mk(
+        [
+            ("replace", '{"_id": 6}',
+             '{"_id": 6, "name": "john smyth", '
+             '"city": "nyc", "age": 30}', 2, 1, "b1"),
+        ]
+    )
+    assert composed_apply_batch(b1, 1, **p)["erregistry"] == "applied"
+    assert (
+        composed_apply_batch(b1, 1, **p)["erregistry"] == "replayed-skip"
+    )
+    asn = {
+        r["rid"]: r["entity"]
+        for r in read_er_assign(spark, p["er_registry_path"]).collect()
+    }
+    assert asn == {2: 2, 6: 2}

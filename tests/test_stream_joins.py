@@ -375,3 +375,57 @@ def test_settings_star_view_env(monkeypatch):
     )
     with pytest.raises(ValueError, match="side must match"):
         settings_from_env()
+
+
+def test_settings_er_registry_env(monkeypatch):
+    from pymongo_change_stream_reader_spark.config import settings_from_env
+
+    base = {
+        "STREAM_READER_NAME": "r1",
+        "MONGO_URI": "mongodb://h:27017",
+        "KAFKA_BOOTSTRAP_SERVERS": "k:9092",
+        "ER_REGISTRY_PATH": "/data/erreg",
+        "ER_FIELDS": '[{"name": "name", "path": "$.name", '
+        '"dtype": "string", "weight": 0.6, "scorer": "edit"}]',
+        "ER_BLOCK_FIELD": "name",
+        "ER_THRESHOLD": "0.75",
+        "ER_MAX_BLOCK": "50",
+    }
+    for k, v in base.items():
+        monkeypatch.setenv(k, v)
+    cfg = settings_from_env()
+    assert cfg.er_registry_path == "/data/erreg"
+    assert cfg.er_fields[0]["scorer"] == "edit"
+    assert cfg.er_threshold == 0.75 and cfg.er_max_block == 50
+    assert cfg.er_block_kind == "token_prefix"
+
+    # the declarative surface fails fast at config parse
+    monkeypatch.delenv("ER_BLOCK_FIELD")
+    with pytest.raises(ValueError, match="ER_BLOCK_FIELD"):
+        settings_from_env()
+    monkeypatch.setenv("ER_BLOCK_FIELD", "nope")
+    with pytest.raises(ValueError, match="not an ER_FIELDS name"):
+        settings_from_env()
+    monkeypatch.setenv("ER_BLOCK_FIELD", "name")
+    monkeypatch.setenv(
+        "ER_FIELDS",
+        '[{"name": "name", "path": "$.name", "dtype": "string", '
+        '"weight": 0.6, "scorer": "levenshtein"}]',
+    )
+    with pytest.raises(ValueError, match="scorer"):
+        settings_from_env()
+    monkeypatch.setenv(
+        "ER_FIELDS",
+        '[{"name": "name", "path": "$.name", "dtype": "string", '
+        '"weight": 0.6}]',
+    )
+    with pytest.raises(ValueError, match="ER_FIELDS entries"):
+        settings_from_env()
+    monkeypatch.setenv(
+        "ER_FIELDS",
+        '[{"name": "name", "path": "$.name", "dtype": "string", '
+        '"weight": 0.6, "scorer": "edit"}]',
+    )
+    monkeypatch.setenv("ER_BLOCK_KIND", "soundex")
+    with pytest.raises(ValueError, match="ER_BLOCK_KIND"):
+        settings_from_env()
