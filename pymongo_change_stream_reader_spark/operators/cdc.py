@@ -166,7 +166,9 @@ def reassemble_split_events(df: DataFrame) -> DataFrame:
     )
 
 
-def scd2_from_events(events: DataFrame) -> DataFrame:
+def scd2_from_events(
+    events: DataFrame, composite: bool = False
+) -> DataFrame:
     """Type-2 slowly-changing-dimension history from a change-event
     log: one row per document VERSION — (key, doc, valid_from,
     valid_to, is_current) where a version is valid from its own event
@@ -176,12 +178,20 @@ def scd2_from_events(events: DataFrame) -> DataFrame:
     same envelope the replica stores consume (non-delete events must
     carry a post-image).
 
+    CAVEAT at second granularity: two versions in the SAME cluster
+    second produce a zero-width ``[t, t)`` interval the default
+    columns cannot distinguish — an as-of probe AT ``t`` resolves to
+    the later version only.  ``composite=True`` adds the
+    ``clusterTime.i`` sequence components (``valid_from_i`` /
+    ``valid_to_i``) so intervals are half-open over the TOTAL event
+    order ``(t, i)`` and same-second versions stay resolvable
+    (encode ``t * K + i`` for a sortable single-column instant and
+    pair with an as-of join — operators/joins.py — to answer "what
+    did key K look like at (t, i)").
+
     One partitioned lead() window over (clusterTime.t, clusterTime.i)
     — per-key bounded state, no global sort; at 100 TB this is one
-    hash exchange on the document key.  ``valid_from``/``valid_to``
-    are the event-time ``t`` values (pair with an as-of join —
-    operators/joins.py — to resolve "what did key K look like at time
-    T" queries against the history)."""
+    hash exchange on the document key."""
     ev = events.filter(
         F.col("operationType").isin(
             "insert", "update", "replace", "delete"
@@ -196,6 +206,21 @@ def scd2_from_events(events: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("key").orderBy("__t", "__i")
+    if composite:
+        return (
+            ev.withColumn("valid_to", F.lead("__t").over(w))
+            .withColumn("valid_to_i", F.lead("__i").over(w))
+            .filter(F.col("op") != "delete")
+            .select(
+                "key",
+                "doc",
+                F.col("__t").alias("valid_from"),
+                F.col("__i").alias("valid_from_i"),
+                "valid_to",
+                "valid_to_i",
+                F.col("valid_to").isNull().alias("is_current"),
+            )
+        )
     return (
         ev.withColumn("valid_to", F.lead("__t").over(w))
         .filter(F.col("op") != "delete")

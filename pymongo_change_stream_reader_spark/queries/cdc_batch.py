@@ -1392,3 +1392,232 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _replica_events(load_table(spark, sf_dir, "events"))
     return scd2_from_events(ev).orderBy("key", "valid_from")
+
+
+@query(
+    "cdc_scd2_asof",
+    oracle=f"""
+    WITH sim AS ({_SIM}),
+    ev AS (
+        SELECT '{{"_id": ' || CAST(event_id % 101 AS VARCHAR) || '}}' AS key,
+               operation, cents,
+               event_id // 4 AS t, event_id % 4 + 1 AS i
+        FROM sim
+        WHERE operation IN ('insert', 'update', 'replace', 'delete')
+    ),
+    v AS (
+        SELECT key, operation, cents, t, i,
+               lead(t) OVER w AS to_t, lead(i) OVER w AS to_i
+        FROM ev WINDOW w AS (PARTITION BY key ORDER BY t, i)
+    ),
+    hist AS (
+        SELECT key, cents AS v, t * 8 + i AS efrom,
+               CASE WHEN to_t IS NULL THEN NULL
+                    ELSE to_t * 8 + to_i END AS eto
+        FROM v WHERE operation <> 'delete'
+    ),
+    probes AS (
+        SELECT key, pt
+        FROM (SELECT DISTINCT key FROM ev)
+        CROSS JOIN (VALUES (CAST(64 AS BIGINT) * 8 + 2),
+                           (CAST(400 AS BIGINT) * 8 + 2),
+                           (CAST(1200 AS BIGINT) * 8 + 2),
+                           (CAST(1000000000 AS BIGINT) * 8 + 2))
+                   AS p(pt)
+    )
+    SELECT pr.key, pr.pt AS probe_at, h.v AS v
+    FROM probes pr
+    LEFT JOIN hist h
+      ON h.key = pr.key AND h.efrom <= pr.pt
+     AND (h.eto IS NULL OR pr.pt < h.eto)
+    ORDER BY pr.key, pr.pt
+    """,
+    doc="SCD2 as-of round trip under SAME-SECOND versions: event time "
+    "is coarsened to t = event_id/4 so up to four versions share one "
+    "cluster second, distinguishable only by the (t, i) COMPOSITE "
+    "interval columns scd2_from_events(composite=True) emits — the "
+    "default seconds-granularity columns would give them zero-width "
+    "[t, t) intervals an as-of probe cannot tell apart (the round-12 "
+    "advice case).  Instants encode as t*8+i (i <= 4 < 8, order-"
+    "preserving); each key is probed at four encoded instants, "
+    "resolving through the half-open interval that covers the probe "
+    "(exactly one per key — intervals partition the key's timeline), "
+    "NULL where the key has no live version (before its first event, "
+    "or deleted).  The last probe sits past every event and resolves "
+    "the is_current version.",
+    tags=("cdc",),
+)
+def cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.cdc import (
+        scd2_from_events,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    # the replica envelope re-timed so 4 consecutive events share a
+    # cluster second: t = event_id/4, i = event_id%4 + 1
+    ev = _replica_events(e)
+    coarse = F.expr(
+        "CAST(substring(_id._data, 4, 30) AS LONG)"
+    )  # event_id back out of the resume token
+    ev = ev.withColumn(
+        "clusterTime",
+        F.struct(
+            (coarse / 4).cast("int").alias("t"),
+            (coarse % 4 + 1).cast("int").alias("i"),
+        ),
+    )
+    hist = scd2_from_events(ev, composite=True)
+    enc_from = (
+        F.col("valid_from").cast("long") * 8 + F.col("valid_from_i")
+    )
+    enc_to = F.when(
+        F.col("valid_to").isNotNull(),
+        F.col("valid_to").cast("long") * 8 + F.col("valid_to_i"),
+    )
+    h = hist.select(
+        "key",
+        F.get_json_object("doc", "$.v").cast("long").alias("v"),
+        enc_from.alias("efrom"),
+        enc_to.alias("eto"),
+    )
+    instants = [64 * 8 + 2, 400 * 8 + 2, 1200 * 8 + 2,
+                1000000000 * 8 + 2]
+    probes = (
+        ev.select(F.col("documentKey").alias("key"))
+        .distinct()
+        .crossJoin(
+            spark.createDataFrame([(p,) for p in instants], "pt LONG")
+        )
+    )
+    out = probes.alias("pr").join(
+        h.alias("h"),
+        (F.col("h.key") == F.col("pr.key"))
+        & (F.col("h.efrom") <= F.col("pr.pt"))
+        & (F.col("h.eto").isNull() | (F.col("pr.pt") < F.col("h.eto"))),
+        "left",
+    ).select(
+        F.col("pr.key").alias("key"),
+        F.col("pr.pt").alias("probe_at"),
+        F.col("h.v").alias("v"),
+    )
+    return out.orderBy("key", "probe_at")
+
+
+@query(
+    "cdc_er_registry_incremental",
+    oracle="""
+    WITH RECURSIVE recs AS (
+        SELECT event_id AS rid,
+               CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'signup'
+    ),
+    inv AS (SELECT rid, substring(k, 1, 3) AS bk FROM recs),
+    cand AS (
+        SELECT DISTINCT a.rid AS id_a, b.rid AS id_b
+        FROM inv a JOIN inv b ON a.bk = b.bk AND a.rid < b.rid
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+            0.5 * (CASE WHEN ra.k = rb.k THEN 1.0 ELSE 0.0 END)
+            + 0.5 * (1.0 - CAST(abs(ra.cents - rb.cents) AS DOUBLE)
+                     / CAST(greatest(ra.cents, rb.cents, 1) AS DOUBLE))
+            AS score
+        FROM cand
+        JOIN recs ra ON ra.rid = id_a
+        JOIN recs rb ON rb.rid = id_b
+    ),
+    matches AS (SELECT id_a, id_b FROM scored WHERE score >= 0.9),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM matches
+        UNION ALL SELECT id_b, id_a FROM matches
+    ),
+    verts AS (SELECT rid AS v FROM recs),
+    cc(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.v
+    )
+    SELECT v AS rid, MIN(lbl) AS entity
+    FROM cc GROUP BY v ORDER BY rid
+    """,
+    doc="The ER registry driven through its CHANGE-EVENT wrapper "
+    "(streaming/er_registry.py:er_registry_cdc_batch — the eighth "
+    "composed store's apply): signup events become insert envelopes "
+    "with unique integral rids, fold through THREE persisted epochs "
+    "(event_id % 3) extracting fields from the post-image by JSON "
+    "path (k string, cents long), blocking on the k 3-prefix with "
+    "weighted exact+closeness scoring at threshold 0.9.  Insert-only "
+    "streams make the incremental fold equal the one-shot closure "
+    "(no update/delete re-keying), which the oracle computes as the "
+    "recursive min-label CTE over all signups at once.",
+    tags=("cdc", "dedup"),
+)
+def cdc_er_registry_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.streaming.er_registry import (
+        er_registry_cdc_batch,
+        er_spec_from_config,
+        read_er_assign,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    k = F.get_json_object("props", "$.k")
+    ev = e.select(
+        F.struct(
+            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
+                "_data"
+            )
+        ).alias("_id"),
+        F.lit("insert").alias("operationType"),
+        F.struct(
+            F.col("event_id").cast("int").alias("t"), F.lit(1).alias("i")
+        ).alias("clusterTime"),
+        F.col("event_id").cast("string").alias("documentKey"),
+        F.concat(
+            F.lit('{"rid": '),
+            F.col("event_id").cast("string"),
+            F.lit(', "k": "'),
+            k,
+            F.lit('", "cents": '),
+            cents.cast("string"),
+            F.lit("}"),
+        ).alias("fullDocument"),
+        F.col("event_id").alias("__eid"),
+    )
+    spec, fps = er_spec_from_config(
+        [
+            {"name": "k", "path": "$.k", "dtype": "string",
+             "weight": 0.5, "scorer": "exact"},
+            {"name": "cents", "path": "$.cents", "dtype": "long",
+             "weight": 0.5, "scorer": "numeric"},
+        ],
+        threshold=0.9,
+        block_field="k",
+        block_kind="token_prefix",
+        block_param=3,
+    )
+    path = tempfile.mkdtemp(prefix="spark_er_cdc_q_")
+    shutil.rmtree(path, ignore_errors=True)
+    for i in range(3):
+        batch = ev.filter(F.pmod(F.col("__eid"), F.lit(3)) == i).drop(
+            "__eid"
+        )
+        er_registry_cdc_batch(
+            batch, path, i + 1, spec, id_path="$.rid",
+            field_paths=fps, n_buckets=16,
+        )
+    out = (
+        read_er_assign(spark, path)
+        .orderBy("rid")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return out

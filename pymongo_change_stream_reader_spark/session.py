@@ -47,6 +47,13 @@ def get_spark(
         # sketch/signature tables + broadcast + 32 task threads)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    # connector jars for the env-gated integration paths (RUNBOOK §1/
+    # §2): integration/run_integration.sh exports the Kafka + Mongo
+    # connector coordinates here so the gated tests' session can reach
+    # a real broker/replica set without code changes
+    packages = os.environ.get("IT_SPARK_PACKAGES")
+    if packages:
+        builder = builder.config("spark.jars.packages", packages)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -97,6 +97,7 @@ sv.star_view_batch(
     batch, path, 1,
     [sv.DimSide("a", "$.fka"), sv.DimSide("b", "$.fkb")],
     n_buckets=4,
+    join_type=(sys.argv[5] if len(sys.argv) > 5 else "left"),
 )
 print("SURVIVED", flush=True)
 """
@@ -157,3 +158,87 @@ def test_sigkill_windows_converge(spark, tmp_path, kill_mode):
     # A1 update out to f1 and overwrite its a-side with stale data
     assert star_view_batch(_mk(spark, BATCH2), path, 2, DIMS, n_buckets=4)
     assert _view(spark, path) == EXPECTED2
+
+
+INNER_BATCH0 = [
+    ("insert", "A1", '{"side":"a","p":"alpha"}', 10, 1, "a1"),
+    ("insert", "B1", '{"side":"b","p":"beta"}', 10, 2, "a2"),
+    ("insert", "f1", '{"side":"f","fka":"A1","fkb":"B1"}', 10, 3, "a3"),
+    ("insert", "f2", '{"side":"f","fka":"A1","fkb":"B9"}', 10, 4, "a4"),
+]
+INNER_BATCH1 = [
+    # A1's DELETE must RETRACT f1's view row under INNER semantics
+    # (f2 never had one — B9 does not exist); the retraction rides the
+    # dim-driven delta, exactly what a half-committed epoch's replay
+    # must not lose
+    ("delete", "A1", None, 11, 1, "b1"),
+]
+INNER_BATCH2 = [
+    # A1 returns: f1 joins again (with B1), f2 still blocked on B9
+    ("insert", "A1", '{"side":"a","p":"ALPHA2"}', 12, 1, "c1"),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kill_mode", ["after-facts", "before-pointer"])
+def test_inner_dim_delete_retraction_survives_sigkill(
+    spark, tmp_path, kill_mode
+):
+    """INNER star view under the same two SIGKILL windows: a dim
+    delete's view-row RETRACTION must survive a half-committed epoch
+    (LEFT only null-pads — INNER is the semantics where a lost delta
+    visibly resurrects a dead row)."""
+    path = str(tmp_path / "sview")
+    star_view_batch(
+        _mk(spark, INNER_BATCH0), path, 0, DIMS, n_buckets=4,
+        join_type="inner",
+    )
+    v0 = {
+        r["key"] for r in read_star_view(spark, path).collect()
+    }
+    assert v0 == {"f1"}
+
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g", SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [
+            sys.executable, "-c", _CHILD, kill_mode, path,
+            json.dumps(INNER_BATCH1), _SCHEMA, "inner",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == -signal.SIGKILL, proc.stderr[-2000:]
+    assert f"KILLED_AT {kill_mode}" in proc.stdout
+    # crashed mid-epoch: the pointer never advanced, f1 still visible
+    assert {
+        r["key"] for r in read_star_view(spark, path).collect()
+    } == {"f1"}
+
+    # replay: the persisted deltas retract f1; a second replay skips
+    assert star_view_batch(
+        _mk(spark, INNER_BATCH1), path, 1, DIMS, n_buckets=4,
+        join_type="inner",
+    )
+    assert read_star_view(spark, path).count() == 0
+    assert not star_view_batch(
+        _mk(spark, INNER_BATCH1), path, 1, DIMS, n_buckets=4,
+        join_type="inner",
+    )
+    assert read_star_view(spark, path).count() == 0
+
+    # the dim returns -> f1 rejoins through the committed index (a
+    # lost index tombstone/pin would leave stale fan-out state)
+    assert star_view_batch(
+        _mk(spark, INNER_BATCH2), path, 2, DIMS, n_buckets=4,
+        join_type="inner",
+    )
+    v2 = {
+        r["key"]: (r["dim_a"], r["dim_b"])
+        for r in read_star_view(spark, path).collect()
+    }
+    assert v2 == {
+        "f1": ('{"side":"a","p":"ALPHA2"}', '{"side":"b","p":"beta"}')
+    }
