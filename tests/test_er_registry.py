@@ -174,6 +174,24 @@ def test_delete_removes_record_and_membership(spark, tmp_path):
     assert _assign(spark, path) == {4: 4, 5: 4}
 
 
+def test_distributed_closure_path_matches_driver(spark, tmp_path):
+    # driver_threshold=0 forces the distributed min-label closure over
+    # the contracted supernodes; the registry fold must land on the
+    # same assignments as the default driver union-find
+    outs = []
+    for name, thresh in (("drv", 1_000_000), ("dist", 0)):
+        path = str(tmp_path / name)
+        df = _df(spark)
+        spec = _spec(driver_threshold=thresh)
+        for ep, ids in enumerate([(1, 4), (3, 5), (2, 6)], start=1):
+            b = df.filter(F.col("id").isin(*ids)).withColumn(
+                "live", F.lit(True)
+            )
+            assert er_registry_batch(b, path, ep, spec, n_buckets=4)
+        outs.append(_assign(spark, path))
+    assert outs[0] == outs[1] == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
 def test_definition_change_is_rejected(spark, tmp_path):
     from pymongo_change_stream_reader_spark.plans.pipeline import (
         PipelineError,
