@@ -1123,9 +1123,16 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT v, v FROM verts
         UNION
         SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(lbl) AS entity FROM cc GROUP BY v),
+    ranked AS (
+        SELECT c.doc_id, c.entity,
+               ROW_NUMBER() OVER (PARTITION BY c.entity
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
     )
-    SELECT v AS doc_id, MIN(lbl) AS entity
-    FROM cc GROUP BY v ORDER BY doc_id
+    SELECT doc_id, entity, rn = 1 AS is_canonical
+    FROM ranked ORDER BY doc_id
     """,
     doc="PERSISTED entity-resolution registry (streaming/er_registry"
     ".py): the documents corpus folds through er_registry_batch in "
@@ -1135,9 +1142,12 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketed LWW stores, so each epoch probes only its own key/"
     "record/member buckets instead of recomputing the prior corpus's "
     "blocking keys (the in-memory operator's documented 100 TB "
-    "debt).  The final assignment table must equal the one-shot "
-    "recursive min-label closure the oracle computes over all "
-    "documents at once.  Same weighted scoring as "
+    "debt).  The final assignments plus the per-entity CANONICAL "
+    "survivor (read_er_entities: longest doc, ties to min id — the "
+    "one-shot operator's contract computed from the registry's "
+    "stores at read time) must equal the one-shot recursive "
+    "min-label closure + ranked-survivor the oracle computes over "
+    "all documents at once.  Same weighted scoring as "
     "dedup_entity_resolution, no stop-key bound (blocking must be "
     "growth-stable for incremental/one-shot parity).",
     tags=("dedup",),
@@ -1161,7 +1171,6 @@ def dedup_entity_resolution_registry(
     from pymongo_change_stream_reader_spark.streaming.er_registry import (
         ERSpec,
         er_registry_batch,
-        read_er_assign,
     )
 
     recs = load_table(spark, sf_dir, "documents").select(
@@ -1191,9 +1200,17 @@ def dedup_entity_resolution_registry(
             "live", F.lit(True)
         )
         er_registry_batch(batch, path, i + 1, spec, n_buckets=16)
+    from pymongo_change_stream_reader_spark.streaming.er_registry import (
+        read_er_entities,
+    )
+
     out = (
-        read_er_assign(spark, path)
-        .select(F.col("rid").alias("doc_id"), "entity")
+        read_er_entities(
+            spark, path, canonical_order=[F.col("n_chars")]
+        )
+        .select(
+            F.col("rid").alias("doc_id"), "entity", "is_canonical"
+        )
         .orderBy("doc_id")
         .localCheckpoint(eager=True)
     )

@@ -121,6 +121,7 @@ __all__ = [
     "er_registry_cdc_batch",
     "er_spec_from_config",
     "read_er_assign",
+    "read_er_entities",
     "read_er_records",
     "compact_er_registry",
     "scorer_by_name",
@@ -330,6 +331,32 @@ def read_er_assign(spark: SparkSession, path: str) -> DataFrame | None:
     if not dirs:
         return spark.createDataFrame([], "rid LONG, entity LONG")
     return spark.read.parquet(*dirs).select("rid", "entity")
+
+
+def read_er_entities(
+    spark: SparkSession, path: str, canonical_order: list | None = None
+) -> DataFrame | None:
+    """(rid, entity, is_canonical) for every LIVE record — the
+    per-entity survivor under ``canonical_order`` (descending
+    preference Columns over the stored field columns; ties and None
+    fall back to ascending rid), completing parity with the one-shot
+    operator's output (operators/linkage.py:entity_resolution).
+    Computed at read time from the assignment view + the live record
+    fields: one broadcast-or-hash join on rid + one entity-partitioned
+    window — bounded per-entity state, no corpus-wide sort."""
+    from pyspark.sql import Window
+
+    asn = read_er_assign(spark, path)
+    recs = read_er_records(spark, path)
+    if asn is None or recs is None:
+        return None
+    order = [c.desc() for c in (canonical_order or [])]
+    w = Window.partitionBy("entity").orderBy(*order, F.col("rid").asc())
+    return (
+        recs.join(asn, "rid")
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .select("rid", "entity", "is_canonical")
+    )
 
 
 def read_er_records(spark: SparkSession, path: str) -> DataFrame | None:
