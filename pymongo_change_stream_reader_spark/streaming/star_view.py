@@ -76,6 +76,9 @@ from pymongo_change_stream_reader_spark.streaming.join_view import (
     _bucket_history_name,
     _read_schemaed,
 )
+from pymongo_change_stream_reader_spark.streaming.join_view import (
+    _merge_lww as _join_view_merge_lww,
+)
 from pymongo_change_stream_reader_spark.streaming.materialize import (
     _ORDER,
     _last_event_per_key,
@@ -158,42 +161,18 @@ def _merge_lww(
     n_buckets: int,
     changed: list[int],
 ) -> tuple[DataFrame, DataFrame, dict]:
-    """The join view's full-outer LWW merge with the touched-bucket
-    list always precomputed (the star batch discovers every store's
-    buckets in combined jobs)."""
-    mf = _read_bucket_manifest(store)
-    if mf is not None and mf[0] != n_buckets:
-        raise PipelineError(
-            f"store {store!r} has {mf[0]} buckets, not {n_buckets}"
-        )
-    entries = dict(mf[1]) if mf is not None else {}
-    # schema-on-read from the winners frame: the store's layout is
-    # config-fixed, so this skips the per-version driver-side footer
-    # inference (~0.1 s per read x 1+2N merges per batch — measured
-    # as a real slice of the star view's per-batch floor); a column
-    # missing from older files null-fills, extra columns are ignored
-    # — the same reconciliation _read_entry_dirs gave
-    old = _read_schemaed(
-        spark, store, [entries[k] for k in changed if k in entries],
-        winners.schema,
+    """The SHARED full-outer LWW merge (streaming/join_view.py — one
+    implementation for the join view, star view and ER registry) with
+    the star conventions pinned: touched-bucket list always
+    precomputed (the star batch discovers every store's buckets in
+    combined jobs) and schema-on-read from the winners frame (the
+    stores' layouts are config-fixed, so the per-version driver-side
+    footer inference is skipped — measured at ~0.1 s per read x 1+2N
+    merges per batch)."""
+    merged, old, entries, _changed = _join_view_merge_lww(
+        spark, winners, store, merge_on, bucket_on, n_buckets,
+        changed=changed, schema=winners.schema,
     )
-    o = lambda c: F.col(f"__o.{c}")
-    n = lambda c: F.col(f"__n.{c}")
-    if old is None:
-        old = spark.createDataFrame([], winners.schema)
-    same_key = None
-    for c in merge_on:
-        eq = o(c).eqNullSafe(n(c))
-        same_key = eq if same_key is None else (same_key & eq)
-    j = old.alias("__o").join(winners.alias("__n"), same_key, "full")
-    trip = lambda side: F.struct(*[side(c) for c in _ORDER])
-    new_wins = n(merge_on[0]).isNotNull() & (
-        o(merge_on[0]).isNull() | (trip(n) >= trip(o))
-    )
-    winner = F.when(
-        new_wins, F.struct(*[n(c) for c in winners.columns])
-    ).otherwise(F.struct(*[o(c) for c in winners.columns]))
-    merged = j.select(winner.alias("w")).select("w.*")
     return merged, old, entries
 
 

@@ -396,3 +396,21 @@ def test_sigkill_windows_converge(spark, tmp_path, kill_mode):
     b3 = _df(spark, [ROWS[0]]).withColumn("live", F.lit(True))
     assert er_registry_batch(b3, path, 3, _spec(), n_buckets=4)
     assert _assign(spark, path) == {1: 1, 2: 1, 6: 1}
+
+
+def test_candidate_generation_plan_has_no_cartesian_product(spark):
+    # the 100 TB posture claim, explain-asserted: blocking candidates
+    # come from KEY-EQUALITY self/probe joins (hash-partitionable),
+    # never an all-pairs product; the scoring joins are equi-joins on
+    # the candidate rids
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        blocked_entity_matches,
+    )
+
+    df = _df(spark)
+    matches = blocked_entity_matches(
+        df, "id", _keys(), FIELDS, threshold=0.75
+    )
+    plan = matches._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
