@@ -348,13 +348,17 @@ def agg_view_batch(
                 f"agg view at {path!r} has {mf[0]} buckets, not {n_buckets}"
             )
         entries = dict(mf[1]) if mf is not None else {}
-        from pymongo_change_stream_reader_spark.plans.pipeline import (
-            _read_entry_dirs,
+        from pymongo_change_stream_reader_spark.streaming.join_view import (
+            _read_schemaed,
         )
 
-        old = _read_entry_dirs(
+        # the key store's layout is config-fixed (the winners frame's
+        # own schema), so the read skips per-version driver-side
+        # footer inference — the join/star/ER stores' r12 cut
+        old = _read_schemaed(
             spark, keys_path,
             [entries[k] for k in changed if k in entries],
+            new.schema,
         )
 
         o = lambda c: F.col(f"__o.{c}")

@@ -132,18 +132,20 @@ def ann_ingest_batch(
                 kind,
                 index_path,
             )
-        # delete-only batches pass upserts=None: both apply bodies then
-        # skip the model parse / assignment job, keeping the exclusive
-        # lock window short
-        ups = None if upserts.isEmpty() else upserts
+        # the upserts frame passes through even when EMPTY: the fused
+        # apply probe (_ann_apply_batch_locked) resolves emptiness in
+        # its one discovery job, so no dedicated isEmpty() job runs
+        # per batch — it was a measurable slice of the per-batch
+        # floor; the model parse it used to skip is a driver-side
+        # json read (r12)
         if kind == "ivf":
             return _ivf_apply_locked(
-                spark, index_path, ups, deletes, "vec_id", "embedding"
+                spark, index_path, upserts, deletes, "vec_id", "embedding"
             )
         return _ann_code_apply_locked(
             spark,
             index_path,
-            ups,
+            upserts,
             deletes,
             "vec_id",
             "ann_relay_ivfpq",
