@@ -1086,6 +1086,58 @@ def dedup_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "must be growth-stable for incremental/one-shot parity).",
     tags=("dedup",),
 )
+def dedup_entity_resolution_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        ngrams_from_tokens,
+    )
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        MatchField,
+        entity_resolution_incremental,
+        sim_exact,
+        sim_numeric_closeness,
+        sim_token_jaccard,
+    )
+    from pymongo_change_stream_reader_spark.operators.text import tokens
+
+    recs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(tokens(F.col("text"))).alias("toks"),
+        "lang",
+        "n_chars",
+        ngrams_from_tokens(tokens(F.col("text")), 5).alias("bks"),
+    )
+    fields = [
+        MatchField("toks", 0.5, sim_token_jaccard),
+        MatchField("lang", 0.25, sim_exact),
+        MatchField("n_chars", 0.25, sim_numeric_closeness),
+    ]
+    assign = None
+    prior = None
+    for i in range(3):
+        batch = recs.filter(F.col("doc_id") % 3 == i).localCheckpoint(
+            eager=True
+        )
+        delta = entity_resolution_incremental(
+            batch, prior, assign, "doc_id", F.col("bks"), fields,
+            threshold=0.7,
+        ).localCheckpoint(eager=True)
+        assign = (
+            delta
+            if assign is None
+            else assign.join(delta.select("doc_id"), "doc_id", "anti")
+            .unionByName(delta)
+            .localCheckpoint(eager=True)
+        )
+        prior = (
+            batch
+            if prior is None
+            else prior.unionByName(batch).localCheckpoint(eager=True)
+        )
+    return assign.orderBy("doc_id")
+
+
 @query(
     "dedup_entity_resolution_registry",
     oracle=f"""
@@ -1218,53 +1270,3 @@ def dedup_entity_resolution_registry(
     return out
 
 
-def dedup_entity_resolution_incremental(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from pymongo_change_stream_reader_spark.operators.dedup import (
-        ngrams_from_tokens,
-    )
-    from pymongo_change_stream_reader_spark.operators.linkage import (
-        MatchField,
-        entity_resolution_incremental,
-        sim_exact,
-        sim_numeric_closeness,
-        sim_token_jaccard,
-    )
-    from pymongo_change_stream_reader_spark.operators.text import tokens
-
-    recs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.array_distinct(tokens(F.col("text"))).alias("toks"),
-        "lang",
-        "n_chars",
-        ngrams_from_tokens(tokens(F.col("text")), 5).alias("bks"),
-    )
-    fields = [
-        MatchField("toks", 0.5, sim_token_jaccard),
-        MatchField("lang", 0.25, sim_exact),
-        MatchField("n_chars", 0.25, sim_numeric_closeness),
-    ]
-    assign = None
-    prior = None
-    for i in range(3):
-        batch = recs.filter(F.col("doc_id") % 3 == i).localCheckpoint(
-            eager=True
-        )
-        delta = entity_resolution_incremental(
-            batch, prior, assign, "doc_id", F.col("bks"), fields,
-            threshold=0.7,
-        ).localCheckpoint(eager=True)
-        assign = (
-            delta
-            if assign is None
-            else assign.join(delta.select("doc_id"), "doc_id", "anti")
-            .unionByName(delta)
-            .localCheckpoint(eager=True)
-        )
-        prior = (
-            batch
-            if prior is None
-            else prior.unionByName(batch).localCheckpoint(eager=True)
-        )
-    return assign.orderBy("doc_id")
