@@ -976,7 +976,11 @@ def er_registry_cdc_batch(
     the post-image and the key not parseable) are SKIPPED — in a
     polymorphic collection only the identity-bearing documents
     resolve; the other sides flow to their own stores (the composed
-    relay's star/join dims are the canonical case)."""
+    relay's star/join dims are the canonical case).  ``id_path`` must
+    be INJECTIVE per documentKey (two documents mapping to one rid
+    would leave the at-most-one-row-per-rid contract to a
+    nondeterministic LWW tie) — the natural choice is the document's
+    own primary key."""
     fp = field_paths or {}
     missing = [c for c in spec.stored_cols if c not in fp]
     if missing:

@@ -414,3 +414,42 @@ def test_candidate_generation_plan_has_no_cartesian_product(spark):
     plan = matches._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_batch_of_only_non_identity_docs_advances_epoch(spark, tmp_path):
+    # a polymorphic batch carrying ONLY non-identity documents (e.g.
+    # the composed relay's dim sides) reduces to zero registry rows:
+    # the epoch must still commit (pointer advances, replay skips)
+    # without disturbing prior state
+    path = str(tmp_path / "reg")
+    b0 = _df(spark, [ROWS[1]]).withColumn("live", F.lit(True))
+    assert er_registry_batch(b0, path, 1, _spec(), n_buckets=4)
+    schema = (
+        "operationType STRING, documentKey STRING, fullDocument STRING, "
+        "t INT, i INT, d STRING"
+    )
+    dims_only = spark.createDataFrame(
+        [("insert", "d7", '{"side": "d", "dim_name": "x"}', 10, 1, "a1")],
+        schema,
+    ).selectExpr(
+        "operationType", "documentKey", "fullDocument",
+        "named_struct('t', t, 'i', i) AS clusterTime",
+        "named_struct('_data', d) AS _id",
+    )
+    fp = {
+        "name": ("$.name", "string"),
+        "city": ("$.city", "string"),
+        "age": ("$.age", "long"),
+    }
+    assert er_registry_cdc_batch(
+        dims_only, path, 2, _spec(), field_paths=fp, n_buckets=4
+    )
+    assert _assign(spark, path) == {2: 2}
+    # the empty epoch is durable: its replay self-skips
+    assert not er_registry_cdc_batch(
+        dims_only, path, 2, _spec(), field_paths=fp, n_buckets=4
+    )
+    # and the registry keeps working afterwards
+    b3 = _df(spark, [ROWS[2]]).withColumn("live", F.lit(True))
+    assert er_registry_batch(b3, path, 3, _spec(), n_buckets=4)
+    assert _assign(spark, path) == {2: 2, 3: 2}
