@@ -424,6 +424,28 @@ def main() -> None:
             }
         )
     )
+    # Compact summary printed LAST: the driver records only the final
+    # ~2 KB of stdout, and the full blob above outgrew that window in
+    # round 12 ("parsed": null in BENCH_r12.json). This line carries
+    # the headline numbers in a few hundred bytes so the tail parser
+    # always sees one complete JSON object; the per-query map lives in
+    # the full blob above it.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": {"n_queries": len(timings)},
+                "sf": float(sf) if sf else sf_dir,
+                "streaming_events_per_s": events_per_s,
+                "composed_relay_events_per_s": composed.get("events_per_s"),
+                "composed_relay_six_store_events_per_s": composed6.get(
+                    "events_per_s"
+                ),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -47,22 +47,12 @@ __all__ = [
 ]
 
 
-def _sql_str(s: str) -> str:
-    """``s`` as a single-quoted SQL string literal (quotes doubled —
-    ``''`` is accepted by the Spark parser whether or not
-    ``spark.sql.parser.escapedStringLiterals`` is set, unlike
-    backslash escapes).  The stack() call sites that used to
-    interpolate user names now ride the column API (``F.stack`` +
-    ``F.lit``) and never touch the parser; this helper remains for
-    any caller that genuinely must build SQL text.  NOTE: a string
-    containing a backslash immediately before a quote is ambiguous
-    across the two parser modes — prefer F.lit over interpolation."""
-    return "'" + s.replace("'", "''") + "'"
-
-
-def _sql_ident(s: str) -> str:
-    """``s`` as a backtick-quoted SQL identifier (backticks doubled)."""
-    return "`" + s.replace("`", "``") + "`"
+# NOTE on SQL-text seams: user-supplied names must never be
+# interpolated into SQL strings — quoting helpers are ambiguous
+# across spark.sql.parser.escapedStringLiterals modes (a trailing
+# backslash can swallow the closing quote).  Every call site here
+# rides the column API instead (F.stack + F.lit), which never
+# touches the parser; keep it that way for new checks.
 
 
 def profile_columns(

@@ -60,14 +60,19 @@ supernodes and close over the batch's edges only
 UPDATES re-key and re-match under the new field values; matches are
 EVIDENCE and are never retracted — an update or delete of a bridge
 record does NOT split previously merged entities (the standard
-no-retraction semantics of streaming ER; a full split-correct
-re-resolution is a rebuild: run the one-shot operator over
-``read_er_records`` and reseed).  DELETES remove the record, its
+no-retraction semantics of streaming ER; :func:`rebuild_er_registry`
+is the registered split-correct maintenance op).  DELETES remove the record, its
 postings and its membership; entity labels are OPAQUE ids — a
 deleted record's id may keep serving as its cluster's label.
-Entity ids are min-record-ids, so record ids must be integral
-(closure contract) and event time must be monotone per rid (the LWW
-contract every store in this engine shares).
+Entity ids are min-record-ids, so rids must be LONG (closure
+contract): ``id_mode="integral"`` casts the id column directly,
+``id_mode="hashed"`` accepts ARBITRARY STRING ids (ObjectId hex,
+UUIDs) via rid = xxhash64(id) with the original string persisted as
+the ``__skey`` record column — the collision ledger every batch
+checks against (piggybacked on the existing tagged collects; a
+collision raises instead of silently merging two documents).  Event
+time must be monotone per rid (the LWW contract every store in this
+engine shares).
 
 Reference parity: the reference relay applies each change event to
 downstream state exactly once (producing/change_event_handler.py:
@@ -79,6 +84,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from dataclasses import dataclass
 
@@ -124,6 +130,7 @@ __all__ = [
     "read_er_entities",
     "read_er_records",
     "compact_er_registry",
+    "rebuild_er_registry",
     "scorer_by_name",
 ]
 
@@ -145,6 +152,19 @@ _MEM_SCHEMA = (
 _ASN_SCHEMA = (
     "rid LONG, entity LONG, live BOOLEAN, __t INT, __i INT, __d STRING"
 )
+
+
+def _rid_hash(skey):
+    """STRING record id -> LONG rid for ``id_mode="hashed"``:
+    xxhash64 (JVM-side, whole-stage codegen).  A 64-bit hash admits
+    collisions (~n^2 / 2^65 — material at billions of records), so
+    the stored ``__skey`` column doubles as a COLLISION LEDGER: every
+    batch checks its rids against the committed rows it already
+    reads (piggybacked on the existing tagged collects — no extra
+    driver job) and fails loudly on a mismatch rather than silently
+    merging two distinct documents.  Module-level so tests can
+    monkeypatch a weak hash to exercise the collision paths."""
+    return F.xxhash64(skey)
 
 
 def scorer_by_name(name: str):
@@ -172,7 +192,20 @@ class ERSpec:
     (committed + batch) exceeds the bound for THIS batch's candidate
     generation — incremental and one-shot runs only agree when
     blocking is growth-stable (bound None), same caveat as the
-    in-memory operator."""
+    in-memory operator.
+
+    ``id_mode``: ``integral`` stores ``id_col`` cast to LONG as the
+    record id (rids); ``hashed`` accepts ARBITRARY STRING ids
+    (ObjectId hex, UUIDs, composite keys — the reference's canonical
+    ``documentKey._id`` is a 24-hex ObjectId, tests/mocks/events.py:
+    15): rid = xxhash64(id string), the original string persists as
+    the ``__skey`` record column (the collision ledger — see
+    er_registry_batch), and entity labels become min-HASH ids
+    (opaque, as documented).  ``block_def`` is a canonical string of
+    the blocking definition for the _config fingerprint; when None,
+    the fingerprint falls back to the Column's expression string —
+    pass it explicitly (er_spec_from_config does) for registries
+    reopened across sessions."""
 
     id_col: str
     fields: list  # list[MatchField]
@@ -181,16 +214,41 @@ class ERSpec:
     max_block_size: int | None = None
     driver_threshold: int = 1_000_000
     extra_cols: tuple = ()
+    id_mode: str = "integral"
+    block_def: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.id_mode not in ("integral", "hashed"):
+            raise PipelineError(
+                f"er registry: unknown id_mode {self.id_mode!r}; "
+                "one of integral, hashed"
+            )
 
     def fingerprint(self) -> dict:
         # JSON-round-trip-stable (lists, not tuples): the batch
-        # compares it against the persisted _config.json verbatim
+        # compares it against the persisted _config.json verbatim.
+        # Scorer names and the blocking definition are INCLUDED —
+        # reopening a registry with different scorers or blocking
+        # would re-derive an updated record's OLD keys with the NEW
+        # expression, so stale postings would never tombstone (the
+        # round-12 ADVICE finding).
         return {
             "id_col": self.id_col,
-            "fields": [[f.name, f.weight] for f in self.fields],
+            "id_mode": self.id_mode,
+            "fields": [
+                [f.name, f.weight, getattr(f.scorer, "__name__", "?")]
+                for f in self.fields
+            ],
             "threshold": self.threshold,
             "max_block_size": self.max_block_size,
             "extra_cols": list(self.extra_cols),
+            "block_def": self.block_def
+            if self.block_def is not None
+            # fallback: the Column's expression string, with lambda
+            # variable names (a session-global x_<n> counter, so two
+            # constructions of the SAME expression print differently)
+            # canonicalized away
+            else re.sub(r"\bx_\d+\b", "x", str(self.keys)),
         }
 
     @property
@@ -207,6 +265,7 @@ def er_spec_from_config(
     max_block_size: int | None = None,
     id_col: str = "_er_id",
     driver_threshold: int = 1_000_000,
+    id_mode: str = "integral",
 ) -> tuple:
     """Build (ERSpec, field_paths) from the declarative env-surface
     shape (config.py ER_*): ``fields_cfg`` is a list of ``{"name",
@@ -271,6 +330,8 @@ def er_spec_from_config(
         id_col, fields, keys, float(threshold),
         max_block_size=max_block_size,
         driver_threshold=driver_threshold,
+        id_mode=id_mode,
+        block_def=f"{block_kind}:{int(block_param)}:{block_field}",
     )
     return spec, field_paths
 
@@ -360,7 +421,8 @@ def read_er_entities(
 
 
 def read_er_records(spark: SparkSession, path: str) -> DataFrame | None:
-    """The current LIVE record fields (rid + field columns) — the
+    """The current LIVE record fields (rid + field columns, plus the
+    ``__skey`` original-id column under ``id_mode="hashed"``) — the
     rebuild/reseed surface; None before the first applied batch."""
     store = os.path.join(path, "records")
     mf = _read_bucket_manifest(store)
@@ -385,11 +447,23 @@ def er_registry_batch(
     ``path``.  Returns True when the batch applied, False on a
     fully-committed replayed epoch.
 
-    ``records`` carries (``spec.id_col`` integral, ``live`` BOOLEAN —
-    False deletes the record, field values ignored — and the field
-    columns) with AT MOST ONE row per rid (the CDC wrapper reduces
-    batches via the shared LWW fold; standalone callers own the
-    contract)."""
+    ``records`` carries (``spec.id_col`` — integral under
+    ``id_mode="integral"``, any STRING id under ``"hashed"`` —
+    ``live`` BOOLEAN — False deletes the record, field values
+    ignored — and the field columns) with AT MOST ONE row per id
+    (the CDC wrapper reduces batches via the shared LWW fold;
+    standalone callers own the contract).  Rows whose id is NULL
+    (or, in integral mode, does not cast to LONG) are SKIPPED and
+    counted into ``stats["skipped_ids"]`` — a misconfigured id_path
+    is observable, never a silent no-op.  A ``__bad`` BOOLEAN
+    column, when present, marks rows that must fail validation
+    (non-delete events without a post-image); the check rides the
+    first tagged collect, so CDC batches pay no dedicated driver
+    job.  In hashed mode a xxhash64 collision between two DISTINCT
+    id strings — within the batch or against a committed live
+    record — raises PipelineError naming the colliding ids (the
+    remedy is a re-keyed registry, e.g. a salted id_path; silent
+    merges would be unrecoverable)."""
     spark = records.sparkSession
     with bucketed_sink_lock(path):
         cfg = {"n_buckets": n_buckets, **spec.fingerprint()}
@@ -542,13 +616,22 @@ def _compute_and_persist_deltas(
     # count instead of one extra job per checkpoint (the join view's
     # round-11 lesson, measured as the composed relay's ER floor)
     has_bad = "__bad" in records.columns
-    W = records.select(
-        F.col(spec.id_col).cast("long").alias("rid"),
+    hashed = spec.id_mode == "hashed"
+    if hashed:
+        skey = F.col(spec.id_col).cast("string")
+        rid_cols = [
+            _rid_hash(skey).alias("rid"), skey.alias("__skey"),
+        ]
+    else:
+        rid_cols = [F.col(spec.id_col).cast("long").alias("rid")]
+    W0 = records.select(
+        *rid_cols,
         F.col("live").cast("boolean").alias("live"),
         *spec.stored_cols,
         *_trip(epoch),
         *([F.col("__bad")] if has_bad else []),
     ).localCheckpoint(eager=False)
+    W = W0.filter(F.col("rid").isNotNull())
 
     newk = (
         W.filter(F.col("live"))
@@ -559,28 +642,60 @@ def _compute_and_persist_deltas(
 
     # job 1 — ALL batch-derivable discovery in one tagged collect:
     # the batch's rid buckets (t=0, records/assign stores), the
-    # piggybacked validation (t=1, CDC wrapper's __bad rides W), and
+    # piggybacked validation (t=1, the CDC wrapper's __bad rides W0),
     # the key-PROBE buckets (t=2, from the batch's own new keys — the
-    # committed-posting read needs no store-dependent input), which
-    # also materializes the W and newk checkpoints
+    # committed-posting read needs no store-dependent input), the
+    # within-batch hash-collision flag (t=3, hashed mode) and the
+    # skipped-id count (t=4, rows whose id was NULL/unparseable),
+    # which also materializes the W0 and newk checkpoints
     j1 = W.select(
         F.lit(0).alias("t"), _bucket_of(["rid"], n_buckets).alias("b")
     ).unionByName(
         newk.select(
             F.lit(2).alias("t"), _bucket_of(["bk"], n_buckets).alias("b")
         )
+    ).unionByName(
+        W0.groupBy().agg(
+            F.coalesce(
+                F.sum(F.col("rid").isNull().cast("long")), F.lit(0)
+            ).alias("b")
+        ).select(F.lit(4).alias("t"), "b")
     )
     if has_bad:
         j1 = j1.unionByName(
-            W.filter(F.col("__bad")).select(
+            W0.filter(F.col("__bad")).select(
                 F.lit(1).alias("t"), F.lit(-1).alias("b")
             )
+        )
+    if hashed:
+        j1 = j1.unionByName(
+            W.groupBy("rid")
+            .agg(F.count_distinct("__skey").alias("__n"))
+            .filter(F.col("__n") > 1)
+            .select(F.lit(3).alias("t"), F.lit(-1).alias("b"))
         )
     j1_rows = j1.distinct().collect()
     if any(r["t"] == 1 for r in j1_rows):
         raise PipelineError(
             "er registry maintenance needs a post-image per "
             "non-delete event (fullDocument=updateLookup)"
+        )
+    if any(r["t"] == 3 for r in j1_rows):
+        sample = (
+            W.groupBy("rid")
+            .agg(F.collect_set("__skey").alias("ks"))
+            .filter(F.size("ks") > 1)
+            .limit(3)
+            .collect()
+        )
+        raise PipelineError(
+            "er registry: xxhash64 collision between distinct record "
+            f"ids within one batch: {[list(r['ks']) for r in sample]!r}"
+            " — re-key the registry (e.g. a salted id_path)"
+        )
+    if stats is not None:
+        stats["skipped_ids"] = next(
+            int(r["b"]) for r in j1_rows if r["t"] == 4
         )
     rid_buckets = sorted(r["b"] for r in j1_rows if r["t"] == 0)
     probe_buckets = sorted(r["b"] for r in j1_rows if r["t"] == 2)
@@ -668,19 +783,42 @@ def _compute_and_persist_deltas(
         .join(W.select("rid"), "rid", "anti")
         .localCheckpoint(eager=False)
     )
-    j2_rows = (
-        prior_rids.select(
-            F.lit(0).alias("t"), _bucket_of(["rid"], n_buckets).alias("b")
+    j2 = prior_rids.select(
+        F.lit(0).alias("t"), _bucket_of(["rid"], n_buckets).alias("b")
+    ).unionByName(
+        d_key.select(
+            F.lit(1).alias("t"),
+            _bucket_of(["bk"], n_buckets).alias("b"),
         )
-        .unionByName(
-            d_key.select(
-                F.lit(1).alias("t"),
-                _bucket_of(["bk"], n_buckets).alias("b"),
-            )
-        )
-        .distinct()
-        .collect()
     )
+    if hashed:
+        # collision ledger check against the COMMITTED corpus: the
+        # batch's rid buckets are already being read (R_old, for the
+        # stale-posting tombstones) — a live stored row whose __skey
+        # differs from the batch's means two distinct document ids
+        # hashed to one rid
+        mism = (
+            W.select("rid", "__skey")
+            .join(
+                R_old.filter(F.col("live")).select(
+                    "rid", F.col("__skey").alias("__oskey")
+                ),
+                "rid",
+            )
+            .filter(F.col("__skey") != F.col("__oskey"))
+        )
+        j2 = j2.unionByName(
+            mism.select(F.lit(2).alias("t"), F.lit(-1).alias("b"))
+        )
+    j2_rows = j2.distinct().collect()
+    if any(r["t"] == 2 for r in j2_rows):
+        sample = mism.select("__skey", "__oskey").limit(3).collect()
+        raise PipelineError(
+            "er registry: xxhash64 collision between a batch record "
+            "id and a committed live record id: "
+            f"{[(r['__skey'], r['__oskey']) for r in sample]!r}"
+            " — re-key the registry (e.g. a salted id_path)"
+        )
     prid_buckets = sorted(r["b"] for r in j2_rows if r["t"] == 0)
     key_buckets = sorted(r["b"] for r in j2_rows if r["t"] == 1)
     prior_recs = _read_store_buckets(
@@ -964,23 +1102,33 @@ def er_registry_cdc_batch(
     """Fold one micro-batch of CHANGE EVENTS into the registry: the
     reference's per-event apply loop (change_event_handler.py:24-41)
     applied to identity resolution.  Non-delete events need a
-    post-image (fullDocument=updateLookup); ``id_path`` extracts the
-    INTEGRAL record id from it (and from the documentKey for
-    deletes), ``field_paths`` maps each spec field name to its
-    post-image JSON path + dtype, e.g. ``{"name": ("$.name",
-    "string"), "age": ("$.age", "long")}``.  A ``tokens`` dtype
-    splits the string value on whitespace into a distinct ARRAY
-    (for jaccard scorers).
+    post-image (fullDocument=updateLookup) — the check rides the
+    batch's first tagged collect inside er_registry_batch (no
+    dedicated driver job) and fails BEFORE any delta persists;
+    ``id_path`` extracts the record id from it (and from the
+    documentKey for deletes), ``field_paths`` maps each spec field
+    name to its post-image JSON path + dtype, e.g. ``{"name":
+    ("$.name", "string"), "age": ("$.age", "long")}``.  A ``tokens``
+    dtype splits the string value on whitespace into a distinct
+    ARRAY (for jaccard scorers).
 
-    Events that yield NO integral record id (``id_path`` absent from
-    the post-image and the key not parseable) are SKIPPED — in a
-    polymorphic collection only the identity-bearing documents
-    resolve; the other sides flow to their own stores (the composed
-    relay's star/join dims are the canonical case).  ``id_path`` must
-    be INJECTIVE per documentKey (two documents mapping to one rid
-    would leave the at-most-one-row-per-rid contract to a
-    nondeterministic LWW tie) — the natural choice is the document's
-    own primary key."""
+    Under ``spec.id_mode="integral"`` the extracted id must cast to
+    LONG; ``"hashed"`` takes the id STRING as-is (xxhash64 rid +
+    ``__skey`` collision ledger — ERSpec docs), which is how the
+    reference's canonical ObjectId-keyed documents
+    (tests/mocks/events.py:15 — ``documentKey._id`` is a 24-hex
+    ObjectId) resolve: point ``id_path`` at ``$._id`` and the
+    ``{"$oid": ...}`` JSON fragment is the injective key.
+
+    Events that yield NO record id (``id_path`` absent from the
+    post-image and the key not parseable) are SKIPPED and counted
+    into ``stats["skipped_ids"]`` — in a polymorphic collection only
+    the identity-bearing documents resolve; the other sides flow to
+    their own stores (the composed relay's star/join dims are the
+    canonical case).  ``id_path`` must be INJECTIVE per documentKey
+    (two documents mapping to one rid would leave the
+    at-most-one-row-per-rid contract to a nondeterministic LWW tie)
+    — the natural choice is the document's own primary key."""
     fp = field_paths or {}
     missing = [c for c in spec.stored_cols if c not in fp]
     if missing:
@@ -998,12 +1146,6 @@ def er_registry_cdc_batch(
             )
         },
     )
-    # fail fast on a missing post-image BEFORE anything is written
-    if last.filter(F.col("__bad")).limit(1).count() > 0:
-        raise PipelineError(
-            "er registry maintenance needs a post-image per "
-            "non-delete event (fullDocument=updateLookup)"
-        )
     live = F.col("op") != "delete"
 
     def _field(name: str):
@@ -1016,22 +1158,135 @@ def er_registry_cdc_batch(
         return raw.cast(dtype).alias(name)
 
     # try_cast: non-identity documents (a polymorphic collection's
-    # other sides) yield NULL and are skipped below — a plain cast
-    # would THROW under ANSI mode on e.g. a star dim's "d0" key
-    rid = F.coalesce(
+    # other sides) yield NULL and are skipped + counted inside the
+    # batch apply — a plain cast would THROW under ANSI mode on e.g.
+    # a star dim's "d0" key.  Hashed mode keeps the raw id string
+    # (NULL only when no id exists at all).
+    raw_id = F.coalesce(
         F.get_json_object("doc", id_path),
         F.get_json_object("key", id_path),
         F.col("key"),
-    ).try_cast("long")
+    )
+    rid = raw_id if spec.id_mode == "hashed" else raw_id.try_cast("long")
     recs = last.select(
         rid.alias(spec.id_col),
         live.alias("live"),
         *[_field(c) for c in spec.stored_cols],
-    ).filter(F.col(spec.id_col).isNotNull())
+        F.col("__bad"),
+    )
     return er_registry_batch(
         recs, path, epoch, spec,
         n_buckets=n_buckets, retain=retain, stats=stats,
     )
+
+
+def rebuild_er_registry(
+    spark: SparkSession, path: str, spec: ERSpec, retain: int = 2
+) -> dict:
+    """SPLIT-CORRECT re-resolution of the whole registry, in place:
+    the maintenance op for the documented no-retraction drift —
+    deleting or updating a BRIDGE record never splits previously
+    merged entities during streaming (matches are evidence), so
+    clusters only ever grow; this op re-runs the one-shot resolution
+    (operators/linkage.py:entity_resolution) over the CURRENT live
+    records and rewrites keys/members/view to exactly the from-
+    scratch answer, then re-points the view at the same applied
+    epoch — subsequent batches fold onto the corrected state and
+    replays of already-applied epochs stay no-ops.
+
+    Corpus-sized by design (a full re-block + re-score + closure),
+    unlike the per-batch incremental path: run it as scheduled
+    maintenance, like the replica store's compact.  Returns
+    ``{"records", "entities"}`` counts.  ``spec`` must match the
+    registry's persisted definition (same fingerprint contract as
+    the batch apply)."""
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        entity_resolution,
+    )
+
+    with bucketed_sink_lock(path):
+        cfg_path = os.path.join(path, "_config.json")
+        if not os.path.exists(cfg_path):
+            raise PipelineError(f"no er registry at {path!r}")
+        cfg = json.load(open(cfg_path))
+        n_buckets = cfg["n_buckets"]
+        if cfg != {"n_buckets": n_buckets, **spec.fingerprint()}:
+            raise PipelineError(
+                f"er registry at {path!r} was created with a "
+                "different resolution definition; rebuild with the "
+                "registry's own spec (redefinition is a fresh "
+                "registry, not a rebuild)"
+            )
+        cur = view_pointer_current(path)
+        if cur is None:
+            return {"records": 0, "entities": 0}
+        ep = cur[1]
+        rec_path = os.path.join(path, "records")
+        mf = _read_bucket_manifest(rec_path)
+        rows = (
+            _read_entry_dirs(spark, rec_path, list(mf[1].values()))
+            if mf is not None
+            else None
+        )
+        if rows is None:
+            return {"records": 0, "entities": 0}
+        live_rows = rows.filter(F.col("live")).persist()
+        recs = live_rows.drop("live", *_ORDER)
+        asn = (
+            entity_resolution(
+                recs, "rid", spec.keys, spec.fields, spec.threshold,
+                max_block_size=spec.max_block_size,
+                driver_threshold=spec.driver_threshold,
+            )
+            .select("rid", "entity")
+            .persist()
+        )
+        n_rec = asn.count()
+        n_ent = asn.select("entity").distinct().count()
+        vroot = os.path.join(path, "view")
+        new_keys = (
+            recs.select("rid", F.explode(spec.keys).alias("bk"))
+            .distinct()
+            .select("bk", "rid", F.lit(True).alias("live"), *_trip(ep))
+        )
+        new_mem = asn.select(
+            "entity", "rid", F.lit(True).alias("live"), *_trip(ep)
+        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        allb = list(range(n_buckets))
+        commits = (
+            # records: tombstones purged, live rows keep their
+            # ORIGINAL triples (<= ep, so future deltas win LWW)
+            lambda: _commit_bucketed(
+                live_rows, rec_path, ["rid"], n_buckets, {},
+                changed=allb, retain=retain, return_df=False,
+            ),
+            lambda: _commit_bucketed(
+                new_keys, os.path.join(path, "keys"), ["bk"],
+                n_buckets, {}, changed=allb, retain=retain,
+                return_df=False,
+            ),
+            lambda: _commit_bucketed(
+                new_mem, os.path.join(path, "members"), ["entity"],
+                n_buckets, {}, changed=allb, retain=retain,
+                return_df=False,
+            ),
+            lambda: _commit_bucketed(
+                asn, vroot, ["rid"], n_buckets, {}, changed=allb,
+                retain=max(3, retain), return_df=False,
+            ),
+        )
+        with ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="erreg-rebuild"
+        ) as pool:
+            for fut in [pool.submit(fn) for fn in commits]:
+                fut.result()
+        vname = _bucket_history_name(vroot)
+        _write_atomic(os.path.join(vroot, "_current"), f"{vname}:{ep}")
+        live_rows.unpersist()
+        asn.unpersist()
+    return {"records": n_rec, "entities": n_ent}
 
 
 def compact_er_registry(
