@@ -1621,3 +1621,143 @@ def cdc_er_registry_incremental(
     )
     shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query(
+    "cdc_er_registry_objectid",
+    oracle="""
+    WITH RECURSIVE recs AS (
+        SELECT printf('%024x', event_id) AS oid,
+               CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'signup'
+    ),
+    inv AS (SELECT oid, substring(k, 1, 3) AS bk FROM recs),
+    cand AS (
+        SELECT DISTINCT a.oid AS id_a, b.oid AS id_b
+        FROM inv a JOIN inv b ON a.bk = b.bk AND a.oid < b.oid
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+            0.5 * (CASE WHEN ra.k = rb.k THEN 1.0 ELSE 0.0 END)
+            + 0.5 * (1.0 - CAST(abs(ra.cents - rb.cents) AS DOUBLE)
+                     / CAST(greatest(ra.cents, rb.cents, 1) AS DOUBLE))
+            AS score
+        FROM cand
+        JOIN recs ra ON ra.oid = id_a
+        JOIN recs rb ON rb.oid = id_b
+    ),
+    matches AS (SELECT id_a, id_b FROM scored WHERE score >= 0.9),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM matches
+        UNION ALL SELECT id_b, id_a FROM matches
+    ),
+    verts AS (SELECT oid AS v FROM recs),
+    cc(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.v
+    )
+    SELECT v AS oid, MIN(lbl) AS entity_rep
+    FROM cc GROUP BY v ORDER BY oid
+    """,
+    doc="The ER registry on the reference's CANONICAL id shape: "
+    "documentKey._id is a 24-hex ObjectId (reference tests/mocks/"
+    "events.py:15), which does not cast to LONG — id_mode='hashed' "
+    "takes the {\"$oid\": ...} JSON fragment as the injective string "
+    "key (rid = xxhash64, original id persisted as the __skey "
+    "collision-ledger column).  Same three-epoch fold, blocking and "
+    "weighted scoring as cdc_er_registry_incremental; because hashed "
+    "entity labels are opaque, the comparable is the per-record "
+    "entity REPRESENTATIVE (min ObjectId hex within the entity, via "
+    "one entity-partitioned window), which the oracle reproduces as "
+    "min-label over the recursive closure on the hex ids themselves.",
+    tags=("cdc", "dedup"),
+)
+def cdc_er_registry_objectid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pymongo_change_stream_reader_spark.streaming.er_registry import (
+        er_registry_cdc_batch,
+        er_spec_from_config,
+        read_er_assign,
+        read_er_records,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    k = F.get_json_object("props", "$.k")
+    hex24 = F.format_string("%024x", F.col("event_id"))
+    oid_frag = F.concat(F.lit('{"$oid": "'), hex24, F.lit('"}'))
+    ev = e.select(
+        F.struct(
+            F.concat(F.lit("tok"), F.col("event_id").cast("string")).alias(
+                "_data"
+            )
+        ).alias("_id"),
+        F.lit("insert").alias("operationType"),
+        F.struct(
+            F.col("event_id").cast("int").alias("t"), F.lit(1).alias("i")
+        ).alias("clusterTime"),
+        F.concat(F.lit('{"_id": '), oid_frag, F.lit("}")).alias(
+            "documentKey"
+        ),
+        F.concat(
+            F.lit('{"_id": '),
+            oid_frag,
+            F.lit(', "k": "'),
+            k,
+            F.lit('", "cents": '),
+            cents.cast("string"),
+            F.lit("}"),
+        ).alias("fullDocument"),
+        F.col("event_id").alias("__eid"),
+    )
+    spec, fps = er_spec_from_config(
+        [
+            {"name": "k", "path": "$.k", "dtype": "string",
+             "weight": 0.5, "scorer": "exact"},
+            {"name": "cents", "path": "$.cents", "dtype": "long",
+             "weight": 0.5, "scorer": "numeric"},
+        ],
+        threshold=0.9,
+        block_field="k",
+        block_kind="token_prefix",
+        block_param=3,
+        id_mode="hashed",
+    )
+    path = tempfile.mkdtemp(prefix="spark_er_oid_q_")
+    shutil.rmtree(path, ignore_errors=True)
+    for i in range(3):
+        batch = ev.filter(F.pmod(F.col("__eid"), F.lit(3)) == i).drop(
+            "__eid"
+        )
+        er_registry_cdc_batch(
+            batch, path, i + 1, spec, id_path="$._id",
+            field_paths=fps, n_buckets=16,
+        )
+    oid = F.regexp_extract("__skey", '"([0-9a-f]{24})"', 1)
+    j = (
+        read_er_records(spark, path)
+        .select("rid", oid.alias("oid"))
+        .join(read_er_assign(spark, path), "rid")
+    )
+    out = (
+        j.select(
+            "oid",
+            F.min("oid").over(Window.partitionBy("entity")).alias(
+                "entity_rep"
+            ),
+        )
+        .orderBy("oid")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return out

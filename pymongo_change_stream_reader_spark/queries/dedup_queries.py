@@ -1270,3 +1270,131 @@ def dedup_entity_resolution_registry(
     return out
 
 
+@query(
+    "dedup_er_registry_rebuild",
+    oracle=f"""
+    WITH RECURSIVE recs AS (
+        SELECT doc_id, list_distinct({_TOKS5}) AS toks, lang, n_chars,
+               {_G5} AS bks
+        FROM documents WHERE doc_id % 7 <> 0
+    ),
+    inv AS (SELECT DISTINCT doc_id, unnest(bks) AS bk FROM recs),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN inv b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+            0.5 * (CAST(len(list_intersect(ra.toks, rb.toks)) AS DOUBLE)
+                   / CAST(greatest(len(ra.toks) + len(rb.toks)
+                          - len(list_intersect(ra.toks, rb.toks)), 1)
+                          AS DOUBLE))
+            + 0.25 * (CASE WHEN ra.lang = rb.lang THEN 1.0 ELSE 0.0 END)
+            + 0.25 * (1.0 - CAST(abs(ra.n_chars - rb.n_chars) AS DOUBLE)
+                      / CAST(greatest(ra.n_chars, rb.n_chars, 1) AS DOUBLE))
+            AS score
+        FROM cand
+        JOIN recs ra ON ra.doc_id = id_a
+        JOIN recs rb ON rb.doc_id = id_b
+    ),
+    matches AS (SELECT id_a, id_b FROM scored WHERE score >= 0.7),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM matches
+        UNION ALL SELECT id_b, id_a FROM matches
+    ),
+    verts AS (SELECT doc_id AS v FROM documents WHERE doc_id % 7 <> 0),
+    cc(v, lbl) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT e.dst, cc.lbl FROM cc JOIN edges e ON e.src = cc.v
+    ),
+    comp AS (SELECT v AS doc_id, MIN(lbl) AS entity FROM cc GROUP BY v),
+    ranked AS (
+        SELECT c.doc_id, c.entity,
+               ROW_NUMBER() OVER (PARTITION BY c.entity
+                                  ORDER BY d.n_chars DESC, c.doc_id) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, entity, rn = 1 AS is_canonical
+    FROM ranked ORDER BY doc_id
+    """,
+    doc="The registry's SPLIT-CORRECT maintenance op "
+    "(streaming/er_registry.py:rebuild_er_registry): fold the "
+    "documents corpus in three insert epochs, DELETE every doc_id % "
+    "7 == 0 in a fourth — streaming no-retraction semantics keep any "
+    "entities those records bridged merged — then rebuild: a one-shot "
+    "re-resolution over the surviving live records rewrites keys/"
+    "members/view in place and re-points the view at the same "
+    "applied epoch.  The result must equal the one-shot closure + "
+    "ranked survivor computed over ONLY the surviving documents, "
+    "which is exactly what the oracle does (doc_id % 7 <> 0) — any "
+    "stale bridge-merge the rebuild failed to split would diverge.",
+    tags=("dedup",),
+)
+def dedup_er_registry_rebuild(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        ngrams_from_tokens,
+    )
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        MatchField,
+        sim_exact,
+        sim_numeric_closeness,
+        sim_token_jaccard,
+    )
+    from pymongo_change_stream_reader_spark.operators.text import tokens
+    from pymongo_change_stream_reader_spark.streaming.er_registry import (
+        ERSpec,
+        er_registry_batch,
+        read_er_entities,
+        rebuild_er_registry,
+    )
+
+    recs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_distinct(tokens(F.col("text"))).alias("toks"),
+        "lang",
+        "n_chars",
+        "text",
+    )
+    spec = ERSpec(
+        "doc_id",
+        [
+            MatchField("toks", 0.5, sim_token_jaccard),
+            MatchField("lang", 0.25, sim_exact),
+            MatchField("n_chars", 0.25, sim_numeric_closeness),
+        ],
+        ngrams_from_tokens(tokens(F.col("text")), 5),
+        threshold=0.7,
+        extra_cols=("text",),
+    )
+    path = tempfile.mkdtemp(prefix="spark_er_rebuild_q_")
+    shutil.rmtree(path, ignore_errors=True)
+    for i in range(3):
+        batch = recs.filter(F.col("doc_id") % 3 == i).withColumn(
+            "live", F.lit(True)
+        )
+        er_registry_batch(batch, path, i + 1, spec, n_buckets=16)
+    dels = recs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "live", F.lit(False)
+    )
+    er_registry_batch(dels, path, 4, spec, n_buckets=16)
+    rebuild_er_registry(spark, path, spec)
+    out = (
+        read_er_entities(
+            spark, path, canonical_order=[F.col("n_chars")]
+        )
+        .select(
+            F.col("rid").alias("doc_id"), "entity", "is_canonical"
+        )
+        .orderBy("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+

@@ -453,3 +453,262 @@ def test_batch_of_only_non_identity_docs_advances_epoch(spark, tmp_path):
     b3 = _df(spark, [ROWS[2]]).withColumn("live", F.lit(True))
     assert er_registry_batch(b3, path, 3, _spec(), n_buckets=4)
     assert _assign(spark, path) == {2: 2, 3: 2}
+
+
+HROWS = [
+    ("64b0f0000000000000000001", "jon smith", "nyc", 30),
+    ("64b0f0000000000000000002", "john smith", "nyc", 31),
+    ("64b0f0000000000000000003", "john smyth", "nyc", 30),
+    ("64b0f0000000000000000004", "alice jones", "sf", 25),
+    ("64b0f0000000000000000005", "alice jones", "sfo", 25),
+    ("64b0f0000000000000000006", "bob brown", "la", 40),
+]
+
+
+def _hspec(**kw):
+    return ERSpec(
+        "sid", FIELDS, _keys(), 0.75,
+        id_mode="hashed", block_def="token_prefix:3:name", **kw
+    )
+
+
+def _hdf(spark, rows=HROWS):
+    return spark.createDataFrame(
+        rows, "sid STRING, name STRING, city STRING, age INT"
+    )
+
+
+def _groups(spark, path):
+    """Entity groups as sorted original-id lists (hash labels are
+    opaque — group STRUCTURE is the hashed mode's comparable)."""
+    asn = read_er_assign(spark, path)
+    recs = read_er_records(spark, path)
+    rows = (
+        recs.join(asn, "rid")
+        .groupBy("entity")
+        .agg(F.sort_array(F.collect_list("__skey")).alias("g"))
+        .collect()
+    )
+    return sorted(tuple(r["g"]) for r in rows)
+
+
+def test_hashed_fold_equals_one_shot_groups(spark, tmp_path):
+    # string (ObjectId-hex) record ids through the SAME multi-batch
+    # bridge-last fold as the integral test: group structure must
+    # equal the one-shot resolution's (labels are opaque hashes)
+    path = str(tmp_path / "reg")
+    df = _hdf(spark)
+    by_suffix = lambda *sfx: df.filter(
+        F.substring("sid", 24, 1).isin(*sfx)
+    )
+    for ep, sfx in enumerate([("1", "4"), ("3", "5"), ("2", "6")], 1):
+        b = by_suffix(*sfx).withColumn("live", F.lit(True))
+        assert er_registry_batch(b, path, ep, _hspec(), n_buckets=4)
+    one = entity_resolution(
+        df.withColumn("rid", F.xxhash64("sid")), "rid", _keys(),
+        FIELDS, 0.75,
+    )
+    exp = sorted(
+        tuple(r["g"])
+        for r in one.join(
+            df.select(F.xxhash64("sid").alias("rid"), "sid"), "rid"
+        )
+        .groupBy("entity")
+        .agg(F.sort_array(F.collect_list("sid")).alias("g"))
+        .collect()
+    )
+    got = _groups(spark, path)
+    assert got == exp
+    assert [g for g in got if len(g) == 3] == [(
+        "64b0f0000000000000000001",
+        "64b0f0000000000000000002",
+        "64b0f0000000000000000003",
+    )]
+
+
+def test_cdc_wrapper_objectid_hashed_and_skip_stats(spark, tmp_path):
+    # the reference's canonical event shape: documentKey._id is an
+    # ObjectId (tests/mocks/events.py:15) — its json_util form is a
+    # {"$oid": ...} fragment that no longer casts to LONG.  In hashed
+    # mode the fragment IS the injective key; a non-identity document
+    # in the same batch is skipped AND counted.
+    path = str(tmp_path / "reg")
+    oid = lambda n: f'{{"$oid": "64b0f000000000000000000{n}"}}'
+    doc = (
+        lambda n, name, city, age: f'{{"_id": {oid(n)}, "name": '
+        f'"{name}", "city": "{city}", "age": {age}}}'
+    )
+    schema = (
+        "operationType STRING, documentKey STRING, fullDocument STRING, "
+        "t INT, i INT, d STRING"
+    )
+    mk = lambda rs: spark.createDataFrame(rs, schema).selectExpr(
+        "operationType", "documentKey", "fullDocument",
+        "named_struct('t', t, 'i', i) AS clusterTime",
+        "named_struct('_data', d) AS _id",
+    )
+    fp = {
+        "name": ("$.name", "string"),
+        "city": ("$.city", "string"),
+        "age": ("$.age", "long"),
+    }
+    b0 = [
+        ("insert", f'{{"_id": {oid(2)}}}',
+         doc(2, "john smith", "nyc", 31), 10, 1, "a1"),
+        ("insert", f'{{"_id": {oid(6)}}}',
+         doc(6, "bob brown", "la", 40), 10, 2, "a2"),
+        # non-identity side doc: no $._id anywhere, key not a doc id
+        ("insert", "d7", '{"side": "d", "dim_name": "x"}', 10, 3, "a3"),
+    ]
+    stats: dict = {}
+    assert er_registry_cdc_batch(
+        mk(b0), path, 1, _hspec(), field_paths=fp, n_buckets=4,
+        stats=stats,
+    )
+    # the dim doc has no $._id, but its raw key string still hashes
+    # in hashed mode (coalesce falls through to the key) — so it is
+    # NOT skipped; it resolves as its own singleton
+    assert stats["skipped_ids"] == 0
+    assert len(_groups(spark, path)) == 3
+    # update 6 into the 2-cluster: re-key + merge under hashed ids
+    b1 = [
+        ("replace", f'{{"_id": {oid(6)}}}',
+         doc(6, "john smyth", "nyc", 30), 11, 1, "b1"),
+    ]
+    assert er_registry_cdc_batch(
+        mk(b1), path, 2, _hspec(), field_paths=fp, n_buckets=4
+    )
+    gs = _groups(spark, path)
+    # stored __skey is get_json_object's compact rendering of the
+    # {"$oid": ...} fragment (no whitespace)
+    coid = lambda n: oid(n).replace(": ", ":")
+    assert (coid(2), coid(6)) in [tuple(sorted(g)) for g in gs]
+    # INTEGRAL mode on the same ObjectId events: every id is
+    # unparseable -> all rows skipped, counted, epoch still commits
+    ipath = str(tmp_path / "ireg")
+    spec_i = ERSpec("id", FIELDS, _keys(), 0.75)
+    istats: dict = {}
+    assert er_registry_cdc_batch(
+        mk(b0), ipath, 1, spec_i, field_paths=fp, n_buckets=4,
+        stats=istats,
+    )
+    assert istats["skipped_ids"] == 3
+    assert read_er_assign(spark, ipath).count() == 0
+
+
+def test_hash_collision_within_batch_raises(spark, tmp_path, monkeypatch):
+    import pymongo_change_stream_reader_spark.streaming.er_registry as er
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        PipelineError,
+    )
+
+    # a weak hash (string length) forces collisions deterministically
+    monkeypatch.setattr(
+        er, "_rid_hash", lambda c: F.length(c).cast("long")
+    )
+    path = str(tmp_path / "reg")
+    b = _hdf(spark, HROWS[:2]).withColumn("live", F.lit(True))
+    with pytest.raises(PipelineError, match="within one batch"):
+        er.er_registry_batch(b, path, 1, _hspec(), n_buckets=4)
+    # nothing persisted: the check precedes every delta write
+    assert read_er_assign(spark, path) is None
+
+
+def test_hash_collision_against_committed_raises(
+    spark, tmp_path, monkeypatch
+):
+    import pymongo_change_stream_reader_spark.streaming.er_registry as er
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        PipelineError,
+    )
+
+    monkeypatch.setattr(
+        er, "_rid_hash", lambda c: F.length(c).cast("long")
+    )
+    path = str(tmp_path / "reg")
+    b0 = _hdf(spark, HROWS[:1]).withColumn("live", F.lit(True))
+    assert er.er_registry_batch(b0, path, 1, _hspec(), n_buckets=4)
+    # same length, different id string -> same weak-hash rid
+    b1 = _hdf(spark, HROWS[1:2]).withColumn("live", F.lit(True))
+    with pytest.raises(PipelineError, match="committed live record"):
+        er.er_registry_batch(b1, path, 2, _hspec(), n_buckets=4)
+    # a DELETED record's rid may be reused without tripping the
+    # ledger (only LIVE rows witness): delete 1, then 2 applies
+    bdel = _hdf(spark, HROWS[:1]).withColumn("live", F.lit(False))
+    assert er.er_registry_batch(bdel, path, 2, _hspec(), n_buckets=4)
+    assert er.er_registry_batch(b1, path, 3, _hspec(), n_buckets=4)
+    assert len(_groups(spark, path)) == 1
+
+
+def test_rebuild_splits_bridge_deleted_entity(spark, tmp_path):
+    from pymongo_change_stream_reader_spark.streaming.er_registry import (
+        rebuild_er_registry,
+    )
+
+    path = str(tmp_path / "reg")
+    df = _df(spark)
+    b0 = df.filter(F.col("id").isin(1, 2, 3)).withColumn(
+        "live", F.lit(True)
+    )
+    assert er_registry_batch(b0, path, 1, _spec(), n_buckets=4)
+    assert _assign(spark, path) == {1: 1, 2: 1, 3: 1}
+    # delete the bridge (2): streaming semantics keep 1 and 3 merged
+    # (matches are evidence, no retraction)
+    bdel = df.filter(F.col("id") == 2).withColumn("live", F.lit(False))
+    assert er_registry_batch(bdel, path, 2, _spec(), n_buckets=4)
+    assert _assign(spark, path) == {1: 1, 3: 1}
+    # 1 ("jon smith") and 3 ("john smyth") do NOT match directly at
+    # 0.75 — the rebuild must split them into singletons
+    out = rebuild_er_registry(spark, path, _spec())
+    assert out == {"records": 2, "entities": 2}
+    assert _assign(spark, path) == {1: 1, 3: 3}
+    # folding continues on the corrected state: replay of an applied
+    # epoch still skips, and a NEW bridge re-merges
+    assert not er_registry_batch(bdel, path, 2, _spec(), n_buckets=4)
+    b3 = df.filter(F.col("id") == 2).withColumn("live", F.lit(True))
+    assert er_registry_batch(b3, path, 3, _spec(), n_buckets=4)
+    assert _assign(spark, path) == {1: 1, 2: 1, 3: 1}
+    # spec mismatch is rejected (rebuild is not redefinition)
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        PipelineError,
+    )
+
+    with pytest.raises(PipelineError, match="different resolution"):
+        rebuild_er_registry(
+            spark, path, ERSpec("id", FIELDS, _keys(), 0.9)
+        )
+
+
+def test_fingerprint_rejects_scorer_and_blocking_change(spark, tmp_path):
+    # the round-12 ADVICE hole: same field names/weights/threshold but
+    # DIFFERENT scorers or blocking must not reopen the registry
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        sim_exact,
+    )
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        PipelineError,
+    )
+
+    path = str(tmp_path / "reg")
+    b = _df(spark, [ROWS[0]]).withColumn("live", F.lit(True))
+    assert er_registry_batch(b, path, 1, _spec(), n_buckets=4)
+    swapped = [
+        MatchField("name", 0.6, sim_exact),
+        MatchField("city", 0.2, sim_edit_distance),
+        MatchField("age", 0.2, sim_numeric_closeness),
+    ]
+    with pytest.raises(PipelineError, match="different resolution"):
+        er_registry_batch(
+            b, path, 2, ERSpec("id", swapped, _keys(), 0.75),
+            n_buckets=4,
+        )
+    other_keys = F.array_distinct(
+        F.transform(
+            F.split(F.col("name"), " "), lambda t: F.substring(t, 1, 4)
+        )
+    )
+    with pytest.raises(PipelineError, match="different resolution"):
+        er_registry_batch(
+            b, path, 2, ERSpec("id", FIELDS, other_keys, 0.75),
+            n_buckets=4,
+        )
