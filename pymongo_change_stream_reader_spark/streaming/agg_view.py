@@ -246,6 +246,7 @@ def agg_view_batch(
     n_buckets: int = 16,
     retain: int = 2,
     track_minmax: bool = False,
+    reduced: DataFrame | None = None,
 ) -> bool:
     """Apply one micro-batch of change events to the view at ``path``.
     Returns True when the batch applied, False when the epoch had
@@ -310,7 +311,10 @@ def agg_view_batch(
         # the post-image check rides the last-per-key shuffle (one
         # batch scan, not two) and is read off the checkpointed
         # key-sized frame
-        last = _last_event_per_key(
+        # ``reduced``: the composed relay's shared
+        # reduce_batch_shared frame (same shape, already
+        # checkpointed) — skip this store's own reduce shuffle
+        last = reduced if reduced is not None else _last_event_per_key(
             data,
             extra_aggs={
                 "__bad": F.max(

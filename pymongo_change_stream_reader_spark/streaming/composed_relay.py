@@ -185,6 +185,38 @@ def composed_apply_batch(
 
     pinned = _timed("pin", _pin)
 
+    # ONE shared LWW reduction for every last-event-wins store (the
+    # replica on its post-image path, the agg/join/star views, the ER
+    # registry): each used to shuffle the same micro-batch to the
+    # same per-key winners independently — five near-identical reduce
+    # jobs per trigger.  Computed eagerly ONCE here; the stores'
+    # ``reduced=`` parameter skips their own reduce.  The dedup/BM25/
+    # ANN relays intentionally keep the raw batch (they fold per-event
+    # corpora, not per-key winners).
+    plain_replica = (
+        replica_path is not None
+        and "updateDescription" not in pinned.columns
+    )
+    shared_reduced: DataFrame | None = None
+    if plain_replica or any(
+        p is not None
+        for p in (
+            agg_view_path, join_view_path, star_view_path,
+            er_registry_path,
+        )
+    ):
+
+        def _reduce() -> DataFrame:
+            from pymongo_change_stream_reader_spark.streaming.materialize import (
+                reduce_batch_shared,
+            )
+
+            return reduce_batch_shared(pinned).localCheckpoint(
+                eager=True
+            )
+
+        shared_reduced = _timed("reduce", _reduce)
+
     # each section runs its own marker probe + apply + commit and
     # returns its outcome string — safe to run concurrently with the
     # others (independent dirs, locks, and markers)
@@ -197,6 +229,7 @@ def composed_apply_batch(
             materialize_change_batch(
                 pinned, replica_path, n_buckets, retain=retain,
                 return_df=False,
+                reduced=shared_reduced if plain_replica else None,
             )
             return "applied"
 
@@ -276,6 +309,7 @@ def composed_apply_batch(
                 n_buckets=n_buckets,
                 retain=retain,
                 track_minmax=agg_track_minmax,
+                reduced=shared_reduced,
             )
             return "applied" if applied else "replayed-skip"
 
@@ -303,6 +337,7 @@ def composed_apply_batch(
                 n_buckets=n_buckets,
                 retain=retain,
                 join_type=join_join_type,
+                reduced=shared_reduced,
             )
             return "applied" if applied else "replayed-skip"
 
@@ -333,6 +368,7 @@ def composed_apply_batch(
                 n_buckets=n_buckets,
                 retain=retain,
                 join_type=star_join_type,
+                reduced=shared_reduced,
             )
             return "applied" if applied else "replayed-skip"
 
@@ -357,6 +393,7 @@ def composed_apply_batch(
                 field_paths=er_field_paths,
                 n_buckets=n_buckets,
                 retain=retain,
+                reduced=shared_reduced,
             )
             return "applied" if applied else "replayed-skip"
 

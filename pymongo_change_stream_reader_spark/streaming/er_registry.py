@@ -1098,6 +1098,7 @@ def er_registry_cdc_batch(
     n_buckets: int = 16,
     retain: int = 2,
     stats: dict | None = None,
+    reduced: DataFrame | None = None,
 ) -> bool:
     """Fold one micro-batch of CHANGE EVENTS into the registry: the
     reference's per-event apply loop (change_event_handler.py:24-41)
@@ -1135,17 +1136,25 @@ def er_registry_cdc_batch(
         raise PipelineError(
             f"er registry cdc: field_paths missing {missing!r}"
         )
-    data = batch.filter(
-        F.col("operationType").isin("insert", "update", "replace", "delete")
-    )
-    last = _last_event_per_key(
-        data,
-        extra_aggs={
-            "__bad": F.max(
-                (F.col("op") != "delete") & F.col("doc").isNull()
+    # ``reduced``: the composed relay's shared reduce_batch_shared
+    # frame (same shape, already checkpointed) — skip this store's
+    # own reduce shuffle
+    if reduced is not None:
+        last = reduced
+    else:
+        data = batch.filter(
+            F.col("operationType").isin(
+                "insert", "update", "replace", "delete"
             )
-        },
-    )
+        )
+        last = _last_event_per_key(
+            data,
+            extra_aggs={
+                "__bad": F.max(
+                    (F.col("op") != "delete") & F.col("doc").isNull()
+                )
+            },
+        )
     live = F.col("op") != "delete"
 
     def _field(name: str):

@@ -237,6 +237,7 @@ def join_view_batch(
     n_buckets: int = 16,
     retain: int = 2,
     join_type: str = "inner",
+    reduced: DataFrame | None = None,
 ) -> bool:
     """Apply one micro-batch of change events to the join view at
     ``path``.  Returns True when the batch applied, False on a
@@ -303,7 +304,10 @@ def join_view_batch(
         if cur is not None and cur[1] >= epoch:
             return False
 
-        last = _last_event_per_key(
+        # ``reduced``: the composed relay's shared
+        # reduce_batch_shared frame (same shape, already
+        # checkpointed) — skip this store's own reduce shuffle
+        last = reduced if reduced is not None else _last_event_per_key(
             data,
             extra_aggs={
                 "__bad": F.max(

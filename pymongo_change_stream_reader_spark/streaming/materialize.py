@@ -289,12 +289,39 @@ def _patch_doc_udf():
     return patch
 
 
+def reduce_batch_shared(batch: DataFrame) -> DataFrame:
+    """The ONE batch reduction every last-event-wins store consumes:
+    data ops LWW-reduced to (key, op, doc, __t, __i, __d, __bad),
+    exactly one row per key — ``op``/``doc``/triple are the key's
+    FINAL event, ``__bad`` is True when ANY of the key's non-delete
+    events lacked a post-image (the max_by shuffle carries the
+    validation aggregate, so each store's post-image check reads the
+    key-sized frame instead of rescanning the batch).
+
+    The composed relay computes this ONCE per micro-batch (eagerly
+    checkpointed) and hands it to every enabled view store via their
+    ``reduced=`` parameter — the r12-measured waste was five stores
+    each shuffling the same batch to the same per-key winners."""
+    data = batch.filter(
+        F.col("operationType").isin("insert", "update", "replace", "delete")
+    )
+    return _last_event_per_key(
+        data,
+        extra_aggs={
+            "__bad": F.max(
+                (F.col("op") != "delete") & F.col("doc").isNull()
+            )
+        },
+    )
+
+
 def materialize_change_batch(
     batch: DataFrame,
     path: str,
     n_buckets: int = 16,
     retain: int = 2,
     return_df: bool = True,
+    reduced: DataFrame | None = None,
 ) -> DataFrame | None:
     """Apply one batch of change events to the replica at ``path``.
 
@@ -306,7 +333,13 @@ def materialize_change_batch(
     commits stay readable via ``read_bucketed_sink(path, -n)``; see
     _commit_bucketed) — at high trigger rates prefer the default 2 and
     periodic ``vacuum_bucketed_sink``, since every retained commit
-    pins its superseded bucket dirs on disk."""
+    pins its superseded bucket dirs on disk.
+
+    ``reduced``: a pre-computed :func:`reduce_batch_shared` frame of
+    THIS batch (the composed relay's shared reduction).  Only honored
+    on the post-image path (no ``updateDescription`` column — delta
+    batches need the delta-aware reduction); validation still runs
+    against the raw batch, unchanged."""
     spark = batch.sparkSession
     data = batch.filter(
         F.col("operationType").isin("insert", "update", "replace", "delete")
@@ -342,6 +375,10 @@ def materialize_change_batch(
             # post-image-only batch (the updateLookup deployment):
             # drop to the pure-JVM merge — no Python in the hot path
             last = last.drop("deltas")
+    elif reduced is not None:
+        # the composed relay's shared reduction — already
+        # checkpointed by the caller, no second reduce job
+        last = reduced.drop("__bad")
     else:
         last = _last_event_per_key(data).localCheckpoint(eager=True)
     bcol = _bucket_of(["key"], n_buckets)

@@ -186,6 +186,7 @@ def star_view_batch(
     n_buckets: int = 16,
     retain: int = 2,
     join_type: str = "left",
+    reduced: DataFrame | None = None,
 ) -> bool:
     """Apply one micro-batch to the star view at ``path``.  Returns
     True when applied, False on a fully-committed replayed epoch.
@@ -252,7 +253,10 @@ def star_view_batch(
         if cur is not None and cur[1] >= epoch:
             return False
 
-        last = _last_event_per_key(
+        # ``reduced``: the composed relay's shared
+        # reduce_batch_shared frame (same shape, already
+        # checkpointed) — skip this store's own reduce shuffle
+        last = reduced if reduced is not None else _last_event_per_key(
             data,
             extra_aggs={
                 "__bad": F.max(

@@ -212,7 +212,9 @@ def test_store_timings_accumulate_across_batches(spark, tmp_path):
         _mk([("insert", "k1", LONG_A, 1, 1, "a1")]), 0,
         store_timings=timings, **p,
     )
-    assert set(timings) == {"pin", "replica", "dedup", "bm25"}
+    # "reduce" is the shared LWW batch reduction the replica
+    # consumes on its post-image path (composed_apply_batch)
+    assert set(timings) == {"pin", "reduce", "replica", "dedup", "bm25"}
     assert all(v > 0 for v in timings.values())
     first = dict(timings)
     composed_apply_batch(
@@ -255,8 +257,8 @@ def test_composed_relay_bench_shape(spark):
     assert out["events"] > 100 and out["batches"] == 2
     assert out["events_per_s"] > 0
     assert set(out["per_store_sec"]) == {
-        "pin", "replica", "dedup", "bm25", "ann", "aggview", "joinview",
-        "starview", "erregistry",
+        "pin", "reduce", "replica", "dedup", "bm25", "ann", "aggview",
+        "joinview", "starview", "erregistry",
     }
     # both fields are independently rounded from the same unrounded
     # total, so comparing re-rounded values flakes at 0.0005 boundaries
