@@ -105,6 +105,7 @@ def main() -> None:
                 block_kind=cfg.er_block_kind,
                 block_param=cfg.er_block_param,
                 max_block_size=cfg.er_max_block,
+                id_mode=cfg.er_id_mode,
             )
         query = start_composed_relay(
             events,

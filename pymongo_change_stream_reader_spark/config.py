@@ -100,6 +100,7 @@ class EngineSettings:
     er_block_kind: str = "token_prefix"
     er_block_param: int = 3
     er_max_block: int | None = None
+    er_id_mode: str = "integral"
     # lifecycle
     program_start_timeout: int = 60
     program_graceful_stop_timeout: int = 20
@@ -176,6 +177,12 @@ class EngineSettings:
                 raise ValueError(
                     "ER_BLOCK_KIND must be 'token_prefix' or "
                     f"'word_ngram', got {self.er_block_kind!r}"
+                )
+            if self.er_id_mode not in ("integral", "hashed"):
+                raise ValueError(
+                    "ER_ID_MODE must be 'integral' or 'hashed' "
+                    "(hashed = arbitrary string ids, e.g. ObjectId — "
+                    f"streaming/er_registry.py), got {self.er_id_mode!r}"
                 )
         if self.join_join_type not in ("inner", "left"):
             # fail fast at config parse, like the pipeline whitelist
@@ -267,6 +274,7 @@ def settings_from_env() -> EngineSettings:
         er_block_field=env.get("ER_BLOCK_FIELD"),
         er_block_kind=env.get("ER_BLOCK_KIND", "token_prefix"),
         er_block_param=int(env.get("ER_BLOCK_PARAM", "3")),
+        er_id_mode=env.get("ER_ID_MODE", "integral"),
         er_max_block=(
             int(env["ER_MAX_BLOCK"]) if env.get("ER_MAX_BLOCK") else None
         ),

@@ -429,3 +429,12 @@ def test_settings_er_registry_env(monkeypatch):
     monkeypatch.setenv("ER_BLOCK_KIND", "soundex")
     with pytest.raises(ValueError, match="ER_BLOCK_KIND"):
         settings_from_env()
+    monkeypatch.setenv("ER_BLOCK_KIND", "token_prefix")
+    # id_mode: default integral, hashed accepted, anything else fails
+    # fast at config parse (streaming/er_registry.py id_mode surface)
+    assert settings_from_env().er_id_mode == "integral"
+    monkeypatch.setenv("ER_ID_MODE", "hashed")
+    assert settings_from_env().er_id_mode == "hashed"
+    monkeypatch.setenv("ER_ID_MODE", "uuid")
+    with pytest.raises(ValueError, match="ER_ID_MODE"):
+        settings_from_env()
