@@ -124,6 +124,7 @@ def composed_apply_batch(
     er_spec=None,
     er_id_path: str = "$._id",
     er_field_paths: dict | None = None,
+    store_stats: dict | None = None,
 ) -> dict:
     """Apply one micro-batch to every enabled store (see module
     docstring).  Returns per-store outcomes: ``applied`` /
@@ -394,6 +395,15 @@ def composed_apply_batch(
                 n_buckets=n_buckets,
                 retain=retain,
                 reduced=shared_reduced,
+                # observability: skipped_ids / edges / candidates /
+                # merged_entities accumulate per epoch — a
+                # misconfigured ER_ID_PATH shows up as a growing
+                # skipped_ids, not a silent no-op
+                stats=None
+                if store_stats is None
+                else store_stats.setdefault("erregistry", {}).setdefault(
+                    f"epoch_{int(epoch_id)}", {}
+                ),
             )
             return "applied" if applied else "replayed-skip"
 

@@ -608,6 +608,7 @@ def test_composed_relay_with_er_registry_store(spark, tmp_path):
         n_buckets=4,
     )
     os.makedirs(p["checkpoint_dir"], exist_ok=True)
+    stats: dict = {}
     out = composed_apply_batch(
         _mk(
             [
@@ -617,12 +618,18 @@ def test_composed_relay_with_er_registry_store(spark, tmp_path):
                 ("insert", '{"_id": 6}',
                  '{"_id": 6, "name": "bob brown", '
                  '"city": "la", "age": 40}', 1, 2, "a2"),
+                # a non-identity document: skipped AND counted (the
+                # store_stats observability surface)
+                ("insert", "d7", '{"side": "d", "dim_name": "x"}',
+                 1, 3, "a3"),
             ]
         ),
         0,
+        store_stats=stats,
         **p,
     )
     assert out["erregistry"] == "applied" and out["replica"] == "applied"
+    assert stats["erregistry"]["epoch_0"]["skipped_ids"] == 1
     asn = {
         r["rid"]: r["entity"]
         for r in read_er_assign(spark, p["er_registry_path"]).collect()
