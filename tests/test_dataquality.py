@@ -138,18 +138,18 @@ def test_names_with_quotes_are_escaped(spark):
 
 
 def test_quote_escaping_survives_escapedStringLiterals(spark):
-    # round-12 ADVICE low: the stack() sites must not be sensitive to
-    # spark.sql.parser.escapedStringLiterals.  They now use the
-    # column API (F.stack + F.lit, no SQL text at all); the retained
-    # _sql_str helper doubles quotes ('') — the one escape accepted
-    # under BOTH parser modes.
+    # round-12/13 ADVICE low: the stack() sites must not be sensitive
+    # to spark.sql.parser.escapedStringLiterals.  They use the column
+    # API (F.stack + F.lit, no SQL text at all); the _sql_str helper
+    # was deleted in r13 (caller-less, and backslash-before-quote is
+    # ambiguous across the two parser modes) — names with quotes AND
+    # backslashes must round-trip through the audit regardless of the
+    # parser flag.
     from pymongo_change_stream_reader_spark.operators.dataquality import (
         Check,
-        _sql_str,
         constraint_audit,
     )
 
-    assert _sql_str("a'b\\c") == "'a''b\\c'"
     df = spark.createDataFrame([(1,), (2,)], ["id"])
     spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     try:
