@@ -742,6 +742,7 @@ def append_lsh_index(
     bands: int = 8,
     n: int = 3,
     track_generations: bool = False,
+    band_table: DataFrame | None = None,
 ) -> None:
     """Fold an ingested batch into the stored index (mode=append adds
     new files under the same band partitions — no rewrite of existing
@@ -778,16 +779,27 @@ def append_lsh_index(
             for f in files
         )
         if has_rows:
-            if "gen" not in spark.read.parquet(path).columns:
-                # legacy index: appending gen-tagged files would mix
-                # schemas in one parquet dir (nondeterministic reads —
-                # gen null or dropped).  Compaction rewrites every row
-                # with gen=0; all writers agree afterwards.
-                raise RuntimeError(
-                    f"LSH index at {path!r} predates generation "
-                    "tagging — run compact_lsh_index(spark, path) once "
-                    "to migrate it before appending"
-                )
+            # the gen-tag check needs a driver-side footer/schema
+            # inference over the WHOLE band table — a per-batch cost
+            # that grows with index file count.  Once verified, a
+            # `_gen_tagged` marker (underscore-prefixed: invisible to
+            # parquet discovery) pins the answer; only gen-tagged
+            # writers ever append, so the property is monotone (r14).
+            gen_marker = _os.path.join(path, "_gen_tagged")
+            if not _os.path.exists(gen_marker):
+                if "gen" not in spark.read.parquet(path).columns:
+                    # legacy index: appending gen-tagged files would
+                    # mix schemas in one parquet dir (nondeterministic
+                    # reads — gen null or dropped).  Compaction
+                    # rewrites every row with gen=0; all writers agree
+                    # afterwards.
+                    raise RuntimeError(
+                        f"LSH index at {path!r} predates generation "
+                        "tagging — run compact_lsh_index(spark, path) "
+                        "once to migrate it before appending"
+                    )
+                with open(gen_marker, "w") as _fh:
+                    _fh.write("1")
             if track_generations and not _os.path.isdir(reg_path):
                 # r6 advice (medium): without a registry covering the
                 # stored docs, hygiene silently no-ops — deleted docs
@@ -800,8 +812,10 @@ def append_lsh_index(
                 )
         # batch variant: the append runs inside foreachBatch; the
         # streaming-legal band table re-evaluates the interpreted
-        # minhash per band via CollapseProject (~7x slower measured)
-        bt = lsh_band_table_batch(
+        # minhash per band via CollapseProject (~7x slower measured).
+        # ``band_table``: the relay's precomputed probe sketches —
+        # identical by construction (seeded hashes), computed once.
+        bt = band_table if band_table is not None else lsh_band_table_batch(
             df_new, text_col, id_col, num_hashes, bands, n
         )
         ids = df_new.select(F.col(id_col).alias("doc")).distinct()
@@ -925,13 +939,18 @@ def query_lsh_index(
     num_hashes: int = 32,
     bands: int = 8,
     n: int = 3,
+    band_table: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (new_id, corpus_id) pairs for an arriving batch vs
     the stored index: the batch computes its sketches in one narrow
     projection and equi-joins index buckets on (band, bucket) — the
     batch side is tiny, so Spark broadcasts it and the index scan
-    prunes to the collided partitions."""
-    probe = lsh_band_table_batch(
+    prunes to the collided partitions.  ``band_table``: a precomputed
+    (pinned) lsh_band_table_batch frame of the SAME batch — the
+    streaming relay probes and appends the same sketches, and the
+    MinHash evaluation is the dedup store's dominant per-event cost,
+    so computing it once halves the store's marginal rate (r14)."""
+    probe = band_table if band_table is not None else lsh_band_table_batch(
         batch, text_col, id_col, num_hashes, bands, n
     )
     return (

@@ -464,12 +464,29 @@ def _bm25_apply_locked(
             .localCheckpoint(eager=False)  # the count/sum collect
             # below materializes it
         )
-        n_new, new_len = doclen_new.agg(
-            F.count("*").cast("double"), F.sum("dl").cast("long")
-        ).collect()[0]
-        n_dead, dead_len = existing.agg(
-            F.count("*").cast("double"), F.sum("dl").cast("long")
-        ).collect()[0]
+        # ONE tagged collect for both sides' (count, total length)
+        # (r14 — two separate agg collects were two driver jobs; this
+        # also materializes the doclen_new and existing checkpoints
+        # together)
+        stats_rows = (
+            doclen_new.groupBy()
+            .agg(
+                F.lit(0).alias("side"),
+                F.count("*").cast("double").alias("n"),
+                F.sum("dl").cast("long").alias("len"),
+            )
+            .unionByName(
+                existing.groupBy().agg(
+                    F.lit(1).alias("side"),
+                    F.count("*").cast("double").alias("n"),
+                    F.sum("dl").cast("long").alias("len"),
+                )
+            )
+            .collect()
+        )
+        by_side = {r["side"]: r for r in stats_rows}
+        n_new, new_len = by_side[0]["n"], by_side[0]["len"]
+        n_dead, dead_len = by_side[1]["n"], by_side[1]["len"]
         if not n_new and not n_dead:
             return {"upserted": 0, "tombstoned": 0}
         # journal BEFORE the first durable write (tmp+fsync+replace)
@@ -487,20 +504,49 @@ def _bm25_apply_locked(
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(jtmp, jpath)
+        # the four appends mutate independent table dirs and consume
+        # only pinned inputs — overlap them from a thread pool (r14:
+        # each append is a write action whose cost is mostly driver
+        # latency + commit protocol at batch sizes; the wall cost
+        # becomes max(), not sum()).  Crash safety is unchanged: the
+        # journal above lists every table's pre-append files, and
+        # recovery deletes unknown files in ALL tables regardless of
+        # which appends landed.
+        append_fns = []
         if n_new:
-            post_g.select("doc_id", "gen", "term", "tf").write.mode(
-                "append"
-            ).parquet(os.path.join(path, "postings"))
-            doclen_new.select("doc_id", "gen", "dl").write.mode(
-                "append"
-            ).parquet(os.path.join(path, "doclen"))
-            post_g.groupBy("term").agg(
-                F.countDistinct("doc_id").alias("df")
-            ).write.mode("append").parquet(os.path.join(path, "dfreq"))
+            append_fns += [
+                lambda: post_g.select(
+                    "doc_id", "gen", "term", "tf"
+                ).write.mode("append").parquet(
+                    os.path.join(path, "postings")
+                ),
+                lambda: doclen_new.select(
+                    "doc_id", "gen", "dl"
+                ).write.mode("append").parquet(
+                    os.path.join(path, "doclen")
+                ),
+                lambda: post_g.groupBy("term")
+                .agg(F.countDistinct("doc_id").alias("df"))
+                .write.mode("append")
+                .parquet(os.path.join(path, "dfreq")),
+            ]
         if n_dead:
-            existing.select("doc_id", "gen").write.mode("append").parquet(
-                os.path.join(path, "tombstones")
+            append_fns.append(
+                lambda: existing.select("doc_id", "gen").write.mode(
+                    "append"
+                ).parquet(os.path.join(path, "tombstones"))
             )
+        if len(append_fns) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=len(append_fns),
+                thread_name_prefix="bm25-append",
+            ) as pool:
+                for fut in [pool.submit(fn) for fn in append_fns]:
+                    fut.result()
+        elif append_fns:
+            append_fns[0]()
         _write_consts(
             path,
             consts["n_docs"] + n_new - n_dead,

@@ -990,6 +990,16 @@ def _ann_apply_batch_locked(
             .agg((F.max("gen") + 1).alias("gen"))
             .select(F.lit(2).alias("t"), idx_id_col, "gen")
         )
+        # r14: the upsert count rides the same probe (t=3 — one row
+        # per post-LWW upsert row), so the counts collect below
+        # replaces the dedicated new_rows.count() driver job
+        frames.append(
+            new_rows.select(
+                F.lit(3).alias("t"),
+                F.col(idx_id_col),
+                F.lit(0).alias("gen"),
+            )
+        )
     probe = frames[0]
     for f in frames[1:]:
         probe = probe.unionByName(f)
@@ -1001,7 +1011,7 @@ def _ann_apply_batch_locked(
         for r in probe.groupBy("t").agg(F.count("*").alias("n")).collect()
     }
     n_tomb, n_coll = int(counts.get(0, 0)), int(counts.get(1, 0))
-    n_new = new_rows.count() if new_rows is not None else 0
+    n_new = int(counts.get(3, 0))
     if not n_new and not n_tomb:
         return {"upserted": 0, "tombstoned": 0}
     _ann_write_journal(path)

@@ -4455,6 +4455,25 @@ def _commit_bucketed(
     if isinstance(retain, bool) or not isinstance(retain, int) or retain < 1:
         raise PipelineError("bucketed-sink retain must be an int >= 1")
     spark = merged.sparkSession
+    vdir = _next_version_dir(path)
+    merged.withColumn("__bucket", _bucket_of(on, n_buckets)).write.partitionBy(
+        "__bucket"
+    ).mode("overwrite").parquet(os.path.join(path, vdir))
+    _finalize_bucketed_version(
+        path, vdir, n_buckets, entries, changed, retain
+    )
+    # the post-commit frame costs a manifest read + one reader build
+    # per retained version; relay hot paths that ignore it skip the
+    # work (return_df=False)
+    return read_bucketed_sink(spark, path) if return_df else None
+
+
+def _next_version_dir(path: str) -> str:
+    """Reserve the next version-dir name for a bucketed-sink commit
+    and purge phantom history (the pre-write half of
+    _commit_bucketed; callers hold the sink write lock)."""
+    import os
+
     os.makedirs(path, exist_ok=True)
     # next version number = max over BOTH live v-dirs AND history
     # snapshot names: an all-deletes commit's (empty) v-dir is GC'd,
@@ -4474,14 +4493,38 @@ def _commit_bucketed(
     # deeper -n read is off by one.  (Purged AFTER `seen` so the
     # phantom's version number still counts toward never-recycling.)
     _purge_phantom_history(path)
-    merged.withColumn("__bucket", _bucket_of(on, n_buckets)).write.partitionBy(
-        "__bucket"
-    ).mode("overwrite").parquet(os.path.join(path, vdir))
-    written = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(os.path.join(path, vdir))
-        if d.startswith("__bucket=")
-    }
+    return vdir
+
+
+def _finalize_bucketed_version(
+    path: str,
+    vdir: str,
+    n_buckets: int,
+    entries: dict,
+    changed,
+    retain: int,
+) -> None:
+    """Install an already-written version dir as the sink's current
+    commit: written-bucket scan, manifest build, history snapshot,
+    atomic swap, retention, GC — the post-write half of
+    _commit_bucketed (callers hold the sink write lock).  Split out
+    so the FUSED commit path (one Spark write for several stores,
+    _commit_bucketed_fused) can reuse the manifest protocol
+    unchanged; it is also the per-store crash seam the chaos suites
+    hook."""
+    import os
+    import shutil
+
+    vpath = os.path.join(path, vdir)
+    written = (
+        {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(vpath)
+            if d.startswith("__bucket=")
+        }
+        if os.path.isdir(vpath)
+        else set()
+    )
     new_entries = dict(entries)
     for k in written:
         new_entries[k] = f"{vdir}/__bucket={k}"
@@ -4522,10 +4565,94 @@ def _commit_bucketed(
     for stale in hist[: max(0, len(hist) - retain)]:
         os.unlink(os.path.join(path, stale))
     _gc_bucket_versions(path)
-    # the post-commit frame costs a manifest read + one reader build
-    # per retained version; relay hot paths that ignore it skip the
-    # work (return_df=False)
-    return read_bucketed_sink(spark, path) if return_df else None
+
+
+def _commit_bucketed_fused(specs: list, scratch_root: str) -> None:
+    """Commit SEVERAL bucketed stores' changed-bucket rows with ONE
+    Spark write (the r14 per-store driver-job cut, guide §1.2/§2.4:
+    the commit wave's floor is per-write driver latency + commit
+    protocol, not data).  ``specs``: dicts with keys ``name`` (store
+    tag — a safe dirname), ``df`` (rows to commit), ``path``, ``on``,
+    ``n_buckets``, ``entries``, ``changed``, ``retain`` — the exact
+    per-store _commit_bucketed arguments.  CALLERS HOLD the sink
+    write lock covering every store (the view stores share the view
+    root's lock).
+
+    Mechanics: each store's frame gains its own ``__bucket`` (hashed
+    on ITS key columns) and a ``__fstore`` tag; the union writes once
+    under ``scratch_root/.commit-wave`` partitioned by
+    (__fstore, __bucket); each store's bucket dirs are then RENAMED
+    into that store's next version dir and finalized through the
+    normal manifest protocol (_finalize_bucketed_version) — pure
+    filesystem ops, no further Spark jobs.  The union schema means a
+    store's parquet files can carry the OTHER stores' columns as
+    nulls; every reader of these stores selects its own columns or
+    reads with an explicit schema, and unionByName across versions
+    reconciles (the same contract schema-on-read already relies on).
+    A crash mid-wave leaves either no manifest swapped (invisible) or
+    a prefix of stores swapped — exactly the per-store-commit crash
+    surface the replay contracts already cover.  Falls back to
+    per-store _commit_bucketed when the frames cannot union (e.g. a
+    user field column colliding with another store's column under a
+    different type)."""
+    import os
+    import shutil
+
+    for s in specs:
+        if (
+            isinstance(s["retain"], bool)
+            or not isinstance(s["retain"], int)
+            or s["retain"] < 1
+        ):
+            raise PipelineError("bucketed-sink retain must be an int >= 1")
+    wave = os.path.join(scratch_root, ".commit-wave")
+    shutil.rmtree(wave, ignore_errors=True)
+    try:
+        tagged = None
+        for s in specs:
+            t = (
+                s["df"]
+                .withColumn(
+                    "__bucket", _bucket_of(s["on"], s["n_buckets"])
+                )
+                .withColumn("__fstore", F.lit(s["name"]))
+            )
+            tagged = (
+                t
+                if tagged is None
+                else tagged.unionByName(t, allowMissingColumns=True)
+            )
+        tagged.write.partitionBy("__fstore", "__bucket").mode(
+            "overwrite"
+        ).parquet(wave)
+    except Exception:
+        # un-unionable frames (same-name different-type columns):
+        # the per-store path is always correct, just more jobs
+        shutil.rmtree(wave, ignore_errors=True)
+        for s in specs:
+            _commit_bucketed(
+                s["df"], s["path"], s["on"], s["n_buckets"],
+                s["entries"], s["changed"], retain=s["retain"],
+                return_df=False,
+            )
+        return
+    for s in specs:
+        path = s["path"]
+        vdir = _next_version_dir(path)
+        vpath = os.path.join(path, vdir)
+        os.makedirs(vpath, exist_ok=True)
+        src = os.path.join(wave, f"__fstore={s['name']}")
+        if os.path.isdir(src):
+            for d in os.listdir(src):
+                if d.startswith("__bucket="):
+                    os.rename(
+                        os.path.join(src, d), os.path.join(vpath, d)
+                    )
+        _finalize_bucketed_version(
+            path, vdir, s["n_buckets"], s["entries"], s["changed"],
+            s["retain"],
+        )
+    shutil.rmtree(wave, ignore_errors=True)
 
 
 def _gc_bucket_versions(path: str) -> None:

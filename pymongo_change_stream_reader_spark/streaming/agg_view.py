@@ -85,6 +85,7 @@ from pymongo_change_stream_reader_spark.plans.pipeline import (
     _bucket_history_files,
     _bucket_of,
     _commit_bucketed,
+    _commit_bucketed_fused,
     _read_bucket_manifest,
     _write_atomic,
     bucketed_sink_lock,
@@ -209,31 +210,35 @@ def read_agg_view(spark: SparkSession, path: str) -> DataFrame | None:
         return spark.read.parquet(
             os.path.join(groot, entries["__legacy__"])
         )
-    frames = [
-        spark.read.parquet(os.path.join(groot, rel))
+    # explicit schema (from the pinned config): no per-dir footer
+    # inference, and r14's fused keys+groups commit can leave the
+    # other store's columns as nulls in the files — the schema'd
+    # read never surfaces them
+    import json as _json
+
+    cfg = _json.load(open(os.path.join(path, "_config.json")))
+    schema = _groups_schema(
+        cfg["value_type"], cfg.get("track_minmax", False)
+    )
+    dirs = [
+        os.path.join(groot, rel)
         for rel in entries.values()
         if os.path.isdir(os.path.join(groot, rel))
     ]
-    if not frames:
+    if not dirs:
         # a committed-but-empty view (every group deleted) is valid
-        import json as _json
-
-        cfg = _json.load(open(os.path.join(path, "_config.json")))
-        return spark.createDataFrame(
-            [],
-            _groups_schema(
-                cfg["value_type"], cfg.get("track_minmax", False)
-            ),
-        )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f, allowMissingColumns=True)
-    return out
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
 
 
 def read_agg_view_keys(spark: SparkSession, path: str) -> DataFrame | None:
     """Per-key contribution rows (LWW state incl. tombstones)."""
-    return read_bucketed_sink(spark, os.path.join(path, "keys"))
+    rows = read_bucketed_sink(spark, os.path.join(path, "keys"))
+    if rows is None:
+        return None
+    # select the store's own columns: r14's fused commit can leave
+    # the groups store's columns as nulls in the keys files
+    return rows.select("key", "live", "grp", "val", *_ORDER)
 
 
 def agg_view_batch(
@@ -321,14 +326,9 @@ def agg_view_batch(
                     (F.col("op") != "delete") & F.col("doc").isNull()
                 )
             },
-        ).localCheckpoint(eager=False)  # the __bad probe below
+        ).localCheckpoint(eager=False)  # the combined probe below
         # materializes it — one batch scan total
-        if not last.filter(F.col("__bad")).isEmpty():
-            raise PipelineError(
-                "agg view maintenance needs a post-image per non-delete "
-                "event (fullDocument=updateLookup): an update's old "
-                "contribution cannot be subtracted from a field delta"
-            )
+        bad = last.filter(F.col("__bad"))
         last = last.drop("__bad")
         live = F.col("op") != "delete"
         new = last.select(
@@ -340,12 +340,28 @@ def agg_view_batch(
             .alias("val"),
             *[F.col(c) for c in _ORDER],
         )
-        changed = sorted(
-            r["b"]
-            for r in new.select(_bucket_of(["key"], n_buckets).alias("b"))
+        # ONE tagged collect carries the touched buckets AND the
+        # post-image validation (r14 — the r13 path paid a dedicated
+        # isEmpty job for the __bad probe, like join/star's combined
+        # job 1); the raise still precedes any write
+        probe = (
+            new.select(
+                F.lit(0).alias("t"),
+                _bucket_of(["key"], n_buckets).alias("b"),
+            )
+            .unionByName(
+                bad.select(F.lit(1).alias("t"), F.lit(-1).alias("b"))
+            )
             .distinct()
             .collect()
         )
+        if any(r["t"] == 1 for r in probe):
+            raise PipelineError(
+                "agg view maintenance needs a post-image per non-delete "
+                "event (fullDocument=updateLookup): an update's old "
+                "contribution cannot be subtracted from a field delta"
+            )
+        changed = sorted(r["b"] for r in probe if r["t"] == 0)
         mf = _read_bucket_manifest(keys_path)
         if mf is not None and mf[0] != n_buckets:
             raise PipelineError(
@@ -365,31 +381,43 @@ def agg_view_batch(
             new.schema,
         )
 
-        o = lambda c: F.col(f"__o.{c}")
-        n = lambda c: F.col(f"__n.{c}")
-        if old is not None:
-            j = old.alias("__o").join(
-                new.alias("__n"), o("key") == n("key"), "full"
-            )
-        else:
-            empty = spark.createDataFrame([], new.schema)
-            j = empty.alias("__o").join(
-                new.alias("__n"), F.lit(False), "full"
-            )
-        trip = lambda side: F.struct(*[side(c) for c in _ORDER])
-        new_wins = n("key").isNotNull() & (
-            o("key").isNull() | (trip(n) >= trip(o))
+        # ONE hash aggregation replaces the r13 full-outer join
+        # (join_view._merge_lww's r14 shape, specialized to also keep
+        # the OLD row's contribution fields for the delta algebra):
+        # union both sides tagged, max_by on (triple, side) — one
+        # exchange with map-side partials instead of two + a sort.
+        # Tie on the triple -> the new side wins, exactly the join
+        # form's trip(n) >= trip(o); at most one row per side per key.
+        if old is None:
+            old = spark.createDataFrame([], new.schema)
+        u = (
+            old.withColumn("__new", F.lit(0))
+            .unionByName(new.withColumn("__new", F.lit(1)))
         )
-        winner = F.when(
-            new_wins, F.struct(*[n(c) for c in new.columns])
-        ).otherwise(F.struct(*[o(c) for c in new.columns]))
+        payload = F.struct(*[F.col(c) for c in new.columns])
+        old_payload = F.struct(
+            F.col("live"), F.col("grp"), F.col("val")
+        )
+        ordk = F.struct(*[F.col(c) for c in _ORDER], F.col("__new"))
         # pinned: the deltas AND the keys merge must see one layout
-        merged_full = j.select(
-            o("live").alias("__o_live"),
-            o("grp").alias("__o_grp"),
-            o("val").alias("__o_val"),
-            n("key").isNotNull().alias("__in_batch"),
-            winner.alias("w"),
+        merged_full = (
+            u.groupBy("key")
+            .agg(
+                F.max_by(payload, ordk).alias("w"),
+                # at most one old row per key -> max picks it (null
+                # when the key is batch-new)
+                F.max(
+                    F.when(F.col("__new") == 0, old_payload)
+                ).alias("__o"),
+                F.max("__new").cast("boolean").alias("__in_batch"),
+            )
+            .select(
+                F.col("__o.live").alias("__o_live"),
+                F.col("__o.grp").alias("__o_grp"),
+                F.col("__o.val").alias("__o_val"),
+                "__in_batch",
+                "w",
+            )
         ).localCheckpoint(eager=False)  # first consumer (deltas write
         # or, on replay, the keys commit) materializes it once
 
@@ -522,12 +550,15 @@ def agg_view_batch(
             os.rename(tmp, deltas_dir)  # atomic: the delta commit point
 
         # keys commit (idempotent under replay: same triples re-merge
-        # to the same winners)
+        # to the same winners).  In minmax mode it must land BEFORE
+        # the groups rescan reads the committed keys; the plain mode
+        # defers it into the fused keys+groups write below (r14)
         merged_keys = merged_full.select("w.*")
-        _commit_bucketed(
-            merged_keys, keys_path, ["key"], n_buckets, entries,
-            changed=changed, retain=retain, return_df=False,
-        )
+        if track_minmax:
+            _commit_bucketed(
+                merged_keys, keys_path, ["key"], n_buckets, entries,
+                changed=changed, retain=retain, return_df=False,
+            )
 
         # groups commit: the persisted deltas merge into ONLY the
         # buckets whose groups they touch (read through the _current
@@ -588,25 +619,25 @@ def agg_view_batch(
                     F.max(F.col("__k.val")).alias("r_max"),
                 )
             )
-        g = lambda c: F.col(f"__g.{c}")
-        dd = lambda c: F.col(f"__d.{c}")
-        joined = base.alias("__g").join(
-            d.alias("__d"), g("grp").eqNullSafe(dd("grp")), "full"
-        )
-        sel = [
-            F.coalesce(g("grp"), dd("grp")).alias("grp"),
-            (
-                F.coalesce(g("n_docs"), F.lit(0))
-                + F.coalesce(dd("d_n"), F.lit(0))
-            ).alias("n_docs"),
-            (
-                F.coalesce(g("sum_val"), F.lit(0).cast(value_type))
-                + F.coalesce(dd("d_sum"), F.lit(0).cast(value_type))
-            )
-            .cast(value_type)
-            .alias("sum_val"),
-        ]
         if track_minmax:
+            g = lambda c: F.col(f"__g.{c}")
+            dd = lambda c: F.col(f"__d.{c}")
+            joined = base.alias("__g").join(
+                d.alias("__d"), g("grp").eqNullSafe(dd("grp")), "full"
+            )
+            sel = [
+                F.coalesce(g("grp"), dd("grp")).alias("grp"),
+                (
+                    F.coalesce(g("n_docs"), F.lit(0))
+                    + F.coalesce(dd("d_n"), F.lit(0))
+                ).alias("n_docs"),
+                (
+                    F.coalesce(g("sum_val"), F.lit(0).cast(value_type))
+                    + F.coalesce(dd("d_sum"), F.lit(0).cast(value_type))
+                )
+                .cast(value_type)
+                .alias("sum_val"),
+            ]
             joined = joined.join(
                 rescanned.alias("__r"),
                 F.coalesce(g("grp"), dd("grp")).eqNullSafe(
@@ -625,7 +656,29 @@ def agg_view_batch(
                 .cast(value_type)
                 .alias("max_val"),
             ]
-        nxt = joined.select(*sel).localCheckpoint(eager=False)
+            nxt = joined.select(*sel)
+        else:
+            # ONE hash aggregation replaces the full-outer base⋈delta
+            # (r14, same rewrite as the keys merge): base and deltas
+            # each hold ONE row per grp, so summing the union equals
+            # the coalesce-add of the join form exactly (two-term
+            # addition either way)
+            nxt = (
+                base.select("grp", "n_docs", "sum_val")
+                .unionByName(
+                    d.select(
+                        "grp",
+                        F.col("d_n").alias("n_docs"),
+                        F.col("d_sum").cast(value_type).alias("sum_val"),
+                    )
+                )
+                .groupBy("grp")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("sum_val").cast(value_type).alias("sum_val"),
+                )
+            )
+        nxt = nxt.localCheckpoint(eager=False)
         # the invariant probe below materializes it
         # a NEGATIVE count can only mean a double-subtract (deltas
         # applied twice / contribution removed that was never added) —
@@ -644,10 +697,34 @@ def agg_view_batch(
         # newest commit by at most one (plus at most one phantom), so
         # the snapshot _current names can never be pruned before the
         # swap that follows
-        _commit_bucketed(
-            nxt, groot, ["grp"], n_buckets, gentries,
-            changed=gchanged, retain=max(3, retain), return_df=False,
-        )
+        if track_minmax:
+            _commit_bucketed(
+                nxt, groot, ["grp"], n_buckets, gentries,
+                changed=gchanged, retain=max(3, retain), return_df=False,
+            )
+        else:
+            # ONE fused write commits keys AND groups (r14); the
+            # finalize order (keys first) preserves the documented
+            # apply order — a crash between finalizes leaves keys
+            # committed and groups not, which the replay re-merges
+            # idempotently from the persisted deltas
+            _commit_bucketed_fused(
+                [
+                    dict(
+                        name="keys", df=merged_keys, path=keys_path,
+                        on=["key"], n_buckets=n_buckets,
+                        entries=entries, changed=changed,
+                        retain=retain,
+                    ),
+                    dict(
+                        name="groups", df=nxt, path=groot,
+                        on=["grp"], n_buckets=n_buckets,
+                        entries=gentries, changed=gchanged,
+                        retain=max(3, retain),
+                    ),
+                ],
+                path,
+            )
         vname = _bucket_history_files(groot)[-1][len("_manifest.h-"):]
         _write_atomic(
             os.path.join(groot, "_current"), f"{vname}:{epoch}"

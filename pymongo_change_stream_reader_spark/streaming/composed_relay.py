@@ -179,9 +179,13 @@ def composed_apply_batch(
         # layout — the coalesce only ever narrows.
         import math
 
-        p = batch.localCheckpoint(eager=True)
+        # lazy checkpoint + count: the count IS the materialization
+        # (one driver job, not a checkpoint job plus a count job —
+        # the stores' round-10 lesson applied to the pin itself, r14)
+        p = batch.localCheckpoint(eager=False)
+        n = p.count()
         parts = p.rdd.getNumPartitions()
-        tgt = max(1, min(parts, math.ceil(p.count() / 250)))
+        tgt = max(1, min(parts, math.ceil(n / 250)))
         return p.coalesce(tgt) if tgt < parts else p
 
     pinned = _timed("pin", _pin)

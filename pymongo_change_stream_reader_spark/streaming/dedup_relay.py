@@ -147,6 +147,19 @@ def dedup_flag_batch(
         # barrier plus a job
     )
     docs = effects.filter(F.col("op") != "delete").select("doc", "text")
+    # ONE band-table evaluation per batch (r14): the probe and the
+    # append used to each run lsh_band_table_batch over the same
+    # docs — the MinHash sketch is the dedup store's dominant
+    # per-event cost, so this halves its marginal rate.  Lazy
+    # checkpoint: the probe's count (or the append's write, when no
+    # index exists yet) materializes it.
+    from pymongo_change_stream_reader_spark.operators.dedup import (
+        lsh_band_table_batch,
+    )
+
+    band = lsh_band_table_batch(
+        docs, "text", "doc", num_hashes, bands, n
+    ).localCheckpoint(eager=False)
     n_flags = 0
     spark = batch.sparkSession
     if _dir_has_parquet(index_path):
@@ -164,6 +177,7 @@ def dedup_flag_batch(
                 num_hashes,
                 bands,
                 n,
+                band_table=band,
             )
             # one materialization INSIDE the shared lock: count and
             # write must not re-run the index-scan join, and the scan
@@ -231,7 +245,7 @@ def dedup_flag_batch(
                 flagged.write.mode("overwrite").parquet(part)
     append_lsh_index(
         docs, index_path, "text", "doc", num_hashes, bands, n,
-        track_generations=True,
+        track_generations=True, band_table=band,
     )
     return n_flags
 

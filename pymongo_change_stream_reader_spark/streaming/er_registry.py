@@ -103,6 +103,7 @@ from pymongo_change_stream_reader_spark.plans.pipeline import (
     PipelineError,
     _bucket_of,
     _commit_bucketed,
+    _commit_bucketed_fused,
     _read_bucket_manifest,
     _read_entry_dirs,
     _write_atomic,
@@ -336,6 +337,27 @@ def er_spec_from_config(
     return spec, field_paths
 
 
+_REBUILD_MARKER = "_rebuild.json"
+
+
+def _legacy_fingerprint(cfg: dict) -> dict | None:
+    """The pre-r13 fingerprint shape this (new-format) config would
+    have produced: no ``id_mode``/``block_def`` keys, fields as
+    ``[name, weight]`` pairs.  None when the spec could not have
+    written a legacy config at all (hashed mode postdates the legacy
+    format, so only integral specs upgrade legacy registries)."""
+    if cfg.get("id_mode") != "integral":
+        return None
+    return {
+        "n_buckets": cfg["n_buckets"],
+        "id_col": cfg["id_col"],
+        "fields": [list(f[:2]) for f in cfg["fields"]],
+        "threshold": cfg["threshold"],
+        "max_block_size": cfg["max_block_size"],
+        "extra_cols": cfg["extra_cols"],
+    }
+
+
 def _trip(epoch: int) -> list:
     """Synthetic LWW triple for registry store rows: the epoch is
     strictly monotone and each merge key is written at most once per
@@ -420,6 +442,24 @@ def read_er_entities(
     )
 
 
+def _records_cols(path: str) -> list[str] | None:
+    """The records store's EXACT public column list, derived from the
+    persisted config: rid + field columns + extra_cols (+ ``__skey``
+    under hashed mode).  r14's fused store commits can leave other
+    stores' columns as nulls in the records parquet files; every
+    records reader selects this list so the surplus never leaks."""
+    cfg_path = os.path.join(path, "_config.json")
+    if not os.path.exists(cfg_path):
+        return None
+    cfg = json.load(open(cfg_path))
+    cols = ["rid"] + [f[0] for f in cfg["fields"]] + list(
+        cfg.get("extra_cols", [])
+    )
+    if cfg.get("id_mode", "integral") == "hashed":
+        cols.append("__skey")
+    return cols
+
+
 def read_er_records(spark: SparkSession, path: str) -> DataFrame | None:
     """The current LIVE record fields (rid + field columns, plus the
     ``__skey`` original-id column under ``id_mode="hashed"``) — the
@@ -431,7 +471,11 @@ def read_er_records(spark: SparkSession, path: str) -> DataFrame | None:
     rows = _read_entry_dirs(spark, store, list(mf[1].values()))
     if rows is None:
         return None
-    return rows.filter(F.col("live")).drop("live", *_ORDER)
+    cols = _records_cols(path)
+    live = rows.filter(F.col("live"))
+    if cols is not None:
+        return live.select(*cols)
+    return live.drop("live", *_ORDER)
 
 
 def er_registry_batch(
@@ -469,7 +513,15 @@ def er_registry_batch(
         cfg = {"n_buckets": n_buckets, **spec.fingerprint()}
         cfg_path = os.path.join(path, "_config.json")
         if os.path.exists(cfg_path):
-            if json.load(open(cfg_path)) != cfg:
+            stored = json.load(open(cfg_path))
+            if stored != cfg and stored == _legacy_fingerprint(cfg):
+                # pre-r13 registry (fingerprint predates id_mode /
+                # scorer names / block_def): the stored legacy shape
+                # matches this spec's legacy projection — upgrade the
+                # persisted config in place instead of refusing (the
+                # agg/join views' setdefault contract; r13 ADVICE)
+                _write_atomic(cfg_path, json.dumps(cfg))
+            elif stored != cfg:
                 raise PipelineError(
                     f"er registry at {path!r} was created with a "
                     "different resolution definition; deltas across "
@@ -478,6 +530,15 @@ def er_registry_batch(
         else:
             os.makedirs(path, exist_ok=True)
             _write_atomic(cfg_path, json.dumps(cfg))
+        if os.path.exists(os.path.join(path, _REBUILD_MARKER)):
+            # a rebuild crashed between its store commits and the
+            # pointer swap: some stores may serve the rebuilt
+            # clustering while the view still serves the old one —
+            # folding a batch onto that mixed state could mislabel
+            # co-members.  Re-run the rebuild first (idempotent: it
+            # recomputes from the records store, whose live rows are
+            # identical before and after a rebuild commit).
+            _rebuild_locked(spark, path, spec, retain)
         cur = view_pointer_current(path)
         if cur is not None and cur[1] >= epoch:
             return False
@@ -498,17 +559,38 @@ def er_registry_batch(
 
         # replay-stable: ALWAYS consume the persisted delta frames
         # (key tombstones / member relabels derive from PRE-commit
-        # store state and cannot be re-derived once committed)
+        # store state and cannot be re-derived once committed).  All
+        # four reads are schema'd via _read_delta_dir: r14's fused
+        # delta write can leave empty dirs and union-surplus null
+        # columns, both invisible under an explicit schema.  The
+        # records schema rides _meta.json (caller-typed fields);
+        # pre-r14 epochs without it keep the footer-inferred read.
+        from pymongo_change_stream_reader_spark.streaming.join_view import (
+            _read_delta_dir,
+        )
+
         meta = json.load(open(os.path.join(deltas_dir, "_meta.json")))
-        d_rec = spark.read.parquet(os.path.join(deltas_dir, "records"))
-        d_key = spark.read.schema(_KEYS_SCHEMA).parquet(
-            os.path.join(deltas_dir, "keys")
+        rec_schema_json = meta.get("rec_schema")
+        if rec_schema_json:
+            from pyspark.sql.types import StructType
+
+            d_rec = _read_delta_dir(
+                spark,
+                os.path.join(deltas_dir, "records"),
+                StructType.fromJson(json.loads(rec_schema_json)),
+            )
+        else:
+            d_rec = spark.read.parquet(
+                os.path.join(deltas_dir, "records")
+            )
+        d_key = _read_delta_dir(
+            spark, os.path.join(deltas_dir, "keys"), _KEYS_SCHEMA
         )
-        d_asn = spark.read.schema(_ASN_SCHEMA).parquet(
-            os.path.join(deltas_dir, "assign")
+        d_asn = _read_delta_dir(
+            spark, os.path.join(deltas_dir, "assign"), _ASN_SCHEMA
         )
-        d_mem = spark.read.schema(_MEM_SCHEMA).parquet(
-            os.path.join(deltas_dir, "members")
+        d_mem = _read_delta_dir(
+            spark, os.path.join(deltas_dir, "members"), _MEM_SCHEMA
         )
 
         rec_merged, _ro, rec_entries, rec_changed = _merge_lww(
@@ -524,57 +606,62 @@ def er_registry_batch(
             n_buckets, changed=meta["mem_buckets"], schema=_MEM_SCHEMA,
         )
 
-        def _view_commit() -> None:
-            vchanged = meta["asn_buckets"]
-            res = resolve_view_entries(path, "er registry")
-            ventries = dict(res[0]) if res is not None else {}
-            rels = [ventries[k] for k in vchanged if k in ventries]
-            dirs = [
-                os.path.join(vroot, rel)
-                for rel in rels
-                if os.path.isdir(os.path.join(vroot, rel))
-            ]
-            base = (
-                spark.read.schema(_VIEW_SCHEMA).parquet(*dirs)
-                if dirs
-                else None
-            )
-            if base is None:
-                base = spark.createDataFrame([], "rid LONG, entity LONG")
-            nxt = (
-                base.select("rid", "entity")
-                .join(d_asn.select("rid").distinct(), "rid", "anti")
-                .unionByName(
-                    d_asn.filter(F.col("live")).select("rid", "entity")
-                )
-            )
-            _commit_bucketed(
-                nxt, vroot, ["rid"], n_buckets, ventries,
-                changed=vchanged, retain=max(3, retain), return_df=False,
-            )
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        commits = (
-            lambda: _commit_bucketed(
-                rec_merged, rec_path, ["rid"], n_buckets, rec_entries,
-                changed=rec_changed, retain=retain, return_df=False,
-            ),
-            lambda: _commit_bucketed(
-                key_merged, keys_path, ["bk"], n_buckets, key_entries,
-                changed=key_changed, retain=retain, return_df=False,
-            ),
-            lambda: _commit_bucketed(
-                mem_merged, mem_path, ["entity"], n_buckets, mem_entries,
-                changed=mem_changed, retain=retain, return_df=False,
-            ),
-            _view_commit,
+        vchanged = meta["asn_buckets"]
+        res = resolve_view_entries(path, "er registry")
+        ventries = dict(res[0]) if res is not None else {}
+        rels = [ventries[k] for k in vchanged if k in ventries]
+        dirs = [
+            os.path.join(vroot, rel)
+            for rel in rels
+            if os.path.isdir(os.path.join(vroot, rel))
+        ]
+        base = (
+            spark.read.schema(_VIEW_SCHEMA).parquet(*dirs)
+            if dirs
+            else None
         )
-        with ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="erreg-commit"
-        ) as pool:
-            for fut in [pool.submit(fn) for fn in commits]:
-                fut.result()
+        if base is None:
+            base = spark.createDataFrame([], "rid LONG, entity LONG")
+        nxt = (
+            base.select("rid", "entity")
+            .join(d_asn.select("rid").distinct(), "rid", "anti")
+            .unionByName(
+                d_asn.filter(F.col("live")).select("rid", "entity")
+            )
+        )
+        # ONE fused write commits all four stores (r14 — the r13
+        # wave pooled four separate _commit_bucketed writes); the
+        # per-store manifest finalize stays sequential filesystem
+        # work, and a crash between finalizes (a store prefix
+        # committed) is exactly the window the persisted deltas cover
+        _commit_bucketed_fused(
+            [
+                dict(
+                    name="records", df=rec_merged, path=rec_path,
+                    on=["rid"], n_buckets=n_buckets,
+                    entries=rec_entries, changed=rec_changed,
+                    retain=retain,
+                ),
+                dict(
+                    name="keys", df=key_merged, path=keys_path,
+                    on=["bk"], n_buckets=n_buckets,
+                    entries=key_entries, changed=key_changed,
+                    retain=retain,
+                ),
+                dict(
+                    name="members", df=mem_merged, path=mem_path,
+                    on=["entity"], n_buckets=n_buckets,
+                    entries=mem_entries, changed=mem_changed,
+                    retain=retain,
+                ),
+                dict(
+                    name="view", df=nxt, path=vroot, on=["rid"],
+                    n_buckets=n_buckets, entries=ventries,
+                    changed=vchanged, retain=max(3, retain),
+                ),
+            ],
+            path,
+        )
 
         # single visibility point, strictly after every commit
         vname = _bucket_history_name(vroot)
@@ -619,8 +706,15 @@ def _compute_and_persist_deltas(
     hashed = spec.id_mode == "hashed"
     if hashed:
         skey = F.col(spec.id_col).cast("string")
+        # guard the hash: xxhash64(NULL) is the seed (42), not NULL —
+        # unguarded, every NULL-id row would collapse onto rid 42 and
+        # silently LWW-merge into one phantom record, invisible to
+        # both collision-ledger checks (NULL != x is NULL;
+        # count_distinct ignores NULLs).  NULL must propagate into
+        # the existing skip/count path (the r13 ADVICE finding).
         rid_cols = [
-            _rid_hash(skey).alias("rid"), skey.alias("__skey"),
+            F.when(skey.isNotNull(), _rid_hash(skey)).alias("rid"),
+            skey.alias("__skey"),
         ]
     else:
         rid_cols = [F.col(spec.id_col).cast("long").alias("rid")]
@@ -1053,27 +1147,56 @@ def _compute_and_persist_deltas(
 
     tmp = os.path.join(path, "deltas", f".tmp-{epoch}")
     shutil.rmtree(tmp, ignore_errors=True)
-    from concurrent.futures import ThreadPoolExecutor
-
     writes = (
         ("records", W),
         ("keys", d_key),
         ("assign", d_asn),
         ("members", d_mem),
     )
-    with ThreadPoolExecutor(
-        max_workers=4, thread_name_prefix="erreg-delta"
-    ) as pool:
-        futs = [
-            pool.submit(
-                lambda sub=sub, df=df: df.coalesce(1)
-                .write.mode("overwrite")
-                .parquet(os.path.join(tmp, sub))
+    # ONE Spark write for all four delta frames (r14 — the r13 wave
+    # paid four coalesce(1) write jobs from a thread pool): union
+    # with a __delta tag, write partitioned by it, rename the
+    # partition dirs back to the records/keys/assign/members layout.
+    # Union-surplus columns land as nulls; every replay read is
+    # schema'd (the records schema persists in _meta.json).  A user
+    # field column colliding with another frame's column under a
+    # different type makes the union fail — fall back to the
+    # four separate writes (always correct, just more jobs).
+    try:
+        du = None
+        for sub, df in writes:
+            t = df.withColumn("__delta", F.lit(sub))
+            du = (
+                t
+                if du is None
+                else du.unionByName(t, allowMissingColumns=True)
             )
-            for sub, df in writes
-        ]
-        for f in futs:
-            f.result()
+        du.coalesce(1).write.partitionBy("__delta").mode(
+            "overwrite"
+        ).parquet(tmp)
+        for sub, _df in writes:
+            src = os.path.join(tmp, f"__delta={sub}")
+            if os.path.isdir(src):
+                os.rename(src, os.path.join(tmp, sub))
+            else:
+                os.makedirs(os.path.join(tmp, sub), exist_ok=True)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="erreg-delta"
+        ) as pool:
+            futs = [
+                pool.submit(
+                    lambda sub=sub, df=df: df.coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(tmp, sub))
+                )
+                for sub, df in writes
+            ]
+            for f in futs:
+                f.result()
     _write_atomic(
         os.path.join(tmp, "_meta.json"),
         json.dumps(
@@ -1082,6 +1205,10 @@ def _compute_and_persist_deltas(
                 "key_buckets": key_buckets,
                 "asn_buckets": asn_buckets,
                 "mem_buckets": mem_buckets,
+                # the records delta's exact schema, for the schema'd
+                # replay read (fields are caller-typed, so the replay
+                # cannot reconstruct it from the spec alone)
+                "rec_schema": W.schema.json(),
             }
         ),
     )
@@ -1208,11 +1335,18 @@ def rebuild_er_registry(
     maintenance, like the replica store's compact.  Returns
     ``{"records", "entities"}`` counts.  ``spec`` must match the
     registry's persisted definition (same fingerprint contract as
-    the batch apply)."""
-    from pymongo_change_stream_reader_spark.operators.linkage import (
-        entity_resolution,
-    )
+    the batch apply).
 
+    CRASH SAFETY: a ``_rebuild.json`` marker persists before the
+    first store commit and clears only after the pointer swap — a
+    rebuild torn between its four store commits would otherwise
+    leave members/keys serving the rebuilt clustering while the view
+    serves the old assignments, and subsequent incremental batches
+    would relabel co-members against mixed state.  The next batch
+    apply (or rebuild call) sees the marker and re-runs the rebuild
+    first; re-running is sound because the rebuild derives everything
+    from the records store, whose LIVE rows are identical before and
+    after a rebuild commit."""
     with bucketed_sink_lock(path):
         cfg_path = os.path.join(path, "_config.json")
         if not os.path.exists(cfg_path):
@@ -1226,75 +1360,106 @@ def rebuild_er_registry(
                 "registry's own spec (redefinition is a fresh "
                 "registry, not a rebuild)"
             )
-        cur = view_pointer_current(path)
-        if cur is None:
-            return {"records": 0, "entities": 0}
-        ep = cur[1]
-        rec_path = os.path.join(path, "records")
-        mf = _read_bucket_manifest(rec_path)
-        rows = (
-            _read_entry_dirs(spark, rec_path, list(mf[1].values()))
-            if mf is not None
-            else None
-        )
-        if rows is None:
-            return {"records": 0, "entities": 0}
-        live_rows = rows.filter(F.col("live")).persist()
-        recs = live_rows.drop("live", *_ORDER)
-        asn = (
-            entity_resolution(
-                recs, "rid", spec.keys, spec.fields, spec.threshold,
-                max_block_size=spec.max_block_size,
-                driver_threshold=spec.driver_threshold,
-            )
-            .select("rid", "entity")
-            .persist()
-        )
-        n_rec = asn.count()
-        n_ent = asn.select("entity").distinct().count()
-        vroot = os.path.join(path, "view")
-        new_keys = (
-            recs.select("rid", F.explode(spec.keys).alias("bk"))
-            .distinct()
-            .select("bk", "rid", F.lit(True).alias("live"), *_trip(ep))
-        )
-        new_mem = asn.select(
-            "entity", "rid", F.lit(True).alias("live"), *_trip(ep)
-        )
-        from concurrent.futures import ThreadPoolExecutor
+        return _rebuild_locked(spark, path, spec, retain)
 
-        allb = list(range(n_buckets))
-        commits = (
-            # records: tombstones purged, live rows keep their
-            # ORIGINAL triples (<= ep, so future deltas win LWW)
-            lambda: _commit_bucketed(
-                live_rows, rec_path, ["rid"], n_buckets, {},
-                changed=allb, retain=retain, return_df=False,
-            ),
-            lambda: _commit_bucketed(
-                new_keys, os.path.join(path, "keys"), ["bk"],
-                n_buckets, {}, changed=allb, retain=retain,
-                return_df=False,
-            ),
-            lambda: _commit_bucketed(
-                new_mem, os.path.join(path, "members"), ["entity"],
-                n_buckets, {}, changed=allb, retain=retain,
-                return_df=False,
-            ),
-            lambda: _commit_bucketed(
-                asn, vroot, ["rid"], n_buckets, {}, changed=allb,
-                retain=max(3, retain), return_df=False,
-            ),
+
+def _rebuild_locked(
+    spark: SparkSession, path: str, spec: ERSpec, retain: int = 2
+) -> dict:
+    """The marker-guarded rebuild body; callers hold
+    ``bucketed_sink_lock(path)`` and have verified the fingerprint."""
+    from pymongo_change_stream_reader_spark.operators.linkage import (
+        entity_resolution,
+    )
+
+    n_buckets = json.load(
+        open(os.path.join(path, "_config.json"))
+    )["n_buckets"]
+    marker = os.path.join(path, _REBUILD_MARKER)
+    cur = view_pointer_current(path)
+    if cur is None:
+        if os.path.exists(marker):
+            os.unlink(marker)
+        return {"records": 0, "entities": 0}
+    ep = cur[1]
+    rec_path = os.path.join(path, "records")
+    mf = _read_bucket_manifest(rec_path)
+    rows = (
+        _read_entry_dirs(spark, rec_path, list(mf[1].values()))
+        if mf is not None
+        else None
+    )
+    if rows is None:
+        if os.path.exists(marker):
+            os.unlink(marker)
+        return {"records": 0, "entities": 0}
+    live_rows = rows.filter(F.col("live")).persist()
+    rcols = _records_cols(path)
+    recs = (
+        live_rows.select(*rcols)
+        if rcols is not None
+        else live_rows.drop("live", *_ORDER)
+    )
+    asn = (
+        entity_resolution(
+            recs, "rid", spec.keys, spec.fields, spec.threshold,
+            max_block_size=spec.max_block_size,
+            driver_threshold=spec.driver_threshold,
         )
-        with ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="erreg-rebuild"
-        ) as pool:
-            for fut in [pool.submit(fn) for fn in commits]:
-                fut.result()
-        vname = _bucket_history_name(vroot)
-        _write_atomic(os.path.join(vroot, "_current"), f"{vname}:{ep}")
-        live_rows.unpersist()
-        asn.unpersist()
+        .select("rid", "entity")
+        .persist()
+    )
+    n_rec = asn.count()
+    n_ent = asn.select("entity").distinct().count()
+    vroot = os.path.join(path, "view")
+    new_keys = (
+        recs.select("rid", F.explode(spec.keys).alias("bk"))
+        .distinct()
+        .select("bk", "rid", F.lit(True).alias("live"), *_trip(ep))
+    )
+    new_mem = asn.select(
+        "entity", "rid", F.lit(True).alias("live"), *_trip(ep)
+    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    # marker BEFORE the first commit: a crash anywhere in the
+    # four-store commit wave leaves it in place, and the next batch
+    # apply re-runs the rebuild before folding anything onto the
+    # (possibly mixed) state
+    _write_atomic(marker, json.dumps({"epoch": ep}))
+    allb = list(range(n_buckets))
+    commits = (
+        # records: tombstones purged, live rows keep their
+        # ORIGINAL triples (<= ep, so future deltas win LWW)
+        lambda: _commit_bucketed(
+            live_rows, rec_path, ["rid"], n_buckets, {},
+            changed=allb, retain=retain, return_df=False,
+        ),
+        lambda: _commit_bucketed(
+            new_keys, os.path.join(path, "keys"), ["bk"],
+            n_buckets, {}, changed=allb, retain=retain,
+            return_df=False,
+        ),
+        lambda: _commit_bucketed(
+            new_mem, os.path.join(path, "members"), ["entity"],
+            n_buckets, {}, changed=allb, retain=retain,
+            return_df=False,
+        ),
+        lambda: _commit_bucketed(
+            asn, vroot, ["rid"], n_buckets, {}, changed=allb,
+            retain=max(3, retain), return_df=False,
+        ),
+    )
+    with ThreadPoolExecutor(
+        max_workers=4, thread_name_prefix="erreg-rebuild"
+    ) as pool:
+        for fut in [pool.submit(fn) for fn in commits]:
+            fut.result()
+    vname = _bucket_history_name(vroot)
+    _write_atomic(os.path.join(vroot, "_current"), f"{vname}:{ep}")
+    os.unlink(marker)  # the rebuild is fully visible
+    live_rows.unpersist()
+    asn.unpersist()
     return {"records": n_rec, "entities": n_ent}
 
 

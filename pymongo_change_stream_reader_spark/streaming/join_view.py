@@ -86,6 +86,7 @@ from pymongo_change_stream_reader_spark.plans.pipeline import (
     PipelineError,
     _bucket_of,
     _commit_bucketed,
+    _commit_bucketed_fused,
     _read_bucket_manifest,
     _read_entry_dirs,
     _write_atomic,
@@ -161,6 +162,18 @@ def _read_schemaed(
     return spark.read.schema(schema).parquet(*dirs)
 
 
+def _read_delta_dir(spark: SparkSession, d: str, schema) -> DataFrame:
+    """Read a persisted delta dir with an EXPLICIT schema; a missing
+    or file-less dir (r14's fused delta write creates no partition
+    dir for an empty frame) reads as an empty frame of the schema.
+    Shared by the join/star views and the ER registry."""
+    if not os.path.isdir(d) or not any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    ):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(d)
+
+
 def _merge_lww(
     spark: SparkSession,
     winners: DataFrame,
@@ -170,15 +183,33 @@ def _merge_lww(
     n_buckets: int,
     changed: list[int] | None = None,
     schema=None,
+    batch_flag: str | None = None,
 ) -> tuple[DataFrame, DataFrame, dict, list[int]]:
-    """Full-outer LWW merge of ``winners`` against the committed rows
-    of their touched buckets in ``store`` (bucketed by ``bucket_on``,
-    row identity ``merge_on`` — the secondary index buckets by fk but
+    """LWW merge of ``winners`` against the committed rows of their
+    touched buckets in ``store`` (bucketed by ``bucket_on``, row
+    identity ``merge_on`` — the secondary index buckets by fk but
     merges per (fk, key)): returns (merged rows to commit, the old
     rows frame, manifest entries, changed buckets).  Winner wins on
     triple >= (replay-safe).  ``changed`` passes a precomputed
     touched-bucket list (the batch computes every store's buckets in
-    ONE combined job — see join_view_batch); None collects it here."""
+    ONE combined job — see join_view_batch); None collects it here.
+
+    r14 shape: ONE hash aggregation (union both sides tagged, max_by
+    on (triple, side)) replaces the r13 full-outer join — the join
+    form paid two exchanges plus a sort per merge; this pays one
+    exchange with map-side partial aggregation (guide §2.3/§2.4).  A
+    triple TIE resolves to the new side (__new orders last), exactly
+    the join form's ``trip(new) >= trip(old)``; NULL merge keys group
+    together, matching the join form's eqNullSafe equality.  Both
+    sides hold at most one row per merge key (store invariant /
+    pre-reduced batch), so max_by picks the lone row when only one
+    side has it.
+
+    ``batch_flag``: when set, the merged frame carries an extra
+    BOOLEAN column of that name — True iff the merge key appeared in
+    ``winners``.  Callers derive their post-LWW batch subset with a
+    filter on the already-checkpointed merged frame instead of a
+    separate semi-join job (drop the column before commit)."""
     if changed is None:
         changed = sorted(
             r["b"]
@@ -201,27 +232,28 @@ def _merge_lww(
         old = _read_schemaed(spark, store, rels, schema)
     else:
         old = _read_entry_dirs(spark, store, rels)
-    o = lambda c: F.col(f"__o.{c}")
-    n = lambda c: F.col(f"__n.{c}")
     if old is None:
         old = spark.createDataFrame([], winners.schema)
-    same_key = None
-    for c in merge_on:
-        eq = o(c).eqNullSafe(n(c))
-        same_key = eq if same_key is None else (same_key & eq)
-    j = old.alias("__o").join(winners.alias("__n"), same_key, "full")
-    trip = lambda side: F.struct(*[side(c) for c in _ORDER])
-    # row-presence probe: the first merge column is never NULL in a
-    # present row (store invariant), so a NULL means the full-outer
-    # join found no row on that side
-    probe = merge_on[0]
-    new_wins = n(probe).isNotNull() & (
-        o(probe).isNull() | (trip(n) >= trip(o))
+    cols = winners.columns
+    u = (
+        old.select(*cols)
+        .withColumn("__new", F.lit(0))
+        .unionByName(winners.select(*cols).withColumn("__new", F.lit(1)))
     )
-    winner = F.when(
-        new_wins, F.struct(*[n(c) for c in winners.columns])
-    ).otherwise(F.struct(*[o(c) for c in winners.columns]))
-    merged = j.select(winner.alias("w")).select("w.*")
+    payload = F.struct(*[F.col(c) for c in cols])
+    ordk = F.struct(*[F.col(c) for c in _ORDER], F.col("__new"))
+    aggs = [F.max_by(payload, ordk).alias("__w")]
+    if batch_flag is not None:
+        aggs.append(
+            F.max("__new").cast("boolean").alias(batch_flag)
+        )
+    merged = (
+        u.groupBy(*merge_on)
+        .agg(*aggs)
+        .select(
+            "__w.*", *([batch_flag] if batch_flag is not None else [])
+        )
+    )
     return merged, old, entries, changed
 
 
@@ -419,27 +451,32 @@ def join_view_batch(
 
         # winners-derived schemas skip the per-version driver-side
         # footer inference on every store read (config-fixed layouts;
-        # missing columns null-fill — _read_entry_dirs semantics)
-        fact_merged, fact_old, f_entries, _ = _merge_lww(
+        # missing columns null-fill — _read_entry_dirs semantics).
+        # The merges carry an __in_batch flag: the post-LWW batch
+        # subsets (batch keys only — replays where the store already
+        # has the batch keep winner == stored row) are FILTERS over
+        # the one checkpointed merged frame instead of two dedicated
+        # semi-join jobs (r14)
+        fact_merged_f, fact_old, f_entries, _ = _merge_lww(
             spark, fact_winners, facts_path, ["key"], ["key"], n_buckets,
             changed=f_changed, schema=fact_winners.schema,
+            batch_flag="__in_batch",
         )
-        fact_merged = fact_merged.localCheckpoint(eager=False)
-        dim_merged, _dim_old, d_entries, _ = _merge_lww(
+        fact_merged_f = fact_merged_f.localCheckpoint(eager=False)
+        fact_merged = fact_merged_f.drop("__in_batch")
+        batch_fact_post = fact_merged_f.filter(
+            F.col("__in_batch")
+        ).drop("__in_batch")
+        dim_merged_f, _dim_old, d_entries, _ = _merge_lww(
             spark, dim_winners, dims_path, ["key"], ["jk"], n_buckets,
             changed=d_changed, schema=dim_winners.schema,
+            batch_flag="__in_batch",
         )
-        dim_merged = dim_merged.localCheckpoint(eager=False)
-
-        # post-LWW fact rows OF THE BATCH'S KEYS (merged still holds
-        # untouched same-bucket rows): replays where the store already
-        # has the batch keep winner == stored row
-        batch_fact_post = fact_merged.join(
-            fact_winners.select("key").distinct(), "key", "semi"
-        ).localCheckpoint(eager=False)
-        batch_dim_post = dim_merged.join(
-            dim_winners.select("key").distinct(), "key", "semi"
-        ).localCheckpoint(eager=False)
+        dim_merged_f = dim_merged_f.localCheckpoint(eager=False)
+        dim_merged = dim_merged_f.drop("__in_batch")
+        batch_dim_post = dim_merged_f.filter(
+            F.col("__in_batch")
+        ).drop("__in_batch")
 
         # secondary-index deltas: live row at the winner's fk plus a
         # tombstone at the old fk when the old live row's fk no longer
@@ -617,33 +654,32 @@ def join_view_batch(
             # the index deltas (tombstones included) ride the SAME
             # atomic rename as the view deltas: they are derived from
             # fact_old, which is only meaningful PRE-commit — the
-            # three store commits run concurrently, so a crash after
+            # store commits land independently, so a crash after
             # the facts commit but before the index commit would make
             # a re-derivation see old.fk == winner.fk and drop the
             # tombstone, leaving a stale live index row at the old fk
             # forever (a later dim change would fan out to it and
-            # overwrite the fact's view row with stale data).  The two
-            # writes consume only checkpointed inputs, so they overlap
-            # from two threads (wall = max, not sum).
-            from concurrent.futures import ThreadPoolExecutor as _TPE
-
-            with _TPE(
-                max_workers=2, thread_name_prefix="joinview-delta"
-            ) as _p:
-                futs = [
-                    _p.submit(
-                        lambda: d.coalesce(1)
-                        .write.mode("overwrite")
-                        .parquet(os.path.join(tmp, "view"))
-                    ),
-                    _p.submit(
-                        lambda: idx_winners.coalesce(1)
-                        .write.mode("overwrite")
-                        .parquet(os.path.join(tmp, "idx"))
-                    ),
-                ]
-                for _f in futs:
-                    _f.result()
+            # overwrite the fact's view row with stale data).  r14:
+            # ONE tagged write replaces the two thread-overlapped
+            # writes (one Spark action + one commit protocol); the
+            # partition dirs rename back to the view/ + idx/ layout
+            # so replay readers are unchanged.
+            du = d.withColumn("__delta", F.lit("view")).unionByName(
+                idx_winners.withColumn("__delta", F.lit("idx")),
+                allowMissingColumns=True,
+            )
+            du.coalesce(1).write.partitionBy("__delta").mode(
+                "overwrite"
+            ).parquet(tmp)
+            for sub in ("view", "idx"):
+                src = os.path.join(tmp, f"__delta={sub}")
+                if os.path.isdir(src):
+                    os.rename(src, os.path.join(tmp, sub))
+                else:
+                    # empty frame -> no partition dir; keep the
+                    # layout so replays read an empty delta (and the
+                    # legacy flat-layout fallback never misfires)
+                    os.makedirs(os.path.join(tmp, sub), exist_ok=True)
             # the index store's touched buckets, persisted with the
             # deltas so the replay path needs no extra discovery job
             _write_atomic(
@@ -662,9 +698,12 @@ def join_view_batch(
         idx_delta_dir = os.path.join(deltas_dir, "idx")
         i_changed: list[int] | None = None
         if os.path.isdir(idx_delta_dir):
-            idx_winners = spark.read.parquet(idx_delta_dir).select(
-                "fk", "key", "live", "doc", *_ORDER
-            )
+            # schema'd read: r14's fused delta write can leave an
+            # EMPTY idx dir (and union-surplus null columns in the
+            # files); the explicit schema reads both layouts alike
+            idx_winners = _read_delta_dir(
+                spark, idx_delta_dir, idx_winners.schema
+            ).select("fk", "key", "live", "doc", *_ORDER)
             meta_path = os.path.join(deltas_dir, "_meta.json")
             if os.path.exists(meta_path):
                 i_changed = json.load(open(meta_path))["i_changed"]
@@ -719,60 +758,63 @@ def join_view_batch(
             )
         ventries = dict(vmf[1]) if vmf is not None else {}
 
-        def _view_commit():
-            vchanged = sorted(
-                r["b"]
-                for r in d.select(
-                    _bucket_of(["key"], n_buckets).alias("b")
-                )
-                .distinct()
-                .collect()
+        vchanged = sorted(
+            r["b"]
+            for r in d.select(
+                _bucket_of(["key"], n_buckets).alias("b")
             )
-            res = _resolve_view_entries(path)
-            committed = dict(res[0]) if res is not None else {}
-            base_rows = _read_schemaed(
-                spark, vroot,
-                [committed[k] for k in vchanged if k in committed],
-                ", ".join(f"{c} STRING" for c in _VIEW_COLS),
-            )
-            if base_rows is None:
-                base_rows = spark.createDataFrame(
-                    [],
-                    "key STRING, fk STRING, "
-                    "fact_doc STRING, dim_doc STRING",
-                )
-            nxt = (
-                base_rows.select(*_VIEW_COLS)
-                .join(d.select("key").distinct(), "key", "anti")
-                .unionByName(d.filter(F.col("live")).select(*_VIEW_COLS))
-            )
-            _commit_bucketed(
-                nxt, vroot, ["key"], n_buckets, ventries,
-                changed=vchanged, retain=max(3, retain), return_df=False,
-            )
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        commits = (
-            lambda: _commit_bucketed(
-                fact_merged, facts_path, ["key"], n_buckets, f_entries,
-                changed=f_changed, retain=retain, return_df=False,
-            ),
-            lambda: _commit_bucketed(
-                dim_merged, dims_path, ["jk"], n_buckets, d_entries,
-                changed=d_changed, retain=retain, return_df=False,
-            ),
-            lambda: _commit_bucketed(
-                idx_merged, idx_path, ["fk"], n_buckets, i_entries,
-                changed=i_changed, retain=retain, return_df=False,
-            ),
-            _view_commit,
+            .distinct()
+            .collect()
         )
-        with ThreadPoolExecutor(
-            max_workers=4, thread_name_prefix="joinview-commit"
-        ) as pool:
-            for fut in [pool.submit(fn) for fn in commits]:
-                fut.result()
+        res = _resolve_view_entries(path)
+        committed = dict(res[0]) if res is not None else {}
+        base_rows = _read_schemaed(
+            spark, vroot,
+            [committed[k] for k in vchanged if k in committed],
+            ", ".join(f"{c} STRING" for c in _VIEW_COLS),
+        )
+        if base_rows is None:
+            base_rows = spark.createDataFrame(
+                [],
+                "key STRING, fk STRING, "
+                "fact_doc STRING, dim_doc STRING",
+            )
+        nxt = (
+            base_rows.select(*_VIEW_COLS)
+            .join(d.select("key").distinct(), "key", "anti")
+            .unionByName(d.filter(F.col("live")).select(*_VIEW_COLS))
+        )
+        # ONE fused write commits all four stores (r14 — the r13 wave
+        # pooled four separate _commit_bucketed writes, each its own
+        # Spark action + commit protocol); the per-store manifest
+        # finalize stays sequential filesystem work, and the crash
+        # surface (a prefix of stores committed) is exactly what the
+        # persisted deltas already cover.
+        _commit_bucketed_fused(
+            [
+                dict(
+                    name="facts", df=fact_merged, path=facts_path,
+                    on=["key"], n_buckets=n_buckets, entries=f_entries,
+                    changed=f_changed, retain=retain,
+                ),
+                dict(
+                    name="dims", df=dim_merged, path=dims_path,
+                    on=["jk"], n_buckets=n_buckets, entries=d_entries,
+                    changed=d_changed, retain=retain,
+                ),
+                dict(
+                    name="fact_by_fk", df=idx_merged, path=idx_path,
+                    on=["fk"], n_buckets=n_buckets, entries=i_entries,
+                    changed=i_changed, retain=retain,
+                ),
+                dict(
+                    name="view", df=nxt, path=vroot, on=["key"],
+                    n_buckets=n_buckets, entries=ventries,
+                    changed=vchanged, retain=max(3, retain),
+                ),
+            ],
+            path,
+        )
 
         # the POINTER swap is the batch's single visibility point and
         # runs only after every store and the view version are durable

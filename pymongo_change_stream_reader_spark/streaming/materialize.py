@@ -421,7 +421,38 @@ def _materialize_locked(
     with_deltas = "deltas" in last.columns
     if with_deltas:
         patch = _patch_doc_udf()
-    if old is not None:
+    if old is not None and not with_deltas:
+        # post-image path (r14): ONE hash aggregation replaces the
+        # full-outer join (the join_view._merge_lww rewrite — one
+        # exchange with map-side partials instead of two + a sort).
+        # Tie on the triple -> the new effect wins, matching the join
+        # form's `stale = trip(n) < trip(o)` exactly; a delete's
+        # effect is a NULL doc (tombstone), as before.
+        u = (
+            old.select("key", "doc", *_ORDER)
+            .withColumn("__new", F.lit(0))
+            .unionByName(
+                new.select(
+                    "key",
+                    F.when(F.col("op") != "delete", F.col("doc")).alias(
+                        "doc"
+                    ),
+                    *_ORDER,
+                ).withColumn("__new", F.lit(1))
+            )
+        )
+        payload = F.struct(
+            F.col("doc"), *[F.col(c) for c in _ORDER]
+        )
+        ordk = F.struct(
+            *[F.col(c) for c in _ORDER], F.col("__new")
+        )
+        merged = (
+            u.groupBy("key")
+            .agg(F.max_by(payload, ordk).alias("__w"))
+            .select("key", "__w.*")
+        )
+    elif old is not None:
         stale = F.struct(
             *[F.col(f"__n.{c}") for c in _ORDER]
         ) < F.struct(*[F.col(f"__o.{c}") for c in _ORDER])

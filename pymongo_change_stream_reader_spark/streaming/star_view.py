@@ -67,6 +67,7 @@ from pymongo_change_stream_reader_spark.plans.pipeline import (
     PipelineError,
     _bucket_of,
     _commit_bucketed,
+    _commit_bucketed_fused,
     _read_bucket_manifest,
     _read_entry_dirs,
     _write_atomic,
@@ -74,6 +75,7 @@ from pymongo_change_stream_reader_spark.plans.pipeline import (
 )
 from pymongo_change_stream_reader_spark.streaming.join_view import (
     _bucket_history_name,
+    _read_delta_dir,
     _read_schemaed,
 )
 from pymongo_change_stream_reader_spark.streaming.join_view import (
@@ -160,18 +162,20 @@ def _merge_lww(
     bucket_on: list[str],
     n_buckets: int,
     changed: list[int],
+    batch_flag: str | None = None,
 ) -> tuple[DataFrame, DataFrame, dict]:
-    """The SHARED full-outer LWW merge (streaming/join_view.py — one
-    implementation for the join view, star view and ER registry) with
-    the star conventions pinned: touched-bucket list always
+    """The SHARED one-aggregation LWW merge (streaming/join_view.py —
+    one implementation for the join view, star view and ER registry)
+    with the star conventions pinned: touched-bucket list always
     precomputed (the star batch discovers every store's buckets in
     combined jobs) and schema-on-read from the winners frame (the
     stores' layouts are config-fixed, so the per-version driver-side
     footer inference is skipped — measured at ~0.1 s per read x 1+2N
-    merges per batch)."""
+    merges per batch).  ``batch_flag`` marks merge keys present in
+    the batch (join_view._merge_lww docs)."""
     merged, old, entries, _changed = _join_view_merge_lww(
         spark, winners, store, merge_on, bucket_on, n_buckets,
-        changed=changed, schema=winners.schema,
+        changed=changed, schema=winners.schema, batch_flag=batch_flag,
     )
     return merged, old, entries
 
@@ -362,28 +366,30 @@ def star_view_batch(
             for i, s in enumerate(sides)
         }
 
-        fact_merged, fact_old, f_entries = _merge_lww(
+        # the merges carry an __in_batch flag, so the post-LWW batch
+        # subsets are FILTERS over the one checkpointed merged frame
+        # instead of three dedicated semi-join jobs (r14)
+        fact_merged_f, fact_old, f_entries = _merge_lww(
             spark, fact_winners, facts_path, ["key"], ["key"], n_buckets,
-            f_changed,
+            f_changed, batch_flag="__in_batch",
         )
-        fact_merged = fact_merged.localCheckpoint(eager=False)
-        dim_merged, dim_entries = {}, {}
+        fact_merged_f = fact_merged_f.localCheckpoint(eager=False)
+        fact_merged = fact_merged_f.drop("__in_batch")
+        batch_fact_post = fact_merged_f.filter(
+            F.col("__in_batch")
+        ).drop("__in_batch")
+        dim_merged, dim_entries, batch_dim_post = {}, {}, {}
         for s in sides:
             dm, _old, de = _merge_lww(
                 spark, dim_winners[s], dims_path[s], ["key"], ["jk"],
-                n_buckets, d_changed[s],
+                n_buckets, d_changed[s], batch_flag="__in_batch",
             )
-            dim_merged[s] = dm.localCheckpoint(eager=False)
+            dm = dm.localCheckpoint(eager=False)
+            dim_merged[s] = dm.drop("__in_batch")
+            batch_dim_post[s] = dm.filter(F.col("__in_batch")).drop(
+                "__in_batch"
+            )
             dim_entries[s] = de
-        batch_fact_post = fact_merged.join(
-            fact_winners.select("key").distinct(), "key", "semi"
-        ).localCheckpoint(eager=False)
-        batch_dim_post = {
-            s: dim_merged[s]
-            .join(dim_winners[s].select("key").distinct(), "key", "semi")
-            .localCheckpoint(eager=False)
-            for s in sides
-        }
 
         # per-side index deltas from the PRE-commit fact store
         fo_cols = [F.col("key").alias("__okey"), F.col("live").alias("__ol")]
@@ -585,27 +591,32 @@ def star_view_batch(
 
             tmp = os.path.join(path, "view_deltas", f".tmp-{epoch}")
             shutil.rmtree(tmp, ignore_errors=True)
-            from concurrent.futures import ThreadPoolExecutor as _TPE
-
-            def _wv():
-                delta.coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(tmp, "view")
+            # ONE Spark write for the view delta + every side's index
+            # delta (r14 — the r13 wave paid 1+N coalesce(1) write
+            # jobs): union with a __delta tag, write partitioned by
+            # it, then rename the partition dirs to the SAME on-disk
+            # layout as before (view/, idx_<s>/) so replay readers
+            # are unchanged.  Union-surplus columns land as nulls;
+            # both readers select/schema their own columns.
+            du = delta.withColumn("__delta", F.lit("view"))
+            for s in sides:
+                du = du.unionByName(
+                    idx_winners[s].withColumn(
+                        "__delta", F.lit(f"idx_{s}")
+                    ),
+                    allowMissingColumns=True,
                 )
-
-            def _wi(s):
-                idx_winners[s].coalesce(1).write.mode("overwrite").parquet(
-                    os.path.join(tmp, f"idx_{s}")
-                )
-
-            with _TPE(
-                max_workers=1 + len(sides),
-                thread_name_prefix="starview-delta",
-            ) as _p:
-                futs = [_p.submit(_wv)] + [
-                    _p.submit(_wi, s) for s in sides
-                ]
-                for _f in futs:
-                    _f.result()
+            du.coalesce(1).write.partitionBy("__delta").mode(
+                "overwrite"
+            ).parquet(tmp)
+            for sub in ["view", *[f"idx_{s}" for s in sides]]:
+                src = os.path.join(tmp, f"__delta={sub}")
+                if os.path.isdir(src):
+                    os.rename(src, os.path.join(tmp, sub))
+                else:
+                    # an empty frame writes no partition dir — keep
+                    # the layout so replays read an empty delta
+                    os.makedirs(os.path.join(tmp, sub), exist_ok=True)
             _write_atomic(
                 os.path.join(tmp, "_meta.json"),
                 json.dumps(
@@ -614,12 +625,18 @@ def star_view_batch(
             )
             os.rename(tmp, deltas_dir)  # atomic delta commit point
 
-        # replay-stable: consume the PERSISTED index deltas + buckets
+        # replay-stable: consume the PERSISTED index deltas + buckets.
+        # Schema'd read (not footer inference): r14's fused delta
+        # write leaves an EMPTY dir for a side with no index rows
+        # (and union-surplus null columns in the files of the others);
+        # the explicit schema reads both layouts identically.
         meta = json.load(open(os.path.join(deltas_dir, "_meta.json")))
         i_changed = meta["i_changed"]
         for s in sides:
-            idx_winners[s] = spark.read.parquet(
-                os.path.join(deltas_dir, f"idx_{s}")
+            idx_winners[s] = _read_delta_dir(
+                spark,
+                os.path.join(deltas_dir, f"idx_{s}"),
+                idx_winners[s].schema,
             ).select("fk", "key", "live", "doc", *_ORDER)
 
         idx_merged, idx_entries = {}, {}
@@ -643,74 +660,74 @@ def star_view_batch(
             )
         ventries = dict(vmf[1]) if vmf is not None else {}
 
-        def _view_commit():
-            # pre-upgrade delta epochs lack the persisted bucket list;
-            # fall back to the discovery collect over the tiny file
-            vchanged = meta.get("vchanged")
-            if vchanged is None:
-                vchanged = sorted(
-                    r["b"]
-                    for r in d.select(
-                        _bucket_of(["key"], n_buckets).alias("b")
-                    )
-                    .distinct()
-                    .collect()
+        # pre-upgrade delta epochs lack the persisted bucket list;
+        # fall back to the discovery collect over the tiny file
+        vchanged = meta.get("vchanged")
+        if vchanged is None:
+            vchanged = sorted(
+                r["b"]
+                for r in d.select(
+                    _bucket_of(["key"], n_buckets).alias("b")
                 )
-            res = _resolve_view_entries(path)
-            committed = dict(res[0]) if res is not None else {}
-            base_rows = _read_schemaed(
-                spark, vroot,
-                [committed[k] for k in vchanged if k in committed],
-                ", ".join(f"{c} STRING" for c in VIEW_COLS),
+                .distinct()
+                .collect()
             )
-            if base_rows is None:
-                base_rows = spark.createDataFrame(
-                    [], ", ".join(f"{c} STRING" for c in VIEW_COLS)
-                )
-            nxt = (
-                base_rows.select(*VIEW_COLS)
-                .join(d.select("key").distinct(), "key", "anti")
-                .unionByName(d.filter(F.col("live")).select(*VIEW_COLS))
+        res = _resolve_view_entries(path)
+        committed = dict(res[0]) if res is not None else {}
+        base_rows = _read_schemaed(
+            spark, vroot,
+            [committed[k] for k in vchanged if k in committed],
+            ", ".join(f"{c} STRING" for c in VIEW_COLS),
+        )
+        if base_rows is None:
+            base_rows = spark.createDataFrame(
+                [], ", ".join(f"{c} STRING" for c in VIEW_COLS)
             )
-            _commit_bucketed(
-                nxt, vroot, ["key"], n_buckets, ventries,
-                changed=vchanged, retain=max(3, retain), return_df=False,
-            )
+        nxt = (
+            base_rows.select(*VIEW_COLS)
+            .join(d.select("key").distinct(), "key", "anti")
+            .unionByName(d.filter(F.col("live")).select(*VIEW_COLS))
+        )
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        commit_fns = [
-            lambda: _commit_bucketed(
-                fact_merged, facts_path, ["key"], n_buckets, f_entries,
-                changed=f_changed, retain=retain, return_df=False,
-            ),
-            _view_commit,
+        # ONE fused write commits ALL 2+2N stores (r14 — the r13
+        # wave pooled 2+2N separate _commit_bucketed writes, each its
+        # own Spark action + commit protocol); per-store manifest
+        # finalize stays sequential filesystem work.  Crash surface
+        # unchanged: a kill between finalizes leaves a store prefix
+        # committed — exactly the window the persisted idx deltas
+        # cover (chaos suite's after-facts window).
+        specs = [
+            dict(
+                name="facts", df=fact_merged, path=facts_path,
+                on=["key"], n_buckets=n_buckets, entries=f_entries,
+                changed=f_changed, retain=retain,
+            )
         ]
         for s in sides:
-            commit_fns.append(
-                (
-                    lambda s=s: _commit_bucketed(
-                        dim_merged[s], dims_path[s], ["jk"], n_buckets,
-                        dim_entries[s], changed=d_changed[s],
-                        retain=retain, return_df=False,
-                    )
+            specs.append(
+                dict(
+                    name=f"dims_{s}", df=dim_merged[s],
+                    path=dims_path[s], on=["jk"], n_buckets=n_buckets,
+                    entries=dim_entries[s], changed=d_changed[s],
+                    retain=retain,
                 )
             )
-            commit_fns.append(
-                (
-                    lambda s=s: _commit_bucketed(
-                        idx_merged[s], idx_path[s], ["fk"], n_buckets,
-                        idx_entries[s], changed=i_changed[s],
-                        retain=retain, return_df=False,
-                    )
+            specs.append(
+                dict(
+                    name=f"idx_{s}", df=idx_merged[s],
+                    path=idx_path[s], on=["fk"], n_buckets=n_buckets,
+                    entries=idx_entries[s], changed=i_changed[s],
+                    retain=retain,
                 )
             )
-        with ThreadPoolExecutor(
-            max_workers=min(6, len(commit_fns)),
-            thread_name_prefix="starview-commit",
-        ) as pool:
-            for fut in [pool.submit(fn) for fn in commit_fns]:
-                fut.result()
+        specs.append(
+            dict(
+                name="view", df=nxt, path=vroot, on=["key"],
+                n_buckets=n_buckets, entries=ventries,
+                changed=vchanged, retain=max(3, retain),
+            )
+        )
+        _commit_bucketed_fused(specs, path)
 
         vname = _bucket_history_name(vroot)
         _write_atomic(

@@ -165,9 +165,12 @@ def _crash_then_replay(spark, tmp_path, monkeypatch, crash_attr):
 
 
 def test_crash_between_deltas_and_keys_commit(spark, tmp_path, monkeypatch):
-    # _commit_bucketed raises BEFORE committing keys: deltas persisted,
-    # keys pre-batch, groups pre-batch
-    _crash_then_replay(spark, tmp_path, monkeypatch, "_commit_bucketed")
+    # the fused keys+groups commit (the r14 plain-mode commit path)
+    # raises BEFORE committing anything: deltas persisted, keys
+    # pre-batch, groups pre-batch
+    _crash_then_replay(
+        spark, tmp_path, monkeypatch, "_commit_bucketed_fused"
+    )
 
 
 def test_crash_between_keys_and_groups_commit(spark, tmp_path, monkeypatch):

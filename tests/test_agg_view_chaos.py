@@ -71,9 +71,12 @@ def die(tag):
 
 if kill_mode == "before-keys":
     def cb_hook(*a, **kw):
-        # called AFTER the deltas dir rename: window (a)
+        # called AFTER the deltas dir rename: window (a).  r14: the
+        # plain-mode path commits through the fused write, minmax
+        # through per-store commits — hook both.
         die("before-keys")
     av._commit_bucketed = cb_hook
+    av._commit_bucketed_fused = cb_hook
 else:
     real_wa = av._write_atomic  # only the groups pointer in agg_view
     def wa_hook(dest, body):

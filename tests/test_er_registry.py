@@ -302,26 +302,27 @@ def die(tag):
     print("KILLED_AT " + tag, flush=True)
     os.kill(os.getpid(), signal.SIGKILL)
 
-real_cb = er._commit_bucketed
+import pymongo_change_stream_reader_spark.plans.pipeline as pp
+
 if kill_mode == "after-deltas":
-    # deltas persisted, NOTHING committed
-    def cb_hook(df, store, *a, **kw):
+    # deltas persisted, NOTHING committed (the fused commit is the
+    # whole store wave)
+    def cbf_hook(*a, **kw):
         die("after-deltas")
-    er._commit_bucketed = cb_hook
+    er._commit_bucketed_fused = cbf_hook
 elif kill_mode == "after-records":
     # records store committed, keys store not: the persisted key
     # tombstones must still land on replay (a recompute against the
-    # committed records would find no old-vs-new key diff)
-    records_done = threading.Event()
-    def cb_hook(df, store, *a, **kw):
-        if store.endswith("keys"):
-            records_done.wait(120)
+    # committed records would find no old-vs-new key diff).  r14
+    # fused commit: data lands in one write, manifest finalizes run
+    # sequentially in spec order (records, keys, members, view) —
+    # dying at the keys finalize leaves records committed, keys not.
+    real_fin = pp._finalize_bucketed_version
+    def fin_hook(path, *a, **kw):
+        if path.endswith("keys"):
             die("after-records")
-        res = real_cb(df, store, *a, **kw)
-        if store.endswith("records"):
-            records_done.set()
-        return res
-    er._commit_bucketed = cb_hook
+        return real_fin(path, *a, **kw)
+    pp._finalize_bucketed_version = fin_hook
 else:
     real_wa = er._write_atomic
     def wa_hook(dest, body):
@@ -712,3 +713,148 @@ def test_fingerprint_rejects_scorer_and_blocking_change(spark, tmp_path):
             b, path, 2, ERSpec("id", FIELDS, other_keys, 0.75),
             n_buckets=4,
         )
+
+
+def test_hashed_null_id_is_skipped_and_counted(spark, tmp_path):
+    # r13 ADVICE (medium): xxhash64(NULL) = the seed (42), so an
+    # unguarded hash would collapse every NULL-id row onto rid 42 and
+    # silently LWW-merge them into one phantom record that both
+    # collision-ledger checks are blind to.  The guard must route
+    # NULL ids into the existing skip/count path instead.
+    path = str(tmp_path / "reg")
+    rows = [(None, "jon smith", "nyc", 30), HROWS[1]]
+    b = _hdf(spark, rows).withColumn("live", F.lit(True))
+    stats: dict = {}
+    assert er_registry_batch(
+        b, path, 1, _hspec(), n_buckets=4, stats=stats
+    )
+    assert stats["skipped_ids"] == 1
+    recs = read_er_records(spark, path).collect()
+    assert len(recs) == 1  # no rid-42 phantom
+    assert {r["__skey"] for r in recs} == {HROWS[1][0]}
+    asn = read_er_assign(spark, path).collect()
+    assert len(asn) == 1
+
+
+def test_legacy_fingerprint_upgrades_in_place(spark, tmp_path):
+    # r13 ADVICE (low): registries created before the r13 fingerprint
+    # format (no id_mode / scorer names / block_def) must keep
+    # applying batches — the stored legacy config upgrades in place,
+    # like the agg/join views' setdefault compatibility.
+    import json as _json
+
+    path = str(tmp_path / "reg")
+    b0 = _df(spark, [ROWS[0]]).withColumn("live", F.lit(True))
+    assert er_registry_batch(b0, path, 1, _spec(), n_buckets=4)
+    cfg_path = os.path.join(path, "_config.json")
+    cfg = _json.load(open(cfg_path))
+    legacy = {
+        "n_buckets": cfg["n_buckets"],
+        "id_col": cfg["id_col"],
+        "fields": [f[:2] for f in cfg["fields"]],
+        "threshold": cfg["threshold"],
+        "max_block_size": cfg["max_block_size"],
+        "extra_cols": cfg["extra_cols"],
+    }
+    with open(cfg_path, "w") as fh:
+        _json.dump(legacy, fh)
+    b1 = _df(spark, [ROWS[1]]).withColumn("live", F.lit(True))
+    assert er_registry_batch(b1, path, 2, _spec(), n_buckets=4)
+    assert _assign(spark, path) == {1: 1, 2: 1}
+    upgraded = _json.load(open(cfg_path))
+    assert upgraded.get("id_mode") == "integral"
+    assert "block_def" in upgraded
+    # a DIFFERENT spec against a legacy config still rejects
+    with open(cfg_path, "w") as fh:
+        _json.dump(legacy, fh)
+    from pymongo_change_stream_reader_spark.plans.pipeline import (
+        PipelineError,
+    )
+
+    with pytest.raises(PipelineError, match="different resolution"):
+        er_registry_batch(
+            b1, path, 3, ERSpec("id", FIELDS, _keys(), 0.9), n_buckets=4
+        )
+
+
+_REBUILD_CHILD = """
+import json, os, signal, sys, threading, time
+
+path = sys.argv[1]
+
+from pyspark.sql import functions as F
+from pymongo_change_stream_reader_spark.session import get_spark
+import pymongo_change_stream_reader_spark.streaming.er_registry as er
+from pymongo_change_stream_reader_spark.operators.linkage import (
+    MatchField, sim_edit_distance, sim_numeric_closeness)
+
+spark = get_spark(app_name="erreg-rebuild-chaos", cpus=4,
+                  shuffle_partitions=4)
+
+def die(tag):
+    print("KILLED_AT " + tag, flush=True)
+    os.kill(os.getpid(), signal.SIGKILL)
+
+real_cb = er._commit_bucketed
+done = []
+def cb_hook(df, store, *a, **kw):
+    # torn-rebuild window: three stores committed, the view (the
+    # assignment table the pointer serves) not — exactly the mixed
+    # state the r13 ADVICE names
+    if store.endswith("view"):
+        t0 = time.time()
+        while len(done) < 3 and time.time() - t0 < 120:
+            time.sleep(0.05)
+        die("before-view-commit")
+    res = real_cb(df, store, *a, **kw)
+    done.append(store)
+    return res
+er._commit_bucketed = cb_hook
+
+FIELDS = [MatchField("name", 0.6, sim_edit_distance),
+          MatchField("city", 0.2, sim_edit_distance),
+          MatchField("age", 0.2, sim_numeric_closeness)]
+KEYS = F.array_distinct(F.transform(
+    F.split(F.col("name"), " "), lambda t: F.substring(t, 1, 3)))
+spec = er.ERSpec("id", FIELDS, KEYS, 0.75)
+er.rebuild_er_registry(spark, path, spec)
+print("SURVIVED", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_rebuild_sigkill_window_heals_on_next_batch(spark, tmp_path):
+    # r13 ADVICE (medium): a rebuild crashing after some store
+    # commits but before the view commit/pointer swap must not let
+    # the next incremental batch fold onto mixed clustering state.
+    # The _rebuild.json marker forces a re-run first.
+    path = str(tmp_path / "reg")
+    df = _df(spark)
+    b0 = df.filter(F.col("id").isin(1, 2, 3)).withColumn(
+        "live", F.lit(True)
+    )
+    assert er_registry_batch(b0, path, 1, _spec(), n_buckets=4)
+    bdel = df.filter(F.col("id") == 2).withColumn("live", F.lit(False))
+    assert er_registry_batch(bdel, path, 2, _spec(), n_buckets=4)
+    assert _assign(spark, path) == {1: 1, 3: 1}  # no-retraction drift
+
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="2g", SPARK_GRAFT_CPUS="4")
+    proc = subprocess.run(
+        [sys.executable, "-c", _REBUILD_CHILD, path],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == -signal.SIGKILL, proc.stderr[-2000:]
+    assert "KILLED_AT before-view-commit" in proc.stdout
+    assert os.path.exists(os.path.join(path, "_rebuild.json"))
+
+    # the next batch re-runs the rebuild from the marker BEFORE
+    # folding: 1/3 split (the rebuild's outcome), then 6 arrives as
+    # its own singleton
+    b3 = df.filter(F.col("id") == 6).withColumn("live", F.lit(True))
+    assert er_registry_batch(b3, path, 3, _spec(), n_buckets=4)
+    assert not os.path.exists(os.path.join(path, "_rebuild.json"))
+    assert _assign(spark, path) == {1: 1, 3: 3, 6: 6}

@@ -66,6 +66,7 @@ JOIN_TYPE = sys.argv[5] if len(sys.argv) > 5 else "inner"
 
 from pymongo_change_stream_reader_spark.session import get_spark
 import pymongo_change_stream_reader_spark.streaming.join_view as jv
+import pymongo_change_stream_reader_spark.plans.pipeline as pp
 
 spark = get_spark(app_name="joinview-chaos", cpus=4, shuffle_partitions=4)
 
@@ -75,26 +76,21 @@ def die(tag):
 
 if kill_mode == "before-stores":
     def cb_hook(*a, **kw):
-        # first _commit_bucketed call = the facts commit; the view
-        # deltas dir rename already happened
+        # the fused commit = the whole store wave; the view deltas
+        # dir rename already happened, nothing committed
         die("before-stores")
-    jv._commit_bucketed = cb_hook
+    jv._commit_bucketed_fused = cb_hook
 elif kill_mode == "after-facts":
-    # deterministic interleave of the concurrent store commits: the
-    # facts commit runs for real, the index commit thread WAITS for
-    # it and then kills the process — facts durable, index not
-    import threading
-    real_cb = jv._commit_bucketed
-    facts_done = threading.Event()
-    def cb_hook(df, store, *a, **kw):
-        if store.endswith("fact_by_fk"):
-            facts_done.wait(120)
+    # r14 fused commit: the store DATA lands in one write, then the
+    # per-store manifest finalizes run SEQUENTIALLY in spec order
+    # (facts, dims, fact_by_fk, view) — dying at the fact_by_fk
+    # finalize leaves facts (and dims) committed, the index not
+    real_fin = pp._finalize_bucketed_version
+    def fin_hook(path, *a, **kw):
+        if path.endswith("fact_by_fk"):
             die("after-facts")
-        res = real_cb(df, store, *a, **kw)
-        if store.endswith("facts"):
-            facts_done.set()
-        return res
-    jv._commit_bucketed = cb_hook
+        return real_fin(path, *a, **kw)
+    pp._finalize_bucketed_version = fin_hook
 else:
     real_wa = jv._write_atomic
     def wa_hook(dest, body):

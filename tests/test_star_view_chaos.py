@@ -69,17 +69,17 @@ def die(tag):
     os.kill(os.getpid(), signal.SIGKILL)
 
 if kill_mode == "after-facts":
-    real_cb = sv._commit_bucketed
-    facts_done = threading.Event()
-    def cb_hook(df, store, *a, **kw):
-        if store.endswith("idx_a"):
-            facts_done.wait(120)
+    # r14 fused commit: store DATA lands in one write, manifest
+    # finalizes run SEQUENTIALLY in spec order (facts, dims_a, idx_a,
+    # ...) — dying at the idx_a finalize leaves facts committed, the
+    # a-side index not
+    import pymongo_change_stream_reader_spark.plans.pipeline as pp
+    real_fin = pp._finalize_bucketed_version
+    def fin_hook(path, *a, **kw):
+        if path.endswith("idx_a"):
             die("after-facts")
-        res = real_cb(df, store, *a, **kw)
-        if store.endswith("facts"):
-            facts_done.set()
-        return res
-    sv._commit_bucketed = cb_hook
+        return real_fin(path, *a, **kw)
+    pp._finalize_bucketed_version = fin_hook
 else:
     real_wa = sv._write_atomic
     def wa_hook(dest, body):
