@@ -115,6 +115,38 @@ HEADLINE = (
 # rebuild-equality suites in tests/test_ann_relay.py)
 
 
+# Host-drift canary (VERDICT r13 "next round #5"): controlled
+# quiet-host best-of-3 figures for four structurally-stable queries
+# (PERF.md round-6 canary table).  bench.py reports each run's
+# measured/controlled ratio so a drifting host is flagged IN the
+# artifact: a UNIFORM ratio well above 1 means the whole run was
+# host-inflated and per-query deltas must not be read as regressions
+# (the established canary rule).
+_CANARY_CONTROLLED = {
+    "quality_filter_pipeline": 0.45,
+    "text_lang_id": 0.67,
+    "dedup_simhash": 0.93,
+    "corpus_decontamination_bloom": 1.59,
+}
+
+
+def _host_canary(timings: dict) -> dict:
+    ratios = {
+        name: round(timings[name] / ctrl, 2)
+        for name, ctrl in _CANARY_CONTROLLED.items()
+        if name in timings
+    }
+    vals = sorted(ratios.values())
+    med = (
+        round(
+            (vals[len(vals) // 2] + vals[(len(vals) - 1) // 2]) / 2, 2
+        )
+        if vals
+        else None
+    )
+    return {"ratios": ratios, "median": med}
+
+
 def composed_relay_bench(
     spark,
     sf_dir: str,
@@ -321,15 +353,23 @@ def composed_relay_bench(
 
         kw = _stores("timed")
         timings: dict[str, float] = {}
+        tracker = spark.sparkContext.statusTracker()
+        jobs0 = len(tracker.getJobIdsForGroup() or [])
         t0 = time.time()
         for i, b in enumerate(batches):
             composed_apply_batch(
                 b, i, store_timings=timings, max_parallel_stores=8, **kw
             )
         total = time.time() - t0
+        # deterministic driver-job census for the timed loop (the
+        # composed floor IS the driver job count — PERF.md r13): the
+        # ungrouped-job-id delta across the n_batches applies
+        n_jobs = len(tracker.getJobIdsForGroup() or []) - jobs0
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return {
+        "spark_jobs": n_jobs,
+        "spark_jobs_per_batch": round(n_jobs / n_batches, 1),
         "events": n_events,
         "batches": n_batches,
         "events_per_s": round(n_events / total),
@@ -416,6 +456,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "host_canary": _host_canary(timings),
                 "reps_per_query": 2,
                 "sf": float(sf) if sf else sf_dir,
                 "streaming_events_per_s": events_per_s,
@@ -437,6 +478,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": {"n_queries": len(timings)},
+                "host_canary": _host_canary(timings),
                 "sf": float(sf) if sf else sf_dir,
                 "streaming_events_per_s": events_per_s,
                 "composed_relay_events_per_s": composed.get("events_per_s"),
