@@ -147,6 +147,19 @@ def _host_canary(timings: dict) -> dict:
     return {"ratios": ratios, "median": med}
 
 
+def _next_job_id(spark) -> int:
+    """The DAGScheduler's monotone next-job-id counter (the only
+    unbounded job counter the driver exposes; ``private[spark]`` is
+    bytecode-public, so py4j reads it).  Falls back to the
+    statusTracker job list — valid only below the
+    spark.ui.retainedJobs cap — if the accessor ever moves."""
+    try:
+        return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+    except Exception:
+        tracker = spark.sparkContext.statusTracker()
+        return len(tracker.getJobIdsForGroup() or [])
+
+
 def composed_relay_bench(
     spark,
     sf_dir: str,
@@ -353,8 +366,7 @@ def composed_relay_bench(
 
         kw = _stores("timed")
         timings: dict[str, float] = {}
-        tracker = spark.sparkContext.statusTracker()
-        jobs0 = len(tracker.getJobIdsForGroup() or [])
+        jobs0 = _next_job_id(spark)
         t0 = time.time()
         for i, b in enumerate(batches):
             composed_apply_batch(
@@ -363,8 +375,12 @@ def composed_relay_bench(
         total = time.time() - t0
         # deterministic driver-job census for the timed loop (the
         # composed floor IS the driver job count — PERF.md r13): the
-        # ungrouped-job-id delta across the n_batches applies
-        n_jobs = len(tracker.getJobIdsForGroup() or []) - jobs0
+        # DAGScheduler job-id delta across the n_batches applies
+        # (monotone and unbounded, unlike the statusTracker job list,
+        # which spark.ui.retainedJobs caps at 1000 — a delta read
+        # through it goes flat once a long-running session passes the
+        # cap)
+        n_jobs = _next_job_id(spark) - jobs0
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return {
