@@ -680,6 +680,37 @@ def er_registry_batch(
         return True
 
 
+def _flatten_bucket_dirs(sub_dir: str) -> list[int]:
+    """Move a delta subdir's ``__b=<n>`` write-partition dirs' files
+    up into the subdir itself and return the sorted bucket ids — the
+    store's touched-bucket list, derived from the write instead of a
+    dedicated collect job.  One writer task emits the SAME part-file
+    name into every partition dir, so flattened files gain a
+    ``b<val>-`` prefix (and their ``.crc`` twins the matching
+    ``.b<val>-…`` name, keeping the local filesystem's checksum
+    pairing).  Rows without a bucket column (the records/keys legs of
+    the fused union) land under the Hive default-partition dir; their
+    files flatten the same way, they just contribute no bucket id."""
+    buckets: list[int] = []
+    for dn in os.listdir(sub_dir):
+        p = os.path.join(sub_dir, dn)
+        if not (os.path.isdir(p) and dn.startswith("__b=")):
+            continue
+        val = dn.split("=", 1)[1]
+        if val.lstrip("-").isdigit():
+            buckets.append(int(val))
+        for fn in os.listdir(p):
+            if fn.startswith(".") and fn.endswith(".crc"):
+                dst_fn = f".b{val}-{fn[1:]}"
+            else:
+                dst_fn = f"b{val}-{fn}"
+            os.rename(
+                os.path.join(p, fn), os.path.join(sub_dir, dst_fn)
+            )
+        os.rmdir(p)
+    return sorted(buckets)
+
+
 def _compute_and_persist_deltas(
     spark: SparkSession,
     records: DataFrame,
@@ -1069,11 +1100,15 @@ def _compute_and_persist_deltas(
             *_trip(epoch),
         )
     )
+    # NOT checkpointed (r14): the fused delta write below is the
+    # frame's ONLY consumer — the write materializes it, and its
+    # touched buckets come back from the write's partition dirs, so
+    # a checkpoint here would only add a dedicated Catalyst planning
+    # pass (measured ~0.7 s/batch on the driver)
     d_asn = (
         asn_new.unionByName(asn_del)
         .unionByName(asn_relabel)
         .unionByName(asn_seeded)
-        .localCheckpoint(eager=False)
     )
 
     # --- member deltas --------------------------------------------
@@ -1119,27 +1154,17 @@ def _compute_and_persist_deltas(
             )
         )
     )
-    d_mem = mem_new.unionByName(mem_tombs).localCheckpoint(eager=False)
+    # not checkpointed — same single-consumer rationale as d_asn
+    d_mem = mem_new.unionByName(mem_tombs)
 
     # --- persist the four delta frames + touched buckets ------------
-    # job 5: one tagged collect for the assign/member commit buckets
-    # (the records/keys buckets were already collected above)
-    amb = (
-        d_asn.select(
-            F.lit(0).alias("t"), _bucket_of(["rid"], n_buckets).alias("b")
-        )
-        .unionByName(
-            d_mem.select(
-                F.lit(1).alias("t"),
-                _bucket_of(["entity"], n_buckets).alias("b"),
-            )
-        )
-        .distinct()
-        .collect()
-    )
-    asn_buckets = sorted(r["b"] for r in amb if r["t"] == 0)
-    mem_buckets = sorted(r["b"] for r in amb if r["t"] == 1)
-
+    # r14: the assign/member commit buckets are DERIVED FROM THE
+    # DELTA WRITE ITSELF — each frame carries its own __b bucket
+    # column and the fused write partitions by (__delta, __b), so the
+    # written partition dirs ARE the touched-bucket lists (pure
+    # directory listing, no driver job).  This replaces the r13
+    # "job 5" tagged collect AND lets d_asn/d_mem drop their
+    # checkpoints (the write is their only consumer).
     if stats is not None:
         stats["edges"] = n_edges
         stats["merged_entities"] = changed.count()
@@ -1147,21 +1172,32 @@ def _compute_and_persist_deltas(
 
     tmp = os.path.join(path, "deltas", f".tmp-{epoch}")
     shutil.rmtree(tmp, ignore_errors=True)
+    # the assign/members frames carry their commit-bucket id as a
+    # write partition column — the written dirs are the touched-bucket
+    # lists (the records/keys lists were already collected in j1/j2,
+    # where they gate the pre-write store reads)
+    bucket_col = {
+        "assign": _bucket_of(["rid"], n_buckets),
+        "members": _bucket_of(["entity"], n_buckets),
+    }
     writes = (
         ("records", W),
         ("keys", d_key),
-        ("assign", d_asn),
-        ("members", d_mem),
+        ("assign", d_asn.withColumn("__b", bucket_col["assign"])),
+        ("members", d_mem.withColumn("__b", bucket_col["members"])),
     )
     # ONE Spark write for all four delta frames (r14 — the r13 wave
     # paid four coalesce(1) write jobs from a thread pool): union
-    # with a __delta tag, write partitioned by it, rename the
-    # partition dirs back to the records/keys/assign/members layout.
-    # Union-surplus columns land as nulls; every replay read is
-    # schema'd (the records schema persists in _meta.json).  A user
+    # with a __delta tag, write partitioned by (__delta, __b), rename
+    # the partition dirs back to the records/keys/assign/members
+    # layout (bucket subdirs flattened under a b<val>- file prefix —
+    # one task writes the same part name into every partition dir).
+    # Union-surplus columns land as nulls; every replay read
+    # is schema'd (the records schema persists in _meta.json).  A user
     # field column colliding with another frame's column under a
     # different type makes the union fail — fall back to the
     # four separate writes (always correct, just more jobs).
+    derived: dict[str, list[int]] = {}
     try:
         du = None
         for sub, df in writes:
@@ -1171,32 +1207,41 @@ def _compute_and_persist_deltas(
                 if du is None
                 else du.unionByName(t, allowMissingColumns=True)
             )
-        du.coalesce(1).write.partitionBy("__delta").mode(
+        du.coalesce(1).write.partitionBy("__delta", "__b").mode(
             "overwrite"
         ).parquet(tmp)
         for sub, _df in writes:
             src = os.path.join(tmp, f"__delta={sub}")
+            dst = os.path.join(tmp, sub)
             if os.path.isdir(src):
-                os.rename(src, os.path.join(tmp, sub))
+                os.rename(src, dst)
+                derived[sub] = _flatten_bucket_dirs(dst)
             else:
-                os.makedirs(os.path.join(tmp, sub), exist_ok=True)
+                os.makedirs(dst, exist_ok=True)
+                derived[sub] = []
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)
         from concurrent.futures import ThreadPoolExecutor
+
+        def _one(sub, df):
+            dst = os.path.join(tmp, sub)
+            w = df.coalesce(1).write.mode("overwrite")
+            if sub in bucket_col:
+                w.partitionBy("__b").parquet(dst)
+                derived[sub] = _flatten_bucket_dirs(dst)
+            else:
+                w.parquet(dst)
 
         with ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="erreg-delta"
         ) as pool:
             futs = [
-                pool.submit(
-                    lambda sub=sub, df=df: df.coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(tmp, sub))
-                )
-                for sub, df in writes
+                pool.submit(_one, sub, df) for sub, df in writes
             ]
             for f in futs:
                 f.result()
+    asn_buckets = derived.get("assign", [])
+    mem_buckets = derived.get("members", [])
     _write_atomic(
         os.path.join(tmp, "_meta.json"),
         json.dumps(
