@@ -111,6 +111,7 @@ from pymongo_change_stream_reader_spark.plans.pipeline import (
 )
 from pymongo_change_stream_reader_spark.streaming.join_view import (
     _bucket_history_name,
+    _flatten_bucket_dirs,
     _merge_lww,
 )
 from pymongo_change_stream_reader_spark.streaming.materialize import (
@@ -678,37 +679,6 @@ def er_registry_batch(
                 os.path.join(droot, f"epoch={e}"), ignore_errors=True
             )
         return True
-
-
-def _flatten_bucket_dirs(sub_dir: str) -> list[int]:
-    """Move a delta subdir's ``__b=<n>`` write-partition dirs' files
-    up into the subdir itself and return the sorted bucket ids — the
-    store's touched-bucket list, derived from the write instead of a
-    dedicated collect job.  One writer task emits the SAME part-file
-    name into every partition dir, so flattened files gain a
-    ``b<val>-`` prefix (and their ``.crc`` twins the matching
-    ``.b<val>-…`` name, keeping the local filesystem's checksum
-    pairing).  Rows without a bucket column (the records/keys legs of
-    the fused union) land under the Hive default-partition dir; their
-    files flatten the same way, they just contribute no bucket id."""
-    buckets: list[int] = []
-    for dn in os.listdir(sub_dir):
-        p = os.path.join(sub_dir, dn)
-        if not (os.path.isdir(p) and dn.startswith("__b=")):
-            continue
-        val = dn.split("=", 1)[1]
-        if val.lstrip("-").isdigit():
-            buckets.append(int(val))
-        for fn in os.listdir(p):
-            if fn.startswith(".") and fn.endswith(".crc"):
-                dst_fn = f".b{val}-{fn[1:]}"
-            else:
-                dst_fn = f"b{val}-{fn}"
-            os.rename(
-                os.path.join(p, fn), os.path.join(sub_dir, dst_fn)
-            )
-        os.rmdir(p)
-    return sorted(buckets)
 
 
 def _compute_and_persist_deltas(

@@ -174,6 +174,38 @@ def _read_delta_dir(spark: SparkSession, d: str, schema) -> DataFrame:
     return spark.read.schema(schema).parquet(d)
 
 
+def _flatten_bucket_dirs(sub_dir: str) -> list[int]:
+    """Move a delta subdir's ``__b=<n>`` write-partition dirs' files
+    up into the subdir itself and return the sorted bucket ids — the
+    store's touched-bucket list, derived from the write instead of a
+    dedicated collect job (r14).  One writer task emits the SAME
+    part-file name into every partition dir, so flattened files gain
+    a ``b<val>-`` prefix (and their ``.crc`` twins the matching
+    ``.b<val>-…`` name, keeping the local filesystem's checksum
+    pairing).  Rows without a bucket column land under the Hive
+    default-partition dir; their files flatten the same way, they
+    just contribute no bucket id.  Shared by the join/star views and
+    the ER registry."""
+    buckets: list[int] = []
+    for dn in os.listdir(sub_dir):
+        p = os.path.join(sub_dir, dn)
+        if not (os.path.isdir(p) and dn.startswith("__b=")):
+            continue
+        val = dn.split("=", 1)[1]
+        if val.lstrip("-").isdigit():
+            buckets.append(int(val))
+        for fn in os.listdir(p):
+            if fn.startswith(".") and fn.endswith(".crc"):
+                dst_fn = f".b{val}-{fn[1:]}"
+            else:
+                dst_fn = f"b{val}-{fn}"
+            os.rename(
+                os.path.join(p, fn), os.path.join(sub_dir, dst_fn)
+            )
+        os.rmdir(p)
+    return sorted(buckets)
+
+
 def _merge_lww(
     spark: SparkSession,
     winners: DataFrame,
@@ -508,21 +540,24 @@ def join_view_batch(
             *[F.col(c) for c in _ORDER],
         )
         # a live fact without an fk has no index row (it can join no
-        # dim, and no dim change can affect it)
-        idx_winners = (
-            idx_live.filter(F.col("fk").isNotNull())
-            .unionByName(idx_tomb)
-            .localCheckpoint(eager=False)
-        )
+        # dim, and no dim change can affect it).  NOT checkpointed
+        # (r14b): the fused delta write below is the frame's only
+        # consumer — the write materializes it and its touched
+        # buckets come back from the write's partition dirs, so a
+        # checkpoint here would only add a Catalyst planning pass
+        # plus its eagerly-materialized stage jobs (the ER lesson).
+        idx_winners = idx_live.filter(
+            F.col("fk").isNotNull()
+        ).unionByName(idx_tomb)
 
-        # ONE probe job replaces the r10 pin counts plus TWO later
-        # bucket collects: it materializes batch_fact_post,
-        # batch_dim_post and the idx-delta checkpoint (everything
-        # downstream reads the cached checkpoints), and returns the
-        # fact branch's dims-lookup buckets (t=0) together with the
-        # index store's touched buckets (t=1).  Bucket ids are pure
-        # value hashes, so fk values hash identically to the jk/fk
-        # bucketing of the stores they address.
+        # ONE probe job replaces the r10 pin counts: it materializes
+        # batch_fact_post and batch_dim_post (everything downstream
+        # reads the cached checkpoints) and returns the fact branch's
+        # dims-lookup buckets (t=0).  Bucket ids are pure value
+        # hashes, so fk values hash identically to the jk/fk
+        # bucketing of the stores they address.  The index/view
+        # stores' touched buckets no longer ride this collect — they
+        # are derived from the delta write's partition dirs (r14b).
         probe = (
             batch_fact_post.filter(
                 F.col("live") & F.col("fk").isNotNull()
@@ -530,12 +565,6 @@ def join_view_batch(
             .select(
                 F.lit(0).alias("t"),
                 _bucket_of(["fk"], n_buckets).alias("b"),
-            )
-            .unionByName(
-                idx_winners.select(
-                    F.lit(1).alias("t"),
-                    _bucket_of(["fk"], n_buckets).alias("b"),
-                )
             )
             .unionByName(
                 batch_dim_post.select(
@@ -546,7 +575,6 @@ def join_view_batch(
             .collect()
         )
         fkb = sorted(r["b"] for r in probe if r["t"] == 0)
-        i_changed_probe = sorted(r["b"] for r in probe if r["t"] == 1)
 
         deltas_dir = os.path.join(path, "view_deltas", f"epoch={epoch}")
         if not os.path.isdir(deltas_dir):
@@ -663,28 +691,46 @@ def join_view_batch(
             # ONE tagged write replaces the two thread-overlapped
             # writes (one Spark action + one commit protocol); the
             # partition dirs rename back to the view/ + idx/ layout
-            # so replay readers are unchanged.
-            du = d.withColumn("__delta", F.lit("view")).unionByName(
-                idx_winners.withColumn("__delta", F.lit("idx")),
+            # so replay readers are unchanged.  r14b: both frames
+            # carry their commit-bucket id as a second partition
+            # column, so the view/index stores' touched-bucket lists
+            # are read off the written dirs (zero driver jobs)
+            # instead of riding a probe leg + a post-write collect.
+            du = d.withColumn(
+                "__b", _bucket_of(["key"], n_buckets)
+            ).withColumn("__delta", F.lit("view")).unionByName(
+                idx_winners.withColumn(
+                    "__b", _bucket_of(["fk"], n_buckets)
+                ).withColumn("__delta", F.lit("idx")),
                 allowMissingColumns=True,
             )
-            du.coalesce(1).write.partitionBy("__delta").mode(
+            du.coalesce(1).write.partitionBy("__delta", "__b").mode(
                 "overwrite"
             ).parquet(tmp)
+            derived: dict[str, list[int]] = {}
             for sub in ("view", "idx"):
                 src = os.path.join(tmp, f"__delta={sub}")
+                dst = os.path.join(tmp, sub)
                 if os.path.isdir(src):
-                    os.rename(src, os.path.join(tmp, sub))
+                    os.rename(src, dst)
+                    derived[sub] = _flatten_bucket_dirs(dst)
                 else:
                     # empty frame -> no partition dir; keep the
                     # layout so replays read an empty delta (and the
                     # legacy flat-layout fallback never misfires)
-                    os.makedirs(os.path.join(tmp, sub), exist_ok=True)
-            # the index store's touched buckets, persisted with the
-            # deltas so the replay path needs no extra discovery job
+                    os.makedirs(dst, exist_ok=True)
+                    derived[sub] = []
+            # the index AND view stores' touched buckets, persisted
+            # with the deltas so neither the replay path nor the
+            # first apply needs a discovery job
             _write_atomic(
                 os.path.join(tmp, "_meta.json"),
-                json.dumps({"i_changed": i_changed_probe}),
+                json.dumps(
+                    {
+                        "i_changed": derived["idx"],
+                        "vchanged": derived["view"],
+                    }
+                ),
             )
             os.rename(tmp, deltas_dir)  # atomic: the delta commit point
 
@@ -697,6 +743,7 @@ def join_view_batch(
         # derived frame and an in-merge collect.
         idx_delta_dir = os.path.join(deltas_dir, "idx")
         i_changed: list[int] | None = None
+        vchanged: list[int] | None = None
         if os.path.isdir(idx_delta_dir):
             # schema'd read: r14's fused delta write can leave an
             # EMPTY idx dir (and union-surplus null columns in the
@@ -706,7 +753,11 @@ def join_view_batch(
             ).select("fk", "key", "live", "doc", *_ORDER)
             meta_path = os.path.join(deltas_dir, "_meta.json")
             if os.path.exists(meta_path):
-                i_changed = json.load(open(meta_path))["i_changed"]
+                meta = json.load(open(meta_path))
+                i_changed = meta["i_changed"]
+                # r14b metas carry the view buckets too; older
+                # epochs fall back to the discovery collect below
+                vchanged = meta.get("vchanged")
         else:
             # legacy pre-idx-subdir delta epoch: the re-derived index
             # frame is NOT replay-stable — a crash AFTER the facts
@@ -758,14 +809,17 @@ def join_view_batch(
             )
         ventries = dict(vmf[1]) if vmf is not None else {}
 
-        vchanged = sorted(
-            r["b"]
-            for r in d.select(
-                _bucket_of(["key"], n_buckets).alias("b")
+        if vchanged is None:
+            # pre-r14b delta epoch without a persisted view-bucket
+            # list: one discovery collect over the tiny delta file
+            vchanged = sorted(
+                r["b"]
+                for r in d.select(
+                    _bucket_of(["key"], n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
         res = _resolve_view_entries(path)
         committed = dict(res[0]) if res is not None else {}
         base_rows = _read_schemaed(

@@ -75,6 +75,7 @@ from pymongo_change_stream_reader_spark.plans.pipeline import (
 )
 from pymongo_change_stream_reader_spark.streaming.join_view import (
     _bucket_history_name,
+    _flatten_bucket_dirs,
     _read_delta_dir,
     _read_schemaed,
 )
@@ -422,9 +423,13 @@ def star_view_batch(
                 F.lit(None).cast("string").alias("doc"),
                 *[F.col(c) for c in _ORDER],
             )
-            idx_winners[s] = idx_live.unionByName(idx_tomb).localCheckpoint(
-                eager=False
-            )
+            # NOT checkpointed (r14b): the fused delta write is the
+            # frame's only consumer — the write materializes it and
+            # its touched buckets come back from the write's
+            # partition dirs (the ER lesson: a lazy checkpoint costs
+            # a Catalyst planning pass plus eagerly-materialized
+            # stage jobs under AQE)
+            idx_winners[s] = idx_live.unionByName(idx_tomb)
 
         deltas_dir = os.path.join(path, "view_deltas", f"epoch={epoch}")
         first_apply = not os.path.isdir(deltas_dir)
@@ -494,23 +499,20 @@ def star_view_batch(
                 R = batch_fact_post.select(*r_cols)
             R = R.localCheckpoint(eager=False)
 
-        # --- job 2 (the batch's ONE combined probe): index buckets
-        # (t = 2*i), dim-post pins (t = 2*i + 1), and on a first apply
-        # R's per-side dim-lookup buckets (t = 2*N + i) — the three
-        # tag families are disjoint for ANY number of dims (the former
-        # 20+i / 50+i scheme collided at len(dims) >= 31 and silently
-        # merged the wrong sides' buckets); the collect also
-        # materializes the idx_winners, batch_dim_post and R
-        # checkpoints
+        # --- job 2 (the batch's ONE combined probe): dim-post pins
+        # (t = 2*i + 1) and on a first apply R's per-side dim-lookup
+        # buckets (t = 2*N + i) — the tag families are disjoint for
+        # ANY number of dims (the former 20+i / 50+i scheme collided
+        # at len(dims) >= 31 and silently merged the wrong sides'
+        # buckets); the collect also materializes the batch_dim_post
+        # and R checkpoints.  The index/view stores' touched buckets
+        # no longer ride this collect — they are derived from the
+        # delta write's partition dirs (r14b), which also lets the
+        # idx_winners frames drop their checkpoints.
         probe_frames = None
         for i, s in enumerate(sides):
-            pf = idx_winners[s].select(
-                F.lit(2 * i).alias("t"),
-                _bucket_of(["fk"], n_buckets).alias("b"),
-            ).unionByName(
-                batch_dim_post[s].select(
-                    F.lit(2 * i + 1).alias("t"), F.lit(-1).alias("b")
-                )
+            pf = batch_dim_post[s].select(
+                F.lit(2 * i + 1).alias("t"), F.lit(-1).alias("b")
             )
             if R is not None:
                 pf = pf.unionByName(
@@ -524,23 +526,7 @@ def star_view_batch(
             probe_frames = (
                 pf if probe_frames is None else probe_frames.unionByName(pf)
             )
-        if R is not None:
-            # the view delta has exactly one row per R key, so the
-            # view store's touched buckets are knowable NOW and ride
-            # the persisted _meta.json — the view commit then needs no
-            # discovery collect (t = -2: disjoint from every family)
-            probe_frames = probe_frames.unionByName(
-                R.select(
-                    F.lit(-2).alias("t"),
-                    _bucket_of(["key"], n_buckets).alias("b"),
-                )
-            )
         probe = probe_frames.distinct().collect()
-        vchanged_probe = sorted(r["b"] for r in probe if r["t"] == -2)
-        i_changed = {
-            s: sorted(r["b"] for r in probe if r["t"] == 2 * i)
-            for i, s in enumerate(sides)
-        }
         rbuckets = {
             s: sorted(
                 r["b"] for r in probe if r["t"] == 2 * len(sides) + i
@@ -597,30 +583,45 @@ def star_view_batch(
             # it, then rename the partition dirs to the SAME on-disk
             # layout as before (view/, idx_<s>/) so replay readers
             # are unchanged.  Union-surplus columns land as nulls;
-            # both readers select/schema their own columns.
-            du = delta.withColumn("__delta", F.lit("view"))
+            # both readers select/schema their own columns.  r14b:
+            # every frame carries its commit-bucket id as a second
+            # partition column, so the view/index touched-bucket
+            # lists come off the written dirs (zero driver jobs)
+            # instead of riding probe legs.
+            du = delta.withColumn(
+                "__b", _bucket_of(["key"], n_buckets)
+            ).withColumn("__delta", F.lit("view"))
             for s in sides:
                 du = du.unionByName(
                     idx_winners[s].withColumn(
-                        "__delta", F.lit(f"idx_{s}")
-                    ),
+                        "__b", _bucket_of(["fk"], n_buckets)
+                    ).withColumn("__delta", F.lit(f"idx_{s}")),
                     allowMissingColumns=True,
                 )
-            du.coalesce(1).write.partitionBy("__delta").mode(
+            du.coalesce(1).write.partitionBy("__delta", "__b").mode(
                 "overwrite"
             ).parquet(tmp)
+            derived: dict[str, list[int]] = {}
             for sub in ["view", *[f"idx_{s}" for s in sides]]:
                 src = os.path.join(tmp, f"__delta={sub}")
+                dst = os.path.join(tmp, sub)
                 if os.path.isdir(src):
-                    os.rename(src, os.path.join(tmp, sub))
+                    os.rename(src, dst)
+                    derived[sub] = _flatten_bucket_dirs(dst)
                 else:
                     # an empty frame writes no partition dir — keep
                     # the layout so replays read an empty delta
-                    os.makedirs(os.path.join(tmp, sub), exist_ok=True)
+                    os.makedirs(dst, exist_ok=True)
+                    derived[sub] = []
             _write_atomic(
                 os.path.join(tmp, "_meta.json"),
                 json.dumps(
-                    {"i_changed": i_changed, "vchanged": vchanged_probe}
+                    {
+                        "i_changed": {
+                            s: derived[f"idx_{s}"] for s in sides
+                        },
+                        "vchanged": derived["view"],
+                    }
                 ),
             )
             os.rename(tmp, deltas_dir)  # atomic delta commit point
