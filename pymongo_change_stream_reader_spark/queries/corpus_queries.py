@@ -1589,8 +1589,6 @@ def _curation_kept_per(spark: SparkSession, sf_dir: str) -> DataFrame:
     the visible lineage).  Split out so the plan-shape test can pin
     the broadcast-join/persist-barrier properties of the corpus-sized
     computation (tests/test_partition_pruning.py)."""
-    from pyspark.sql import Window as W
-
     from pymongo_change_stream_reader_spark.operators.dedup import (
         ngrams_from_tokens,
     )
@@ -1628,11 +1626,23 @@ def _curation_kept_per(spark: SparkSession, sf_dir: str) -> DataFrame:
         & ((F.col("lang") != "en") | (hits >= 1))
         & (F.col("bucket") >= 50)
     )
-    w_hash = W.partitionBy(F.sha2(F.col("text"), 256))
+    # Exact-dup survivor as ONE hash aggregation (r14, guide §2.3):
+    # min_by keeps the min-doc_id row's payload per sha256 group with
+    # map-side partial aggregation, so only one winner row per hash
+    # per map partition crosses the exchange and the raw text column
+    # never shuffles at all — the window form exchanged every gated
+    # row (text + toks) by sha256 and then sorted, to compute the same
+    # winner.  Equivalent by doc_id uniqueness (min_by's winner is
+    # exactly the row the `doc_id == min(doc_id) over (partition by
+    # sha)` filter kept); downstream needs only (doc_id, source, toks).
     surv = (
-        gated.withColumn("keep_id", F.min("doc_id").over(w_hash))
-        .filter(F.col("doc_id") == F.col("keep_id"))
-        .drop("keep_id")
+        gated.groupBy(F.sha2(F.col("text"), 256).alias("__h"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "toks"), F.col("doc_id")
+            ).alias("__w")
+        )
+        .select("__w.doc_id", "__w.source", "__w.toks")
     )
     # grams from the PERSISTED token array — no second regex-split
     # pass over the corpus (the docstring's one-tokenize contract)
