@@ -245,23 +245,24 @@ def lsh_candidate_pairs(
     )
 
 
-def _lsh_candidates_from_grams(
+def _band_table_from_grams(
     grams: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    # Band table via the EXPLODED aggregation form (the
-    # lsh_band_table_batch shape, r14): the per-row expression form
-    # (minhash_signature) runs num_hashes interpreted array_min/
-    # transform HOF passes over every gram array — there is no codegen
-    # and no common-subexpression elimination across interpreted HOFs —
-    # whereas exploding the materialized grams once and min-aggregating
-    # num_hashes codegen'd hash columns computes every hash exactly
-    # once (measured 6.8x on the relay append; value-identical, the
-    # pytest-pinned lsh_band_table_batch parity).  The added narrow
-    # exchange carries (doc, __rid, 32 longs) with map-side partial
-    # aggregation — far cheaper than the interpreted passes it
-    # replaces.  __rid keeps per-ROW semantics for duplicate doc ids,
-    # exactly like lsh_band_table_batch (stamped on the persisted
-    # grams table, so its values are stable across the consumers).
+    """(doc, band, bucket) from a precomputed ``(doc, grams)`` frame
+    via the EXPLODED aggregation form (the lsh_band_table_batch
+    shape, r14): the per-row expression form (minhash_signature) runs
+    num_hashes interpreted array_min/transform HOF passes over every
+    gram array — there is no codegen and no common-subexpression
+    elimination across interpreted HOFs — whereas exploding the
+    materialized grams once and min-aggregating num_hashes codegen'd
+    hash columns computes every hash exactly once (measured 6.8x on
+    the relay append; value-identical, the pytest-pinned
+    lsh_band_table_batch parity).  The added narrow exchange carries
+    (doc, __rid, num_hashes longs) with map-side partial aggregation —
+    far cheaper than the interpreted passes it replaces.  __rid keeps
+    per-ROW semantics for duplicate doc ids, exactly like
+    lsh_band_table_batch (stamp happens on the caller's materialized
+    grams table, so its values are stable across consumers)."""
     rows = num_hashes // bands
     ex = grams.select(
         "doc", F.monotonically_increasing_id().alias("__rid"), "grams"
@@ -276,7 +277,7 @@ def _lsh_candidates_from_grams(
         for i in range(num_hashes)
     ]
     sig_cols = ex.groupBy("doc", "__rid").agg(*aggs)
-    banded = sig_cols.select(
+    return sig_cols.select(
         "doc",
         F.explode(
             F.array(
@@ -296,7 +297,13 @@ def _lsh_candidates_from_grams(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket").persist()
+    ).select("doc", "bb.band", "bb.bucket")
+
+
+def _lsh_candidates_from_grams(
+    grams: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    banded = _band_table_from_grams(grams, num_hashes, bands).persist()
     banded.count()  # eager: both sides of the band self-join scan it
     return (
         banded.alias("a")

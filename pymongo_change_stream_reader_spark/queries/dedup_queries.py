@@ -652,10 +652,9 @@ def corpus_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     + the band equi-join; exact-Jaccard verification touches only the
     collided pairs, never train x eval."""
     from pymongo_change_stream_reader_spark.operators.dedup import (
+        _band_table_from_grams,
+        _grams_table,
         jaccard,
-        lsh_band_table,
-        streaming_near_dup_candidates,
-        word_ngrams,
     )
 
     d = load_table(spark, sf_dir, "documents")
@@ -665,21 +664,37 @@ def corpus_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) % 1000
     ev = d.filter(bucket < 50)
     tr = d.filter(bucket >= 50)
-    cand = streaming_near_dup_candidates(
-        tr, lsh_band_table(ev, "text", "doc_id"), "text", "doc_id"
-    ).distinct()
-    gt = tr.select(
-        F.col("doc_id").alias("train_id"),
-        word_ngrams(F.col("text"), 3).alias("g_t"),
+    # Both sides are BATCH frames: shingle each side ONCE into a
+    # materialized grams table, then derive the band sketches via the
+    # exploded-aggregation form and verify from the same cached grams
+    # (r14, guide §4/§1.2).  The per-row expression form
+    # (lsh_band_table) re-evaluated the interpreted shingle expression
+    # inside each of the 32 seeded transforms — 32 shingle passes per
+    # row — and the verify leg shingled both sides AGAIN; band values
+    # are pytest-pinned identical, so the collided candidate set — and
+    # therefore the verified output — is unchanged.
+    g_tr = _grams_table(tr, "text", "doc_id", 3)
+    g_ev = _grams_table(ev, "text", "doc_id", 3)
+    cand = (
+        _band_table_from_grams(g_tr, 32, 8)
+        .withColumnRenamed("doc", "train_id")
+        .join(
+            F.broadcast(
+                _band_table_from_grams(g_ev, 32, 8)
+            ).withColumnRenamed("doc", "eval_id"),
+            ["band", "bucket"],
+        )
+        .select("train_id", "eval_id")
+        .distinct()
     )
-    ge = ev.select(
-        F.col("doc_id").alias("eval_id"),
-        word_ngrams(F.col("text"), 3).alias("g_e"),
+    gt = g_tr.select(
+        F.col("doc").alias("train_id"), F.col("grams").alias("g_t")
+    )
+    ge = g_ev.select(
+        F.col("doc").alias("eval_id"), F.col("grams").alias("g_e")
     )
     verified = (
-        cand.withColumnRenamed("stream_doc", "train_id")
-        .withColumnRenamed("corpus_doc", "eval_id")
-        .join(gt, "train_id")
+        cand.join(gt, "train_id")
         .join(F.broadcast(ge), "eval_id")
         .select(
             "train_id",
