@@ -260,9 +260,16 @@ def _band_table_from_grams(
     lsh_band_table_batch parity).  The added narrow exchange carries
     (doc, __rid, num_hashes longs) with map-side partial aggregation —
     far cheaper than the interpreted passes it replaces.  __rid keeps
-    per-ROW semantics for duplicate doc ids, exactly like
-    lsh_band_table_batch (stamp happens on the caller's materialized
-    grams table, so its values are stable across consumers)."""
+    per-ROW semantics for duplicate doc ids, exactly like the old
+    per-row expression form.  The stamp (monotonically_increasing_id)
+    is applied HERE, on top of whatever ``grams`` frame the caller
+    passes.  Each evaluation is internally consistent (one stamp per
+    physical row); callers whose OUTPUT is consumed by several actions
+    and must group identically across them should pass a persisted or
+    checkpointed frame (the grams-table consumers do via _grams_table;
+    the relay checkpoints the band table itself) — recomputation of an
+    unpersisted non-deterministic input may re-stamp rows differently
+    across actions."""
     rows = num_hashes // bands
     ex = grams.select(
         "doc", F.monotonically_increasing_id().alias("__rid"), "grams"
@@ -1305,45 +1312,21 @@ def lsh_band_table_batch(
     alongside the id (``monotonically_increasing_id`` stamped before
     the explode), so two rows sharing an id emit two band sets — the
     same rows lsh_band_table's per-row expressions emit — instead of
-    one signature over the union of their shingles."""
-    rows = num_hashes // bands
-    grams = word_ngrams(F.col(text_col), n)
-    ex = df.select(
-        F.col(id_col).alias("doc"),
-        F.monotonically_increasing_id().alias("__rid"),
-        grams.alias("g"),
-    ).select("doc", "__rid", F.explode_outer("g").alias("g"))
-    aggs = [
-        F.min(
-            F.when(
-                F.col("g").isNotNull(),
-                F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("g"))),
-            )
-        ).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
-    sig_cols = ex.groupBy("doc", "__rid").agg(*aggs)
-    return sig_cols.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(
-                            F.array(
-                                *[
-                                    F.col(f"__h{i}")
-                                    for i in range(b * rows, (b + 1) * rows)
-                                ]
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    one signature over the union of their shingles.
+
+    Implementation: a (doc, grams) projection delegated to
+    :func:`_band_table_from_grams` — ONE body for this function and
+    the grams-table consumers (dedup_minhash_lsh /
+    corpus_fuzzy_decontamination), so the value-parity and plan-shape
+    pins on this function cover the shared helper too (ADVICE r14)."""
+    return _band_table_from_grams(
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_ngrams(F.col(text_col), n).alias("grams"),
+        ),
+        num_hashes,
+        bands,
+    )
 
 
 def prefix_filtered_jaccard_pairs(

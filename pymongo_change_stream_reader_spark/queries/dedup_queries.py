@@ -675,13 +675,21 @@ def corpus_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # therefore the verified output — is unchanged.
     g_tr = _grams_table(tr, "text", "doc_id", 3)
     g_ev = _grams_table(ev, "text", "doc_id", 3)
+    # No forced broadcast on the eval side (r15, VERDICT r14 #3): the
+    # eval partition is 5% of the CORPUS — corpus-proportional, a
+    # guaranteed OOM as a broadcast hint at 100 TB.  At bench scale AQE
+    # converts both joins to broadcast at runtime from the REAL post-
+    # aggregation sizes (plans/r15/corpus_fuzzy_decontamination_after
+    # .txt: both joins remain BroadcastHashJoin); at corpus scale the
+    # same joins degrade gracefully to shuffles instead of OOMing the
+    # driver.  Guide §3.1: broadcast only when the small side FITS.
     cand = (
         _band_table_from_grams(g_tr, 32, 8)
         .withColumnRenamed("doc", "train_id")
         .join(
-            F.broadcast(
-                _band_table_from_grams(g_ev, 32, 8)
-            ).withColumnRenamed("doc", "eval_id"),
+            _band_table_from_grams(g_ev, 32, 8).withColumnRenamed(
+                "doc", "eval_id"
+            ),
             ["band", "bucket"],
         )
         .select("train_id", "eval_id")
@@ -695,7 +703,7 @@ def corpus_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verified = (
         cand.join(gt, "train_id")
-        .join(F.broadcast(ge), "eval_id")
+        .join(ge, "eval_id")
         .select(
             "train_id",
             "eval_id",
