@@ -61,6 +61,32 @@ def get_spark(
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
         )
+        # Shuffle writer selection (r15): with numPartitions at or
+        # below this threshold (stock 200) and no map-side combine,
+        # Spark picks the BypassMergeSortShuffleWriter, which OPENS ONE
+        # FILE PER REDUCE PARTITION per map task up front, then merges
+        # and deletes them.  A micro-batch relay runs dozens of tiny
+        # join/repartition exchanges per trigger, so the bypass path
+        # turns each into thousands of file create/delete syscalls —
+        # jstack sampling during the composed bench put ~49% of all
+        # runnable task samples inside FileOutputStream.open0 via
+        # DiskBlockObjectWriter.initialize.  Pinning the threshold to 1
+        # routes every multi-partition shuffle through the sort-based
+        # writer (ONE data file + one index per map task; the default
+        # path for >200 partitions at cluster scale anyway): composed
+        # eight-store A/B over 7 alternating 12-batch runs: every
+        # sort-writer run (60-72 s) beat every bypass run (76-158 s),
+        # ~+40-60% events/s.  Headline queries are unaffected (paired
+        # A/B at sf0.1: parity — their shuffles are few and large, the
+        # per-file overhead is noise there).  This is not a local[32]
+        # constant: any node pays the same per-file metadata cost, and
+        # production shuffle-partition counts (>200) already take the
+        # sort path — the threshold only matters for the micro-batch
+        # regime, where numPartitions is small BY DESIGN.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_THRESHOLD", "1"),
+        )
     )
     # connector jars for the env-gated integration paths (RUNBOOK §1/
     # §2): integration/run_integration.sh exports the Kafka + Mongo
