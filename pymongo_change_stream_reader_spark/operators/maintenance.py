@@ -165,6 +165,7 @@ def compact_parquet_table(
     partition_by: str | list[str] | None = None,
     transform=None,
     preserve_files: tuple[str, ...] = (),
+    schema: str | None = None,
 ) -> int:
     """Rewrite ``table_dir`` into ``num_files`` parquet files (per
     partition dir when ``partition_by`` is given — a single column or
@@ -173,9 +174,16 @@ def compact_parquet_table(
     the BM25 df segment merge).  ``preserve_files`` (model sidecars
     like ``_centroids.json``) are copied into the compacted dir
     BEFORE the swap, so no crash point leaves a table without its
-    model.  Returns the row count written."""
+    model.  ``schema`` (DDL string) makes the read explicit — REQUIRED
+    for dirs whose files mix column sets (the BM25 fused-append files
+    carry union-surplus null columns; footer inference over a mix is
+    nondeterministic).  Returns the row count written."""
     _check_no_leftovers(table_dir)
-    df: DataFrame = spark.read.parquet(table_dir)
+    df: DataFrame = (
+        spark.read.schema(schema).parquet(table_dir)
+        if schema
+        else spark.read.parquet(table_dir)
+    )
     if transform is not None:
         df = transform(df)
     tmp = table_dir + ".compact-tmp"
@@ -241,8 +249,12 @@ def compact_bm25_index(
     the segment-merge half of the generation contract in
     _bm25_apply_locked."""
     from pymongo_change_stream_reader_spark.operators.retrieval import (
+        _bm25_read,
+        _bm25_schema,
+        _load_consts,
         _read_tombstones,
         _with_gen,
+        _write_consts,
         recover_bm25_append,
     )
 
@@ -252,7 +264,14 @@ def compact_bm25_index(
         # a live journal and recovering later would delete every
         # compacted file — the whole index (review r6 finding #1)
         recover_bm25_append(path)
-        tomb = _read_tombstones(spark, path)
+        consts = _load_consts(spark, path)
+        id_type = consts.get("id_type")
+        sch = (
+            (lambda table: _bm25_schema(table, id_type))
+            if id_type is not None
+            else (lambda table: None)
+        )
+        tomb = _read_tombstones(spark, path, id_type)
         if tomb is not None:
             # the tombstones dir is immutable while this lock is held
             # (appenders block), so the lazy anti-join below reads a
@@ -268,13 +287,13 @@ def compact_bm25_index(
         counts = {}
         counts["postings"] = compact_parquet_table(
             spark, os.path.join(path, "postings"), num_files,
-            transform=_purge,
+            transform=_purge, schema=sch("postings"),
         )
         counts["doclen"] = compact_parquet_table(
             spark, os.path.join(path, "doclen"), num_files,
-            transform=_purge,
+            transform=_purge, schema=sch("doclen"),
         )
-        live_post = spark.read.parquet(os.path.join(path, "postings"))
+        live_post = _bm25_read(spark, path, "postings", id_type)
         counts["dfreq"] = compact_parquet_table(
             spark,
             os.path.join(path, "dfreq"),
@@ -290,9 +309,22 @@ def compact_bm25_index(
                     F.sum("df").alias("df")
                 ))
             ),
+            schema=sch("dfreq"),
         )
         if tomb is not None:
             shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+        if id_type is None:
+            # migration stamp: compaction just rewrote every table
+            # with uniform gen-tagged files, so the id type is now
+            # unambiguous — record it and every later read/append
+            # takes the explicit-schema + fused path
+            stamped = dict(
+                spark.read.parquet(os.path.join(path, "postings")).dtypes
+            )["doc_id"]
+            _write_consts(
+                path, consts["n_docs"], consts["total_len"],
+                id_type=stamped,
+            )
         return counts
 
 

@@ -182,31 +182,71 @@ def write_bm25_index(
     n_docs, total_len = doclen.agg(
         F.count("*").cast("double"), F.sum("dl").cast("long")
     ).collect()[0]
+    id_type = dict(post.dtypes)["doc_id"]
     post.unpersist()
-    _write_consts(path, n_docs, int(total_len or 0))
+    _write_consts(path, n_docs, int(total_len or 0), id_type=id_type)
 
 
-def _write_consts(path: str, n_docs: float, total_len: int) -> None:
+def _write_consts(
+    path: str, n_docs: float, total_len: int, id_type: str | None = None
+) -> None:
     """Durable consts write (tmp + os.replace).  ``total_len`` (an
     exact integer) is stored alongside avgdl so incremental appends
     recompute avgdl EXACTLY as a from-scratch build would — doc
     lengths are ints, their double sum is exact below 2^53, so
-    total_len / n_docs == F.avg(dl) bit-for-bit."""
+    total_len / n_docs == F.avg(dl) bit-for-bit.  ``id_type`` (the
+    doc_id Spark SQL type, recorded since r15) lets every reader use
+    an explicit schema instead of parquet footer inference — required
+    for the fused append (whose files carry union-surplus null
+    columns that would make footer inference nondeterministic) and a
+    driver-latency win everywhere else."""
     import json
     import os
 
     tmp = os.path.join(path, "_consts.json.tmp")
     avgdl = (total_len / n_docs) if n_docs else 0.0
+    consts = {"n_docs": n_docs, "avgdl": avgdl, "total_len": total_len}
+    if id_type:
+        consts["id_type"] = id_type
     with open(tmp, "w") as fh:
-        json.dump(
-            {"n_docs": n_docs, "avgdl": avgdl, "total_len": total_len}, fh
-        )
+        json.dump(consts, fh)
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(path, "_consts.json"))
 
 
 _BM25_TABLES = ("postings", "doclen", "dfreq", "tombstones")
+_BM25_FUSED_TMP = "_fused_append_tmp"
+
+
+def _bm25_schema(table: str, id_type: str) -> str:
+    """Explicit read schema per index table (r15): column types are
+    fixed by the writers (gen = int literal / max+1; tf/dl/df = long
+    aggregates) except doc_id, whose type the caller chose at build
+    time and ``_consts.json`` records as ``id_type``.  Explicit
+    schemas skip footer inference (driver latency per read) and make
+    reads immune to union-surplus null columns in fused-append files
+    — parquet resolves columns per file by name, so old 4-column and
+    new fused files read identically."""
+    return {
+        "postings": f"doc_id {id_type}, gen int, term string, tf long",
+        "doclen": f"doc_id {id_type}, gen int, dl long",
+        "dfreq": "term string, df long",
+        "tombstones": f"doc_id {id_type}, gen int",
+    }[table]
+
+
+def _bm25_read(spark, path: str, table: str, id_type: str | None):
+    """Schema'd read of one index table; indexes from before
+    ``id_type`` was recorded fall back to footer inference (their
+    files are uniform — the fused append only runs on id_type-stamped
+    indexes, see _bm25_apply_locked)."""
+    import os
+
+    root = os.path.join(path, table)
+    if id_type is None:
+        return spark.read.parquet(root)
+    return spark.read.schema(_bm25_schema(table, id_type)).parquet(root)
 
 
 def _with_gen(df: DataFrame) -> DataFrame:
@@ -215,7 +255,9 @@ def _with_gen(df: DataFrame) -> DataFrame:
     return df if "gen" in df.columns else df.withColumn("gen", F.lit(0))
 
 
-def _read_tombstones(spark, path: str) -> DataFrame | None:
+def _read_tombstones(
+    spark, path: str, id_type: str | None = None
+) -> DataFrame | None:
     """The dead-generation set (doc_id, gen), or None when the index
     has never seen an update/delete (the pure-append fast path keeps
     its stored-dfreq scoring)."""
@@ -226,19 +268,19 @@ def _read_tombstones(spark, path: str) -> DataFrame | None:
         f.endswith(".parquet") for f in _list_table_files(path, "tombstones")
     ):
         return None
-    return spark.read.parquet(root).select("doc_id", "gen")
+    return _bm25_read(spark, path, "tombstones", id_type).select(
+        "doc_id", "gen"
+    )
 
 
-def _live_bm25_tables(spark, path: str):
+def _live_bm25_tables(spark, path: str, id_type: str | None = None):
     """(live postings, live doclen, has_tombstones): stored rows minus
     tombstoned generations.  The tombstone side broadcasts — it holds
     one row per superseded/deleted document version and is bounded by
     compact_bm25_index, which purges dead rows and clears it."""
-    import os
-
-    post = _with_gen(spark.read.parquet(os.path.join(path, "postings")))
-    doclen = _with_gen(spark.read.parquet(os.path.join(path, "doclen")))
-    tomb = _read_tombstones(spark, path)
+    post = _with_gen(_bm25_read(spark, path, "postings", id_type))
+    doclen = _with_gen(_bm25_read(spark, path, "doclen", id_type))
+    tomb = _read_tombstones(spark, path, id_type)
     if tomb is not None:
         post = post.join(F.broadcast(tomb), ["doc_id", "gen"], "left_anti")
         doclen = doclen.join(
@@ -275,7 +317,13 @@ def recover_bm25_append(path: str) -> bool:
     import json
     import os
 
+    import shutil
+
     jpath = os.path.join(path, "_append_journal.json")
+    # a crashed FUSED append may leave its staging dir behind whether
+    # or not the journal survived — always clear it (it is never part
+    # of any table listing)
+    shutil.rmtree(os.path.join(path, _BM25_FUSED_TMP), ignore_errors=True)
     if not os.path.exists(jpath):
         return False
     with open(jpath) as fh:
@@ -289,7 +337,9 @@ def recover_bm25_append(path: str) -> bool:
             if rel not in keep:
                 os.unlink(os.path.join(root, rel))
     c = journal["consts"]
-    _write_consts(path, c["n_docs"], c["total_len"])
+    _write_consts(
+        path, c["n_docs"], c["total_len"], id_type=c.get("id_type")
+    )
     os.unlink(jpath)
     return True
 
@@ -372,7 +422,12 @@ def _bm25_apply_locked(
     import os
 
     consts = _load_consts(spark, path)
-    raw_doclen = spark.read.parquet(os.path.join(path, "doclen"))
+    # id_type recorded => every read is schema'd (no footer inference)
+    # and the four table appends FUSE into one tagged write; older
+    # indexes keep footer inference + per-table appends for this one
+    # apply and are stamped at the end, so the next apply upgrades
+    id_type = consts.get("id_type")
+    raw_doclen = _bm25_read(spark, path, "doclen", id_type)
     if "gen" not in raw_doclen.columns:
         # legacy index (written before generations existed): appending
         # gen-tagged files would MIX schemas within one parquet dir,
@@ -386,7 +441,7 @@ def _bm25_apply_locked(
             "appending/updating/deleting"
         )
     stored = raw_doclen.select("doc_id", "gen", "dl")
-    tomb = _read_tombstones(spark, path)
+    tomb = _read_tombstones(spark, path, id_type)
     live = (
         stored
         if tomb is None
@@ -490,12 +545,15 @@ def _bm25_apply_locked(
         if not n_new and not n_dead:
             return {"upserted": 0, "tombstoned": 0}
         # journal BEFORE the first durable write (tmp+fsync+replace)
+        jconsts = {
+            "n_docs": consts["n_docs"],
+            "total_len": consts["total_len"],
+        }
+        if id_type is not None:
+            jconsts["id_type"] = id_type
         journal = {
             "files": {t: _list_table_files(path, t) for t in _BM25_TABLES},
-            "consts": {
-                "n_docs": consts["n_docs"],
-                "total_len": consts["total_len"],
-            },
+            "consts": jconsts,
         }
         jpath = os.path.join(path, "_append_journal.json")
         jtmp = jpath + ".tmp"
@@ -504,53 +562,113 @@ def _bm25_apply_locked(
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(jtmp, jpath)
-        # the four appends mutate independent table dirs and consume
-        # only pinned inputs — overlap them from a thread pool (r14:
-        # each append is a write action whose cost is mostly driver
-        # latency + commit protocol at batch sizes; the wall cost
-        # becomes max(), not sum()).  Crash safety is unchanged: the
-        # journal above lists every table's pre-append files, and
-        # recovery deletes unknown files in ALL tables regardless of
-        # which appends landed.
-        append_fns = []
+        # Batch frames per table dir.  Crash safety is identical for
+        # both write shapes below: the journal above lists every
+        # table's pre-append files, and recovery deletes unknown files
+        # in ALL tables (and the fused staging dir) regardless of
+        # which writes landed.
+        frames = []
         if n_new:
-            append_fns += [
-                lambda: post_g.select(
-                    "doc_id", "gen", "term", "tf"
-                ).write.mode("append").parquet(
-                    os.path.join(path, "postings")
+            frames += [
+                ("postings", post_g.select("doc_id", "gen", "term", "tf")),
+                ("doclen", doclen_new.select("doc_id", "gen", "dl")),
+                (
+                    "dfreq",
+                    post_g.groupBy("term").agg(
+                        F.countDistinct("doc_id").alias("df")
+                    ),
                 ),
-                lambda: doclen_new.select(
-                    "doc_id", "gen", "dl"
-                ).write.mode("append").parquet(
-                    os.path.join(path, "doclen")
-                ),
-                lambda: post_g.groupBy("term")
-                .agg(F.countDistinct("doc_id").alias("df"))
-                .write.mode("append")
-                .parquet(os.path.join(path, "dfreq")),
             ]
         if n_dead:
-            append_fns.append(
-                lambda: existing.select("doc_id", "gen").write.mode(
-                    "append"
-                ).parquet(os.path.join(path, "tombstones"))
-            )
-        if len(append_fns) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+            frames.append(("tombstones", existing.select("doc_id", "gen")))
+        if id_type is not None and len(frames) > 1:
+            # ONE fused tagged write (r15, the stores'
+            # _commit_bucketed_fused pattern): union the per-table
+            # frames over the superset columns with an __fstore tag,
+            # write once partitioned by it into a staging dir, then
+            # RENAME each partition dir's files into its table dir —
+            # one write action + commit protocol instead of 3-4
+            # overlapped ones.  Safe only on id_type-stamped indexes:
+            # the fused files carry union-surplus null columns, which
+            # the explicit-schema readers never see but footer
+            # inference would trip over.  Part-file names embed the
+            # write job's UUID, so moved files cannot collide with
+            # prior appends'.
+            import shutil
 
-            with ThreadPoolExecutor(
-                max_workers=len(append_fns),
-                thread_name_prefix="bm25-append",
-            ) as pool:
-                for fut in [pool.submit(fn) for fn in append_fns]:
-                    fut.result()
-        elif append_fns:
-            append_fns[0]()
+            sup_types = {
+                "doc_id": id_type,
+                "gen": "int",
+                "term": "string",
+                "tf": "long",
+                "dl": "long",
+                "df": "long",
+            }
+            parts = []
+            for tname, fr in frames:
+                have = set(fr.columns)
+                parts.append(
+                    fr.select(
+                        *[
+                            (
+                                F.col(c)
+                                if c in have
+                                else F.lit(None).cast(t)
+                            ).alias(c)
+                            for c, t in sup_types.items()
+                        ],
+                        F.lit(tname).alias("__fstore"),
+                    )
+                )
+            fused = parts[0]
+            for p in parts[1:]:
+                fused = fused.unionByName(p)
+            tmp_dir = os.path.join(path, _BM25_FUSED_TMP)
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            fused.write.partitionBy("__fstore").mode("overwrite").parquet(
+                tmp_dir
+            )
+            for tname, _fr in frames:
+                src_dir = os.path.join(tmp_dir, f"__fstore={tname}")
+                if not os.path.isdir(src_dir):
+                    continue  # frame wrote no rows -> no partition dir
+                dst_dir = os.path.join(path, tname)
+                os.makedirs(dst_dir, exist_ok=True)
+                for fn in os.listdir(src_dir):
+                    os.rename(
+                        os.path.join(src_dir, fn),
+                        os.path.join(dst_dir, fn),
+                    )
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        else:
+            # legacy (pre-id_type) index, or a single table to append:
+            # per-table appends overlapped from a thread pool (r14 —
+            # wall cost max(), not sum()); the apply stamps id_type
+            # below, so the NEXT apply takes the fused path
+            append_fns = [
+                (
+                    lambda fr=fr, tname=tname: fr.write.mode(
+                        "append"
+                    ).parquet(os.path.join(path, tname))
+                )
+                for tname, fr in frames
+            ]
+            if len(append_fns) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=len(append_fns),
+                    thread_name_prefix="bm25-append",
+                ) as pool:
+                    for fut in [pool.submit(fn) for fn in append_fns]:
+                        fut.result()
+            elif append_fns:
+                append_fns[0]()
         _write_consts(
             path,
             consts["n_docs"] + n_new - n_dead,
             consts["total_len"] + int(new_len or 0) - int(dead_len or 0),
+            id_type=id_type or dict(raw_doclen.dtypes)["doc_id"],
         )
         os.unlink(jpath)  # commit point: the apply is complete
         return {"upserted": int(n_new), "tombstoned": int(n_dead)}
@@ -660,7 +778,8 @@ def bm25_scores_from_index(
 
     with open(os.path.join(path, "_consts.json")) as fh:
         consts = json.load(fh)
-    post, doclen, has_tomb = _live_bm25_tables(spark, path)
+    id_type = consts.get("id_type")
+    post, doclen, has_tomb = _live_bm25_tables(spark, path, id_type)
     if has_tomb:
         qterm_names = (
             post.filter(F.col("doc_id").isin(probe_ids))
@@ -673,7 +792,7 @@ def bm25_scores_from_index(
             .agg(F.countDistinct("doc_id").alias("df"))
         )
     else:
-        dfreq = spark.read.parquet(os.path.join(path, "dfreq"))
+        dfreq = _bm25_read(spark, path, "dfreq", id_type)
     return _score_from_tables(
         post, doclen, dfreq, consts["n_docs"], consts["avgdl"],
         probe_ids, k1, b,

@@ -91,6 +91,70 @@ def test_append_legacy_consts_without_total_len(spark, tmp_path, docs):
     assert _scores(spark, path) == _scores(spark, full)
 
 
+def test_fused_append_files_and_crash_rollback(spark, tmp_path, docs):
+    """r15: on an id_type-stamped index the 3-4 per-table appends fuse
+    into ONE tagged write whose files land in the table dirs carrying
+    union-surplus null columns.  Pin (a) the fused files are really
+    there (a postings data file whose footer includes the surplus
+    'dl' column), (b) scores still equal a from-scratch build (the
+    explicit-schema readers never see the surplus), and (c) a crash
+    AFTER the fused move but BEFORE the consts write rolls the moved
+    files back exactly (journal recovery covers the fused path)."""
+    import os
+
+    from pymongo_change_stream_reader_spark.operators import retrieval as rt
+
+    path = str(tmp_path / "idx")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    write_bm25_index(a, path)
+    consts = json.load(open(os.path.join(path, "_consts.json")))
+    assert consts["id_type"] == "bigint"
+    before_files = set(rt._list_table_files(path, "postings"))
+    assert append_bm25_index(b, path) == b.count()
+    new_files = {
+        f
+        for f in set(rt._list_table_files(path, "postings")) - before_files
+        if f.endswith(".parquet")
+    }
+    assert new_files, "fused append wrote no postings files"
+    fused_schema = (
+        spark.read.parquet(
+            os.path.join(path, "postings", sorted(new_files)[0])
+        ).columns
+    )
+    assert "dl" in fused_schema and "df" in fused_schema  # surplus cols
+    full = str(tmp_path / "full")
+    write_bm25_index(docs, full)
+    assert _scores(spark, path) == _scores(spark, full)
+    # crash window: consts write raises after the fused files moved
+    c = spark.createDataFrame(
+        [(10_000, "wholly new fused crash doc")], "doc_id long, text string"
+    )
+    pre = {t: set(rt._list_table_files(path, t)) for t in rt._BM25_TABLES}
+    pre_consts = json.load(open(os.path.join(path, "_consts.json")))
+    real = rt._write_consts
+    import pytest as _pytest
+
+    def boom(*aa, **kk):
+        raise RuntimeError("crash before consts")
+
+    rt._write_consts = boom
+    try:
+        with _pytest.raises(RuntimeError, match="crash before consts"):
+            append_bm25_index(c, path)
+    finally:
+        rt._write_consts = real
+    assert rt.recover_bm25_append(path) is True
+    assert {
+        t: set(rt._list_table_files(path, t)) for t in rt._BM25_TABLES
+    } == pre
+    assert not os.path.exists(os.path.join(path, rt._BM25_FUSED_TMP))
+    assert json.load(open(os.path.join(path, "_consts.json"))) == pre_consts
+    # and the replayed batch applies cleanly afterwards
+    assert append_bm25_index(c, path) == 1
+
+
 def test_streaming_bm25_index_two_batches(spark, tmp_path):
     """e2e: batch 0 builds the index, batch 1 appends a new doc,
     UPDATES an already-ingested key (generation-tagged re-ingest —

@@ -247,6 +247,17 @@ def test_legacy_index_without_gen_refuses_then_migrates(
         )
         shutil.rmtree(t)
         os.rename(t + ".legacy", t)
+    # a real pre-generation index also predates the recorded id_type
+    # (r15) — strip it so readers footer-infer, as they would on a
+    # genuine legacy index (id_type implies gen-tagged by invariant)
+    import json
+
+    cpath = os.path.join(path, "_consts.json")
+    with open(cpath) as fh:
+        consts = json.load(fh)
+    consts.pop("id_type", None)
+    with open(cpath, "w") as fh:
+        json.dump(consts, fh)
     updated = _final_corpus(spark, docs).filter(F.col("doc_id") % 7 == 0)
     with pytest.raises(RuntimeError, match="predates generation"):
         upsert_bm25_index(updated, path)
@@ -254,6 +265,10 @@ def test_legacy_index_without_gen_refuses_then_migrates(
     assert "gen" in spark.read.parquet(
         os.path.join(path, "doclen")
     ).columns
+    # the migration also stamps id_type, so later reads are schema'd
+    # and later appends take the fused write path
+    with open(cpath) as fh:
+        assert "id_type" in json.load(fh)
     upsert_bm25_index(updated, path)
     full = str(tmp_path / "full")
     write_bm25_index(_final_corpus(spark, docs), full)

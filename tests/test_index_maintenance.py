@@ -163,18 +163,16 @@ def test_bm25_append_crash_journal_rollback(spark, tmp_path, monkeypatch):
         for t in ("postings", "doclen", "dfreq")
     }
 
-    # crash after the SECOND table append (postings + doclen written,
-    # dfreq and consts not)
+    # WINDOW 1 (fused path, r15): crash after the one tagged write
+    # lands in the staging dir but BEFORE any file moves into the
+    # table dirs — the fused analog of the old "after doclen, before
+    # dfreq" partial-append window
     real_parquet = type(docs.write).parquet
-    calls = []
 
     def crashing_parquet(self, p, *a_, **kw):
-        if "/bm25/" in p or p.endswith(("postings", "doclen", "dfreq")):
-            calls.append(p)
-            if len(calls) == 2:
-                real_parquet(self, p, *a_, **kw)  # doclen lands...
-                raise OSError("injected crash after doclen append")
-        return real_parquet(self, p, *a_, **kw)
+        real_parquet(self, p, *a_, **kw)
+        if R._BM25_FUSED_TMP in p:
+            raise OSError("injected crash after staging write")
 
     monkeypatch.setattr(type(docs.write), "parquet", crashing_parquet)
     with pytest.raises(OSError, match="injected"):
@@ -185,9 +183,31 @@ def test_bm25_append_crash_journal_rollback(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="recover_bm25_append"):
         R.append_bm25_index(b, path)
     assert R.recover_bm25_append(path) is True
-    # exact pre-append state restored
+    # exact pre-append state restored, staging dir cleared
     for t in ("postings", "doclen", "dfreq"):
         assert R._list_table_files(path, t) == pre_files[t]
+    assert not os.path.exists(os.path.join(path, R._BM25_FUSED_TMP))
+
+    # WINDOW 2: crash after the FIRST staged file moved into its table
+    # dir — a strict prefix of the moves landed
+    real_rename = os.rename
+    moved = []
+
+    def crashing_rename(src, dst):
+        real_rename(src, dst)
+        if R._BM25_FUSED_TMP in src:
+            moved.append(src)
+            if len(moved) == 1:
+                raise OSError("injected crash mid-move")
+
+    monkeypatch.setattr("os.rename", crashing_rename)
+    with pytest.raises(OSError, match="mid-move"):
+        R.append_bm25_index(b, path)
+    monkeypatch.setattr("os.rename", real_rename)
+    assert R.recover_bm25_append(path) is True
+    for t in ("postings", "doclen", "dfreq"):
+        assert R._list_table_files(path, t) == pre_files[t]
+    assert not os.path.exists(os.path.join(path, R._BM25_FUSED_TMP))
     # replay applies cleanly and matches a from-scratch build
     assert R.append_bm25_index(b, path) == b.count()
     ref = str(tmp_path / "ref")
